@@ -1,0 +1,47 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** One declared-surface query: a Spark implementation plus (when
+  * SQL-expressible) an equivalent ANSI SQL oracle the driver runs in DuckDB
+  * over the same parquet tables. `oracle=None` → driver does a rows-only check.
+  */
+final case class Q(
+    name: String,
+    spark: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Qutil {
+  /** Order-independent exact sum of a double expression.
+    *
+    * A plain double SUM is order-dependent, and Spark/DuckDB will not
+    * aggregate rows in the same order — so hash-comparing double sums is
+    * flaky. Casting each row to DECIMAL first makes the sum exact (hence
+    * order-independent); a final cast back to DOUBLE is a single
+    * deterministic conversion both engines perform identically. Per-row
+    * double→decimal rounding is also engine-agnostic: a binary double can
+    * never land exactly on a decimal .5 rounding boundary (5·10^-k is not a
+    * binary fraction), so round-half-up vs round-half-even never disagree.
+    *
+    * SQL twin: CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE).
+    */
+  def dsum(c: Column, scale: Int = 4): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** Exact mean: exact decimal sum → double, divided by exact count.
+    * SQL twin: CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE) / COUNT(*).
+    */
+  def davg(c: Column, scale: Int = 4): Column =
+    dsum(c, scale) / count(lit(1))
+
+  /** Exact decimal views of money-ish (2-decimal) doubles. Products of
+    * decimal-cast inputs stay exact through multiply+sum, unlike casting a
+    * double *product* to decimal, where Spark (exact BigDecimal conversion)
+    * and DuckDB (scale-by-10^s-then-round on the double) can disagree by one
+    * ulp of the target scale.
+    */
+  def money(c: Column): Column = c.cast(DecimalType(12, 2))
+  def rate(c: Column): Column  = c.cast(DecimalType(4, 2))
+}

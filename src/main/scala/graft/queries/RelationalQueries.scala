@@ -1,0 +1,415 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The declared relational query surface (SURVEY §2b): scans, projection,
+  * filters, all join types, hash aggregation, windows, sorts/top-k, set ops,
+  * scalar functions, rollup/cube, subqueries — each with a DuckDB oracle.
+  *
+  * Scale notes (100 TB discipline): dimension tables (region/nation/customer/
+  * supplier/part) are broadcast explicitly; fact-fact joins shuffle on their
+  * join key only after filters are pushed to the scan; aggregations are
+  * partial-agg friendly (plain groupBy on low-cardinality keys).
+  */
+object RelationalQueries {
+  import Qutil._
+
+  private def q(name: String, sql: String)(f: (SparkSession, String) => DataFrame) =
+    Q(name, f, Some(sql))
+
+  val defs: Seq[Q] = Seq(
+    // --- aggregation: TPC-H Q1 pricing summary -------------------------------
+    q("q01_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))*(1-CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))*(1-CAST(l_discount AS DECIMAL(4,2)))*(1+CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)/COUNT(*) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+      val price = money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount")))
+      li.groupBy(col("l_returnflag"), col("l_linestatus")).agg(
+        dsum(col("l_quantity"), 2).as("sum_qty"),
+        dsum(col("l_extendedprice"), 2).as("sum_base_price"),
+        sum(price).cast("double").as("sum_disc_price"),
+        sum(price * (lit(1) + rate(col("l_tax")))).cast("double").as("sum_charge"),
+        davg(col("l_quantity"), 2).as("avg_qty"),
+        davg(col("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+    },
+
+    // --- filter predicates: comparison, BETWEEN, IN, LIKE, IS NOT NULL -------
+    q("q02_filter_pred",
+      """SELECT p_partkey, p_name, p_retailprice FROM part
+        |WHERE p_size BETWEEN 10 AND 40 AND p_type IN ('ECONOMY','PROMO')
+        |  AND p_name LIKE '%bolt%' AND p_retailprice IS NOT NULL""".stripMargin) { (s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_size").between(10, 40)
+          && col("p_type").isin("ECONOMY", "PROMO")
+          && col("p_name").like("%bolt%")
+          && col("p_retailprice").isNotNull)
+        .select("p_partkey", "p_name", "p_retailprice")
+    },
+
+    // --- 3-way join + agg: TPC-H Q3 shipping priority -------------------------
+    q("q03_shipping_priority",
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))*(1-CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |  CAST(o_orderdate AS DATE) AS orderdate, o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1999-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority""".stripMargin) { (s, d) =>
+      // customer is a dim → broadcast; orders⋈lineitem shuffles on orderkey.
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") < to_timestamp(lit("1999-01-01 00:00:00")))
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > to_timestamp(lit("1999-01-01 00:00:00")))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          col("o_orderdate").cast("date").as("orderdate"), col("o_orderpriority"))
+    },
+
+    // --- semi join (EXISTS): TPC-H Q4 order priority check --------------------
+    q("q04_order_priority",
+      """SELECT o_orderpriority, COUNT(*) AS order_count FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00"))
+          && col("o_orderdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+      val l = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+      o.join(l, col("l_orderkey") === col("o_orderkey")
+          && col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    },
+
+    // --- 6-way star join: TPC-H Q5 local supplier volume ----------------------
+    q("q05_local_supplier_volume",
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))*(1-CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin) { (s, d) =>
+      // lineitem is the only big fact: every other input is broadcast so the
+      // plan is a single scan + broadcast-hash-joins + one partial/final agg.
+      val asia = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+      val sup = Tables.supplier(s, d)
+        .join(broadcast(asia), col("s_nationkey") === col("n_nationkey"))
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
+          .cast("double").as("revenue"))
+    },
+
+    // --- scan-heavy filter + global agg: TPC-H Q6 -----------------------------
+    q("q06_revenue_change",
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))*CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00"))
+          && col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00"))
+          && col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+        .agg(sum(money(col("l_extendedprice")) * rate(col("l_discount")))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+    },
+
+    // --- left outer join + agg over nullable side -----------------------------
+    q("q07_cust_order_stats",
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+        |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spend
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          coalesce(sum(col("o_totalprice").cast(DecimalType(18, 2))), lit(0))
+            .cast("double").as("total_spend"))
+    },
+
+    // --- anti join (NOT EXISTS) ----------------------------------------------
+    q("q08_cust_no_recent_orders",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')""".stripMargin) { (s, d) =>
+      val recent = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= to_timestamp(lit("2000-01-01 00:00:00")))
+      Tables.customer(s, d)
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    },
+
+    // --- full outer join ------------------------------------------------------
+    q("q09_nation_presence",
+      """WITH c AS (SELECT c_nationkey AS k, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey),
+        |     s AS (SELECT s_nationkey AS k, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey)
+        |SELECT COALESCE(c.k, s.k) AS nationkey, c.n_cust, s.n_supp
+        |FROM c FULL OUTER JOIN s ON c.k = s.k""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d).groupBy(col("c_nationkey").as("ck"))
+        .agg(count(lit(1)).as("n_cust"))
+      val su = Tables.supplier(s, d).groupBy(col("s_nationkey").as("sk"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(su, col("ck") === col("sk"), "full_outer")
+        .select(coalesce(col("ck"), col("sk")).as("nationkey"),
+          col("n_cust"), col("n_supp"))
+    },
+
+    // --- cross join + theta filter -------------------------------------------
+    q("q10_region_pairs",
+      """SELECT r1.r_regionkey AS a, r2.r_regionkey AS b
+        |FROM region r1 CROSS JOIN region r2
+        |WHERE r1.r_regionkey < r2.r_regionkey""".stripMargin) { (s, d) =>
+      val r1 = Tables.region(s, d).select(col("r_regionkey").as("a"))
+      val r2 = Tables.region(s, d).select(col("r_regionkey").as("b"))
+      r1.crossJoin(r2).filter(col("a") < col("b"))
+    },
+
+    // --- window: row_number / rank / dense_rank, top-N per group --------------
+    q("q11_top_orders_per_cust",
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+        |    CAST(RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS INT) AS rk,
+        |    CAST(DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS INT) AS drk
+        |  FROM orders) t WHERE rn <= 3""".stripMargin) { (s, d) =>
+      val byPrice = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val rankW = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(byPrice).as("rn"),
+          rank().over(rankW).as("rk"),
+          dense_rank().over(rankW).as("drk"))
+        .filter(col("rn") <= 3)
+    },
+
+    // --- window: lag / lead ---------------------------------------------------
+    q("q12_event_neighbors",
+      """SELECT event_id, user_id, value,
+        |  LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+        |  LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value,
+        |  LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |FROM events""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d).select(col("event_id"), col("user_id"), col("value"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"),
+        lag(col("event_type"), 1).over(w).as("prev_type"))
+    },
+
+    // --- window: running (framed) aggregate -----------------------------------
+    q("q13_running_spend",
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+        |  COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_so_far
+        |FROM events""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d).select(col("event_id"), col("user_id"),
+        sum(col("value").cast(DecimalType(18, 2))).over(w).cast("double").as("running_value"),
+        count(lit(1)).over(w).as("n_so_far"))
+    },
+
+    // --- global sort + limit (top-k → TakeOrderedAndProject) ------------------
+    q("q14_top_orders",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(10)
+    },
+
+    // --- set ops: INTERSECT / EXCEPT / UNION ALL ------------------------------
+    q("q15_nation_setops",
+      """WITH cn AS (SELECT DISTINCT n_name FROM nation JOIN customer ON c_nationkey = n_nationkey),
+        |     sn AS (SELECT DISTINCT n_name FROM nation JOIN supplier ON s_nationkey = n_nationkey)
+        |SELECT 'both' AS tag, n_name FROM (SELECT n_name FROM cn INTERSECT SELECT n_name FROM sn) t
+        |UNION ALL
+        |SELECT 'cust_only' AS tag, n_name FROM (SELECT n_name FROM cn EXCEPT SELECT n_name FROM sn) t""".stripMargin) { (s, d) =>
+      val n = Tables.nation(s, d)
+      val cn = n.join(Tables.customer(s, d), col("c_nationkey") === col("n_nationkey"))
+        .select("n_name").distinct()
+      val sn = n.join(Tables.supplier(s, d), col("s_nationkey") === col("n_nationkey"))
+        .select("n_name").distinct()
+      cn.intersect(sn).withColumn("tag", lit("both"))
+        .unionByName(cn.except(sn).withColumn("tag", lit("cust_only")))
+        .select("tag", "n_name")
+    },
+
+    // --- distinct aggregation -------------------------------------------------
+    q("q16_distinct_counts",
+      """SELECT COUNT(DISTINCT o_custkey) AS n_cust,
+        |       COUNT(DISTINCT o_orderstatus) AS n_status,
+        |       (SELECT COUNT(*) FROM (SELECT DISTINCT o_custkey, o_orderstatus FROM orders) t) AS n_pairs
+        |FROM orders""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        countDistinct(col("o_orderstatus")).as("n_status"),
+        countDistinct(col("o_custkey"), col("o_orderstatus")).as("n_pairs"))
+    },
+
+    // --- scalar date functions ------------------------------------------------
+    q("q17_orders_by_month",
+      """SELECT CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS m,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 2).as("total"))
+    },
+
+    // --- scalar string functions ----------------------------------------------
+    q("q18_string_fns",
+      """SELECT p_partkey, UPPER(p_name) AS uname, SUBSTR(p_name, 1, 3) AS pre,
+        |  CAST(LENGTH(p_name) AS INT) AS name_len,
+        |  REPLACE(p_type, 'ECONOMY', 'ECO') AS typ,
+        |  CONCAT(p_brand, ':', p_name) AS brand_name,
+        |  TRIM(p_name) AS trimmed, LOWER(p_brand) AS lbrand
+        |FROM part""".stripMargin) { (s, d) =>
+      Tables.part(s, d).select(col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        substring(col("p_name"), 1, 3).as("pre"),
+        length(col("p_name")).as("name_len"),
+        regexp_replace(col("p_type"), "ECONOMY", "ECO").as("typ"),
+        concat(col("p_brand"), lit(":"), col("p_name")).as("brand_name"),
+        trim(col("p_name")).as("trimmed"),
+        lower(col("p_brand")).as("lbrand"))
+    },
+
+    // --- CASE WHEN bucketing --------------------------------------------------
+    q("q19_price_buckets",
+      """SELECT CASE WHEN o_totalprice < 1000 THEN 'small'
+        |            WHEN o_totalprice < 5000 THEN 'mid'
+        |            ELSE 'big' END AS bucket,
+        |  COUNT(*) AS n,
+        |  CAST(MIN(o_totalprice) AS DOUBLE) AS min_p,
+        |  CAST(MAX(o_totalprice) AS DOUBLE) AS max_p
+        |FROM orders GROUP BY 1""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(when(col("o_totalprice") < 1000, "small")
+          .when(col("o_totalprice") < 5000, "mid")
+          .otherwise("big").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("min_p"),
+          max(col("o_totalprice")).as("max_p"))
+    },
+
+    // --- ROLLUP ---------------------------------------------------------------
+    q("q20_rollup_status",
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 2).as("total"))
+    },
+
+    // --- CUBE -----------------------------------------------------------------
+    q("q21_cube_status_year",
+      """SELECT o_orderstatus, CAST(year(o_orderdate) AS INT) AS y, COUNT(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, CAST(year(o_orderdate) AS INT))""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), year(col("o_orderdate")).as("y"))
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // --- HAVING ---------------------------------------------------------------
+    q("q22_hot_parts",
+      """SELECT l_partkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY l_partkey
+        |HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).groupBy(col("l_partkey"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("qty_dec"))
+        .filter(col("qty_dec") > 300)
+        .select(col("l_partkey"), col("qty_dec").cast("double").as("qty"))
+    },
+
+    // --- scalar subquery ------------------------------------------------------
+    q("q23_above_avg_balance",
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*)
+        |                   FROM customer)""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d)
+      val avgBal = c.agg(davg(col("c_acctbal"), 2).as("avg_bal"))
+      c.join(broadcast(avgBal)).filter(col("c_acctbal") > col("avg_bal"))
+        .select("c_custkey", "c_acctbal")
+    },
+
+    // --- IN subquery (semi join on derived set) -------------------------------
+    q("q24_parts_big_orders",
+      """SELECT p_partkey, p_name FROM part
+        |WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)""".stripMargin) { (s, d) =>
+      val big = Tables.lineitem(s, d).filter(col("l_quantity") >= 49)
+        .select(col("l_partkey"))
+      Tables.part(s, d)
+        .join(big, col("p_partkey") === col("l_partkey"), "left_semi")
+        .select("p_partkey", "p_name")
+    },
+
+    // --- grouping sets --------------------------------------------------------
+    q("q25_grouping_sets",
+      """SELECT c_mktsegment, c_nationkey, COUNT(*) AS n
+        |FROM customer
+        |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d)
+      c.groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+        .select(col("c_mktsegment"), lit(null).cast("int").as("c_nationkey"), col("n"))
+        .unionByName(
+          c.groupBy(col("c_nationkey")).agg(count(lit(1)).as("n"))
+            .select(lit(null).cast("string").as("c_mktsegment"), col("c_nationkey"), col("n")))
+    },
+
+    // --- tumbling time window over the event stream table ---------------------
+    q("q26_hourly_events",
+      """SELECT STRFTIME(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 2).as("total_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          col("event_type"), col("n"), col("total_value"))
+    }
+  )
+}
