@@ -1,0 +1,53 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Error policies — ≙ ext/error_policy.c:29–40 + kafka/bottledwater.c:417–436:
+  *   - Exit: abort the stream on a poison record (no data loss after retry)
+  *   - Log:  skip poison records and continue (accepts loss)
+  * pinned behaviorally by spec/functional/error_handling_spec.rb:23–147
+  * (oversize rows, mid-snapshot failures, both policies).
+  *
+  * Spark-first: a declarative guard transform. Log ⇒ filter (poison rows
+  * drop out of the plan); Exit ⇒ raise_error inside the row pipeline, which
+  * fails the task → the query, exactly once the poison row is reached.
+  */
+sealed trait ErrorPolicy
+object ErrorPolicy {
+  case object Exit extends ErrorPolicy
+  case object Log extends ErrorPolicy
+
+  def parse(s: String): ErrorPolicy = s match {
+    case "exit" => Exit
+    case "log"  => Log
+    case other  => throw new IllegalArgumentException(
+      s"unknown error policy '$other' (expected exit|log)")
+  }
+
+  /** Guard rows where `bad` is true according to the policy.
+    *
+    * Exit wraps `wrapCol` (a column every consumer reads) so the raise_error
+    * sits in the live row pipeline — a free-standing then-dropped error column
+    * would be pruned by Catalyst and never evaluated.
+    */
+  def guard(df: DataFrame, bad: Column, policy: ErrorPolicy, what: String,
+      wrapCol: String): DataFrame =
+    policy match {
+      case Log => df.filter(!coalesce(bad, lit(false)))
+      case Exit =>
+        val dt = df.schema(wrapCol).dataType
+        df.withColumn(wrapCol,
+          when(coalesce(bad, lit(false)),
+            raise_error(lit(s"error policy exit: $what")).cast(dt))
+            .otherwise(col(wrapCol)))
+    }
+
+  /** Max-record-size guard over a serialized payload column (1 MiB default,
+    * ext/io_util.c:3–4).
+    */
+  def maxRecordSize(df: DataFrame, payloadCol: String, policy: ErrorPolicy,
+      maxBytes: Int = PgTypes.MaxRecordBytes): DataFrame =
+    guard(df, octet_length(col(payloadCol)) > maxBytes, policy,
+      s"record exceeds $maxBytes bytes", payloadCol)
+}

@@ -1,0 +1,78 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Latest-state materialization: turn a keyed changelog into the current
+  * table state. This is the engine's core operator — the semantics the
+  * reference delegates to Kafka log compaction (README.md:288–291: delete ⇒
+  * null-value tombstone with the same key, so compaction retains only the
+  * newest record per key).
+  *
+  * Scale design: the batch path is a single hash aggregation
+  * (`max_by(row, orderKey)`) — partial (map-side) aggregation means each
+  * executor pre-compacts its partitions before the shuffle, so shuffle volume
+  * is O(distinct keys), not O(events). A window/`row_number` formulation would
+  * instead shuffle ALL events and sort each partition; at 100 TB that is the
+  * difference between shipping the compacted state and shipping the firehose.
+  */
+object LatestState {
+
+  /** Batch compaction over a generic changelog DataFrame.
+    *
+    * @param changelog  rows with key columns, ordering columns, an op column
+    * @param keyCols    primary-key columns (≙ tuple_to_avro_key projection,
+    *                   ext/oid2avro.c:221–260)
+    * @param orderCols  commit-order columns, e.g. (lsn, seq) — total order per key
+    * @param opCol      column holding Op.Insert/Update/Delete
+    * @param keepDeleted if false (default), keys whose final op is delete are
+    *                   dropped (tombstone semantics); if true they are kept
+    *                   with their last payload (for audit/debug).
+    */
+  def batch(
+      changelog: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[String],
+      opCol: String = "op",
+      keepDeleted: Boolean = false): DataFrame = {
+    val payload = struct(changelog.columns.map(col).toIndexedSeq: _*)
+    val ord = struct(orderCols.map(col).toIndexedSeq: _*)
+    val latest = changelog
+      .groupBy(keyCols.map(col).toIndexedSeq: _*)
+      .agg(max_by(payload, ord).as("_latest"))
+      .select(col("_latest.*"))
+    if (keepDeleted) latest else latest.filter(col(opCol) =!= Op.Delete)
+  }
+
+  /** Streaming compaction over the typed envelope: emits the new latest state
+    * of every (table, key) touched in each micro-batch (Update mode).
+    *
+    * State = newest (lsn, seq, op, after) per key — O(live keys); the Spark
+    * state store replaces the reference's schema cache / table mapper / txn
+    * tracker trio (SURVEY §2a #8/#14/#19). Late or replayed events (CDC is
+    * at-least-once, kafka/bottledwater.c:683–687) are ignored unless they
+    * advance (lsn, seq) — making the sink effectively exactly-once.
+    */
+  def streaming(events: Dataset[CdcEvent]): Dataset[CdcEvent] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(e => Op.rowOps.contains(e.op))
+      .groupByKey(e => (e.table, e.key))
+      .mapGroupsWithState[CdcEvent, CdcEvent](GroupStateTimeout.NoTimeout) {
+        case (_, batch, state: GroupState[CdcEvent]) =>
+          val incoming = batch.maxBy(e => (e.lsn, e.seq))
+          val newest = state.getOption match {
+            case Some(cur)
+                if cur.lsn > incoming.lsn ||
+                  (cur.lsn == incoming.lsn && cur.seq >= incoming.seq) => cur
+            case _ => incoming
+          }
+          state.update(newest)
+          newest
+      }
+  }
+
+  /** Output mode matching [[streaming]]. */
+  val streamingOutputMode: OutputMode = OutputMode.Update()
+}

@@ -1,0 +1,31 @@
+package graft.cdc
+
+import org.apache.spark.sql.Dataset
+
+/** Update splitting (key-change rewrite) — ≙ ext/protocol_server.c:129–136:
+  * if an UPDATE changed the primary key, downstream compaction keyed on the
+  * new key would silently leave the old key's state behind; the reference
+  * rewrites such updates as DELETE(old key) + INSERT(new key).
+  *
+  * Spark-first: a `flatMap` over the envelope — narrow (no shuffle), fully
+  * pipelined inside whole-stage codegen's surrounding stages.
+  */
+object UpdateSplit {
+
+  /** Key of the "before" image when it differs from `key`; null otherwise.
+    * (The generic envelope carries the old key inside `before`; a key change
+    * is detectable as before-key ≠ key, mirroring the reference's memcmp of
+    * old/new key bytes.)
+    */
+  def apply(events: Dataset[CdcEvent], oldKeyOf: CdcEvent => String): Dataset[CdcEvent] = {
+    import events.sparkSession.implicits._
+    events.flatMap { e =>
+      val oldKey = oldKeyOf(e)
+      if (e.op == Op.Update && oldKey != null && oldKey != e.key)
+        Seq(
+          e.copy(op = Op.Delete, key = oldKey, after = null),
+          e.copy(op = Op.Insert, before = null, seq = e.seq + 1))
+      else Seq(e)
+    }
+  }
+}

@@ -1,0 +1,140 @@
+package graft.queries
+
+import graft.Tables
+import graft.cdc._
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** CDC-semantics surface: the reference's own behaviors (latest-state
+  * compaction/tombstones, update splitting, at-least-once dedup, topic
+  * routing, registry framing, snapshot∪stream lifecycle) run through the
+  * engine's real operators, with DuckDB oracles that restate the semantics
+  * in plain SQL over the `events` table (the changelog generator's source).
+  */
+object CdcQueries {
+
+  private def q(name: String, sql: String)(f: (SparkSession, String) => DataFrame) =
+    Q(name, f, Some(sql))
+
+  private val opSql = ChangelogGen.opSql
+
+  val defs: Seq[Q] = Seq(
+    // --- latest-state compaction with tombstones (the flagship CDC operator) --
+    q("cdc01_latest_state",
+      s"""WITH ranked AS (SELECT *, row_number() OVER (
+         |  PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events)
+         |SELECT user_id, event_id AS last_lsn,
+         |  CASE event_type WHEN 'signup' THEN 'insert' ELSE 'update' END AS last_op,
+         |  event_type AS last_type, value AS last_value
+         |FROM ranked WHERE rn = 1 AND event_type <> 'error'""".stripMargin) { (s, d) =>
+      val env = ChangelogGen.fromEvents(s, d).toDF()
+      LatestState.batch(env, Seq("table", "key"), Seq("lsn", "seq"))
+        .select(col("key").cast("long").as("user_id"),
+          col("lsn").as("last_lsn"),
+          col("op").as("last_op"),
+          get_json_object(col("after"), "$.event_type").as("last_type"),
+          get_json_object(col("after"), "$.value").cast("double").as("last_value"))
+    },
+
+    // --- tombstoned keys (delete ⇒ null value, kafka/bottledwater.c:533–541) --
+    q("cdc02_deleted_keys",
+      """WITH ranked AS (SELECT *, row_number() OVER (
+        |  PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events)
+        |SELECT user_id, event_id AS tombstone_lsn
+        |FROM ranked WHERE rn = 1 AND event_type = 'error'""".stripMargin) { (s, d) =>
+      val env = ChangelogGen.fromEvents(s, d).toDF()
+      LatestState.batch(env, Seq("table", "key"), Seq("lsn", "seq"), keepDeleted = true)
+        .filter(col("op") === Op.Delete)
+        .select(col("key").cast("long").as("user_id"),
+          col("lsn").as("tombstone_lsn"))
+    },
+
+    // --- update splitting on key change (ext/protocol_server.c:129–136) -------
+    q("cdc03_update_split",
+      s"""SELECT 'delete' AS op, CAST(user_id AS VARCHAR) AS key, event_id AS lsn
+         |FROM events WHERE event_type = 'purchase'
+         |UNION ALL
+         |SELECT 'insert' AS op, CAST(user_id + 1000 AS VARCHAR) AS key, event_id AS lsn
+         |FROM events WHERE event_type = 'purchase'
+         |UNION ALL
+         |SELECT $opSql AS op, CAST(user_id AS VARCHAR) AS key, event_id AS lsn
+         |FROM events WHERE event_type <> 'purchase'""".stripMargin) { (s, d) =>
+      import s.implicits._
+      // Re-key purchases (new key = user_id + 1000, old key kept in `before`)
+      // to simulate primary-key-changing updates, then run the real operator.
+      val env = ChangelogGen.fromEvents(s, d).map { e =>
+        if (e.after != null && e.after.contains("\"purchase\""))
+          e.copy(key = (e.key.toLong + 1000).toString, before = e.key)
+        else e
+      }
+      UpdateSplit(env, _.before).toDF()
+        .select(col("op"), col("key"), col("lsn"))
+    },
+
+    // --- at-least-once replay dedup (kafka/bottledwater.c:683–687) ------------
+    q("cdc04_replay_dedup",
+      s"""SELECT $opSql AS op, COUNT(*) AS n FROM events GROUP BY 1""".stripMargin) { (s, d) =>
+      val env = ChangelogGen.fromEvents(s, d).toDF()
+      // CDC delivery is at-least-once: replay the whole changelog (union) and
+      // recover exactly-once counts by dedup on the (table, key, lsn, seq) id.
+      env.union(env)
+        .dropDuplicates("table", "key", "lsn", "seq")
+        .groupBy(col("op")).agg(count(lit(1)).as("n"))
+    },
+
+    // --- topic routing + avro-safe identifier sanitization --------------------
+    q("cdc05_topic_routing",
+      """SELECT DISTINCT p_name AS table_name,
+        |  concat('bw.', replace(p_name, ' ', '_20_')) AS topic,
+        |  concat('bw.', replace(p_brand, '#', '_23_'), '.', replace(p_name, ' ', '_20_')) AS ns_topic
+        |FROM part""".stripMargin) { (s, d) =>
+      Tables.part(s, d)
+        .select(col("p_name"), col("p_brand")).distinct()
+        .select(col("p_name").as("table_name"),
+          TopicRouter.topicCol("bw", lit("public"), col("p_name")).as("topic"),
+          TopicRouter.topicCol("bw", col("p_brand"), col("p_name")).as("ns_topic"))
+        .distinct()
+    },
+
+    // --- Confluent registry wire framing (kafka/registry.c:63–87) -------------
+    q("cdc06_registry_frame",
+      """SELECT doc_id, CAST(doc_id % 100 AS INT) AS decoded_id,
+        |  CAST(strlen(text) AS INT) AS payload_len,
+        |  CAST(strlen(text) + 5 AS INT) AS framed_len
+        |FROM documents""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          schema_id_frame((col("doc_id") % 100).cast("int"),
+            col("text").cast("binary")).as("framed"))
+        .select(col("doc_id"),
+          schema_id_of(col("framed")).as("decoded_id"),
+          octet_length(strip_schema_frame(col("framed"))).as("payload_len"),
+          octet_length(col("framed")).as("framed_len"))
+    },
+
+    // --- snapshot ∪ stream lifecycle (SURVEY §3.1: consistent snapshot then
+    // --- streaming from the same LSN, no gap no overlap) ----------------------
+    q("cdc07_snapshot_stream",
+      """WITH ranked AS (SELECT *, row_number() OVER (
+        |  PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events)
+        |SELECT user_id, event_id AS last_lsn,
+        |  CASE WHEN event_id >= 5000 THEN 'stream' ELSE 'snapshot' END AS phase
+        |FROM ranked WHERE rn = 1 AND event_type <> 'error'""".stripMargin) { (s, d) =>
+      val env = ChangelogGen.fromEvents(s, d).toDF()
+      val consistentLsn = 5000L
+      // Snapshot: state as of the consistent point, replayed as xid=0 inserts
+      // (client/connect.c:356–362); stream: everything after that LSN.
+      val snapshot = LatestState.batch(
+          env.filter(col("lsn") < consistentLsn),
+          Seq("table", "key"), Seq("lsn", "seq"))
+        .withColumn("op", lit(Op.Insert)).withColumn("xid", lit(0L))
+      val stream = env.filter(col("lsn") >= consistentLsn)
+      LatestState.batch(snapshot.unionByName(stream),
+          Seq("table", "key"), Seq("lsn", "seq"))
+        .select(col("key").cast("long").as("user_id"),
+          col("lsn").as("last_lsn"),
+          when(col("lsn") >= consistentLsn, "stream").otherwise("snapshot").as("phase"))
+    }
+  )
+}

@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class AvroSafeNameSpec extends AnyFunSuite {
+  test("reference cases (spec/functional/schema_spec.rb:383–400)") {
+    assert(AvroSafeName.sanitize("users") == "users")
+    assert(AvroSafeName.sanitize("person/name") == "person_2f_name")
+    assert(AvroSafeName.sanitize("crêpes") == "cr_c3__aa_pes")
+  }
+  test("leading digit is escaped, inner digits are not") {
+    assert(AvroSafeName.sanitize("1table") == "_31_table")
+    assert(AvroSafeName.sanitize("t1") == "t1")
+    assert(AvroSafeName.sanitize("_1") == "_1")
+  }
+  test("spaces and punctuation hex-escape per byte") {
+    assert(AvroSafeName.sanitize("small ring") == "small_20_ring")
+    assert(AvroSafeName.sanitize("a.b-c") == "a_2e_b_2d_c")
+  }
+  test("null passes through") {
+    assert(AvroSafeName.sanitize(null) == null)
+  }
+  test("sanitized output is always a valid avro name") {
+    val re = "^[A-Za-z_][A-Za-z0-9_]*$".r
+    for (s <- Seq("ünïcödé", "33", "тест", "a b c", "!@#$%", "ok_name"))
+      assert(re.matches(AvroSafeName.sanitize(s)), s"for input $s")
+  }
+}
+
+class RegistryFrameSpec extends AnyFunSuite {
+  test("frame layout: magic 0x00 + 4-byte BE id + payload (registry.h:9)") {
+    val framed = RegistryFrame.frame(0x01020304, Array[Byte](9, 8))
+    assert(framed.toSeq == Seq[Byte](0, 1, 2, 3, 4, 9, 8))
+  }
+  test("roundtrip id + payload for arbitrary inputs") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 500) {
+      val id = rnd.nextInt()
+      val payload = Array.fill(rnd.nextInt(64))(rnd.nextInt().toByte)
+      val framed = RegistryFrame.frame(id, payload)
+      assert(RegistryFrame.schemaId(framed) == id)
+      assert(RegistryFrame.strip(framed).toSeq == payload.toSeq)
+    }
+  }
+  test("null payload (tombstone) frames to null") {
+    assert(RegistryFrame.frame(7, null) == null)
+  }
+  test("bad magic byte rejected (strict, like parse_frame trailing check)") {
+    intercept[IllegalArgumentException] {
+      RegistryFrame.schemaId(Array[Byte](1, 0, 0, 0, 1, 42))
+    }
+    intercept[IllegalArgumentException] { RegistryFrame.strip(Array[Byte](0, 0)) }
+  }
+}
