@@ -13,7 +13,7 @@ object SparkEntry {
 
   /** All declared-surface queries from every module. */
   def allQs: Seq[Q] =
-    RelationalQueries.defs ++ CdcQueries.defs
+    RelationalQueries.defs ++ CdcQueries.defs ++ TextQueries.defs ++ VectorQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

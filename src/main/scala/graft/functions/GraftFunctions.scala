@@ -20,6 +20,10 @@ object GraftFunctions {
 
   def strip_schema_frame(framed: Column): Column = c(StripSchemaFrame(e(framed)))
 
+  def doc_fingerprint(text: Column): Column = c(DocFingerprintExpr(e(text)))
+
+  def simhash(text: Column): Column = c(SimHashExpr(e(text)))
+
   /** Register all custom functions for SQL use (`SELECT avro_safe_name(x)`). */
   def registerAll(spark: SparkSession): Unit = {
     val reg = GraftShims.sessionState(spark).functionRegistry
@@ -31,5 +35,9 @@ object GraftFunctions {
       es => SchemaIdOf(es.head), "built-in")
     reg.createOrReplaceTempFunction("strip_schema_frame",
       es => StripSchemaFrame(es.head), "built-in")
+    reg.createOrReplaceTempFunction("doc_fingerprint",
+      es => DocFingerprintExpr(es.head), "built-in")
+    reg.createOrReplaceTempFunction("simhash",
+      es => SimHashExpr(es.head), "built-in")
   }
 }

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for 100 TB-scale corpus curation.
+  *
+  * Scale design:
+  *   - exact: one hash aggregation on md5(text) — partial agg compacts
+  *     map-side, shuffle is O(distinct contents).
+  *   - MinHash LSH: the signature is computed with array intrinsics in a
+  *     single projection (no explode ⇒ no |docs|·|shingles| intermediate),
+  *     then only (doc, band, signature) tuples — 4 rows/doc — shuffle for the
+  *     bucket join. Candidate verification (exact Jaccard) runs only inside
+  *     buckets, never all-pairs.
+  */
+object Dedup {
+
+  /** Exact duplicate groups: one row per distinct content that appears >1
+    * time, with the kept (minimum) id and the duplicate count.
+    */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+
+  /** Keep exactly one doc (min id) per distinct content. */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** MinHash signatures: (id, h0..h15) — one pass, no shuffle. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    docs.select(col(idCol) +: TextOps.minhashCols(TextOps.shingles(toks, k)): _*)
+  }
+
+  /** LSH candidate near-duplicate pairs: docs sharing at least one band
+    * signature, a < b. The self-join is per-(band, signature) bucket.
+    */
+  def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, textCol, k)
+    val banded = sigs.select(col(idCol) +: TextOps.bandCols(): _*)
+      .select(col(idCol),
+        posexplode(array((0 until TextOps.NumBands).map(b => col(s"band$b")): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
+    val a = banded.select(col("band"), col("sig"), col(idCol).as("a"))
+    val b = banded.select(col("band"), col("sig"), col(idCol).as("b"))
+    a.join(b, Seq("band", "sig")).filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** Exact k-shingle Jaccard for given candidate pairs (columns a, b). */
+  def jaccardOnPairs(pairs: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, k: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol),
+      array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), k)).as("sh"))
+    pairs
+      .join(sh.select(col(idCol).as("a"), col("sh").as("sha")), Seq("a"))
+      .join(sh.select(col(idCol).as("b"), col("sh").as("shb")), Seq("b"))
+      .select(col("a"), col("b"),
+        (size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb")))).as("jaccard"))
+  }
+}

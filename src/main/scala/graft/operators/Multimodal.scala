@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media as opaque `binary` columns with typed
+  * metadata, batch-decoded on executors.
+  *
+  * The Spark-side machinery is real and tested — schema, partition-parallel
+  * batched iteration (the Scala analog of a batched/pandas decode UDF), typed
+  * output — while the codec itself is a clearly marked DETERMINISTIC STUB
+  * (this container ships no image/audio libraries): it "decodes" a blob into
+  * byte-level features. Swapping `decodeStub` for a real JNI/opencv call
+  * changes nothing about the distributed plumbing.
+  */
+object Multimodal {
+
+  /** Typed per-media features produced by the decode stage. */
+  final case class MediaMeta(
+      doc_id: Long,
+      format: String,
+      n_bytes: Int,
+      checksum: Long, // Σ bytes mod 2^31-1
+      width: Int,     // STUB: derived dimensions standing in for real decode
+      height: Int)
+
+  /** Attach a binary media column (here fabricated from text — the testdata
+    * has no real blobs; a production source would read image/audio bytes).
+    */
+  def withBlob(docs: DataFrame, textCol: String, fmtCol: String): DataFrame =
+    docs.select(col("doc_id"), col(fmtCol).as("format"),
+      encode(col(textCol), "UTF-8").as("blob"))
+
+  /** ??? real decode goes here — STUB: deterministic byte-level features. */
+  private def decodeStub(docId: Long, format: String, blob: Array[Byte]): MediaMeta = {
+    var sum = 0L
+    var i = 0
+    while (i < blob.length) { sum = (sum + (blob(i) & 0xff)) % 2147483647L; i += 1 }
+    MediaMeta(docId, format, blob.length, sum,
+      width = (blob.length % 64) + 1, height = (sum % 64).toInt + 1)
+  }
+
+  /** Batched executor-side decode: partitions stream through in fixed-size
+    * batches (the shape a vectorized decode library wants — amortized codec
+    * init per batch, bounded memory), one output row per media item.
+    */
+  def decodeBatched(blobs: DataFrame, batchSize: Int = 64): Dataset[MediaMeta] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select("doc_id", "format", "blob")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // per-batch codec setup would happen here
+          batch.iterator.map { case (id, fmt, blob) => decodeStub(id, fmt, blob) }
+        }
+      }
+  }
+}

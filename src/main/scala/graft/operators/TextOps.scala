@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for training-data pipelines: tokenization,
+  * shingling, deterministic 32-bit hashing — all composed from codegen'd
+  * built-in functions (no UDFs), so they run inside whole-stage codegen and
+  * their semantics are restatable in the DuckDB oracle.
+  *
+  * Hashing is md5-based (not Spark's murmur `hash()`) deliberately: md5 is
+  * identical everywhere, which makes MinHash/SimHash signatures portable
+  * across engines — the same property the reference gets from Avro-encoded
+  * keys hashed by Kafka's fixed murmur2 partitioner (README.md:384–398).
+  */
+object TextOps {
+
+  /** Whitespace tokens, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  /** k-word shingles (k consecutive tokens joined by one space); empty array
+    * for docs shorter than k tokens (sequence(0,-1) would count DOWN).
+    */
+  def shingles(toks: Column, k: Int): Column =
+    when(size(toks) < k, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - k),
+        i => array_join(slice(toks, i + 1, lit(k)), " ")))
+
+  /** First 32 bits of md5(salt:s) as a long — the portable hash family
+    * H_salt(s) used for MinHash permutations and SimHash.
+    */
+  def hex32(s: Column, salt: Int): Column =
+    conv(substring(md5(concat(lit(s"$salt:"), s)), 1, 8), 16, 10).cast("long")
+
+  /** Number of MinHash permutations / band layout (4 bands × 4 rows). */
+  val NumPerms = 16
+  val NumBands = 4
+  val RowsPerBand: Int = NumPerms / NumBands
+
+  /** MinHash signature columns h0..h15 for a shingle-array column: one hash
+    * aggregation pass, no explode — signature_p = min over shingles of
+    * H_p(shingle).
+    */
+  def minhashCols(shingleArr: Column): Seq[Column] =
+    (0 until NumPerms).map { p =>
+      array_min(transform(shingleArr, s => hex32(s, p))).as(s"h$p")
+    }
+
+  /** Band signature strings from the h0..h15 columns (LSH: docs sharing any
+    * band signature become candidate pairs).
+    */
+  def bandCols(): Seq[Column] =
+    (0 until NumBands).map { b =>
+      concat_ws("_",
+        (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}")): _*).as(s"band$b")
+    }
+}

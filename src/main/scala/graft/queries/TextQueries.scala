@@ -1,0 +1,177 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.GraftFunctions
+import graft.operators.{Dedup, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + deduplication surface over the `documents` table:
+  * token/quality stats, language scoring, fingerprinting, exact dedup,
+  * MinHash-LSH near-dup candidates, exact Jaccard verification, SimHash.
+  * Every query has a full DuckDB oracle (the md5-based hash family is
+  * portable across engines by construction — TextOps scaladoc).
+  */
+object TextQueries {
+
+  private def q(name: String, sql: String)(f: (SparkSession, String) => DataFrame) =
+    Q(name, f, Some(sql))
+
+  /** DuckDB twin of TextOps.tokens. */
+  private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+  /** DuckDB twin of TextOps.hex32: first 32 bits of md5 as BIGINT. */
+  private def hex32Sql(arg: String): String =
+    s"list_reduce(list_transform(regexp_split_to_array(substr(md5($arg),1,8),''), " +
+      "c -> CAST(strpos('0123456789abcdef', c)-1 AS BIGINT)), (a,b) -> a*16+b)"
+
+  /** Corpus with planted exact (x%10) and near (x%17, 10 chars clipped) dups. */
+  private val corpusSql =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id+100000, text FROM documents WHERE doc_id%10=0
+      |  UNION ALL SELECT doc_id+200000, substr(text, 1, CAST(length(text) AS INT)-10)
+      |    FROM documents WHERE doc_id%17=0)""".stripMargin
+
+  private def corpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    docs
+      .unionByName(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      .unionByName(docs.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          expr("substring(text, 1, length(text)-10)").as("text")))
+  }
+
+  /** DuckDB twin of the MinHash signature + banding CTEs over `corpus`. */
+  private val minhashSql =
+    s"""toks AS (SELECT doc_id, $toksSql AS t FROM corpus),
+       |sh AS (SELECT doc_id,
+       |  [array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)] AS shingles
+       |  FROM toks),
+       |sig AS (SELECT doc_id,
+       |  [ list_min([ ${hex32Sql("CAST(p AS VARCHAR)||':'||s")} for s in shingles ])
+       |    for p in generate_series(0,15) ] AS hs FROM sh),
+       |banded AS (SELECT doc_id, b, array_to_string(hs[4*b+1 : 4*b+4], '_') AS sig
+       |  FROM sig, generate_series(0,3) g(b)),
+       |pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM banded x JOIN banded y ON x.b = y.b AND x.sig = y.sig
+       |  WHERE x.doc_id < y.doc_id)""".stripMargin
+
+  val defs: Seq[Q] = Seq(
+    // --- token counting (whitespace tokenizer) --------------------------------
+    q("txt01_token_count",
+      s"""SELECT doc_id, CAST(len($toksSql) AS INT) AS n_tokens,
+         |  CAST(strlen(text) AS INT) AS n_bytes,
+         |  CAST(length(text) AS INT) AS n_chars
+         |FROM documents""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).as("n_tokens"),
+        octet_length(col("text")).as("n_bytes"),
+        length(col("text")).as("n_chars"))
+    },
+
+    // --- quality scoring: stopword ratio, lexical diversity, mean token len ---
+    q("txt02_quality_score",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(list_filter(toks, x -> x = 'a' OR x = 'the')) AS DOUBLE)/len(toks) AS stop_ratio,
+         |  CAST(len(list_distinct(toks)) AS DOUBLE)/len(toks) AS lex_diversity,
+         |  CAST(CAST(list_sum(list_transform(toks, x -> CAST(strlen(x) AS BIGINT))) AS BIGINT) AS DOUBLE)/len(toks) AS mean_tok_len
+         |FROM t""".stripMargin) { (s, d) =>
+      val toks = TextOps.tokens(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"),
+          (size(filter(col("toks"), x => x === "a" || x === "the")).cast("double") /
+            size(col("toks"))).as("stop_ratio"),
+          (size(array_distinct(col("toks"))).cast("double") /
+            size(col("toks"))).as("lex_diversity"),
+          (aggregate(transform(col("toks"), x => length(x).cast("long")),
+            lit(0L), (acc, x) => acc + x).cast("double") /
+            size(col("toks"))).as("mean_tok_len"))
+    },
+
+    // --- language-ID-style marker scoring (n-gram/token heuristic) ------------
+    q("txt03_lang_score",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS BIGINT) AS n_art,
+         |  CAST(len(list_filter(toks, x -> x = 'join' OR x = 'table' OR x = 'scan')) AS BIGINT) AS n_query,
+         |  CAST(len(list_filter(toks, x -> x = 'stream' OR x = 'window' OR x = 'batch')) AS BIGINT) AS n_stream
+         |  FROM t)
+         |SELECT doc_id, n_art, n_query, n_stream,
+         |  CASE WHEN n_art >= n_query AND n_art >= n_stream THEN 'article'
+         |       WHEN n_query >= n_stream THEN 'query' ELSE 'stream' END AS label
+         |FROM m""".stripMargin) { (s, d) =>
+      def marker(words: String*) =
+        size(filter(col("toks"), x => words.map(x === _).reduce(_ || _))).cast("long")
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          marker("the", "a").as("n_art"),
+          marker("join", "table", "scan").as("n_query"),
+          marker("stream", "window", "batch").as("n_stream"))
+        .withColumn("label",
+          when(col("n_art") >= col("n_query") && col("n_art") >= col("n_stream"), "article")
+            .when(col("n_query") >= col("n_stream"), "query")
+            .otherwise("stream"))
+    },
+
+    // --- document fingerprint (rolling hash, native expression) ---------------
+    q("txt04_fingerprint",
+      """SELECT doc_id,
+        |  list_reduce(list_transform(regexp_split_to_array(text,''),
+        |    x -> CAST(unicode(x) AS BIGINT)), (a,b) -> (a*131+b)%2147483647) AS fp
+        |FROM documents""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), GraftFunctions.doc_fingerprint(col("text")).as("fp"))
+    },
+
+    // --- exact dedup over the planted-duplicate corpus ------------------------
+    q("txt05_dedup_exact",
+      s"""WITH $corpusSql
+         |SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, COUNT(*) AS n_copies
+         |FROM corpus GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin) { (s, d) =>
+      Dedup.exactGroups(corpus(s, d), "doc_id", "text")
+    },
+
+    // --- MinHash LSH near-duplicate candidate pairs ---------------------------
+    q("txt06_minhash_pairs",
+      s"""WITH $corpusSql,
+         |$minhashSql
+         |SELECT a, b FROM pairs""".stripMargin) { (s, d) =>
+      Dedup.minhashCandidatePairs(corpus(s, d), "doc_id", "text")
+    },
+
+    // --- exact n-gram Jaccard verification of the LSH candidates --------------
+    q("txt07_jaccard_verify",
+      s"""WITH $corpusSql,
+         |$minhashSql,
+         |shd AS (SELECT doc_id, list_distinct(
+         |  [array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)]) AS sh
+         |  FROM toks)
+         |SELECT p.a, p.b,
+         |  CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)/len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
+         |FROM pairs p JOIN shd x ON p.a = x.doc_id JOIN shd y ON p.b = y.doc_id""".stripMargin) { (s, d) =>
+      val cp = corpus(s, d)
+      Dedup.jaccardOnPairs(
+        Dedup.minhashCandidatePairs(cp, "doc_id", "text"), cp, "doc_id", "text")
+    },
+
+    // --- SimHash (native expression vs 32-way SQL vote) -----------------------
+    q("txt08_simhash",
+      s"""WITH toks AS (SELECT doc_id, list_distinct($toksSql) AS t FROM documents),
+         |th AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+         |h AS (SELECT doc_id, ${hex32Sql("'7:'||tok")} AS hv FROM th),
+         |bits AS (SELECT doc_id, j,
+         |  CASE WHEN SUM(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) >= 0
+         |       THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END AS bit
+         |  FROM h, generate_series(0,31) g(j) GROUP BY doc_id, j)
+         |SELECT doc_id, CAST(SUM(bit) AS BIGINT) AS simhash
+         |FROM bits GROUP BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), GraftFunctions.simhash(col("text")).as("simhash"))
+    }
+  )
+}

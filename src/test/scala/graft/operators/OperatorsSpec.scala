@@ -1,0 +1,128 @@
+package graft.operators
+
+import graft.SparkTestSession
+import graft.functions.SimHash
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val dir = "/root/testdata/sf0.001"
+
+  private def corpus() = {
+    val docs = graft.Tables.documents(spark, dir).select("doc_id", "text")
+    docs
+      .unionByName(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      .unionByName(docs.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          expr("substring(text, 1, length(text)-10)").as("text")))
+  }
+
+  test("exact dedup finds every planted duplicate and nothing else") {
+    import spark.implicits._
+    val groups = Dedup.exactGroups(corpus(), "doc_id", "text")
+    val keeps = groups.select("keep_id").as[Long].collect().toSet
+    assert(groups.count() == 50)                       // 500 docs / 10
+    assert(keeps.forall(_ % 10 == 0))                  // kept id is the original
+    val deduped = Dedup.exactDedup(corpus(), "doc_id", "text")
+    assert(deduped.count() == corpus().count() - 50)
+  }
+
+  test("minhash LSH recalls 100% of exact dups and most near dups") {
+    import spark.implicits._
+    val pairs = Dedup.minhashCandidatePairs(corpus(), "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    val exactDups = (0L until 500L by 10).map(i => (i, i + 100000)).toSet
+    assert(exactDups.subsetOf(pairs), "identical docs must share all bands")
+    val nearDups = (0L until 500L by 17).map(i => (i, i + 200000)).toSet
+    val recall = nearDups.count(pairs.contains).toDouble / nearDups.size
+    assert(recall >= 0.8, s"near-dup recall $recall")
+  }
+
+  test("jaccard verification: exact dups score 1.0, near dups score high") {
+    import spark.implicits._
+    val cp = corpus()
+    val verified = Dedup.jaccardOnPairs(
+      Dedup.minhashCandidatePairs(cp, "doc_id", "text"), cp, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+    val exact = verified.filter { case (a, b, _) => a < 500 && b == a + 100000 }
+    assert(exact.nonEmpty && exact.forall(_._3 == 1.0))
+    val near = verified.filter { case (a, b, _) => a < 500 && b == a + 200000 }
+    assert(near.isEmpty || near.forall(_._3 > 0.8))
+    // near-dups found via their duplicated twin also score high
+    val nearViaTwin = verified.filter { case (a, b, _) =>
+      a >= 100000 && a < 200000 && b == a + 100000 }
+    assert(nearViaTwin.forall(_._3 > 0.8))
+  }
+
+  test("simhash: near dups within small hamming distance, random pairs far") {
+    val texts = graft.Tables.documents(spark, dir)
+      .select("text").limit(10).collect().map(_.getString(0))
+    val clipped = texts.map(t => t.substring(0, t.length - 10))
+    val nearD = texts.zip(clipped).map { case (a, b) =>
+      SimHash.hamming(simOf(a), simOf(b)) }
+    assert(nearD.forall(_ <= 6), s"near-dup hamming: ${nearD.toSeq}")
+    val farD = texts.combinations(2).map { case Array(a, b) =>
+      SimHash.hamming(simOf(a), simOf(b)) }.toSeq
+    // docs share one small vocabulary, so absolute distances are compressed;
+    // the signal is that edits move the hash much less than re-drawing a doc.
+    val meanNear = nearD.sum.toDouble / nearD.size
+    val meanFar = farD.sum.toDouble / farD.size
+    assert(meanNear < meanFar, s"mean near=$meanNear vs far=$meanFar")
+  }
+  private def simOf(s: String) =
+    SimHash.simhash(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("ANN neighbors agree with brute-force sims; recall is reasonable") {
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, dir)
+    val probes = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.knnBrute(probes, emb, "vec_id", "embedding", 3)
+      .select("probe_id", "neighbor_id", "sim")
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val ann = Similarity.annLsh(probes, emb, "vec_id", "embedding", 3)
+      .select("probe_id", "neighbor_id", "sim")
+      .as[(Long, Long, Double)].collect()
+    // every (probe, neighbor) sim ANN reports must equal the exact sim
+    val bruteAll = Similarity.knnBrute(probes, emb, "vec_id", "embedding", 1000)
+      .select("probe_id", "neighbor_id", "sim")
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(ann.forall { case (p, nb, s) => bruteAll((p, nb)) == s })
+    val recall = brute.keySet.count { case (p, nb) =>
+      ann.exists(a => a._1 == p && a._2 == nb) }.toDouble / brute.size
+    assert(recall > 0.2, s"ANN recall@3 = $recall") // single-table LSH, 8 bits
+  }
+
+  test("quantized cosine of a vector with itself is 1.0") {
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, dir).limit(5)
+    val sims = emb.select(Similarity.cosineQ(
+      Similarity.quantize(col("embedding")),
+      Similarity.quantize(col("embedding"))).as("s")).as[Double].collect()
+    assert(sims.forall(s => math.abs(s - 1.0) < 1e-12))
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("batched decode plumbing: one row per blob, deterministic features") {
+    val metas = Multimodal.decodeBatched(
+      Multimodal.withBlob(graft.Tables.documents(spark, dir), "text", "source"),
+      batchSize = 7).collect() // odd batch size: exercises last partial batch
+    assert(metas.length == 500)
+    assert(metas.forall(m => m.n_bytes > 0 && m.width >= 1 && m.width <= 64))
+    val again = Multimodal.decodeBatched(
+      Multimodal.withBlob(graft.Tables.documents(spark, dir), "text", "source"),
+      batchSize = 64).collect()
+    assert(metas.sortBy(_.doc_id).toSeq == again.sortBy(_.doc_id).toSeq,
+      "batch size must not affect results")
+  }
+}
