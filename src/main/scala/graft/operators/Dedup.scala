@@ -32,11 +32,18 @@ object Dedup {
     docs.join(keep, Seq(idCol), "left_semi")
   }
 
-  /** MinHash signatures: (id, h0..h15) — one pass, no shuffle. */
+  /** MinHash signatures: (id, h0..h15) — two narrow projections, no shuffle.
+    *
+    * The shingle array is materialized in its own projection first: inlining
+    * the shingle expression into all 16 signature columns would re-tokenize
+    * and re-shingle every document 16 times (measured 16× slowdown).
+    */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {
-    val toks = TextOps.tokens(col(textCol))
-    docs.select(col(idCol) +: TextOps.minhashCols(TextOps.shingles(toks, k)): _*)
+    val sh = docs.select(col(idCol),
+      array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), k)).as("_sh"))
+    val hb = sh.select(col(idCol), TextOps.baseHashes(col("_sh")).as("_hb"))
+    hb.select(col(idCol) +: TextOps.minhashCols(col("_hb")): _*)
   }
 
   /** LSH candidate near-duplicate pairs: docs sharing at least one band

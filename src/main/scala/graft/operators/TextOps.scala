@@ -38,13 +38,27 @@ object TextOps {
   val NumBands = 4
   val RowsPerBand: Int = NumPerms / NumBands
 
-  /** MinHash signature columns h0..h15 for a shingle-array column: one hash
-    * aggregation pass, no explode — signature_p = min over shingles of
-    * H_p(shingle).
+  /** Mersenne-31 modulus for the affine permutation family. */
+  val MinhashMod = 2147483647L
+
+  /** Affine permutation p of a base hash: (a_p·h + b_p) mod M with
+    * a_p = 2p+1 (odd), b_p = 12345p+678. One md5 per shingle + 16 cheap
+    * integer transforms, instead of 16 md5s per shingle (16× less hashing —
+    * the standard universal-hash-family MinHash construction).
     */
-  def minhashCols(shingleArr: Column): Seq[Column] =
+  def permute(h: Column, p: Int): Column =
+    (lit(2L * p + 1) * (h % MinhashMod) + lit(12345L * p + 678)) % MinhashMod
+
+  /** Base-hash array for a shingle array (one md5 each, salt 0). */
+  def baseHashes(shingleArr: Column): Column =
+    transform(shingleArr, s => hex32(s, 0))
+
+  /** MinHash signature columns h0..h15 from a *materialized* base-hash array
+    * column: signature_p = min over shingles of permute_p(base hash).
+    */
+  def minhashCols(baseHashArr: Column): Seq[Column] =
     (0 until NumPerms).map { p =>
-      array_min(transform(shingleArr, s => hex32(s, p))).as(s"h$p")
+      array_min(transform(baseHashArr, h => permute(h, p))).as(s"h$p")
     }
 
   /** Band signature strings from the h0..h15 columns (LSH: docs sharing any

@@ -49,9 +49,10 @@ object TextQueries {
        |sh AS (SELECT doc_id,
        |  [array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)] AS shingles
        |  FROM toks),
+       |hb AS (SELECT doc_id, [ ${hex32Sql("'0:'||s")} for s in shingles ] AS bh FROM sh),
        |sig AS (SELECT doc_id,
-       |  [ list_min([ ${hex32Sql("CAST(p AS VARCHAR)||':'||s")} for s in shingles ])
-       |    for p in generate_series(0,15) ] AS hs FROM sh),
+       |  [ list_min([ ((2*p+1)*(h % 2147483647) + 12345*p + 678) % 2147483647 for h in bh ])
+       |    for p in generate_series(0,15) ] AS hs FROM hb),
        |banded AS (SELECT doc_id, b, array_to_string(hs[4*b+1 : 4*b+4], '_') AS sig
        |  FROM sig, generate_series(0,3) g(b)),
        |pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
