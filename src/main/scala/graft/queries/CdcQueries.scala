@@ -113,6 +113,26 @@ object CdcQueries {
           octet_length(col("framed")).as("framed_len"))
     },
 
+    // --- Avro frame wire roundtrip: txn framing → binary → decode ------------
+    q("cdc08_avro_roundtrip",
+      s"""SELECT $opSql AS op, COUNT(*) AS n,
+         |  COUNT(DISTINCT event_id // 10) AS n_txn
+         |FROM events GROUP BY 1""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val env = ChangelogGen.fromEvents(s, d)
+      val relid = AvroFrame.relidOf(ChangelogGen.TableName)
+      val tableOf = Map(relid -> ChangelogGen.TableName)
+      // encode each transaction as a binary frame, ship, decode, re-derive
+      val decoded = env.groupByKey(_.xid)
+        .mapGroups { (xid, it) =>
+          val evs = it.toSeq.sortBy(e => (e.lsn, e.seq))
+          AvroFrame.encodeTxn(xid, evs.map(_.lsn).max, evs)
+        }
+        .flatMap(bytes => AvroFrame.decodeFrame(bytes, tableOf)._3)
+      decoded.groupBy(col("op"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("xid")).as("n_txn"))
+    },
+
     // --- snapshot ∪ stream lifecycle (SURVEY §3.1: consistent snapshot then
     // --- streaming from the same LSN, no gap no overlap) ----------------------
     q("cdc07_snapshot_stream",

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import graft.cdc._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AvroFrameSpec extends AnyFunSuite {
+  private val events = Seq(
+    CdcEvent("insert", "public.users", 0, 5, 0, """{"id":1}""", null, """{"id":1,"u":"ada"}"""),
+    CdcEvent("update", "public.users", 0, 5, 1, """{"id":1}""", """{"id":1,"u":"ada"}""",
+      """{"id":1,"u":"ada2"}"""),
+    CdcEvent("delete", "public.users", 0, 5, 2, """{"id":1}""", null, null))
+
+  test("binary frame roundtrip: begin/commit bracket, lsn stamping, tombstones") {
+    val bytes = AvroFrame.encodeTxn(xid = 5, lsn = 777, events)
+    val relid = AvroFrame.relidOf("public.users")
+    val (xid, lsn, decoded) = AvroFrame.decodeFrame(bytes, Map(relid -> "public.users"))
+    assert(xid == 5 && lsn == 777)
+    assert(decoded.map(_.op) == Seq("insert", "update", "delete"))
+    assert(decoded.forall(_.lsn == 777))        // commit LSN stamps all events
+    assert(decoded.last.after == null)          // tombstone survives the wire
+    assert(decoded(1).before.contains("ada"))
+    assert(decoded.map(_.seq) == Seq(0L, 1L, 2L))
+  }
+
+  test("trailing bytes are rejected (strict parse_frame behavior)") {
+    val bytes = AvroFrame.encodeTxn(5, 777, events) ++ Array[Byte](1, 2)
+    intercept[IllegalArgumentException] {
+      AvroFrame.decodeFrame(bytes, _ => "t")
+    }
+  }
+
+  test("avro-json output is union-tagged (kafka/json.c semantics)") {
+    val json = AvroFrame.encodeTxnJson(5, 777, events.take(1))
+    assert(json.contains("\"graft.cdc.BeginTxn\""))   // union branch tags
+    assert(json.contains("\"graft.cdc.Insert\""))
+    assert(json.contains("\"bytes\""))                // nullable-bytes union tag
+  }
+}
+
+class CdcPipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def ev(op: String, key: String, lsn: Long, after: String): CdcEvent =
+    CdcEvent(op, "public.users", lsn, lsn / 10, 0, key, null, after)
+
+  test("snapshot ∪ stream end-to-end: guard → split → compact → per-table sink") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+
+    // "database state" at snapshot time
+    val base = Seq((1L, "ada"), (2L, "bob")).toDF("id", "u")
+    val snapshot = CdcPipeline.snapshotEnvelopes(base, "public.users", Seq("id"))
+
+    // streaming union of a batch DF is not allowed → snapshot rides as the
+    // first micro-batch instead (same lifecycle, SURVEY §3.1)
+    val inputWithSnapshot = MemoryStream[CdcEvent]
+    inputWithSnapshot.addData(snapshot.collect().toSeq)
+
+    val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val q = CdcPipeline.writeLatestState(
+      CdcPipeline.latestStateStream(inputWithSnapshot.toDS()), out, ckpt).start()
+    q.awaitTermination()
+
+    // live changes after the snapshot
+    inputWithSnapshot.addData(
+      ev("update", """{"id":1}""", 10, """{"id":1,"u":"ada2"}"""),
+      ev("delete", """{"id":2}""", 11, null),
+      ev("insert", """{"id":3}""", 12, """{"id":3,"u":"cyn"}"""))
+    val q2 = CdcPipeline.writeLatestState(
+      CdcPipeline.latestStateStream(inputWithSnapshot.toDS()), out, ckpt).start()
+    q2.awaitTermination()
+
+    val sunk = spark.read.parquet(s"$out/public_users/*")
+    val latest = graft.cdc.LatestState.batch(
+      sunk, Seq("table", "key"), Seq("lsn", "seq"))
+    val state = latest.select("key", "after").as[(String, String)].collect().toMap
+    assert(state.keySet == Set("""{"id":1}""", """{"id":3}"""))
+    assert(state("""{"id":1}""").contains("ada2"))
+  }
+
+  test("windowed aggregation with watermark over the envelope stream") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, String)]
+    val df = input.toDF().toDF("ts", "table", "op")
+    val q = CdcPipeline.windowedCounts(df, "ts", "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("winagg")
+      .outputMode("append").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:01:00")
+      val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:02:00")
+      val late = java.sql.Timestamp.valueOf("2024-01-01 01:00:00")
+      input.addData((t0, "t", "insert"), (t1, "t", "insert"))
+      q.processAllAvailable()
+      input.addData((late, "t", "insert")) // advances watermark past window 0
+      q.processAllAvailable()
+      input.addData((java.sql.Timestamp.valueOf("2024-01-01 01:30:00"), "t", "update"))
+      q.processAllAvailable()
+      val rows = spark.table("winagg").select("table", "op", "n")
+        .as[(String, String, Long)].collect()
+      assert(rows.contains(("t", "insert", 2L))) // first window emitted on close
+    } finally q.stop()
+  }
+}
