@@ -35,10 +35,20 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    // CDC throughput micro-bench (BASELINE.md): envelopes/s through
+    // generate → latest-state compaction.
+    val nEvents = spark.read.parquet(s"$sfDir/events.parquet").count()
+    val tCdc0 = System.nanoTime()
+    graft.cdc.LatestState.batch(
+      graft.cdc.ChangelogGen.fromEvents(spark, sfDir).toDF(),
+      Seq("table", "key"), Seq("lsn", "seq")).count()
+    val cdcEps = nEvents / ((System.nanoTime() - tCdc0) / 1e9)
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""cdc_events_per_sec":${cdcEps.toLong},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

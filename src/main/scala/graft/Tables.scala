@@ -37,4 +37,12 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Catalog-style dispatch (≙ get_table_list, ext/snapshot.c:199–298):
+    * resolves any known table through its (possibly type-fixing) loader.
+    */
+  def byName(s: SparkSession, d: String, name: String): DataFrame = name match {
+    case "events" => events(s, d)
+    case other    => load(s, d, other)
+  }
 }

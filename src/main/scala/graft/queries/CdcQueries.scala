@@ -113,6 +113,47 @@ object CdcQueries {
           octet_length(col("framed")).as("framed_len"))
     },
 
+    // --- schema introspection (≙ bottledwater_row_schema, ext/snapshot.c:65–72):
+    // --- runtime-derived catalog vs an independently written static oracle ----
+    q("cdc09_schema_introspect",
+      """SELECT * FROM (VALUES
+        |('region','r_regionkey','int',0),('region','r_name','string',1),
+        |('nation','n_nationkey','int',0),('nation','n_name','string',1),
+        |('nation','n_regionkey','int',2),
+        |('customer','c_custkey','bigint',0),('customer','c_name','string',1),
+        |('customer','c_nationkey','int',2),('customer','c_acctbal','double',3),
+        |('customer','c_mktsegment','string',4),
+        |('supplier','s_suppkey','bigint',0),('supplier','s_name','string',1),
+        |('supplier','s_nationkey','int',2),('supplier','s_acctbal','double',3),
+        |('part','p_partkey','bigint',0),('part','p_name','string',1),
+        |('part','p_brand','string',2),('part','p_type','string',3),
+        |('part','p_size','int',4),('part','p_retailprice','double',5),
+        |('orders','o_orderkey','bigint',0),('orders','o_custkey','bigint',1),
+        |('orders','o_orderstatus','string',2),('orders','o_totalprice','double',3),
+        |('orders','o_orderdate','timestamp_ntz',4),('orders','o_orderpriority','string',5),
+        |('lineitem','l_orderkey','bigint',0),('lineitem','l_partkey','bigint',1),
+        |('lineitem','l_suppkey','bigint',2),('lineitem','l_linenumber','int',3),
+        |('lineitem','l_quantity','double',4),('lineitem','l_extendedprice','double',5),
+        |('lineitem','l_discount','double',6),('lineitem','l_tax','double',7),
+        |('lineitem','l_returnflag','string',8),('lineitem','l_linestatus','string',9),
+        |('lineitem','l_shipdate','timestamp_ntz',10),
+        |('events','event_id','bigint',0),('events','ts','timestamp',1),
+        |('events','user_id','bigint',2),('events','event_type','string',3),
+        |('events','value','double',4),('events','props','string',5),
+        |('documents','doc_id','bigint',0),('documents','text','string',1),
+        |('documents','lang','string',2),('documents','source','string',3),
+        |('documents','n_chars','bigint',4),
+        |('embeddings','vec_id','bigint',0),('embeddings','embedding','array<float>',1),
+        |('embeddings','label','int',2)
+        |) AS t(table_name, col_name, col_type, ordinal)""".stripMargin) { (s, d) =>
+      import s.implicits._
+      graft.Tables.all.flatMap { t =>
+        graft.Tables.byName(s, d, t).schema.fields.zipWithIndex.map {
+          case (f, i) => (t, f.name, f.dataType.simpleString, i)
+        }
+      }.toDF("table_name", "col_name", "col_type", "ordinal")
+    },
+
     // --- Avro frame wire roundtrip: txn framing → binary → decode ------------
     q("cdc08_avro_roundtrip",
       s"""SELECT $opSql AS op, COUNT(*) AS n,

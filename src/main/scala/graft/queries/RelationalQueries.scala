@@ -399,6 +399,15 @@ object RelationalQueries {
             .select(lit(null).cast("string").as("c_mktsegment"), col("c_nationkey"), col("n")))
     },
 
+    // --- approximate distinct (HLL sketch) — rows-only: HLL implementations
+    // --- are engine-specific, so no value oracle is possible ------------------
+    Q("q27_approx_distinct", (s, d) => {
+      Tables.lineitem(s, d).agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders_1pct"))
+    }, None),
+
     // --- tumbling time window over the event stream table ---------------------
     q("q26_hourly_events",
       """SELECT STRFTIME(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
