@@ -24,6 +24,9 @@ object GraftFunctions {
 
   def simhash(text: Column): Column = c(SimHashExpr(e(text)))
 
+  def kafka_partition(key: Column, n: Column): Column =
+    c(KafkaPartitionExpr(e(key), e(n)))
+
   /** Register all custom functions for SQL use (`SELECT avro_safe_name(x)`). */
   def registerAll(spark: SparkSession): Unit = {
     val reg = GraftShims.sessionState(spark).functionRegistry
@@ -39,5 +42,7 @@ object GraftFunctions {
       es => DocFingerprintExpr(es.head), "built-in")
     reg.createOrReplaceTempFunction("simhash",
       es => SimHashExpr(es.head), "built-in")
+    reg.createOrReplaceTempFunction("kafka_partition",
+      es => KafkaPartitionExpr(es.head, es(1)), "built-in")
   }
 }

@@ -1,0 +1,107 @@
+package graft.cdc
+
+import java.time.{LocalDate, LocalDateTime}
+
+import graft.cdc.PgTypes.Oid._
+import graft.cdc.PgValueCodec._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Type roundtrips — the engine's analog of the reference's generated type
+  * suite (spec/functional/type_specs.rb; µs fidelity per
+  * spec/functional/schema_spec.rb:146–230).
+  */
+class PgValueCodecSpec extends AnyFunSuite {
+
+  test("scalar parses") {
+    assert(parse(Bool, "t") == true && parse(Bool, "f") == false)
+    assert(parse(Int2, "42") == 42.toShort)
+    assert(parse(Int4, "-7") == -7)
+    assert(parse(Int8, "9007199254740993") == 9007199254740993L)
+    assert(parse(Float8, "1.5") == 1.5)
+    assert(parse(Numeric, "12345.6789") == BigDecimal("12345.6789"))
+    assert(parse(Text, "héllo") == "héllo")
+    assert(parse(Uuid, "550e8400-e29b-41d4-a716-446655440000") ==
+      "550e8400-e29b-41d4-a716-446655440000") // string fallback
+  }
+
+  test("numeric is exact, not the reference's double (its known bug)") {
+    val v = parse(Numeric, "0.30000000000000004")
+    assert(v == BigDecimal("0.30000000000000004"))
+    assert(parse(Numeric, "99999999999999999999.99") ==
+      BigDecimal("99999999999999999999.99")) // > double precision
+  }
+
+  test("money converts to exact cents (reference multiplies by 100 wrongly)") {
+    assert(parse(Money, "$12.34") == 1234L)
+    assert(parse(Money, "$1,234.56") == 123456L)
+    assert(parse(Money, "-$0.05") == -5L)
+    assert(render(Money, 1234L) == "$12.34")
+    assert(render(Money, -5L) == "-$0.05")
+  }
+
+  test("date incl. ±infinity sentinels (ext/oid2avro.c:459–482)") {
+    assert(parse(Date, "2024-02-29") == LocalDate.of(2024, 2, 29))
+    assert(parse(Date, "infinity") == DateInfinity)
+    assert(parse(Date, "-infinity") == DateNegInfinity)
+    assert(render(Date, DateInfinity) == "infinity")
+  }
+
+  test("time µs fidelity") {
+    assert(parse(Time, "00:00:00") == 0L)
+    assert(parse(Time, "12:34:56.789012") == (((12L*3600+34*60+56) * 1000000L) + 789012L))
+    assert(render(Time, parse(Time, "23:59:59.999999")) == "23:59:59.999999")
+  }
+
+  test("timetz: zone offset in ISO sign (flip per ext/oid2avro.c:584–585)") {
+    val v = parse(TimeTz, "12:00:00+02:00").asInstanceOf[PgTimeTz]
+    assert(v.micro == 12L * 3600 * 1000000)
+    assert(v.zoneOffset == 7200)        // east-positive, ISO8601
+    val w = parse(TimeTz, "01:02:03-05:00").asInstanceOf[PgTimeTz]
+    assert(w.zoneOffset == -18000)
+  }
+
+  test("timestamp µs fidelity + ±infinity") {
+    assert(parse(Timestamp, "2024-01-02 03:04:05.123456") ==
+      LocalDateTime.of(2024, 1, 2, 3, 4, 5, 123456000))
+    assert(parse(Timestamp, "infinity") == TsInfinity)
+    val rt = render(Timestamp, parse(Timestamp, "2024-01-02 03:04:05.000001"))
+    assert(rt == "2024-01-02 03:04:05.000001")
+  }
+
+  test("interval decomposition (ext/oid2avro.c:703–737)") {
+    assert(parseInterval("1 year 2 mons 3 days 04:05:06.000007") ==
+      PgInterval(14, 3, (4L*3600+5*60+6) * 1000000L + 7))
+    assert(parseInterval("5 days") == PgInterval(0, 5, 0))
+    assert(parseInterval("00:00:01") == PgInterval(0, 0, 1000000L))
+    assert(parseInterval("-00:00:01") == PgInterval(0, 0, -1000000L))
+  }
+
+  test("bytea hex roundtrip (spec/functional/schema_spec.rb:307–343)") {
+    val bytes = Array[Byte](0, 1, -1, 127, -128)
+    assert(parse(Bytea, "\\x0001ff7f80").asInstanceOf[Array[Byte]].toSeq == bytes.toSeq)
+    assert(render(Bytea, bytes) == "\\x0001ff7f80")
+  }
+
+  test("pg arrays roundtrip as strings + typed split (schema_spec.rb:349–356)") {
+    assert(parseArray("{1,2,3,4}") == Seq("1", "2", "3", "4"))
+    assert(parseArray("{}") == Seq.empty)
+    assert(parseArray("""{a,"b c","d,e",NULL}""") == Seq("a", "b c", "d,e", null))
+    assert(parseArray("""{"quo\"te"}""") == Seq("quo\"te"))
+  }
+
+  test("null maps to null for every oid (union branch 0)") {
+    for (oid <- Seq(Bool, Int4, Numeric, Date, Time, TimeTz, Timestamp,
+        Interval, Bytea, Text, Money))
+      assert(parse(oid, null) == null && render(oid, null) == null)
+  }
+
+  test("parse/render roundtrip across the type table") {
+    val cases: Seq[(Int, String)] = Seq(
+      Bool -> "t", Int2 -> "7", Int4 -> "1234", Int8 -> "99999999999",
+      Float8 -> "2.5", Numeric -> "10.01", Date -> "2020-06-15",
+      Time -> "10:20:30.400000", Timestamp -> "2020-06-15 10:20:30.400000",
+      Bytea -> "\\xdeadbeef", Text -> "plain", Money -> "$7.77")
+    for ((oid, txt) <- cases)
+      assert(render(oid, parse(oid, txt)) == txt, s"oid=$oid txt=$txt")
+  }
+}

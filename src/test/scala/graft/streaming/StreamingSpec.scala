@@ -82,6 +82,46 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(state("""{"id":1}""").contains("ada2"))
   }
 
+  test("stream–stream join with watermarks (declared §2b extension)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[(java.sql.Timestamp, Long)]
+    val buys = MemoryStream[(java.sql.Timestamp, Long)]
+    val c = clicks.toDF().toDF("cts", "cuser").withWatermark("cts", "10 minutes")
+    val b = buys.toDF().toDF("bts", "buser").withWatermark("bts", "10 minutes")
+    val joined = c.join(b,
+      expr("cuser = buser AND bts BETWEEN cts AND cts + INTERVAL 5 MINUTES"))
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    try {
+      val t = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+      clicks.addData((t(1), 7L), (t(1), 8L))
+      buys.addData((t(3), 7L))   // within 5 min of user 7's click
+      buys.addData((t(9), 8L))   // outside the interval for user 8
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin").select("cuser").as[Long].collect().toSeq
+      assert(rows == Seq(7L))
+    } finally q.stop()
+  }
+
+  test("stream–static enrichment join (dimension broadcast into a stream)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dim = Seq((7L, "gold"), (8L, "basic")).toDF("user_id", "tier")
+    val input = MemoryStream[(Long, Double)]
+    val enriched = input.toDF().toDF("user_id", "value")
+      .join(broadcast(dim), Seq("user_id"), "left")
+    val q = enriched.writeStream.format("memory").queryName("enrich")
+      .outputMode("append").start()
+    try {
+      input.addData((7L, 1.0), (9L, 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("enrich").select("user_id", "tier")
+        .as[(Long, String)].collect().toMap
+      assert(rows(7L) == "gold" && rows(9L) == null)
+    } finally q.stop()
+  }
+
   test("windowed aggregation with watermark over the envelope stream") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
