@@ -1,0 +1,47 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: makes every graft function available
+  * to pure-SQL users at session build time —
+  *
+  *   SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
+  *   // or spark.sql.extensions=graft.GraftExtensions
+  *
+  * (Per SURVEY §4, no planner rules or strategies are needed: the engine's
+  * custom operators are all expression-level; whole-operator semantics are
+  * compositions of built-ins that Catalyst already plans well.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  private def fn(name: String, usage: String, builder: Seq[Expression] => Expression) =
+    (new FunctionIdentifier(name),
+      new ExpressionInfo("graft", name, name, usage, ""),
+      builder)
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(fn("avro_safe_name",
+      "avro_safe_name(str) - hex-escapes str into a valid Avro identifier",
+      es => AvroSafeNameExpr(es.head)))
+    e.injectFunction(fn("schema_id_frame",
+      "schema_id_frame(id, payload) - Confluent 5-byte wire framing",
+      es => SchemaIdFrame(es.head, es(1))))
+    e.injectFunction(fn("schema_id_of",
+      "schema_id_of(framed) - schema id of a registry-framed message",
+      es => SchemaIdOf(es.head)))
+    e.injectFunction(fn("strip_schema_frame",
+      "strip_schema_frame(framed) - payload of a registry-framed message",
+      es => StripSchemaFrame(es.head)))
+    e.injectFunction(fn("doc_fingerprint",
+      "doc_fingerprint(text) - rolling-hash document fingerprint",
+      es => DocFingerprintExpr(es.head)))
+    e.injectFunction(fn("simhash",
+      "simhash(text) - 32-bit near-duplicate simhash over tokens",
+      es => SimHashExpr(es.head)))
+    e.injectFunction(fn("kafka_partition",
+      "kafka_partition(key, n) - Kafka default-partitioner murmur2 mapping",
+      es => KafkaPartitionExpr(es.head, es(1))))
+  }
+}

@@ -82,6 +82,20 @@ object CdcPipeline {
       }
   }
 
+  /** Unkeyed-table semantics (≙ kafka/bottledwater.c:537–540 + the unkeyed
+    * matrix of spec/functional/message_spec.rb:99–163): inserts/updates of
+    * unkeyed tables pass through (produced unkeyed), but deletes are DROPPED —
+    * with no key there is nothing for compaction to tombstone.
+    */
+  def dropUnkeyedDeletes(envelopes: Dataset[CdcEvent]): Dataset[CdcEvent] =
+    envelopes.filter(e => !(e.op == Op.Delete && e.key == null))
+
+  /** Debug sink (≙ the bwtest stdout consumer, client/bwtest.c:96–207). */
+  def debugSink(envelopes: Dataset[CdcEvent]): DataStreamWriter[CdcEvent] =
+    envelopes.writeStream.format("console")
+      .outputMode(OutputMode.Append())
+      .option("truncate", "false")
+
   /** Streaming windowed aggregation with watermarking over an event-time
     * column — the §2b streaming-extension surface (tumbling window + late
     * data bound). Generic: any envelope-derived frame with an event-time col.
