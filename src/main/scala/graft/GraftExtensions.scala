@@ -16,32 +16,37 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * compositions of built-ins that Catalyst already plans well.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  private def fn(name: String, usage: String, builder: Seq[Expression] => Expression) =
+  private def fn(name: String, usage: String, arity: Int)(
+      builder: Seq[Expression] => Expression) =
     (new FunctionIdentifier(name),
       new ExpressionInfo("graft", name, name, usage, ""),
-      builder)
+      (es: Seq[Expression]) => {
+        require(es.length == arity,
+          s"$name expects $arity argument(s), got ${es.length}; usage: $usage")
+        builder(es)
+      })
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(fn("avro_safe_name",
-      "avro_safe_name(str) - hex-escapes str into a valid Avro identifier",
+      "avro_safe_name(str) - hex-escapes str into a valid Avro identifier", 1)(
       es => AvroSafeNameExpr(es.head)))
     e.injectFunction(fn("schema_id_frame",
-      "schema_id_frame(id, payload) - Confluent 5-byte wire framing",
+      "schema_id_frame(id, payload) - Confluent 5-byte wire framing", 2)(
       es => SchemaIdFrame(es.head, es(1))))
     e.injectFunction(fn("schema_id_of",
-      "schema_id_of(framed) - schema id of a registry-framed message",
+      "schema_id_of(framed) - schema id of a registry-framed message", 1)(
       es => SchemaIdOf(es.head)))
     e.injectFunction(fn("strip_schema_frame",
-      "strip_schema_frame(framed) - payload of a registry-framed message",
+      "strip_schema_frame(framed) - payload of a registry-framed message", 1)(
       es => StripSchemaFrame(es.head)))
     e.injectFunction(fn("doc_fingerprint",
-      "doc_fingerprint(text) - rolling-hash document fingerprint",
+      "doc_fingerprint(text) - rolling-hash document fingerprint", 1)(
       es => DocFingerprintExpr(es.head)))
     e.injectFunction(fn("simhash",
-      "simhash(text) - 32-bit near-duplicate simhash over tokens",
+      "simhash(text) - 32-bit near-duplicate simhash over tokens", 1)(
       es => SimHashExpr(es.head)))
     e.injectFunction(fn("kafka_partition",
-      "kafka_partition(key, n) - Kafka default-partitioner murmur2 mapping",
+      "kafka_partition(key, n) - Kafka default-partitioner murmur2 mapping", 2)(
       es => KafkaPartitionExpr(es.head, es(1))))
   }
 }
