@@ -27,6 +27,9 @@ object GraftFunctions {
   def kafka_partition(key: Column, n: Column): Column =
     c(KafkaPartitionExpr(e(key), e(n)))
 
+  def minhash_signature(text: Column, k: Int = 3): Column =
+    c(MinHashSigExpr(e(text), k))
+
   /** Register all custom functions for SQL use (`SELECT avro_safe_name(x)`). */
   def registerAll(spark: SparkSession): Unit = {
     val reg = GraftShims.sessionState(spark).functionRegistry

@@ -40,6 +40,18 @@ object Dedup {
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {
+    // one-pass native expression; bit-identical to composedMinhashSignatures
+    val sig = docs.select(col(idCol),
+      graft.functions.GraftFunctions.minhash_signature(col(textCol), k).as("_sig"))
+    sig.select(col(idCol) +: (0 until TextOps.NumPerms).map(p =>
+      element_at(col("_sig"), p + 1).as(s"h$p")): _*)
+  }
+
+  /** Declarative reference implementation of [[minhashSignatures]] (kept for
+    * the equivalence spec + as documentation of the signature definition).
+    */
+  def composedMinhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
     val sh = docs.select(col(idCol),
       array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), k)).as("_sh"))
     val hb = sh.select(col(idCol), TextOps.baseHashes(col("_sh")).as("_hb"))

@@ -29,6 +29,15 @@ class DedupSpec extends AnyFunSuite {
     assert(deduped.count() == corpus().count() - 50)
   }
 
+  test("native MinHashSigExpr is bit-identical to the composed pipeline") {
+    val cp = corpus()
+    val native = Dedup.minhashSignatures(cp, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val composed = Dedup.composedMinhashSignatures(cp, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(native == composed)
+  }
+
   test("minhash LSH recalls 100% of exact dups and most near dups") {
     import spark.implicits._
     val pairs = Dedup.minhashCandidatePairs(corpus(), "doc_id", "text")
