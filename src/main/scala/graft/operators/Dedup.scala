@@ -74,6 +74,31 @@ object Dedup {
       .select("a", "b").distinct()
   }
 
+  /** Duplicate clusters from verified near-dup pairs: connected components
+    * via driver-side union-find, returning (member → representative=min id).
+    *
+    * Scale note: the PAIR LIST is the small output of LSH+verification
+    * (near-dup edges), not the corpus — collecting it is O(duplicates), the
+    * standard shape for dedup-group resolution. For pathological duplicate
+    * volumes, swap for an iterative large-star/small-star job; the contract
+    * (min-id representative) stays the same.
+    */
+  def clusters(pairs: DataFrame, aCol: String = "a", bCol: String = "b")
+      : Map[Long, Long] = {
+    val edges = pairs.select(col(aCol).cast("long"), col(bCol).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- edges) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
   /** Exact k-shingle Jaccard for given candidate pairs (columns a, b). */
   def jaccardOnPairs(pairs: DataFrame, docs: DataFrame, idCol: String,
       textCol: String, k: Int = 3): DataFrame = {

@@ -36,6 +36,13 @@ object Similarity {
     dotQ(a, b).cast("double") /
       (sqrt(dotQ(a, a).cast("double")) * sqrt(dotQ(b, b).cast("double")))
 
+  /** Cosine from a precomputed squared-norm pair — reranking N candidate
+    * pairs needs N dot products, not 3N (norms are per-vector, compute once).
+    */
+  def cosineQWithNorms(a: Column, b: Column, n2a: Column, n2b: Column): Column =
+    dotQ(a, b).cast("double") /
+      (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))
+
   /** Brute-force top-k neighbors for each probe (probe ≠ neighbor).
     * probes/corpus: (id, vec) DataFrames with the given column names.
     */
@@ -61,20 +68,28 @@ object Similarity {
 
   /** Deterministic ±1 hyperplane weight for (plane, dim): parity of the first
     * hex digit of md5("p_i") — the same portable md5 hash family as TextOps.
+    * Computed ONCE driver-side and embedded as literal arrays: these are
+    * constants, and evaluating md5 per (row × dim × plane) costs 2M hashes
+    * per 2k vectors for no reason.
     */
-  def planeWeight(plane: Column, dim: Column): Column =
-    when(conv(substring(md5(concat(plane.cast("string"), lit("_"),
-      dim.cast("string"))), 1, 1), 16, 10)
-      .cast("long") % 2 === 0, 1L).otherwise(-1L)
+  def planeWeightValue(plane: Int, dim: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(s"${plane}_$dim".getBytes("UTF-8"))
+    if (((d(0) >> 4) & 0xf) % 2 == 0) 1L else -1L
+  }
 
   /** LSH bucket id from plane ids [first, first+count): local bit j =
-    * [Σ_i w(first+j, i)·q_i ≥ 0].
+    * [Σ_i w(first+j, i)·q_i ≥ 0]. Weights are literal arrays (constant-folded
+    * into the plan); maxDims bounds the embedded table (128 covers typical
+    * embedding widths; raise for wider vectors).
     */
-  def lshBucket(vecQ: Column, firstPlane: Int, count: Int): Column = {
+  def lshBucket(vecQ: Column, firstPlane: Int, count: Int,
+      maxDims: Int = 128): Column = {
     val bits = (0 until count).map { j =>
+      val weights = typedLit((0 until maxDims)
+        .map(i => planeWeightValue(firstPlane + j, i)).toArray)
       val dot = aggregate(
-        zip_with(vecQ, sequence(lit(0), size(vecQ) - 1),
-          (x, i) => x * planeWeight(lit(firstPlane + j), i)),
+        zip_with(vecQ, slice(weights, lit(1), size(vecQ)), (x, w) => x * w),
         lit(0L), (acc, x) => acc + x)
       when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
     }
@@ -86,6 +101,42 @@ object Similarity {
     * the union over independent tables — the standard LSH recall/cost dial.
     */
   val NumTables = 4
+
+  /** Plane count for dedup: finer than ANN's — identical/near-identical
+    * vectors collide in ANY bucket granularity, so 8 planes (256 buckets)
+    * shrink candidate sets ~16× with no recall cost at high thresholds.
+    */
+  val DedupPlanes = 8
+
+  /** Embedding-cosine near-duplicate pairs (the vector-space dedup mode):
+    * candidate pairs from the multi-table LSH buckets, exact quantized-cosine
+    * rerank, keep pairs ≥ threshold with a < b. Same scale shape as [[annLsh]]
+    * — the all-pairs O(n²) never materializes.
+    */
+  def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, numPlanes: Int = DedupPlanes,
+      numTables: Int = NumTables): DataFrame = {
+    val q = corpus.select(col(idCol).as("a"), quantize(col(vecCol)).as("qa"))
+      .withColumn("n2a", dotQ(col("qa"), col("qa")))
+    val buckets = array((0 until numTables).map(t =>
+      lshBucket(col("qa"), t * numPlanes, numPlanes)): _*)
+    // bucket tuples carry ids only: the candidate-dedup DISTINCT and the
+    // bucket join must never shuffle the vectors themselves
+    val banded = q.select(col("a"), posexplode(buckets))
+      .withColumnRenamed("pos", "htable").withColumnRenamed("col", "bucket")
+    val pairs = banded
+      .join(banded.select(col("htable"), col("bucket"), col("a").as("b")),
+        Seq("htable", "bucket"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    pairs
+      .join(q, Seq("a"))
+      .join(q.select(col("a").as("b"), col("qa").as("qb"), col("n2a").as("n2b")),
+        Seq("b"))
+      .select(col("a"), col("b"),
+        cosineQWithNorms(col("qa"), col("qb"), col("n2a"), col("n2b")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
 
   /** ANN: candidates share the probe's bucket in ANY of the hash tables;
     * rerank by exact quantized cosine over the candidate union, keep top-k.
@@ -104,16 +155,22 @@ object Similarity {
       df.select(col(id), col(vq), posexplode(buckets))
         .withColumnRenamed("pos", "htable").withColumnRenamed("col", "bucket")
     }
-    val c = withBuckets(corpus.select(col(idCol).as("neighbor_id"),
-      quantize(col(vecCol)).as("cq")), "neighbor_id", "cq")
-    val p = withBuckets(probes.select(col(idCol).as("probe_id"),
-      quantize(col(vecCol)).as("pq")), "probe_id", "pq")
+    val cq = corpus.select(col(idCol).as("neighbor_id"),
+      quantize(col(vecCol)).as("cq"))
+      .withColumn("n2c", dotQ(col("cq"), col("cq")))
+    val pq = probes.select(col(idCol).as("probe_id"),
+      quantize(col(vecCol)).as("pq"))
+      .withColumn("n2p", dotQ(col("pq"), col("pq")))
+    val c = withBuckets(cq.select("neighbor_id", "cq"), "neighbor_id", "cq").drop("cq")
+    val p = withBuckets(pq.select("probe_id", "pq"), "probe_id", "pq").drop("pq")
     val scored = p.join(c, Seq("htable", "bucket"))
       .filter(col("probe_id") =!= col("neighbor_id"))
-      .select(col("probe_id"), col("neighbor_id"), col("pq"), col("cq"))
+      .select(col("probe_id"), col("neighbor_id"))
       .distinct() // candidate may collide in several tables — score once
+      .join(pq, Seq("probe_id"))
+      .join(cq, Seq("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"),
-        cosineQ(col("pq"), col("cq")).as("sim"))
+        cosineQWithNorms(col("pq"), col("cq"), col("n2p"), col("n2c")).as("sim"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

@@ -15,11 +15,24 @@ object VectorQueries {
   private def q(name: String, sql: String)(f: (SparkSession, String) => DataFrame) =
     Q(name, f, Some(sql))
 
-  /** DuckDB twins of Similarity.quantize / norms. */
-  private val quantSql =
-    """q AS (SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1024) AS BIGINT) for x in embedding] AS qv
-      |  FROM embeddings),
-      |n AS (SELECT vec_id, qv, CAST(list_sum([x*x for x in qv]) AS BIGINT) AS n2 FROM q)""".stripMargin
+  /** DuckDB twins of Similarity.quantize / norms over a source relation. */
+  private def quantSqlFrom(src: String) =
+    s"""q AS (SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1024) AS BIGINT) for x in embedding] AS qv
+       |  FROM $src),
+       |n AS (SELECT vec_id, qv, CAST(list_sum([x*x for x in qv]) AS BIGINT) AS n2 FROM q)""".stripMargin
+  private val quantSql = quantSqlFrom("embeddings")
+
+  /** DuckDB twin of the multi-table LSH banding over the `n` CTE. */
+  private def bandedSql(planes: Int) =
+    s"""banded AS (SELECT vec_id, t,
+       |  CAST(list_sum([ CASE WHEN CAST(list_sum([ qv[i+1] *
+       |      (CASE WHEN (strpos('0123456789abcdef',
+       |         substr(md5(CAST($planes*t+j AS VARCHAR)||'_'||CAST(i AS VARCHAR)),1,1))-1) % 2 = 0
+       |        THEN 1 ELSE -1 END)
+       |      for i in generate_series(0, len(qv)-1) ]) AS BIGINT) >= 0
+       |    THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END
+       |    for j in generate_series(0, ${planes - 1}) ]) AS BIGINT) AS bucket
+       |  FROM n, generate_series(0, 3) g(t))""".stripMargin
 
   val defs: Seq[Q] = Seq(
     // --- brute-force quantized-cosine top-k (exactness baseline) --------------
@@ -56,15 +69,7 @@ object VectorQueries {
     // --- LSH-bucketed ANN (the scale path: bucket join + in-bucket rerank) ----
     q("vec03_ann_lsh",
       s"""WITH $quantSql,
-         |banded AS (SELECT vec_id, t,
-         |  CAST(list_sum([ CASE WHEN CAST(list_sum([ qv[i+1] *
-         |      (CASE WHEN (strpos('0123456789abcdef',
-         |         substr(md5(CAST(4*t+j AS VARCHAR)||'_'||CAST(i AS VARCHAR)),1,1))-1) % 2 = 0
-         |        THEN 1 ELSE -1 END)
-         |      for i in generate_series(0, len(qv)-1) ]) AS BIGINT) >= 0
-         |    THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END
-         |    for j in generate_series(0, 3) ]) AS BIGINT) AS bucket
-         |  FROM n, generate_series(0, 3) g(t)),
+         |${bandedSql(4)},
          |cand AS (SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS neighbor_id
          |  FROM banded p JOIN banded c ON p.t = c.t AND p.bucket = c.bucket
          |  WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id),
@@ -79,6 +84,29 @@ object VectorQueries {
       val emb = Tables.embeddings(s, d)
       Similarity.annLsh(emb.filter(col("vec_id") < 10), emb,
         "vec_id", "embedding", k = 3)
+    },
+
+    // --- embedding-cosine near-duplicate pairs (vector-space dedup mode) ------
+    q("vec04_embedding_dedup",
+      s"""WITH vcorpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id % 10 = 0),
+         |${quantSqlFrom("vcorpus")},
+         |${bandedSql(8)},
+         |pairs AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+         |  FROM banded x JOIN banded y ON x.t = y.t AND x.bucket = y.bucket
+         |  WHERE x.vec_id < y.vec_id)
+         |SELECT a, b,
+         |  CAST(CAST(list_sum([p.qv[i]*c.qv[i] for i in generate_series(1, len(p.qv))]) AS BIGINT) AS DOUBLE)
+         |    / (sqrt(CAST(p.n2 AS DOUBLE))*sqrt(CAST(c.n2 AS DOUBLE))) AS sim
+         |FROM pairs JOIN n p ON pairs.a = p.vec_id JOIN n c ON pairs.b = c.vec_id
+         |WHERE CAST(CAST(list_sum([p.qv[i]*c.qv[i] for i in generate_series(1, len(p.qv))]) AS BIGINT) AS DOUBLE)
+         |    / (sqrt(CAST(p.n2 AS DOUBLE))*sqrt(CAST(c.n2 AS DOUBLE))) >= 0.999""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val vcorpus = emb.unionByName(
+        emb.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      Similarity.nearDupPairs(vcorpus, "vec_id", "embedding", threshold = 0.999)
     },
 
     // --- multimodal: opaque binary column + batched executor-side decode ------

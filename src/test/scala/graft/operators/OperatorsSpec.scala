@@ -108,6 +108,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall > 0.2, s"ANN recall@3 = $recall") // single-table LSH, 8 bits
   }
 
+  test("embedding near-dup pairs: planted copies found at threshold 0.999") {
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val planted = emb.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    val pairs = Similarity.nearDupPairs(emb.unionByName(planted),
+        "vec_id", "embedding", 0.999)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val expected = (0L until 500L by 10).map(i => (i, i + 10000)).toSet
+    assert(expected.subsetOf(pairs),
+      s"identical vectors share every LSH bucket; missing: ${expected -- pairs}")
+    // and clustering resolves them to min-id representatives
+    val reps = Dedup.clusters(Similarity.nearDupPairs(emb.unionByName(planted),
+      "vec_id", "embedding", 0.999))
+    assert(reps(10010L) == 10L && reps(10000L) == 0L)
+  }
+
   test("quantized cosine of a vector with itself is 1.0") {
     import spark.implicits._
     val emb = graft.Tables.embeddings(spark, dir).limit(5)
