@@ -1,0 +1,79 @@
+package graft
+
+import graft.cdc._
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** One-stop user facade — the surface a user of the reference pipeline
+  * switches to. Each entry delegates to the tested operator module; see
+  * COVERAGE.md for the full inventory and README.md for design rules.
+  *
+  * {{{
+  * val spark = SparkSession.builder().withExtensions(new GraftExtensions)...
+  * import graft.Graft
+  * val state   = Graft.latestState(changelog, keyCols = Seq("table","key"))
+  * val deduped = Graft.dedupExact(docs, "doc_id", "text")
+  * val nn      = Graft.ann(probes, corpus, "vec_id", "embedding", k = 10)
+  * }}}
+  */
+object Graft {
+
+  // --- CDC -------------------------------------------------------------------
+
+  /** Current state of a keyed changelog (tombstones drop keys). */
+  def latestState(changelog: DataFrame, keyCols: Seq[String],
+      orderCols: Seq[String] = Seq("lsn", "seq")): DataFrame =
+    LatestState.batch(changelog, keyCols, orderCols)
+
+  /** Streaming variant: per-micro-batch updated latest states. */
+  def latestStateStream(envelopes: Dataset[CdcEvent]): Dataset[CdcEvent] =
+    LatestState.streaming(envelopes)
+
+  /** Consistent snapshot of a batch table as CDC insert envelopes. */
+  def snapshot(table: DataFrame, tableName: String, keyCols: Seq[String])
+      : Dataset[CdcEvent] =
+    graft.streaming.CdcPipeline.snapshotEnvelopes(table, tableName, keyCols)
+
+  /** Split key-changing updates into delete+insert. */
+  def splitUpdates(envelopes: Dataset[CdcEvent]): Dataset[CdcEvent] =
+    UpdateSplit(envelopes, _.before)
+
+  /** Kafka-compatible topic name for a table. */
+  def topicFor(prefix: String, schema: String, table: String): String =
+    TopicRouter.topicName(prefix, schema, table)
+
+  // --- dedup -----------------------------------------------------------------
+
+  /** Keep one document per distinct content (min id). */
+  def dedupExact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    Dedup.exactDedup(docs, idCol, textCol)
+
+  /** MinHash-LSH near-duplicate candidate pairs (verify with [[jaccard]]). */
+  def nearDupCandidates(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    Dedup.minhashCandidatePairs(docs, idCol, textCol)
+
+  /** Exact shingle-Jaccard scores for candidate pairs. */
+  def jaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    Dedup.jaccardOnPairs(pairs, docs, idCol, textCol)
+
+  /** Embedding-space near-duplicates at a cosine threshold. */
+  def embeddingDups(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame =
+    Similarity.nearDupPairs(corpus, idCol, vecCol, threshold)
+
+  /** Resolve verified duplicate pairs into member→representative clusters. */
+  def dupClusters(pairs: DataFrame): Map[Long, Long] = Dedup.clusters(pairs)
+
+  // --- similarity search -----------------------------------------------------
+
+  /** Exact quantized-cosine top-k (baseline; O(probes·corpus)). */
+  def knn(probes: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame =
+    Similarity.knnBrute(probes, corpus, idCol, vecCol, k)
+
+  /** Approximate top-k via multi-table LSH buckets (the scale path). */
+  def ann(probes: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame =
+    Similarity.annLsh(probes, corpus, idCol, vecCol, k)
+}

@@ -95,6 +95,26 @@ class PgValueCodecSpec extends AnyFunSuite {
       assert(parse(oid, null) == null && render(oid, null) == null)
   }
 
+  test("generated randomized roundtrips (analog of spec/bin/generate_type_specs.rb)") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 200) {
+      val cases: Seq[(Int, String)] = Seq(
+        Int2 -> rnd.nextInt(Short.MaxValue).toString,
+        Int4 -> rnd.nextInt().toString,
+        Int8 -> rnd.nextLong().toString,
+        Numeric -> (BigDecimal(rnd.nextLong()) / 100).toString,
+        Money -> f"$$${rnd.nextInt(1000000)}%d.${rnd.nextInt(100)}%02d",
+        Date -> java.time.LocalDate.ofEpochDay(rnd.between(-20000L, 40000L)).toString,
+        Time -> java.time.LocalTime.ofNanoOfDay(
+          rnd.between(0L, 86400L * 1000000) * 1000L)
+          .format(java.time.format.DateTimeFormatter.ofPattern("HH:mm:ss.SSSSSS")),
+        Bytea -> ("\\x" + Array.fill(rnd.nextInt(16))(f"${rnd.nextInt(256)}%02x").mkString),
+        Text -> rnd.alphanumeric.take(rnd.nextInt(20)).mkString)
+      for ((oid, txt) <- cases)
+        assert(render(oid, parse(oid, txt)) == txt, s"oid=$oid txt=$txt")
+    }
+  }
+
   test("parse/render roundtrip across the type table") {
     val cases: Seq[(Int, String)] = Seq(
       Bool -> "t", Int2 -> "7", Int4 -> "1234", Int8 -> "99999999999",

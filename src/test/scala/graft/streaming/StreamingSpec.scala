@@ -82,6 +82,25 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(state("""{"id":1}""").contains("ada2"))
   }
 
+  test("streaming at-least-once dedup: dropDuplicates within watermark") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = input.toDF().toDF("ts", "lsn", "key")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("lsn", "key")   // redelivery id = (lsn, key)
+    val q = df.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      val t = java.sql.Timestamp.valueOf("2024-01-01 00:01:00")
+      input.addData((t, 1L, "a"), (t, 1L, "a"), (t, 2L, "b"))  // dup in batch
+      q.processAllAvailable()
+      input.addData((t, 1L, "a"))                               // redelivery later
+      q.processAllAvailable()
+      assert(spark.table("dedup_stream").count() == 2)          // exactly-once
+    } finally q.stop()
+  }
+
   test("stream–stream join with watermarks (declared §2b extension)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
