@@ -75,4 +75,26 @@ object LatestState {
 
   /** Output mode matching [[streaming]]. */
   val streamingOutputMode: OutputMode = OutputMode.Update()
+
+  /** The same compaction as a typed `Aggregator` — the §2b UDAF surface.
+    * `ds.groupByKey(...).agg(LatestState.latestAggregator.toColumn)` ≡
+    * the max_by formulation in [[batch]]; kept as the user-defined-aggregate
+    * exemplar (buffer = newest event so far; merge = newer-of).
+    */
+  val latestAggregator: org.apache.spark.sql.expressions.Aggregator[CdcEvent, CdcEvent, CdcEvent] =
+    new org.apache.spark.sql.expressions.Aggregator[CdcEvent, CdcEvent, CdcEvent] {
+      private def newer(a: CdcEvent, b: CdcEvent): CdcEvent =
+        if (a == null) b
+        else if (b == null) a
+        else if (a.lsn > b.lsn || (a.lsn == b.lsn && a.seq >= b.seq)) a
+        else b
+      override def zero: CdcEvent = null
+      override def reduce(buf: CdcEvent, e: CdcEvent): CdcEvent = newer(buf, e)
+      override def merge(x: CdcEvent, y: CdcEvent): CdcEvent = newer(x, y)
+      override def finish(buf: CdcEvent): CdcEvent = buf
+      override def bufferEncoder: org.apache.spark.sql.Encoder[CdcEvent] =
+        org.apache.spark.sql.Encoders.product[CdcEvent]
+      override def outputEncoder: org.apache.spark.sql.Encoder[CdcEvent] =
+        org.apache.spark.sql.Encoders.product[CdcEvent]
+    }
 }

@@ -408,6 +408,44 @@ object RelationalQueries {
         approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders_1pct"))
     }, None),
 
+    // --- pivot (status × priority order counts) -------------------------------
+    q("q28_pivot_status",
+      """SELECT o_orderpriority,
+        |  CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS F,
+        |  CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS O,
+        |  CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS P
+        |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("F", "O", "P")) // absent combos: pivot yields null
+    },
+
+    // --- column profiling (data-quality gate over any table) ------------------
+    q("q29_profile_orders",
+      """WITH t AS (SELECT COUNT(*) AS n FROM orders)
+        |SELECT 'o_orderkey' AS column_name, n AS n_rows,
+        |  (SELECT COUNT(o_orderkey) FROM orders) AS non_null,
+        |  (SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS n_distinct,
+        |  (SELECT CAST(MIN(o_orderkey) AS VARCHAR) FROM orders) AS min_s,
+        |  (SELECT CAST(MAX(o_orderkey) AS VARCHAR) FROM orders) AS max_s FROM t
+        |UNION ALL
+        |SELECT 'o_orderstatus', n,
+        |  (SELECT COUNT(o_orderstatus) FROM orders),
+        |  (SELECT COUNT(DISTINCT o_orderstatus) FROM orders),
+        |  (SELECT MIN(o_orderstatus) FROM orders),
+        |  (SELECT MAX(o_orderstatus) FROM orders) FROM t
+        |UNION ALL
+        |SELECT 'o_custkey', n,
+        |  (SELECT COUNT(o_custkey) FROM orders),
+        |  (SELECT COUNT(DISTINCT o_custkey) FROM orders),
+        |  (SELECT CAST(MIN(o_custkey) AS VARCHAR) FROM orders),
+        |  (SELECT CAST(MAX(o_custkey) AS VARCHAR) FROM orders) FROM t""".stripMargin) { (s, d) =>
+      graft.operators.Profile.describe(Tables.orders(s, d),
+        Seq("o_orderkey", "o_orderstatus", "o_custkey"))
+    },
+
     // --- tumbling time window over the event stream table ---------------------
     q("q26_hourly_events",
       """SELECT STRFTIME(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,

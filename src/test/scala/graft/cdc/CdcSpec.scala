@@ -53,6 +53,18 @@ class CdcSpec extends AnyFunSuite {
       replayed.orderBy("key").collect().toSeq)
   }
 
+  test("Aggregator-based compaction (UDAF surface) agrees with max_by batch") {
+    import spark.implicits._
+    val viaAggregator = script.toDS()
+      .groupByKey(e => (e.table, e.key))
+      .agg(LatestState.latestAggregator.toColumn)
+      .map(_._2).filter(_.op != Op.Delete)
+      .collect().sortBy(_.key).toSeq
+    val viaMaxBy = LatestState.batch(script.toDF(), Seq("table", "key"), Seq("lsn", "seq"))
+      .as[CdcEvent].collect().sortBy(_.key).toSeq
+    assert(viaAggregator == viaMaxBy)
+  }
+
   test("streaming compaction (mapGroupsWithState) agrees with batch") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
