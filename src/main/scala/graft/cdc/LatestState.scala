@@ -35,10 +35,19 @@ object LatestState {
       keyCols: Seq[String],
       orderCols: Seq[String],
       opCol: String = "op",
-      keepDeleted: Boolean = false): DataFrame = {
+      keepDeleted: Boolean = false,
+      asOfLsn: Option[Long] = None): DataFrame = {
+    // point-in-time state: compacting the changelog truncated at an LSN
+    // reconstructs the table exactly as of that commit (CDC time travel);
+    // the filter pushes into the scan, so old state costs a cheaper read,
+    // not a bigger one.
+    val source = asOfLsn match {
+      case Some(l) => changelog.filter(col(orderCols.head) <= l)
+      case None => changelog
+    }
     val payload = struct(changelog.columns.map(col).toIndexedSeq: _*)
     val ord = struct(orderCols.map(col).toIndexedSeq: _*)
-    val latest = changelog
+    val latest = source
       .groupBy(keyCols.map(col).toIndexedSeq: _*)
       .agg(max_by(payload, ord).as("_latest"))
       .select(col("_latest.*"))

@@ -113,6 +113,21 @@ object CdcQueries {
           octet_length(col("framed")).as("framed_len"))
     },
 
+    // --- point-in-time state (CDC time travel: compaction truncated at LSN) --
+    q("cdc10_state_asof",
+      """WITH ranked AS (SELECT *, row_number() OVER (
+        |  PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_id <= 3000)
+        |SELECT user_id, event_id AS lsn_asof,
+        |  CASE event_type WHEN 'signup' THEN 'insert' ELSE 'update' END AS op_asof
+        |FROM ranked WHERE rn = 1 AND event_type <> 'error'""".stripMargin) { (s, d) =>
+      val env = ChangelogGen.fromEvents(s, d).toDF()
+      LatestState.batch(env, Seq("table", "key"), Seq("lsn", "seq"),
+          asOfLsn = Some(3000L))
+        .select(col("key").cast("long").as("user_id"),
+          col("lsn").as("lsn_asof"), col("op").as("op_asof"))
+    },
+
     // --- schema introspection (≙ bottledwater_row_schema, ext/snapshot.c:65–72):
     // --- runtime-derived catalog vs an independently written static oracle ----
     q("cdc09_schema_introspect",

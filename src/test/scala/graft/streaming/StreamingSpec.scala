@@ -82,6 +82,30 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(state("""{"id":1}""").contains("ada2"))
   }
 
+  test("session windows over the event stream (gap-based grouping)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val agg = input.toDF().toDF("ts", "user")
+      .withWatermark("ts", "1 minute")
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("sesswin")
+      .outputMode("append").start()
+    try {
+      val t = (m: Int, s: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:$s%02d")
+      // one session of 3 events (gaps < 5 min), then a 20-minute gap
+      input.addData((t(1, 0), 7L), (t(3, 0), 7L), (t(6, 0), 7L))
+      input.addData((t(26, 0), 7L))   // new session; watermark closes the first
+      q.processAllAvailable()
+      input.addData((t(59, 0), 7L))   // push watermark further
+      q.processAllAvailable()
+      val rows = spark.table("sesswin").select("user", "n")
+        .as[(Long, Long)].collect().toSeq
+      assert(rows.contains((7L, 3L)), s"first session should emit 3 events: $rows")
+    } finally q.stop()
+  }
+
   test("streaming at-least-once dedup: dropDuplicates within watermark") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
