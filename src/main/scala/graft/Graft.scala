@@ -38,6 +38,17 @@ object Graft {
   def splitUpdates(envelopes: Dataset[CdcEvent]): Dataset[CdcEvent] =
     UpdateSplit(envelopes, _.before)
 
+  /** Merge a changelog batch into bucketed parquet state (incremental:
+    * only touched buckets are read/rewritten). Returns buckets rewritten.
+    */
+  def mergeInto(spark: SparkSession, stateDir: String, updates: DataFrame,
+      keyCols: Seq[String]): Int =
+    MaterializedTable.merge(spark, stateDir, updates, keyCols, Seq("lsn", "seq"))
+
+  /** Read back materialized state. */
+  def readState(spark: SparkSession, stateDir: String): DataFrame =
+    MaterializedTable.read(spark, stateDir)
+
   /** Kafka-compatible topic name for a table. */
   def topicFor(prefix: String, schema: String, table: String): String =
     TopicRouter.topicName(prefix, schema, table)

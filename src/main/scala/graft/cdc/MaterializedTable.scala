@@ -1,0 +1,75 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental latest-state materialization on plain parquet — the
+  * SURVEY §7.4 answer to state growth: "prefer Delta-merge materialization
+  * for 100 TB-scale tables, keyed state only for hot paths".
+  *
+  * Layout: the state directory is hash-partitioned on the key into
+  * `_bucket=N` subdirectories. A merge then:
+  *   1. computes the buckets touched by the incoming changelog batch,
+  *   2. reads ONLY those buckets of existing state (partition pruning),
+  *   3. compacts existing ∪ incoming per key,
+  *   4. rewrites only the touched buckets (dynamic partition overwrite).
+  *
+  * At 100 TB with a well-sized bucket count, a micro-batch touching k keys
+  * costs O(k/numBuckets · stateSize) IO — untouched buckets are never read
+  * or written. This is MERGE-INTO dataflow on a format without transaction
+  * logs; swap the writer for Delta/Iceberg MERGE when those jars exist and
+  * steps 1–3 stay identical.
+  */
+object MaterializedTable {
+
+  /** Stable bucket of the key columns (Spark murmur3 — internal layout only,
+    * nothing external depends on it).
+    */
+  private def bucketCol(keyCols: Seq[String], numBuckets: Int) =
+    pmod(hash(keyCols.map(col): _*), lit(numBuckets)).as("_bucket")
+
+  /** Merge a changelog batch into the materialized state at `dir`.
+    *
+    * @param updates  changelog rows (op/key/order columns, SURVEY envelope
+    *                 or any keyed changelog)
+    * @return the number of buckets rewritten
+    */
+  def merge(spark: SparkSession, dir: String, updates: DataFrame,
+      keyCols: Seq[String], orderCols: Seq[String], opCol: String = "op",
+      numBuckets: Int = 64): Int = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val incoming = updates.withColumn("_bucket", bucketCol(keyCols, numBuckets))
+    val touched = incoming.select("_bucket").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val exists = new java.io.File(dir).exists()
+    val combined = if (exists) {
+      val existing = spark.read.parquet(dir)
+        .filter(col("_bucket").isin(touched.map(Integer.valueOf).toSeq: _*))
+      // existing state re-enters compaction as the baseline: it must never
+      // win against a genuinely newer incoming row, and vice versa — both
+      // carry their original order columns, so plain compaction is correct
+      existing.unionByName(incoming.select(existing.columns.map(col).toIndexedSeq: _*))
+    } else incoming
+    val compacted = LatestState.batch(
+      combined, keyCols, orderCols, opCol, keepDeleted = false)
+      .localCheckpoint() // computed twice below (write + bucket list)
+    compacted
+      .write.mode(if (exists) "overwrite" else "append")
+      .partitionBy("_bucket")
+      .parquet(dir)
+    // dynamic overwrite only replaces partitions PRESENT in the output: a
+    // touched bucket whose keys were all tombstoned writes zero rows and
+    // would silently keep its stale files — delete those explicitly.
+    val written = compacted.select("_bucket").distinct()
+      .collect().map(_.getInt(0)).toSet
+    for (b <- touched if !written.contains(b)) {
+      val p = new java.io.File(s"$dir/_bucket=$b")
+      if (p.exists()) { p.listFiles().foreach(_.delete()); p.delete() }
+    }
+    touched.length
+  }
+
+  /** Current materialized state (bucket column dropped). */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir).drop("_bucket")
+}

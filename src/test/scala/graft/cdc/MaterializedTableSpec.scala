@@ -1,0 +1,75 @@
+package graft.cdc
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MaterializedTableSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def ev(op: String, key: String, lsn: Long, after: String): CdcEvent =
+    CdcEvent(op, "t", lsn, 0, 0, key, null, after)
+
+  test("incremental merge equals full compaction; tombstones purge state") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mat").toString + "/state"
+
+    val batch1 = Seq(
+      ev("insert", "a", 1, "A1"), ev("insert", "b", 2, "B1"),
+      ev("insert", "c", 3, "C1"))
+    val batch2 = Seq(
+      ev("update", "a", 4, "A2"), ev("delete", "b", 5, null),
+      ev("insert", "d", 6, "D1"))
+
+    MaterializedTable.merge(spark, dir, batch1.toDF(),
+      Seq("key"), Seq("lsn", "seq"), numBuckets = 4)
+    val n2 = MaterializedTable.merge(spark, dir, batch2.toDF(),
+      Seq("key"), Seq("lsn", "seq"), numBuckets = 4)
+    assert(n2 <= 4) // only touched buckets rewritten
+
+    val got = MaterializedTable.read(spark, dir)
+      .select("key", "after").as[(String, String)].collect().toMap
+    val full = LatestState.batch((batch1 ++ batch2).toDF(), Seq("key"), Seq("lsn", "seq"))
+      .select("key", "after").as[(String, String)].collect().toMap
+    assert(got == full)
+    assert(got == Map("a" -> "A2", "c" -> "C1", "d" -> "D1")) // b tombstoned
+  }
+
+  test("a bucket whose keys are all deleted is physically purged") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mat2").toString + "/state"
+    // single bucket: every key collides → deleting both empties the bucket
+    MaterializedTable.merge(spark, dir,
+      Seq(ev("insert", "x", 1, "X"), ev("insert", "y", 2, "Y")).toDF(),
+      Seq("key"), Seq("lsn", "seq"), numBuckets = 1)
+    MaterializedTable.merge(spark, dir,
+      Seq(ev("delete", "x", 3, null), ev("delete", "y", 4, null)).toDF(),
+      Seq("key"), Seq("lsn", "seq"), numBuckets = 1)
+    assert(!new java.io.File(s"$dir/_bucket=0").exists(),
+      "stale bucket files must not survive an all-tombstone merge")
+  }
+
+  test("untouched buckets are not rewritten (incremental IO)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mat3").toString + "/state"
+    MaterializedTable.merge(spark, dir,
+      (0 until 64).map(i => ev("insert", s"k$i", i, s"v$i")).toDF(),
+      Seq("key"), Seq("lsn", "seq"), numBuckets = 16)
+    val before = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("_bucket="))
+      .map(f => f.getName -> f.listFiles().map(x => (x.getName, x.lastModified())).toSet)
+      .toMap
+    Thread.sleep(1100) // mtime granularity
+    // touch exactly one key
+    val n = MaterializedTable.merge(spark, dir,
+      Seq(ev("update", "k0", 1000, "v0b")).toDF(),
+      Seq("key"), Seq("lsn", "seq"), numBuckets = 16)
+    assert(n == 1)
+    val after = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("_bucket="))
+      .map(f => f.getName -> f.listFiles().map(x => (x.getName, x.lastModified())).toSet)
+      .toMap
+    val changed = before.keys.filter(k => before(k) != after.getOrElse(k, Set.empty))
+    assert(changed.size == 1, s"exactly one bucket dir should change, got $changed")
+  }
+}
