@@ -408,6 +408,37 @@ object RelationalQueries {
         approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders_1pct"))
     }, None),
 
+    // --- exact percentiles (interpolated; sketch twin is q27-style approx) ----
+    q("q30_percentiles",
+      """SELECT o_orderstatus,
+        |  quantile_cont(o_totalprice, 0.25) AS p25,
+        |  quantile_cont(o_totalprice, 0.5)  AS p50,
+        |  quantile_cont(o_totalprice, 0.9)  AS p90
+        |FROM orders GROUP BY o_orderstatus""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(expr("percentile(o_totalprice, 0.25)").as("p25"),
+          expr("percentile(o_totalprice, 0.5)").as("p50"),
+          expr("percentile(o_totalprice, 0.9)").as("p90"))
+    },
+
+    // --- correlated scalar subquery, decorrelated (TPC-H Q17 pattern) ---------
+    q("q31_small_qty_revenue",
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+        |       COUNT(*) AS n
+        |FROM lineitem l1
+        |WHERE l_quantity < 0.5 * (SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*)
+        |                          FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)""".stripMargin) { (s, d) =>
+      // manual decorrelation = what Catalyst does to the correlated form:
+      // per-part exact average joined back to the fact
+      val li = Tables.lineitem(s, d)
+      val avgPerPart = li.groupBy(col("l_partkey").as("p_key"))
+        .agg(davg(col("l_quantity"), 2).as("avg_qty"))
+      li.join(broadcast(avgPerPart), col("l_partkey") === col("p_key"))
+        .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+        .agg(dsum(col("l_extendedprice"), 2).as("total"), count(lit(1)).as("n"))
+    },
+
     // --- pivot (status × priority order counts) -------------------------------
     q("q28_pivot_status",
       """SELECT o_orderpriority,

@@ -116,6 +116,21 @@ class CdcSpec extends AnyFunSuite {
     assert(out.filter(_.lsn == 8).head.op == Op.Update)
   }
 
+  test("malformed payload JSON: typed decode yields nulls, not failures (log-policy analog)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val evs = Seq(
+      ev(Op.Insert, "1", 1, """{"id":1,"username":"ada"}"""),
+      ev(Op.Insert, "2", 2, """{not valid json"""),
+      ev(Op.Insert, "3", 3, null))
+    val schema = StructType(Seq(StructField("id", LongType), StructField("username", StringType)))
+    val decoded = evs.toDF()
+      .withColumn("row", from_json(col("after"), schema))
+      .select(col("key"), col("row.id"), col("row.username"))
+    val rows = decoded.collect().map(r => (r.getString(0), r.isNullAt(1)))
+    assert(rows.toSeq == Seq(("1", false), ("2", true), ("3", true)))
+  }
+
   test("error policy: log skips poison rows, exit fails the query") {
     import spark.implicits._
     val df = Seq(("ok", "x" * 10), ("poison", "y" * 100)).toDF("id", "payload")
