@@ -87,4 +87,9 @@ object Graft {
   def ann(probes: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame =
     Similarity.annLsh(probes, corpus, idCol, vecCol, k)
+
+  /** Approximate top-k via an IVF-Flat inverted-file index (cell-pruned). */
+  def annIvf(probes: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame =
+    IvfIndex.search(probes, corpus, idCol, vecCol, k)
 }

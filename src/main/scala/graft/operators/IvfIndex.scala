@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF-Flat ANN — the inverted-file alternative to [[Similarity.annLsh]]:
+  * a coarse quantizer (k-means over quantized vectors) partitions the corpus
+  * into `nLists` cells; a probe searches only its `nProbe` nearest cells.
+  *
+  * Scale shape: training is `iters` passes of (broadcast centroids → assign →
+  * partial-agg mean); the index is one extra int column on the corpus;
+  * search is a broadcast of nLists centroids + a cell-pruned rerank —
+  * candidates ≈ corpus · nProbe / nLists instead of all-pairs.
+  *
+  * Determinism: centroids seed from evenly-spaced corpus ids (no RNG),
+  * assignment distance is EXACT integer L2 over quantized vectors, centroid
+  * updates are floor-divided integer means — so the index is reproducible
+  * across runs/partitionings (same property as the rest of the similarity
+  * stack; rationale in Similarity's scaladoc).
+  */
+object IvfIndex {
+
+  /** Exact integer squared-L2 between two quantized vectors. */
+  def l2Q(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+
+  /** Train `nLists` centroids (quantized, integer components). */
+  def train(corpus: DataFrame, idCol: String, vecCol: String, nLists: Int,
+      iters: Int = 2): DataFrame = {
+    val q = corpus.select(col(idCol).as("id"), Similarity.quantize(col(vecCol)).as("qv"))
+    // deterministic seeding: the nLists lowest ids (TakeOrdered — no global
+    // sort; Lloyd iterations wash out seed placement). The window below runs
+    // over nLists rows only.
+    var centroids = q.orderBy("id").limit(nLists)
+      .select((row_number().over(Window.orderBy("id")) - 1).as("cell"),
+        col("qv").as("cv"))
+    for (_ <- 1 to iters) {
+      val assigned = assign(q, centroids)
+      centroids = assigned
+        .select(col("cell"), posexplode(col("qv")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(expr("sum(col) div count(*)").as("m")) // floor mean: deterministic
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pairs"))
+        .select(col("cell"), expr("transform(pairs, p -> p.m)").as("cv"))
+    }
+    centroids
+  }
+
+  /** Nearest cell per vector (exact integer L2 to each broadcast centroid).
+    * One hash aggregation (`min_by`, partial-agg) — not a window sort.
+    */
+  def assign(q: DataFrame, centroids: DataFrame): DataFrame = {
+    q.crossJoin(broadcast(centroids))
+      .select(col("id"), col("qv"), col("cell"), l2Q(col("qv"), col("cv")).as("d2"))
+      .groupBy(col("id"))
+      .agg(min_by(struct(col("cell"), col("qv")), struct(col("d2"), col("cell"))).as("s"))
+      .select(col("id"), col("s.qv").as("qv"), col("s.cell").as("cell"))
+  }
+
+  /** ANN search: probe → its nProbe nearest cells → rerank candidates in
+    * those cells by quantized cosine → top-k.
+    */
+  def search(probes: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, nLists: Int = 16, nProbe: Int = 3, iters: Int = 2): DataFrame = {
+    val centroids = train(corpus, idCol, vecCol, nLists, iters)
+    val index = assign(
+      corpus.select(col(idCol).as("id"), Similarity.quantize(col(vecCol)).as("qv")),
+      centroids)
+      .select(col("id").as("neighbor_id"), col("qv").as("cq"), col("cell"))
+      .withColumn("n2c", Similarity.dotQ(col("cq"), col("cq")))
+    val pq = probes.select(col(idCol).as("probe_id"),
+      Similarity.quantize(col(vecCol)).as("pq"))
+      .withColumn("n2p", Similarity.dotQ(col("pq"), col("pq")))
+    val probeCells = pq.crossJoin(broadcast(centroids))
+      .select(col("probe_id"), col("cell"), l2Q(col("pq"), col("cv")).as("d2"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("probe_id")).orderBy(col("d2"), col("cell"))))
+      .filter(col("_rn") <= nProbe)
+      .select("probe_id", "cell")
+    val scored = probeCells
+      .join(index, Seq("cell"))
+      .join(pq, Seq("probe_id"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        Similarity.cosineQWithNorms(col("pq"), col("cq"), col("n2p"), col("n2c")).as("sim"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

@@ -109,6 +109,14 @@ object VectorQueries {
       Similarity.nearDupPairs(vcorpus, "vec_id", "embedding", threshold = 0.999)
     },
 
+    // --- IVF-Flat ANN (inverted-file alternative to LSH; k-means coarse
+    // --- quantizer is iterative → not SQL-expressible, rows-only check) -------
+    Q("vec05_ann_ivf", (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.operators.IvfIndex.search(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", k = 3, nLists = 16, nProbe = 4)
+    }, None),
+
     // --- multimodal: opaque binary column + batched executor-side decode ------
     q("mm01_media_meta",
       """WITH raw AS (SELECT doc_id, source AS format, CAST(strlen(text) AS INT) AS n_bytes,

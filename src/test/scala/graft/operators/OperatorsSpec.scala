@@ -125,6 +125,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(reps(10010L) == 10L && reps(10000L) == 0L)
   }
 
+  test("IVF-Flat: deterministic index, sims exact, recall beats cell fraction") {
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, dir)
+    val probes = emb.filter(col("vec_id") < 10)
+    val ivf = IvfIndex.search(probes, emb, "vec_id", "embedding",
+        k = 3, nLists = 16, nProbe = 4)
+      .select("probe_id", "neighbor_id", "sim")
+      .as[(Long, Long, Double)].collect()
+    // determinism: second run bit-identical
+    val again = IvfIndex.search(probes, emb, "vec_id", "embedding",
+        k = 3, nLists = 16, nProbe = 4)
+      .select("probe_id", "neighbor_id", "sim")
+      .as[(Long, Long, Double)].collect()
+    assert(ivf.sortBy(r => (r._1, r._2)).toSeq == again.sortBy(r => (r._1, r._2)).toSeq)
+    // sims are the exact quantized cosines
+    val bruteAll = Similarity.knnBrute(probes, emb, "vec_id", "embedding", 1000)
+      .select("probe_id", "neighbor_id", "sim")
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(ivf.forall { case (p, nb, s) => bruteAll((p, nb)) == s })
+    // recall@3 must beat the random-cells baseline (nProbe/nLists)
+    val top3 = Similarity.knnBrute(probes, emb, "vec_id", "embedding", 3)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = top3.count { case (p, nb) =>
+      ivf.exists(r => r._1 == p && r._2 == nb) }.toDouble / top3.size
+    assert(recall > 4.0 / 16, s"IVF recall@3 = $recall")
+  }
+
   test("quantized cosine of a vector with itself is 1.0") {
     import spark.implicits._
     val emb = graft.Tables.embeddings(spark, dir).limit(5)
