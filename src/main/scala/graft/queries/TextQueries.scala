@@ -72,6 +72,19 @@ object TextQueries {
         length(col("text")).as("n_chars"))
     },
 
+    // --- BPE-ish regex tokenization (subword chunking alongside whitespace) ---
+    q("txt09_bpe_tokens",
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_words,
+        |  CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS INT) AS n_subwords,
+        |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_numbers
+        |FROM documents""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).as("n_words"),
+        size(expr("regexp_extract_all(text, '[a-z]{1,4}', 0)")).as("n_subwords"),
+        size(expr("regexp_extract_all(text, '[0-9]+', 0)")).as("n_numbers"))
+    },
+
     // --- quality scoring: stopword ratio, lexical diversity, mean token len ---
     q("txt02_quality_score",
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
