@@ -27,6 +27,19 @@ object TextOps {
       .otherwise(transform(sequence(lit(0), size(toks) - k),
         i => array_join(slice(toks, i + 1, lit(k)), " ")))
 
+  /** BPE-ish regex tokenization counts (word/letter-chunk/number tokens).
+    * Patterns are plain character classes so Java regex (Spark) and RE2
+    * (DuckDB oracle) agree.
+    */
+  val WordPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+  val SubwordPattern = "[a-z]{1,4}"
+  val NumberPattern = "[0-9]+"
+
+  def bpeCounts(text: Column): Seq[Column] = Seq(
+    size(regexp_extract_all(text, lit(WordPattern), lit(0))).as("n_words"),
+    size(regexp_extract_all(text, lit(SubwordPattern), lit(0))).as("n_subwords"),
+    size(regexp_extract_all(text, lit(NumberPattern), lit(0))).as("n_numbers"))
+
   /** First 32 bits of md5(salt:s) as a long — the portable hash family
     * H_salt(s) used for MinHash permutations and SimHash.
     */

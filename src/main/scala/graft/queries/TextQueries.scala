@@ -79,10 +79,8 @@ object TextQueries {
         |  CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS INT) AS n_subwords,
         |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_numbers
         |FROM documents""".stripMargin) { (s, d) =>
-      Tables.documents(s, d).select(col("doc_id"),
-        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).as("n_words"),
-        size(expr("regexp_extract_all(text, '[a-z]{1,4}', 0)")).as("n_subwords"),
-        size(expr("regexp_extract_all(text, '[0-9]+', 0)")).as("n_numbers"))
+      Tables.documents(s, d).select(
+        col("doc_id") +: TextOps.bpeCounts(col("text")): _*)
     },
 
     // --- quality scoring: stopword ratio, lexical diversity, mean token len ---

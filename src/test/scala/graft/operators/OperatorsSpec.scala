@@ -65,6 +65,24 @@ class DedupSpec extends AnyFunSuite {
     assert(nearViaTwin.forall(_._3 > 0.8))
   }
 
+  test("BPE-ish tokenizer: digit and punctuation branches (dead on gate corpus)") {
+    import spark.implicits._
+    // the sf corpora are [a-z ]-only, so exercise the other branches here
+    val df = Seq(
+      ("abc de 12 x.y!", 0L),
+      ("", 1L),
+      ("12345 999", 2L)).toDF("text", "id")
+    val out = df.select(col("id") +: TextOps.bpeCounts(col("text")): _*)
+      .orderBy("id")
+      .select("n_words", "n_subwords", "n_numbers")
+      .as[(Int, Int, Int)].collect().toSeq
+    // "abc de 12 x.y!": words = abc,de,12,x,.,y,! = 7; subwords = abc,de,x,y = 4; numbers = 12
+    assert(out(0) == ((7, 4, 1)), s"got ${out(0)}")
+    assert(out(1) == ((0, 0, 0)))
+    // "12345 999": words = 12345,999 = 2; no letters; numbers = 2
+    assert(out(2) == ((2, 0, 2)))
+  }
+
   test("simhash: near dups within small hamming distance, random pairs far") {
     val texts = graft.Tables.documents(spark, dir)
       .select("text").limit(10).collect().map(_.getString(0))
