@@ -57,28 +57,49 @@ object LatestState {
   /** Streaming compaction over the typed envelope: emits the new latest state
     * of every (table, key) touched in each micro-batch (Update mode).
     *
-    * State = newest (lsn, seq, op, after) per key — O(live keys); the Spark
-    * state store replaces the reference's schema cache / table mapper / txn
-    * tracker trio (SURVEY §2a #8/#14/#19). Late or replayed events (CDC is
-    * at-least-once, kafka/bottledwater.c:683–687) are ignored unless they
-    * advance (lsn, seq) — making the sink effectively exactly-once.
+    * State = newest (lsn, seq, op, after) per key. The Spark state store
+    * replaces the reference's schema cache / table mapper / txn tracker trio
+    * (SURVEY §2a #8/#14/#19). Late or replayed events (CDC is at-least-once,
+    * kafka/bottledwater.c:683–687) are ignored unless they advance
+    * (lsn, seq) — making the sink effectively exactly-once.
+    *
+    * State growth: delete tombstones must be RETAINED for a while — removing
+    * them immediately would let a stale replayed pre-delete event resurrect
+    * the key — so state is O(live keys + retained tombstones).
+    * `tombstoneTtl` bounds the tombstone share (the same role as Kafka
+    * compaction's delete.retention.ms): after the TTL, a tombstoned key's
+    * state is evicted. None (default) retains tombstones forever.
     */
-  def streaming(events: Dataset[CdcEvent]): Dataset[CdcEvent] = {
+  def streaming(events: Dataset[CdcEvent],
+      tombstoneTtl: Option[java.time.Duration] = None): Dataset[CdcEvent] = {
     import events.sparkSession.implicits._
+    val timeout = tombstoneTtl
+      .map(_ => GroupStateTimeout.ProcessingTimeTimeout)
+      .getOrElse(GroupStateTimeout.NoTimeout)
     events
       .filter(e => Op.rowOps.contains(e.op))
       .groupByKey(e => (e.table, e.key))
-      .mapGroupsWithState[CdcEvent, CdcEvent](GroupStateTimeout.NoTimeout) {
-        case (_, batch, state: GroupState[CdcEvent]) =>
-          val incoming = batch.maxBy(e => (e.lsn, e.seq))
-          val newest = state.getOption match {
-            case Some(cur)
-                if cur.lsn > incoming.lsn ||
-                  (cur.lsn == incoming.lsn && cur.seq >= incoming.seq) => cur
-            case _ => incoming
+      .mapGroupsWithState[CdcEvent, CdcEvent](timeout) {
+        case ((table, key), batch, state: GroupState[CdcEvent]) =>
+          if (state.hasTimedOut) {
+            // tombstone past its retention: evict
+            val last = state.get
+            state.remove()
+            last
+          } else {
+            val incoming = batch.maxBy(e => (e.lsn, e.seq))
+            val newest = state.getOption match {
+              case Some(cur)
+                  if cur.lsn > incoming.lsn ||
+                    (cur.lsn == incoming.lsn && cur.seq >= incoming.seq) => cur
+              case _ => incoming
+            }
+            state.update(newest)
+            tombstoneTtl.foreach { ttl =>
+              if (newest.op == Op.Delete) state.setTimeoutDuration(ttl.toMillis)
+            }
+            newest
           }
-          state.update(newest)
-          newest
       }
   }
 

@@ -37,36 +37,53 @@ object MaterializedTable {
   def merge(spark: SparkSession, dir: String, updates: DataFrame,
       keyCols: Seq[String], orderCols: Seq[String], opCol: String = "op",
       numBuckets: Int = 64): Int = {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // Hadoop FS, not java.io.File: state dirs live on HDFS/S3 at scale, where
+    // a local-File exists() would silently report false and corrupt the merge.
+    val hPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(hPath)
+    // persist: the updates plan feeds both the touched-bucket collect and the
+    // compaction write — without this it would execute twice
     val incoming = updates.withColumn("_bucket", bucketCol(keyCols, numBuckets))
-    val touched = incoming.select("_bucket").distinct()
-      .collect().map(_.getInt(0)).sorted
-    val exists = new java.io.File(dir).exists()
-    val combined = if (exists) {
-      val existing = spark.read.parquet(dir)
-        .filter(col("_bucket").isin(touched.map(Integer.valueOf).toSeq: _*))
-      // existing state re-enters compaction as the baseline: it must never
-      // win against a genuinely newer incoming row, and vice versa — both
-      // carry their original order columns, so plain compaction is correct
-      existing.unionByName(incoming.select(existing.columns.map(col).toIndexedSeq: _*))
-    } else incoming
-    val compacted = LatestState.batch(
-      combined, keyCols, orderCols, opCol, keepDeleted = false)
-      .localCheckpoint() // computed twice below (write + bucket list)
-    compacted
-      .write.mode(if (exists) "overwrite" else "append")
-      .partitionBy("_bucket")
-      .parquet(dir)
-    // dynamic overwrite only replaces partitions PRESENT in the output: a
-    // touched bucket whose keys were all tombstoned writes zero rows and
-    // would silently keep its stale files — delete those explicitly.
-    val written = compacted.select("_bucket").distinct()
-      .collect().map(_.getInt(0)).toSet
-    for (b <- touched if !written.contains(b)) {
-      val p = new java.io.File(s"$dir/_bucket=$b")
-      if (p.exists()) { p.listFiles().foreach(_.delete()); p.delete() }
+      .persist()
+    val overwriteModeKey = "spark.sql.sources.partitionOverwriteMode"
+    val prevMode = spark.conf.getOption(overwriteModeKey)
+    try {
+      spark.conf.set(overwriteModeKey, "dynamic")
+      val touched = incoming.select("_bucket").distinct()
+        .collect().map(_.getInt(0)).sorted
+      val combined = if (exists) {
+        val existing = spark.read.parquet(dir)
+          .filter(col("_bucket").isin(touched.map(Integer.valueOf).toSeq: _*))
+        // existing state re-enters compaction as the baseline: it must never
+        // win against a genuinely newer incoming row, and vice versa — both
+        // carry their original order columns, so plain compaction is correct
+        existing.unionByName(incoming.select(existing.columns.map(col).toIndexedSeq: _*))
+      } else incoming
+      val compacted = LatestState.batch(
+        combined, keyCols, orderCols, opCol, keepDeleted = false)
+        .localCheckpoint() // computed twice below (write + bucket list)
+      compacted
+        .write.mode(if (exists) "overwrite" else "append")
+        .partitionBy("_bucket")
+        .parquet(dir)
+      // dynamic overwrite only replaces partitions PRESENT in the output: a
+      // touched bucket whose keys were all tombstoned writes zero rows and
+      // would silently keep its stale files — delete those explicitly.
+      val written = compacted.select("_bucket").distinct()
+        .collect().map(_.getInt(0)).toSet
+      for (b <- touched if !written.contains(b)) {
+        val p = new org.apache.hadoop.fs.Path(s"$dir/_bucket=$b")
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      touched.length
+    } finally {
+      incoming.unpersist()
+      prevMode match {
+        case Some(m) => spark.conf.set(overwriteModeKey, m)
+        case None => spark.conf.unset(overwriteModeKey)
+      }
     }
-    touched.length
   }
 
   /** Current materialized state (bucket column dropped). */

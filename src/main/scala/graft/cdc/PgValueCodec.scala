@@ -1,7 +1,8 @@
 package graft.cdc
 
 import java.time.{LocalDate, LocalDateTime, LocalTime, OffsetDateTime, ZoneOffset}
-import java.time.format.DateTimeFormatter
+import java.time.format.{DateTimeFormatter, DateTimeFormatterBuilder}
+import java.time.temporal.ChronoField
 
 /** PostgreSQL text-output ⇄ typed value conversion — behavioral twin of the
   * reference's per-OID encode functions (ext/oid2avro.c:366–453 and the
@@ -36,7 +37,40 @@ object PgValueCodec {
   /** interval decomposed calendar-aware (ext/oid2avro.c:703–737). */
   final case class PgInterval(months: Int, days: Int, micros: Long)
 
-  private val tsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss[.SSSSSS]")
+  // PG text output trims trailing fraction zeros (".5", ".789") and emits
+  // hour-only zone offsets ("+00"); fixed-width SSSSSS / XXX patterns reject
+  // real PG output, so build tolerant formatters: 0–6 fraction digits,
+  // offset with optional minutes/seconds.
+  private def fractional(b: DateTimeFormatterBuilder): DateTimeFormatterBuilder =
+    b.optionalStart().appendFraction(ChronoField.MICRO_OF_SECOND, 0, 6, true).optionalEnd()
+
+  private val timeFmt: DateTimeFormatter =
+    fractional(new DateTimeFormatterBuilder().appendPattern("H:mm:ss")).toFormatter
+
+  private val tsFmt: DateTimeFormatter =
+    fractional(new DateTimeFormatterBuilder().appendPattern("yyyy-MM-dd HH:mm:ss"))
+      .toFormatter
+
+  private val tsTzFmt: DateTimeFormatter =
+    fractional(new DateTimeFormatterBuilder().appendPattern("yyyy-MM-dd HH:mm:ss"))
+      .appendOffset("+HH:mm:ss", "+00").toFormatter
+
+  private val timeTzFmt: DateTimeFormatter =
+    fractional(new DateTimeFormatterBuilder().appendPattern("H:mm:ss"))
+      .appendOffset("+HH:mm:ss", "+00").toFormatter
+
+  /** PG-style fraction rendering: trailing zeros trimmed, dot dropped at 0. */
+  private def fracSuffix(micros: Long): String =
+    if (micros == 0) ""
+    else "." + f"$micros%06d".reverse.dropWhile(_ == '0').reverse
+
+  /** PG-style zone offset: "+00", "-08", "+05:30". */
+  private def renderOffset(totalSeconds: Int): String = {
+    val sign = if (totalSeconds < 0) "-" else "+"
+    val abs = math.abs(totalSeconds)
+    val h = abs / 3600; val m = (abs % 3600) / 60
+    f"$sign$h%02d" + (if (m != 0) f":$m%02d" else "")
+  }
 
   /** Parse a PG text-format value to the JVM value backing the Spark type in
     * PgTypes.sparkType. null in → null out (union branch 0).
@@ -64,11 +98,11 @@ object PgValueCodec {
       }
       case Time =>
         // µs since midnight (ext/oid2avro.c:418–420)
-        LocalTime.parse(text).toNanoOfDay / 1000L
+        LocalTime.parse(text, timeFmt).toNanoOfDay / 1000L
       case TimeTz =>
-        val odt = OffsetDateTime.parse(s"1970-01-01T$text",
-          DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]XXX"))
-        PgTimeTz(odt.toLocalTime.toNanoOfDay / 1000L, odt.getOffset.getTotalSeconds)
+        val parsed = timeTzFmt.parse(text)
+        PgTimeTz(LocalTime.from(parsed).toNanoOfDay / 1000L,
+          ZoneOffset.from(parsed).getTotalSeconds)
       case Timestamp => text match {
         case "infinity"  => TsInfinity
         case "-infinity" => TsNegInfinity
@@ -77,9 +111,7 @@ object PgValueCodec {
       case TimestampTz => text match {
         case "infinity"  => TsInfinity
         case "-infinity" => TsNegInfinity
-        case t => OffsetDateTime.parse(t.replace(" ", "T"),
-            DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]XXX"))
-            .toInstant
+        case t => OffsetDateTime.parse(t, tsTzFmt).toInstant
       }
       case Interval => parseInterval(text)
       case Bytea =>
@@ -99,8 +131,7 @@ object PgValueCodec {
       tokens(i) match {
         case t if t.contains(":") =>
           val timeNeg = t.startsWith("-")
-          val lt = LocalTime.parse(if (timeNeg) t.drop(1) else t,
-            DateTimeFormatter.ofPattern("H:mm:ss[.SSSSSS]"))
+          val lt = LocalTime.parse(if (timeNeg) t.drop(1) else t, timeFmt)
           val us = lt.toNanoOfDay / 1000L
           micros += (if (timeNeg) -us else us)
           i += 1
@@ -136,27 +167,39 @@ object PgValueCodec {
         case d: LocalDate    => d.toString
       }
       case Time =>
-        LocalTime.ofNanoOfDay(v.asInstanceOf[Long] * 1000L)
-          .format(DateTimeFormatter.ofPattern("HH:mm:ss.SSSSSS"))
+        val us = v.asInstanceOf[Long]
+        LocalTime.ofNanoOfDay(us * 1000L)
+          .format(DateTimeFormatter.ofPattern("HH:mm:ss")) + fracSuffix(us % 1000000L)
       case TimeTz =>
         val t = v.asInstanceOf[PgTimeTz]
         LocalTime.ofNanoOfDay(t.micro * 1000L)
-          .format(DateTimeFormatter.ofPattern("HH:mm:ss.SSSSSS")) +
-          ZoneOffset.ofTotalSeconds(t.zoneOffset).getId.replace("Z", "+00:00")
+          .format(DateTimeFormatter.ofPattern("HH:mm:ss")) +
+          fracSuffix(t.micro % 1000000L) + renderOffset(t.zoneOffset)
       case Timestamp => v match {
         case TsInfinity    => "infinity"
         case TsNegInfinity => "-infinity"
         case t: LocalDateTime =>
-          t.format(DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"))
+          t.format(DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")) +
+            fracSuffix(t.getNano / 1000L)
+      }
+      case TimestampTz => v match {
+        case TsInfinity    => "infinity"
+        case TsNegInfinity => "-infinity"
+        case i: java.time.Instant =>
+          val odt = i.atOffset(ZoneOffset.UTC)
+          odt.format(DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")) +
+            fracSuffix(odt.getNano / 1000L) + "+00"
       }
       case Bytea =>
         "\\x" + v.asInstanceOf[Array[Byte]].map(b => f"${b & 0xff}%02x").mkString
       case Interval =>
         val iv = v.asInstanceOf[PgInterval]
-        val t = LocalTime.ofNanoOfDay(math.abs(iv.micros) * 1000L)
+        val absUs = math.abs(iv.micros)
+        val t = LocalTime.ofNanoOfDay(absUs * 1000L)
         val sign = if (iv.micros < 0) "-" else ""
         s"${iv.months / 12} years ${iv.months % 12} mons ${iv.days} days " +
-          sign + t.format(DateTimeFormatter.ofPattern("HH:mm:ss.SSSSSS"))
+          sign + t.format(DateTimeFormatter.ofPattern("HH:mm:ss")) +
+          fracSuffix(absUs % 1000000L)
       case _ => v.toString
     }
   }
@@ -170,20 +213,22 @@ object PgValueCodec {
     require(text.startsWith("{") && text.endsWith("}"), s"not a PG array: $text")
     val body = text.substring(1, text.length - 1)
     if (body.isEmpty) return Seq.empty
-    val out = Seq.newBuilder[String]
+    val out = Seq.newBuilder[(String, Boolean)] // (element, wasQuoted)
     val cur = new StringBuilder
-    var inQuote = false; var i = 0
+    var inQuote = false; var sawQuote = false; var i = 0
     while (i < body.length) {
       body(i) match {
-        case '"' if !inQuote => inQuote = true
+        case '"' if !inQuote => inQuote = true; sawQuote = true
         case '"' if inQuote  => inQuote = false
         case '\\' if inQuote => cur.append(body(i + 1)); i += 1
-        case ',' if !inQuote => out += cur.toString; cur.clear()
+        case ',' if !inQuote =>
+          out += ((cur.toString, sawQuote)); cur.clear(); sawQuote = false
         case c               => cur.append(c)
       }
       i += 1
     }
-    out += cur.toString
-    out.result().map(s => if (s == "NULL") null else s)
+    out += ((cur.toString, sawQuote))
+    // only an UNQUOTED NULL is a null; {"NULL"} is the literal string "NULL"
+    out.result().map { case (s, quoted) => if (!quoted && s == "NULL") null else s }
   }
 }

@@ -40,10 +40,12 @@ final class SchemaCache {
     }
 
   /** TableSchema control message for a (re)discovered relation — prepended to
-    * the frame before the row event (ext/protocol_server.c:78–99).
+    * the frame before the row event (ext/protocol_server.c:78–99). The relid
+    * rides in the `key` field so consumers can build the relid→schema map
+    * that row-message resolution needs (client/protocol_client.c:314–320).
     */
   def schemaMessage(relid: Long, tableName: String, schema: StructType): CdcEvent =
-    CdcEvent(Op.Schema, tableName, 0, 0, 0, null, null, schema.json)
+    CdcEvent(Op.Schema, tableName, 0, 0, 0, relid.toString, null, schema.json)
 
   def snapshot: Map[Long, (String, StructType)] = cache.toMap
 }

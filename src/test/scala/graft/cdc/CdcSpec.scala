@@ -112,7 +112,10 @@ class CdcSpec extends AnyFunSuite {
     assert(out.length == 3)
     val Array(del, ins) = out.filter(_.lsn == 7)
     assert(del.op == Op.Delete && del.key == "1" && del.after == null)
-    assert(ins.op == Op.Insert && ins.key == "9" && ins.seq == changed.seq + 1)
+    // seqs are doubled so the synthetic insert (odd seq) can never collide
+    // with the next real event of the txn
+    assert(ins.op == Op.Insert && ins.key == "9" && ins.seq == 2 * changed.seq + 1)
+    assert(del.seq == 2 * changed.seq)
     assert(out.filter(_.lsn == 8).head.op == Op.Update)
   }
 

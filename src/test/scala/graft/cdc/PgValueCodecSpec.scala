@@ -58,19 +58,43 @@ class PgValueCodecSpec extends AnyFunSuite {
     assert(v.zoneOffset == 7200)        // east-positive, ISO8601
     val w = parse(TimeTz, "01:02:03-05:00").asInstanceOf[PgTimeTz]
     assert(w.zoneOffset == -18000)
+    // PG emits hour-only offsets and half-hour zones
+    assert(parse(TimeTz, "12:00:00+02").asInstanceOf[PgTimeTz].zoneOffset == 7200)
+    assert(parse(TimeTz, "12:00:00.5-08").asInstanceOf[PgTimeTz].micro ==
+      12L * 3600 * 1000000 + 500000)
+    assert(parse(TimeTz, "12:00:00+05:30").asInstanceOf[PgTimeTz].zoneOffset == 19800)
+    assert(render(TimeTz, PgTimeTz(0, 7200)) == "00:00:00+02")
   }
 
-  test("timestamp µs fidelity + ±infinity") {
+  test("timestamp µs fidelity + ±infinity + PG-trimmed fractions") {
     assert(parse(Timestamp, "2024-01-02 03:04:05.123456") ==
       LocalDateTime.of(2024, 1, 2, 3, 4, 5, 123456000))
     assert(parse(Timestamp, "infinity") == TsInfinity)
     val rt = render(Timestamp, parse(Timestamp, "2024-01-02 03:04:05.000001"))
     assert(rt == "2024-01-02 03:04:05.000001")
+    // PG trims trailing fraction zeros: ".5" means 500000 µs
+    assert(parse(Timestamp, "2024-01-02 03:04:05.5") ==
+      LocalDateTime.of(2024, 1, 2, 3, 4, 5, 500000000))
+    assert(render(Timestamp, parse(Timestamp, "2024-01-02 03:04:05.500000")) ==
+      "2024-01-02 03:04:05.5")
+    assert(render(Timestamp, parse(Timestamp, "2024-01-02 03:04:05")) ==
+      "2024-01-02 03:04:05")
+  }
+
+  test("timestamptz: hour-only offsets parse; render is PG text at +00") {
+    val i = parse(TimestampTz, "2024-08-07 12:34:56+00")
+    assert(i == java.time.Instant.parse("2024-08-07T12:34:56Z"))
+    assert(parse(TimestampTz, "2024-08-07 12:34:56.25-08") ==
+      java.time.Instant.parse("2024-08-07T20:34:56.250Z"))
+    assert(render(TimestampTz, i) == "2024-08-07 12:34:56+00")
+    val rt = render(TimestampTz, parse(TimestampTz, "2024-08-07 04:34:56.5+05:30"))
+    assert(parse(TimestampTz, rt) == parse(TimestampTz, "2024-08-07 04:34:56.5+05:30"))
   }
 
   test("interval decomposition (ext/oid2avro.c:703–737)") {
     assert(parseInterval("1 year 2 mons 3 days 04:05:06.000007") ==
       PgInterval(14, 3, (4L*3600+5*60+6) * 1000000L + 7))
+    assert(parseInterval("00:00:00.5") == PgInterval(0, 0, 500000L))
     assert(parseInterval("5 days") == PgInterval(0, 5, 0))
     assert(parseInterval("00:00:01") == PgInterval(0, 0, 1000000L))
     assert(parseInterval("-00:00:01") == PgInterval(0, 0, -1000000L))
@@ -87,6 +111,8 @@ class PgValueCodecSpec extends AnyFunSuite {
     assert(parseArray("{}") == Seq.empty)
     assert(parseArray("""{a,"b c","d,e",NULL}""") == Seq("a", "b c", "d,e", null))
     assert(parseArray("""{"quo\"te"}""") == Seq("quo\"te"))
+    // quoted "NULL" is the literal string, only bare NULL is a null
+    assert(parseArray("""{"NULL",NULL}""") == Seq("NULL", null))
   }
 
   test("null maps to null for every oid (union branch 0)") {
@@ -105,9 +131,7 @@ class PgValueCodecSpec extends AnyFunSuite {
         Numeric -> (BigDecimal(rnd.nextLong()) / 100).toString,
         Money -> f"$$${rnd.nextInt(1000000)}%d.${rnd.nextInt(100)}%02d",
         Date -> java.time.LocalDate.ofEpochDay(rnd.between(-20000L, 40000L)).toString,
-        Time -> java.time.LocalTime.ofNanoOfDay(
-          rnd.between(0L, 86400L * 1000000) * 1000L)
-          .format(java.time.format.DateTimeFormatter.ofPattern("HH:mm:ss.SSSSSS")),
+        Time -> render(Time, rnd.between(0L, 86400L * 1000000)),
         Bytea -> ("\\x" + Array.fill(rnd.nextInt(16))(f"${rnd.nextInt(256)}%02x").mkString),
         Text -> rnd.alphanumeric.take(rnd.nextInt(20)).mkString)
       for ((oid, txt) <- cases)
@@ -115,11 +139,12 @@ class PgValueCodecSpec extends AnyFunSuite {
     }
   }
 
-  test("parse/render roundtrip across the type table") {
+  test("parse/render roundtrip across the type table (PG canonical forms)") {
     val cases: Seq[(Int, String)] = Seq(
       Bool -> "t", Int2 -> "7", Int4 -> "1234", Int8 -> "99999999999",
       Float8 -> "2.5", Numeric -> "10.01", Date -> "2020-06-15",
-      Time -> "10:20:30.400000", Timestamp -> "2020-06-15 10:20:30.400000",
+      Time -> "10:20:30.4", Timestamp -> "2020-06-15 10:20:30.4",
+      TimestampTz -> "2020-06-15 10:20:30.4+00",
       Bytea -> "\\xdeadbeef", Text -> "plain", Money -> "$7.77")
     for ((oid, txt) <- cases)
       assert(render(oid, parse(oid, txt)) == txt, s"oid=$oid txt=$txt")

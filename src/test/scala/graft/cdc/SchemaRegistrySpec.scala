@@ -24,6 +24,7 @@ class SchemaCacheSpec extends AnyFunSuite {
     val c = new SchemaCache
     val m = c.schemaMessage(1, "public.users", s1)
     assert(m.op == Op.Schema && m.after.contains("\"id\""))
+    assert(m.key == "1") // relid rides in key for relid->schema resolution
     assert(!Op.rowOps.contains(m.op)) // control message: compaction ignores it
   }
 }
