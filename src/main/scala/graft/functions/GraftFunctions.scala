@@ -47,5 +47,7 @@ object GraftFunctions {
       es => SimHashExpr(es.head), "built-in")
     reg.createOrReplaceTempFunction("kafka_partition",
       es => KafkaPartitionExpr(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("minhash_signature",
+      es => MinHashSigExpr(es.head), "built-in")
   }
 }

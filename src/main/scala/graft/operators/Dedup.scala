@@ -20,16 +20,21 @@ object Dedup {
     * time, with the kept (minimum) id and the duplicate count.
     */
   def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.groupBy(md5(col(textCol)).as("content_hash"))
+    docs.filter(col(textCol).isNotNull) // null ≠ null: unknown content is not a dup
+      .groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .filter(col("n_copies") > 1)
 
-  /** Keep exactly one doc (min id) per distinct content. */
+  /** Keep exactly one doc (min id) per distinct content. Null-text docs all
+    * pass through — unknown content cannot be asserted equal to anything.
+    */
   def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val keep = docs.groupBy(md5(col(textCol)).as("content_hash"))
+    val keep = docs.filter(col(textCol).isNotNull)
+      .groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as(idCol))
       .select(idCol)
-    docs.join(keep, Seq(idCol), "left_semi")
+    docs.filter(col(textCol).isNull)
+      .unionByName(docs.join(keep, Seq(idCol), "left_semi"))
   }
 
   /** MinHash signatures: (id, h0..h15) — two narrow projections, no shuffle.
@@ -68,6 +73,7 @@ object Dedup {
       .select(col(idCol),
         posexplode(array((0 until TextOps.NumBands).map(b => col(s"band$b")): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
+      .filter(col("sig").isNotNull) // shorter-than-k docs have no signature
     val a = banded.select(col("band"), col("sig"), col(idCol).as("a"))
     val b = banded.select(col("band"), col("sig"), col(idCol).as("b"))
     a.join(b, Seq("band", "sig")).filter(col("a") < col("b"))
@@ -88,9 +94,14 @@ object Dedup {
     val edges = pairs.select(col(aCol).cast("long"), col(bCol).cast("long"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val parent = scala.collection.mutable.Map[Long, Long]()
+    // iterative find + path compression: recursion would overflow the stack
+    // on long parent chains (edges arriving in descending-id order)
     def find(x: Long): Long = {
-      val p = parent.getOrElseUpdate(x, x)
-      if (p == x) x else { val r = find(p); parent(x) = r; r }
+      var root = x
+      while (parent.getOrElseUpdate(root, root) != root) root = parent(root)
+      var cur = x
+      while (parent(cur) != root) { val next = parent(cur); parent(cur) = root; cur = next }
+      root
     }
     for ((a, b) <- edges) {
       val (ra, rb) = (find(a), find(b))

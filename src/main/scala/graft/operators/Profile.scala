@@ -14,19 +14,20 @@ import org.apache.spark.sql.functions.{col, count, countDistinct, lit, max, min}
 object Profile {
 
   def describe(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val aggs = cols.flatMap { c =>
-      Seq(count(col(c)).as(s"__nn_$c"),
-        countDistinct(col(c)).as(s"__nd_$c"),
-        min(col(c)).cast("string").as(s"__mn_$c"),
-        max(col(c)).cast("string").as(s"__mx_$c"))
+    // internal aliases are POSITIONAL (__nn_0, …): embedding user column
+    // names into aliases/selectExpr breaks on spaces/dots/quotes
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(count(col(c)).as(s"__nn_$i"),
+        countDistinct(col(c)).as(s"__nd_$i"),
+        min(col(c)).cast("string").as(s"__mn_$i"),
+        max(col(c)).cast("string").as(s"__mx_$i"))
     }
     val total = df.agg(count(lit(1)).as("__rows"), aggs: _*)
-    // unpivot via stack: (column, n_rows, non_null, n_distinct, min_s, max_s)
-    val stackArgs = cols.map { c =>
-      s"'$c', __rows, __nn_$c, __nd_$c, __mn_$c, __mx_$c"
-    }.mkString(", ")
-    total.selectExpr(
-      s"stack(${cols.size}, $stackArgs) AS " +
-        "(column_name, n_rows, non_null, n_distinct, min_s, max_s)")
+    val rows = cols.zipWithIndex.map { case (c, i) =>
+      F.struct(lit(c).as("column_name"), col("__rows").as("n_rows"),
+        col(s"__nn_$i").as("non_null"), col(s"__nd_$i").as("n_distinct"),
+        col(s"__mn_$i").as("min_s"), col(s"__mx_$i").as("max_s"))
+    }
+    total.select(F.explode(F.array(rows: _*)).as("r")).select(col("r.*"))
   }
 }

@@ -93,7 +93,13 @@ object Similarity {
         lit(0L), (acc, x) => acc + x)
       when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
     }
-    bits.reduce(_ + _)
+    // vectors wider than the embedded weight table would zip against NULL
+    // weights, null the dot, and silently funnel EVERYTHING into bucket 0
+    // (all-pairs join). Fail loudly instead.
+    when(size(vecQ) > maxDims,
+      raise_error(concat(lit(s"lsh_bucket: vector wider than maxDims=$maxDims: "),
+        size(vecQ).cast("string"))).cast("long"))
+      .otherwise(bits.reduce(_ + _))
   }
 
   /** Default multi-table layout: 4 tables × 4 planes. Recall that a single

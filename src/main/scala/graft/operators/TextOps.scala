@@ -76,10 +76,16 @@ object TextOps {
 
   /** Band signature strings from the h0..h15 columns (LSH: docs sharing any
     * band signature become candidate pairs).
+    *
+    * `concat` (not concat_ws) on purpose: docs shorter than k tokens have
+    * all-NULL signature mins, and concat propagates the NULL — concat_ws
+    * would silently collapse every short doc to the same "" signature,
+    * making them all-pairs candidates of each other. NULL bands are dropped
+    * before the bucket join.
     */
   def bandCols(): Seq[Column] =
     (0 until NumBands).map { b =>
-      concat_ws("_",
-        (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}")): _*).as(s"band$b")
+      concat((0 until RowsPerBand).flatMap(r =>
+        Seq(col(s"h${b * RowsPerBand + r}").cast("string"), lit("_"))): _*).as(s"band$b")
     }
 }

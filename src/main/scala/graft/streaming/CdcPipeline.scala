@@ -45,26 +45,34 @@ object CdcPipeline {
   /** The full streaming pipeline from an envelope stream: guard → split →
     * compact. Returns the compacted Update-mode stream of per-key latest
     * states.
+    *
+    * @param oldKeyOf extractor for the OLD KEY of an update (for key-change
+    *   splitting). The envelope's `before` holds the old ROW, not the old
+    *   key, so no extractor can be defaulted from it — sources that track
+    *   key changes must supply one; the default (null) disables splitting.
     */
   def latestStateStream(envelopes: Dataset[CdcEvent],
       policy: ErrorPolicy = ErrorPolicy.Exit,
-      maxRecordBytes: Int = PgTypes.MaxRecordBytes): Dataset[CdcEvent] = {
+      maxRecordBytes: Int = PgTypes.MaxRecordBytes,
+      oldKeyOf: CdcEvent => String = _ => null): Dataset[CdcEvent] = {
     val spark = envelopes.sparkSession
     import spark.implicits._
     val guarded = ErrorPolicy.maxRecordSize(
       envelopes.toDF(), "after", policy, maxRecordBytes).as[CdcEvent]
-    val split = UpdateSplit(guarded, _.before)
+    val split = UpdateSplit(guarded, oldKeyOf)
     LatestState.streaming(split)
   }
 
-  /** Route a compacted stream to per-table parquet paths (the engine's
+  /** Route a compacted stream into per-table materialized state (the engine's
     * "topic per table", kafka/bottledwater.c:386–415): `foreachBatch` demuxes
-    * each micro-batch by table and MERGEs the new latest states into the
-    * materialized table directory. Tombstones become deletions.
+    * each micro-batch by table and MERGEs it into that table's bucketed state
+    * directory via [[MaterializedTable.merge]] — tombstones delete keys, and
+    * a replayed micro-batch (restart after partial failure) re-merges
+    * idempotently because compaction by (lsn, seq) is.
     *
-    * At scale the sink would be Delta/Iceberg MERGE; with plain parquet this
-    * overwrites per-table partitions — same dataflow shape, ACID left to the
-    * table format.
+    * Table directories are avro-sanitized WITHOUT pre-replacing '.', so
+    * `public.users` → `public_2e_users` and cannot collide with a table
+    * literally named `public_users`.
     */
   def writeLatestState(compacted: Dataset[CdcEvent], outDir: String,
       checkpointDir: String): DataStreamWriter[org.apache.spark.sql.Row] = {
@@ -72,13 +80,16 @@ object CdcPipeline {
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val tables = batch.select("table").distinct().collect().map(_.getString(0))
-        for (t <- tables) {
-          val safe = graft.functions.AvroSafeName.sanitize(t.replace('.', '_'))
-          batch.filter(col("table") === t)
-            .write.mode("append").parquet(s"$outDir/$safe/batch_$batchId")
-        }
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.persist() // one materialization feeds the demux + every merge
+        try {
+          val tables = batch.select("table").distinct().collect().map(_.getString(0))
+          for (t <- tables) {
+            val safe = graft.functions.AvroSafeName.sanitize(t)
+            MaterializedTable.merge(batch.sparkSession, s"$outDir/$safe",
+              batch.filter(col("table") === t), Seq("table", "key"), Seq("lsn", "seq"))
+          }
+        } finally batch.unpersist()
       }
   }
 

@@ -74,10 +74,11 @@ class CdcPipelineSpec extends AnyFunSuite {
       CdcPipeline.latestStateStream(inputWithSnapshot.toDS()), out, ckpt).start()
     q2.awaitTermination()
 
-    val sunk = spark.read.parquet(s"$out/public_users/*")
-    val latest = graft.cdc.LatestState.batch(
-      sunk, Seq("table", "key"), Seq("lsn", "seq"))
-    val state = latest.select("key", "after").as[(String, String)].collect().toMap
+    // sink MERGEs into per-table state dirs ('.' escapes to _2e_, so
+    // public.users can't collide with a table literally named public_users)
+    val state = graft.cdc.MaterializedTable
+      .read(spark, s"$out/public_2e_users")
+      .select("key", "after").as[(String, String)].collect().toMap
     assert(state.keySet == Set("""{"id":1}""", """{"id":3}"""))
     assert(state("""{"id":1}""").contains("ada2"))
   }
