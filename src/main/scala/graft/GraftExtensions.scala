@@ -48,5 +48,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(fn("kafka_partition",
       "kafka_partition(key, n) - Kafka default-partitioner murmur2 mapping", 2)(
       es => KafkaPartitionExpr(es.head, es(1))))
+    e.injectFunction(fn("minhash_signature",
+      "minhash_signature(text) - 16-permutation MinHash signature array", 1)(
+      es => MinHashSigExpr(es.head)))
   }
 }

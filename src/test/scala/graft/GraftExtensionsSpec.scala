@@ -23,7 +23,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |  schema_id_of(schema_id_frame(9, CAST('x' AS BINARY))) AS id,
           |  doc_fingerprint('abc') AS fp,
           |  simhash('a b a') AS sh,
-          |  kafka_partition(CAST('k' AS BINARY), 16) AS p""".stripMargin)
+          |  kafka_partition(CAST('k' AS BINARY), 16) AS p,
+          |  size(minhash_signature('a b c d e')) AS nsig""".stripMargin)
         .collect().head
       assert(row.getString(0) == "a_20_b")
       assert(row.getInt(1) == 9)
@@ -31,6 +32,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(row.getLong(3) >= 0)
       assert(row.getInt(4) == graft.functions.KafkaPartitioner
         .partitionFor("k".getBytes("UTF-8"), 16))
+      assert(row.getInt(5) == 16)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
