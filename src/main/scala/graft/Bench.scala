@@ -30,23 +30,39 @@ object Bench {
 
     spark.read.parquet(s"$sfDir/lineitem.parquet").count() // warm-up
 
+    // a failed query reports duration -1 (a silently-tiny duration would make
+    // a REGRESSION look like a speedup in the round-over-round comparison)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        name -> (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          name -> -1.0
+      }
     }
     // CDC throughput micro-bench (BASELINE.md): envelopes/s through
-    // generate → latest-state compaction.
-    val nEvents = spark.read.parquet(s"$sfDir/events.parquet").count()
-    val tCdc0 = System.nanoTime()
-    graft.cdc.LatestState.batch(
-      graft.cdc.ChangelogGen.fromEvents(spark, sfDir).toDF(),
-      Seq("table", "key"), Seq("lsn", "seq")).count()
-    val cdcEps = nEvents / ((System.nanoTime() - tCdc0) / 1e9)
+    // generate → latest-state compaction. Guarded: the one-JSON-line driver
+    // contract must survive any failure here (and events.parquet is only
+    // readable through Tables.events' nanos handling).
+    val cdcEps = try {
+      val nEvents = graft.Tables.events(spark, sfDir).count()
+      val tCdc0 = System.nanoTime()
+      graft.cdc.LatestState.batch(
+        graft.cdc.ChangelogGen.fromEvents(spark, sfDir).toDF(),
+        Seq("table", "key"), Seq("lsn", "seq")).count()
+      nEvents / ((System.nanoTime() - tCdc0) / 1e9)
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] cdc micro-bench failed: ${e.getMessage}")
+        -1.0
+    }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""cdc_events_per_sec":${cdcEps.toLong},"sf":"$sfDir"}""")
     spark.stop()

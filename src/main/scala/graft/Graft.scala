@@ -34,9 +34,14 @@ object Graft {
       : Dataset[CdcEvent] =
     graft.streaming.CdcPipeline.snapshotEnvelopes(table, tableName, keyCols)
 
-  /** Split key-changing updates into delete+insert. */
-  def splitUpdates(envelopes: Dataset[CdcEvent]): Dataset[CdcEvent] =
-    UpdateSplit(envelopes, _.before)
+  /** Split key-changing updates into delete+insert. The envelope's `before`
+    * holds the old ROW, not the old key, so the caller must supply the
+    * extractor for its source's key encoding (passing `_.before` would split
+    * every update carrying a before image and tombstone phantom keys).
+    */
+  def splitUpdates(envelopes: Dataset[CdcEvent],
+      oldKeyOf: CdcEvent => String): Dataset[CdcEvent] =
+    UpdateSplit(envelopes, oldKeyOf)
 
   /** Merge a changelog batch into bucketed parquet state (incremental:
     * only touched buckets are read/rewritten). Returns buckets rewritten.

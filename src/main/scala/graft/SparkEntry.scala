@@ -12,8 +12,15 @@ import graft.queries._
 object SparkEntry {
 
   /** All declared-surface queries from every module. */
-  def allQs: Seq[Q] =
-    RelationalQueries.defs ++ CdcQueries.defs ++ TextQueries.defs ++ VectorQueries.defs
+  def allQs: Seq[Q] = {
+    val qs = RelationalQueries.defs ++ CdcQueries.defs ++ TextQueries.defs ++
+      VectorQueries.defs
+    // .toMap below would SILENTLY drop one of two same-named queries — a
+    // copy-paste slip would shrink the correctness gate with zero signal
+    val dups = qs.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    qs
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -8,25 +8,24 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.types.{DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Document fingerprint: polynomial rolling hash over UTF-8 bytes,
-  * h ← (h·131 + byte) mod (2³¹−1). Implemented as a native expression (one
-  * pass over the bytes, codegen'd) rather than an exploded-array aggregation.
+/** Document fingerprint: polynomial rolling hash over Unicode CODEPOINTS,
+  * h ← (h·131 + cp) mod (2³¹−1). Implemented as a native expression (one
+  * pass, codegen'd) rather than an exploded-array aggregation.
   *
-  * The modulus is Mersenne-31 so the recurrence stays exact in 64-bit
-  * arithmetic — which also makes the definition restatable in the DuckDB
-  * oracle via list_reduce without overflow.
+  * Codepoints, not UTF-8 bytes: the DuckDB oracle restates the definition as
+  * a fold over `unicode(char)` — a byte-level definition would silently
+  * diverge on the first non-ASCII document. Mersenne-31 keeps the recurrence
+  * exact in 64-bit arithmetic on both engines (cp ≤ 0x10FFFF < 2³¹).
   */
 object DocFingerprint {
   val Base = 131L
   val Mod = 2147483647L // 2^31 - 1
 
   def fingerprint(s: UTF8String): Long = {
-    val bytes = s.getBytes
     var h = 0L
-    var i = 0
-    while (i < bytes.length) {
-      h = (h * Base + (bytes(i) & 0xff)) % Mod
-      i += 1
+    val it = s.toString.codePoints().iterator()
+    while (it.hasNext) {
+      h = (h * Base + it.nextInt()) % Mod
     }
     h
   }
@@ -53,11 +52,17 @@ case class DocFingerprintExpr(child: Expression) extends UnaryExpression {
 object SimHash {
   val Salt = 7
 
-  def simhash(s: UTF8String): Long = {
+  /** null (not all-bits-set) for token-less documents: 32 zero votes would
+    * yield 0xFFFFFFFF, making every empty doc "near" any positive-voting doc
+    * — and the SQL-oracle restatement naturally aggregates to NULL there.
+    */
+  def simhash(s: UTF8String): java.lang.Long = {
     val seen = new java.util.HashSet[String]()
     val votes = new Array[Int](32)
     val md = MessageDigest.getInstance("MD5")
+    var any = false
     for (tok <- s.toString.split(" ") if tok.nonEmpty && seen.add(tok)) {
+      any = true
       md.reset()
       val d = md.digest((Salt + ":" + tok).getBytes(StandardCharsets.UTF_8))
       val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
@@ -68,6 +73,7 @@ object SimHash {
         j += 1
       }
     }
+    if (!any) return null
     var out = 0L
     var j = 0
     while (j < 32) {
@@ -82,6 +88,7 @@ object SimHash {
 
 case class SimHashExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
   override def nullSafeEval(v: Any): Any =
     SimHash.simhash(v.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

@@ -31,13 +31,20 @@ object Multimodal {
     docs.select(col("doc_id"), col(fmtCol).as("format"),
       encode(col(textCol), "UTF-8").as("blob"))
 
-  /** ??? real decode goes here — STUB: deterministic byte-level features. */
+  /** ??? real decode goes here — STUB: deterministic content features.
+    * Checksum = Σ codepoints of the UTF-8-decoded payload, ONE final modulo —
+    * matching the SQL-oracle restatement (`unicode(char)` fold) exactly; a
+    * byte-wise or per-step-mod definition would silently diverge on the
+    * first non-ASCII or very large payload.
+    */
   private def decodeStub(docId: Long, format: String, blob: Array[Byte]): MediaMeta = {
     var sum = 0L
-    var i = 0
-    while (i < blob.length) { sum = (sum + (blob(i) & 0xff)) % 2147483647L; i += 1 }
-    MediaMeta(docId, format, blob.length, sum,
-      width = (blob.length % 64) + 1, height = (sum % 64).toInt + 1)
+    val it = new String(blob, java.nio.charset.StandardCharsets.UTF_8)
+      .codePoints().iterator()
+    while (it.hasNext) sum += it.nextInt()
+    val checksum = sum % 2147483647L
+    MediaMeta(docId, format, blob.length, checksum,
+      width = (blob.length % 64) + 1, height = (checksum % 64).toInt + 1)
   }
 
   /** Batched executor-side decode: partitions stream through in fixed-size

@@ -180,8 +180,9 @@ object TextQueries {
          |  CASE WHEN SUM(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) >= 0
          |       THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END AS bit
          |  FROM h, generate_series(0,31) g(j) GROUP BY doc_id, j)
-         |SELECT doc_id, CAST(SUM(bit) AS BIGINT) AS simhash
-         |FROM bits GROUP BY doc_id""".stripMargin) { (s, d) =>
+         |SELECT d.doc_id, CAST(SUM(bit) AS BIGINT) AS simhash
+         |FROM documents d LEFT JOIN bits ON d.doc_id = bits.doc_id
+         |GROUP BY d.doc_id""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), GraftFunctions.simhash(col("text")).as("simhash"))
     }

@@ -27,6 +27,24 @@ class AvroSafeNameSpec extends AnyFunSuite {
   }
 }
 
+class TextHashSpec extends AnyFunSuite {
+  import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+
+  test("fingerprint folds CODEPOINTS (oracle parity for non-ASCII)") {
+    // 'é' is one codepoint 233 (two UTF-8 bytes): h = 233, not (195*131+169)
+    assert(DocFingerprint.fingerprint(u("é")) == 233L)
+    assert(DocFingerprint.fingerprint(u("abc")) ==
+      (('a' * 131 + 'b') * 131 + 'c') % 2147483647L)
+    assert(DocFingerprint.fingerprint(u("")) == 0L)
+  }
+
+  test("simhash of a token-less document is null, not all-bits-set") {
+    assert(SimHash.simhash(u("")) == null)
+    assert(SimHash.simhash(u("   ")) == null)
+    assert(SimHash.simhash(u("x")) != null)
+  }
+}
+
 class RegistryFrameSpec extends AnyFunSuite {
   test("frame layout: magic 0x00 + 4-byte BE id + payload (registry.h:9)") {
     val framed = RegistryFrame.frame(0x01020304, Array[Byte](9, 8))
