@@ -64,9 +64,19 @@ object AvroFrame {
   }
 
   /** relid assignment for table names (stable hash — the reference uses PG
-    * catalog OIDs, which have no analog here).
+    * catalog OIDs, which have no analog here). The reference's OIDs are unique
+    * by construction; a hash is not, so we detect collisions at assignment
+    * time: if two distinct table names ever map to the same relid, encoding
+    * fails loudly instead of silently routing events to the wrong table.
     */
-  def relidOf(table: String): Long = table.hashCode.toLong & 0xffffffffL
+  private val relidRegistry = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+  def relidOf(table: String): Long = {
+    val relid = table.hashCode.toLong & 0xffffffffL
+    val prev = relidRegistry.putIfAbsent(relid, table)
+    require(prev == null || prev == table,
+      s"relid collision: tables '$prev' and '$table' both hash to $relid")
+    relid
+  }
 
   /** Encode one transaction's events as a framed byte array:
     * BeginTxn + row messages + CommitTxn (ordering per ext/logdecoder.c).

@@ -79,13 +79,16 @@ object LatestState {
     events
       .filter(e => Op.rowOps.contains(e.op))
       .groupByKey(e => (e.table, e.key))
-      .mapGroupsWithState[CdcEvent, CdcEvent](timeout) {
+      .flatMapGroupsWithState[CdcEvent, CdcEvent](
+        OutputMode.Update(), timeout) {
         case ((table, key), batch, state: GroupState[CdcEvent]) =>
           if (state.hasTimedOut) {
-            // tombstone past its retention: evict
-            val last = state.get
+            // Tombstone past its retention: evict state SILENTLY. Emitting the
+            // stored tombstone here would replay a long-past delete into the
+            // Update-mode output — a phantom event no micro-batch produced,
+            // violating the "emits states touched in each micro-batch" contract.
             state.remove()
-            last
+            Iterator.empty
           } else {
             val incoming = batch.maxBy(e => (e.lsn, e.seq))
             val newest = state.getOption match {
@@ -98,7 +101,7 @@ object LatestState {
             tombstoneTtl.foreach { ttl =>
               if (newest.op == Op.Delete) state.setTimeoutDuration(ttl.toMillis)
             }
-            newest
+            Iterator.single(newest)
           }
       }
   }

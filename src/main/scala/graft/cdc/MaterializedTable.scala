@@ -46,10 +46,7 @@ object MaterializedTable {
     // compaction write — without this it would execute twice
     val incoming = updates.withColumn("_bucket", bucketCol(keyCols, numBuckets))
       .persist()
-    val overwriteModeKey = "spark.sql.sources.partitionOverwriteMode"
-    val prevMode = spark.conf.getOption(overwriteModeKey)
     try {
-      spark.conf.set(overwriteModeKey, "dynamic")
       val touched = incoming.select("_bucket").distinct()
         .collect().map(_.getInt(0)).sorted
       val combined = if (exists) {
@@ -63,8 +60,13 @@ object MaterializedTable {
       val compacted = LatestState.batch(
         combined, keyCols, orderCols, opCol, keepDeleted = false)
         .localCheckpoint() // computed twice below (write + bucket list)
+      // partitionOverwriteMode as a per-write option, NOT a session conf
+      // mutation: a spark.conf.set would leak dynamic-overwrite semantics to
+      // concurrent writes on the same session (and the finally-restore could
+      // clobber a concurrent merge's setting).
       compacted
         .write.mode(if (exists) "overwrite" else "append")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("_bucket")
         .parquet(dir)
       // dynamic overwrite only replaces partitions PRESENT in the output: a
@@ -79,10 +81,6 @@ object MaterializedTable {
       touched.length
     } finally {
       incoming.unpersist()
-      prevMode match {
-        case Some(m) => spark.conf.set(overwriteModeKey, m)
-        case None => spark.conf.unset(overwriteModeKey)
-      }
     }
   }
 
