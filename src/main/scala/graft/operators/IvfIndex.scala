@@ -25,7 +25,19 @@ object IvfIndex {
   def l2Q(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
 
-  /** Train `nLists` centroids (quantized, integer components). */
+  /** Train `nLists` centroids (quantized, integer components).
+    *
+    * Empty-cell handling: a centroid whose cell loses all members in a Lloyd
+    * iteration produces no mean row; the previous centroid is KEPT (left-join
+    * + coalesce), so the output always has exactly `nLists` rows — a shrunken
+    * centroid set would silently distort nProbe coverage at search time.
+    *
+    * The trained set is collected to the driver and re-created as a local
+    * DataFrame: it is `nLists` rows by construction (bounded, small), and the
+    * two downstream consumers (corpus assignment + probe-cell selection)
+    * would otherwise each re-execute the whole iterative training lineage.
+    * At cluster scale this is also the natural point to persist the index.
+    */
   def train(corpus: DataFrame, idCol: String, vecCol: String, nLists: Int,
       iters: Int = 2): DataFrame = {
     val q = corpus.select(col(idCol).as("id"), Similarity.quantize(col(vecCol)).as("qv"))
@@ -37,15 +49,23 @@ object IvfIndex {
         col("qv").as("cv"))
     for (_ <- 1 to iters) {
       val assigned = assign(q, centroids)
-      centroids = assigned
+      val means = assigned
         .select(col("cell"), posexplode(col("qv")))
         .groupBy(col("cell"), col("pos"))
-        .agg(expr("sum(col) div count(*)").as("m")) // floor mean: deterministic
+        .agg(expr("sum(col) div count(*)").as("m")) // integral mean: deterministic
         .groupBy(col("cell"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pairs"))
-        .select(col("cell"), expr("transform(pairs, p -> p.m)").as("cv"))
+        .select(col("cell"), expr("transform(pairs, p -> p.m)").as("mv"))
+      centroids = centroids.join(means, Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("mv"), col("cv")).as("cv"))
     }
-    centroids
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val local = centroids.select(col("cell").cast("int"), col("cv"))
+      .as[(Int, Seq[Long])].collect().toSeq
+    require(local.size == nLists,
+      s"IVF train invariant broken: ${local.size} centroids != nLists=$nLists")
+    spark.createDataset(local).toDF("cell", "cv")
   }
 
   /** Nearest cell per vector (exact integer L2 to each broadcast centroid).

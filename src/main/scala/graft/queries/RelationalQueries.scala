@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -400,12 +400,24 @@ object RelationalQueries {
     },
 
     // --- approximate distinct (HLL sketch) — rows-only: HLL implementations
-    // --- are engine-specific, so no value oracle is possible ------------------
+    // --- are engine-specific, so no value oracle is possible. Self-validating
+    // --- instead: each estimate must land within 3·rsd of the exact count,
+    // --- and the final filter drops the row otherwise — an out-of-bounds
+    // --- sketch yields 0 rows, which the driver's rows>0 gate DOES fail -----
     Q("q27_approx_distinct", (s, d) => {
+      def withinBounds(approx: Column, exact: Column, rsd: Double): Column =
+        abs(approx.cast("double") - exact.cast("double")) <=
+          lit(3 * rsd) * exact.cast("double")
       Tables.lineitem(s, d).agg(
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"),
-        approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders_1pct"))
+        approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders_1pct"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+        .withColumn("parts_within_3rsd",
+          withinBounds(col("approx_parts"), col("exact_parts"), 0.05))
+        .withColumn("orders_within_3rsd",
+          withinBounds(col("approx_orders_1pct"), col("exact_orders"), 0.01))
+        .filter(col("parts_within_3rsd") && col("orders_within_3rsd"))
     }, None),
 
     // --- exact percentiles (interpolated; sketch twin is q27-style approx) ----
@@ -430,11 +442,15 @@ object RelationalQueries {
         |WHERE l_quantity < 0.5 * (SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*)
         |                          FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)""".stripMargin) { (s, d) =>
       // manual decorrelation = what Catalyst does to the correlated form:
-      // per-part exact average joined back to the fact
+      // per-part exact average joined back to the fact. NO broadcast hint:
+      // avgPerPart has one row PER PARTKEY (cardinality grows with data —
+      // 20M rows at sf100), so forcing a broadcast is an executor OOM at
+      // scale; both sides already hash-partition on partkey, and AQE may
+      // still choose broadcast when the agg is measured small at runtime.
       val li = Tables.lineitem(s, d)
       val avgPerPart = li.groupBy(col("l_partkey").as("p_key"))
         .agg(davg(col("l_quantity"), 2).as("avg_qty"))
-      li.join(broadcast(avgPerPart), col("l_partkey") === col("p_key"))
+      li.join(avgPerPart, col("l_partkey") === col("p_key"))
         .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
         .agg(dsum(col("l_extendedprice"), 2).as("total"), count(lit(1)).as("n"))
     },

@@ -22,6 +22,28 @@ object VectorQueries {
        |n AS (SELECT vec_id, qv, CAST(list_sum([x*x for x in qv]) AS BIGINT) AS n2 FROM q)""".stripMargin
   private val quantSql = quantSqlFrom("embeddings")
 
+  /** DuckDB twin of IvfIndex.l2Q: exact integer squared-L2 of two lists. */
+  private def l2Sql(v: String, c: String) =
+    s"CAST(list_sum([($v[i]-$c[i])*($v[i]-$c[i]) for i in generate_series(1, len($v))]) AS BIGINT)"
+
+  /** One unrolled Lloyd iteration (DuckDB twin of IvfIndex.train's loop body):
+    * assign every corpus vector to its nearest `prev` centroid (ties → lowest
+    * cell), integral per-dimension means (`//` ≡ Spark `div`: both truncate
+    * toward zero), and empty cells keep the previous centroid.
+    */
+  private def lloydSql(k: Int, prev: String): String =
+    s"""a$k AS (SELECT vec_id, qv, cell FROM (
+       |  SELECT q.vec_id, q.qv, $prev.cell,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${l2Sql("q.qv", s"$prev.cv")}, $prev.cell) AS rn
+       |  FROM q, $prev) t WHERE rn = 1),
+       |m$k AS (SELECT cell, i, CAST(SUM(x) // COUNT(*) AS BIGINT) AS m FROM (
+       |  SELECT cell, unnest(qv) AS x, unnest(generate_series(1, len(qv))) AS i
+       |  FROM a$k) e GROUP BY cell, i),
+       |v$k AS (SELECT cell, list(m ORDER BY i) AS mv FROM m$k GROUP BY cell),
+       |c$k AS (SELECT p.cell, COALESCE(v.mv, p.cv) AS cv
+       |  FROM $prev p LEFT JOIN v$k v ON p.cell = v.cell)""".stripMargin
+
   /** DuckDB twin of the multi-table LSH banding over the `n` CTE. */
   private def bandedSql(planes: Int) =
     s"""banded AS (SELECT vec_id, t,
@@ -109,13 +131,39 @@ object VectorQueries {
       Similarity.nearDupPairs(vcorpus, "vec_id", "embedding", threshold = 0.999)
     },
 
-    // --- IVF-Flat ANN (inverted-file alternative to LSH; k-means coarse
-    // --- quantizer is iterative → not SQL-expressible, rows-only check) -------
-    Q("vec05_ann_ivf", (s, d) => {
+    // --- IVF-Flat ANN (inverted-file alternative to LSH). The k-means coarse
+    // --- quantizer is deterministic integer math with iters=2, so the two
+    // --- Lloyd iterations unroll as SQL CTEs → full hash-match oracle ---------
+    q("vec05_ann_ivf",
+      s"""WITH $quantSql,
+         |c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, qv AS cv
+         |  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 16) s),
+         |${lloydSql(1, "c0")},
+         |${lloydSql(2, "c1")},
+         |idx AS (SELECT vec_id AS neighbor_id, cell FROM (
+         |  SELECT q.vec_id, c2.cell,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${l2Sql("q.qv", "c2.cv")}, c2.cell) AS rn
+         |  FROM q, c2) t WHERE rn = 1),
+         |pc AS (SELECT vec_id AS probe_id, cell FROM (
+         |  SELECT n.vec_id, c2.cell,
+         |    ROW_NUMBER() OVER (PARTITION BY n.vec_id
+         |      ORDER BY ${l2Sql("n.qv", "c2.cv")}, c2.cell) AS rn
+         |  FROM n, c2 WHERE n.vec_id < 10) t WHERE rn <= 4),
+         |scored AS (SELECT pc.probe_id, idx.neighbor_id,
+         |  CAST(CAST(list_sum([p.qv[i]*c.qv[i] for i in generate_series(1, len(p.qv))]) AS BIGINT) AS DOUBLE)
+         |    / (sqrt(CAST(p.n2 AS DOUBLE))*sqrt(CAST(c.n2 AS DOUBLE))) AS sim
+         |  FROM pc JOIN idx ON pc.cell = idx.cell
+         |  JOIN n p ON p.vec_id = pc.probe_id
+         |  JOIN n c ON c.vec_id = idx.neighbor_id
+         |  WHERE idx.neighbor_id <> pc.probe_id)
+         |SELECT * FROM (SELECT probe_id, neighbor_id, sim,
+         |  ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM scored) t WHERE rank <= 3""".stripMargin) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       graft.operators.IvfIndex.search(emb.filter(col("vec_id") < 10), emb,
         "vec_id", "embedding", k = 3, nLists = 16, nProbe = 4)
-    }, None),
+    },
 
     // --- multimodal: opaque binary column + batched executor-side decode ------
     q("mm01_media_meta",

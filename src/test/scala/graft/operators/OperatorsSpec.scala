@@ -170,6 +170,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall > 4.0 / 16, s"IVF recall@3 = $recall")
   }
 
+  test("IVF train keeps a centroid for cells emptied by a Lloyd iteration") {
+    import spark.implicits._
+    // adversarial seed: two identical seed vectors — distance ties assign to
+    // the LOWER cell, so the higher cell loses all members in iteration 1 and
+    // produces no mean row; train must keep the stale centroid rather than
+    // silently shrink the centroid set (which would distort nProbe coverage).
+    val data = Seq(
+      (0L, Array(0.0f)), (1L, Array(5.0f)), (2L, Array(5.0f)), (3L, Array(9.0f)),
+      (4L, Array(0.1f)), (5L, Array(8.9f)))
+    val df = spark.createDataFrame(data).toDF("vec_id", "embedding")
+    val cents = IvfIndex.train(df, "vec_id", "embedding", nLists = 4)
+    assert(cents.count() == 4)
+    val byCell = cents.as[(Int, Seq[Long])].collect().toMap
+    assert(byCell(2) == Seq(5120L)) // emptied cell retains its seed centroid
+  }
+
+  test("IVF with nProbe == nLists reproduces brute-force top-k exactly") {
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, dir)
+    val probes = emb.filter(col("vec_id") < 5)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "neighbor_id", "sim", "rank")
+        .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    val ivf = canon(IvfIndex.search(probes, emb, "vec_id", "embedding",
+      k = 3, nLists = 8, nProbe = 8))
+    val brute = canon(Similarity.knnBrute(probes, emb, "vec_id", "embedding", 3))
+    assert(ivf == brute)
+  }
+
   test("quantized cosine of a vector with itself is 1.0") {
     import spark.implicits._
     val emb = graft.Tables.embeddings(spark, dir).limit(5)
