@@ -68,6 +68,13 @@ object AvroFrame {
     * by construction; a hash is not, so we detect collisions at assignment
     * time: if two distinct table names ever map to the same relid, encoding
     * fails loudly instead of silently routing events to the wrong table.
+    *
+    * SCOPE: this check is per-JVM and per-process-lifetime — encodeTxn runs
+    * inside mapGroups on executors, each holding an independent registry that
+    * is empty after a restart, so two colliding tables encoded on disjoint
+    * executors (or in different runs) pass it silently. For a deterministic
+    * guarantee, call [[validateRelids]] once on the driver with the full
+    * table set before starting a pipeline.
     */
   private val relidRegistry = new java.util.concurrent.ConcurrentHashMap[Long, String]()
   def relidOf(table: String): Long = {
@@ -78,10 +85,49 @@ object AvroFrame {
     relid
   }
 
-  /** Encode one transaction's events as a framed byte array:
-    * BeginTxn + row messages + CommitTxn (ordering per ext/logdecoder.c).
+  /** Driver-side upfront collision check over a FULL table set (the catalog
+    * analog): returns the relid assignment, or fails deterministically before
+    * any frame is encoded — closing the per-JVM gap of the executor-local
+    * check above. O(tables) work, run once at pipeline start.
     */
-  def encodeTxn(xid: Long, lsn: Long, events: Seq[CdcEvent]): Array[Byte] = {
+  def validateRelids(tables: Seq[String]): Map[String, Long] = {
+    val assigned = tables.distinct.map(t => t -> (t.hashCode.toLong & 0xffffffffL))
+    for ((relid, group) <- assigned.groupBy(_._2) if group.size > 1)
+      throw new IllegalArgumentException(
+        s"relid collision: tables ${group.map(_._1).mkString("'", "', '", "'")} all hash to $relid")
+    assigned.toMap
+  }
+
+  private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** TableSchema wire payload. Like the reference — where the Avro record
+    * schema's name/namespace carry the table identity, and the client learns
+    * relid→table from the schema message itself (ext/oid2avro.c:122–182;
+    * client/protocol_client.c:124–167) — the rowSchema string is a JSON
+    * object {"name": <table>, "type": <schema-json-or-null>}.
+    */
+  private def schemaPayload(table: String, schemaJson: String): String = {
+    val n = jsonMapper.createObjectNode()
+    n.put("name", table)
+    n.set[com.fasterxml.jackson.databind.JsonNode]("type",
+      if (schemaJson == null) jsonMapper.nullNode() else jsonMapper.readTree(schemaJson))
+    jsonMapper.writeValueAsString(n)
+  }
+
+  /** Encode one transaction's events as a framed byte array:
+    * BeginTxn + messages + CommitTxn (ordering per ext/logdecoder.c).
+    * `Op.Schema` events (as built by SchemaCache.schemaMessage: relid in
+    * `key`, schema JSON in `after`) become TableSchema messages, prepended by
+    * the caller before the first row of a (re)discovered relation exactly as
+    * the reference does (ext/protocol_server.c:78–99).
+    *
+    * `relidFor` assigns relids to row events. The default hashes the table
+    * name, which is wrong across DDL churn — a Postgres OID is stable when
+    * the table is RENAMED — so a pipeline emitting renames must pass its own
+    * stable assignment (the catalog analog).
+    */
+  def encodeTxn(xid: Long, lsn: Long, events: Seq[CdcEvent],
+      relidFor: String => Long = relidOf): Array[Byte] = {
     val msgs = new java.util.ArrayList[AnyRef]()
     val begin = new GenericData.Record(branch("BeginTxn"))
     begin.put("xid", xid)
@@ -90,17 +136,22 @@ object AvroFrame {
       val rec = e.op match {
         case Op.Insert =>
           val r = new GenericData.Record(branch("Insert"))
-          r.put("relid", relidOf(e.table)); r.put("key", bb(e.key))
+          r.put("relid", relidFor(e.table)); r.put("key", bb(e.key))
           r.put("newRow", bb(e.after)); r
         case Op.Update =>
           val r = new GenericData.Record(branch("Update"))
-          r.put("relid", relidOf(e.table)); r.put("key", bb(e.key))
+          r.put("relid", relidFor(e.table)); r.put("key", bb(e.key))
           r.put("oldRow", bb(e.before)); r.put("newRow", bb(e.after)); r
         case Op.Delete =>
           val r = new GenericData.Record(branch("Delete"))
-          r.put("relid", relidOf(e.table)); r.put("key", bb(e.key))
+          r.put("relid", relidFor(e.table)); r.put("key", bb(e.key))
           r.put("oldRow", bb(e.before)); r
-        case other => throw new IllegalArgumentException(s"not a row op: $other")
+        case Op.Schema =>
+          val r = new GenericData.Record(branch("TableSchema"))
+          r.put("relid", e.key.toLong)
+          r.put("keySchema", null)
+          r.put("rowSchema", schemaPayload(e.table, e.after)); r
+        case other => throw new IllegalArgumentException(s"not a frame op: $other")
       }
       msgs.add(rec)
     }
@@ -133,12 +184,39 @@ object AvroFrame {
     out.toString(java.nio.charset.StandardCharsets.UTF_8)
   }
 
+  /** Decoder-side relid → (table, row-schema JSON) state — ≙ the client's
+    * per-relid schema entry, REPLACED on every TableSchema message
+    * (client/protocol_client.c:124–167; lookup :314–320). This is what
+    * survives ALTER TABLE / rename mid-stream (the DDL-churn matrix of
+    * spec/functional/topic_spec.rb:16–274): events decoded after a rename
+    * resolve to the new name without restarting the stream.
+    *
+    * `fallback` resolves relids never announced by a TableSchema message
+    * (e.g. a stream joined mid-flight with a statically-known table set).
+    */
+  final class DecoderSchemaState(
+      fallback: Long => String = rid =>
+        throw new NoSuchElementException(
+          s"unknown relid $rid: no TableSchema message seen and no fallback")) {
+    private val byRelid = scala.collection.mutable.Map[Long, (String, String)]()
+    def update(relid: Long, table: String, schemaJson: String): Unit =
+      byRelid(relid) = (table, schemaJson)
+    def tableOf(relid: Long): String =
+      byRelid.get(relid).map(_._1).getOrElse(fallback(relid))
+    def schemaJsonOf(relid: Long): Option[String] =
+      byRelid.get(relid).flatMap(e => Option(e._2))
+    def snapshot: Map[Long, (String, String)] = byRelid.toMap
+  }
+
   /** Decode a frame back into events; strict trailing-bytes check mirrors
     * parse_frame (client/protocol_client.c:397–412). Table names are not in
-    * the wire format (only relids), so the caller resolves them — pass a
-    * relid→table map (≙ the client's relid lookup, protocol_client.c:314–320).
+    * the wire format (only relids): row messages resolve through `state`,
+    * which TableSchema messages update IN STREAM ORDER — so a relid renamed
+    * mid-frame resolves to its old name before the rename and the new name
+    * after, exactly like the reference client. Schema messages are also
+    * surfaced as `Op.Schema` events (the on_table_schema callback analog).
     */
-  def decodeFrame(bytes: Array[Byte], tableOf: Long => String): (Long, Long, Seq[CdcEvent]) = {
+  def decodeFrame(bytes: Array[Byte], state: DecoderSchemaState): (Long, Long, Seq[CdcEvent]) = {
     val dec = DecoderFactory.get().binaryDecoder(bytes, null)
     val frame = new GenericDatumReader[GenericRecord](schema).read(null, dec)
     require(dec.isEnd, "trailing bytes after frame")
@@ -149,13 +227,21 @@ object AvroFrame {
     frame.get("msg").asInstanceOf[java.util.List[AnyRef]].asScala.foreach {
       case r: GenericRecord =>
         val relid = Option(r.getSchema.getField("relid")).map(_ => r.get("relid").asInstanceOf[Long])
-        def table = tableOf(relid.get)
+        def table = state.tableOf(relid.get)
         r.getSchema.getName match {
           case "BeginTxn" => xid = r.get("xid").asInstanceOf[Long]
           case "CommitTxn" =>
             xid = r.get("xid").asInstanceOf[Long]
             lsn = r.get("lsn").asInstanceOf[Long]
-          case "TableSchema" => // schema cache update hook (SURVEY §2a #8)
+          case "TableSchema" =>
+            val payload = jsonMapper.readTree(String.valueOf(r.get("rowSchema")))
+            val name = payload.get("name").asText()
+            val tpe = payload.get("type")
+            val schemaJson = if (tpe == null || tpe.isNull) null else tpe.toString
+            state.update(relid.get, name, schemaJson)
+            events += CdcEvent(Op.Schema, name, 0, xid, seq,
+              relid.get.toString, null, schemaJson)
+            seq += 1
           case "Insert" =>
             events += CdcEvent(Op.Insert, table, 0, xid, seq, str(r.get("key")),
               null, str(r.get("newRow"))); seq += 1
@@ -171,4 +257,10 @@ object AvroFrame {
     // README.md:55–57)
     (xid, lsn, events.result().map(_.copy(lsn = lsn)))
   }
+
+  /** Static-resolution decode for callers with a fixed, known table set (no
+    * mid-stream DDL): a fresh schema state whose fallback is the given map.
+    */
+  def decodeFrame(bytes: Array[Byte], tableOf: Long => String): (Long, Long, Seq[CdcEvent]) =
+    decodeFrame(bytes, new DecoderSchemaState(tableOf))
 }

@@ -50,4 +50,46 @@ object ErrorPolicy {
       maxBytes: Int = PgTypes.MaxRecordBytes): DataFrame =
     guard(df, octet_length(col(payloadCol)) > maxBytes, policy,
       s"record exceeds $maxBytes bytes", payloadCol)
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Per-table guard for driver-side metadata actions — the registry-down
+    * matrix (spec/functional/error_handling_spec.rb:37–52 exit, :92–117 log):
+    * Exit rethrows on the first failing table (the process-crash analog, no
+    * message ever produced with an unregistered schema); Log drops the table
+    * and keeps going (its messages are not produced, the process stays alive).
+    * Returns the per-table results for the tables that succeeded.
+    */
+  def perTable[A](tables: Seq[String], policy: ErrorPolicy, what: String)(
+      f: String => A): Map[String, A] =
+    tables.flatMap { t =>
+      try Some(t -> f(t))
+      catch {
+        case e: Exception => policy match {
+          case Exit => throw new IllegalStateException(
+            s"error policy exit: $what failed for table '$t'", e)
+          case Log =>
+            log.warn(s"error policy log: $what failed for table '$t', skipping", e)
+            None
+        }
+      }
+    }.toMap
+
+  /** Sink-failure guard for foreachBatch bodies — the Kafka-down matrix
+    * (error_handling_spec.rb:29–36 exit, :83–90 log): Exit propagates the
+    * sink error so the streaming query dies on the poison batch; Log logs and
+    * skips the batch, the query stays alive for subsequent batches. (With a
+    * transactional or idempotent sink plus checkpointing, Exit loses nothing
+    * after a retry — the reference's "no data loss after retry" contract.)
+    */
+  def guardedBatchSink[T](policy: ErrorPolicy, what: String)(
+      f: (org.apache.spark.sql.Dataset[T], Long) => Unit): (org.apache.spark.sql.Dataset[T], Long) => Unit = (df, batchId) =>
+    try f(df, batchId)
+    catch {
+      case e: Exception => policy match {
+        case Exit => throw e
+        case Log =>
+          log.warn(s"error policy log: $what failed for batch $batchId, skipping", e)
+      }
+    }
 }

@@ -69,6 +69,12 @@ object LatestState {
     * `tombstoneTtl` bounds the tombstone share (the same role as Kafka
     * compaction's delete.retention.ms): after the TTL, a tombstoned key's
     * state is evicted. None (default) retains tombstones forever.
+    *
+    * OPERATIONAL NOTE: a non-None TTL uses ProcessingTimeTimeout, under which
+    * the engine re-runs micro-batches continuously (it cannot know whether a
+    * timer expired without running one) — pair it with a real
+    * `Trigger.ProcessingTime(interval)` to pace that loop, and do not rely on
+    * `processAllAvailable()` (it never quiesces while timers poll).
     */
   def streaming(events: Dataset[CdcEvent],
       tombstoneTtl: Option[java.time.Duration] = None): Dataset[CdcEvent] = {

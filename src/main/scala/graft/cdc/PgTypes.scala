@@ -62,13 +62,36 @@ object PgTypes {
     case _ => StringType                     // catch-all: OidOutputFunctionCall fallback
   }
 
+  /** One pg_attribute row as schema generation sees it: a dropped column
+    * stays in the tuple descriptor with attisdropped=true (and its slot still
+    * occupies an attnum), so schema and row encoding must both skip it.
+    */
+  final case class PgAttribute(name: String, oid: Int, isDropped: Boolean = false)
+
   /** All columns nullable — every reference field is union{null, T}
     * (ext/oid2avro.c:350–362).
     */
   def schemaFor(cols: Seq[(String, Int)]): StructType =
-    StructType(cols.map { case (name, oid) =>
-      StructField(name, sparkType(oid), nullable = true)
-    })
+    schemaForAttrs(cols.map { case (name, oid) => PgAttribute(name, oid) })
+
+  /** Full tuple-descriptor analog of schema_for_table_row:
+    *   - dropped columns are skipped, and the survivors keep their relative
+    *     order — the field index is remapped past dropped slots exactly as
+    *     tuple_to_avro_row advances `field` only for live columns
+    *     (ext/oid2avro.c:167, 197);
+    *   - a table with NO live columns (CREATE TABLE t (), or every column
+    *     dropped) gets a single dummy boolean field (ext/oid2avro.c:153–163).
+    *     Spark tolerates empty StructTypes, but the Avro wire contract does
+    *     not — and a zero-column record would also break downstream `to_json`
+    *     row encoding — so we keep the reference's shape.
+    */
+  def schemaForAttrs(cols: Seq[PgAttribute]): StructType = {
+    val live = cols.filterNot(_.isDropped)
+    if (live.isEmpty)
+      StructType(Seq(StructField("dummy", BooleanType, nullable = true)))
+    else
+      StructType(live.map(a => StructField(a.name, sparkType(a.oid), nullable = true)))
+  }
 
   /** Max encoded row size guard — the reference hard-fails rows whose frame
     * exceeds 1 MiB (ext/io_util.c:3–4; behavior pinned by

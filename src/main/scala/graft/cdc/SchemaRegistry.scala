@@ -20,6 +20,14 @@ object SchemaCache {
   case object Unchanged extends LookupResult
   case object Changed extends LookupResult
   case object New extends LookupResult
+
+  /** TableSchema control message for a (re)discovered relation — prepended to
+    * the frame before the row event (ext/protocol_server.c:78–99). The relid
+    * rides in the `key` field so consumers can build the relid→schema map
+    * that row-message resolution needs (client/protocol_client.c:314–320).
+    */
+  def schemaMessage(relid: Long, tableName: String, schema: StructType): CdcEvent =
+    CdcEvent(Op.Schema, tableName, 0, 0, 0, relid.toString, null, schema.json)
 }
 
 final class SchemaCache {
@@ -39,13 +47,11 @@ final class SchemaCache {
         cache(relid) = (tableName, schema); Changed
     }
 
-  /** TableSchema control message for a (re)discovered relation — prepended to
-    * the frame before the row event (ext/protocol_server.c:78–99). The relid
-    * rides in the `key` field so consumers can build the relid→schema map
-    * that row-message resolution needs (client/protocol_client.c:314–320).
+  /** Instance alias of [[SchemaCache.schemaMessage]] (kept for callers that
+    * hold a cache and emit the message in one breath).
     */
   def schemaMessage(relid: Long, tableName: String, schema: StructType): CdcEvent =
-    CdcEvent(Op.Schema, tableName, 0, 0, 0, relid.toString, null, schema.json)
+    SchemaCache.schemaMessage(relid, tableName, schema)
 
   def snapshot: Map[Long, (String, StructType)] = cache.toMap
 }
@@ -59,12 +65,20 @@ final class MockSchemaRegistry {
   private val subjectVersions = scala.collection.mutable.Map[String, Vector[Int]]()
   private var next = 1
 
+  /** Availability switch for failure injection — the "schema registry is
+    * down" scenarios of spec/functional/error_handling_spec.rb:37–52, 92–117.
+    * While false, register throws (the HTTP-connection-refused analog).
+    */
+  @volatile var available: Boolean = true
+
   /** Register (or re-find) a schema under `{topic}-{key|value}`; returns the
     * id. Ids are GLOBAL per distinct schema (Confluent semantics): the same
     * schema registered under any subject yields the same id — the identity
     * the producer uses to skip re-parsing (kafka/table_mapper.c:277).
     */
   def register(topic: String, isKey: Boolean, schemaJson: String): Int = {
+    if (!available)
+      throw new IllegalStateException(s"schema registry unavailable (topic $topic)")
     val subject = topic + (if (isKey) "-key" else "-value")
     val id = idBySchema.getOrElseUpdate(schemaJson, { val i = next; next += 1; i })
     val versions = subjectVersions.getOrElse(subject, Vector.empty)

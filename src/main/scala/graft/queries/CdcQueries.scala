@@ -189,6 +189,34 @@ object CdcQueries {
         .agg(count(lit(1)).as("n"), countDistinct(col("xid")).as("n_txn"))
     },
 
+    // --- Kafka producer-row composition (kafka/bottledwater.c:559–643):
+    // --- topic routing + registry framing + tombstones in ONE sink shape.
+    // --- The oracle restates the contract: every event routes to bw.users,
+    // --- keys framed with the registered key schema id (1), values with the
+    // --- value schema id (2) except deletes, which are null tombstones -------
+    q("cdc11_kafka_sink",
+      """SELECT 'bw.users' AS topic, 1 AS key_id,
+        |  CASE WHEN event_type = 'error' THEN NULL ELSE 2 END AS value_id,
+        |  (event_type = 'error') AS tombstone, COUNT(*) AS n
+        |FROM events GROUP BY 1, 2, 3, 4""".stripMargin) { (s, d) =>
+      import graft.streaming.KafkaSink
+      val registry = new MockSchemaRegistry
+      val ids = KafkaSink.registerAll(
+        Map(ChangelogGen.TableName -> KafkaSink.TopicSchemas(
+          keySchemaJson = PgTypes.schemaFor(Seq("user_id" -> PgTypes.Oid.Int8)).json,
+          valueSchemaJson = PgTypes.schemaFor(Seq(
+            "user_id" -> PgTypes.Oid.Int8, "event_type" -> PgTypes.Oid.Text,
+            "value" -> PgTypes.Oid.Float8)).json)),
+        prefix = "bw", registry, ErrorPolicy.Exit)
+      KafkaSink.producerRows(ChangelogGen.fromEvents(s, d), ids, numPartitions = 16)
+        .select(col("topic"),
+          schema_id_of(col("key")).as("key_id"),
+          schema_id_of(col("value")).as("value_id"),   // null-safe ⇒ null on tombstones
+          col("value").isNull.as("tombstone"))
+        .groupBy("topic", "key_id", "value_id", "tombstone")
+        .agg(count(lit(1)).as("n"))
+    },
+
     // --- snapshot ∪ stream lifecycle (SURVEY §3.1: consistent snapshot then
     // --- streaming from the same LSN, no gap no overlap) ----------------------
     q("cdc07_snapshot_stream",

@@ -93,6 +93,20 @@ object CdcPipeline {
       }
   }
 
+  /** `--skip-snapshot` mode (spec/functional/snapshot_spec.rb:47–61 +
+    * client/connect.c: the snapshot step is simply not taken): enter
+    * streaming directly, so pre-existing table contents are NEVER emitted —
+    * only changes arriving after the stream starts. Compositionally this is
+    * [[latestStateStream]] without the snapshotEnvelopes ∪ stream cold start
+    * of SURVEY §3.1; it exists as a named mode so the lifecycle choice is an
+    * explicit API decision, not an implicit wiring difference.
+    */
+  def streamOnly(stream: Dataset[CdcEvent],
+      policy: ErrorPolicy = ErrorPolicy.Exit,
+      maxRecordBytes: Int = PgTypes.MaxRecordBytes,
+      oldKeyOf: CdcEvent => String = _ => null): Dataset[CdcEvent] =
+    latestStateStream(stream, policy, maxRecordBytes, oldKeyOf)
+
   /** Unkeyed-table semantics (≙ kafka/bottledwater.c:537–540 + the unkeyed
     * matrix of spec/functional/message_spec.rb:99–163): inserts/updates of
     * unkeyed tables pass through (produced unkeyed), but deletes are DROPPED —

@@ -65,7 +65,7 @@ class CdcSpec extends AnyFunSuite {
     assert(viaAggregator == viaMaxBy)
   }
 
-  test("streaming compaction (mapGroupsWithState) agrees with batch") {
+  test("streaming compaction (flatMapGroupsWithState) agrees with batch") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
     val input = MemoryStream[CdcEvent]
@@ -101,6 +101,78 @@ class CdcSpec extends AnyFunSuite {
       val key1 = spark.table("latest_replay").filter(col("key") === "1")
         .select(max(col("lsn"))).as[Long].collect().head
       assert(key1 == 3L) // not regressed by the replayed lsn=3 max
+    } finally q.stop()
+  }
+
+  test("tombstone TTL: timed-out tombstones evict silently; live keys survive") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ttlMs = 4000L
+    val input = MemoryStream[CdcEvent]
+    // ProcessingTimeTimeout makes the engine re-run micro-batches continuously
+    // to poll for expired timers, so processAllAvailable never quiesces — pace
+    // the loop with a real trigger and poll the sink instead.
+    val q = LatestState.streaming(input.toDS(),
+        tombstoneTtl = Some(java.time.Duration.ofMillis(ttlMs)))
+      .writeStream.format("memory").queryName("latest_ttl")
+      .outputMode(LatestState.streamingOutputMode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
+      .start()
+    def rows() = spark.table("latest_ttl")
+      .select("key", "op", "lsn").as[(String, String, Long)].collect().toSeq
+    def await(what: String)(p: Seq[(String, String, Long)] => Boolean) = {
+      val deadline = System.nanoTime + 60L * 1000000000L
+      var cur = rows()
+      while (!p(cur) && System.nanoTime < deadline && q.exception.isEmpty) {
+        Thread.sleep(100); cur = rows()
+      }
+      q.exception.foreach(throw _)
+      assert(p(cur), s"'$what' not reached in 60s: $cur")
+      cur
+    }
+    try {
+      // b1: A and D end deleted (tombstone retained, TTL armed); C live.
+      input.addData(Seq(
+        ev(Op.Insert, "A", 1, """{"id":"A"}"""),
+        ev(Op.Delete, "A", 3, null),
+        ev(Op.Insert, "C", 5, """{"id":"C"}"""),
+        ev(Op.Insert, "D", 7, """{"id":"D"}"""),
+        ev(Op.Delete, "D", 8, null)))
+      await("b1 compacted")(_.toSet ==
+        Set(("A", Op.Delete, 3L), ("C", Op.Insert, 5L), ("D", Op.Delete, 8L)))
+
+      // b2 (within TTL): a stale pre-delete replay for A is NOT resurrected —
+      // the retained tombstone wins (and re-arms A's timer). C is deleted
+      // (TTL armed). D is re-inserted: per GroupState semantics every
+      // function call clears the previously-set timeout and we re-arm only
+      // for deletes, so D's TTL is gone and its live state must survive the
+      // eviction wait below.
+      input.addData(Seq(
+        ev(Op.Insert, "A", 2, """{"id":"A-stale"}"""),
+        ev(Op.Delete, "C", 6, null),
+        ev(Op.Insert, "D", 9, """{"id":"D2"}""")))
+      val afterB2 = await("b2 compacted")(r =>
+        r.count(_ == (("A", Op.Delete, 3L))) == 2 &&   // tombstone re-won
+          r.contains(("C", Op.Delete, 6L)) && r.contains(("D", Op.Insert, 9L)))
+      assert(!afterB2.contains(("A", Op.Insert, 2L)))  // no resurrection
+
+      Thread.sleep(ttlMs + 4000)  // well past the A and C tombstone timers
+
+      // b3: timed-out tombstones (A, C) evicted SILENTLY — the continuous
+      // timer-polling batches emitted nothing; one new key adds exactly one row.
+      input.addData(Seq(ev(Op.Insert, "B", 10, """{"id":"B"}""")))
+      val afterB3 = await("b3 delivered")(_.contains(("B", Op.Insert, 10L)))
+      assert(afterB3.size == afterB2.size + 1)
+
+      // b4: post-eviction, the same stale replay for A IS accepted as new —
+      // the tombstone is gone (the Kafka-compaction delete.retention.ms
+      // contract). D's state survived, so its stale replay stays suppressed.
+      input.addData(Seq(
+        ev(Op.Insert, "A", 2, """{"id":"A-stale"}"""),
+        ev(Op.Insert, "D", 7, """{"id":"D"}""")))
+      val afterB4 = await("b4 delivered")(_.contains(("A", Op.Insert, 2L)))
+      assert(!afterB4.contains(("D", Op.Insert, 7L))) // still deduped
+      assert(afterB4.count(r => r._1 == "D" && r._3 == 9L) == 2) // newest re-emitted
     } finally q.stop()
   }
 

@@ -1,0 +1,107 @@
+package graft.cdc
+
+import graft.SparkTestSession
+import graft.streaming.KafkaSink
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The error-policy matrix of spec/functional/error_handling_spec.rb:23–147,
+  * beyond the oversize-row guard (covered in CdcSpec): registry-down and
+  * sink-down failures, × {exit, log}. Exit aborts (the process-crash analog
+  * — no silent loss); Log skips and keeps the pipeline alive.
+  */
+class ErrorMatrixSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val schemas = Map(
+    "public.things" -> KafkaSink.TopicSchemas(
+      PgTypes.schemaFor(Seq("id" -> PgTypes.Oid.Int4)).json,
+      PgTypes.schemaFor(Seq("id" -> PgTypes.Oid.Int4, "thing" -> PgTypes.Oid.Int4)).json))
+
+  private def ev(op: String, key: String, lsn: Long, after: String): CdcEvent =
+    CdcEvent(op, "public.things", lsn, lsn / 10, 0, key, null, after)
+
+  // --- registry down (error_handling_spec.rb:37–52 exit, :92–117 log) -------
+
+  test("registry down × exit: registration aborts before anything is produced") {
+    val registry = new MockSchemaRegistry
+    registry.available = false
+    val e = intercept[IllegalStateException] {
+      KafkaSink.registerAll(schemas, "bw", registry, ErrorPolicy.Exit)
+    }
+    assert(e.getMessage.contains("error policy exit"))
+  }
+
+  test("registry down × log: messages unsent, pipeline alive; recovery works") {
+    import spark.implicits._
+    val registry = new MockSchemaRegistry
+    registry.available = false
+    // no throw; the failed table is dropped from the routing set
+    val ids = KafkaSink.registerAll(schemas, "bw", registry, ErrorPolicy.Log)
+    assert(ids.isEmpty)
+    val envelopes = Seq(ev(Op.Insert, """{"id":1}""", 1, """{"id":1,"thing":42}""")).toDS()
+    assert(KafkaSink.producerRows(envelopes, ids, 16).count() == 0)
+
+    // registry comes back (the rb spec's "subsequent messages" scenario):
+    // re-registration succeeds and the same envelopes now produce
+    registry.available = true
+    val ids2 = KafkaSink.registerAll(schemas, "bw", registry, ErrorPolicy.Log)
+    assert(ids2.keySet == schemas.keySet)
+    assert(KafkaSink.producerRows(envelopes, ids2, 16).count() == 1)
+  }
+
+  // --- sink down (error_handling_spec.rb:29–36 exit, :83–90 log) ------------
+
+  test("sink failure × exit: the streaming query dies on the poison batch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[CdcEvent]
+    val q = input.toDS().writeStream
+      .foreachBatch(ErrorPolicy.guardedBatchSink[CdcEvent](ErrorPolicy.Exit, "kafka produce") {
+        (_, _) => throw new RuntimeException("broker down")
+      })
+      .start()
+    try {
+      input.addData(ev(Op.Insert, """{"id":1}""", 1, """{"id":1,"thing":42}"""))
+      intercept[Exception] { q.processAllAvailable() }
+      assert(q.exception.isDefined)   // aborted, not silently skipped
+    } finally q.stop()
+  }
+
+  test("sink failure × log: poison batch skipped, later batches delivered") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val delivered = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val input = MemoryStream[CdcEvent]
+    val q = input.toDS().writeStream
+      .foreachBatch(ErrorPolicy.guardedBatchSink[CdcEvent](ErrorPolicy.Log, "kafka produce") {
+        (batch, _) =>
+          val keys = batch.select("key").collect().map(_.getString(0))
+          if (keys.exists(_.contains("poison"))) throw new RuntimeException("broker down")
+          keys.foreach(delivered.add)
+      })
+      .start()
+    try {
+      input.addData(ev(Op.Insert, """{"id":"poison"}""", 1, """{"id":1}"""))
+      q.processAllAvailable()          // sink throws; Log swallows, query lives
+      assert(q.exception.isEmpty)
+      input.addData(ev(Op.Insert, """{"id":2}""", 2, """{"id":2,"thing":7}"""))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty)
+      assert(delivered.contains("""{"id":2}"""))      // later batch delivered
+      assert(!delivered.contains("""{"id":"poison"}""")) // poison batch skipped
+    } finally q.stop()
+  }
+
+  // --- upfront relid validation (the catalog analog of the per-JVM check) ---
+
+  test("validateRelids: clean set passes, synthetic collision fails loudly") {
+    val ok = AvroFrame.validateRelids(Seq("public.users", "public.orders", "crm.leads"))
+    assert(ok.size == 3 && ok.values.toSet.size == 3)
+    // hashCode collision pair (classic "Aa"/"BB" family)
+    val e = intercept[IllegalArgumentException] {
+      AvroFrame.validateRelids(Seq("Aa", "BB"))
+    }
+    assert(e.getMessage.contains("relid collision"))
+  }
+}

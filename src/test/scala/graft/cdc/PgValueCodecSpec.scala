@@ -12,6 +12,30 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class PgValueCodecSpec extends AnyFunSuite {
 
+  test("dropped columns are skipped with survivors' order kept (oid2avro.c:167,197)") {
+    import PgTypes.PgAttribute
+    val s = PgTypes.schemaForAttrs(Seq(
+      PgAttribute("id", Int8),
+      PgAttribute("legacy", Text, isDropped = true),   // attisdropped slot
+      PgAttribute("name", Text),
+      PgAttribute("gone_too", Int4, isDropped = true),
+      PgAttribute("score", Float8)))
+    assert(s.fieldNames.toSeq == Seq("id", "name", "score"))  // attnums remapped
+    assert(s.fields.forall(_.nullable))
+  }
+
+  test("zero live columns yields the dummy boolean (oid2avro.c:153–163)") {
+    import PgTypes.PgAttribute
+    import org.apache.spark.sql.types.BooleanType
+    for (cols <- Seq(Seq.empty[PgAttribute],                        // CREATE TABLE t ()
+        Seq(PgAttribute("a", Int4, isDropped = true),
+          PgAttribute("b", Text, isDropped = true)))) {             // all dropped
+      val s = PgTypes.schemaForAttrs(cols)
+      assert(s.fieldNames.toSeq == Seq("dummy"))
+      assert(s.fields.head.dataType == BooleanType && s.fields.head.nullable)
+    }
+  }
+
   test("scalar parses") {
     assert(parse(Bool, "t") == true && parse(Bool, "f") == false)
     assert(parse(Int2, "42") == 42.toShort)

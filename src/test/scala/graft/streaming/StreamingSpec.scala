@@ -32,6 +32,41 @@ class AvroFrameSpec extends AnyFunSuite {
     }
   }
 
+  test("TableSchema retargets a relid mid-stream (rename + column-add churn)") {
+    import org.apache.spark.sql.types._
+    // A Postgres OID is stable across ALTER TABLE ... RENAME (the scenario of
+    // spec/functional/topic_spec.rb:16–274): pin one relid for both names.
+    val relid = 424242L
+    val stable = (_: String) => relid
+    val s1 = StructType(Seq(StructField("id", LongType), StructField("name", StringType)))
+    val s2 = StructType(Seq(StructField("id", LongType), StructField("sku", StringType)))
+    val txn1 = AvroFrame.encodeTxn(1, 100, Seq(
+      SchemaCache.schemaMessage(relid, "public.widgets", s1),
+      CdcEvent(Op.Insert, "public.widgets", 0, 1, 1, """{"id":1}""", null,
+        """{"id":1,"name":"w"}""")), stable)
+    val txn2 = AvroFrame.encodeTxn(2, 200, Seq(
+      SchemaCache.schemaMessage(relid, "public.gadgets", s2),
+      CdcEvent(Op.Update, "public.gadgets", 0, 2, 1, """{"id":1}""", null,
+        """{"id":1,"sku":"x"}""")), stable)
+
+    val state = new AvroFrame.DecoderSchemaState()
+    val (_, _, ev1) = AvroFrame.decodeFrame(txn1, state)
+    assert(ev1.map(_.op) == Seq(Op.Schema, Op.Insert))
+    assert(ev1(1).table == "public.widgets")
+    assert(state.tableOf(relid) == "public.widgets")
+    assert(DataType.fromJson(state.schemaJsonOf(relid).get) == s1)
+
+    val (_, _, ev2) = AvroFrame.decodeFrame(txn2, state)
+    assert(ev2.map(_.op) == Seq(Op.Schema, Op.Update))
+    assert(ev2(1).table == "public.gadgets")     // post-rename identity
+    assert(ev1(1).table == "public.widgets")     // pre-rename events untouched
+    assert(state.tableOf(relid) == "public.gadgets")
+    assert(DataType.fromJson(state.schemaJsonOf(relid).get) == s2)
+
+    // a relid never announced fails loudly when there is no fallback
+    intercept[NoSuchElementException] { state.tableOf(999L) }
+  }
+
   test("avro-json output is union-tagged (kafka/json.c semantics)") {
     val json = AvroFrame.encodeTxnJson(5, 777, events.take(1))
     assert(json.contains("\"graft.cdc.BeginTxn\""))   // union branch tags
@@ -81,6 +116,32 @@ class CdcPipelineSpec extends AnyFunSuite {
       .select("key", "after").as[(String, String)].collect().toMap
     assert(state.keySet == Set("""{"id":1}""", """{"id":3}"""))
     assert(state("""{"id":1}""").contains("ada2"))
+  }
+
+  test("skip-snapshot mode ignores existing contents, emits only live changes") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // prepopulated "database state" (snapshot_spec.rb:12–15) that streamOnly
+    // must NEVER emit — it is simply not wired into the plan
+    val base = Seq((1L, "user1"), (2L, "user2")).toDF("id", "u")
+    assert(base.count() == 2) // exists, and is ignored below
+
+    val input = MemoryStream[CdcEvent]
+    val q = CdcPipeline.streamOnly(input.toDS())
+      .writeStream.format("memory").queryName("skip_snapshot")
+      .outputMode(LatestState.streamingOutputMode).start()
+    try {
+      input.addData(
+        ev("insert", """{"id":11}""", 20, """{"id":11,"u":"user11"}"""),
+        ev("update", """{"id":11}""", 21, """{"id":11,"u":"user11b"}"""))
+      q.processAllAvailable()
+      val keys = spark.table("skip_snapshot").select("key", "after")
+        .as[(String, String)].collect().toMap
+      // only the live change is visible (snapshot_spec.rb:52–61); the
+      // prepopulated rows (ids 1, 2) never appear
+      assert(keys.keySet == Set("""{"id":11}"""))
+      assert(keys("""{"id":11}""").contains("user11b"))
+    } finally q.stop()
   }
 
   test("session windows over the event stream (gap-based grouping)") {
