@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** AS-OF join — attach to each left row the single most recent right row
+  * (same key, right time ≤ left time). The CDC shape behind "what did the
+  * dimension look like when this event happened": the reference's consumers
+  * get it implicitly from log-compacted topics + replay order
+  * (README.md:288–297); batch engines need it as an operator, and Spark has
+  * no built-in.
+  *
+  * Spark-first re-expression (scale path): tag both sides, UNION them, and
+  * run ONE window over (key) ordered by (time, side) carrying the last
+  * non-null right payload forward (`last(_, ignoreNulls)` over
+  * unbounded-preceding..current). Cost = one hash shuffle of |L|+|R| rows +
+  * one per-key sort — the same shape as latest-state compaction. The naive
+  * alternative (theta join right.ts ≤ left.ts, then argmax per left row)
+  * materializes O(|L|·|R|) candidate pairs per key and collapses them with a
+  * second shuffle; at 100 TB the union-window plan ships each row once.
+  *
+  * Ties (right.ts == left.ts): the right row sorts BEFORE the left row, so
+  * an exactly-simultaneous right row IS visible (non-strict ≤, matching
+  * DuckDB/Pandas ASOF semantics); pass strict=true for <.
+  */
+object AsOfJoin {
+
+  /** @param payload right columns to carry (renamed as given, so callers
+    *                 disambiguate against left column names)
+    */
+  def asOf(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTs: String, rightTs: String, payload: Map[String, String],
+      strict: Boolean = false): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val outNames = payload.values.toSeq
+    // right rows: key + ts + payload struct; left rows: key + ts + full row
+    val rightTagged = right.select(
+      keyCols.map(col) ++ Seq(
+        col(rightTs).cast("long").as("_ts"),
+        lit(0).as("_side"),
+        struct(payload.map { case (c, n) => col(c).as(n) }.toSeq: _*).as("_payload"),
+        lit(null).cast(org.apache.spark.sql.types.StructType(
+          left.schema.fields)).as("_left")): _*)
+    val leftTagged = left.select(
+      keyCols.map(col) ++ Seq(
+        col(leftTs).cast("long").as("_ts"),
+        lit(1).as("_side"),
+        lit(null).cast(rightTagged.schema("_payload").dataType).as("_payload"),
+        struct(leftCols.map(col): _*).as("_left")): _*)
+
+    // strict <: left sorts before a same-ts right row, hiding it
+    val sideOrder = if (strict) -col("_side") else col("_side")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_ts"), sideOrder)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    rightTagged.unionByName(leftTagged)
+      .withColumn("_asof", last(col("_payload"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(leftCols.map(c => col(s"_left.$c").as(c)) ++
+        outNames.map(n => col(s"_asof.$n").as(n)): _*)
+  }
+}
+
+/** Range join — match left points to right intervals (lo ≤ point ≤ hi).
+  * Spark plans a raw BETWEEN join as broadcast-nested-loop: O(|L|·|R|)
+  * comparisons, a non-starter at scale.
+  *
+  * Scale path (the standard binned range join): pick a bin width w; a point
+  * lives in exactly ONE bin (floor(p/w)), an interval is exploded to every
+  * bin it overlaps (⌈len/w⌉+1 rows — bounded when interval length is
+  * bounded). Equi-join on the bin id = ONE hash shuffle, then the exact
+  * BETWEEN predicate filters within the bin. Each qualifying (point,
+  * interval) pair meets exactly once — in the point's bin — so no dedup
+  * step is needed. Choose w near the typical interval length: smaller w
+  * multiplies interval duplication, larger w multiplies within-bin
+  * comparisons.
+  */
+object RangeJoin {
+
+  def pointInInterval(left: DataFrame, pointCol: String,
+      right: DataFrame, loCol: String, hiCol: String,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def binOf(c: Column): Column = floor(c / lit(binWidth)).cast("long")
+    val points = left.withColumn("_bin", binOf(col(pointCol)))
+    val intervals = right.withColumn("_bin",
+      explode(sequence(binOf(col(loCol)), binOf(col(hiCol)))))
+    points.join(intervals, Seq("_bin"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("_bin")
+  }
+
+  /** Reference implementation for specs: the naive theta join. */
+  def naive(left: DataFrame, pointCol: String,
+      right: DataFrame, loCol: String, hiCol: String): DataFrame =
+    left.join(right, col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+}

@@ -408,16 +408,28 @@ object RelationalQueries {
       def withinBounds(approx: Column, exact: Column, rsd: Double): Column =
         abs(approx.cast("double") - exact.cast("double")) <=
           lit(3 * rsd) * exact.cast("double")
-      Tables.lineitem(s, d).agg(
+      // The approx sketches share one partial-agg pass; each EXACT distinct
+      // count gets its own dedup-then-count plan (map-side partial dedup,
+      // shuffle O(distinct values)). Putting two countDistincts in a single
+      // agg makes Catalyst Expand the input ×(n+1) and shuffle the multiple
+      // — measured 0.27 s → 9 s at sf0.1, and at 100 TB the Expand alone is
+      // fatal. The 1-row results recombine with crossJoins.
+      val li = Tables.lineitem(s, d)
+      val approx = li.agg(
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"),
-        approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders_1pct"),
-        countDistinct(col("l_orderkey")).as("exact_orders"))
+        approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders_1pct"))
+      val exactParts = li.select(col("l_partkey")).distinct()
+        .agg(count(lit(1)).as("exact_parts"))
+      val exactOrders = li.select(col("l_orderkey")).distinct()
+        .agg(count(lit(1)).as("exact_orders"))
+      approx.crossJoin(exactParts).crossJoin(exactOrders)
         .withColumn("parts_within_3rsd",
           withinBounds(col("approx_parts"), col("exact_parts"), 0.05))
         .withColumn("orders_within_3rsd",
           withinBounds(col("approx_orders_1pct"), col("exact_orders"), 0.01))
         .filter(col("parts_within_3rsd") && col("orders_within_3rsd"))
+        .select("approx_parts", "exact_parts", "approx_orders_1pct", "exact_orders",
+          "parts_within_3rsd", "orders_within_3rsd")
     }, None),
 
     // --- exact percentiles (interpolated; sketch twin is q27-style approx) ----
@@ -491,6 +503,47 @@ object RelationalQueries {
         |  (SELECT CAST(MAX(o_custkey) AS VARCHAR) FROM orders) FROM t""".stripMargin) { (s, d) =>
       graft.operators.Profile.describe(Tables.orders(s, d),
         Seq("o_orderkey", "o_orderstatus", "o_custkey"))
+    },
+
+    // --- AS-OF join (point-in-time enrichment; DuckDB has it natively, Spark
+    // --- gets the union+window re-expression in operators.AsOfJoin) ----------
+    q("q32_asof_join",
+      """SELECT p.user_id, p.event_id AS purchase_lsn,
+        |  u.event_id AS state_lsn, u.value AS state_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'update') u
+        |  ON p.user_id = u.user_id AND u.event_id <= p.event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"))
+      val updates = ev.filter(col("event_type") === "update")
+        .select(col("user_id"), col("event_id"), col("value"))
+      graft.operators.AsOfJoin.asOf(purchases, updates, Seq("user_id"),
+          "event_id", "event_id",
+          Map("event_id" -> "state_lsn", "value" -> "state_value"))
+        .select(col("user_id"), col("event_id").as("purchase_lsn"),
+          col("state_lsn"), col("state_value"))
+    },
+
+    // --- range join (point-in-interval; binned equi-join, not nested-loop) ---
+    q("q33_range_join",
+      """SELECT CAST(band_id AS BIGINT) AS band_id, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM lineitem
+        |JOIN (VALUES (1, 900.0, 10000.0), (2, 5000.0, 25000.0),
+        |             (3, 20000.0, 40000.0), (4, 30000.0, 32000.0),
+        |             (5, 50000.0, 60000.0), (6, 100.0, 2000.0)) AS b(band_id, lo, hi)
+        |  ON l_extendedprice BETWEEN lo AND hi
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val bands = Seq((1L, 900.0, 10000.0), (2L, 5000.0, 25000.0),
+        (3L, 20000.0, 40000.0), (4L, 30000.0, 32000.0),
+        (5L, 50000.0, 60000.0), (6L, 100.0, 2000.0)).toDF("band_id", "lo", "hi")
+      graft.operators.RangeJoin.pointInInterval(
+          Tables.lineitem(s, d).select(col("l_extendedprice")), "l_extendedprice",
+          bands, "lo", "hi", binWidth = 8000.0)
+        .groupBy(col("band_id"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice"), 2).as("total"))
     },
 
     // --- tumbling time window over the event stream table ---------------------

@@ -34,6 +34,67 @@ class ScaleJoinsSpec extends AnyFunSuite {
     assert(joined.count() == expected)
   }
 
+  test("as-of join: tie visibility, gaps, and no-prior-match nulls") {
+    import spark.implicits._
+    val left = Seq((7L, 10L, "p1"), (7L, 20L, "p2"), (7L, 5L, "p0"),
+      (8L, 15L, "q1")).toDF("k", "ts", "tag")
+    val right = Seq((7L, 10L, 1.0), (7L, 12L, 2.0), (7L, 3L, 0.5),
+      (9L, 1L, 9.9)).toDF("k", "rts", "v")
+    val out = AsOfJoin.asOf(left, right, Seq("k"), "ts", "rts",
+        Map("rts" -> "asof_ts", "v" -> "asof_v"))
+      .select("k", "ts", "asof_ts", "asof_v")
+      .as[(Long, Long, Option[Long], Option[Double])].collect().toSet
+    assert(out == Set(
+      (7L, 5L, Some(3L), Some(0.5)),    // latest ≤ 5 is 3
+      (7L, 10L, Some(10L), Some(1.0)),  // tie: same-ts right IS visible (≤)
+      (7L, 20L, Some(12L), Some(2.0)),
+      (8L, 15L, None, None)))           // key with no right rows at all
+
+    val strict = AsOfJoin.asOf(left, right, Seq("k"), "ts", "rts",
+        Map("rts" -> "asof_ts"), strict = true)
+      .filter(col("ts") === 10).select("asof_ts").as[Option[Long]].collect()
+    assert(strict.toSeq == Seq(Some(3L)))  // strict <: same-ts right hidden
+  }
+
+  test("as-of join agrees with the naive theta-join + argmax formulation") {
+    val ev = graft.Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"))
+    val updates = ev.filter(col("event_type") === "update")
+      .select(col("user_id"), col("event_id"), col("value"))
+    val fast = AsOfJoin.asOf(purchases, updates, Seq("user_id"), "event_id", "event_id",
+        Map("event_id" -> "state_lsn", "value" -> "state_value"))
+      .select("user_id", "event_id", "state_lsn", "state_value")
+    // naive: every (purchase, earlier-update) pair, argmax per purchase
+    val updatesR = updates.select(col("user_id").as("u_uid"),
+      col("event_id").as("u_eid"), col("value"))
+    val naive = purchases.join(updatesR,
+        col("user_id") === col("u_uid") && col("u_eid") <= col("event_id"), "left")
+      .groupBy(col("user_id"), col("event_id"))
+      .agg(max_by(struct(col("u_eid").as("state_lsn"), col("value").as("state_value")),
+        col("u_eid")).as("s"))
+      .select(col("user_id"), col("event_id"), col("s.state_lsn"), col("s.state_value"))
+    assert(fast.count() == purchases.count())
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+  }
+
+  test("binned range join == naive theta join (overlaps, boundaries, negatives)") {
+    import spark.implicits._
+    val points = ((-20 to 40).map(_.toDouble) ++ Seq(0.0, 9.999, 10.0, 10.001))
+      .zipWithIndex.map { case (p, i) => (i.toLong, p) }.toDF("pid", "x")
+    val intervals = Seq((1L, -15.0, -5.0), (2L, -6.0, 12.0), (3L, 10.0, 10.0),
+      (4L, 9.0, 39.0), (5L, 35.0, 200.0), (6L, -100.0, 100.0))
+      .toDF("iid", "lo", "hi")
+    val expected = RangeJoin.naive(points, "x", intervals, "lo", "hi")
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    for (w <- Seq(0.5, 3.0, 10.0, 1000.0)) {
+      val got = RangeJoin.pointInInterval(points, "x", intervals, "lo", "hi", w)
+        .select("pid", "iid").as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size, s"duplicate pairs at binWidth=$w")
+      assert(got.toSet == expected, s"mismatch at binWidth=$w")
+    }
+  }
+
   test("salted join returns identical results to a plain join") {
     import spark.implicits._
     // skewed left side: key 1 dominates
