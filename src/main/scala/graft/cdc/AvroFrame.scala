@@ -77,8 +77,9 @@ object AvroFrame {
     * table set before starting a pipeline.
     */
   private val relidRegistry = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+  private def relidHash(table: String): Long = table.hashCode.toLong & 0xffffffffL
   def relidOf(table: String): Long = {
-    val relid = table.hashCode.toLong & 0xffffffffL
+    val relid = relidHash(table)
     val prev = relidRegistry.putIfAbsent(relid, table)
     require(prev == null || prev == table,
       s"relid collision: tables '$prev' and '$table' both hash to $relid")
@@ -88,10 +89,12 @@ object AvroFrame {
   /** Driver-side upfront collision check over a FULL table set (the catalog
     * analog): returns the relid assignment, or fails deterministically before
     * any frame is encoded — closing the per-JVM gap of the executor-local
-    * check above. O(tables) work, run once at pipeline start.
+    * check above. O(tables) work, run once at pipeline start. Shares
+    * [[relidHash]] with [[relidOf]] so the validated assignment is, by
+    * construction, the one executors will use.
     */
   def validateRelids(tables: Seq[String]): Map[String, Long] = {
-    val assigned = tables.distinct.map(t => t -> (t.hashCode.toLong & 0xffffffffL))
+    val assigned = tables.distinct.map(t => t -> relidHash(t))
     for ((relid, group) <- assigned.groupBy(_._2) if group.size > 1)
       throw new IllegalArgumentException(
         s"relid collision: tables ${group.map(_._1).mkString("'", "', '", "'")} all hash to $relid")
@@ -234,8 +237,18 @@ object AvroFrame {
             xid = r.get("xid").asInstanceOf[Long]
             lsn = r.get("lsn").asInstanceOf[Long]
           case "TableSchema" =>
-            val payload = jsonMapper.readTree(String.valueOf(r.get("rowSchema")))
-            val name = payload.get("name").asText()
+            val raw = String.valueOf(r.get("rowSchema"))
+            val payload = try jsonMapper.readTree(raw) catch {
+              case e: Exception => throw new IllegalArgumentException(
+                s"TableSchema rowSchema is not JSON (relid ${relid.get}): $raw", e)
+            }
+            val nameNode = payload.get("name")
+            // fail loudly on foreign payload shapes (e.g. a bare Avro record
+            // schema) rather than NPE or caching garbage — this codec's wire
+            // convention is the {"name","type"} object schemaPayload writes
+            require(nameNode != null && nameNode.isTextual,
+              s"TableSchema rowSchema missing textual 'name' (relid ${relid.get}): $raw")
+            val name = nameNode.asText()
             val tpe = payload.get("type")
             val schemaJson = if (tpe == null || tpe.isNull) null else tpe.toString
             state.update(relid.get, name, schemaJson)

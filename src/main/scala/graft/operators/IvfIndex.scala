@@ -43,10 +43,13 @@ object IvfIndex {
     val q = corpus.select(col(idCol).as("id"), Similarity.quantize(col(vecCol)).as("qv"))
     // deterministic seeding: the nLists lowest ids (TakeOrdered — no global
     // sort; Lloyd iterations wash out seed placement). The window below runs
-    // over nLists rows only.
-    var centroids = q.orderBy("id").limit(nLists)
+    // over nLists rows only. A corpus smaller than nLists seeds one cell per
+    // row (a valid, smaller index) instead of failing the invariant below.
+    val seeds = q.orderBy("id").limit(nLists)
       .select((row_number().over(Window.orderBy("id")) - 1).as("cell"),
         col("qv").as("cv"))
+    val effLists = math.min(nLists.toLong, seeds.count()).toInt
+    var centroids = seeds
     for (_ <- 1 to iters) {
       val assigned = assign(q, centroids)
       val means = assigned
@@ -63,8 +66,9 @@ object IvfIndex {
     import spark.implicits._
     val local = centroids.select(col("cell").cast("int"), col("cv"))
       .as[(Int, Seq[Long])].collect().toSeq
-    require(local.size == nLists,
-      s"IVF train invariant broken: ${local.size} centroids != nLists=$nLists")
+    require(local.size == effLists,
+      s"IVF train invariant broken: ${local.size} centroids != $effLists " +
+        s"(nLists=$nLists, corpus may be smaller)")
     spark.createDataset(local).toDF("cell", "cv")
   }
 

@@ -32,19 +32,27 @@ object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       leftTs: String, rightTs: String, payload: Map[String, String],
       strict: Boolean = false): DataFrame = {
+    // the two time columns order ONE union'd column — they must already share
+    // a type; an implicit widening cast here could silently truncate
+    // (double→long would collapse 10.2 and 10.9 into the same instant and
+    // let a "future" right row match)
+    require(left.schema(leftTs).dataType == right.schema(rightTs).dataType,
+      s"as-of time columns must have identical types: " +
+        s"$leftTs is ${left.schema(leftTs).dataType}, " +
+        s"$rightTs is ${right.schema(rightTs).dataType}")
     val leftCols = left.columns.toSeq
     val outNames = payload.values.toSeq
     // right rows: key + ts + payload struct; left rows: key + ts + full row
     val rightTagged = right.select(
       keyCols.map(col) ++ Seq(
-        col(rightTs).cast("long").as("_ts"),
+        col(rightTs).as("_ts"),
         lit(0).as("_side"),
         struct(payload.map { case (c, n) => col(c).as(n) }.toSeq: _*).as("_payload"),
         lit(null).cast(org.apache.spark.sql.types.StructType(
           left.schema.fields)).as("_left")): _*)
     val leftTagged = left.select(
       keyCols.map(col) ++ Seq(
-        col(leftTs).cast("long").as("_ts"),
+        col(leftTs).as("_ts"),
         lit(1).as("_side"),
         lit(null).cast(rightTagged.schema("_payload").dataType).as("_payload"),
         struct(leftCols.map(col): _*).as("_left")): _*)

@@ -79,7 +79,12 @@ object KafkaSink {
     val routing = ids.toSeq
       .map { case (t, i) => (t, i.topic, i.keyId, i.valueId) }
       .toDF("_table", "topic", "_key_id", "_value_id")
-    CdcPipeline.dropUnkeyedDeletes(envelopes).toDF()
+    // row ops only: decodeFrame surfaces TableSchema messages as Op.Schema
+    // events (and txn brackets exist upstream) — control messages go to the
+    // registry, never to the data topic (the reference produces only row
+    // events, kafka/bottledwater.c:466–541)
+    val rowEvents = envelopes.filter(e => Op.rowOps.contains(e.op))
+    CdcPipeline.dropUnkeyedDeletes(rowEvents).toDF()
       .join(broadcast(routing), col("table") === col("_table"))
       .withColumn("key",
         GraftFunctions.schema_id_frame(col("_key_id"), col("key").cast("binary")))

@@ -186,6 +186,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(byCell(2) == Seq(5120L)) // emptied cell retains its seed centroid
   }
 
+  test("IVF with a corpus smaller than nLists trains a valid smaller index") {
+    import spark.implicits._
+    val data = Seq((0L, Array(0.0f, 1.0f)), (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)))
+    val df = spark.createDataFrame(data).toDF("vec_id", "embedding")
+    // 3 vectors, nLists=16: one cell per row, no invariant failure
+    assert(IvfIndex.train(df, "vec_id", "embedding", nLists = 16).count() == 3)
+    val out = IvfIndex.search(df.filter(col("vec_id") === 0), df,
+      "vec_id", "embedding", k = 2, nLists = 16, nProbe = 16)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(out == Set(1L, 2L))   // self excluded; both remaining vectors
+  }
+
   test("IVF with nProbe == nLists reproduces brute-force top-k exactly") {
     import spark.implicits._
     val emb = graft.Tables.embeddings(spark, dir)

@@ -54,6 +54,22 @@ class ScaleJoinsSpec extends AnyFunSuite {
         Map("rts" -> "asof_ts"), strict = true)
       .filter(col("ts") === 10).select("asof_ts").as[Option[Long]].collect()
     assert(strict.toSeq == Seq(Some(3L)))  // strict <: same-ts right hidden
+
+    // fractional time axes keep sub-unit precision (no integral truncation):
+    // a right row at 10.9 must NOT match a left row at 10.2
+    val fracOut = AsOfJoin.asOf(
+        Seq((1L, 10.2)).toDF("k", "ts"),
+        Seq((1L, 10.9, "future"), (1L, 9.5, "past")).toDF("k", "rts", "v"),
+        Seq("k"), "ts", "rts", Map("v" -> "asof_v"))
+      .select("asof_v").as[String].collect()
+    assert(fracOut.toSeq == Seq("past"))
+
+    // mismatched time types fail loudly instead of silently coercing
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(Seq((1L, 10.2)).toDF("k", "ts"),
+        Seq((1L, 9L, 1.0)).toDF("k", "rts", "v"),
+        Seq("k"), "ts", "rts", Map("v" -> "asof_v"))
+    }
   }
 
   test("as-of join agrees with the naive theta-join + argmax formulation") {

@@ -47,7 +47,9 @@ class KafkaSinkSpec extends AnyFunSuite {
       CdcEvent(Op.Insert, "public.users", 3, 0, 0, null, null, """{"u":"unkeyed"}"""),
       CdcEvent(Op.Delete, "public.users", 4, 0, 0, null, null, null),    // unkeyed delete: dropped
       CdcEvent(Op.Insert, "crm.accounts", 5, 0, 0, """{"id":9}""", null, """{"id":9,"u":"x"}"""),
-      CdcEvent(Op.Insert, "ops.unregistered", 6, 0, 0, """{"id":1}""", null, """{"id":1}"""))
+      CdcEvent(Op.Insert, "ops.unregistered", 6, 0, 0, """{"id":1}""", null, """{"id":1}"""),
+      // control message (as decodeFrame surfaces them): must NOT be produced
+      CdcEvent(Op.Schema, "public.users", 7, 0, 0, "424242", null, """{"type":"struct"}"""))
       .toDS()
 
     val rows = KafkaSink.producerRows(envelopes, ids, numPartitions = 16)
