@@ -40,16 +40,22 @@ object IvfIndex {
     */
   def train(corpus: DataFrame, idCol: String, vecCol: String, nLists: Int,
       iters: Int = 2): DataFrame = {
+    val spark0 = corpus.sparkSession
+    import spark0.implicits._
     val q = corpus.select(col(idCol).as("id"), Similarity.quantize(col(vecCol)).as("qv"))
     // deterministic seeding: the nLists lowest ids (TakeOrdered — no global
-    // sort; Lloyd iterations wash out seed placement). The window below runs
-    // over nLists rows only. A corpus smaller than nLists seeds one cell per
-    // row (a valid, smaller index) instead of failing the invariant below.
-    val seeds = q.orderBy("id").limit(nLists)
-      .select((row_number().over(Window.orderBy("id")) - 1).as("cell"),
-        col("qv").as("cv"))
-    val effLists = math.min(nLists.toLong, seeds.count()).toInt
-    var centroids = seeds
+    // sort; Lloyd iterations wash out seed placement). Seeds are ≤nLists
+    // rows by construction, so they are materialized locally once — the
+    // Lloyd lineage then starts from a local relation instead of re-running
+    // the TakeOrdered inside every downstream action. A corpus smaller than
+    // nLists seeds one cell per row (a valid, smaller index) instead of
+    // failing the invariant below.
+    val seedLocal = q.orderBy("id").limit(nLists)
+      .select(col("qv")).as[Seq[Long]].collect()  // sorted by id
+    val effLists = seedLocal.length
+    var centroids = spark0.createDataset(
+      seedLocal.zipWithIndex.map { case (v, i) => (i, v) }.toSeq)
+      .toDF("cell", "cv")
     for (_ <- 1 to iters) {
       val assigned = assign(q, centroids)
       val means = assigned
@@ -62,14 +68,12 @@ object IvfIndex {
       centroids = centroids.join(means, Seq("cell"), "left")
         .select(col("cell"), coalesce(col("mv"), col("cv")).as("cv"))
     }
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val local = centroids.select(col("cell").cast("int"), col("cv"))
       .as[(Int, Seq[Long])].collect().toSeq
     require(local.size == effLists,
       s"IVF train invariant broken: ${local.size} centroids != $effLists " +
         s"(nLists=$nLists, corpus may be smaller)")
-    spark.createDataset(local).toDF("cell", "cv")
+    spark0.createDataset(local).toDF("cell", "cv")
   }
 
   /** Nearest cell per vector (exact integer L2 to each broadcast centroid).
