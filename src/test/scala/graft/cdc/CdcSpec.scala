@@ -107,7 +107,10 @@ class CdcSpec extends AnyFunSuite {
   test("tombstone TTL: timed-out tombstones evict silently; live keys survive") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
-    val ttlMs = 4000L
+    // TTL must comfortably exceed worst-case batch latency on a loaded
+    // machine: b2's events must land BEFORE b1's tombstone timers expire
+    // for the within-TTL assertions to be meaningful.
+    val ttlMs = 8000L
     val input = MemoryStream[CdcEvent]
     // ProcessingTimeTimeout makes the engine re-run micro-batches continuously
     // to poll for expired timers, so processAllAvailable never quiesces — pace
@@ -156,7 +159,7 @@ class CdcSpec extends AnyFunSuite {
           r.contains(("C", Op.Delete, 6L)) && r.contains(("D", Op.Insert, 9L)))
       assert(!afterB2.contains(("A", Op.Insert, 2L)))  // no resurrection
 
-      Thread.sleep(ttlMs + 4000)  // well past the A and C tombstone timers
+      Thread.sleep(ttlMs + 6000)  // well past the A and C tombstone timers
 
       // b3: timed-out tombstones (A, C) evicted SILENTLY — the continuous
       // timer-polling batches emitted nothing; one new key adds exactly one row.
