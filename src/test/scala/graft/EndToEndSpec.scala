@@ -69,4 +69,41 @@ class EndToEndSpec extends AnyFunSuite {
       .as[(Long, Double)].collect().toMap
     assert(state == replay)
   }
+
+  test("produce → consume symmetry: Kafka frames round-trip the compacted state") {
+    import spark.implicits._
+    import graft.streaming.KafkaSink
+    val table = "public.accounts"
+
+    // compacted changelog (incl. a tombstone) → producer frames
+    val compacted = Seq(
+      CdcEvent(Op.Insert, table, 10, 1, 0, """{"id":1}""", null, """{"id":1,"balance":150.0}"""),
+      CdcEvent(Op.Insert, table, 11, 1, 1, """{"id":3}""", null, """{"id":3,"balance":300.0}"""),
+      CdcEvent(Op.Delete, table, 12, 2, 0, """{"id":2}""", null, null)).toDS()
+    val registry = new MockSchemaRegistry
+    val ids = KafkaSink.registerAll(Map(table -> KafkaSink.TopicSchemas(
+      PgTypes.schemaFor(Seq("id" -> PgTypes.Oid.Int8)).json,
+      PgTypes.schemaFor(Seq("id" -> PgTypes.Oid.Int8,
+        "balance" -> PgTypes.Oid.Float8)).json)), "bw", registry, ErrorPolicy.Exit)
+    val produced = KafkaSink.producerRows(compacted, ids, numPartitions = 8).collect()
+
+    // consumer side: unframe key/value exactly as a downstream reader would —
+    // Kafka log compaction keeps the newest record per key; a null value is
+    // the deletion marker (README.md:288–291)
+    val consumed = produced.map { r =>
+      val key = new String(graft.functions.RegistryFrame.strip(
+        r.getAs[Array[Byte]]("key")), "UTF-8")
+      val value = Option(r.getAs[Array[Byte]]("value"))
+        .map(v => new String(graft.functions.RegistryFrame.strip(v), "UTF-8"))
+      key -> value
+    }.toMap
+    assert(consumed == Map(
+      """{"id":1}""" -> Some("""{"id":1,"balance":150.0}"""),
+      """{"id":3}""" -> Some("""{"id":3,"balance":300.0}"""),
+      """{"id":2}""" -> None))   // tombstone survives the wire as null
+
+    // every frame decodes with the schema id the registry issued
+    assert(produced.forall(r => graft.functions.RegistryFrame.schemaId(
+      r.getAs[Array[Byte]]("key")) == ids(table).keyId))
+  }
 }
