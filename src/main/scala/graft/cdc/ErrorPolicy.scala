@@ -1,6 +1,6 @@
 package graft.cdc
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Error policies — ≙ ext/error_policy.c:29–40 + kafka/bottledwater.c:417–436:
@@ -83,7 +83,7 @@ object ErrorPolicy {
     * after a retry — the reference's "no data loss after retry" contract.)
     */
   def guardedBatchSink[T](policy: ErrorPolicy, what: String)(
-      f: (org.apache.spark.sql.Dataset[T], Long) => Unit): (org.apache.spark.sql.Dataset[T], Long) => Unit = (df, batchId) =>
+      f: (Dataset[T], Long) => Unit): (Dataset[T], Long) => Unit = (df, batchId) =>
     try f(df, batchId)
     catch {
       case e: Exception => policy match {
