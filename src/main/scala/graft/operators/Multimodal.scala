@@ -63,4 +63,69 @@ object Multimodal {
         }
       }
   }
+
+  /** One sampled frame of a video-like blob. */
+  final case class Frame(doc_id: Long, frame_idx: Int, total_frames: Int,
+      frame: Array[Byte])
+
+  /** Frame sampling: treat the blob as a sequence of fixed-size frames and
+    * emit every `every`-th one as its OWN ROW — the explode shape a
+    * frame-level pipeline (caption, embed, filter per frame) needs. The
+    * fixed-`frameBytes` segmentation is the STUB (a real container format
+    * would use the demuxer's frame index); the partition-parallel batched
+    * explode, the one-row-per-frame schema, and the total_frames bookkeeping
+    * are the real plumbing. Empty blobs produce no frames.
+    */
+  def frameSample(blobs: DataFrame, frameBytes: Int, every: Int,
+      batchSize: Int = 64): Dataset[Frame] = {
+    require(frameBytes > 0 && every > 0, "frameBytes and every must be positive")
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select("doc_id", "format", "blob")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // per-batch demuxer setup would happen here
+          batch.iterator.flatMap { case (id, _, blob) =>
+            val total = (blob.length + frameBytes - 1) / frameBytes
+            (0 until total by every).iterator.map { i =>
+              Frame(id, i, total, java.util.Arrays.copyOfRange(
+                blob, i * frameBytes, math.min((i + 1) * frameBytes, blob.length)))
+            }
+          }
+        }
+      }
+  }
+
+  /** A media item resized to a fixed grid. */
+  final case class Resized(doc_id: Long, width: Int, height: Int,
+      pixels: Array[Byte])
+
+  /** Resize to a fixed w×h grid by nearest-neighbor sampling over the blob
+    * bytes — the STUB for a real scaler (bilinear over decoded pixels); the
+    * batched executor plumbing and the fixed-size output contract (every row
+    * exactly w·h bytes, the shape a training-batch assembler requires) are
+    * real. Empty blobs resize to all-zero pixels.
+    */
+  def resizeBatched(blobs: DataFrame, w: Int, h: Int,
+      batchSize: Int = 64): Dataset[Resized] = {
+    require(w > 0 && h > 0, "target dimensions must be positive")
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select("doc_id", "format", "blob")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // per-batch scaler setup would happen here
+          batch.iterator.map { case (id, _, blob) =>
+            val n = w * h
+            val px = Array.tabulate(n) { i =>
+              if (blob.isEmpty) 0.toByte
+              else blob(((i.toLong * blob.length) / n).toInt)
+            }
+            Resized(id, w, h, px)
+          }
+        }
+      }
+  }
 }

@@ -177,6 +177,28 @@ object VectorQueries {
         |FROM raw""".stripMargin) { (s, d) =>
       Multimodal.decodeBatched(
         Multimodal.withBlob(Tables.documents(s, d), "text", "source")).toDF()
+    },
+
+    // --- multimodal: frame sampling (one row per sampled 256-byte "frame",
+    // --- every 4th) — the oracle restates the sampling arithmetic ------------
+    q("mm02_frame_sample",
+      """SELECT doc_id,
+        |  CAST((strlen(text) + 255) // 256 AS INT) AS total_frames,
+        |  CAST(((strlen(text) + 255) // 256 + 3) // 4 AS BIGINT) AS n_sampled,
+        |  CASE WHEN ((strlen(text) + 255) // 256 - 1) % 4 = 0
+        |       THEN CAST(strlen(text) - ((strlen(text) + 255) // 256 - 1) * 256 AS INT)
+        |  END AS last_frame_bytes
+        |FROM documents WHERE strlen(text) > 0""".stripMargin) { (s, d) =>
+      Multimodal.frameSample(
+          Multimodal.withBlob(Tables.documents(s, d), "text", "source"),
+          frameBytes = 256, every = 4)
+        .groupBy(col("doc_id"))
+        .agg(max(col("total_frames")).as("total_frames"),
+          count(lit(1)).as("n_sampled"),
+          // the final frame is short unless the blob divides evenly — its
+          // length checks the copyOfRange boundary arithmetic end-to-end
+          max(when(col("frame_idx") === col("total_frames") - 1,
+            octet_length(col("frame")))).as("last_frame_bytes"))
     }
   )
 }

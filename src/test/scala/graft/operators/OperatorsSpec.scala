@@ -237,4 +237,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(metas.sortBy(_.doc_id).toSeq == again.sortBy(_.doc_id).toSeq,
       "batch size must not affect results")
   }
+
+  test("frame sampling: one row per sampled frame, boundary arithmetic exact") {
+    import spark.implicits._
+    // 1000-byte blob, 256-byte frames: 4 frames (last = 232 bytes); every=2
+    // samples frames 0 and 2; empty blob yields no frames at all
+    val blobs = Seq(
+      (1L, "v", Array.fill[Byte](1000)(7)),
+      (2L, "v", Array.emptyByteArray),
+      (3L, "v", Array.fill[Byte](256)(1))) // exactly one full frame
+      .toDF("doc_id", "format", "blob")
+    val frames = Multimodal.frameSample(blobs, frameBytes = 256, every = 2,
+      batchSize = 2).collect()
+    val byDoc = frames.groupBy(_.doc_id)
+    assert(byDoc(1L).map(_.frame_idx).sorted.toSeq == Seq(0, 2))
+    assert(byDoc(1L).forall(_.total_frames == 4))
+    assert(byDoc(1L).forall(_.frame.length == 256)) // idx 2 is still full
+    assert(!byDoc.contains(2L))
+    assert(byDoc(3L).map(f => (f.frame_idx, f.total_frames, f.frame.length)).toSeq ==
+      Seq((0, 1, 256)))
+    // last partial frame length when the last frame IS sampled (every=3 → idx 3)
+    val withLast = Multimodal.frameSample(blobs, frameBytes = 256, every = 3)
+      .filter(col("doc_id") === 1 && col("frame_idx") === 3).collect()
+    assert(withLast.map(_.frame.length).toSeq == Seq(1000 - 3 * 256))
+  }
+
+  test("resize: fixed w*h output, nearest-neighbor sampling, deterministic") {
+    import spark.implicits._
+    val blobs = Seq(
+      (1L, "img", Array.tabulate[Byte](100)(_.toByte)),
+      (2L, "img", Array.emptyByteArray))
+      .toDF("doc_id", "format", "blob")
+    val out = Multimodal.resizeBatched(blobs, w = 8, h = 4, batchSize = 1)
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(out.values.forall(r => r.pixels.length == 8 * 4 && r.width == 8 && r.height == 4))
+    // nearest-neighbor: pixel i samples byte floor(i*len/n)
+    assert(out(1L).pixels.zipWithIndex.forall { case (p, i) => p == (i * 100 / 32).toByte })
+    assert(out(2L).pixels.forall(_ == 0))               // empty blob → zeros
+    val again = Multimodal.resizeBatched(blobs, 8, 4, batchSize = 64).collect()
+      .map(r => r.doc_id -> r.pixels.toSeq).toMap
+    assert(out.view.mapValues(_.pixels.toSeq).toMap == again)
+  }
 }
