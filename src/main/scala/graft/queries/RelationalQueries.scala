@@ -281,6 +281,11 @@ object RelationalQueries {
         |       COUNT(DISTINCT o_orderstatus) AS n_status,
         |       (SELECT COUNT(*) FROM (SELECT DISTINCT o_custkey, o_orderstatus FROM orders) t) AS n_pairs
         |FROM orders""".stripMargin) { (s, d) =>
+      // Deliberately the built-in multi-distinct aggregate (this query IS the
+      // §2b multi-count-distinct surface exemplar). Catalyst plans it via
+      // Expand ×(n_distincts+1) — fine on a dimension-sized table like
+      // orders, a scale-killer on a fact table: for that case use the
+      // split dedup-then-count shape of q27 (measured 33× there).
       Tables.orders(s, d).agg(
         countDistinct(col("o_custkey")).as("n_cust"),
         countDistinct(col("o_orderstatus")).as("n_status"),
