@@ -77,8 +77,12 @@ object RelationalQueries {
         .filter(col("o_orderdate") < to_timestamp(lit("1999-01-01 00:00:00")))
       val l = Tables.lineitem(s, d)
         .filter(col("l_shipdate") > to_timestamp(lit("1999-01-01 00:00:00")))
+      // no broadcast hint on customer: it SCALES with SF (15M rows at
+      // sf100) — AQE broadcasts it when its measured size allows, and
+      // falls back to a shuffled join when it doesn't; a forced hint would
+      // override that check
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(sum(money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
           .cast("double").as("revenue"))
@@ -115,8 +119,11 @@ object RelationalQueries {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name""".stripMargin) { (s, d) =>
-      // lineitem is the only big fact: every other input is broadcast so the
-      // plan is a single scan + broadcast-hash-joins + one partial/final agg.
+      // lineitem is the only big fact. Explicit broadcast hints ONLY on the
+      // FIXED-size tables (nation=25, region=5 rows at any SF); customer and
+      // supplier scale with SF (15M / 1M rows at sf100), so AQE decides for
+      // them from measured sizes — small scale: same broadcast plan; large
+      // scale: shuffled join instead of an OOM.
       val asia = Tables.nation(s, d)
         .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
           col("n_regionkey") === col("r_regionkey"))
@@ -124,8 +131,8 @@ object RelationalQueries {
         .join(broadcast(asia), col("s_nationkey") === col("n_nationkey"))
       Tables.lineitem(s, d)
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(sup),
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(sup,
           col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
         .groupBy(col("n_name"))
         .agg(sum(money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
