@@ -86,8 +86,9 @@ object Dedup {
     * Scale note: the PAIR LIST is the small output of LSH+verification
     * (near-dup edges), not the corpus — collecting it is O(duplicates), the
     * standard shape for dedup-group resolution. For pathological duplicate
-    * volumes, swap for an iterative large-star/small-star job; the contract
-    * (min-id representative) stays the same.
+    * volumes use [[clustersDistributed]] (large-star/small-star, fully
+    * distributed, equivalence-tested against this); the contract (min-id
+    * representative) is identical.
     */
   def clusters(pairs: DataFrame, aCol: String = "a", bCol: String = "b")
       : Map[Long, Long] = {
@@ -108,6 +109,57 @@ object Dedup {
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
     }
     parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  /** Distributed connected components over the near-dup edge list — the
+    * large-star/small-star alternation (a public MapReduce-era algorithm:
+    * alternate (1) pointing every larger neighbor at the neighborhood
+    * minimum and (2) contracting each node's smaller neighbors onto that
+    * minimum, until the edge set is a fixed star forest). Both steps are
+    * plain groupBy + join rounds, shuffle O(edges), converging in O(log)
+    * alternations — so pathological duplicate volumes never touch the
+    * driver. This is the scale swap-path documented on [[clusters]]; the
+    * contract is identical: (member, rep = component min id), one row per
+    * node incl. the representative itself.
+    */
+  def clustersDistributed(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
+      maxRounds: Int = 20): DataFrame = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val s = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = s.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      s.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val o = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      val mins = o.groupBy("u").agg(min("v").as("m"))
+      o.join(mins, "u")
+        .select(explode(array(
+          struct(col("u").as("n"), col("m")),
+          struct(col("v").as("n"), col("m")))).as("x"))
+        .select(col("x.n").as("u"), col("x.m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    var cur = pairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint() // iterative algorithm: cut lineage every round
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val next = smallStar(largeStar(cur)).localCheckpoint()
+      converged = next.count() == cur.count() && next.exceptAll(cur).isEmpty
+      cur = next
+      round += 1
+    }
+    require(converged, s"connected components did not converge in $maxRounds rounds")
+    cur.select(col("u").as("member"), col("v").as("rep"))
+      .unionByName(cur.select(col("v").as("member"), col("v").as("rep")))
+      .distinct()
   }
 
   /** Exact k-shingle Jaccard for given candidate pairs (columns a, b). */

@@ -171,6 +171,23 @@ object TextQueries {
         Dedup.minhashCandidatePairs(cp, "doc_id", "text"), cp, "doc_id", "text")
     },
 
+    // --- duplicate clusters: distributed large-star/small-star connected
+    // --- components over the LSH pairs; the oracle reaches the same partition
+    // --- by recursive transitive closure + min-label (tiny edge set in SQL) ---
+    q("txt10_dup_clusters",
+      s"""WITH RECURSIVE $corpusSql,
+         |$minhashSql,
+         |sym AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM sym
+         |  UNION
+         |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u
+         |)
+         |SELECT u AS member, LEAST(u, MIN(v)) AS rep FROM reach GROUP BY u""".stripMargin) { (s, d) =>
+      Dedup.clustersDistributed(
+        Dedup.minhashCandidatePairs(corpus(s, d), "doc_id", "text"))
+    },
+
     // --- SimHash (native expression vs 32-way SQL vote) -----------------------
     q("txt08_simhash",
       s"""WITH toks AS (SELECT doc_id, list_distinct($toksSql) AS t FROM documents),

@@ -65,6 +65,29 @@ class DedupSpec extends AnyFunSuite {
     assert(nearViaTwin.forall(_._3 > 0.8))
   }
 
+  test("distributed connected components == driver union-find") {
+    import spark.implicits._
+    // chain (descending ids), a star, a triangle, disjoint pairs, dup edges
+    val edges = Seq(
+      (9L, 8L), (8L, 7L), (7L, 6L), (6L, 5L),          // chain → rep 5
+      (20L, 21L), (20L, 22L), (20L, 23L),               // star → rep 20
+      (30L, 31L), (31L, 32L), (32L, 30L),               // triangle → rep 30
+      (40L, 41L), (41L, 40L), (40L, 41L),               // dups both ways
+      (50L, 60L))
+    val df = edges.toDF("a", "b")
+    val expected = Dedup.clusters(df)                    // driver union-find
+    val got = Dedup.clustersDistributed(df)
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected)
+    assert(got(5L) == 5L && got(9L) == 5L && got(23L) == 20L &&
+      got(32L) == 30L && got(41L) == 40L && got(60L) == 50L)
+
+    // and on the real LSH candidate set from the planted-dup corpus
+    val pairs = Dedup.minhashCandidatePairs(corpus(), "doc_id", "text")
+    val distMap = Dedup.clustersDistributed(pairs).as[(Long, Long)].collect().toMap
+    assert(distMap == Dedup.clusters(pairs))
+  }
+
   test("BPE-ish tokenizer: digit and punctuation branches (dead on gate corpus)") {
     import spark.implicits._
     // the sf corpora are [a-z ]-only, so exercise the other branches here
