@@ -118,6 +118,46 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(state("""{"id":1}""").contains("ada2"))
   }
 
+  test("backpressure: maxFilesPerTrigger paces a file source batch-by-batch") {
+    import spark.implicits._
+    // two parquet files → with maxFilesPerTrigger=1 the file source must
+    // split the backlog into (at least) two micro-batches — the reference's
+    // hand-built rate control (SURVEY §2a row 21) as engine config
+    val src = java.nio.file.Files.createTempDirectory("bp_src").toString
+    Seq(ev("insert", """{"id":1}""", 1, """{"id":1,"u":"a"}""")).toDS()
+      .coalesce(1).write.parquet(s"$src/f1")
+    Seq(ev("insert", """{"id":2}""", 2, """{"id":2,"u":"b"}""")).toDS()
+      .coalesce(1).write.parquet(s"$src/f2")
+    val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[CdcEvent]].schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$src/*")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batchSizes.add(b.count()); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val sizes = batchSizes.asScala.toSeq
+    assert(sizes.sum == 2, s"all rows must arrive: $sizes")
+    assert(sizes.count(_ > 0) >= 2, s"backlog must be split across batches: $sizes")
+  }
+
+  test("debug sink composes the console writer (bwtest stdout analog)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[CdcEvent]
+    val q = CdcPipeline.debugSink(input.toDS()).start()
+    try {
+      input.addData(ev("insert", """{"id":1}""", 1, """{"id":1,"u":"a"}"""))
+      q.processAllAvailable()            // console sink prints; must not fail
+      assert(q.exception.isEmpty)
+    } finally q.stop()
+  }
+
   test("skip-snapshot mode ignores existing contents, emits only live changes") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
