@@ -87,28 +87,72 @@ object IvfIndex {
       .select(col("id"), col("s.qv").as("qv"), col("s.cell").as("cell"))
   }
 
-  /** ANN search: probe → its nProbe nearest cells → rerank candidates in
-    * those cells by quantized cosine → top-k.
+  /** A trained IVF index: the `nLists` centroids plus the corpus assigned to
+    * cells with precomputed self-norms — everything a search needs, nothing
+    * that retrains. Train-once-search-many is the operator's whole scale
+    * story: at 100 TB the two Lloyd passes over the corpus are the expensive
+    * part, and every search that re-runs them pays them again.
+    *
+    * Schemas: `centroids(cell INT, cv ARRAY<LONG>)`,
+    * `assigned(neighbor_id LONG, cq ARRAY<LONG>, n2c LONG, cell INT)`.
     */
-  def search(probes: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, nLists: Int = 16, nProbe: Int = 3, iters: Int = 2): DataFrame = {
+  final case class Index(centroids: DataFrame, assigned: DataFrame) {
+
+    /** Persist to `dir` as parquet. `assigned` is partitioned by `cell`, so a
+      * search's `cell IN (probed…)` filter becomes parquet partition pruning —
+      * a loaded index reads only nProbe/nLists of the corpus bytes.
+      */
+    def save(dir: String): Unit = {
+      centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+      assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/assigned")
+    }
+  }
+
+  /** Train the index: Lloyd centroids + one cell-assignment pass over the
+    * corpus, with quantized vectors and self-norms precomputed so search does
+    * no per-row arithmetic beyond the rerank itself.
+    */
+  def build(corpus: DataFrame, idCol: String, vecCol: String,
+      nLists: Int = 16, iters: Int = 2): Index = {
     val centroids = train(corpus, idCol, vecCol, nLists, iters)
-    val index = assign(
+    val assigned = assign(
       corpus.select(col(idCol).as("id"), Similarity.quantize(col(vecCol)).as("qv")),
       centroids)
       .select(col("id").as("neighbor_id"), col("qv").as("cq"), col("cell"))
       .withColumn("n2c", Similarity.dotQ(col("cq"), col("cq")))
+    Index(centroids, assigned)
+  }
+
+  /** Load a persisted index. Quantization is integral end-to-end (see class
+    * scaladoc), so a save/load round-trip is bit-exact: `searchIndex` over
+    * `load(save(build(…)))` returns the same rows as over the in-memory index.
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): Index = {
+    // partition-column inference can widen `cell`; pin the written schema
+    val assigned = spark.read.parquet(s"$dir/assigned")
+      .select(col("neighbor_id"), col("cq"), col("n2c"), col("cell").cast("int"))
+    Index(spark.read.parquet(s"$dir/centroids"), assigned)
+  }
+
+  /** ANN search against a prebuilt [[Index]]: probe → its nProbe nearest
+    * cells (broadcast centroid scan) → rerank candidates in those cells by
+    * quantized cosine → top-k. Touches ≈ corpus·nProbe/nLists candidate rows;
+    * with a [[load]]ed index the cell filter prunes parquet partitions, so
+    * untouched cells are never read at all.
+    */
+  def searchIndex(probes: DataFrame, index: Index, idCol: String, vecCol: String,
+      k: Int, nProbe: Int = 3): DataFrame = {
     val pq = probes.select(col(idCol).as("probe_id"),
       Similarity.quantize(col(vecCol)).as("pq"))
       .withColumn("n2p", Similarity.dotQ(col("pq"), col("pq")))
-    val probeCells = pq.crossJoin(broadcast(centroids))
+    val probeCells = pq.crossJoin(broadcast(index.centroids))
       .select(col("probe_id"), col("cell"), l2Q(col("pq"), col("cv")).as("d2"))
       .withColumn("_rn", row_number().over(
         Window.partitionBy(col("probe_id")).orderBy(col("d2"), col("cell"))))
       .filter(col("_rn") <= nProbe)
       .select("probe_id", "cell")
     val scored = probeCells
-      .join(index, Seq("cell"))
+      .join(index.assigned, Seq("cell"))
       .join(pq, Seq("probe_id"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"),
@@ -117,4 +161,13 @@ object IvfIndex {
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Convenience: train + search in one call. Prefer [[build]] (+ [[Index.save]])
+    * and [[searchIndex]] when issuing more than one search — this trains anew
+    * on every call.
+    */
+  def search(probes: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, nLists: Int = 16, nProbe: Int = 3, iters: Int = 2): DataFrame =
+    searchIndex(probes, build(corpus, idCol, vecCol, nLists, iters), idCol, vecCol,
+      k, nProbe)
 }

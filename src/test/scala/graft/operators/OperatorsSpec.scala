@@ -221,6 +221,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out == Set(1L, 2L))   // self excluded; both remaining vectors
   }
 
+  test("IVF search over load(save(build(…))) is bit-identical to search()") {
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, dir)
+    val probes = emb.filter(col("vec_id") < 10)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "neighbor_id", "sim", "rank")
+        .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    val direct = canon(IvfIndex.search(probes, emb, "vec_id", "embedding",
+      k = 3, nLists = 16, nProbe = 4))
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    IvfIndex.build(emb, "vec_id", "embedding", nLists = 16).save(idxDir)
+    val loaded = IvfIndex.load(spark, idxDir)
+    // persisted schemas survive the round-trip (incl. cell stays int)
+    assert(loaded.centroids.schema.map(f => (f.name, f.dataType.simpleString)) ==
+      Seq("cell" -> "int", "cv" -> "array<bigint>"))
+    assert(loaded.assigned.schema.map(f => (f.name, f.dataType.simpleString)) ==
+      Seq("neighbor_id" -> "bigint", "cq" -> "array<bigint>",
+        "n2c" -> "bigint", "cell" -> "int"))
+    val roundTrip = canon(IvfIndex.searchIndex(probes, loaded, "vec_id", "embedding",
+      k = 3, nProbe = 4))
+    assert(roundTrip == direct)
+    // and a second search against the same loaded index is train-free reuse
+    val second = canon(IvfIndex.searchIndex(probes, loaded, "vec_id", "embedding",
+      k = 3, nProbe = 4))
+    assert(second == direct)
+  }
+
   test("IVF with nProbe == nLists reproduces brute-force top-k exactly") {
     import spark.implicits._
     val emb = graft.Tables.embeddings(spark, dir)
