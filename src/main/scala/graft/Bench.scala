@@ -30,9 +30,14 @@ object Bench {
 
     spark.read.parquet(s"$sfDir/lineitem.parquet").count() // warm-up
 
+    // optional args = query-name prefixes to run (local iteration aid);
+    // no args = the full driver-contract surface
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => args.exists(n.startsWith) }
     // a failed query reports duration -1 (a silently-tiny duration would make
     // a REGRESSION look like a speedup in the round-over-round comparison)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()
@@ -60,10 +65,15 @@ object Bench {
         -1.0
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // ms precision: the driver captures a bounded stdout tail, and 61 queries
+    // at full double precision overflow it (BENCH_r03/r04 arrived truncated,
+    // `parsed: null`). 3 decimals halves the line length; sub-ms jitter is
+    // noise anyway.
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
       s""""cdc_events_per_sec":${cdcEps.toLong},"sf":"$sfDir"}""")
     spark.stop()
   }

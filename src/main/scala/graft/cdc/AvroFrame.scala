@@ -72,9 +72,11 @@ object AvroFrame {
     * SCOPE: this check is per-JVM and per-process-lifetime — encodeTxn runs
     * inside mapGroups on executors, each holding an independent registry that
     * is empty after a restart, so two colliding tables encoded on disjoint
-    * executors (or in different runs) pass it silently. For a deterministic
-    * guarantee, call [[validateRelids]] once on the driver with the full
-    * table set before starting a pipeline.
+    * executors (or in different runs) pass it silently. The deterministic
+    * guarantee is [[validateRelids]], run once on the driver with the full
+    * table set — auto-wired at every pipeline entry that knows its tables
+    * (ChangelogGen.fromEvents, KafkaSink.registerAll,
+    * CdcPipeline.writeLatestState's per-batch demux).
     */
   private val relidRegistry = new java.util.concurrent.ConcurrentHashMap[Long, String]()
   private def relidHash(table: String): Long = table.hashCode.toLong & 0xffffffffL

@@ -33,6 +33,9 @@ object ChangelogGen {
 
   def fromEvents(spark: SparkSession, dir: String): Dataset[CdcEvent] = {
     import spark.implicits._
+    // pipeline-start relid validation (trivially collision-free for one
+    // table, but keeps the invariant wired at every changelog entry point)
+    AvroFrame.validateRelids(Seq(TableName))
     Tables.events(spark, dir)
       .select(
         when(col("event_type") === "signup", Op.Insert)

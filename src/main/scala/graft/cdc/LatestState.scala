@@ -112,6 +112,62 @@ object LatestState {
       }
   }
 
+  /** [[streaming]] with REPLAY-DETERMINISTIC tombstone eviction: timers keyed
+    * on commit-LSN event time instead of wall clock. A ProcessingTimeTimeout
+    * eviction depends on when micro-batches happen to run — a checkpoint
+    * replay of the same data can evict on different batch boundaries. Here
+    * the timer is `event-time(tombstone) + ttl` and fires when the stream's
+    * WATERMARK (data-derived, checkpointed) passes it, so the same input
+    * evicts at the same point in every run and across restarts. This mirrors
+    * how Kafka compaction's delete.retention.ms is measured against segment
+    * timestamps, not consumer wall clock.
+    *
+    * Event time derives from `lsn` by default (the envelope's commit-order
+    * stamp; ChangelogGen assigns commit-ordered ids). A source with a real
+    * commit timestamp passes its own `eventTimeMillis` column and matching
+    * `tsMillisOf` — the two MUST agree row-for-row.
+    *
+    * Operational edge: a tombstone arriving with `ts + ttl` already behind
+    * the watermark cannot arm a past timer (Spark rejects it); its timeout is
+    * clamped to watermark+1 ms — it evicts on the next batch, still
+    * deterministically.
+    */
+  def streamingEventTimeTtl(events: Dataset[CdcEvent],
+      tombstoneTtl: java.time.Duration,
+      watermarkDelay: String = "0 seconds",
+      eventTimeMillis: org.apache.spark.sql.Column = col("lsn"),
+      tsMillisOf: CdcEvent => Long = _.lsn): Dataset[CdcEvent] = {
+    import events.sparkSession.implicits._
+    val ttlMs = tombstoneTtl.toMillis
+    events.toDF()
+      .withColumn("_event_ts", timestamp_millis(eventTimeMillis))
+      .withWatermark("_event_ts", watermarkDelay)
+      .as[CdcEvent]
+      .filter(e => Op.rowOps.contains(e.op))
+      .groupByKey(e => (e.table, e.key))
+      .flatMapGroupsWithState[CdcEvent, CdcEvent](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout) {
+        case (_, batch, state: GroupState[CdcEvent]) =>
+          if (state.hasTimedOut) {
+            state.remove()                    // silent eviction, as in [[streaming]]
+            Iterator.empty
+          } else {
+            val incoming = batch.maxBy(e => (e.lsn, e.seq))
+            val newest = state.getOption match {
+              case Some(cur)
+                  if cur.lsn > incoming.lsn ||
+                    (cur.lsn == incoming.lsn && cur.seq >= incoming.seq) => cur
+              case _ => incoming
+            }
+            state.update(newest)
+            if (newest.op == Op.Delete)
+              state.setTimeoutTimestamp(
+                math.max(tsMillisOf(newest) + ttlMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.single(newest)
+          }
+      }
+  }
+
   /** Output mode matching [[streaming]]. */
   val streamingOutputMode: OutputMode = OutputMode.Update()
 

@@ -50,12 +50,18 @@ object MaterializedTable {
       val touched = incoming.select("_bucket").distinct()
         .collect().map(_.getInt(0)).sorted
       val combined = if (exists) {
-        val existing = spark.read.parquet(dir)
+        val existing = readState(spark, dir)
           .filter(col("_bucket").isin(touched.map(Integer.valueOf).toSeq: _*))
         // existing state re-enters compaction as the baseline: it must never
         // win against a genuinely newer incoming row, and vice versa — both
-        // carry their original order columns, so plain compaction is correct
-        existing.unionByName(incoming.select(existing.columns.map(col).toIndexedSeq: _*))
+        // carry their original order columns, so plain compaction is correct.
+        // allowMissingColumns both ways = sink-side schema evolution (the
+        // ALTER TABLE churn of spec/functional/topic_spec.rb:166–274 reaching
+        // the materialized state, not just the decoder): a NEW incoming
+        // column widens the state with old rows null-backfilled; a DROPPED
+        // column keeps its historical values on rows that still carry them
+        // (a newer incoming winner leaves it null).
+        existing.unionByName(incoming, allowMissingColumns = true)
       } else incoming
       val compacted = LatestState.batch(
         combined, keyCols, orderCols, opCol, keepDeleted = false)
@@ -84,7 +90,18 @@ object MaterializedTable {
     }
   }
 
+  /** State-dir read with schema merging: after a widening merge, TOUCHED
+    * buckets carry the new schema while untouched buckets keep the old one —
+    * a plain parquet read would pin whichever file it sampled first and
+    * silently drop the new column from the other buckets.
+    *
+    * Scale note: mergeSchema reconciles footers, not data — O(files) metadata
+    * work, not a scan. On a no-evolution table it is a no-op.
+    */
+  private def readState(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(dir)
+
   /** Current materialized state (bucket column dropped). */
   def read(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(dir).drop("_bucket")
+    readState(spark, dir).drop("_bucket")
 }

@@ -292,7 +292,7 @@ object RelationalQueries {
       // §2b multi-count-distinct surface exemplar). Catalyst plans it via
       // Expand ×(n_distincts+1) — fine on a dimension-sized table like
       // orders, a scale-killer on a fact table: for that case use the
-      // split dedup-then-count shape of q27 (measured 33× there).
+      // exploded-pair dedup shape of q27 (measured 33× there).
       Tables.orders(s, d).agg(
         countDistinct(col("o_custkey")).as("n_cust"),
         countDistinct(col("o_orderstatus")).as("n_status"),
@@ -420,21 +420,31 @@ object RelationalQueries {
       def withinBounds(approx: Column, exact: Column, rsd: Double): Column =
         abs(approx.cast("double") - exact.cast("double")) <=
           lit(3 * rsd) * exact.cast("double")
-      // The approx sketches share one partial-agg pass; each EXACT distinct
-      // count gets its own dedup-then-count plan (map-side partial dedup,
-      // shuffle O(distinct values)). Putting two countDistincts in a single
-      // agg makes Catalyst Expand the input ×(n+1) and shuffle the multiple
-      // — measured 0.27 s → 9 s at sf0.1, and at 100 TB the Expand alone is
-      // fatal. The 1-row results recombine with crossJoins.
+      // ONE scan, ONE shuffle, for sketches AND exact counts: each row
+      // explodes into two narrow (tag, value) pairs; map-side partial dedup
+      // combines before the shuffle, so shuffle volume is
+      // O(distinct_parts + distinct_orders); the final agg computes the
+      // exact counts as conditional sums and the HLL sketches over the SAME
+      // deduped pairs — sound because an HLL estimate depends only on the
+      // distinct value set, never on multiplicity. This is NOT the Catalyst
+      // multi-distinct Expand (which multiplies FULL rows ×(n+1) and
+      // shuffles the multiple — measured 0.27 s → 9 s at sf0.1): the explode
+      // carries 2 columns, not the whole row. And the previous
+      // approx-crossJoin-exact recombination of 1-row subplans cost ~2×
+      // the data work in plan/codegen overhead alone — one linear
+      // aggregation plan is both the scale shape and the fast local one.
       val li = Tables.lineitem(s, d)
-      val approx = li.agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders_1pct"))
-      val exactParts = li.select(col("l_partkey")).distinct()
-        .agg(count(lit(1)).as("exact_parts"))
-      val exactOrders = li.select(col("l_orderkey")).distinct()
-        .agg(count(lit(1)).as("exact_orders"))
-      approx.crossJoin(exactParts).crossJoin(exactOrders)
+      li.select(explode(array(
+          struct(lit("p").as("tag"), col("l_partkey").cast("long").as("v")),
+          struct(lit("o").as("tag"), col("l_orderkey").cast("long").as("v")))).as("tv"))
+        .select(col("tv.tag").as("tag"), col("tv.v").as("v"))
+        .distinct()
+        .agg(
+          approx_count_distinct(when(col("tag") === "p", col("v"))).as("approx_parts"),
+          approx_count_distinct(when(col("tag") === "o", col("v")), rsd = 0.01)
+            .as("approx_orders_1pct"),
+          sum(when(col("tag") === "p", 1L).otherwise(0L)).as("exact_parts"),
+          sum(when(col("tag") === "o", 1L).otherwise(0L)).as("exact_orders"))
         .withColumn("parts_within_3rsd",
           withinBounds(col("approx_parts"), col("exact_parts"), 0.05))
         .withColumn("orders_within_3rsd",

@@ -84,6 +84,9 @@ object CdcPipeline {
         batch.persist() // one materialization feeds the demux + every merge
         try {
           val tables = batch.select("table").distinct().collect().map(_.getString(0))
+          // deterministic relid-collision check over the batch's table set —
+          // driver-side, O(tables), piggybacks on the demux collect above
+          AvroFrame.validateRelids(tables.toSeq)
           for (t <- tables) {
             val safe = graft.functions.AvroSafeName.sanitize(t)
             MaterializedTable.merge(batch.sparkSession, s"$outDir/$safe",

@@ -52,7 +52,12 @@ object KafkaSink {
     * Driver-side, O(tables).
     */
   def registerAll(tableSchemas: Map[String, TopicSchemas], prefix: String,
-      registry: MockSchemaRegistry, policy: ErrorPolicy): Map[String, TopicIds] =
+      registry: MockSchemaRegistry, policy: ErrorPolicy): Map[String, TopicIds] = {
+    // The registration point knows the FULL table set — the right moment for
+    // the deterministic relid-collision check (the reference's OIDs are
+    // unique by construction; our name hash is not): fail here on the driver,
+    // before anything is produced, instead of maybe-on-some-executor later.
+    AvroFrame.validateRelids(tableSchemas.keys.toSeq)
     ErrorPolicy.perTable(tableSchemas.keys.toSeq.sorted, policy,
         "schema registration") { table =>
       val topic = topicOf(prefix, table)
@@ -61,6 +66,7 @@ object KafkaSink {
         keyId = registry.register(topic, isKey = true, s.keySchemaJson),
         valueId = registry.register(topic, isKey = false, s.valueSchemaJson))
     }
+  }
 
   /** Compose a compacted (or raw) envelope stream into producer rows:
     * (topic STRING, partition INT, key BINARY, value BINARY) — exactly the

@@ -179,6 +179,81 @@ class CdcSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("event-time tombstone TTL: replay-deterministic eviction, survives restart") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ttl = java.time.Duration.ofMillis(5000)
+    // event times are DATA (lsn-derived), not wall clock — the whole point
+    val b1 = Seq(
+      ev(Op.Insert, "X", 1000, """{"id":"X"}"""),
+      ev(Op.Delete, "X", 2000, null),             // tombstone; timer at 7000
+      ev(Op.Insert, "K", 1500, """{"id":"K"}"""))
+    val b2 = Seq(ev(Op.Insert, "Y", 20000, """{"id":"Y"}""")) // watermark 2000 during, 20000 after
+    val b3 = Seq(ev(Op.Insert, "Z", 21000, """{"id":"Z"}""")) // wm 20000 > 7000 ⇒ X evicts here
+    val b4 = Seq(ev(Op.Insert, "X", 22000, """{"id":"X2"}""")) // re-creation after eviction
+
+    final class Run(ckpt: String) {
+      val input = MemoryStream[CdcEvent]
+      val out = scala.collection.mutable.ArrayBuffer[Seq[(String, String, Long)]]()
+      var lastStateRows = -1L
+      private var q: org.apache.spark.sql.streaming.StreamingQuery = _
+      def start(): Unit = {
+        q = LatestState.streamingEventTimeTtl(input.toDS(), ttl)
+          .writeStream
+          .outputMode(LatestState.streamingOutputMode)
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[CdcEvent], _: Long) =>
+            val rows = b.collect().map(e => (e.op, e.key, e.lsn)).sorted.toSeq
+            out.synchronized { if (rows.nonEmpty) out += rows }
+            ()
+          }
+          .start()
+      }
+      def deliver(b: Seq[CdcEvent]): Unit = {
+        input.addData(b); q.processAllAvailable()
+        q.recentProgress.flatMap(p => p.stateOperators.map(_.numRowsTotal))
+          .lastOption.foreach(lastStateRows = _)
+      }
+      def stop(): Unit = q.stop()
+    }
+    def ckptDir() = java.nio.file.Files.createTempDirectory("graft_et_ttl").toString
+
+    // --- replay determinism: two from-scratch runs, identical outputs -------
+    val runs = Seq.fill(2) {
+      val r = new Run(ckptDir()); r.start()
+      Seq(b1, b2, b3, b4).foreach(r.deliver); r.stop(); r
+    }
+    assert(runs(0).out.toSeq == runs(1).out.toSeq,
+      "event-time eviction must produce IDENTICAL outputs on identical input")
+
+    // eviction fired in b3's batch and was SILENT: b3's output is Z alone,
+    // no replayed tombstone for X
+    val perBatch = runs(0).out.toSeq
+    assert(perBatch.exists(_ == Seq((Op.Insert, "Z", 21000L))),
+      s"b3 must emit only Z: $perBatch")
+    assert(perBatch.flatten.count(r => r._2 == "X" && r._1 == Op.Delete) == 1,
+      "the original tombstone is emitted once; eviction emits nothing")
+
+    // state shrank: after b4, live keys are {K, Y, Z, X2}; without eviction
+    // the count after b3 would still include X's tombstone
+    assert(runs(0).lastStateRows == 4, s"got ${runs(0).lastStateRows}")
+
+    // --- restart: timers + state recover from the checkpoint ----------------
+    val ckpt = ckptDir()
+    val r1 = new Run(ckpt); r1.start()
+    Seq(b1, b2).foreach(r1.deliver); r1.stop()
+    val r2 = new Run(ckpt)
+    r2.input.addData(b1); r2.input.addData(b2) // same source data, new instance
+    r2.start()
+    r2.deliver(b3)  // recovered timer fires: X evicted in the restarted run
+    assert(r2.lastStateRows == 3, // {K, Y, Z} — X's tombstone gone, K alive
+      s"restarted run must evict from recovered state, got ${r2.lastStateRows}")
+    r2.deliver(b4)
+    r2.stop()
+    assert(r2.out.toSeq.flatten.contains((Op.Insert, "X", 22000L)),
+      "post-eviction re-creation accepted as new")
+  }
+
   test("update split rewrites key-changing updates as delete+insert") {
     import spark.implicits._
     val changed = ev(Op.Update, "9", 7, """{"id":9}""").copy(before = "1")

@@ -104,4 +104,19 @@ class ErrorMatrixSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("relid collision"))
   }
+
+  test("colliding table names fail at pipeline start on the driver, not mid-stream") {
+    // registerAll is a pipeline entry that knows its full table set: the
+    // collision must abort registration itself — regardless of error policy,
+    // which governs per-table registry failures, not an invalid table set
+    val colliding = Map(
+      "Aa" -> schemas("public.things"),
+      "BB" -> schemas("public.things"))
+    val registry = new MockSchemaRegistry
+    val e = intercept[IllegalArgumentException] {
+      KafkaSink.registerAll(colliding, "bw", registry, ErrorPolicy.Log)
+    }
+    assert(e.getMessage.contains("relid collision"))
+    assert(registry.subjects.isEmpty, "nothing may be registered after a collision")
+  }
 }

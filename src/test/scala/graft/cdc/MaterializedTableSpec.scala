@@ -49,6 +49,40 @@ class MaterializedTableSpec extends AnyFunSuite {
       "stale bucket files must not survive an all-tombstone merge")
   }
 
+  test("schema evolution: new column widens state (old rows null), dropped column keeps history") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mat4").toString + "/state"
+    val b1 = Seq(("insert", "k1", 1L, 0L, "A1"), ("insert", "k2", 2L, 0L, "A2"))
+      .toDF("op", "key", "lsn", "seq", "a")
+    MaterializedTable.merge(spark, dir, b1, Seq("key"), Seq("lsn", "seq"), numBuckets = 4)
+
+    // mid-changelog ALTER TABLE ADD COLUMN: batch 2 carries NEW column b and
+    // does not touch k1 — its bucket keeps the old parquet schema on disk
+    val b2 = Seq(("update", "k2", 3L, 0L, "A2b", "B2"), ("insert", "k3", 4L, 0L, "A3", "B3"))
+      .toDF("op", "key", "lsn", "seq", "a", "b")
+    MaterializedTable.merge(spark, dir, b2, Seq("key"), Seq("lsn", "seq"), numBuckets = 4)
+
+    val got = MaterializedTable.read(spark, dir)
+    assert(got.columns.toSet == Set("op", "key", "lsn", "seq", "a", "b"),
+      "merged state must carry the union schema")
+    val m = got.select("key", "a", "b").as[(String, Option[String], Option[String])]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m("k1") == ((Some("A1"), None)), "pre-change row: new column null-backfilled")
+    assert(m("k2") == ((Some("A2b"), Some("B2"))))
+    assert(m("k3") == ((Some("A3"), Some("B3"))))
+
+    // ALTER TABLE DROP COLUMN a: batch 3 no longer carries it; rows that
+    // still hold values keep them, the new winner leaves it null
+    val b3 = Seq(("update", "k3", 5L, 0L, "B3c")).toDF("op", "key", "lsn", "seq", "b")
+    MaterializedTable.merge(spark, dir, b3, Seq("key"), Seq("lsn", "seq"), numBuckets = 4)
+    val m3 = MaterializedTable.read(spark, dir)
+      .select("key", "a", "b").as[(String, Option[String], Option[String])]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m3("k1") == ((Some("A1"), None)), "dropped column keeps history")
+    assert(m3("k2") == ((Some("A2b"), Some("B2"))))
+    assert(m3("k3") == ((None, Some("B3c"))), "post-drop winner carries null")
+  }
+
   test("untouched buckets are not rewritten (incremental IO)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_mat3").toString + "/state"
