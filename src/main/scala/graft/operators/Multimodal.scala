@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.cdc.ErrorPolicy
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -9,9 +10,10 @@ import org.apache.spark.sql.functions._
   * The Spark-side machinery is real and tested — schema, partition-parallel
   * batched iteration (the Scala analog of a batched/pandas decode UDF), typed
   * output — while the codec itself is a clearly marked DETERMINISTIC STUB
-  * (this container ships no image/audio libraries): it "decodes" a blob into
-  * byte-level features. Swapping `decodeStub` for a real JNI/opencv call
-  * changes nothing about the distributed plumbing.
+  * (this container ships no image/audio libraries), now behind the
+  * [[MediaCodec]] trait: swapping in a real JNI/opencv/ffmpeg implementation
+  * is a type-checked constructor argument, not an edit, and changes nothing
+  * about the distributed plumbing.
   */
 object Multimodal {
 
@@ -24,6 +26,62 @@ object Multimodal {
       width: Int,     // STUB: derived dimensions standing in for real decode
       height: Int)
 
+  /** The codec seam: everything that touches media BYTES goes through here;
+    * everything that distributes work (batching, partitioning, schemas,
+    * explode shapes) stays in [[Multimodal]] and is codec-agnostic. A real
+    * implementation wraps opencv/ffmpeg/JNI; instances ship to executors, so
+    * they must be Serializable and cheap to construct — per-BATCH native
+    * setup belongs inside the `mapPartitions` bodies below, not in the codec
+    * constructor.
+    */
+  trait MediaCodec extends Serializable {
+    /** Decode a blob into typed features (a real impl: parse container,
+      * read dimensions, hash content).
+      */
+    def decode(docId: Long, format: String, blob: Array[Byte]): MediaMeta
+    /** Total frames in a video-like blob at the given nominal frame size
+      * (a real impl: the demuxer's frame index).
+      */
+    def frameCount(blob: Array[Byte], frameBytes: Int): Int
+    /** Extract frame `i` (0-based). */
+    def frame(blob: Array[Byte], frameBytes: Int, i: Int): Array[Byte]
+    /** Resize to a fixed w×h grid; MUST return exactly w·h bytes (the
+      * fixed-size-output contract a training-batch assembler requires).
+      */
+    def resize(blob: Array[Byte], w: Int, h: Int): Array[Byte]
+  }
+
+  /** ??? real decode goes here — the in-repo STUB: deterministic byte-level
+    * features. Checksum = Σ codepoints of the UTF-8-decoded payload, ONE
+    * final modulo — matching the SQL-oracle restatement (`unicode(char)`
+    * fold) exactly; a byte-wise or per-step-mod definition would silently
+    * diverge on the first non-ASCII or very large payload. Frame
+    * segmentation is fixed-size; resize is nearest-neighbor over raw bytes.
+    */
+  object StubCodec extends MediaCodec {
+    def decode(docId: Long, format: String, blob: Array[Byte]): MediaMeta = {
+      var sum = 0L
+      val it = new String(blob, java.nio.charset.StandardCharsets.UTF_8)
+        .codePoints().iterator()
+      while (it.hasNext) sum += it.nextInt()
+      val checksum = sum % 2147483647L
+      MediaMeta(docId, format, blob.length, checksum,
+        width = (blob.length % 64) + 1, height = (checksum % 64).toInt + 1)
+    }
+    def frameCount(blob: Array[Byte], frameBytes: Int): Int =
+      (blob.length + frameBytes - 1) / frameBytes
+    def frame(blob: Array[Byte], frameBytes: Int, i: Int): Array[Byte] =
+      java.util.Arrays.copyOfRange(
+        blob, i * frameBytes, math.min((i + 1) * frameBytes, blob.length))
+    def resize(blob: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val n = w * h
+      Array.tabulate(n) { i =>
+        if (blob.isEmpty) 0.toByte
+        else blob(((i.toLong * blob.length) / n).toInt)
+      }
+    }
+  }
+
   /** Attach a binary media column (here fabricated from text — the testdata
     * has no real blobs; a production source would read image/audio bytes).
     */
@@ -31,27 +89,23 @@ object Multimodal {
     docs.select(col("doc_id"), col(fmtCol).as("format"),
       encode(col(textCol), "UTF-8").as("blob"))
 
-  /** ??? real decode goes here — STUB: deterministic content features.
-    * Checksum = Σ codepoints of the UTF-8-decoded payload, ONE final modulo —
-    * matching the SQL-oracle restatement (`unicode(char)` fold) exactly; a
-    * byte-wise or per-step-mod definition would silently diverge on the
-    * first non-ASCII or very large payload.
+  /** Oversize-blob guard — the media-path instance of the engine's error
+    * policy (≙ the 1 MiB row cap, ext/io_util.c:3–4): a blob larger than
+    * `maxBytes` would blow executor memory in the batched decoders below
+    * (each row's blob is fully materialized), so Exit fails the query at the
+    * poison row and Log drops it and continues. Compose BEFORE any decode:
+    * `decodeBatched(guardOversize(withBlob(...), policy, max))`.
     */
-  private def decodeStub(docId: Long, format: String, blob: Array[Byte]): MediaMeta = {
-    var sum = 0L
-    val it = new String(blob, java.nio.charset.StandardCharsets.UTF_8)
-      .codePoints().iterator()
-    while (it.hasNext) sum += it.nextInt()
-    val checksum = sum % 2147483647L
-    MediaMeta(docId, format, blob.length, checksum,
-      width = (blob.length % 64) + 1, height = (checksum % 64).toInt + 1)
-  }
+  def guardOversize(blobs: DataFrame, policy: ErrorPolicy,
+      maxBytes: Int): DataFrame =
+    ErrorPolicy.maxRecordSize(blobs, "blob", policy, maxBytes)
 
   /** Batched executor-side decode: partitions stream through in fixed-size
     * batches (the shape a vectorized decode library wants — amortized codec
     * init per batch, bounded memory), one output row per media item.
     */
-  def decodeBatched(blobs: DataFrame, batchSize: Int = 64): Dataset[MediaMeta] = {
+  def decodeBatched(blobs: DataFrame, batchSize: Int = 64,
+      codec: MediaCodec = StubCodec): Dataset[MediaMeta] = {
     val spark = blobs.sparkSession
     import spark.implicits._
     blobs.select("doc_id", "format", "blob")
@@ -59,7 +113,7 @@ object Multimodal {
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
           // per-batch codec setup would happen here
-          batch.iterator.map { case (id, fmt, blob) => decodeStub(id, fmt, blob) }
+          batch.iterator.map { case (id, fmt, blob) => codec.decode(id, fmt, blob) }
         }
       }
   }
@@ -68,16 +122,16 @@ object Multimodal {
   final case class Frame(doc_id: Long, frame_idx: Int, total_frames: Int,
       frame: Array[Byte])
 
-  /** Frame sampling: treat the blob as a sequence of fixed-size frames and
-    * emit every `every`-th one as its OWN ROW — the explode shape a
-    * frame-level pipeline (caption, embed, filter per frame) needs. The
-    * fixed-`frameBytes` segmentation is the STUB (a real container format
-    * would use the demuxer's frame index); the partition-parallel batched
-    * explode, the one-row-per-frame schema, and the total_frames bookkeeping
-    * are the real plumbing. Empty blobs produce no frames.
+  /** Frame sampling: emit every `every`-th frame as its OWN ROW — the explode
+    * shape a frame-level pipeline (caption, embed, filter per frame) needs.
+    * Segmentation is the codec's business ([[StubCodec]]: fixed-size; a real
+    * container format: the demuxer's frame index); the partition-parallel
+    * batched explode, the one-row-per-frame schema, and the total_frames
+    * bookkeeping are the codec-agnostic plumbing. Empty blobs produce no
+    * frames.
     */
   def frameSample(blobs: DataFrame, frameBytes: Int, every: Int,
-      batchSize: Int = 64): Dataset[Frame] = {
+      batchSize: Int = 64, codec: MediaCodec = StubCodec): Dataset[Frame] = {
     require(frameBytes > 0 && every > 0, "frameBytes and every must be positive")
     val spark = blobs.sparkSession
     import spark.implicits._
@@ -87,10 +141,9 @@ object Multimodal {
         it.grouped(batchSize).flatMap { batch =>
           // per-batch demuxer setup would happen here
           batch.iterator.flatMap { case (id, _, blob) =>
-            val total = (blob.length + frameBytes - 1) / frameBytes
+            val total = codec.frameCount(blob, frameBytes)
             (0 until total by every).iterator.map { i =>
-              Frame(id, i, total, java.util.Arrays.copyOfRange(
-                blob, i * frameBytes, math.min((i + 1) * frameBytes, blob.length)))
+              Frame(id, i, total, codec.frame(blob, frameBytes, i))
             }
           }
         }
@@ -101,14 +154,14 @@ object Multimodal {
   final case class Resized(doc_id: Long, width: Int, height: Int,
       pixels: Array[Byte])
 
-  /** Resize to a fixed w×h grid by nearest-neighbor sampling over the blob
-    * bytes — the STUB for a real scaler (bilinear over decoded pixels); the
-    * batched executor plumbing and the fixed-size output contract (every row
-    * exactly w·h bytes, the shape a training-batch assembler requires) are
-    * real. Empty blobs resize to all-zero pixels.
+  /** Resize to a fixed w×h grid — the scaler is the codec's ([[StubCodec]]:
+    * nearest-neighbor over raw bytes; a real impl: bilinear over decoded
+    * pixels); the batched executor plumbing and the fixed-size output
+    * contract (every row exactly w·h bytes) are codec-agnostic and enforced
+    * here, failing loudly on a codec that breaks it.
     */
   def resizeBatched(blobs: DataFrame, w: Int, h: Int,
-      batchSize: Int = 64): Dataset[Resized] = {
+      batchSize: Int = 64, codec: MediaCodec = StubCodec): Dataset[Resized] = {
     require(w > 0 && h > 0, "target dimensions must be positive")
     val spark = blobs.sparkSession
     import spark.implicits._
@@ -118,11 +171,9 @@ object Multimodal {
         it.grouped(batchSize).flatMap { batch =>
           // per-batch scaler setup would happen here
           batch.iterator.map { case (id, _, blob) =>
-            val n = w * h
-            val px = Array.tabulate(n) { i =>
-              if (blob.isEmpty) 0.toByte
-              else blob(((i.toLong * blob.length) / n).toInt)
-            }
+            val px = codec.resize(blob, w, h)
+            require(px.length == w * h,
+              s"codec broke the fixed-size contract: ${px.length} != ${w * h}")
             Resized(id, w, h, px)
           }
         }

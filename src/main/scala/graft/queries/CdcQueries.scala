@@ -217,6 +217,45 @@ object CdcQueries {
         .agg(count(lit(1)).as("n"))
     },
 
+    // --- DDL rename churn end-to-end (ALTER TABLE ... RENAME mid-stream,
+    // --- spec/functional/topic_spec.rb:166–274): ONE stable relid announced
+    // --- as public.widgets before LSN 5000 and public.gadgets after. Row
+    // --- messages carry only the relid on the wire, so the decoded table
+    // --- names can ONLY come from each frame's TableSchema announcement
+    // --- (fresh decoder state per frame, no fallback) — pinning the
+    // --- old-name-before / new-name-after resolution in CORRECTNESS, not
+    // --- just ScalaTest. Txns never straddle the rename (10-event txns,
+    // --- boundary divisible by 10), matching how a real rename lands
+    // --- between transactions. -----------------------------------------------
+    q("cdc12_ddl_rename_churn",
+      """SELECT CASE WHEN event_id < 5000 THEN 'public.widgets'
+        |            ELSE 'public.gadgets' END AS table_name,
+        |  COUNT(*) AS n, COUNT(DISTINCT event_id // 10) AS n_txn
+        |FROM events GROUP BY 1""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val relid = 424242L
+      val rowSchema = PgTypes.schemaFor(Seq(
+        "user_id" -> PgTypes.Oid.Int8, "event_type" -> PgTypes.Oid.Text,
+        "value" -> PgTypes.Oid.Float8))
+      val renamed = ChangelogGen.fromEvents(s, d)
+        .map(e => e.copy(table =
+          if (e.lsn < 5000) "public.widgets" else "public.gadgets"))
+      val decoded = renamed.groupByKey(_.xid).flatMapGroups { (xid, it) =>
+        val evs = it.toSeq.sortBy(e => (e.lsn, e.seq))
+        // the reference (re-)announces a relation before its first row after
+        // DDL (ext/protocol_server.c:78–99); per-frame announcement keeps the
+        // decode distributable (each frame self-describing, like a fresh
+        // replication connection)
+        val announce = SchemaCache.schemaMessage(relid, evs.head.table, rowSchema)
+        val bytes = AvroFrame.encodeTxn(xid, evs.map(_.lsn).max, announce +: evs,
+          _ => relid)
+        AvroFrame.decodeFrame(bytes, new AvroFrame.DecoderSchemaState())._3
+          .filter(_.op != Op.Schema)
+      }
+      decoded.groupBy(col("table").as("table_name"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("xid")).as("n_txn"))
+    },
+
     // --- snapshot ∪ stream lifecycle (SURVEY §3.1: consistent snapshot then
     // --- streaming from the same LSN, no gap no overlap) ----------------------
     q("cdc07_snapshot_stream",

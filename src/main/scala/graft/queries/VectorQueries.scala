@@ -56,6 +56,39 @@ object VectorQueries {
        |    for j in generate_series(0, ${planes - 1}) ]) AS BIGINT) AS bucket
        |  FROM n, generate_series(0, 3) g(t))""".stripMargin
 
+  /** Oracle for IVF-Flat ANN (vec05/vec06): seeds → two unrolled Lloyd
+    * iterations → assignment → probe-cell pruning → in-cell rerank. Shared
+    * verbatim by the train-inline path and the save/load round-trip path —
+    * the quantization is integral end-to-end, so a persisted index must
+    * reproduce the in-memory results bit-for-bit.
+    */
+  private lazy val ivfSql: String =
+    s"""WITH $quantSql,
+       |c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, qv AS cv
+       |  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 16) s),
+       |${lloydSql(1, "c0")},
+       |${lloydSql(2, "c1")},
+       |idx AS (SELECT vec_id AS neighbor_id, cell FROM (
+       |  SELECT q.vec_id, c2.cell,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${l2Sql("q.qv", "c2.cv")}, c2.cell) AS rn
+       |  FROM q, c2) t WHERE rn = 1),
+       |pc AS (SELECT vec_id AS probe_id, cell FROM (
+       |  SELECT n.vec_id, c2.cell,
+       |    ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |      ORDER BY ${l2Sql("n.qv", "c2.cv")}, c2.cell) AS rn
+       |  FROM n, c2 WHERE n.vec_id < 10) t WHERE rn <= 4),
+       |scored AS (SELECT pc.probe_id, idx.neighbor_id,
+       |  CAST(CAST(list_sum([p.qv[i]*c.qv[i] for i in generate_series(1, len(p.qv))]) AS BIGINT) AS DOUBLE)
+       |    / (sqrt(CAST(p.n2 AS DOUBLE))*sqrt(CAST(c.n2 AS DOUBLE))) AS sim
+       |  FROM pc JOIN idx ON pc.cell = idx.cell
+       |  JOIN n p ON p.vec_id = pc.probe_id
+       |  JOIN n c ON c.vec_id = idx.neighbor_id
+       |  WHERE idx.neighbor_id <> pc.probe_id)
+       |SELECT * FROM (SELECT probe_id, neighbor_id, sim,
+       |  ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM scored) t WHERE rank <= 3""".stripMargin
+
   val defs: Seq[Q] = Seq(
     // --- brute-force quantized-cosine top-k (exactness baseline) --------------
     q("vec01_knn_brute",
@@ -134,35 +167,25 @@ object VectorQueries {
     // --- IVF-Flat ANN (inverted-file alternative to LSH). The k-means coarse
     // --- quantizer is deterministic integer math with iters=2, so the two
     // --- Lloyd iterations unroll as SQL CTEs → full hash-match oracle ---------
-    q("vec05_ann_ivf",
-      s"""WITH $quantSql,
-         |c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, qv AS cv
-         |  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 16) s),
-         |${lloydSql(1, "c0")},
-         |${lloydSql(2, "c1")},
-         |idx AS (SELECT vec_id AS neighbor_id, cell FROM (
-         |  SELECT q.vec_id, c2.cell,
-         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
-         |      ORDER BY ${l2Sql("q.qv", "c2.cv")}, c2.cell) AS rn
-         |  FROM q, c2) t WHERE rn = 1),
-         |pc AS (SELECT vec_id AS probe_id, cell FROM (
-         |  SELECT n.vec_id, c2.cell,
-         |    ROW_NUMBER() OVER (PARTITION BY n.vec_id
-         |      ORDER BY ${l2Sql("n.qv", "c2.cv")}, c2.cell) AS rn
-         |  FROM n, c2 WHERE n.vec_id < 10) t WHERE rn <= 4),
-         |scored AS (SELECT pc.probe_id, idx.neighbor_id,
-         |  CAST(CAST(list_sum([p.qv[i]*c.qv[i] for i in generate_series(1, len(p.qv))]) AS BIGINT) AS DOUBLE)
-         |    / (sqrt(CAST(p.n2 AS DOUBLE))*sqrt(CAST(c.n2 AS DOUBLE))) AS sim
-         |  FROM pc JOIN idx ON pc.cell = idx.cell
-         |  JOIN n p ON p.vec_id = pc.probe_id
-         |  JOIN n c ON c.vec_id = idx.neighbor_id
-         |  WHERE idx.neighbor_id <> pc.probe_id)
-         |SELECT * FROM (SELECT probe_id, neighbor_id, sim,
-         |  ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rank
-         |  FROM scored) t WHERE rank <= 3""".stripMargin) { (s, d) =>
+    q("vec05_ann_ivf", ivfSql) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       graft.operators.IvfIndex.search(emb.filter(col("vec_id") < 10), emb,
         "vec_id", "embedding", k = 3, nLists = 16, nProbe = 4)
+    },
+
+    // --- IVF with a PERSISTED index: build → save (parquet, cell-partitioned)
+    // --- → load → search, against the SAME oracle as vec05 — train-once-
+    // --- search-many is the operator's 100 TB story, and the integral
+    // --- quantization makes the round-trip bit-exact, so the persisted path
+    // --- must hash-match the in-memory one -----------------------------------
+    q("vec06_ann_ivf_index", ivfSql) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+      graft.operators.IvfIndex.build(emb, "vec_id", "embedding",
+        nLists = 16, iters = 2).save(dir)
+      val loaded = graft.operators.IvfIndex.load(s, dir)
+      graft.operators.IvfIndex.searchIndex(emb.filter(col("vec_id") < 10), loaded,
+        "vec_id", "embedding", k = 3, nProbe = 4)
     },
 
     // --- multimodal: opaque binary column + batched executor-side decode ------

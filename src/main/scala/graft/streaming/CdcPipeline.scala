@@ -118,6 +118,43 @@ object CdcPipeline {
   def dropUnkeyedDeletes(envelopes: Dataset[CdcEvent]): Dataset[CdcEvent] =
     envelopes.filter(e => !(e.op == Op.Delete && e.key == null))
 
+  /** Stream–static AS-OF enrichment: each streaming envelope row is joined
+    * with a static dimension CHANGELOG's state as of the row's own LSN — the
+    * point-in-time lookup consumers of the reference build on compacted
+    * topics (README.md:288–297), where "latest" is wrong for rows that
+    * committed before the dimension's latest change.
+    *
+    * Plan shape (works in streaming because the window runs on the STATIC
+    * side only): the dimension changelog is interval-ized once — each version
+    * gets `[_valid_from, _valid_to)` from a lead() over its own history —
+    * then the stream equi-joins on key with a range predicate, matching
+    * EXACTLY ONE version per stream row. No streaming aggregation, no state
+    * store, no per-row window on the stream: at scale this is a plain
+    * shuffled (or broadcast, for small dims) join.
+    *
+    * Dimension tombstones carry `after = null`, so a stream row landing in a
+    * deleted interval enriches with null payload — deleted-as-of, preserved
+    * rather than silently matched to an older version. Stream rows older
+    * than the dimension's first version left-join to null.
+    */
+  def enrichAsOf(stream: Dataset[CdcEvent], dimChangelog: DataFrame,
+      payloadCol: String = "after"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("key")).orderBy(col("lsn"), col("seq"))
+    val intervals = dimChangelog
+      .select(col("key").as("_dim_key"), col(payloadCol).as("dim_payload"),
+        col("lsn").as("_valid_from"),
+        lead(col("lsn"), 1).over(w).as("_valid_to"))
+    stream.toDF()
+      .join(intervals,
+        col("key") === col("_dim_key") &&
+          col("lsn") >= col("_valid_from") &&
+          (col("_valid_to").isNull || col("lsn") < col("_valid_to")),
+        "left")
+      .withColumn("dim_asof_lsn", col("_valid_from"))
+      .drop("_dim_key", "_valid_from", "_valid_to")
+  }
+
   /** Debug sink (≙ the bwtest stdout consumer, client/bwtest.c:96–207). */
   def debugSink(envelopes: Dataset[CdcEvent]): DataStreamWriter[CdcEvent] =
     envelopes.writeStream.format("console")

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkTestSession
+import graft.cdc.ErrorPolicy
 import graft.functions.SimHash
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -327,5 +328,49 @@ class MultimodalSpec extends AnyFunSuite {
     val again = Multimodal.resizeBatched(blobs, 8, 4, batchSize = 64).collect()
       .map(r => r.doc_id -> r.pixels.toSeq).toMap
     assert(out.view.mapValues(_.pixels.toSeq).toMap == again)
+  }
+
+  test("MediaCodec is a pluggable seam: a custom codec drives all three paths") {
+    import spark.implicits._
+    // a fake "real" codec: constant 2-frame segmentation, fixed features,
+    // all-42 resize — wrong for bytes, RIGHT for proving the plumbing calls
+    // the trait and nothing else
+    object TestCodec extends Multimodal.MediaCodec {
+      def decode(id: Long, fmt: String, blob: Array[Byte]) =
+        Multimodal.MediaMeta(id, s"custom-$fmt", blob.length, 99L, 1, 1)
+      def frameCount(blob: Array[Byte], frameBytes: Int): Int =
+        if (blob.isEmpty) 0 else 2
+      def frame(blob: Array[Byte], frameBytes: Int, i: Int): Array[Byte] =
+        Array(i.toByte)
+      def resize(blob: Array[Byte], w: Int, h: Int): Array[Byte] =
+        Array.fill(w * h)(42.toByte)
+    }
+    val blobs = Seq((1L, "img", Array.fill[Byte](10)(5)))
+      .toDF("doc_id", "format", "blob")
+    val meta = Multimodal.decodeBatched(blobs, codec = TestCodec).collect().head
+    assert(meta.format == "custom-img" && meta.checksum == 99L)
+    val frames = Multimodal.frameSample(blobs, frameBytes = 256, every = 1,
+      codec = TestCodec).collect()
+    assert(frames.map(f => (f.frame_idx, f.frame.toSeq)).sortBy(_._1).toSeq ==
+      Seq((0, Seq(0.toByte)), (1, Seq(1.toByte))))
+    val rs = Multimodal.resizeBatched(blobs, 2, 2, codec = TestCodec).collect().head
+    assert(rs.pixels.toSeq == Seq.fill(4)(42.toByte))
+  }
+
+  test("oversize blobs follow the error policy: log drops, exit fails") {
+    import spark.implicits._
+    val blobs = Seq(
+      (1L, "img", Array.fill[Byte](10)(1)),
+      (2L, "img", Array.fill[Byte](1000)(2))) // poison: over the 100-byte cap
+      .toDF("doc_id", "format", "blob")
+    val kept = Multimodal.decodeBatched(
+      Multimodal.guardOversize(blobs, ErrorPolicy.Log, maxBytes = 100)).collect()
+    assert(kept.map(_.doc_id).toSeq == Seq(1L))
+    val e = intercept[Exception] {
+      Multimodal.decodeBatched(
+        Multimodal.guardOversize(blobs, ErrorPolicy.Exit, maxBytes = 100)).collect()
+    }
+    assert(e.getMessage.contains("error policy exit") ||
+      Option(e.getCause).exists(_.getMessage.contains("error policy exit")))
   }
 }

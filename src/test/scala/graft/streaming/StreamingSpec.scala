@@ -184,6 +184,40 @@ class CdcPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream–static as-of enrichment: rows see dim state at their own LSN") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // dimension changelog for key "1": v1 at lsn 10, v2 at lsn 20,
+    // tombstone at lsn 30 (after = null)
+    val dim = Seq(
+      ev("insert", "1", 10, "v1"),
+      ev("update", "1", 20, "v2"),
+      ev("delete", "1", 30, null)).toDF()
+      .select("key", "lsn", "seq", "after")
+    val input = MemoryStream[CdcEvent]
+    val q = CdcPipeline.enrichAsOf(input.toDS(), dim)
+      .select("key", "lsn", "dim_payload", "dim_asof_lsn")
+      .writeStream.format("memory").queryName("asof_enrich")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        ev("insert", "1", 5, "x"),    // before any dim state → null
+        ev("insert", "1", 15, "x"),   // sees v1
+        ev("insert", "1", 25, "x"),   // sees v2
+        ev("insert", "1", 35, "x"),   // deleted-as-of → null payload, lsn 30
+        ev("insert", "2", 15, "x"))   // key with no dim history → null
+      q.processAllAvailable()
+      val rows = spark.table("asof_enrich")
+        .as[(String, Long, Option[String], Option[Long])].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+      assert(rows(("1", 5L)) == ((None, None)))
+      assert(rows(("1", 15L)) == ((Some("v1"), Some(10L))))
+      assert(rows(("1", 25L)) == ((Some("v2"), Some(20L))))
+      assert(rows(("1", 35L)) == ((None, Some(30L)))) // tombstone interval
+      assert(rows(("2", 15L)) == ((None, None)))
+    } finally q.stop()
+  }
+
   test("session windows over the event stream (gap-based grouping)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
