@@ -101,10 +101,16 @@ object IvfIndex {
     /** Persist to `dir` as parquet. `assigned` is partitioned by `cell`, so a
       * search's `cell IN (probed…)` filter becomes parquet partition pruning —
       * a loaded index reads only nProbe/nLists of the corpus bytes.
+      *
+      * The shuffle-by-cell before the write aligns tasks with partition dirs:
+      * without it every upstream task writes a sliver of every cell —
+      * O(tasks·nLists) small files, slow to write locally and metadata-toxic
+      * at 100 TB. With it each task owns whole cells.
       */
     def save(dir: String): Unit = {
       centroids.write.mode("overwrite").parquet(s"$dir/centroids")
-      assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/assigned")
+      assigned.repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/assigned")
     }
   }
 
