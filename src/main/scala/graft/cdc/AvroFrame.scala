@@ -76,7 +76,8 @@ object AvroFrame {
     * guarantee is [[validateRelids]], run once on the driver with the full
     * table set — auto-wired at every pipeline entry that knows its tables
     * (ChangelogGen.fromEvents, KafkaSink.registerAll,
-    * CdcPipeline.writeLatestState's per-batch demux).
+    * CdcPipeline.writeLatestState's demux — cumulative over every table the
+    * query has seen, so cross-batch collisions fail too).
     */
   private val relidRegistry = new java.util.concurrent.ConcurrentHashMap[Long, String]()
   private def relidHash(table: String): Long = table.hashCode.toLong & 0xffffffffL

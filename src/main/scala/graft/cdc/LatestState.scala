@@ -54,6 +54,34 @@ object LatestState {
     if (keepDeleted) latest else latest.filter(col(opCol) =!= Op.Delete)
   }
 
+  /** The per-group compaction body shared by both streaming variants — the
+    * (lsn, seq) newer-of rule must live ONCE (it also has a typed twin in
+    * [[latestAggregator]]): a timed-out group's state is evicted silently;
+    * otherwise the newest of {stored, incoming} wins, is stored, re-armed
+    * via `armTimeout`, and emitted.
+    */
+  private def compactGroup(batch: Iterator[CdcEvent], state: GroupState[CdcEvent],
+      armTimeout: CdcEvent => Unit): Iterator[CdcEvent] =
+    if (state.hasTimedOut) {
+      // Tombstone past its retention: evict state SILENTLY. Emitting the
+      // stored tombstone here would replay a long-past delete into the
+      // Update-mode output — a phantom event no micro-batch produced,
+      // violating the "emits states touched in each micro-batch" contract.
+      state.remove()
+      Iterator.empty
+    } else {
+      val incoming = batch.maxBy(e => (e.lsn, e.seq))
+      val newest = state.getOption match {
+        case Some(cur)
+            if cur.lsn > incoming.lsn ||
+              (cur.lsn == incoming.lsn && cur.seq >= incoming.seq) => cur
+        case _ => incoming
+      }
+      state.update(newest)
+      armTimeout(newest)
+      Iterator.single(newest)
+    }
+
   /** Streaming compaction over the typed envelope: emits the new latest state
     * of every (table, key) touched in each micro-batch (Update mode).
     *
@@ -87,28 +115,11 @@ object LatestState {
       .groupByKey(e => (e.table, e.key))
       .flatMapGroupsWithState[CdcEvent, CdcEvent](
         OutputMode.Update(), timeout) {
-        case ((table, key), batch, state: GroupState[CdcEvent]) =>
-          if (state.hasTimedOut) {
-            // Tombstone past its retention: evict state SILENTLY. Emitting the
-            // stored tombstone here would replay a long-past delete into the
-            // Update-mode output — a phantom event no micro-batch produced,
-            // violating the "emits states touched in each micro-batch" contract.
-            state.remove()
-            Iterator.empty
-          } else {
-            val incoming = batch.maxBy(e => (e.lsn, e.seq))
-            val newest = state.getOption match {
-              case Some(cur)
-                  if cur.lsn > incoming.lsn ||
-                    (cur.lsn == incoming.lsn && cur.seq >= incoming.seq) => cur
-              case _ => incoming
-            }
-            state.update(newest)
+        case (_, batch, state: GroupState[CdcEvent]) =>
+          compactGroup(batch, state, newest =>
             tombstoneTtl.foreach { ttl =>
               if (newest.op == Op.Delete) state.setTimeoutDuration(ttl.toMillis)
-            }
-            Iterator.single(newest)
-          }
+            })
       }
   }
 
@@ -131,6 +142,18 @@ object LatestState {
     * the watermark cannot arm a past timer (Spark rejects it); its timeout is
     * clamped to watermark+1 ms — it evicts on the next batch, still
     * deterministically.
+    *
+    * SEMANTIC DIFFERENCE vs [[streaming]] — the watermark LATE-ROW GATE:
+    * with EventTimeTimeout, Spark DROPS input rows whose event time is
+    * already behind the watermark before they reach the compaction function.
+    * For replayed stale events that is a feature (a pre-delete replay can
+    * NEVER resurrect an evicted key — it is necessarily older than the
+    * watermark that fired the eviction); but a FIRST-EVER event for a key
+    * arriving below the watermark is also dropped, where [[streaming]] would
+    * have inserted it. Size `watermarkDelay` to bound your source's
+    * cross-partition event-time skew (the default 0 assumes commit-ordered
+    * delivery, e.g. a single replication stream); keep [[streaming]] for
+    * sources with unbounded disorder.
     */
   def streamingEventTimeTtl(events: Dataset[CdcEvent],
       tombstoneTtl: java.time.Duration,
@@ -148,23 +171,10 @@ object LatestState {
       .flatMapGroupsWithState[CdcEvent, CdcEvent](
         OutputMode.Update(), GroupStateTimeout.EventTimeTimeout) {
         case (_, batch, state: GroupState[CdcEvent]) =>
-          if (state.hasTimedOut) {
-            state.remove()                    // silent eviction, as in [[streaming]]
-            Iterator.empty
-          } else {
-            val incoming = batch.maxBy(e => (e.lsn, e.seq))
-            val newest = state.getOption match {
-              case Some(cur)
-                  if cur.lsn > incoming.lsn ||
-                    (cur.lsn == incoming.lsn && cur.seq >= incoming.seq) => cur
-              case _ => incoming
-            }
-            state.update(newest)
+          compactGroup(batch, state, newest =>
             if (newest.op == Op.Delete)
               state.setTimeoutTimestamp(
-                math.max(tsMillisOf(newest) + ttlMs, state.getCurrentWatermarkMs() + 1))
-            Iterator.single(newest)
-          }
+                math.max(tsMillisOf(newest) + ttlMs, state.getCurrentWatermarkMs() + 1)))
       }
   }
 

@@ -37,6 +37,16 @@ object MaterializedTable {
   def merge(spark: SparkSession, dir: String, updates: DataFrame,
       keyCols: Seq[String], orderCols: Seq[String], opCol: String = "op",
       numBuckets: Int = 64): Int = {
+    // Schema evolution (below) applies to PAYLOAD columns only: a batch
+    // missing a control column must fail here, not be null-backfilled — a
+    // null op on a winning row would silently delete its key (null =!=
+    // 'delete' is NULL, which the tombstone filter treats as not-live), and
+    // a null order column corrupts the newest-of comparison.
+    val missing = (keyCols ++ orderCols :+ opCol).distinct
+      .filterNot(updates.columns.contains)
+    require(missing.isEmpty,
+      s"changelog batch is missing control column(s) ${missing.mkString(", ")} " +
+        "— schema evolution applies to payload columns only")
     // Hadoop FS, not java.io.File: state dirs live on HDFS/S3 at scale, where
     // a local-File exists() would silently report false and corrupt the merge.
     val hPath = new org.apache.hadoop.fs.Path(dir)

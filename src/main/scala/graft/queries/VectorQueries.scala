@@ -180,7 +180,11 @@ object VectorQueries {
     // --- must hash-match the in-memory one -----------------------------------
     q("vec06_ann_ivf_index", ivfSql) { (s, d) =>
       val emb = Tables.embeddings(s, d)
-      val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+      // deterministic per-sfDir location, overwritten on each run — a fresh
+      // temp dir per invocation would leak a corpus-sized copy every time
+      // the gate/bench re-runs this query
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_ivf_idx_" + Integer.toHexString(d.hashCode)).getPath
       graft.operators.IvfIndex.build(emb, "vec_id", "embedding",
         nLists = 16, iters = 2).save(dir)
       val loaded = graft.operators.IvfIndex.load(s, dir)

@@ -76,6 +76,13 @@ object CdcPipeline {
     */
   def writeLatestState(compacted: Dataset[CdcEvent], outDir: String,
       checkpointDir: String): DataStreamWriter[org.apache.spark.sql.Row] = {
+    // CUMULATIVE relid-collision check: the foreachBatch closure lives on the
+    // driver for the query's lifetime and batches run sequentially, so this
+    // set accumulates every table ever seen — a collision between tables
+    // first appearing in DIFFERENT micro-batches still fails loudly (a
+    // batch-local check would pass each batch individually). Scope: one
+    // query run, like the reference's per-connection schema announcements.
+    val seenTables = scala.collection.mutable.Set[String]()
     compacted.toDF().writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
@@ -84,9 +91,8 @@ object CdcPipeline {
         batch.persist() // one materialization feeds the demux + every merge
         try {
           val tables = batch.select("table").distinct().collect().map(_.getString(0))
-          // deterministic relid-collision check over the batch's table set —
-          // driver-side, O(tables), piggybacks on the demux collect above
-          AvroFrame.validateRelids(tables.toSeq)
+          seenTables ++= tables
+          AvroFrame.validateRelids(seenTables.toSeq)
           for (t <- tables) {
             val safe = graft.functions.AvroSafeName.sanitize(t)
             MaterializedTable.merge(batch.sparkSession, s"$outDir/$safe",
@@ -141,10 +147,15 @@ object CdcPipeline {
       payloadCol: String = "after"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("key")).orderBy(col("lsn"), col("seq"))
+    // cache makes "interval-ized once" literally true: without it the
+    // stream–static join re-runs the dim scan + window shuffle every
+    // micro-batch. MEMORY_AND_DISK (the Dataset default) for the stream's
+    // lifetime; spills rather than OOMs on a large dimension.
     val intervals = dimChangelog
       .select(col("key").as("_dim_key"), col(payloadCol).as("dim_payload"),
         col("lsn").as("_valid_from"),
         lead(col("lsn"), 1).over(w).as("_valid_to"))
+      .cache()
     stream.toDF()
       .join(intervals,
         col("key") === col("_dim_key") &&

@@ -83,6 +83,22 @@ class MaterializedTableSpec extends AnyFunSuite {
     assert(m3("k3") == ((None, Some("B3c"))), "post-drop winner carries null")
   }
 
+  test("a batch missing a CONTROL column fails instead of null-backfilling") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mat5").toString + "/state"
+    MaterializedTable.merge(spark, dir,
+      Seq(("insert", "k1", 1L, 0L, "A1")).toDF("op", "key", "lsn", "seq", "a"),
+      Seq("key"), Seq("lsn", "seq"), numBuckets = 4)
+    // schema evolution must never absorb a missing op/order column: a null op
+    // on a winning row would silently tombstone its key
+    val noOp = Seq(("k1", 2L, 0L, "A2")).toDF("key", "lsn", "seq", "a")
+    val e = intercept[IllegalArgumentException] {
+      MaterializedTable.merge(spark, dir, noOp, Seq("key"), Seq("lsn", "seq"),
+        numBuckets = 4)
+    }
+    assert(e.getMessage.contains("control column"))
+  }
+
   test("untouched buckets are not rewritten (incremental IO)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_mat3").toString + "/state"
