@@ -118,6 +118,29 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(state("""{"id":1}""").contains("ada2"))
   }
 
+  test("cross-batch relid collision fails the sink, not silently misroutes") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // 'Aa' and 'BB' share a hashCode (the classic collision pair). They
+    // arrive in DIFFERENT micro-batches — a batch-local check would pass
+    // each individually; the writer's cumulative table set must not.
+    val out = java.nio.file.Files.createTempDirectory("graft_relid_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_relid_ckpt").toString
+    val input = MemoryStream[CdcEvent]
+    // ONE writer instance = one cumulative set across its (AvailableNow) runs
+    val writer = CdcPipeline.writeLatestState(
+      CdcPipeline.latestStateStream(input.toDS()), out, ckpt)
+    input.addData(CdcEvent(Op.Insert, "Aa", 1, 0, 0, "k1", null, """{"v":1}"""))
+    writer.start().awaitTermination()
+    input.addData(CdcEvent(Op.Insert, "BB", 2, 0, 0, "k2", null, """{"v":2}"""))
+    val q2 = writer.start()
+    val e = intercept[Exception] { q2.awaitTermination() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("relid collision")),
+      s"expected a relid-collision failure, got: ${messages(e)}")
+  }
+
   test("backpressure: maxFilesPerTrigger paces a file source batch-by-batch") {
     import spark.implicits._
     // two parquet files → with maxFilesPerTrigger=1 the file source must
