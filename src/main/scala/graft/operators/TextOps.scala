@@ -46,6 +46,27 @@ object TextOps {
   def hex32(s: Column, salt: Int): Column =
     conv(substring(md5(concat(lit(s"$salt:"), s)), 1, 8), 16, 10).cast("long")
 
+  /** Deterministic hash bucket for train/val/test splitting: hex32 of the
+    * salted id, mod nBuckets. Hash-based (not random) on purpose — the split
+    * is STABLE across runs, engines and cluster sizes, so a document never
+    * migrates between train and eval sets when the corpus is re-processed
+    * (the property `sample()`/`rand()` cannot give you at 100 TB).
+    */
+  def splitBucket(id: Column, salt: Int, nBuckets: Int): Column =
+    hex32(id.cast("string"), salt) % nBuckets
+
+  /** Standard 80/10/10 label over a 10-bucket split. */
+  def splitLabel(bucket: Column): Column =
+    when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test")
+
+  /** Normalization for training-text cleanup, composed from codegen'd
+    * built-ins: drop every char outside [a-z0-9 ], collapse runs of spaces,
+    * trim. Character-class regexes only, so Java regex (Spark) and RE2
+    * (DuckDB oracle) agree.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(text, "[^a-z0-9 ]", ""), " +", " "))
+
   /** Number of MinHash permutations / band layout (4 bands × 4 rows). */
   val NumPerms = 16
   val NumBands = 4

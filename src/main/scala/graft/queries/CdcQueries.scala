@@ -256,6 +256,49 @@ object CdcQueries {
         .agg(count(lit(1)).as("n"), countDistinct(col("xid")).as("n_txn"))
     },
 
+    // --- SCD type-2 history (the warehouse-load consumer, README.md:30–32):
+    // --- every insert/update version stamped with its [valid_from, valid_to)
+    // --- commit-order interval; a delete closes the last version. Oracle
+    // --- restates it as lead() over the raw events — the Spark side runs the
+    // --- generic operator over the real envelope. ------------------------------
+    q("cdc13_scd2_history",
+      """WITH v AS (SELECT user_id, event_id, event_type, value,
+        |  lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS nxt
+        |  FROM events)
+        |SELECT user_id, event_id AS valid_from, nxt AS valid_to,
+        |  (nxt IS NULL) AS is_current, value AS version_value
+        |FROM v WHERE event_type <> 'error'""".stripMargin) { (s, d) =>
+      val env = ChangelogGen.fromEvents(s, d).toDF()
+      ScdHistory.batch(env, Seq("table", "key"), Seq("lsn", "seq"))
+        .select(col("key").cast("long").as("user_id"),
+          col("lsn").as("valid_from"),
+          col("valid_to.lsn").as("valid_to"),
+          col("is_current"),
+          get_json_object(col("after"), "$.value").cast("double").as("version_value"))
+    },
+
+    // --- incremental aggregate maintenance (retract-stream IVM): the grouped
+    // --- aggregate is maintained from signed per-event deltas — retract the
+    // --- key's previous contribution, add its new one — NEVER materializing
+    // --- latest state. The oracle computes the same numbers the opposite way
+    // --- (compact to latest state, then aggregate), so the gate pins the
+    // --- delta algebra against an independent formulation. Group = the
+    // --- version's event_type (changes across versions ⇒ regroup path runs
+    // --- on real data); value summed as exact decimals so retractions cancel
+    // --- additions exactly. ---------------------------------------------------
+    q("cdc14_incremental_agg",
+      """WITH ranked AS (SELECT *, row_number() OVER (
+        |  PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events)
+        |SELECT event_type AS grp, COUNT(*) AS n_live,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM ranked WHERE rn = 1 AND event_type <> 'error'
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val env = ChangelogGen.fromEvents(s, d).toDF()
+      IncrementalAgg.sumCount(env, Seq("table", "key"), Seq("lsn", "seq"),
+        groupExpr = get_json_object(col("after"), "$.event_type"),
+        valueExpr = get_json_object(col("after"), "$.value").cast("double"))
+    },
+
     // --- snapshot ∪ stream lifecycle (SURVEY §3.1: consistent snapshot then
     // --- streaming from the same LSN, no gap no overlap) ----------------------
     q("cdc07_snapshot_stream",

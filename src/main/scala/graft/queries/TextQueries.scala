@@ -188,6 +188,69 @@ object TextQueries {
         Dedup.minhashCandidatePairs(corpus(s, d), "doc_id", "text"))
     },
 
+    // --- TF-IDF term scoring (BM25-flavor idf: rational in counts, so both
+    // --- engines compute bit-identical doubles — no transcendental log whose
+    // --- libm rounding could differ). Three shapes: token explode, two hash
+    // --- aggs (tf, df), equi-join back + 1-row broadcast of N. ---------------
+    q("txt11_tfidf",
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |tf AS (SELECT doc_id, tok AS term, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY 1, 2),
+         |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+         |SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         |  (CAST(tf.tf AS DOUBLE) * (n.n_docs - df.df + 0.5)) / (df.df + 0.5) AS tfidf
+         |FROM tf JOIN df USING (term) CROSS JOIN n""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val tf = docs
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      tf.join(dft, "term")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          ((col("tf").cast("double") * (col("n_docs") - col("df") + lit(0.5))) /
+            (col("df") + lit(0.5))).as("tfidf"))
+    },
+
+    // --- deterministic train/val/test split (hash bucket, not rand(): stable
+    // --- across runs/engines/cluster sizes — a doc never migrates splits) -----
+    q("txt12_train_split",
+      s"""WITH h AS (SELECT doc_id,
+         |  ${hex32Sql("'42:'||CAST(doc_id AS VARCHAR)")} % 10 AS bucket
+         |  FROM documents)
+         |SELECT doc_id, bucket,
+         |  CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM h""".stripMargin) { (s, d) =>
+      val bucket = TextOps.splitBucket(col("doc_id"), salt = 42, nBuckets = 10)
+      Tables.documents(s, d)
+        .select(col("doc_id"), bucket.as("bucket"))
+        .withColumn("split", TextOps.splitLabel(col("bucket")))
+    },
+
+    // --- text normalization / scrubbing over a NOISY corpus (markup planted
+    // --- identically on both sides so the scrub does real work) ---------------
+    q("txt13_normalize",
+      """WITH noisy AS (SELECT doc_id,
+        |  text || '  <<' || source || '-' || CAST(doc_id AS VARCHAR) || '>>' AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(raw, '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS clean_text,
+        |  CAST(length(raw) - length(regexp_replace(raw, '[^a-z0-9 ]', '', 'g')) AS INT) AS n_scrubbed
+        |FROM noisy""".stripMargin) { (s, d) =>
+      val raw = concat(col("text"), lit("  <<"), col("source"), lit("-"),
+        col("doc_id").cast("string"), lit(">>"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), raw.as("raw"))
+        .select(col("doc_id"),
+          TextOps.normalize(col("raw")).as("clean_text"),
+          (length(col("raw")) -
+            length(regexp_replace(col("raw"), "[^a-z0-9 ]", ""))).cast("int")
+            .as("n_scrubbed"))
+    },
+
     // --- SimHash (native expression vs 32-way SQL vote) -----------------------
     q("txt08_simhash",
       s"""WITH toks AS (SELECT doc_id, list_distinct($toksSql) AS t FROM documents),

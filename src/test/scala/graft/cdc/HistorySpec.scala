@@ -1,0 +1,92 @@
+package graft.cdc
+
+import graft.SparkTestSession
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SCD2 history + incremental aggregate maintenance over handcrafted
+  * changelogs covering every transition: insert, value-update, regroup,
+  * delete, first-event tombstone, post-delete resurrect.
+  */
+class HistorySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ev(op: String, key: String, lsn: Long, value: Double = 0.0,
+      grp: String = null): CdcEvent =
+    CdcEvent(op, "public.t", lsn, lsn / 10, 0L, key,
+      before = null,
+      after = if (op == Op.Delete) null
+        else s"""{"g":"$grp","v":$value}""")
+
+  private val changelog = Seq(
+    ev(Op.Insert, "u1", 1, 10.0, "A"),
+    ev(Op.Update, "u1", 3, 15.0, "A"),   // value update within group
+    ev(Op.Update, "u1", 6, 15.0, "B"),   // REGROUP A→B
+    ev(Op.Insert, "u2", 2, 5.0, "A"),
+    ev(Op.Delete, "u2", 4),              // delete
+    ev(Op.Insert, "u3", 2, 7.0, "B"),
+    ev(Op.Delete, "u4", 1),              // tombstone for never-seen key
+    ev(Op.Insert, "u5", 1, 3.0, "A"),
+    ev(Op.Delete, "u5", 2),
+    ev(Op.Insert, "u5", 5, 4.0, "A"),    // post-delete resurrect
+    ev(Op.Insert, "u6", 1, 9.0, "C"),
+    ev(Op.Delete, "u6", 3)               // group C fully retracted
+  )
+
+  test("ScdHistory stamps validity intervals; deletes close without opening") {
+    val hist = ScdHistory.batch(changelog.toDF(), Seq("table", "key"), Seq("lsn", "seq"))
+      .select($"key", $"lsn", $"valid_to.lsn".as("to_lsn"), $"is_current")
+      .as[(String, Long, Option[Long], Boolean)]
+      .collect().toSet
+    assert(hist == Set(
+      ("u1", 1L, Some(3L), false),
+      ("u1", 3L, Some(6L), false),
+      ("u1", 6L, None, true),
+      ("u2", 2L, Some(4L), false),       // closed by the delete, no open version
+      ("u3", 2L, None, true),
+      ("u5", 1L, Some(2L), false),
+      ("u5", 5L, None, true),            // resurrect opens a fresh interval
+      ("u6", 1L, Some(3L), false)))
+    // u4 (tombstone only) contributes no version at all
+  }
+
+  private def runIncremental(df: org.apache.spark.sql.DataFrame) =
+    IncrementalAgg.sumCount(df, Seq("table", "key"), Seq("lsn", "seq"),
+      groupExpr = get_json_object($"after", "$.g"),
+      valueExpr = get_json_object($"after", "$.v").cast("double"))
+
+  test("IncrementalAgg delta algebra handles update/regroup/delete/resurrect") {
+    val got = runIncremental(changelog.toDF())
+      .as[(String, Long, Double)].collect().toSet
+    // A: u5 resurrected at 4.0 (u1 regrouped away, u2 deleted)
+    // B: u1 15.0 + u3 7.0; C fully retracted ⇒ absent
+    assert(got == Set(("A", 1L, 4.0), ("B", 2L, 22.0)))
+  }
+
+  test("IncrementalAgg ≡ compact-then-aggregate on the real changelog") {
+    val env = ChangelogGen.fromEvents(spark, "/root/testdata/sf0.001").toDF()
+    val incremental = IncrementalAgg.sumCount(env, Seq("table", "key"), Seq("lsn", "seq"),
+        groupExpr = get_json_object($"after", "$.event_type"),
+        valueExpr = get_json_object($"after", "$.value").cast("double"))
+      .as[(String, Long, Double)].collect().toSet
+    val recomputed = LatestState.batch(env, Seq("table", "key"), Seq("lsn", "seq"))
+      .groupBy(get_json_object($"after", "$.event_type").as("grp"))
+      .agg(count(lit(1)).as("n_live"),
+        sum(get_json_object($"after", "$.value").cast("double")
+          .cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(incremental == recomputed)
+  }
+
+  test("deltaRows nets to zero for a group whose every key is retracted") {
+    val deltas = IncrementalAgg.deltaRows(changelog.toDF(), Seq("table", "key"),
+        Seq("lsn", "seq"),
+        groupExpr = get_json_object($"after", "$.g"),
+        valueExpr = get_json_object($"after", "$.v").cast("double"))
+      .filter($"grp" === "C")
+      .agg(sum($"dn"), sum($"dv")).collect()(0)
+    assert(deltas == Row(0L, java.math.BigDecimal.valueOf(0).setScale(4)))
+  }
+}

@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Train/val/test splitting and normalization (the round-6 text-pipeline
+  * additions; TF-IDF is gate-covered by txt11's full DuckDB oracle).
+  */
+class TextPipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  val dir = "/root/testdata/sf0.001"
+
+  test("hash split is stable, complete, and roughly 80/10/10") {
+    val docs = graft.Tables.documents(spark, dir)
+    val n = docs.count()
+    val split = docs.select($"doc_id",
+      TextOps.splitBucket($"doc_id", salt = 42, nBuckets = 10).as("bucket"))
+      .withColumn("split", TextOps.splitLabel($"bucket"))
+    val byLabel = split.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(byLabel.values.sum == n)                       // complete partition
+    assert(byLabel("train") > byLabel("val") && byLabel("train") > byLabel("test"))
+    // md5 buckets ≈ uniform: train share within a loose band of 0.8
+    val trainShare = byLabel("train").toDouble / n
+    assert(trainShare > 0.6 && trainShare < 0.95, s"train share $trainShare")
+    // determinism: recomputing yields the identical assignment (no rand())
+    val again = docs.select($"doc_id",
+      TextOps.splitBucket($"doc_id", salt = 42, nBuckets = 10).as("bucket"))
+    assert(split.select("doc_id", "bucket").exceptAll(again).count() == 0)
+    // a different salt produces a DIFFERENT (but equally stable) assignment
+    val other = docs.select($"doc_id",
+      TextOps.splitBucket($"doc_id", salt = 7, nBuckets = 10).as("bucket"))
+    assert(split.select("doc_id", "bucket").exceptAll(other).count() > 0)
+  }
+
+  test("normalize scrubs markup, collapses spaces, and is idempotent") {
+    val rows = Seq(
+      ("a  b!!c", "a bc"),                 // punct dropped, run collapsed
+      ("  <<src-1>>  ", "src1"),           // planted-markup shape
+      ("already clean", "already clean"),
+      ("", "")
+    ).toDF("raw", "expected")
+    val got = rows.select(TextOps.normalize($"raw").as("clean"), $"expected")
+      .as[(String, String)].collect()
+    got.foreach { case (clean, expected) => assert(clean == expected) }
+    // idempotence over real corpus text
+    val docs = graft.Tables.documents(spark, dir)
+      .select(TextOps.normalize($"text").as("c1"))
+      .select($"c1", TextOps.normalize($"c1").as("c2"))
+    assert(docs.filter($"c1" =!= $"c2").count() == 0)
+  }
+}
