@@ -1,9 +1,16 @@
 package graft.cdc
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.DecimalType
+
+/** One signed aggregate delta: retractions carry dn = -1 and a negated
+  * value; additions dn = +1. `dv` is None when the version's value is null
+  * (contributes to the count, not the sum) — mirroring SQL SUM semantics.
+  */
+final case class AggDelta(grp: String, dn: Long, dv: Option[BigDecimal])
 
 /** Incremental maintenance of grouped aggregates from a keyed changelog —
   * the retract-stream algebra of incremental view maintenance: every change
@@ -104,5 +111,51 @@ object IncrementalAgg {
       )).as("d"))
       .filter(col("d").isNotNull)
       .select(col("d.grp").as("grp"), col("d.dn").as("dn"), col("d.dv").as("dv"))
+  }
+
+  /** Streaming twin of [[deltaRows]]: per-key state holds the newest version
+    * seen; each arriving event that ADVANCES (lsn, seq) emits its retract/add
+    * deltas (Append mode — deltas are immutable facts, never updated). The
+    * standing aggregate is then maintained by folding each micro-batch's
+    * deltas into a persisted (grp, n_live, sum_value) table in the sink
+    * (`foreachBatch` upsert) — old events are never re-read, which is the
+    * point of IVM on a 100 TB changelog.
+    *
+    * At-least-once safety (CDC replays, kafka/bottledwater.c:683–687): an
+    * event that does not advance the stored (lsn, seq) emits NOTHING — a
+    * replayed event re-emitting its deltas would double-count in every
+    * downstream fold. Same newer-of discipline as [[LatestState.streaming]].
+    *
+    * @param groupOf group of a version (from its payload); consulted only on
+    *                live versions
+    * @param valueOf exact-decimal value of a version, None if null
+    */
+  def streamingDeltas(events: Dataset[CdcEvent],
+      groupOf: CdcEvent => String,
+      valueOf: CdcEvent => Option[BigDecimal]): Dataset[AggDelta] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(e => Op.rowOps.contains(e.op))
+      .groupByKey(e => (e.table, e.key))
+      .flatMapGroupsWithState[CdcEvent, AggDelta](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (_, batch, state: GroupState[CdcEvent]) =>
+          val out = Seq.newBuilder[AggDelta]
+          var prev = state.getOption.orNull
+          // events of one key within a micro-batch must apply in commit order
+          batch.toSeq.sortBy(e => (e.lsn, e.seq)).foreach { e =>
+            val advances = prev == null ||
+              e.lsn > prev.lsn || (e.lsn == prev.lsn && e.seq > prev.seq)
+            if (advances) {
+              if (prev != null && prev.op != Op.Delete)
+                out += AggDelta(groupOf(prev), -1L, valueOf(prev).map(v => -v))
+              if (e.op != Op.Delete)
+                out += AggDelta(groupOf(e), 1L, valueOf(e))
+              prev = e
+            }
+          }
+          if (prev != null) state.update(prev)
+          out.result().iterator
+      }
   }
 }

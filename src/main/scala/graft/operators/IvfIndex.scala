@@ -42,7 +42,12 @@ object IvfIndex {
       iters: Int = 2): DataFrame = {
     val spark0 = corpus.sparkSession
     import spark0.implicits._
+    // cache the quantized training set across Lloyd passes (the k-means
+    // discipline — every iteration re-reads it; MEMORY_AND_DISK spills
+    // rather than OOMs when the corpus outgrows executor memory). Released
+    // before returning: train materializes its result via collect below.
     val q = corpus.select(col(idCol).as("id"), Similarity.quantize(col(vecCol)).as("qv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // deterministic seeding: the nLists lowest ids (TakeOrdered — no global
     // sort; Lloyd iterations wash out seed placement). Seeds are ≤nLists
     // rows by construction, so they are materialized locally once — the
@@ -70,6 +75,7 @@ object IvfIndex {
     }
     val local = centroids.select(col("cell").cast("int"), col("cv"))
       .as[(Int, Seq[Long])].collect().toSeq
+    q.unpersist(blocking = false)
     require(local.size == effLists,
       s"IVF train invariant broken: ${local.size} centroids != $effLists " +
         s"(nLists=$nLists, corpus may be smaller)")

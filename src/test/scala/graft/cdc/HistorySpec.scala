@@ -9,6 +9,19 @@ import org.scalatest.funsuite.AnyFunSuite
   * changelogs covering every transition: insert, value-update, regroup,
   * delete, first-event tombstone, post-delete resurrect.
   */
+/** Payload parsers for the streaming test — top-level so the closures shipped
+  * to executors don't capture the (non-serializable) suite instance.
+  */
+object HistorySpec {
+  private val G = """"g":"([^"]*)"""".r
+  private val V = """"v":([-0-9.]+)""".r
+  def gOf(e: CdcEvent): String =
+    G.findFirstMatchIn(e.after).map(_.group(1)).orNull
+  def vOf(e: CdcEvent): Option[BigDecimal] =
+    V.findFirstMatchIn(Option(e.after).getOrElse(""))
+      .map(m => BigDecimal(m.group(1)).setScale(4))
+}
+
 class HistorySpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
@@ -78,6 +91,40 @@ class HistorySpec extends AnyFunSuite {
           .cast("decimal(18,4)")).cast("double").as("sum_value"))
       .as[(String, Long, Double)].collect().toSet
     assert(incremental == recomputed)
+  }
+
+  test("streamingDeltas ≡ batch deltas across micro-batches; replays are silent") {
+    import HistorySpec.{gOf, vOf}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[CdcEvent]
+    val q = IncrementalAgg.streamingDeltas(input.toDS(), gOf, vOf)
+      .writeStream.format("memory").queryName("ivm_deltas")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = changelog.splitAt(6)
+      input.addData(b1)
+      q.processAllAvailable()
+      // second batch replays ALL of batch 1 (at-least-once delivery) — the
+      // non-advancing events must emit no deltas, or every fold downstream
+      // would double-count them
+      input.addData(b2 ++ b1)
+      q.processAllAvailable()
+      val streamed = spark.table("ivm_deltas").as[AggDelta].collect().toSeq
+        .map(d => (d.grp, d.dn, d.dv.map(_.toDouble).getOrElse(0.0))).sorted
+      val batch = IncrementalAgg.deltaRows(changelog.toDF(), Seq("table", "key"),
+          Seq("lsn", "seq"),
+          groupExpr = get_json_object($"after", "$.g"),
+          valueExpr = get_json_object($"after", "$.v").cast("double"))
+        .as[(String, Long, Option[BigDecimal])].collect().toSeq
+        .map(d => (d._1, d._2, d._3.map(_.toDouble).getOrElse(0.0))).sorted
+      assert(streamed == batch)
+      // and the folded standing aggregate matches the batch operator
+      val folded = streamed.groupBy(_._1)
+        .view.mapValues(ds => (ds.map(_._2).sum, ds.map(_._3).sum)).toMap
+        .collect { case (g, (n, s)) if n > 0 => (g, n, s) }.toSet
+      assert(folded == Set(("A", 1L, 4.0), ("B", 2L, 22.0)))
+    } finally q.stop()
   }
 
   test("deltaRows nets to zero for a group whose every key is retracted") {
