@@ -158,4 +158,34 @@ object IncrementalAgg {
           out.result().iterator
       }
   }
+
+  /** Fold one batch of deltas into the STANDING aggregate table at `dir` —
+    * (grp, n_live, sum_value) parquet, hash-bucketed on grp via
+    * [[MaterializedTable.mergeBuckets]]: only buckets touched by this
+    * batch's groups are read and rewritten, and a group retracted to zero
+    * disappears (its bucket's stale files are deleted when emptied).
+    *
+    * This is the IVM composition end-to-end: `streamingDeltas → foreachBatch
+    * { foldStanding }` maintains a queryable aggregate from a live changelog
+    * at O(batch + touched buckets) per trigger — the historical changelog is
+    * never re-read. Values stay exact decimals in storage (sums of deltas
+    * must cancel bit-exactly); cast at read time if doubles are wanted.
+    */
+  def foldStanding(spark: org.apache.spark.sql.SparkSession, dir: String,
+      deltas: DataFrame, numBuckets: Int = 64): Int = {
+    val dec = DecimalType(28, 4)
+    val contrib = deltas.select(col("grp"),
+      col("dn").as("n_live"), col("dv").cast(dec).as("sum_value"))
+    MaterializedTable.mergeBuckets(spark, dir, contrib, Seq("grp"), numBuckets) {
+      combined =>
+        combined.groupBy(col("_bucket"), col("grp"))
+          .agg(sum(col("n_live")).as("n_live"),
+            sum(col("sum_value")).cast(dec).as("sum_value"))
+          .filter(col("n_live") > 0)
+    }
+  }
+
+  /** Current standing aggregate (bucket column dropped). */
+  def readStanding(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    MaterializedTable.read(spark, dir)
 }

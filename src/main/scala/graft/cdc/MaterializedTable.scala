@@ -47,14 +47,44 @@ object MaterializedTable {
     require(missing.isEmpty,
       s"changelog batch is missing control column(s) ${missing.mkString(", ")} " +
         "— schema evolution applies to payload columns only")
+    // existing state re-enters compaction as the baseline: it must never
+    // win against a genuinely newer incoming row, and vice versa — both
+    // carry their original order columns, so plain compaction is correct.
+    mergeBuckets(spark, dir, updates, keyCols, numBuckets) { combined =>
+      LatestState.batch(combined, keyCols, orderCols, opCol, keepDeleted = false)
+    }
+  }
+
+  /** The bucketed-merge dataflow shared by [[merge]] (latest-state
+    * compaction) and [[IncrementalAgg.foldStanding]] (aggregate folding):
+    * bucket the incoming rows on `bucketKeyCols`, read ONLY the touched
+    * buckets of existing state, apply `combine` to existing ∪ incoming, and
+    * rewrite the touched buckets. `combine` receives rows that still carry
+    * `_bucket` and must preserve it (grouping by the bucket's source key
+    * keeps it functionally determined).
+    *
+    * The existing∪incoming union is by name with allowMissingColumns both
+    * ways = sink-side schema evolution (the ALTER TABLE churn of
+    * spec/functional/topic_spec.rb:166–274 reaching the materialized state,
+    * not just the decoder): a NEW incoming column widens the state with old
+    * rows null-backfilled; a DROPPED column keeps its historical values on
+    * rows that still carry them (a newer incoming winner leaves it null).
+    */
+  private[cdc] def mergeBuckets(spark: SparkSession, dir: String,
+      updates: DataFrame, bucketKeyCols: Seq[String], numBuckets: Int)(
+      combine: DataFrame => DataFrame): Int = {
     // Hadoop FS, not java.io.File: state dirs live on HDFS/S3 at scale, where
     // a local-File exists() would silently report false and corrupt the merge.
     val hPath = new org.apache.hadoop.fs.Path(dir)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val exists = fs.exists(hPath)
+    // "has state" = bucket directories present, not bare path existence: a
+    // pre-created empty directory (mkdir-then-merge is a common callsite
+    // shape) must take the first-write path, not a doomed read.
+    val exists = fs.exists(hPath) &&
+      fs.listStatus(hPath).exists(_.getPath.getName.startsWith("_bucket="))
     // persist: the updates plan feeds both the touched-bucket collect and the
-    // compaction write — without this it would execute twice
-    val incoming = updates.withColumn("_bucket", bucketCol(keyCols, numBuckets))
+    // combine/write — without this it would execute twice
+    val incoming = updates.withColumn("_bucket", bucketCol(bucketKeyCols, numBuckets))
       .persist()
     try {
       val touched = incoming.select("_bucket").distinct()
@@ -62,33 +92,24 @@ object MaterializedTable {
       val combined = if (exists) {
         val existing = readState(spark, dir)
           .filter(col("_bucket").isin(touched.map(Integer.valueOf).toSeq: _*))
-        // existing state re-enters compaction as the baseline: it must never
-        // win against a genuinely newer incoming row, and vice versa — both
-        // carry their original order columns, so plain compaction is correct.
-        // allowMissingColumns both ways = sink-side schema evolution (the
-        // ALTER TABLE churn of spec/functional/topic_spec.rb:166–274 reaching
-        // the materialized state, not just the decoder): a NEW incoming
-        // column widens the state with old rows null-backfilled; a DROPPED
-        // column keeps its historical values on rows that still carry them
-        // (a newer incoming winner leaves it null).
         existing.unionByName(incoming, allowMissingColumns = true)
       } else incoming
-      val compacted = LatestState.batch(
-        combined, keyCols, orderCols, opCol, keepDeleted = false)
+      val out = combine(combined)
         .localCheckpoint() // computed twice below (write + bucket list)
       // partitionOverwriteMode as a per-write option, NOT a session conf
       // mutation: a spark.conf.set would leak dynamic-overwrite semantics to
       // concurrent writes on the same session (and the finally-restore could
       // clobber a concurrent merge's setting).
-      compacted
+      out
         .write.mode(if (exists) "overwrite" else "append")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("_bucket")
         .parquet(dir)
       // dynamic overwrite only replaces partitions PRESENT in the output: a
-      // touched bucket whose keys were all tombstoned writes zero rows and
-      // would silently keep its stale files — delete those explicitly.
-      val written = compacted.select("_bucket").distinct()
+      // touched bucket whose keys were all tombstoned (or whose groups all
+      // retracted to zero) writes zero rows and would silently keep its
+      // stale files — delete those explicitly.
+      val written = out.select("_bucket").distinct()
         .collect().map(_.getInt(0)).toSet
       for (b <- touched if !written.contains(b)) {
         val p = new org.apache.hadoop.fs.Path(s"$dir/_bucket=$b")

@@ -127,6 +127,40 @@ class HistorySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foldStanding maintains a queryable aggregate from the live stream") {
+    import HistorySpec.{gOf, vOf}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_standing").toString
+    def standing(): Set[(String, Long, Double)] =
+      IncrementalAgg.readStanding(spark, dir)
+        .select($"grp", $"n_live", $"sum_value".cast("double"))
+        .as[(String, Long, Double)].collect().toSet
+    val input = MemoryStream[CdcEvent]
+    val q = IncrementalAgg.streamingDeltas(input.toDS(), gOf, vOf)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[AggDelta], _: Long) =>
+        IncrementalAgg.foldStanding(spark, dir, batch.toDF(), numBuckets = 8); ()
+      }
+      .start()
+    try {
+      val (b1, b2) = changelog.splitAt(6)
+      input.addData(b1)
+      q.processAllAvailable()
+      // after batch 1: u1 regrouped to B, u2 inserted+deleted (A nets to
+      // zero and must NOT appear), u3 in B
+      assert(standing() == Set(("B", 2L, 22.0)))
+      input.addData(b2 ++ b1) // replay all of b1 — must not double-fold
+      q.processAllAvailable()
+      assert(standing() == Set(("A", 1L, 4.0), ("B", 2L, 22.0)))
+      // the stream's standing table equals the batch operator over the
+      // whole changelog
+      val batchAgg = runIncremental(changelog.toDF())
+        .as[(String, Long, Double)].collect().toSet
+      assert(standing() == batchAgg)
+    } finally q.stop()
+  }
+
   test("deltaRows nets to zero for a group whose every key is retracted") {
     val deltas = IncrementalAgg.deltaRows(changelog.toDF(), Seq("table", "key"),
         Seq("lsn", "seq"),
