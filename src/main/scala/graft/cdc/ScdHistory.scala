@@ -1,8 +1,20 @@
 package graft.cdc
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One CLOSED row-version from the streaming SCD2 path: the payload of the
+  * superseded version plus its validity interval in commit order. Open
+  * (current) versions live in the state store until the event that closes
+  * them arrives.
+  */
+final case class ClosedVersion(
+    table: String, key: String,
+    valid_from_lsn: Long, valid_from_seq: Long,
+    valid_to_lsn: Long, valid_to_seq: Long,
+    op: String, after: String)
 
 /** Slowly-changing-dimension (type 2) materialization: turn a keyed changelog
   * into full VERSION HISTORY — one row per row-version, stamped with its
@@ -48,5 +60,42 @@ object ScdHistory {
       // deletes CLOSE the previous version (their order key is its valid_to,
       // already captured by lead) but are not versions themselves
       .filter(col(opCol) =!= Op.Delete)
+  }
+
+  /** Streaming twin of [[batch]]: versions are emitted AS THEY CLOSE (Append
+    * mode — a closed interval is an immutable fact). Per-key state holds the
+    * newest version; an arriving event that ADVANCES (lsn, seq) closes the
+    * stored live version at its own (lsn, seq) and becomes the new state.
+    * Deletes close without becoming versions; non-advancing replays
+    * (at-least-once delivery) emit nothing — a re-emitted closed interval
+    * would duplicate rows in every append sink downstream.
+    *
+    * The history table is then `sink(closed) ∪ current-state`: exactly the
+    * split a warehouse wants — closed versions append-only into immutable
+    * storage, open versions in the (small) hot state.
+    */
+  def streamingClosedVersions(events: Dataset[CdcEvent]): Dataset[ClosedVersion] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(e => Op.rowOps.contains(e.op))
+      .groupByKey(e => (e.table, e.key))
+      .flatMapGroupsWithState[CdcEvent, ClosedVersion](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (_, batch, state: GroupState[CdcEvent]) =>
+          val out = Seq.newBuilder[ClosedVersion]
+          var prev = state.getOption.orNull
+          batch.toSeq.sortBy(e => (e.lsn, e.seq)).foreach { e =>
+            val advances = prev == null ||
+              e.lsn > prev.lsn || (e.lsn == prev.lsn && e.seq > prev.seq)
+            if (advances) {
+              if (prev != null && prev.op != Op.Delete)
+                out += ClosedVersion(prev.table, prev.key, prev.lsn, prev.seq,
+                  e.lsn, e.seq, prev.op, prev.after)
+              prev = e
+            }
+          }
+          if (prev != null) state.update(prev)
+          out.result().iterator
+      }
   }
 }

@@ -568,6 +568,24 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice"), 2).as("total"))
     },
 
+    // --- explicit skew-salted join (ScaleJoins.saltedJoin): semantics are
+    // --- IDENTICAL to the plain equi-join (the oracle), salt only re-routes
+    // --- rows — the deterministic fallback when AQE's runtime skew split
+    // --- can't apply (e.g. skewed aggregation inputs, forced shuffle plans).
+    // --- Plan-level skew behavior is pinned in ScaleJoinsSpec; this gate
+    // --- pins that salting never changes results. -----------------------------
+    q("q34_skew_salted_join",
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d).select(col("l_orderkey").as("k"), col("l_quantity"))
+      val ords = Tables.orders(s, d).select(col("o_orderkey").as("k"), col("o_orderstatus"))
+      graft.operators.ScaleJoins.saltedJoin(li, ords, "k", saltFactor = 8)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), 2).as("sum_qty"))
+    },
+
     // --- tumbling time window over the event stream table ---------------------
     q("q26_hourly_events",
       """SELECT STRFTIME(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,

@@ -65,6 +65,31 @@ class HistorySpec extends AnyFunSuite {
     // u4 (tombstone only) contributes no version at all
   }
 
+  test("streamingClosedVersions emits exactly the batch operator's closed intervals") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[CdcEvent]
+    val q = ScdHistory.streamingClosedVersions(input.toDS())
+      .writeStream.format("memory").queryName("scd2_closed")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = changelog.splitAt(6)
+      input.addData(b1)
+      q.processAllAvailable()
+      input.addData(b2 ++ b1) // full replay of b1 — closed facts must not duplicate
+      q.processAllAvailable()
+      val streamed = spark.table("scd2_closed")
+        .select($"key", $"valid_from_lsn", $"valid_to_lsn")
+        .as[(String, Long, Long)].collect().toSeq.sorted
+      val batchClosed = ScdHistory.batch(changelog.toDF(), Seq("table", "key"),
+          Seq("lsn", "seq"))
+        .filter($"valid_to".isNotNull)
+        .select($"key", $"lsn", $"valid_to.lsn")
+        .as[(String, Long, Long)].collect().toSeq.sorted
+      assert(streamed == batchClosed)
+    } finally q.stop()
+  }
+
   private def runIncremental(df: org.apache.spark.sql.DataFrame) =
     IncrementalAgg.sumCount(df, Seq("table", "key"), Seq("lsn", "seq"),
       groupExpr = get_json_object($"after", "$.g"),
