@@ -121,6 +121,47 @@ object MaterializedTable {
     }
   }
 
+  /** Bin-pack small files: rewrite every bucket whose parquet file count
+    * exceeds `maxFilesPerBucket` down to ONE file each; buckets at or under
+    * the threshold are neither read nor written. Returns the number of
+    * buckets compacted.
+    *
+    * Why this exists at 100 TB: each merge writes a touched bucket from up
+    * to `spark.sql.shuffle.partitions` tasks, so a standing table
+    * accumulates O(shufflePartitions) files per bucket per merge cycle —
+    * and scan cost (footer reads, task scheduling) degrades with file
+    * count, not data size. This is the OPTIMIZE/bin-packing maintenance
+    * operation of transactional lakehouse formats, on plain parquet.
+    *
+    * Shape: one job for all oversized buckets — `repartition(col(_bucket))`
+    * hash-clusters each bucket wholly into one task, so the partitioned
+    * write emits exactly one file per bucket; dynamic partition overwrite
+    * replaces only the oversized buckets. IO is O(data in oversized
+    * buckets), the rewrite floor.
+    */
+  def compact(spark: SparkSession, dir: String, maxFilesPerBucket: Int = 1): Int = {
+    require(maxFilesPerBucket >= 1,
+      s"maxFilesPerBucket must be >= 1, got $maxFilesPerBucket")
+    val hPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath)) return 0
+    val oversized = fs.listStatus(hPath).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("_bucket="))
+      .filter(st => fs.listStatus(st.getPath)
+        .count(_.getPath.getName.endsWith(".parquet")) > maxFilesPerBucket)
+      .map(_.getPath.getName.stripPrefix("_bucket=").toInt)
+      .sorted
+    if (oversized.isEmpty) return 0
+    readState(spark, dir)
+      .filter(col("_bucket").isin(oversized.map(Integer.valueOf): _*))
+      .repartition(oversized.size, col("_bucket"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_bucket")
+      .parquet(dir)
+    oversized.size
+  }
+
   /** State-dir read with schema merging: after a widening merge, TOUCHED
     * buckets carry the new schema while untouched buckets keep the old one —
     * a plain parquet read would pin whichever file it sampled first and

@@ -597,6 +597,35 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), dsum(col("value"), 2).as("total_value"))
         .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
           col("event_type"), col("n"), col("total_value"))
+    },
+
+    // --- gaps-and-islands sessionization (Sessionize.assign): per-user
+    // --- sessions split on >2h inactivity gaps, then per-session rollup.
+    // --- Boundary math is integer epoch-micros on both sides (events ts is
+    // --- exactly micro-precision — no sub-micro component in the data), so
+    // --- session assignment is bit-deterministic across engines. The whole
+    // --- sessionize→aggregate dataflow is ONE exchange on user_id. ------------
+    q("q35_sessionize",
+      """WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS t_us FROM events),
+        |s AS (SELECT *, CASE WHEN lag(t_us) OVER w IS NULL
+        |    OR t_us - lag(t_us) OVER w > 7200000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
+        |t AS (SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id
+        |    ORDER BY t_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+        |  FROM s)
+        |SELECT user_id, session_no, COUNT(*) AS n_events,
+        |  MIN(t_us) AS start_us, MAX(t_us) AS end_us,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        |FROM t GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("value"),
+          unix_micros(col("ts")).as("t_us"))
+      graft.operators.Sessionize.assign(ev, Seq("user_id"), col("t_us"),
+          Seq(col("event_id")), gap = 7200L * 1000000L)
+        .groupBy(col("user_id"), col("session_no"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("t_us")).as("start_us"), max(col("t_us")).as("end_us"),
+          dsum(col("value"), 2).as("session_value"))
     }
   )
 }

@@ -251,6 +251,22 @@ object TextQueries {
             .as("n_scrubbed"))
     },
 
+    // --- exact distributed heavy hitters (HeavyHitters.heavyHitters): tokens
+    // --- occurring in >2% of all token occurrences (k=50). The oracle is the
+    // --- naive full-vocabulary GROUP BY ... HAVING — the Spark side must
+    // --- reach the SAME exact answer through per-partition Misra-Gries
+    // --- candidates + a candidate-restricted exact count, shuffling
+    // --- O(k·partitions) instead of O(vocabulary). ----------------------------
+    q("txt14_heavy_tokens",
+      s"""WITH toks AS (SELECT unnest($toksSql) AS term FROM documents),
+         |f AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY 1)
+         |SELECT term, cnt FROM f
+         |WHERE cnt * 50 > (SELECT SUM(cnt) FROM f)""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("term"))
+      graft.operators.HeavyHitters.heavyHitters(toks, "term", k = 50)
+    },
+
     // --- SimHash (native expression vs 32-way SQL vote) -----------------------
     q("txt08_simhash",
       s"""WITH toks AS (SELECT doc_id, list_distinct($toksSql) AS t FROM documents),

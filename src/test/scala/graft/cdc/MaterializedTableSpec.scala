@@ -122,4 +122,50 @@ class MaterializedTableSpec extends AnyFunSuite {
     val changed = before.keys.filter(k => before(k) != after.getOrElse(k, Set.empty))
     assert(changed.size == 1, s"exactly one bucket dir should change, got $changed")
   }
+
+  test("compact bin-packs oversized buckets to one file and leaves the rest untouched") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mat_c").toString + "/state"
+    // fragmented state as a LARGE merge leaves it — every write task carries
+    // rows of every bucket, so each bucket dir holds one file per task (the
+    // tiny in-test merge would be AQE-coalesced to one task, so lay the same
+    // layout down directly; bucket assignment matches merge's bucketCol)
+    (0 until 512).map(i => ev("insert", s"k$i", i, s"v$i")).toDF()
+      .withColumn("_bucket", pmod(hash(col("key")), lit(2)))
+      .repartition(8)
+      .write.partitionBy("_bucket").parquet(dir)
+    def files(b: Int) = new java.io.File(s"$dir/_bucket=$b").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified())).toSet
+    val before0 = files(0)
+    val before1 = files(1)
+    assert(before0.size > 3 && before1.size > 3,
+      s"fixture should start fragmented, got ${before0.size}/${before1.size} files")
+    val stateBefore = MaterializedTable.read(spark, dir)
+      .select("key", "after").as[(String, String)].collect().toSet
+
+    // threshold above the current count: nothing to do, nothing touched
+    assert(MaterializedTable.compact(spark, dir, maxFilesPerBucket = 64) == 0)
+    assert(files(0) == before0 && files(1) == before1)
+
+    Thread.sleep(1100) // mtime granularity
+    assert(MaterializedTable.compact(spark, dir) == 2)
+    assert(files(0).size == 1 && files(1).size == 1,
+      "each oversized bucket must compact to exactly one file")
+    val stateAfter = MaterializedTable.read(spark, dir)
+      .select("key", "after").as[(String, String)].collect().toSet
+    assert(stateAfter == stateBefore, "compaction must not change the data")
+
+    // already-compact buckets are not rewritten on a second pass
+    val compacted = (files(0), files(1))
+    assert(MaterializedTable.compact(spark, dir) == 0)
+    assert((files(0), files(1)) == compacted)
+
+    // and a merge after compaction still works
+    MaterializedTable.merge(spark, dir,
+      Seq(ev("update", "k0", 9999, "v0b")).toDF(),
+      Seq("key"), Seq("lsn", "seq"), numBuckets = 2)
+    val m = MaterializedTable.read(spark, dir)
+      .select("key", "after").as[(String, String)].collect().toMap
+    assert(m("k0") == "v0b" && m.size == 512)
+  }
 }

@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SessionHeavySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // --------------------------------------------------------------- Sessionize
+
+  private val clicks = Seq(
+    // user A: three events 10 apart (one session), then a 100 gap, then two more
+    ("a", 0L, 1L), ("a", 10L, 2L), ("a", 20L, 3L), ("a", 120L, 4L), ("a", 130L, 5L),
+    // user B: single event
+    ("b", 50L, 6L),
+    // user C: every gap exactly AT the threshold (30) — all one session
+    ("c", 0L, 7L), ("c", 30L, 8L), ("c", 60L, 9L)
+  ).toDF("user", "t", "id")
+
+  test("sessionize splits on gap > threshold, not >=, and numbers per entity") {
+    val got = Sessionize.assign(clicks, Seq("user"), col("t"), Seq(col("id")), gap = 30L)
+      .select($"user", $"id", $"session_no").as[(String, Long, Long)]
+      .collect().toSet
+    assert(got == Set(
+      ("a", 1L, 1L), ("a", 2L, 1L), ("a", 3L, 1L), ("a", 4L, 2L), ("a", 5L, 2L),
+      ("b", 6L, 1L),
+      ("c", 7L, 1L), ("c", 8L, 1L), ("c", 9L, 1L)))
+  }
+
+  test("sessionize ties on time break deterministically by the tie-break column") {
+    val tied = Seq(("u", 100L, 2L), ("u", 100L, 1L), ("u", 500L, 3L))
+      .toDF("user", "t", "id")
+    val got = Sessionize.assign(tied, Seq("user"), col("t"), Seq(col("id")), gap = 50L)
+      .select($"id", $"session_no").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L), (2L, 1L), (3L, 2L)))
+  }
+
+  test("sessionize-then-aggregate plans exactly one exchange") {
+    val agg = Sessionize.assign(clicks, Seq("user"), col("t"), Seq(col("id")), gap = 30L)
+      .groupBy($"user", $"session_no").agg(count(lit(1)).as("n"))
+    val plan = agg.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+  }
+
+  // ------------------------------------------------------------- HeavyHitters
+
+  /** Oracle: the naive full group-by formulation. */
+  private def naive(items: org.apache.spark.sql.DataFrame, c: String, k: Int) = {
+    val f = items.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+    val total = items.count()
+    f.filter(col("cnt") * k > lit(total))
+      .as[(String, Long)].collect().toSet
+  }
+
+  test("heavy hitters match the exact group-by on a skewed stream") {
+    // 400 of x, 250 of y, 100 of z, 250 singletons — k=4 ⇒ threshold 250
+    val data = (Seq.fill(400)("x") ++ Seq.fill(250)("y") ++ Seq.fill(100)("z") ++
+      (1 to 250).map(i => s"rare$i"))
+    val df = data.toDF("item").repartition(8)
+    val got = HeavyHitters.heavyHitters(df, "item", k = 4)
+      .as[(String, Long)].collect().toSet
+    assert(got == naive(df, "item", 4))
+    assert(got == Set(("x", 400L))) // y at exactly N/k=250 is excluded (strict >)
+  }
+
+  test("heavy hitters are invariant to partitioning") {
+    val data = (Seq.fill(600)("hot") ++ (1 to 900).map(i => s"cold${i % 300}"))
+    for (p <- Seq(1, 3, 16)) {
+      val df = data.toDF("item").repartition(p)
+      val got = HeavyHitters.heavyHitters(df, "item", k = 3)
+        .as[(String, Long)].collect().toSet
+      assert(got == Set(("hot", 600L)), s"failed at $p partitions")
+    }
+  }
+
+  test("heavy hitters on adversarial all-distinct input is empty, empty input is empty") {
+    val distinct = (1 to 500).map(_.toString).toDF("item").repartition(4)
+    assert(HeavyHitters.heavyHitters(distinct, "item", k = 10).count() == 0)
+    val empty = Seq.empty[String].toDF("item")
+    assert(HeavyHitters.heavyHitters(empty, "item", k = 10).count() == 0)
+  }
+}
