@@ -135,6 +135,44 @@ object IvfIndex {
     Index(centroids, assigned)
   }
 
+  /** Incrementally extend a trained index with new vectors WITHOUT
+    * retraining: the coarse quantizer (centroids) is frozen and the new
+    * batch is assigned to its nearest existing cells — one broadcast-assign
+    * over the BATCH only, O(batch·nLists), while the existing corpus is not
+    * touched. This is the ingest path at 100 TB: the two Lloyd passes run
+    * once, ever; each arriving batch pays only its own assignment.
+    *
+    * The price of never retraining is drift: if the new data's distribution
+    * shifts, cells imbalance and recall degrades — monitor cell sizes and
+    * retrain when they skew. (Same trade every production IVF store makes.)
+    */
+  def append(index: Index, newDocs: DataFrame, idCol: String, vecCol: String): Index = {
+    val newAssigned = assign(
+      newDocs.select(col(idCol).as("id"), Similarity.quantize(col(vecCol)).as("qv")),
+      index.centroids)
+      .select(col("id").as("neighbor_id"), col("qv").as("cq"), col("cell"))
+      .withColumn("n2c", Similarity.dotQ(col("cq"), col("cq")))
+    Index(index.centroids, index.assigned.unionByName(newAssigned))
+  }
+
+  /** [[append]] against a SAVED index: the new batch's assigned rows are
+    * appended as new parquet files in the touched `cell=` partitions only —
+    * cells receiving no new vectors are neither read nor written, and the
+    * centroids file is untouched. Returns the loaded, extended index.
+    */
+  def appendSaved(spark: org.apache.spark.sql.SparkSession, dir: String,
+      newDocs: DataFrame, idCol: String, vecCol: String): Index = {
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val newAssigned = assign(
+      newDocs.select(col(idCol).as("id"), Similarity.quantize(col(vecCol)).as("qv")),
+      centroids)
+      .select(col("id").as("neighbor_id"), col("qv").as("cq"), col("cell"))
+      .withColumn("n2c", Similarity.dotQ(col("cq"), col("cq")))
+    newAssigned.repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/assigned")
+    load(spark, dir)
+  }
+
   /** Load a persisted index. Quantization is integral end-to-end (see class
     * scaladoc), so a save/load round-trip is bit-exact: `searchIndex` over
     * `load(save(build(…)))` returns the same rows as over the in-memory index.

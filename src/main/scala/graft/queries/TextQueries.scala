@@ -267,6 +267,61 @@ object TextQueries {
       graft.operators.HeavyHitters.heavyHitters(toks, "term", k = 50)
     },
 
+    // --- the END-TO-END curation pipeline, composed from the individual
+    // --- operators the other txt gates pin one by one: tokenize → quality
+    // --- filter (length + stopword ratio) → language filter → exact dedup
+    // --- (planted dups removed, Dedup.exactDedup) → deterministic split →
+    // --- per-(split, label) corpus stats. One query = the "could a user run
+    // --- their whole pipeline on this engine" check; every stage's exchange
+    // --- shape is already audited by its own gate. ----------------------------
+    q("txt15_e2e_pipeline",
+      s"""WITH $corpusSql,
+         |t AS (SELECT doc_id, text, $toksSql AS toks FROM corpus),
+         |m AS (SELECT doc_id, text, len(toks) AS n_tokens,
+         |  CAST(len(list_filter(toks, x -> x = 'a' OR x = 'the')) AS DOUBLE)/len(toks) AS stop_ratio,
+         |  CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS BIGINT) AS n_art,
+         |  CAST(len(list_filter(toks, x -> x = 'join' OR x = 'table' OR x = 'scan')) AS BIGINT) AS n_query,
+         |  CAST(len(list_filter(toks, x -> x = 'stream' OR x = 'window' OR x = 'batch')) AS BIGINT) AS n_stream
+         |  FROM t),
+         |f AS (SELECT *, CASE WHEN n_art >= n_query AND n_art >= n_stream THEN 'article'
+         |    WHEN n_query >= n_stream THEN 'query' ELSE 'stream' END AS label
+         |  FROM m WHERE n_tokens >= 25 AND stop_ratio < 0.15),
+         |g AS (SELECT * FROM f WHERE label <> 'article'),
+         |d AS (SELECT MIN(doc_id) AS doc_id, MIN(n_tokens) AS n_tokens,
+         |    MIN(label) AS label, MIN(CAST(length(text) AS BIGINT)) AS n_chars
+         |  FROM g GROUP BY md5(text)),
+         |s AS (SELECT *, ${hex32Sql("'7:'||CAST(doc_id AS VARCHAR)")} % 10 AS bucket FROM d)
+         |SELECT CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val'
+         |    ELSE 'test' END AS split, label,
+         |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(n_chars) AS BIGINT) AS n_chars
+         |FROM s GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      def marker(words: String*) =
+        size(filter(col("toks"), x => words.map(x === _).reduce(_ || _))).cast("long")
+      val staged = corpus(s, d)
+        .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("toks"))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("stop_ratio",
+          size(filter(col("toks"), x => x === "a" || x === "the")).cast("double") /
+            col("n_tokens"))
+        .filter(col("n_tokens") >= 25 && col("stop_ratio") < 0.15)
+        .withColumn("n_art", marker("the", "a"))
+        .withColumn("n_query", marker("join", "table", "scan"))
+        .withColumn("n_stream", marker("stream", "window", "batch"))
+        .withColumn("label",
+          when(col("n_art") >= col("n_query") && col("n_art") >= col("n_stream"), "article")
+            .when(col("n_query") >= col("n_stream"), "query")
+            .otherwise("stream"))
+        .filter(col("label") =!= "article")
+      graft.operators.Dedup.exactDedup(staged, "doc_id", "text")
+        .withColumn("split",
+          TextOps.splitLabel(TextOps.splitBucket(col("doc_id"), salt = 7, nBuckets = 10)))
+        .groupBy(col("split"), col("label"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(length(col("text")).cast("long")).as("n_chars"))
+    },
+
     // --- SimHash (native expression vs 32-way SQL vote) -----------------------
     q("txt08_simhash",
       s"""WITH toks AS (SELECT doc_id, list_distinct($toksSql) AS t FROM documents),

@@ -31,12 +31,12 @@ object VectorQueries {
     * cell), integral per-dimension means (`//` ≡ Spark `div`: both truncate
     * toward zero), and empty cells keep the previous centroid.
     */
-  private def lloydSql(k: Int, prev: String): String =
+  private def lloydSql(k: Int, prev: String, src: String = "q"): String =
     s"""a$k AS (SELECT vec_id, qv, cell FROM (
-       |  SELECT q.vec_id, q.qv, $prev.cell,
-       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
-       |      ORDER BY ${l2Sql("q.qv", s"$prev.cv")}, $prev.cell) AS rn
-       |  FROM q, $prev) t WHERE rn = 1),
+       |  SELECT $src.vec_id, $src.qv, $prev.cell,
+       |    ROW_NUMBER() OVER (PARTITION BY $src.vec_id
+       |      ORDER BY ${l2Sql(s"$src.qv", s"$prev.cv")}, $prev.cell) AS rn
+       |  FROM $src, $prev) t WHERE rn = 1),
        |m$k AS (SELECT cell, i, CAST(SUM(x) // COUNT(*) AS BIGINT) AS m FROM (
        |  SELECT cell, unnest(qv) AS x, unnest(generate_series(1, len(qv))) AS i
        |  FROM a$k) e GROUP BY cell, i),
@@ -62,12 +62,20 @@ object VectorQueries {
     * the quantization is integral end-to-end, so a persisted index must
     * reproduce the in-memory results bit-for-bit.
     */
-  private lazy val ivfSql: String =
+  private lazy val ivfSql: String = ivfSqlOn(trainSrc = "q")
+
+  /** The same oracle with training restricted to `trainSrc` while the FULL
+    * corpus is assigned and searched — the incremental-append path (vec07):
+    * centroids frozen from the base build, appended vectors assigned to
+    * their nearest existing cell.
+    */
+  private def ivfSqlOn(trainSrc: String): String =
     s"""WITH $quantSql,
+       |qe AS (SELECT vec_id, qv FROM q WHERE vec_id % 2 = 0),
        |c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, qv AS cv
-       |  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 16) s),
-       |${lloydSql(1, "c0")},
-       |${lloydSql(2, "c1")},
+       |  FROM (SELECT vec_id, qv FROM $trainSrc ORDER BY vec_id LIMIT 16) s),
+       |${lloydSql(1, "c0", trainSrc)},
+       |${lloydSql(2, "c1", trainSrc)},
        |idx AS (SELECT vec_id AS neighbor_id, cell FROM (
        |  SELECT q.vec_id, c2.cell,
        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
@@ -189,6 +197,23 @@ object VectorQueries {
         nLists = 16, iters = 2).save(dir)
       val loaded = graft.operators.IvfIndex.load(s, dir)
       graft.operators.IvfIndex.searchIndex(emb.filter(col("vec_id") < 10), loaded,
+        "vec_id", "embedding", k = 3, nProbe = 4)
+    },
+
+    // --- IVF incremental append: build on HALF the corpus (even vec_ids),
+    // --- append the other half WITHOUT retraining — centroids frozen, the
+    // --- new batch pays one broadcast-assign, existing cells untouched.
+    // --- Oracle: same unrolled-Lloyd SQL trained on the even half only,
+    // --- full corpus assigned to the frozen centroids. The 100 TB ingest
+    // --- path: Lloyd runs once ever; each arriving batch O(batch·nLists). ----
+    q("vec07_ann_ivf_append", ivfSqlOn(trainSrc = "qe")) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val base = graft.operators.IvfIndex.build(
+        emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        nLists = 16, iters = 2)
+      val appended = graft.operators.IvfIndex.append(
+        base, emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+      graft.operators.IvfIndex.searchIndex(emb.filter(col("vec_id") < 10), appended,
         "vec_id", "embedding", k = 3, nProbe = 4)
     },
 

@@ -249,6 +249,45 @@ class SimilaritySpec extends AnyFunSuite {
     assert(second == direct)
   }
 
+  test("IVF append assigns new vectors to frozen centroids; saved append touches only their cells") {
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, dir)
+    val (evens, odds) = (emb.filter(col("vec_id") % 2 === 0), emb.filter(col("vec_id") % 2 === 1))
+    val base = IvfIndex.build(evens, "vec_id", "embedding", nLists = 16)
+    val appended = IvfIndex.append(base, odds, "vec_id", "embedding")
+
+    // append ≡ assigning the FULL corpus to the same frozen centroids
+    def rows(idx: IvfIndex.Index) = idx.assigned
+      .select("neighbor_id", "cell").as[(Long, Int)].collect().toSet
+    val fullAssign = IvfIndex.assign(
+      emb.select(col("vec_id").as("id"), Similarity.quantize(col("embedding")).as("qv")),
+      base.centroids)
+    assert(rows(appended) ==
+      fullAssign.select(col("id"), col("cell")).as[(Long, Int)].collect().toSet)
+
+    // appendSaved: same search results as the in-memory append, and cells
+    // receiving no new vectors keep their exact file sets
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+    base.save(idxDir)
+    def cellFiles() = new java.io.File(s"$idxDir/assigned").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(f =>
+        f.getName -> f.listFiles().map(_.getName).toSet).toMap
+    val before = cellFiles()
+    val newCells = IvfIndex.assign(
+      odds.select(col("vec_id").as("id"), Similarity.quantize(col("embedding")).as("qv")),
+      base.centroids).select("cell").distinct().as[Int].collect().toSet
+    val loaded = IvfIndex.appendSaved(spark, idxDir, odds, "vec_id", "embedding")
+    val after = cellFiles()
+    for ((cell, files) <- before if !newCells.contains(cell.stripPrefix("cell=").toInt))
+      assert(after(cell) == files, s"untouched $cell must keep its files")
+    val probes = emb.filter(col("vec_id") < 10)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "neighbor_id", "sim", "rank")
+        .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    assert(canon(IvfIndex.searchIndex(probes, loaded, "vec_id", "embedding", k = 3, nProbe = 4)) ==
+      canon(IvfIndex.searchIndex(probes, appended, "vec_id", "embedding", k = 3, nProbe = 4)))
+  }
+
   test("IVF with nProbe == nLists reproduces brute-force top-k exactly") {
     import spark.implicits._
     val emb = graft.Tables.embeddings(spark, dir)
