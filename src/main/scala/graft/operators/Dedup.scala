@@ -68,12 +68,7 @@ object Dedup {
     */
   def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {
-    val sigs = minhashSignatures(docs, idCol, textCol, k)
-    val banded = sigs.select(col(idCol) +: TextOps.bandCols(): _*)
-      .select(col(idCol),
-        posexplode(array((0 until TextOps.NumBands).map(b => col(s"band$b")): _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
-      .filter(col("sig").isNotNull) // shorter-than-k docs have no signature
+    val banded = bandedSigs(docs, idCol, textCol, k)
     val a = banded.select(col("band"), col("sig"), col(idCol).as("a"))
     val b = banded.select(col("band"), col("sig"), col(idCol).as("b"))
     a.join(b, Seq("band", "sig")).filter(col("a") < col("b"))
@@ -173,5 +168,45 @@ object Dedup {
       .select(col("a"), col("b"),
         (size(array_intersect(col("sha"), col("shb"))).cast("double") /
           size(array_union(col("sha"), col("shb")))).as("jaccard"))
+  }
+
+  /** The banded-signature relation behind [[minhashCandidatePairs]]:
+    * (id, band, sig), one row per non-null band signature.
+    */
+  private def bandedSigs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, textCol, k)
+    sigs.select(col(idCol) +: TextOps.bandCols(): _*)
+      .select(col(idCol),
+        posexplode(array((0 until TextOps.NumBands).map(b => col(s"band$b")): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
+      .filter(col("sig").isNotNull) // shorter-than-k docs have no signature
+  }
+
+  /** Cross-corpus decontamination: training docs that near-duplicate an
+    * EVAL/benchmark doc — the pair every training pipeline must find before
+    * the eval score means anything. Returns (a = train id, b = eval id,
+    * jaccard) for verified pairs with jaccard ≥ `minJaccard`.
+    *
+    * Same LSH dataflow as [[minhashCandidatePairs]], but the bucket join is
+    * strictly ACROSS the two corpora: a bucket holding t train docs and e
+    * eval docs yields t·e candidates instead of (t+e)², and train–train /
+    * eval–eval pairs are never generated at all. Exact Jaccard verification
+    * then runs only on the surviving cross pairs. At 100 TB train × 1 GB
+    * eval, the eval side's banded signatures are tiny — the join
+    * broadcast-sides them automatically under AQE.
+    *
+    * Requires disjoint id spaces: the verify join resolves both sides'
+    * texts from the tagged union by id, so a shared id would be ambiguous.
+    */
+  def crossCorpusNearDups(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, k: Int = 3, minJaccard: Double = 0.8): DataFrame = {
+    val a = bandedSigs(train, idCol, textCol, k)
+      .select(col("band"), col("sig"), col(idCol).as("a"))
+    val b = bandedSigs(eval, idCol, textCol, k)
+      .select(col("band"), col("sig"), col(idCol).as("b"))
+    val pairs = a.join(b, Seq("band", "sig")).select("a", "b").distinct()
+    jaccardOnPairs(pairs, train.unionByName(eval), idCol, textCol, k)
+      .filter(col("jaccard") >= minJaccard)
   }
 }

@@ -171,6 +171,32 @@ object TextQueries {
         Dedup.minhashCandidatePairs(cp, "doc_id", "text"), cp, "doc_id", "text")
     },
 
+    // --- cross-corpus decontamination (Dedup.crossCorpusNearDups): training
+    // --- docs that near-duplicate an EVAL doc — LSH buckets joined strictly
+    // --- ACROSS the corpora (train–train pairs never generated), exact
+    // --- Jaccard verify on the survivors. Eval = the clipped variants;
+    // --- oracle = the full-corpus LSH pair set restricted to cross pairs
+    // --- (band signatures are per-doc, so the restriction is exact). ----------
+    q("txt16_decontaminate",
+      s"""WITH $corpusSql,
+         |$minhashSql,
+         |shd AS (SELECT doc_id, list_distinct(
+         |  [array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)]) AS sh
+         |  FROM toks)
+         |SELECT * FROM (
+         |  SELECT p.a, p.b,
+         |    CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
+         |  FROM pairs p JOIN shd x ON p.a = x.doc_id JOIN shd y ON p.b = y.doc_id
+         |  WHERE p.a < 100000 AND p.b >= 200000) v
+         |WHERE jaccard >= 0.5""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val eval = docs.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          expr("substring(text, 1, length(text)-10)").as("text"))
+      Dedup.crossCorpusNearDups(docs, eval, "doc_id", "text", minJaccard = 0.5)
+    },
+
     // --- duplicate clusters: distributed large-star/small-star connected
     // --- components over the LSH pairs; the oracle reaches the same partition
     // --- by recursive transitive closure + min-label (tiny edge set in SQL) ---

@@ -30,6 +30,34 @@ class DedupSpec extends AnyFunSuite {
     assert(deduped.count() == corpus().count() - 50)
   }
 
+  test("cross-corpus decontamination flags planted eval contamination, never train-train pairs") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, dir).select("doc_id", "text")
+    val eval = docs.filter(col("doc_id") % 17 === 0)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        expr("substring(text, 1, length(text)-10)").as("text"))
+    val got = Dedup.crossCorpusNearDups(docs, eval, "doc_id", "text", minJaccard = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    assert(got.forall { case (a, b, j) => a < 200000 && b >= 200000 && j >= 0.5 },
+      "every pair must be train-side × eval-side above the threshold")
+    val planted = docs.filter(col("doc_id") % 17 === 0).select("doc_id").as[Long]
+      .collect().map(i => (i, i + 200000)).toSet
+    val gotPairs = got.map(p => (p._1, p._2)).toSet
+    val recall = planted.count(gotPairs.contains).toDouble / planted.size
+    assert(recall >= 0.8, s"decontamination recall $recall")
+    // verbatim leakage: an identical doc placed in eval shares all bands, so
+    // it is ALWAYS flagged (LSH guarantee, not probabilistic at jaccard 1.0)
+    val evalExact = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 300000).as("doc_id"), col("text"))
+    val gotExact = Dedup.crossCorpusNearDups(docs, evalExact, "doc_id", "text",
+        minJaccard = 0.99)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    val plantedExact = docs.filter(col("doc_id") % 10 === 0).select("doc_id").as[Long]
+      .collect().map(i => (i, i + 300000)).toSet
+    assert(plantedExact.subsetOf(gotExact), "identical eval docs must always be flagged")
+  }
+
   test("native MinHashSigExpr is bit-identical to the composed pipeline") {
     val cp = corpus()
     val native = Dedup.minhashSignatures(cp, "doc_id", "text")
