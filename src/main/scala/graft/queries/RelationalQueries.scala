@@ -626,6 +626,22 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_events"),
           min(col("t_us")).as("start_us"), max(col("t_us")).as("end_us"),
           dsum(col("value"), 2).as("session_value"))
+    },
+
+    // --- per-group top-k WITHOUT a window sort (TopK.topKPerGroup): a
+    // --- bounded-buffer typed Aggregator with map-side partial aggregation —
+    // --- the exchange carries O(groups·k·partitions) buffers instead of
+    // --- every row, and no group is ever sorted whole. Oracle = the window
+    // --- row_number() formulation; ties break on o_orderkey so the order is
+    // --- total and both formulations agree bit-for-bit. ----------------------
+    q("q36_topk_per_group",
+      """SELECT o_orderstatus, rank, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        |  FROM orders) t WHERE rank <= 5""".stripMargin) { (s, d) =>
+      graft.operators.TopK.topKPerGroup(Tables.orders(s, d),
+        "o_orderstatus", "o_totalprice", "o_orderkey", k = 5)
     }
   )
 }

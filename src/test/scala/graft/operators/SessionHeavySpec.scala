@@ -76,6 +76,37 @@ class SessionHeavySpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------------------- TopK
+
+  test("topKPerGroup equals the window row_number formulation on skewed groups") {
+    import org.apache.spark.sql.expressions.Window
+    // group a: 1000 rows (skew), b: 7, c: 3 (< k), d: 1; duplicate values
+    // exercise the id tie-break
+    val rows = (1 to 1000).map(i => ("a", (i % 97).toDouble, i.toLong)) ++
+      (1 to 7).map(i => ("b", 5.0, 1000L + i)) ++
+      (1 to 3).map(i => ("c", i.toDouble, 2000L + i)) ++
+      Seq(("d", 9.9, 3000L))
+    val df = rows.toDF("g", "v", "id").repartition(8)
+    val got = TopK.topKPerGroup(df, "g", "v", "id", k = 5)
+      .as[(String, Long, Long, Double)].collect().toSet
+    val w = Window.partitionBy($"g").orderBy($"v".desc, $"id")
+    val want = df.withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
+      .select($"g", $"rank".cast("long"), $"id", $"v")
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(got == want)
+    assert(got.count(_._1 == "c") == 3 && got.count(_._1 == "d") == 1,
+      "groups smaller than k return all their rows")
+  }
+
+  test("topKPerGroup plans partial aggregation, not a window sort") {
+    val df = (1 to 100).map(i => ("g" + i % 3, i.toDouble, i.toLong)).toDF("g", "v", "id")
+    val plan = TopK.topKPerGroup(df, "g", "v", "id", k = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"must not plan a window:\n$plan")
+    assert("partial_topkagg|ObjectHashAggregate|SortAggregate".r
+      .findFirstIn(plan).isDefined, s"expected an aggregate-based plan:\n$plan")
+  }
+
   test("heavy hitters on adversarial all-distinct input is empty, empty input is empty") {
     val distinct = (1 to 500).map(_.toString).toDF("item").repartition(4)
     assert(HeavyHitters.heavyHitters(distinct, "item", k = 10).count() == 0)
