@@ -348,6 +348,38 @@ object TextQueries {
           sum(length(col("text")).cast("long")).as("n_chars"))
     },
 
+    // --- PII redaction scrub (TextOps.redactPii): emails → <email>, IPv4s →
+    // --- <ip>, phones → <phone>, planted identically on both sides so the
+    // --- scrub does real work. Patterns are character classes + \b only —
+    // --- Java regex and RE2 agree; replacement order is part of the
+    // --- operator contract. One projection, zero shuffles. -------------------
+    q("txt17_pii_redact",
+      """WITH noisy AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |    || '@mail.example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+        |    || '.7 or call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |    AS raw FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(raw,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<email>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<ip>', 'g'),
+        |    '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<phone>', 'g') AS clean_text,
+        |  CAST(len(regexp_extract_all(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(raw, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ips,
+        |  CAST(len(regexp_extract_all(raw, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS INT) AS n_phones
+        |FROM noisy""".stripMargin) { (s, d) =>
+      val raw = concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com from 10.0."), (col("doc_id") % 256).cast("string"),
+        lit(".7 or call 415-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), raw.as("raw"))
+        .select(col("doc_id"),
+          TextOps.redactPii(col("raw")).as("clean_text"),
+          size(regexp_extract_all(col("raw"), lit(TextOps.EmailPattern), lit(0))).as("n_emails"),
+          size(regexp_extract_all(col("raw"), lit(TextOps.Ipv4Pattern), lit(0))).as("n_ips"),
+          size(regexp_extract_all(col("raw"), lit(TextOps.PhonePattern), lit(0))).as("n_phones"))
+    },
+
     // --- SimHash (native expression vs 32-way SQL vote) -----------------------
     q("txt08_simhash",
       s"""WITH toks AS (SELECT doc_id, list_distinct($toksSql) AS t FROM documents),

@@ -1,0 +1,144 @@
+package graft
+
+import graft.operators.{Dedup, HeavyHitters, Sessionize, TopK}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based falsification of the operators whose correctness rests on
+  * an ALGEBRAIC argument (partial-aggregation laws, union-find ≡ transitive
+  * closure, order-insensitivity) rather than on one fixture: each property
+  * pits the operator against an independent straight-line reference
+  * implementation over randomized inputs, split orders, and partitionings.
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def check(name: String, trials: Int)(p: Prop): Unit = {
+    val r = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(trials).withWorkers(1), p)
+    assert(r.passed, s"$name: ${r.status}")
+  }
+
+  // ---------------------------------------------------------------- TopKAgg
+
+  test("TopKAgg: any split into partitions + any merge order equals sort-take(k)") {
+    // ids made unique by index so the tie-break order is total
+    val entriesGen = Gen.listOf(Gen.chooseNum(-5.0, 5.0))
+      .map(_.zipWithIndex.map { case (v, i) => TopK.Entry(v, i.toLong) })
+    val prop = Prop.forAll(entriesGen, Gen.chooseNum(1, 7), Gen.long) {
+      (entries, k, seed) =>
+        val agg = new TopK.TopKAgg(k)
+        // random partitioning + random merge order, driven by the seed
+        val rnd = new scala.util.Random(seed)
+        val parts = entries.groupBy(_ => rnd.nextInt(4)).values.toList
+        val bufs = rnd.shuffle(parts.map(_.foldLeft(agg.zero)(agg.reduce)))
+        val got = agg.finish(bufs.foldLeft(agg.zero)(agg.merge)).items
+        val want = entries.sortBy(e => (-e.v, e.id)).take(k)
+        got == want
+    }
+    check("TopKAgg", 200)(prop)
+  }
+
+  // ----------------------------------------------------- union-find clusters
+
+  test("clusters: union-find partition equals brute-force transitive closure") {
+    import spark.implicits._
+    val edgesGen = Gen.listOf(Gen.zip(Gen.chooseNum(0L, 15L), Gen.chooseNum(0L, 15L)))
+      .map(_.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) })
+      .suchThat(_.nonEmpty)
+    val prop = Prop.forAll(edgesGen) { edges =>
+      val got = Dedup.clusters(edges.toDF("a", "b"))
+      // reference: grow components to a fixed point, label by component min
+      var comp = edges.flatMap(e => Seq(e._1, e._2)).distinct.map(n => n -> n).toMap
+      var changed = true
+      while (changed) {
+        changed = false
+        for ((a, b) <- edges) {
+          val m = math.min(comp(a), comp(b))
+          if (comp(a) != m) { comp += a -> m; changed = true }
+          if (comp(b) != m) { comp += b -> m; changed = true }
+        }
+      }
+      val gotRoots = got.map { case (n, r) => n -> r }
+      gotRoots == comp
+    }
+    check("clusters", 25)(prop)
+  }
+
+  // -------------------------------------------------- latest-state compaction
+
+  test("LatestState.batch is input-order-insensitive and equals max-by compaction") {
+    import spark.implicits._
+    val evGen = for {
+      n <- Gen.chooseNum(1, 30)
+      ops <- Gen.listOfN(n, Gen.oneOf("insert", "update", "delete"))
+      keys <- Gen.listOfN(n, Gen.chooseNum(0, 5).map(k => s"k$k"))
+    } yield ops.zip(keys).zipWithIndex.map { case ((op, key), i) =>
+      graft.cdc.CdcEvent(op, "t", i.toLong + 1, 0, 0, key, null,
+        if (op == "delete") null else s"v$i")
+    }
+    val prop = Prop.forAll(evGen, Gen.long) { (events, seed) =>
+      val shuffled = new scala.util.Random(seed).shuffle(events)
+      val got = graft.cdc.LatestState.batch(shuffled.toDF(), Seq("key"), Seq("lsn", "seq"))
+        .select("key", "after").as[(String, String)].collect().toMap
+      val want = events.groupBy(_.key).view.mapValues(_.maxBy(e => (e.lsn, e.seq)))
+        .filter(_._2.op != "delete").map { case (k, e) => k -> e.after }.toMap
+      got == want
+    }
+    check("LatestState", 15)(prop)
+  }
+
+  // ---------------------------------------------------------------- sessions
+
+  test("Sessionize.assign equals a straight-line per-entity scan") {
+    import spark.implicits._
+    val rowsGen = for {
+      n <- Gen.chooseNum(1, 40)
+      users <- Gen.listOfN(n, Gen.chooseNum(0, 3).map(u => s"u$u"))
+      times <- Gen.listOfN(n, Gen.chooseNum(0L, 300L))
+    } yield users.zip(times).zipWithIndex.map { case ((u, t), i) => (u, t, i.toLong) }
+    val prop = Prop.forAll(rowsGen, Gen.chooseNum(0L, 60L)) { (rows, gap) =>
+      val got = Sessionize.assign(rows.toDF("user", "t", "id"),
+          Seq("user"), col("t"), Seq(col("id")), gap)
+        .select("user", "id", "session_no").as[(String, Long, Long)]
+        .collect().toSet
+      val want = rows.groupBy(_._1).flatMap { case (u, rs) =>
+        val sorted = rs.sortBy(r => (r._2, r._3))
+        var (s, prev) = (0L, Long.MinValue)
+        sorted.map { case (_, t, id) =>
+          if (prev == Long.MinValue || t - prev > gap) s += 1
+          prev = t
+          (u, id, s)
+        }
+      }.toSet
+      got == want
+    }
+    check("Sessionize", 12)(prop)
+  }
+
+  // ------------------------------------------------------------ heavy hitters
+
+  test("HeavyHitters equals the naive count under random data and partitioning") {
+    import spark.implicits._
+    val itemsGen = for {
+      n <- Gen.chooseNum(1, 200)
+      // zipf-ish: small alphabet with geometric skew
+      items <- Gen.listOfN(n, Gen.frequency(
+        8 -> Gen.const("hot"), 4 -> Gen.const("warm"),
+        2 -> Gen.chooseNum(0, 5).map(i => s"mid$i"),
+        1 -> Gen.chooseNum(0, 50).map(i => s"cold$i")))
+    } yield items
+    val prop = Prop.forAll(itemsGen, Gen.chooseNum(2, 8), Gen.chooseNum(1, 6)) {
+      (items, k, nParts) =>
+        val df = items.toDF("item").repartition(nParts)
+        val got = HeavyHitters.heavyHitters(df, "item", k)
+          .as[(String, Long)].collect().toSet
+        val counts = items.groupBy(identity).view.mapValues(_.size.toLong)
+        val want = counts.filter(_._2 * k > items.size)
+          .map { case (s, c) => (s, c) }.toSet
+        got == want
+    }
+    check("HeavyHitters", 12)(prop)
+  }
+}

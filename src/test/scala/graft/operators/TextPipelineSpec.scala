@@ -50,4 +50,26 @@ class TextPipelineSpec extends AnyFunSuite {
       .select($"c1", TextOps.normalize($"c1").as("c2"))
     assert(docs.filter($"c1" =!= $"c2").count() == 0)
   }
+
+  test("PII redaction: each class redacted, boundaries respected, idempotent") {
+    val rows = Seq(
+      ("mail bob.smith+x@corp.example.org now", "mail <email> now"),
+      ("host 10.0.255.7 up", "host <ip> up"),
+      ("call 415-555-0123 today", "call <phone> today"),
+      // all three in one string, redaction order: email, ip, phone
+      ("a@b.co 1.2.3.4 415-555-0123", "<email> <ip> <phone>"),
+      // \b guards: digit-adjacent candidates are NOT a phone/ip
+      ("id 1234-567-8901 raw", "id 1234-567-8901 raw"),
+      ("ver 1.2.3.4.5 tag", "ver <ip>.5 tag"), // leftmost 4 octets match; \b holds before '.'
+      ("no pii here", "no pii here"),
+      ("", "")
+    ).toDF("raw", "expected")
+    val got = rows.select(TextOps.redactPii($"raw").as("clean"), $"expected")
+      .as[(String, String)].collect()
+    got.foreach { case (clean, expected) => assert(clean == expected, s"got '$clean'") }
+    // idempotence: placeholders never re-match any pattern
+    val once = rows.select(TextOps.redactPii($"raw").as("c1"))
+    assert(once.select($"c1", TextOps.redactPii($"c1").as("c2"))
+      .filter($"c1" =!= $"c2").count() == 0)
+  }
 }
