@@ -104,4 +104,42 @@ object RangeJoin {
   def naive(left: DataFrame, pointCol: String,
       right: DataFrame, loCol: String, hiCol: String): DataFrame =
     left.join(right, col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+
+  /** Interval × interval OVERLAP join — the two-sided completion of
+    * [[pointInInterval]]: pairs whose `[lo, hi]` spans intersect (closed
+    * ends), optionally under additional equi-keys (the realistic shape:
+    * co-partition on an entity, overlap on time).
+    *
+    * Both sides explode to their overlapped bins and equi-join on
+    * (bin, equiKeys) — ONE hash shuffle, no nested loop. Unlike the point
+    * case, a qualifying pair can share SEVERAL bins; instead of a distinct
+    * (an extra exchange over the whole output), each pair is attributed to
+    * ONE canonical bin — the bin of the overlap region's start
+    * `max(loL, loR)`, which both explosions necessarily produced — so the
+    * exactly-once property falls out of a per-row filter. Column names must
+    * be disjoint across the sides (standard join contract).
+    */
+  def intervalOverlap(left: DataFrame, loL: String, hiL: String,
+      right: DataFrame, loR: String, hiR: String,
+      binWidth: Double, equiKeys: Seq[String] = Nil): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def binOf(c: Column): Column = floor(c / lit(binWidth)).cast("long")
+    val l = left.withColumn("_bin",
+      explode(sequence(binOf(col(loL)), binOf(col(hiL)))))
+    val r = right.withColumn("_bin",
+      explode(sequence(binOf(col(loR)), binOf(col(hiR)))))
+    l.join(r, "_bin" +: equiKeys)
+      .filter(col(loL) <= col(hiR) && col(loR) <= col(hiL))
+      .filter(col("_bin") === binOf(greatest(col(loL), col(loR))))
+      .drop("_bin")
+  }
+
+  /** Reference for specs: the naive overlap theta join. */
+  def naiveOverlap(left: DataFrame, loL: String, hiL: String,
+      right: DataFrame, loR: String, hiR: String,
+      equiKeys: Seq[String] = Nil): DataFrame = {
+    val cond = equiKeys.map(k => left(k) === right(k))
+      .foldLeft(col(loL) <= col(hiR) && col(loR) <= col(hiL))(_ && _)
+    equiKeys.foldLeft(left.join(right, cond))((df, k) => df.drop(right(k)))
+  }
 }

@@ -642,6 +642,34 @@ object RelationalQueries {
         |  FROM orders) t WHERE rank <= 5""".stripMargin) { (s, d) =>
       graft.operators.TopK.topKPerGroup(Tables.orders(s, d),
         "o_orderstatus", "o_totalprice", "o_orderkey", k = 5)
+    },
+
+    // --- interval × interval OVERLAP join (RangeJoin.intervalOverlap): pairs
+    // --- of same-customer F/O orders whose 30-day windows intersect. Both
+    // --- sides explode to bins, ONE equi-join on (bin, cust); a pair sharing
+    // --- several bins survives only in the bin of its overlap start —
+    // --- exactly-once without a distinct. Oracle = the naive theta join. ------
+    q("q37_interval_overlap",
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) AS lo,
+        |    date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) + 30 AS hi
+        |  FROM orders),
+        |a AS (SELECT * FROM o WHERE o_orderstatus = 'F'),
+        |b AS (SELECT * FROM o WHERE o_orderstatus = 'O')
+        |SELECT a.o_custkey AS cust, a.o_orderkey AS a_key, b.o_orderkey AS b_key
+        |FROM a JOIN b ON a.o_custkey = b.o_custkey
+        |  AND a.lo <= b.hi AND b.lo <= a.hi""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"),
+          datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("lo"))
+        .withColumn("hi", col("lo") + 30)
+      def side(status: String, p: String) = o.filter(col("o_orderstatus") === status)
+        .select(col("o_custkey").as("cust"), col("o_orderkey").as(s"${p}_key"),
+          col("lo").as(s"${p}_lo"), col("hi").as(s"${p}_hi"))
+      graft.operators.RangeJoin.intervalOverlap(
+          side("F", "a"), "a_lo", "a_hi", side("O", "b"), "b_lo", "b_hi",
+          binWidth = 32, equiKeys = Seq("cust"))
+        .select("cust", "a_key", "b_key")
     }
   )
 }

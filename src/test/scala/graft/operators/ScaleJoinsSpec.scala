@@ -111,6 +111,28 @@ class ScaleJoinsSpec extends AnyFunSuite {
     }
   }
 
+  test("interval overlap join == naive theta join, exactly once, across bin widths") {
+    import spark.implicits._
+    // touching ends, containment, identical spans, negatives, a zero-length
+    // interval, and a disjoint pair — with and without an equi-key
+    val a = Seq((1L, "x", -10.0, 0.0), (2L, "x", 0.0, 5.0), (3L, "y", 3.0, 3.0),
+      (4L, "x", 100.0, 200.0), (5L, "y", -50.0, 50.0)).toDF("aid", "k", "a_lo", "a_hi")
+    val b = Seq((10L, "x", 0.0, 2.0), (20L, "x", -30.0, -10.0), (30L, "y", 3.0, 9.0),
+      (40L, "x", 150.0, 150.0), (50L, "y", 60.0, 70.0)).toDF("bid", "k", "b_lo", "b_hi")
+    for (keys <- Seq(Nil, Seq("k")); w <- Seq(0.7, 5.0, 64.0, 1000.0)) {
+      val expected = RangeJoin.naiveOverlap(a, "a_lo", "a_hi", b, "b_lo", "b_hi", keys)
+        .select("aid", "bid").as[(Long, Long)].collect().toSet
+      val got = RangeJoin.intervalOverlap(a, "a_lo", "a_hi", b, "b_lo", "b_hi", w, keys)
+        .select("aid", "bid").as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size, s"duplicate pairs at w=$w keys=$keys")
+      assert(got.toSet == expected, s"mismatch at w=$w keys=$keys")
+    }
+    // sanity: the keyless expected set includes touching ends (1,10) and (2,10)
+    val keyless = RangeJoin.naiveOverlap(a, "a_lo", "a_hi", b, "b_lo", "b_hi")
+      .select("aid", "bid").as[(Long, Long)].collect().toSet
+    assert(Set((1L, 10L), (2L, 10L)).subsetOf(keyless))
+  }
+
   test("salted join returns identical results to a plain join") {
     import spark.implicits._
     // skewed left side: key 1 dominates
