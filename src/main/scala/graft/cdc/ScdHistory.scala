@@ -98,4 +98,41 @@ object ScdHistory {
           out.result().iterator
       }
   }
+
+  /** foreachBatch sink for [[streamingClosedVersions]]: land the micro-batch's
+    * closed versions in the history table at `dir`, IDEMPOTENTLY under
+    * foreachBatch's at-least-once batch retries. Rows go into a
+    * `_batch=<id>` partition and a retried batch dynamically overwrites ONLY
+    * its own partition — a sink failure mid-write can never double-append.
+    * (The stream side already guarantees replayed EVENTS emit nothing;
+    * this closes the other half: replayed BATCHES.) Closed intervals are
+    * immutable facts, so append-only partitions are the right storage — no
+    * merge dataflow, no compaction coupling; `MaterializedTable.compact`
+    * applies unchanged if small batches accumulate small files.
+    */
+  def foldHistory(spark: org.apache.spark.sql.SparkSession, dir: String,
+      closed: DataFrame, batchId: Long): Unit = {
+    closed.withColumn("_batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_batch")
+      .parquet(dir)
+  }
+
+  /** The folded closed-version history (batch column dropped). */
+  def readHistory(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir).drop("_batch")
+
+  /** Open (current) versions in [[ClosedVersion]] shape (null valid_to),
+    * derived from compacted latest state ([[LatestState.batch]] output over
+    * the same changelog). `readHistory ∪ openVersions` is the full SCD2
+    * table — closed versions from immutable storage, open versions from the
+    * (small) compacted present.
+    */
+  def openVersions(latest: DataFrame): DataFrame =
+    latest.select(col("table"), col("key"),
+      col("lsn").as("valid_from_lsn"), col("seq").as("valid_from_seq"),
+      lit(null).cast("long").as("valid_to_lsn"),
+      lit(null).cast("long").as("valid_to_seq"),
+      col("op"), col("after"))
 }

@@ -380,6 +380,49 @@ object TextQueries {
           size(regexp_extract_all(col("raw"), lit(TextOps.PhonePattern), lit(0))).as("n_phones"))
     },
 
+    // --- repetition metrics + composite quality-rule flag (the Gopher-style
+    // --- document filter): duplicate-3-shingle fraction, single-token
+    // --- dominance, token-count band → one boolean keep. Ratios are exact
+    // --- integer divisions (IEEE-identical across engines), so the flag
+    // --- hash-matches. Shapes: one projection for the shingle metric, one
+    // --- explode + two hash-aggs for token dominance — the distributed
+    // --- shape (the per-row array alternative is O(n·distinct) per doc). ------
+    q("txt18_repetition",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |base AS (SELECT doc_id, len(toks) AS n_tokens,
+         |  [array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks)-2)] AS sh3
+         |  FROM t),
+         |rep AS (SELECT doc_id, n_tokens,
+         |  CASE WHEN len(sh3) = 0 THEN 0.0
+         |    ELSE 1.0 - CAST(len(list_distinct(sh3)) AS DOUBLE)/len(sh3) END AS dup_shingle_frac
+         |  FROM base),
+         |top AS (SELECT doc_id, MAX(c) AS topc FROM (
+         |  SELECT doc_id, tok, COUNT(*) AS c
+         |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2) GROUP BY 1)
+         |SELECT r.doc_id, r.n_tokens, r.dup_shingle_frac,
+         |  CAST(top.topc AS DOUBLE)/r.n_tokens AS top_token_frac,
+         |  (r.n_tokens >= 25 AND r.dup_shingle_frac < 0.05
+         |    AND CAST(top.topc AS DOUBLE)/r.n_tokens < 0.15) AS keep
+         |FROM rep r JOIN top USING (doc_id)""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      val rep = toks.select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          TextOps.shingles(col("toks"), 3).as("sh3"))
+        .select(col("doc_id"), col("n_tokens"),
+          when(size(col("sh3")) === 0, 0.0)
+            .otherwise(lit(1.0) - size(array_distinct(col("sh3"))).cast("double") /
+              size(col("sh3"))).as("dup_shingle_frac"))
+      val top = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max(col("c")).as("topc"))
+      rep.join(top, "doc_id")
+        .select(col("doc_id"), col("n_tokens"), col("dup_shingle_frac"),
+          (col("topc").cast("double") / col("n_tokens")).as("top_token_frac"))
+        .withColumn("keep", col("n_tokens") >= 25 &&
+          col("dup_shingle_frac") < 0.05 && col("top_token_frac") < 0.15)
+    },
+
     // --- SimHash (native expression vs 32-way SQL vote) -----------------------
     q("txt08_simhash",
       s"""WITH toks AS (SELECT doc_id, list_distinct($toksSql) AS t FROM documents),

@@ -65,6 +65,44 @@ class HistorySpec extends AnyFunSuite {
     // u4 (tombstone only) contributes no version at all
   }
 
+  test("foldHistory + openVersions reconstruct the batch history; batch retries are idempotent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_scd2_fold").toString + "/hist"
+    val input = MemoryStream[CdcEvent]
+    var lastBatch: (Long, org.apache.spark.sql.DataFrame) = null
+    val q = ScdHistory.streamingClosedVersions(input.toDS())
+      .writeStream.outputMode("append")
+      .foreachBatch { (closed: org.apache.spark.sql.Dataset[ClosedVersion], id: Long) =>
+        val df = closed.toDF().localCheckpoint()
+        lastBatch = (id, df)
+        ScdHistory.foldHistory(spark, dir, df, id)
+      }
+      .start()
+    try {
+      val (b1, b2) = changelog.splitAt(6)
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      // simulate a foreachBatch RETRY of the last micro-batch (at-least-once
+      // sink contract): same batch id, same rows — must not double-append
+      val before = ScdHistory.readHistory(spark, dir).count()
+      ScdHistory.foldHistory(spark, dir, lastBatch._2, lastBatch._1)
+      assert(ScdHistory.readHistory(spark, dir).count() == before,
+        "a retried batch must overwrite its own partition, not append")
+
+      // closed (folded) ∪ open (from compacted latest state) == batch operator
+      val open = ScdHistory.openVersions(
+        LatestState.batch(changelog.toDF(), Seq("table", "key"), Seq("lsn", "seq")))
+      val got = ScdHistory.readHistory(spark, dir).unionByName(open)
+        .select($"key", $"valid_from_lsn", $"valid_to_lsn")
+        .as[(String, Long, Option[Long])].collect().toSet
+      val want = ScdHistory.batch(changelog.toDF(), Seq("table", "key"), Seq("lsn", "seq"))
+        .select($"key", $"lsn", $"valid_to.lsn")
+        .as[(String, Long, Option[Long])].collect().toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("streamingClosedVersions emits exactly the batch operator's closed intervals") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
