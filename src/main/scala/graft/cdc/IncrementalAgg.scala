@@ -185,6 +185,29 @@ object IncrementalAgg {
     }
   }
 
+  /** [[foldStanding]] guarded for foreachBatch's at-least-once BATCH retry:
+    * folding the same deltas twice would double-count, so each applied batch
+    * id leaves a marker file and a retry of an already-folded batch is a
+    * no-op. (Replayed EVENTS are already silent — [[streamingDeltas]] emits
+    * nothing for non-advancing replays; this closes the batch-level half.)
+    *
+    * Honest scope: the marker is written AFTER the fold commits, so a crash
+    * in between re-folds on retry — a window only a transactional sink
+    * (Delta/Iceberg MERGE with txn ids) removes entirely; this is the
+    * documented swap-point (MaterializedTable scaladoc). Marker files are
+    * O(batches) empty files, prunable up to the checkpoint's committed id.
+    */
+  def foldStandingBatch(spark: org.apache.spark.sql.SparkSession, dir: String,
+      deltas: DataFrame, batchId: Long, numBuckets: Int = 64): Int = {
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/_applied/$batchId")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) return 0
+    val n = foldStanding(spark, dir, deltas, numBuckets)
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, true).close()
+    n
+  }
+
   /** Current standing aggregate (bucket column dropped). */
   def readStanding(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     MaterializedTable.read(spark, dir)

@@ -200,10 +200,13 @@ class HistorySpec extends AnyFunSuite {
         .select($"grp", $"n_live", $"sum_value".cast("double"))
         .as[(String, Long, Double)].collect().toSet
     val input = MemoryStream[CdcEvent]
+    var lastBatch: (Long, org.apache.spark.sql.DataFrame) = null
     val q = IncrementalAgg.streamingDeltas(input.toDS(), gOf, vOf)
       .writeStream.outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[AggDelta], _: Long) =>
-        IncrementalAgg.foldStanding(spark, dir, batch.toDF(), numBuckets = 8); ()
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[AggDelta], id: Long) =>
+        val df = batch.toDF().localCheckpoint()
+        lastBatch = (id, df)
+        IncrementalAgg.foldStandingBatch(spark, dir, df, id, numBuckets = 8); ()
       }
       .start()
     try {
@@ -221,6 +224,13 @@ class HistorySpec extends AnyFunSuite {
       val batchAgg = runIncremental(changelog.toDF())
         .as[(String, Long, Double)].collect().toSet
       assert(standing() == batchAgg)
+      // foreachBatch BATCH retry (at-least-once sink contract): re-folding
+      // the last batch with its id must be a marker-guarded no-op — without
+      // the guard the deltas would double-count
+      val n = IncrementalAgg.foldStandingBatch(spark, dir,
+        lastBatch._2, lastBatch._1, numBuckets = 8)
+      assert(n == 0 && standing() == batchAgg,
+        "a retried batch id must not fold again")
     } finally q.stop()
   }
 
