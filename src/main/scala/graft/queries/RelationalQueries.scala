@@ -670,6 +670,34 @@ object RelationalQueries {
           side("F", "a"), "a_lo", "a_hi", side("O", "b"), "b_lo", "b_hi",
           binWidth = 32, equiKeys = Seq("cust"))
         .select("cust", "a_key", "b_key")
+    },
+
+    // --- NOT IN three-valued-logic trap, via the SQL entry surface: a NULL
+    // --- planted in the subquery list makes NOT IN empty (x <> NULL is
+    // --- UNKNOWN for every x), while the null-free variant behaves like the
+    // --- anti join. Spark plans the null-aware anti join; the gate pins that
+    // --- both engines implement the standard's 3VL identically. -------------
+    q("q38_not_in_null_semantics",
+      """WITH s_null AS (SELECT s_nationkey AS x FROM supplier
+        |    UNION ALL SELECT CAST(NULL AS INT)),
+        |s_clean AS (SELECT s_nationkey AS x FROM supplier WHERE s_nationkey < 10)
+        |SELECT
+        |  (SELECT COUNT(*) FROM customer
+        |    WHERE c_nationkey NOT IN (SELECT x FROM s_null)) AS n_with_null,
+        |  (SELECT COUNT(*) FROM customer
+        |    WHERE c_nationkey NOT IN (SELECT x FROM s_clean)) AS n_clean""".stripMargin) {
+      (s, d) =>
+      Tables.customer(s, d).createOrReplaceTempView("q38_customer")
+      Tables.supplier(s, d).createOrReplaceTempView("q38_supplier")
+      s.sql("""
+        WITH s_null AS (SELECT s_nationkey AS x FROM q38_supplier
+            UNION ALL SELECT CAST(NULL AS INT)),
+        s_clean AS (SELECT s_nationkey AS x FROM q38_supplier WHERE s_nationkey < 10)
+        SELECT
+          (SELECT COUNT(*) FROM q38_customer
+            WHERE c_nationkey NOT IN (SELECT x FROM s_null)) AS n_with_null,
+          (SELECT COUNT(*) FROM q38_customer
+            WHERE c_nationkey NOT IN (SELECT x FROM s_clean)) AS n_clean""")
     }
   )
 }

@@ -117,6 +117,31 @@ class PropertySpec extends AnyFunSuite {
     check("Sessionize", 12)(prop)
   }
 
+  // ------------------------------------------------------- interval overlap
+
+  test("intervalOverlap equals the naive theta join for random intervals and widths") {
+    import spark.implicits._
+    import graft.operators.RangeJoin
+    val sideGen = Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n, for {
+      k <- Gen.chooseNum(0, 2).map(k => s"k$k")
+      lo <- Gen.chooseNum(-40.0, 40.0)
+      len <- Gen.chooseNum(0.0, 25.0)
+    } yield (k, lo, lo + len)))
+    val prop = Prop.forAll(sideGen, sideGen, Gen.oneOf(0.9, 7.0, 50.0)) {
+      (as, bs, w) =>
+        val a = as.zipWithIndex.map { case ((k, lo, hi), i) => (i.toLong, k, lo, hi) }
+          .toDF("aid", "k", "a_lo", "a_hi")
+        val b = bs.zipWithIndex.map { case ((k, lo, hi), i) => (i.toLong, k, lo, hi) }
+          .toDF("bid", "k", "b_lo", "b_hi")
+        val got = RangeJoin.intervalOverlap(a, "a_lo", "a_hi", b, "b_lo", "b_hi", w, Seq("k"))
+          .select("aid", "bid").as[(Long, Long)].collect()
+        val want = RangeJoin.naiveOverlap(a, "a_lo", "a_hi", b, "b_lo", "b_hi", Seq("k"))
+          .select("aid", "bid").as[(Long, Long)].collect().toSet
+        got.length == got.toSet.size && got.toSet == want
+    }
+    check("intervalOverlap", 10)(prop)
+  }
+
   // ------------------------------------------------------------ heavy hitters
 
   test("HeavyHitters equals the naive count under random data and partitioning") {
