@@ -119,9 +119,21 @@ object ScdHistory {
       .parquet(dir)
   }
 
-  /** The folded closed-version history (batch column dropped). */
-  def readHistory(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    spark.read.parquet(dir).drop("_batch")
+  /** The folded closed-version history (batch column dropped). An empty or
+    * not-yet-written history reads as an empty [[ClosedVersion]] relation —
+    * the first micro-batches of a fresh pipeline close nothing (every key is
+    * a first insert), and `readHistory ∪ openVersions` must already work
+    * then, not throw schema-inference errors on a parquet-less directory.
+    */
+  def readHistory(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData = fs.exists(hPath) &&
+      fs.listStatus(hPath).exists(_.getPath.getName.startsWith("_batch="))
+    if (hasData) spark.read.parquet(dir).drop("_batch")
+    else spark.emptyDataset[ClosedVersion].toDF()
+  }
 
   /** Open (current) versions in [[ClosedVersion]] shape (null valid_to),
     * derived from compacted latest state ([[LatestState.batch]] output over

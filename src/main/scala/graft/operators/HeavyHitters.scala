@@ -33,6 +33,12 @@ object HeavyHitters {
   /** All items occurring in strictly more than 1/k of `items` rows, with
     * their exact counts: columns (`itemCol` STRING, `cnt` LONG).
     *
+    * Null items are EXCLUDED — from the candidates, the exact pass, and the
+    * total N the threshold is computed against. (A null could neither ride
+    * the (null, n_p) partition-count sentinel nor survive the semi-join,
+    * whose SQL null semantics never match; defining the operator over
+    * non-null occurrences makes all three consistent.)
+    *
     * Scans `items` twice (summary pass + exact pass) — the price of an
     * exact answer with an O(k·partitions)-bounded shuffle.
     */
@@ -41,6 +47,7 @@ object HeavyHitters {
     val spark = items.sparkSession
     import spark.implicits._
     val norm = items.select(col(itemCol).cast("string").as(itemCol))
+      .filter(col(itemCol).isNotNull)
     // (null, n_p) sentinel carries the partition's row count so the total N
     // comes out of the same single pass as the candidates
     val summaries: Array[(String, Long)] = norm.as[String].mapPartitions { it =>

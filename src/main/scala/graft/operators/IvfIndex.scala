@@ -127,12 +127,7 @@ object IvfIndex {
   def build(corpus: DataFrame, idCol: String, vecCol: String,
       nLists: Int = 16, iters: Int = 2): Index = {
     val centroids = train(corpus, idCol, vecCol, nLists, iters)
-    val assigned = assign(
-      corpus.select(col(idCol).as("id"), Similarity.quantize(col(vecCol)).as("qv")),
-      centroids)
-      .select(col("id").as("neighbor_id"), col("qv").as("cq"), col("cell"))
-      .withColumn("n2c", Similarity.dotQ(col("cq"), col("cq")))
-    Index(centroids, assigned)
+    Index(centroids, assignNew(centroids, corpus, idCol, vecCol))
   }
 
   /** Incrementally extend a trained index with new vectors WITHOUT
@@ -146,14 +141,22 @@ object IvfIndex {
     * shifts, cells imbalance and recall degrades — monitor cell sizes and
     * retrain when they skew. (Same trade every production IVF store makes.)
     */
-  def append(index: Index, newDocs: DataFrame, idCol: String, vecCol: String): Index = {
-    val newAssigned = assign(
-      newDocs.select(col(idCol).as("id"), Similarity.quantize(col(vecCol)).as("qv")),
-      index.centroids)
+  def append(index: Index, newDocs: DataFrame, idCol: String, vecCol: String): Index =
+    Index(index.centroids,
+      index.assigned.unionByName(assignNew(index.centroids, newDocs, idCol, vecCol)))
+
+  /** The ONE definition of the `assigned` schema (neighbor_id, cq, cell,
+    * n2c): quantize → nearest-cell assign → precompute self-norms. Shared by
+    * [[build]], [[append]], and [[appendSaved]] so the on-disk and in-memory
+    * index rows can never diverge.
+    */
+  private def assignNew(centroids: DataFrame, docs: DataFrame,
+      idCol: String, vecCol: String): DataFrame =
+    assign(
+      docs.select(col(idCol).as("id"), Similarity.quantize(col(vecCol)).as("qv")),
+      centroids)
       .select(col("id").as("neighbor_id"), col("qv").as("cq"), col("cell"))
       .withColumn("n2c", Similarity.dotQ(col("cq"), col("cq")))
-    Index(index.centroids, index.assigned.unionByName(newAssigned))
-  }
 
   /** [[append]] against a SAVED index: the new batch's assigned rows are
     * appended as new parquet files in the touched `cell=` partitions only —
@@ -163,12 +166,7 @@ object IvfIndex {
   def appendSaved(spark: org.apache.spark.sql.SparkSession, dir: String,
       newDocs: DataFrame, idCol: String, vecCol: String): Index = {
     val centroids = spark.read.parquet(s"$dir/centroids")
-    val newAssigned = assign(
-      newDocs.select(col(idCol).as("id"), Similarity.quantize(col(vecCol)).as("qv")),
-      centroids)
-      .select(col("id").as("neighbor_id"), col("qv").as("cq"), col("cell"))
-      .withColumn("n2c", Similarity.dotQ(col("cq"), col("cq")))
-    newAssigned.repartition(col("cell"))
+    assignNew(centroids, newDocs, idCol, vecCol).repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$dir/assigned")
     load(spark, dir)
   }

@@ -73,7 +73,7 @@ object TextOps {
     * local part may contain digits a later pass would misread), then IPs
     * (dotted — disjoint from dashed phones), then phones.
     */
-  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val EmailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
   val Ipv4Pattern  = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
   val PhonePattern = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
 

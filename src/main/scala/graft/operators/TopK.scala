@@ -29,10 +29,15 @@ object TopK {
   final case class Buf(items: List[Entry])
 
   /** Larger v first; equal v breaks toward smaller id (total order — ids are
-    * unique by contract).
+    * unique by contract). `Double.compare`, not `>`: IEEE `>`/`==` are both
+    * false for NaN, which would make NaN placement insertion-order-dependent
+    * — compare() totalizes NaN as the largest value and equal to itself,
+    * matching Spark's own sort order.
     */
-  private def better(a: Entry, b: Entry): Boolean =
-    a.v > b.v || (a.v == b.v && a.id < b.id)
+  private def better(a: Entry, b: Entry): Boolean = {
+    val c = java.lang.Double.compare(a.v, b.v)
+    c > 0 || (c == 0 && a.id < b.id)
+  }
 
   class TopKAgg(k: Int) extends Aggregator[Entry, Buf, Buf] {
     require(k > 0, s"k must be positive, got $k")
@@ -53,13 +58,17 @@ object TopK {
   /** Top `k` rows of `df` per `groupCol`, ordered by `valueCol` descending
     * with ties broken by ascending `idCol`. Output: (groupCol, rank LONG
     * 1-based, idCol LONG, valueCol DOUBLE) — identical to the window
-    * `row_number()` formulation, computed without it.
+    * `row_number()` formulation, computed without it. NaN ranks largest
+    * (Spark's sort order). Rows with a null value or id are EXCLUDED — a
+    * null can never hold a rank; the contract is explicit because the
+    * tuple encoder below would otherwise throw at runtime.
     */
   def topKPerGroup(df: DataFrame, groupCol: String, valueCol: String,
       idCol: String, k: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(groupCol).cast("string").as("g"),
+    df.filter(col(valueCol).isNotNull && col(idCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
         col(valueCol).cast("double").as("v"), col(idCol).cast("long").as("id"))
       .as[(String, Double, Long)]
       .groupByKey(_._1)

@@ -71,6 +71,9 @@ class HistorySpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft_scd2_fold").toString + "/hist"
     val input = MemoryStream[CdcEvent]
     var lastBatch: (Long, org.apache.spark.sql.DataFrame) = null
+    // a fresh (never-written) history must read as empty, not throw — the
+    // first micro-batches of a new pipeline close nothing
+    assert(ScdHistory.readHistory(spark, dir).count() == 0)
     val q = ScdHistory.streamingClosedVersions(input.toDS())
       .writeStream.outputMode("append")
       .foreachBatch { (closed: org.apache.spark.sql.Dataset[ClosedVersion], id: Long) =>

@@ -98,6 +98,17 @@ class SessionHeavySpec extends AnyFunSuite {
       "groups smaller than k return all their rows")
   }
 
+  test("topKPerGroup: null rows are excluded, NaN ranks largest deterministically") {
+    val df = Seq[(String, java.lang.Double, java.lang.Long)](
+      ("g", 5.0, 1L), ("g", null, 2L), ("g", Double.NaN, 3L),
+      ("g", Double.NaN, 4L), ("g", 7.0, 5L), ("g", 6.0, null))
+      .toDF("g", "v", "id")
+    val got = TopK.topKPerGroup(df, "g", "v", "id", k = 3)
+      .select($"rank", $"id").as[(Long, Long)].collect().toSet
+    // NaN > 7.0 > 5.0 (Spark sort order); NaN tie breaks by id; null rows out
+    assert(got == Set((1L, 3L), (2L, 4L), (3L, 5L)))
+  }
+
   test("topKPerGroup plans partial aggregation, not a window sort") {
     val df = (1 to 100).map(i => ("g" + i % 3, i.toDouble, i.toLong)).toDF("g", "v", "id")
     val plan = TopK.topKPerGroup(df, "g", "v", "id", k = 2)
@@ -112,5 +123,16 @@ class SessionHeavySpec extends AnyFunSuite {
     assert(HeavyHitters.heavyHitters(distinct, "item", k = 10).count() == 0)
     val empty = Seq.empty[String].toDF("item")
     assert(HeavyHitters.heavyHitters(empty, "item", k = 10).count() == 0)
+  }
+
+  test("heavy hitters exclude nulls from candidates AND from the threshold total") {
+    // 40 nulls + 30 "a" + 30 singletons; over NON-NULL occurrences (60),
+    // "a" clears N/k = 20 with k=3. Nulls must neither appear nor inflate
+    // the total (over raw rows 100/3 = 33.3 would wrongly exclude "a")
+    val data = (Seq.fill(40)(null: String) ++ Seq.fill(30)("a") ++
+      (1 to 30).map(i => s"s$i")).toDF("item").repartition(5)
+    val got = HeavyHitters.heavyHitters(data, "item", k = 3)
+      .as[(String, Long)].collect().toSet
+    assert(got == Set(("a", 30L)))
   }
 }

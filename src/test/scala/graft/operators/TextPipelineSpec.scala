@@ -54,6 +54,7 @@ class TextPipelineSpec extends AnyFunSuite {
   test("PII redaction: each class redacted, boundaries respected, idempotent") {
     val rows = Seq(
       ("mail bob.smith+x@corp.example.org now", "mail <email> now"),
+      ("mail John.Doe@Example.COM too", "mail <email> too"), // mixed case redacts
       ("host 10.0.255.7 up", "host <ip> up"),
       ("call 415-555-0123 today", "call <phone> today"),
       // all three in one string, redaction order: email, ip, phone
