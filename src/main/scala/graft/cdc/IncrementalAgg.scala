@@ -208,6 +208,23 @@ object IncrementalAgg {
     n
   }
 
+  /** Prune [[foldStandingBatch]] markers BELOW `committedBatchId` (exclusive)
+    * — safe once the streaming checkpoint has committed that id, because
+    * foreachBatch only ever retries the latest uncommitted batch; ids below
+    * the committed watermark can never be re-delivered. Keeps the marker
+    * directory O(1) instead of O(stream lifetime). Returns markers deleted.
+    */
+  def pruneMarkers(spark: org.apache.spark.sql.SparkSession, dir: String,
+      committedBatchId: Long): Int = {
+    val applied = new org.apache.hadoop.fs.Path(s"$dir/_applied")
+    val fs = applied.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(applied)) return 0
+    val old = fs.listStatus(applied).filter(st =>
+      scala.util.Try(st.getPath.getName.toLong).toOption.exists(_ < committedBatchId))
+    old.foreach(st => fs.delete(st.getPath, true))
+    old.length
+  }
+
   /** Current standing aggregate (bucket column dropped). */
   def readStanding(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     MaterializedTable.read(spark, dir)

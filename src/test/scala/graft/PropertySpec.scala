@@ -117,6 +117,42 @@ class PropertySpec extends AnyFunSuite {
     check("Sessionize", 12)(prop)
   }
 
+  // ------------------------------------------------------------- as-of join
+
+  test("AsOfJoin equals the straight-line per-row scan, strict and non-strict") {
+    import spark.implicits._
+    import graft.operators.AsOfJoin
+    val leftGen = Gen.chooseNum(1, 25).flatMap(n => Gen.listOfN(n, for {
+      k <- Gen.chooseNum(0, 3)
+      ts <- Gen.chooseNum(0L, 50L)
+    } yield (k.toLong, ts)))
+    // right timestamps unique per key (duplicate (key, ts) right rows would
+    // make "the most recent right row" ill-defined for any formulation)
+    val rightGen = Gen.chooseNum(1, 25).flatMap(n => Gen.listOfN(n, for {
+      k <- Gen.chooseNum(0, 3)
+      ts <- Gen.chooseNum(0L, 50L)
+    } yield (k.toLong, ts)).map(_.distinct
+      .groupBy(identity).keys.toList.zipWithIndex
+      .map { case ((k, ts), i) => (k, ts, i.toDouble) }))
+    val prop = Prop.forAll(leftGen, rightGen, Gen.oneOf(false, true)) {
+      (ls, rs, strict) =>
+        val left = ls.zipWithIndex.map { case ((k, ts), i) => (k, ts, i.toLong) }
+          .toDF("k", "ts", "lid")
+        val right = rs.toDF("k", "rts", "v")
+        val got = AsOfJoin.asOf(left, right, Seq("k"), "ts", "rts",
+            Map("v" -> "asof_v"), strict)
+          .select($"lid", $"asof_v").as[(Long, Option[Double])].collect().toMap
+        val want = ls.zipWithIndex.map { case ((k, ts), i) =>
+          val visible = rs.filter(r => r._1 == k &&
+            (if (strict) r._2 < ts else r._2 <= ts))
+          i.toLong -> (if (visible.isEmpty) None
+                       else Some(visible.maxBy(_._2)._3))
+        }.toMap
+        got == want
+    }
+    check("AsOfJoin", 12)(prop)
+  }
+
   // ------------------------------------------------------- interval overlap
 
   test("intervalOverlap equals the naive theta join for random intervals and widths") {

@@ -234,6 +234,12 @@ class HistorySpec extends AnyFunSuite {
         lastBatch._2, lastBatch._1, numBuckets = 8)
       assert(n == 0 && standing() == batchAgg,
         "a retried batch id must not fold again")
+      // marker pruning below the committed id keeps the guard for the id
+      // that can still be retried
+      assert(IncrementalAgg.pruneMarkers(spark, dir, lastBatch._1) >= 1)
+      assert(IncrementalAgg.foldStandingBatch(spark, dir,
+        lastBatch._2, lastBatch._1, numBuckets = 8) == 0,
+        "the committed batch's own marker must survive pruning")
     } finally q.stop()
   }
 
