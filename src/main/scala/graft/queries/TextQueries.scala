@@ -423,6 +423,26 @@ object TextQueries {
           col("dup_shingle_frac") < 0.05 && col("top_token_frac") < 0.15)
     },
 
+    // --- balanced per-source deterministic sampling: exactly k docs per
+    // --- source, chosen by salted md5 rank — the "equal representation per
+    // --- domain" sampling step of corpus curation, stable across runs/
+    // --- engines/cluster sizes (TopK.topKPerGroup over the hash, so the
+    // --- selection is the skew-safe bounded-buffer aggregation, not a
+    // --- window sort; hex32 values are 32-bit → exact in DOUBLE). -----------
+    q("txt19_stratified_sample",
+      s"""WITH h AS (SELECT doc_id, source,
+         |  ${hex32Sql("'9:'||CAST(doc_id AS VARCHAR)")} AS hv FROM documents)
+         |SELECT source, rank, doc_id, CAST(hv AS DOUBLE) AS hv FROM (
+         |  SELECT source, doc_id, hv,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv DESC, doc_id) AS rank
+         |  FROM h) t WHERE rank <= 3""".stripMargin) { (s, d) =>
+      val hv = TextOps.hex32(col("doc_id").cast("string"), salt = 9)
+      graft.operators.TopK.topKPerGroup(
+        Tables.documents(s, d).select(col("source"), col("doc_id"), hv.as("hv")),
+        "source", "hv", "doc_id", k = 3)
+        .select(col("source"), col("rank"), col("doc_id"), col("hv"))
+    },
+
     // --- SimHash (native expression vs 32-way SQL vote) -----------------------
     q("txt08_simhash",
       s"""WITH toks AS (SELECT doc_id, list_distinct($toksSql) AS t FROM documents),
