@@ -456,35 +456,36 @@ object RelationalQueries {
 
     // --- approximate percentiles (GK sketch — THE quantile path at 100 TB,
     // --- where exact percentile needs a full sort): q27-style
-    // --- self-validation in the same plan — the approx values must land
-    // --- between the exact values one centile below/above (sketch rank
-    // --- error 1/accuracy = 0.001 ≪ 0.01), else the row is dropped and the
-    // --- driver's rows>0 gate fails. Second rows-only query by design:
-    // --- sketch internals are engine-specific, bounds are not. ---------------
+    // --- self-validation in the same plan, against the sketch's ACTUAL
+    // --- guarantee — the RANK of each estimate (count of values ≤ it) must
+    // --- land within q·n ± ε·n (sketch rank error 1/accuracy = 0.001, band
+    // --- ε = 0.01), else the row is dropped and the driver's rows>0 gate
+    // --- fails. Rank validation costs 8 conditional SUMs over one cheap
+    // --- second scan — no exact-percentile value map / sort (an earlier
+    // --- value-bounds formulation paid 2–4 s in percentile buffers alone).
+    // --- Second rows-only query by design: sketch internals are
+    // --- engine-specific, the rank contract is not. --------------------------
     Q("q39_approx_percentiles", (s, d) => {
       val qs = Seq(0.25, 0.5, 0.75, 0.99)
-      val lo = qs.map(q => q - 0.01)
-      val hi = qs.map(q => math.min(1.0, q + 0.01))
-      // ONE exact-percentile buffer for all 8 bounds (two separate calls
-      // would duplicate the per-partition value map + final sort, measured
-      // ~2×); the exact bounds are the GATE's cost — production use is the
-      // sketch alone, which is why this query exists
-      val agg = Tables.lineitem(s, d).select(col("l_extendedprice").as("x"))
-        .agg(
-          percentile_approx(col("x"), array(qs.map(lit): _*), lit(1000)).as("approx"),
-          expr(s"percentile(x, array(${(lo ++ hi).mkString(",")}))").as("bounds"))
-        .withColumn("lo_b", slice(col("bounds"), 1, qs.size))
-        .withColumn("hi_b", slice(col("bounds"), qs.size + 1, qs.size))
+      val eps = 0.01
+      val x = Tables.lineitem(s, d).select(col("l_extendedprice").as("x"))
+      val approx = x.agg(
+        percentile_approx(col("x"), array(qs.map(lit): _*), lit(1000)).as("approx"))
+      val aggs = (count(lit(1)).as("n") +:
+        qs.indices.map(i => sum(when(col("x") <= element_at(col("approx"), i + 1),
+          1L).otherwise(0L)).as(s"rank$i"))) :+
+        first(col("approx")).as("approx")
+      val ranked = x.crossJoin(broadcast(approx))
+        .agg(aggs.head, aggs.tail: _*)
       val ok = qs.indices.map { i =>
-        element_at(col("approx"), i + 1) >= element_at(col("lo_b"), i + 1) &&
-          element_at(col("approx"), i + 1) <= element_at(col("hi_b"), i + 1)
+        col(s"rank$i") >= (lit(qs(i)) - eps) * col("n") &&
+          col(s"rank$i") <= (lit(qs(i)) + eps) * col("n")
       }.reduce(_ && _)
-      agg.filter(ok)
-        .select(qs.indices.flatMap { i =>
+      ranked.filter(ok)
+        .select(col("n") +: qs.indices.flatMap { i =>
           val tag = s"p${(qs(i) * 100).toInt}"
           Seq(element_at(col("approx"), i + 1).as(s"${tag}_approx"),
-            element_at(col("lo_b"), i + 1).as(s"${tag}_lo"),
-            element_at(col("hi_b"), i + 1).as(s"${tag}_hi"))
+            col(s"rank$i").as(s"${tag}_rank"))
         }: _*)
     }, None),
 
