@@ -178,6 +178,63 @@ class PropertySpec extends AnyFunSuite {
     check("intervalOverlap", 10)(prop)
   }
 
+  test("pointInInterval equals the naive theta join for random points and widths") {
+    import spark.implicits._
+    import graft.operators.RangeJoin
+    val pointsGen = Gen.chooseNum(1, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-50.0, 50.0)))
+    val intervalsGen = Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n, for {
+      lo <- Gen.chooseNum(-50.0, 50.0); len <- Gen.chooseNum(0.0, 30.0)
+    } yield (lo, lo + len)))
+    val prop = Prop.forAll(pointsGen, intervalsGen, Gen.oneOf(0.8, 6.0, 77.0)) {
+      (ps, is, w) =>
+        val points = ps.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toDF("pid", "x")
+        val ivs = is.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+          .toDF("iid", "lo", "hi")
+        val got = RangeJoin.pointInInterval(points, "x", ivs, "lo", "hi", w)
+          .select("pid", "iid").as[(Long, Long)].collect()
+        val want = RangeJoin.naive(points, "x", ivs, "lo", "hi")
+          .select("pid", "iid").as[(Long, Long)].collect().toSet
+        got.length == got.toSet.size && got.toSet == want
+    }
+    check("pointInInterval", 10)(prop)
+  }
+
+  // --------------------------------------------------------- incremental merge
+
+  test("incremental merges over ANY batch split equal one-shot compaction") {
+    import spark.implicits._
+    import graft.cdc.{LatestState, MaterializedTable}
+    val evGen = for {
+      n <- Gen.chooseNum(2, 24)
+      ops <- Gen.listOfN(n, Gen.frequency(3 -> Gen.const("insert"),
+        3 -> Gen.const("update"), 2 -> Gen.const("delete")))
+      keys <- Gen.listOfN(n, Gen.chooseNum(0, 4).map(k => s"k$k"))
+    } yield ops.zip(keys).zipWithIndex.map { case ((op, key), i) =>
+      graft.cdc.CdcEvent(op, "t", i.toLong + 1, 0, 0, key, null,
+        if (op == "delete") null else s"v$i")
+    }
+    // random cut points partition the changelog into 1–4 sequential batches
+    val prop = Prop.forAll(evGen, Gen.listOfN(3, Gen.chooseNum(0.0, 1.0))) {
+      (events, cuts) =>
+        val dir = java.nio.file.Files.createTempDirectory("graft_prop_merge")
+          .toString + "/state"
+        val idx = cuts.map(c => (c * events.size).toInt).sorted.distinct
+        val batches = (0 +: idx :+ events.size).distinct.sorted
+          .sliding(2).map { case Seq(a, b) => events.slice(a, b) }
+          .filter(_.nonEmpty).toList
+        batches.foreach(b => MaterializedTable.merge(spark, dir, b.toDF(),
+          Seq("key"), Seq("lsn", "seq"), numBuckets = 4))
+        val got = if (batches.isEmpty) Map.empty[String, String]
+          else MaterializedTable.read(spark, dir)
+            .select("key", "after").as[(String, String)].collect().toMap
+        val want = LatestState.batch(events.toDF(), Seq("key"), Seq("lsn", "seq"))
+          .select("key", "after").as[(String, String)].collect().toMap
+        got == want
+    }
+    check("incremental merge", 8)(prop)
+  }
+
   // ------------------------------------------------------------ heavy hitters
 
   test("HeavyHitters equals the naive count under random data and partitioning") {
