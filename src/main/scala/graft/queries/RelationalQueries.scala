@@ -733,6 +733,57 @@ object RelationalQueries {
             WHERE c_nationkey NOT IN (SELECT x FROM s_null)) AS n_with_null,
           (SELECT COUNT(*) FROM q38_customer
             WHERE c_nationkey NOT IN (SELECT x FROM s_clean)) AS n_clean""")
+    },
+
+    // --- Bloom runtime filter (RuntimeFilter.prunedJoin): the fact side is
+    // --- pre-filtered by a kilobytes-sized Bloom bitset built over the
+    // --- SELECTIVE dim subset (urgent finished orders, ~6% of orders), so
+    // --- the join exchange carries ~matching rows instead of all of
+    // --- lineitem. False positives die in the exact join that follows —
+    // --- the oracle is the plain join, results bit-identical. The
+    // --- no-false-negative and pruning-ratio properties are spec-pinned. -----
+    q("q40_bloom_pruned_join",
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'F' AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val dim = Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "F" &&
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val fact = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice"))
+      graft.operators.RuntimeFilter.prunedJoin(fact, dim, "l_orderkey", "o_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice"), 2).as("revenue"))
+    },
+
+    // --- Z-order (Morton) clustering key (Layout.morton2): interleaves two
+    // --- 16-bit dimensions so ONE sort key keeps BOTH columns locally
+    // --- clustered — the layout that makes parquet min-max stats prune 2-D
+    // --- box predicates (Delta/Iceberg's OPTIMIZE ZORDER BY, as a plain
+    // --- codegen'd expression). The oracle replays the same mask-ladder
+    // --- shifts in SQL; the file-pruning property is spec-pinned. ------------
+    q("q41_zorder_key",
+      """WITH b AS (SELECT o_orderkey, o_custkey & 65535 AS x,
+        |    date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) & 65535 AS y
+        |  FROM orders),
+        |s1 AS (SELECT o_orderkey, (x | (x << 8)) & 16711935 AS x1,
+        |    (y | (y << 8)) & 16711935 AS y1 FROM b),
+        |s2 AS (SELECT o_orderkey, (x1 | (x1 << 4)) & 252645135 AS x2,
+        |    (y1 | (y1 << 4)) & 252645135 AS y2 FROM s1),
+        |s3 AS (SELECT o_orderkey, (x2 | (x2 << 2)) & 858993459 AS x3,
+        |    (y2 | (y2 << 2)) & 858993459 AS y3 FROM s2),
+        |s4 AS (SELECT o_orderkey, (x3 | (x3 << 1)) & 1431655765 AS xs,
+        |    (y3 | (y3 << 1)) & 1431655765 AS ys FROM s3)
+        |SELECT b.o_orderkey, b.x, b.y, s4.xs | (s4.ys << 1) AS z
+        |FROM b JOIN s4 USING (o_orderkey)""".stripMargin) { (s, d) =>
+      val b = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey").bitwiseAND(lit(65535L)).as("x"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
+          .bitwiseAND(lit(65535L)).as("y"))
+      b.select(col("o_orderkey"), col("x"), col("y"),
+        graft.operators.Layout.morton2(col("x"), col("y")).as("z"))
     }
   )
 }
