@@ -299,6 +299,34 @@ object CdcQueries {
         valueExpr = get_json_object(col("after"), "$.value").cast("double"))
     },
 
+    // --- stream-stream event-time interval join (StreamStreamJoin): the
+    // --- purchases FEED joined against the clicks FEED — both sides are
+    // --- REAL file-source streams through StreamingSymmetricHashJoin with
+    // --- watermarks (state = O(rate × lookback), not O(history)), driven to
+    // --- completion with AvailableNow. Click-attribution semantics: clicks
+    // --- by the same user in the 24h up to the purchase. The oracle is the
+    // --- batch theta join — streaming execution must change nothing.
+    // --- Cross-micro-batch state is pinned separately in StreamingSpec. -----
+    q("cdc15_stream_stream_join",
+      """SELECT p.user_id, p.event_id AS p_id, c.event_id AS c_id, c.value AS c_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.ts >= p.ts - INTERVAL 24 HOUR AND c.ts <= p.ts""".stripMargin) { (s, d) =>
+      import graft.streaming.StreamStreamJoin
+      val ev = StreamStreamJoin.eventsStream(s, s"$d/events.parquet")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("c_id"),
+          col("value").as("c_value"), col("ts").as("c_ts"))
+      val joined = StreamStreamJoin.intervalJoin(purchases, clicks, "user_id",
+        "p_ts", "c_ts", lookback = "24 HOURS", watermark = "0 seconds")
+      StreamStreamJoin.runToMemory(s, joined,
+          s"cdc15_${java.util.UUID.randomUUID().toString.take(8)}")
+        .select("user_id", "p_id", "c_id", "c_value")
+    },
+
     // --- snapshot ∪ stream lifecycle (SURVEY §3.1: consistent snapshot then
     // --- streaming from the same LSN, no gap no overlap) ----------------------
     q("cdc07_snapshot_stream",

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+/** Watermarked stream–stream event-time interval join — the Structured
+  * Streaming surface for correlating two LIVE feeds (e.g. the purchases
+  * topic against the profile-updates topic a CDC deployment fans out,
+  * README.md:30–32's "combine it with other streams" consumer).
+  *
+  * Semantics: an inner equi-join on `key` restricted to right rows whose
+  * event time falls in `[leftTs - lookback, leftTs]`. Both sides carry
+  * watermarks, so the state store retains only the lookback window of each
+  * side — the property that makes the join runnable FOREVER at cluster
+  * scale: state is O(rate × lookback), not O(history). A right row joins
+  * left rows across micro-batch boundaries (buffered in state until the
+  * watermark passes it) — pinned by the split-input spec.
+  *
+  * The composition is entirely built-in (withWatermark + join with an
+  * event-time range conjunct — Spark plans StreamingSymmetricHashJoin);
+  * the operator exists to fix the contract: column naming, the closed
+  * interval, and the watermark discipline.
+  */
+object StreamStreamJoin {
+
+  /** The joined stream. `right`'s key column is returned as `_r_<key>`-free:
+    * only `left`'s key survives. Timestamp columns must be distinct names.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, lookback: String,
+      watermark: String): DataFrame = {
+    val rKey = s"_r_$key"
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withColumnRenamed(key, rKey).withWatermark(rightTs, watermark)
+    l.join(r,
+      col(key) === col(rKey) &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lookback") &&
+        col(rightTs) <= col(leftTs))
+      .drop(rKey)
+  }
+
+  /** Drive a bounded streaming frame to completion (AvailableNow) into a
+    * memory sink and return the materialized result — the gate/spec harness
+    * for streaming operators. `maxFilesPerTrigger` splits file sources into
+    * several micro-batches to exercise cross-batch state.
+    */
+  def runToMemory(spark: SparkSession, joined: DataFrame, name: String): DataFrame = {
+    val ckpt = java.nio.file.Files.createTempDirectory(s"ssj_$name").toString
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** File-source STREAM over an events-style parquet path, with the same
+    * nanos→micros timestamp fix as the batch loader (graft.Tables.events).
+    * `maxFilesPerTrigger=0` means unlimited (one batch).
+    */
+  def eventsStream(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 0): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the file STREAM source requires a directory; a single-file input is
+    // exposed through a temp dir holding a symlink (no data copy)
+    val p = java.nio.file.Paths.get(path)
+    val streamPath =
+      if (java.nio.file.Files.isRegularFile(p)) {
+        val dir = java.nio.file.Files.createTempDirectory("evstream")
+        java.nio.file.Files.createSymbolicLink(dir.resolve(p.getFileName), p)
+        dir.toString
+      } else path
+    val raw = spark.read.parquet(path).schema
+    val reader = spark.readStream.schema(raw)
+    val withOpt = if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader
+    withOpt.parquet(streamPath)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+}

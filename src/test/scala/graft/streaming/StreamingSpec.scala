@@ -324,6 +324,41 @@ class CdcPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join holds state across micro-batches") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ssjoin").toString
+    // purchases and clicks land in DIFFERENT files; with maxFilesPerTrigger=1
+    // every joined pair must cross a micro-batch boundary — the join only
+    // works if one side is retained in the state store until the other
+    // side's batch arrives
+    graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("event_type").isin("purchase", "click"))
+      .repartition(2, col("event_type"))
+      .write.mode("overwrite").parquet(dir)
+    val static = spark.read.parquet(dir)
+    val stream = spark.readStream.schema(static.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    def sides(df: org.apache.spark.sql.DataFrame) = (
+      df.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts")),
+      df.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("c_id"), col("ts").as("c_ts")))
+    val (sp, sc) = sides(stream)
+    val streamed = StreamStreamJoin.runToMemory(spark,
+        StreamStreamJoin.intervalJoin(sp, sc, "user_id", "p_ts", "c_ts",
+          "24 HOURS", "0 seconds"),
+        s"ssj_${java.util.UUID.randomUUID().toString.take(8)}")
+      .select("user_id", "p_id", "c_id")
+    val (bp, bc) = sides(static)
+    val batch = bp.join(bc.withColumnRenamed("user_id", "cu"),
+        col("user_id") === col("cu") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 24 HOURS") &&
+          col("c_ts") <= col("p_ts"))
+      .select("user_id", "p_id", "c_id")
+    assert(batch.count() > 0, "fixture produced no joinable pairs")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("windowed aggregation with watermark over the envelope stream") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
