@@ -183,6 +183,65 @@ object Dedup {
       .filter(col("sig").isNotNull) // shorter-than-k docs have no signature
   }
 
+  /** Passage-level (sub-document) exact dedup: each document is chunked into
+    * fixed `blockTokens`-token passages (complete blocks only; the tail
+    * fragment is not a passage), every passage is content-hashed, and a
+    * passage occurrence is a DUPLICATE unless it is the globally FIRST
+    * occurrence of that content — "first" by (doc id, slot), a total order,
+    * so the flag is deterministic on every engine and partitioning.
+    *
+    * This is the boilerplate-removal stage between whole-document dedup and
+    * near-dup detection: headers, license blocks, and templated paragraphs
+    * repeat across millions of documents that are NOT duplicates of each
+    * other (Lee et al. 2022 establish the training-loss case for sub-document
+    * dedup; the suffix-array construction there is replaced by fixed-block
+    * hashing — the shuffle-friendly approximation).
+    *
+    * Returns one row per input doc: (id, n_tokens, n_passages,
+    * n_dup_passages, kept_tokens = n_tokens − blockTokens·n_dup_passages).
+    *
+    * Scale shape: one narrow explode to (id, slot, hash) — never the passage
+    * TEXT (hashes travel, 16 bytes vs block text); one hash-keyed
+    * aggregation for the first-occurrence winner (min over a (id, slot)
+    * struct — partial-aggregated, no per-hash sort, no window); one
+    * hash-equi-join back; one per-doc aggregation. Shuffles are O(blocks),
+    * all partial-agg'd map-side.
+    */
+  def passageStats(docs: DataFrame, idCol: String, textCol: String,
+      blockTokens: Int = 20): DataFrame = {
+    require(blockTokens > 0, s"blockTokens must be positive: $blockTokens")
+    val base = docs.select(col(idCol),
+        TextOps.tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), size(col("_toks")).cast("long").as("n_tokens"),
+        col("_toks"))
+    val blocks = base
+      .select(col(idCol), posexplode(
+        when(size(col("_toks")) < blockTokens, array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(0L),
+              floor(size(col("_toks")) / lit(blockTokens)).cast("long") - 1),
+            i => array_join(slice(col("_toks"),
+              (i * blockTokens + 1).cast("int"), lit(blockTokens)), " ")))))
+      .select(col(idCol), col("pos").as("slot"), md5(col("col")).as("h"))
+    val winners = blocks
+      .groupBy(col("h"))
+      .agg(min(struct(col(idCol), col("slot"))).as("w"))
+    val flagged = blocks.join(winners, Seq("h"))
+      .select(col(idCol),
+        (col(s"w.$idCol") =!= col(idCol) || col("w.slot") =!= col("slot"))
+          .cast("long").as("dup"))
+    val perDoc = flagged.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_passages"), sum(col("dup")).as("n_dup_passages"))
+    base.select(col(idCol), col("n_tokens"))
+      .join(perDoc, Seq(idCol.toString), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_passages"), lit(0L)).as("n_passages"),
+        coalesce(col("n_dup_passages"), lit(0L)).as("n_dup_passages"),
+        (col("n_tokens") -
+          lit(blockTokens.toLong) * coalesce(col("n_dup_passages"), lit(0L)))
+          .as("kept_tokens"))
+  }
+
   /** Cross-corpus decontamination: training docs that near-duplicate an
     * EVAL/benchmark doc — the pair every training pipeline must find before
     * the eval score means anything. Returns (a = train id, b = eval id,

@@ -443,6 +443,61 @@ object TextQueries {
         .select(col("source"), col("rank"), col("doc_id"), col("hv"))
     },
 
+    // --- passage-level (sub-document) exact dedup (Dedup.passageStats):
+    // --- 20-token blocks content-hashed; an occurrence is a dup unless it is
+    // --- the globally FIRST (by doc_id, slot) occurrence of that content —
+    // --- boilerplate removal between whole-doc dedup and near-dup. Run over
+    // --- the planted-duplicate corpus so real cross-doc passage dups exist;
+    // --- the oracle restates first-occurrence as a ROW_NUMBER over the same
+    // --- blocks (hashes shuffle, never passage text). ------------------------
+    q("txt20_passage_dedup",
+      s"""WITH $corpusSql,
+         |t AS (SELECT doc_id, $toksSql AS toks FROM corpus),
+         |b AS (SELECT doc_id, len(toks) AS n_tokens,
+         |  CASE WHEN len(toks) < 20 THEN [] ELSE
+         |    [md5(array_to_string(toks[20*i+1:20*i+20], ' '))
+         |     for i in generate_series(0, len(toks)//20 - 1)] END AS hs
+         |  FROM t),
+         |e AS (SELECT doc_id, unnest([{'slot': i-1, 'h': hs[i]}
+         |    for i in generate_series(1, len(hs))], recursive := true) FROM b),
+         |r AS (SELECT doc_id, slot, h,
+         |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, slot) AS rn FROM e),
+         |p AS (SELECT doc_id, COUNT(*) AS n_passages,
+         |    SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_dup FROM r GROUP BY 1)
+         |SELECT b.doc_id, b.n_tokens,
+         |  CAST(COALESCE(p.n_passages, 0) AS BIGINT) AS n_passages,
+         |  CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup_passages,
+         |  b.n_tokens - 20 * CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS kept_tokens
+         |FROM b LEFT JOIN p USING (doc_id)""".stripMargin) { (s, d) =>
+      Dedup.passageStats(corpus(s, d), "doc_id", "text", blockTokens = 20)
+    },
+
+    // --- Count-Min sketch (Sketches): KB-sized frequency summary, merged by
+    // --- commutative addition — the fixed-size alternative when exact
+    // --- per-term counts (shuffle O(vocabulary)) are too big. q27-style
+    // --- self-validation IN the plan: every term's estimate must satisfy
+    // --- the one-sided CMS contract (est ≥ exact, est ≤ exact + ε·N with
+    // --- ε = 2/width over the min of 4 hash rows); any violation zeroes the
+    // --- single output row and fails the driver's rows>0 gate. Rows-only by
+    // --- design, like q27/q39: sketch internals are engine-specific, the
+    // --- estimate contract is not. -------------------------------------------
+    Q("txt21_cms_frequencies", (s, d) => {
+      val width = graft.operators.Sketches.DefaultWidth
+      val toks = graft.Tables.documents(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("term"))
+      val sketch = graft.operators.Sketches.cmsBuild(toks, "term")
+      val exact = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      exact.crossJoin(broadcast(sketch))
+        .withColumn("est", graft.operators.Sketches.cmsEstimate(col("_cms"), col("term")))
+        .agg(count(lit(1)).as("n_terms"),
+          sum(col("cnt")).as("n_tokens"),
+          sum(when(col("est") < col("cnt"), 1L).otherwise(0L)).as("n_underestimates"),
+          max(col("est") - col("cnt")).as("max_overestimate"))
+        .withColumn("err_bound", ceil(lit(2.0 / width) * col("n_tokens")))
+        .filter(col("n_underestimates") === 0 &&
+          col("max_overestimate") <= col("err_bound"))
+    }, None),
+
     // --- SimHash (native expression vs 32-way SQL vote) -----------------------
     q("txt08_simhash",
       s"""WITH toks AS (SELECT doc_id, list_distinct($toksSql) AS t FROM documents),

@@ -58,6 +58,44 @@ class DedupSpec extends AnyFunSuite {
     assert(plantedExact.subsetOf(gotExact), "identical eval docs must always be flagged")
   }
 
+  test("passage dedup: hand fixture covers first-keep, cross-doc, and tail rules") {
+    import spark.implicits._
+    val block = "w1 w2 w3 w4"             // blockTokens = 4
+    val other = "x1 x2 x3 x4"
+    val docs = Seq(
+      (1L, s"$block $other tail1 tail2"), // 2 passages, both first ⇒ 0 dups
+      (2L, s"$other $block"),             // same passages, later doc ⇒ 2 dups
+      (3L, s"$block $block"),             // both slots repeat doc 1's content
+      (4L, "short doc"),                  // < blockTokens ⇒ 0 passages
+      (5L, s"y1 y2 y3 y4 $block")         // fresh first slot, dup second
+    ).toDF("doc_id", "text")
+    val out = Dedup.passageStats(docs, "doc_id", "text", blockTokens = 4)
+      .select("doc_id", "n_tokens", "n_passages", "n_dup_passages", "kept_tokens")
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 10L, 2L, 0L, 10L)))
+    assert(out(2L) == ((2L, 8L, 2L, 2L, 0L)))
+    assert(out(3L) == ((3L, 8L, 2L, 2L, 0L)))
+    assert(out(4L) == ((4L, 2L, 0L, 0L, 2L)))
+    assert(out(5L) == ((5L, 8L, 2L, 1L, 4L)))
+  }
+
+  test("CMS: never underestimates, collisions only inflate, partitioning-invariant") {
+    import spark.implicits._
+    // width 8 << 40 distinct terms forces real collisions
+    val (depth, width) = (4, 8)
+    val items = (0 until 400).map(i => s"t${i % 40}").toDF("term")
+    val sketch = Sketches.cmsBuild(items, "term", depth, width)
+    val exact = items.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val est = exact.crossJoin(broadcast(sketch))
+      .withColumn("est", Sketches.cmsEstimate(col("_cms"), col("term"), depth, width))
+    assert(est.filter(col("est") < col("cnt")).isEmpty, "CMS underestimated")
+    assert(est.filter(col("est") > col("cnt")).count() > 0,
+      "fixture should force collisions (width 8, 40 terms)")
+    // determinism: the sketch is identical under a different partitioning
+    val repart = Sketches.cmsBuild(items.repartition(7), "term", depth, width)
+    assert(sketch.first().getSeq[Long](0) == repart.first().getSeq[Long](0))
+  }
+
   test("native MinHashSigExpr is bit-identical to the composed pipeline") {
     val cp = corpus()
     val native = Dedup.minhashSignatures(cp, "doc_id", "text")
