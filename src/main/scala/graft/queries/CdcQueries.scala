@@ -327,6 +327,50 @@ object CdcQueries {
         .select("user_id", "p_id", "c_id", "c_value")
     },
 
+    // --- streaming at-least-once dedup THROUGH a real stream: the same
+    // --- events file arrives twice (two unioned file sources — the
+    // --- at-least-once delivery sim), dropDuplicatesWithinWatermark
+    // --- recovers exactly-once on the event id with state bounded by the
+    // --- watermark horizon instead of all history. Oracle = the batch
+    // --- distinct. Both copies of a row are identical, so first-arrival
+    // --- keep semantics are order-independent — the result is exact. --------
+    q("cdc16_streaming_dedup",
+      """SELECT event_id, user_id, event_type, value FROM events""".stripMargin) { (s, d) =>
+      import graft.streaming.StreamStreamJoin
+      def src() = StreamStreamJoin.eventsStream(s, s"$d/events.parquet")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts"))
+      val doubled = src().unionByName(src())
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+      StreamStreamJoin.runToMemory(s, doubled,
+          s"cdc16_${java.util.UUID.randomUUID().toString.take(8)}")
+        .select("event_id", "user_id", "event_type", "value")
+    },
+
+    // --- streaming windowed aggregation THROUGH a real stream (the q26
+    // --- semantics executed by the streaming state store rather than a
+    // --- batch hash agg): tumbling 1h windows with a watermark, complete
+    // --- output mode so every window is emitted at termination. The oracle
+    // --- is the same batch SQL as q26 restricted to the same projection —
+    // --- streaming execution must change nothing. ---------------------------
+    q("cdc17_streaming_window",
+      """SELECT STRFTIME(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      import graft.streaming.StreamStreamJoin
+      val windowed = StreamStreamJoin.eventsStream(s, s"$d/events.parquet")
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Qutil.dsum(col("value"), 2).as("total_value"))
+      StreamStreamJoin.runToMemory(s, windowed,
+          s"cdc17_${java.util.UUID.randomUUID().toString.take(8)}",
+          outputMode = "complete")
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          col("event_type"), col("n"), col("total_value"))
+    },
+
     // --- snapshot ∪ stream lifecycle (SURVEY §3.1: consistent snapshot then
     // --- streaming from the same LSN, no gap no overlap) ----------------------
     q("cdc07_snapshot_stream",

@@ -735,6 +735,32 @@ object RelationalQueries {
             WHERE c_nationkey NOT IN (SELECT x FROM s_clean)) AS n_clean""")
     },
 
+    // --- RANGE-frame window (vs q13's ROWS running sum): per-customer
+    // --- rolling 30-day order value — the frame is bounded by the ORDER
+    // --- column's VALUE distance, so same-day peers are all in-frame
+    // --- (deterministic under ties, unlike a ROWS frame) and gaps shrink
+    // --- the window. Integer day axis + exact decimal sum ⇒ hash-exact. -----
+    q("q42_range_frame_window",
+      """SELECT o_orderkey, o_custkey, day,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE) AS rolling_30d,
+        |  COUNT(*) OVER w AS n_in_window
+        |FROM (SELECT o_orderkey, o_custkey,
+        |    date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) AS day,
+        |    o_totalprice FROM orders)
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+        |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+        .rangeBetween(-30, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("day"),
+          col("o_totalprice"))
+        .select(col("o_orderkey"), col("o_custkey"), col("day"),
+          sum(money(col("o_totalprice"))).over(w).cast("double").as("rolling_30d"),
+          count(lit(1)).over(w).as("n_in_window"))
+    },
+
     // --- Bloom runtime filter (RuntimeFilter.prunedJoin): the fact side is
     // --- pre-filtered by a kilobytes-sized Bloom bitset built over the
     // --- SELECTIVE dim subset (urgent finished orders, ~6% of orders), so

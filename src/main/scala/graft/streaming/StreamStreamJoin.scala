@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.apache.spark.sql.streaming.Trigger
 
 /** Watermarked stream–stream event-time interval join — the Structured
   * Streaming surface for correlating two LIVE feeds (e.g. the purchases
@@ -45,10 +45,11 @@ object StreamStreamJoin {
     * for streaming operators. `maxFilesPerTrigger` splits file sources into
     * several micro-batches to exercise cross-batch state.
     */
-  def runToMemory(spark: SparkSession, joined: DataFrame, name: String): DataFrame = {
+  def runToMemory(spark: SparkSession, streaming: DataFrame, name: String,
+      outputMode: String = "append"): DataFrame = {
     val ckpt = java.nio.file.Files.createTempDirectory(s"ssj_$name").toString
-    val q = joined.writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append())
+    val q = streaming.writeStream.format("memory").queryName(name)
+      .outputMode(outputMode)
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
