@@ -259,4 +259,55 @@ class PropertySpec extends AnyFunSuite {
     }
     check("HeavyHitters", 12)(prop)
   }
+
+  // ------------------------------------------------------------ RuntimeFilter
+
+  test("bloom-pruned join equals the plain join for random key sets") {
+    import spark.implicits._
+    val gen = for {
+      dimKeys <- Gen.nonEmptyListOf(Gen.chooseNum(0L, 300L)).map(_.distinct)
+      factKeys <- Gen.listOfN(80, Gen.chooseNum(0L, 300L))
+      nParts <- Gen.chooseNum(1, 5)
+    } yield (dimKeys, factKeys, nParts)
+    val prop = Prop.forAll(gen) { case (dimKeys, factKeys, nParts) =>
+      val dim = dimKeys.toDF("dk")
+      val fact = factKeys.toDF("fk").repartition(nParts)
+      // tiny bitset (256 bits for up to ~300 keys) to force real false
+      // positives through the exact-join cleanup path
+      val got = graft.operators.RuntimeFilter
+        .prunedJoin(fact, dim, "fk", "dk", numBits = 256, numHashes = 3)
+        .select("fk").as[Long].collect().sorted.toSeq
+      val dimSet = dimKeys.toSet
+      val want = factKeys.filter(dimSet).sorted
+      got == want
+    }
+    check("RuntimeFilter", 10)(prop)
+  }
+
+  // -------------------------------------------------------------- passageStats
+
+  test("passageStats equals the straight-line first-occurrence scan") {
+    import spark.implicits._
+    val block = 3
+    val docsGen = Gen.nonEmptyListOf(
+      Gen.listOf(Gen.oneOf("a", "b", "c"))) // tiny vocab ⇒ real collisions
+      .map(_.zipWithIndex.map { case (toks, i) => (i.toLong, toks.mkString(" ")) })
+    val prop = Prop.forAll(docsGen, Gen.chooseNum(1, 4)) { (docs, nParts) =>
+      val df = docs.toDF("doc_id", "text").repartition(nParts)
+      val got = Dedup.passageStats(df, "doc_id", "text", block)
+        .select("doc_id", "n_tokens", "n_passages", "n_dup_passages", "kept_tokens")
+        .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+      // reference: one linear pass in doc-id order over whole blocks
+      val seen = scala.collection.mutable.Set[String]()
+      docs.sortBy(_._1).forall { case (id, text) =>
+        val toks = text.split(" ").filter(_.nonEmpty)
+        val blocks = toks.grouped(block).filter(_.length == block)
+          .map(_.mkString(" ")).toSeq
+        val dups = blocks.count { b => val dup = seen(b); seen += b; dup }
+        got(id) == ((id, toks.length.toLong, blocks.length.toLong, dups.toLong,
+          toks.length.toLong - block * dups.toLong))
+      }
+    }
+    check("passageStats", 10)(prop)
+  }
 }
