@@ -144,6 +144,59 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** Scalar-quantized (SQ8) ANN: the memory-compression path, complementing
+    * LSH/IVF's candidate-pruning paths.
+    *
+    * The corpus is re-quantized to int8-range codes with ONE global scale
+    * (max |component|, a one-row broadcast): code_i = ⌊q_i·127 / maxabs⌋.
+    * Candidate generation scores CODES (cheap integer dots over data 8×
+    * narrower than the fixed-point vectors), keeps the top `candidates` per
+    * probe, and only those fetch their full-precision vectors for the exact
+    * quantized-cosine rerank. At 100 TB the code table is the only thing the
+    * scan touches — full vectors live in a side table read O(probes·C) times.
+    *
+    * Determinism: every step is integer math or a division whose floor is
+    * exact in double (|numerator| ≤ 2^21 ⇒ quotient error ≪ distance to the
+    * next integer unless exact), and both orderings tie-break on the id —
+    * so the result is reproducible across engines/partitionings, and the
+    * DuckDB oracle replays it verbatim (vec08).
+    */
+  def annSq8(probes: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, candidates: Int = 16): DataFrame = {
+    val cq = corpus.select(col(idCol).as("neighbor_id"),
+        quantize(col(vecCol)).as("cq"))
+      .withColumn("n2c", dotQ(col("cq"), col("cq")))
+    val pq = probes.select(col(idCol).as("probe_id"),
+        quantize(col(vecCol)).as("pq"))
+      .withColumn("n2p", dotQ(col("pq"), col("pq")))
+    // global scale from the CORPUS (the side whose stats you train on)
+    val scale = cq.agg(max(array_max(transform(col("cq"), x => abs(x)))).as("m"))
+    def codes(df: DataFrame, vq: String, out: String) =
+      df.crossJoin(broadcast(scale))
+        .select(df.columns.map(col) :+
+          transform(col(vq), x => floor((x * 127).cast("double") / col("m"))
+            .cast("long")).as(out): _*)
+    val cCodes = codes(cq, "cq", "cc").select("neighbor_id", "cc")
+    val pCodes = codes(pq, "pq", "pc").select("probe_id", "pc")
+    val approx = pCodes.crossJoin(cCodes)
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        dotQ(col("pc"), col("cc")).as("ad"))
+    val wc = Window.partitionBy(col("probe_id"))
+      .orderBy(col("ad").desc, col("neighbor_id"))
+    val cand = approx.withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= candidates)
+      .select("probe_id", "neighbor_id")
+    val scored = cand
+      .join(pq, Seq("probe_id"))
+      .join(cq, Seq("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        cosineQWithNorms(col("pq"), col("cq"), col("n2p"), col("n2c")).as("sim"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** ANN: candidates share the probe's bucket in ANY of the hash tables;
     * rerank by exact quantized cosine over the candidate union, keep top-k.
     *

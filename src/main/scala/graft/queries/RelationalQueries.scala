@@ -761,6 +761,29 @@ object RelationalQueries {
           count(lit(1)).over(w).as("n_in_window"))
     },
 
+    // --- LATERAL correlated subquery join, via the SQL entry surface (like
+    // --- q38): per-nation top-3 orders through the lateral planner path —
+    // --- Catalyst decorrelates to a ranked join; DuckDB executes the same
+    // --- ANSI text natively. Ties break on o_orderkey ⇒ total order. --------
+    q("q43_lateral_topn",
+      """SELECT n_name, o_orderkey, o_totalprice
+        |FROM nation, LATERAL (
+        |  SELECT o_orderkey, o_totalprice
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_nationkey = n_nationkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t""".stripMargin) { (s, d) =>
+      Tables.nation(s, d).createOrReplaceTempView("q43_nation")
+      Tables.orders(s, d).createOrReplaceTempView("q43_orders")
+      Tables.customer(s, d).createOrReplaceTempView("q43_customer")
+      s.sql("""
+        SELECT n_name, o_orderkey, o_totalprice
+        FROM q43_nation, LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM q43_orders JOIN q43_customer ON o_custkey = c_custkey
+          WHERE c_nationkey = n_nationkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t""")
+    },
+
     // --- Bloom runtime filter (RuntimeFilter.prunedJoin): the fact side is
     // --- pre-filtered by a kilobytes-sized Bloom bitset built over the
     // --- SELECTIVE dim subset (urgent finished orders, ~6% of orders), so

@@ -217,6 +217,37 @@ object VectorQueries {
         "vec_id", "embedding", k = 3, nProbe = 4)
     },
 
+    // --- scalar-quantized (SQ8) ANN: the memory-compression path — int8-range
+    // --- codes (one global corpus scale) score candidates with cheap integer
+    // --- dots over data 8× narrower, then ONLY the top-16 candidates fetch
+    // --- full-precision vectors for the exact rerank. Integer math + an
+    // --- exact-floor division throughout ⇒ the oracle replays it verbatim. ---
+    q("vec08_ann_sq8",
+      s"""WITH $quantSql,
+         |mx AS (SELECT MAX(list_max([abs(x) for x in qv])) AS m FROM q),
+         |cc AS (SELECT vec_id,
+         |  [CAST(floor(CAST(x*127 AS DOUBLE)/mx.m) AS BIGINT) for x in qv] AS c
+         |  FROM q, mx),
+         |ad AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |  CAST(list_sum([p.c[i]*c.c[i] for i in generate_series(1, len(p.c))]) AS BIGINT) AS ad
+         |  FROM cc p, cc c WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id),
+         |cand AS (SELECT probe_id, neighbor_id FROM (
+         |  SELECT probe_id, neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY ad DESC, neighbor_id) AS rn
+         |  FROM ad) t WHERE rn <= 16),
+         |scored AS (SELECT cand.probe_id, cand.neighbor_id,
+         |  CAST(CAST(list_sum([p.qv[i]*c.qv[i] for i in generate_series(1, len(p.qv))]) AS BIGINT) AS DOUBLE)
+         |    / (sqrt(CAST(p.n2 AS DOUBLE))*sqrt(CAST(c.n2 AS DOUBLE))) AS sim
+         |  FROM cand JOIN n p ON cand.probe_id = p.vec_id
+         |            JOIN n c ON cand.neighbor_id = c.vec_id)
+         |SELECT * FROM (SELECT probe_id, neighbor_id, sim,
+         |  ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM scored) t WHERE rank <= 3""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.annSq8(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", k = 3, candidates = 16)
+    },
+
     // --- multimodal: opaque binary column + batched executor-side decode ------
     q("mm01_media_meta",
       """WITH raw AS (SELECT doc_id, source AS format, CAST(strlen(text) AS INT) AS n_bytes,

@@ -367,6 +367,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivf == brute)
   }
 
+  test("SQ8 ANN: high recall vs brute force, exact sims, partitioning-invariant") {
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, dir)
+    val probes = emb.filter(col("vec_id") < 10)
+    val k = 3
+    val got = Similarity.annSq8(probes, emb, "vec_id", "embedding", k,
+        candidates = 16)
+      .select("probe_id", "neighbor_id", "sim", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    val brute = Similarity.knnBrute(probes, emb, "vec_id", "embedding", k)
+      .select("probe_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    // rerank sims are the EXACT quantized cosine — spot-check one against
+    // knnBrute's value for the same pair
+    val bruteSims = Similarity.knnBrute(probes, emb, "vec_id", "embedding", k)
+      .select("probe_id", "neighbor_id", "sim")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    got.foreach { case (p, n, s, _) =>
+      bruteSims.get((p, n)).foreach(bs => assert(bs == s, s"sim mismatch for ($p,$n)"))
+    }
+    // recall: 16 int8-scored candidates out of ~2000 should recover most of
+    // the true top-3 (exact rerank makes hits exactly ordered)
+    val hits = got.count { case (p, n, _, _) => brute((p, n)) }
+    assert(hits >= (brute.size * 0.7).toInt, s"recall too low: $hits/${brute.size}")
+    // determinism under a different partitioning
+    val re = Similarity.annSq8(probes, emb.repartition(13), "vec_id", "embedding",
+        k, candidates = 16)
+      .select("probe_id", "neighbor_id", "sim", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(got.sortBy(r => (r._1, r._4)).toSeq == re.sortBy(r => (r._1, r._4)).toSeq)
+  }
+
   test("quantized cosine of a vector with itself is 1.0") {
     import spark.implicits._
     val emb = graft.Tables.embeddings(spark, dir).limit(5)
