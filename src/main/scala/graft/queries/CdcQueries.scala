@@ -371,6 +371,39 @@ object CdcQueries {
           col("event_type"), col("n"), col("total_value"))
     },
 
+    // --- the composed CDC-consumer pipeline (the cdc twin of txt15's e2e
+    // --- gate): ONE query running changelog → latest-state compaction AND
+    // --- changelog → SCD2 version history, joined into the per-type rollup
+    // --- a warehouse consumer actually serves (live users per latest type,
+    // --- how many versions each accumulated, exact sum of last values).
+    // --- Every stage is individually gated (cdc01, cdc13); this pins that
+    // --- they COMPOSE — deleted keys drop out, version counts survive the
+    // --- join, decimal sums stay exact through both dataflows. --------------
+    q("cdc18_consumer_pipeline",
+      """WITH ranked AS (SELECT *, row_number() OVER (
+        |  PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events),
+        |live AS (SELECT user_id, event_type, value FROM ranked
+        |  WHERE rn = 1 AND event_type <> 'error'),
+        |vers AS (SELECT user_id, COUNT(*) AS n_versions FROM events
+        |  WHERE event_type <> 'error' GROUP BY 1)
+        |SELECT live.event_type AS last_type, COUNT(*) AS n_users,
+        |  CAST(SUM(n_versions) AS BIGINT) AS total_versions,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_last_value
+        |FROM live JOIN vers USING (user_id) GROUP BY 1""".stripMargin) { (s, d) =>
+      val env = ChangelogGen.fromEvents(s, d).toDF()
+      val live = LatestState.batch(env, Seq("table", "key"), Seq("lsn", "seq"))
+      val vers = ScdHistory.batch(env, Seq("table", "key"), Seq("lsn", "seq"))
+        .groupBy(col("key")).agg(count(lit(1)).as("n_versions"))
+      live.join(vers, Seq("key"))
+        .select(get_json_object(col("after"), "$.event_type").as("last_type"),
+          col("n_versions"),
+          get_json_object(col("after"), "$.value").cast("double").as("v"))
+        .groupBy(col("last_type"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("n_versions")).as("total_versions"),
+          Qutil.dsum(col("v"), 2).as("sum_last_value"))
+    },
+
     // --- snapshot ∪ stream lifecycle (SURVEY §3.1: consistent snapshot then
     // --- streaming from the same LSN, no gap no overlap) ----------------------
     q("cdc07_snapshot_stream",

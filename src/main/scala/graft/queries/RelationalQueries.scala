@@ -761,6 +761,28 @@ object RelationalQueries {
           count(lit(1)).over(w).as("n_in_window"))
     },
 
+    // --- distribution window functions (ntile / percent_rank / cume_dist):
+    // --- the ranking-statistics family beyond q11's row_number/rank. Order
+    // --- is total (o_totalprice then o_orderkey), so every engine agrees
+    // --- bit-for-bit; percent_rank/cume_dist are exact small-integer
+    // --- ratios ⇒ IEEE-identical. ------------------------------------------
+    q("q44_distribution_windows",
+      """SELECT o_orderkey, o_orderstatus,
+        |  NTILE(10) OVER w AS decile,
+        |  PERCENT_RANK() OVER w AS pct_rank,
+        |  CUME_DIST() OVER w AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |  ORDER BY o_totalprice, o_orderkey)""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        ntile(10).over(w).as("decile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+    },
+
     // --- LATERAL correlated subquery join, via the SQL entry surface (like
     // --- q38): per-nation top-3 orders through the lateral planner path —
     // --- Catalyst decorrelates to a ranked join; DuckDB executes the same
