@@ -46,14 +46,25 @@ object StreamStreamJoin {
     * several micro-batches to exercise cross-batch state.
     */
   def runToMemory(spark: SparkSession, streaming: DataFrame, name: String,
-      outputMode: String = "append"): DataFrame = {
+      outputMode: String = "append",
+      statePartitions: Option[Int] = Some(8)): DataFrame = {
     val ckpt = java.nio.file.Files.createTempDirectory(s"ssj_$name").toString
-    val q = streaming.writeStream.format("memory").queryName(name)
-      .outputMode(outputMode)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // stateful-operator partition count is fixed at first checkpoint from
+    // spark.sql.shuffle.partitions; a BOUNDED drive doesn't need the batch
+    // session's fan-out, and every state partition pays store init + commit
+    // per micro-batch — 8 keeps the gate fast without touching the session's
+    // batch queries (restored immediately after start()).
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    statePartitions.foreach(n => spark.conf.set(key, n))
+    try {
+      val q = streaming.writeStream.format("memory").queryName(name)
+        .outputMode(outputMode)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set(key, prev)
     spark.table(name)
   }
 
