@@ -11,9 +11,17 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
   *   // or spark.sql.extensions=graft.GraftExtensions
   *
-  * (Per SURVEY §4, no planner rules or strategies are needed: the engine's
-  * custom operators are all expression-level; whole-operator semantics are
-  * compositions of built-ins that Catalyst already plans well.)
+  * Also injects [[graft.plans.RangeJoinRewrite]], the optimizer rule that
+  * turns plain-SQL point-in-interval theta joins (planned as nested loops)
+  * into the binned equi-join. On a session built without extensions, append
+  * it at runtime instead:
+  *
+  *   spark.experimental.extraOptimizations :+= graft.plans.RangeJoinRewrite
+  *
+  * (No planner STRATEGIES are needed: whole-operator semantics are
+  * compositions of built-ins that Catalyst already plans well; the rewrite
+  * rule exists precisely to route a bad built-in plan onto one of those
+  * compositions.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def fn(name: String, usage: String, arity: Int)(
@@ -27,6 +35,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       })
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
     e.injectFunction(fn("avro_safe_name",
       "avro_safe_name(str) - hex-escapes str into a valid Avro identifier", 1)(
       es => AvroSafeNameExpr(es.head)))

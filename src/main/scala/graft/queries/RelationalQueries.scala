@@ -603,6 +603,35 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice"), 2).as("total"))
     },
 
+    // --- automatic range-join rewrite (plans.RangeJoinRewrite): the SAME
+    // --- class of query as q33, but written as plain SQL BETWEEN — which
+    // --- Spark would nested-loop — and rewritten to the binned equi-join by
+    // --- the injected Catalyst optimizer rule. A session of its own: the
+    // --- rule + bin width bind as session state, and a gate must not leak
+    // --- an optimizer extension into sibling queries. ------------------------
+    q("q45_auto_range_join",
+      """SELECT CAST(band_id AS BIGINT) AS band_id, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |JOIN (VALUES (1, 1.0, 10.0), (2, 5.0, 25.0), (3, 20.0, 40.0),
+        |             (4, 45.0, 50.0), (5, 30.0, 31.0)) AS b(band_id, lo, hi)
+        |  ON l_quantity BETWEEN lo AND hi
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val s2 = s.newSession()
+      s2.experimental.extraOptimizations =
+        s2.experimental.extraOptimizations :+ graft.plans.RangeJoinRewrite
+      s2.conf.set("spark.graft.rangeJoin.binWidth", "8")
+      Tables.lineitem(s2, d).createOrReplaceTempView("q45_lineitem")
+      s2.sql(
+        """SELECT CAST(band_id AS BIGINT) AS band_id, COUNT(*) AS n,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+          |FROM q45_lineitem
+          |JOIN (VALUES (1, 1.0, 10.0), (2, 5.0, 25.0), (3, 20.0, 40.0),
+          |             (4, 45.0, 50.0), (5, 30.0, 31.0)) AS b(band_id, lo, hi)
+          |  ON l_quantity BETWEEN lo AND hi
+          |GROUP BY 1""".stripMargin)
+    },
+
     // --- explicit skew-salted join (ScaleJoins.saltedJoin): semantics are
     // --- IDENTICAL to the plain equi-join (the oracle), salt only re-routes
     // --- rows — the deterministic fallback when AQE's runtime skew split
