@@ -632,6 +632,41 @@ object RelationalQueries {
           |GROUP BY 1""".stripMargin)
     },
 
+    // --- automatic OVERLAP rewrite (plans.RangeJoinRewrite shape 2): the
+    // --- q37 interval-intersection semantics, but as plain SQL with NO
+    // --- equi-key — Spark would nested-loop; the rule explodes both sides
+    // --- to bins and attributes each pair to its overlap-start bin. Sides
+    // --- are sparse orderkey samples so the quadratic naive oracle stays
+    // --- cheap for DuckDB while the pair space is still ~23k². ---------------
+    q("q46_auto_overlap_join",
+      """WITH o AS (SELECT o_orderkey,
+        |    date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) AS lo,
+        |    date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) + 14 AS hi
+        |  FROM orders),
+        |a AS (SELECT o_orderkey AS a_key, lo AS a_lo, hi AS a_hi FROM o
+        |  WHERE o_orderkey % 89 = 0),
+        |b AS (SELECT o_orderkey AS b_key, lo AS b_lo, hi AS b_hi FROM o
+        |  WHERE o_orderkey % 97 = 0)
+        |SELECT COUNT(*) AS n_pairs, SUM(a_key + b_key) AS key_sum
+        |FROM a JOIN b ON a_lo <= b_hi AND b_lo <= a_hi""".stripMargin) { (s, d) =>
+      val s2 = s.newSession()
+      s2.experimental.extraOptimizations =
+        s2.experimental.extraOptimizations :+ graft.plans.RangeJoinRewrite
+      s2.conf.set("spark.graft.rangeJoin.binWidth", "16")
+      Tables.orders(s2, d).createOrReplaceTempView("q46_orders")
+      s2.sql(
+        """WITH o AS (SELECT o_orderkey,
+          |    CAST(datediff(o_orderdate, DATE '1970-01-01') AS BIGINT) AS lo,
+          |    CAST(datediff(o_orderdate, DATE '1970-01-01') AS BIGINT) + 14 AS hi
+          |  FROM q46_orders),
+          |a AS (SELECT o_orderkey AS a_key, lo AS a_lo, hi AS a_hi FROM o
+          |  WHERE o_orderkey % 89 = 0),
+          |b AS (SELECT o_orderkey AS b_key, lo AS b_lo, hi AS b_hi FROM o
+          |  WHERE o_orderkey % 97 = 0)
+          |SELECT COUNT(*) AS n_pairs, SUM(a_key + b_key) AS key_sum
+          |FROM a JOIN b ON a_lo <= b_hi AND b_lo <= a_hi""".stripMargin)
+    },
+
     // --- explicit skew-salted join (ScaleJoins.saltedJoin): semantics are
     // --- IDENTICAL to the plain equi-join (the oracle), salt only re-routes
     // --- rows — the deterministic fallback when AQE's runtime skew split

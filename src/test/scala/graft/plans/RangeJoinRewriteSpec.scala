@@ -22,8 +22,10 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     finally spark.conf.set("spark.graft.rangeJoin.enabled", "false")
   }
 
-  private def rows(df: DataFrame): Set[String] =
-    df.collect().map(_.toString).toSet
+  // multiset, not set: a pair emitted once per SHARED bin (the bug the
+  // canonical-bin attribution exists to prevent) must fail the compare
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
 
   private def optimizedStr(df: DataFrame): String =
     df.queryExecution.optimizedPlan.toString
@@ -117,6 +119,77 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
       val on = pdf.join(idf, $"p" >= $"lo" && $"p" <= $"hi")
       assert(optimizedStr(on).contains("_graft_bin"), s"w=$w")
       assert(rows(on) == expected, s"w=$w")
+    }
+  }
+
+  test("overlap shape: rewrite ≡ naive multiset, incl. multi-bin pairs") {
+    val rnd = new scala.util.Random(4512)
+    // wide intervals so many pairs share SEVERAL bins at w=4: the
+    // canonical-bin attribution is what keeps the multiset equal
+    val a = (0 until 150).map { i =>
+      val lo = math.floor(rnd.nextDouble() * 100)
+      (i.toLong, lo, lo + math.floor(rnd.nextDouble() * 25))
+    }.toDF("a_id", "a_lo", "a_hi")
+    val b = (0 until 150).map { i =>
+      val lo = math.floor(rnd.nextDouble() * 100)
+      (500L + i, lo, lo + math.floor(rnd.nextDouble() * 25))
+    }.toDF("b_id", "b_lo", "b_hi")
+    val cond = $"a_lo" <= $"b_hi" && $"b_lo" <= $"a_hi"
+    val expected = rows(a.join(b, cond))
+    for (w <- Seq(4.0, 16.0, 512.0)) withRule(w) {
+      val on = a.join(b, cond)
+      assert(optimizedStr(on).contains("_graft_bin"), s"w=$w")
+      assert(!executedStr(on).contains("NestedLoop"), s"w=$w")
+      assert(rows(on) == expected, s"w=$w")
+    }
+  }
+
+  test("overlap shape: inverted intervals still match (raw theta semantics)") {
+    // an inverted 'interval' can satisfy the raw predicates — the rewrite
+    // must keep it (normalized explosion), not filter it away
+    val a = Seq((1L, 10.0, 0.0), (2L, 0.0, 10.0)).toDF("a_id", "a_lo", "a_hi")
+    val b = Seq((9L, -5.0, 50.0)).toDF("b_id", "b_lo", "b_hi")
+    val cond = $"a_lo" <= $"b_hi" && $"b_lo" <= $"a_hi"
+    val expected = rows(a.join(b, cond))
+    assert(expected.size == 2, "inverted row must qualify under raw semantics")
+    withRule(8.0) {
+      val on = a.join(b, cond)
+      assert(optimizedStr(on).contains("_graft_bin"))
+      assert(rows(on) == expected)
+    }
+  }
+
+  test("overlap shape: strict bounds and mixed comparison spellings") {
+    val a = Seq((1L, 0.0, 10.0), (2L, 20.0, 30.0)).toDF("a_id", "a_lo", "a_hi")
+    val b = Seq((9L, 10.0, 20.0), (8L, 5.0, 9.0)).toDF("b_id", "b_lo", "b_hi")
+    // touching ends excluded by strictness; spelled with > instead of <
+    val cond = $"b_hi" > $"a_lo" && $"a_hi" > $"b_lo"
+    val expected = rows(a.join(b, cond))
+    withRule(8.0) {
+      val on = a.join(b, cond)
+      assert(optimizedStr(on).contains("_graft_bin"))
+      assert(rows(on) == expected)
+    }
+  }
+
+  test("overlap shape: q46-shaped self-join CTE SQL fires the rewrite") {
+    (1 to 300).map(i => (i.toLong, (i % 50).toDouble)).toDF("k", "t")
+      .createOrReplaceTempView("rjr_o")
+    val sql =
+      """WITH o AS (SELECT k, t AS lo, t + 14 AS hi FROM rjr_o),
+        |a AS (SELECT k AS a_key, lo AS a_lo, hi AS a_hi FROM o WHERE k % 3 = 0),
+        |b AS (SELECT k AS b_key, lo AS b_lo, hi AS b_hi FROM o WHERE k % 5 = 0)
+        |SELECT a_key, b_key FROM a JOIN b
+        |ON a_lo <= b_hi AND b_lo <= a_hi""".stripMargin
+    withRule(16.0) {
+      val on = spark.sql(sql)
+      assert(optimizedStr(on).contains("_graft_bin"))
+      assert(!executedStr(on).contains("NestedLoop"))
+      val expected = rows(on)
+      spark.conf.set("spark.graft.rangeJoin.enabled", "false")
+      val off = spark.sql(sql)
+      assert(!optimizedStr(off).contains("_graft_bin"))
+      assert(rows(off) == expected)
     }
   }
 
