@@ -234,4 +234,37 @@ object Similarity {
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    * method): coarse k-means clustering — [[IvfIndex]]'s deterministic
+    * quantized Lloyd, reused as-is — then within-cluster pairwise cosine.
+    * A vector is a semantic duplicate iff a LOWER-id member of its cluster
+    * matches at ≥ threshold; its reported representative is the smallest
+    * such id. Both rules are total-order tie-free, so the output is
+    * identical on any engine and any partitioning.
+    *
+    * Returns (idCol, dup_of, cell) — one row per duplicate.
+    *
+    * Scale shape: the clustering IS the pruning structure. Pair generation
+    * is ONE equi-join on cell (vectors ship once, into their own cell
+    * bucket; no cross-cell pair ever materializes), cost Σ|cell|². The
+    * lever is nLists ∝ corpus / target-cell-size — exactly SemDeDup's own
+    * knob; the embedding-LSH alternative for unclustered corpora is
+    * [[nearDupPairs]].
+    */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nLists: Int = 16, iters: Int = 2): DataFrame = {
+    val assigned = IvfIndex.build(corpus, idCol, vecCol, nLists, iters).assigned
+    val a = assigned.select(col("cell"), col("neighbor_id").as("a"),
+      col("cq").as("qa"), col("n2c").as("n2a"))
+    val b = assigned.select(col("cell"), col("neighbor_id").as("b"),
+      col("cq").as("qb"), col("n2c").as("n2b"))
+    a.join(b, Seq("cell")).filter(col("a") < col("b"))
+      .filter(cosineQWithNorms(col("qa"), col("qb"),
+        col("n2a"), col("n2b")) >= threshold)
+      .groupBy(col("b"), col("cell"))
+      .agg(min(col("a")).as("dup_of"))
+      .select(col("b").as(idCol), col("dup_of"),
+        col("cell").cast("bigint").as("cell"))
+  }
 }

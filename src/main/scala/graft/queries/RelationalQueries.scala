@@ -632,6 +632,28 @@ object RelationalQueries {
           |GROUP BY 1""".stripMargin)
     },
 
+    // --- gap fill / forward fill (LOCF): carry each user's last 'update'
+    // --- value onto every subsequent event — the time-series imputation
+    // --- consumers run over compacted CDC topics, and the window twin of
+    // --- the as-of join (q32 joins two streams; this fills within one).
+    // --- last(_, ignoreNulls) over a ROWS frame = ONE exchange on user_id
+    // --- + per-user sort; event_id is a total order so every engine
+    // --- agrees; values pass through unfilled (no arithmetic) ⇒ hash-exact.
+    q("q47_gap_fill",
+      """SELECT event_id, user_id, event_type,
+        |  last_value(CASE WHEN event_type = 'update' THEN value END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+        |FROM events""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"),
+        last(when(col("event_type") === "update", col("value")),
+          ignoreNulls = true).over(w).as("filled_value"))
+    },
+
     // --- automatic OVERLAP rewrite (plans.RangeJoinRewrite shape 2): the
     // --- q37 interval-intersection semantics, but as plain SQL with NO
     // --- equi-key — Spark would nested-loop; the rule explodes both sides

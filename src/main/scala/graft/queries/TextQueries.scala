@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.GraftFunctions
 import graft.operators.{Dedup, TextOps}
+import graft.queries.Qutil.dsum
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -497,6 +498,50 @@ object TextQueries {
         .filter(col("n_underestimates") === 0 &&
           col("max_overestimate") <= col("err_bound"))
     }, None),
+
+    // --- corpus-trained bigram-LM predictability (the KenLM-style quality
+    // --- signal without logs): score(doc) = mean over its bigram
+    // --- occurrences of P(w2|w1) = c(w1,w2)/c(w1·), counts trained on the
+    // --- corpus itself. High score ⇒ templated/boilerplate text; low ⇒
+    // --- unusual token transitions. Per-occurrence p is ONE double divide
+    // --- of two BIGINTs (IEEE-identical on every engine); the mean is the
+    // --- decimal-cast exact sum (Qutil.dsum discipline), so the gate
+    // --- hash-matches. Scale shape: bigrams shuffle O(occurrences) through
+    // --- two hash aggs (both partial-agg) and two equi-joins; no vocab
+    // --- ever sits on one node. Docs under 2 tokens keep a row (n=0,
+    // --- score NULL) via the left join. --------------------------------------
+    q("txt22_bigram_lm",
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |bi AS (SELECT doc_id, unnest(
+         |  [{'w1': t[i], 'w2': t[i+1]} for i in generate_series(1, len(t)-1)],
+         |  recursive := true) FROM toks),
+         |bg AS (SELECT w1, w2, COUNT(*) AS c_bg FROM bi GROUP BY 1, 2),
+         |hd AS (SELECT w1, COUNT(*) AS c_head FROM bi GROUP BY 1),
+         |ps AS (SELECT doc_id, CAST(c_bg AS DOUBLE)/CAST(c_head AS DOUBLE) AS p
+         |  FROM bi JOIN bg USING (w1, w2) JOIN hd USING (w1)),
+         |ag AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  CAST(SUM(CAST(p AS DECIMAL(18,12))) AS DOUBLE)/COUNT(*) AS predictability
+         |  FROM ps GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(ag.n_bigrams, 0) AS n_bigrams, ag.predictability
+         |FROM documents d LEFT JOIN ag ON d.doc_id = ag.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val t = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      val nbg = greatest(size(col("t")) - 1, lit(0))
+      val bi = t.select(col("doc_id"), explode(zip_with(
+          slice(col("t"), lit(1), nbg), slice(col("t"), lit(2), nbg),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val bg = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_bg"))
+      val hd = bi.groupBy(col("w1")).agg(count(lit(1)).as("c_head"))
+      val ps = bi.join(bg, Seq("w1", "w2")).join(hd, Seq("w1"))
+        .select(col("doc_id"),
+          (col("c_bg").cast("double") / col("c_head").cast("double")).as("p"))
+      val ag = ps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_bigrams"),
+        (dsum(col("p"), 12) / count(lit(1))).as("predictability"))
+      docs.select(col("doc_id")).join(ag, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          col("predictability"))
+    },
 
     // --- SimHash (native expression vs 32-way SQL vote) -----------------------
     q("txt08_simhash",

@@ -217,6 +217,41 @@ object VectorQueries {
         "vec_id", "embedding", k = 3, nProbe = 4)
     },
 
+    // --- SemDeDup semantic dedup: coarse k-means cells (the SAME unrolled
+    // --- Lloyd as vec05, trained on the PLANTED-COPY union corpus) prune
+    // --- the pair space, then within-cell pairwise quantized cosine flags
+    // --- duplicates against their smallest-id representative. Planted
+    // --- copies share their original's exact vector, so they always share
+    // --- its cell and score sim=1 — the gate's guaranteed positives; output
+    // --- is all-integer (ids + cell), so the hash compare is exact. ----------
+    q("vec09_semantic_dedup",
+      s"""WITH vcorpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL SELECT vec_id + 20000, embedding FROM embeddings WHERE vec_id % 7 = 0),
+         |${quantSqlFrom("vcorpus")},
+         |c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, qv AS cv
+         |  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 16) s),
+         |${lloydSql(1, "c0", "q")},
+         |${lloydSql(2, "c1", "q")},
+         |asg AS (SELECT vec_id, cell FROM (
+         |  SELECT q.vec_id, c2.cell,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${l2Sql("q.qv", "c2.cv")}, c2.cell) AS rn
+         |  FROM q, c2) t WHERE rn = 1)
+         |SELECT b.vec_id, MIN(a.vec_id) AS dup_of, b.cell
+         |FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |JOIN n p ON p.vec_id = a.vec_id JOIN n c ON c.vec_id = b.vec_id
+         |WHERE CAST(CAST(list_sum([p.qv[i]*c.qv[i] for i in generate_series(1, len(p.qv))]) AS BIGINT) AS DOUBLE)
+         |    / (sqrt(CAST(p.n2 AS DOUBLE))*sqrt(CAST(c.n2 AS DOUBLE))) >= 0.999
+         |GROUP BY b.vec_id, b.cell""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val vcorpus = emb.unionByName(
+        emb.filter(col("vec_id") % 7 === 0)
+          .select((col("vec_id") + 20000).as("vec_id"), col("embedding")))
+      Similarity.semanticDedup(vcorpus, "vec_id", "embedding",
+        threshold = 0.999, nLists = 16, iters = 2)
+    },
+
     // --- scalar-quantized (SQ8) ANN: the memory-compression path — int8-range
     // --- codes (one global corpus scale) score candidates with cheap integer
     // --- dots over data 8× narrower, then ONLY the top-16 candidates fetch

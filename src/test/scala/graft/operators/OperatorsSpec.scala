@@ -408,6 +408,37 @@ class SimilaritySpec extends AnyFunSuite {
       Similarity.quantize(col("embedding"))).as("s")).as[Double].collect()
     assert(sims.forall(s => math.abs(s - 1.0) < 1e-12))
   }
+
+  test("semanticDedup: copies flagged against smallest-id rep; threshold strict") {
+    import spark.implicits._
+    // 3 well-separated directions; ids 10/11 duplicate id 1's vector, id 20
+    // is a near-but-below-threshold neighbor of id 2
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f)),
+      (10L, Array(1.0f, 0.0f, 0.0f)),
+      (11L, Array(1.0f, 0.0f, 0.0f)),
+      (20L, Array(0.6f, 0.8f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val dups = Similarity.semanticDedup(corpus, "vec_id", "embedding",
+      threshold = 0.999, nLists = 3, iters = 2)
+      .select("vec_id", "dup_of").as[(Long, Long)].collect().toMap
+    // both copies report the SMALLEST matching id (1), not each other
+    assert(dups == Map(10L -> 1L, 11L -> 1L))
+
+    // partitioning invariance: same output from a scrambled layout
+    val scrambled = Similarity.semanticDedup(corpus.repartition(7), "vec_id",
+      "embedding", threshold = 0.999, nLists = 3, iters = 2)
+      .select("vec_id", "dup_of").as[(Long, Long)].collect().toMap
+    assert(scrambled == dups)
+
+    // id 20 (cos = 0.8 vs id 2) joins once the threshold admits it
+    val loose = Similarity.semanticDedup(corpus, "vec_id", "embedding",
+      threshold = 0.75, nLists = 3, iters = 2)
+      .select("vec_id", "dup_of").as[(Long, Long)].collect().toMap
+    assert(loose.get(20L).contains(2L))
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
