@@ -632,6 +632,28 @@ object RelationalQueries {
           |GROUP BY 1""".stripMargin)
     },
 
+    // --- JSON property extraction: the reference serializes json/jsonb (and
+    // --- every unknown OID) through the string fallback (oid2avro.c:317–349)
+    // --- — consumers re-type downstream. from_json with an explicit schema
+    // --- is that re-typing in Spark (codegen'd, null on malformed); the
+    // --- oracle re-types the same strings with DuckDB's JSON extractor.
+    // --- All-integer aggregates ⇒ hash-exact. --------------------------------
+    q("q48_json_extract",
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        |  CAST(COUNT(DISTINCT CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS n_distinct_k,
+        |  MIN(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
+        |  MAX(CAST(json_extract(props, '$.k') AS INT)) AS max_k
+        |FROM events GROUP BY 1""".stripMargin) { (s, d) =>
+      val k = from_json(col("props"), "k INT", Map.empty[String, String])("k")
+      Tables.events(s, d)
+        .select(col("event_type"), k.as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          countDistinct(col("k")).as("n_distinct_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+    },
+
     // --- gap fill / forward fill (LOCF): carry each user's last 'update'
     // --- value onto every subsequent event — the time-series imputation
     // --- consumers run over compacted CDC topics, and the window twin of

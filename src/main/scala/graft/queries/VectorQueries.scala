@@ -44,6 +44,19 @@ object VectorQueries {
        |c$k AS (SELECT p.cell, COALESCE(v.mv, p.cv) AS cv
        |  FROM $prev p LEFT JOIN v$k v ON p.cell = v.cell)""".stripMargin
 
+  /** DuckDB twin of IvfIndex.assign — nearest `c2` centroid per `src`
+    * vector via ROW_NUMBER over exact integer L2, ties → lowest cell (the
+    * subtle determinism contract, defined ONCE for the idx/pc CTEs of the
+    * ANN oracles and vec09's asg).
+    */
+  private def assignSql(cte: String, outId: String, src: String,
+      where: String = "", rnBound: String = "rn = 1"): String =
+    s"""$cte AS (SELECT vec_id AS $outId, cell FROM (
+       |  SELECT $src.vec_id, c2.cell,
+       |    ROW_NUMBER() OVER (PARTITION BY $src.vec_id
+       |      ORDER BY ${l2Sql(s"$src.qv", "c2.cv")}, c2.cell) AS rn
+       |  FROM $src, c2$where) t WHERE $rnBound)""".stripMargin
+
   /** DuckDB twin of the multi-table LSH banding over the `n` CTE. */
   private def bandedSql(planes: Int) =
     s"""banded AS (SELECT vec_id, t,
@@ -76,16 +89,8 @@ object VectorQueries {
        |  FROM (SELECT vec_id, qv FROM $trainSrc ORDER BY vec_id LIMIT 16) s),
        |${lloydSql(1, "c0", trainSrc)},
        |${lloydSql(2, "c1", trainSrc)},
-       |idx AS (SELECT vec_id AS neighbor_id, cell FROM (
-       |  SELECT q.vec_id, c2.cell,
-       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
-       |      ORDER BY ${l2Sql("q.qv", "c2.cv")}, c2.cell) AS rn
-       |  FROM q, c2) t WHERE rn = 1),
-       |pc AS (SELECT vec_id AS probe_id, cell FROM (
-       |  SELECT n.vec_id, c2.cell,
-       |    ROW_NUMBER() OVER (PARTITION BY n.vec_id
-       |      ORDER BY ${l2Sql("n.qv", "c2.cv")}, c2.cell) AS rn
-       |  FROM n, c2 WHERE n.vec_id < 10) t WHERE rn <= 4),
+       |${assignSql("idx", "neighbor_id", "q")},
+       |${assignSql("pc", "probe_id", "n", " WHERE n.vec_id < 10", "rn <= 4")},
        |scored AS (SELECT pc.probe_id, idx.neighbor_id,
        |  CAST(CAST(list_sum([p.qv[i]*c.qv[i] for i in generate_series(1, len(p.qv))]) AS BIGINT) AS DOUBLE)
        |    / (sqrt(CAST(p.n2 AS DOUBLE))*sqrt(CAST(c.n2 AS DOUBLE))) AS sim
@@ -233,11 +238,7 @@ object VectorQueries {
          |  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 16) s),
          |${lloydSql(1, "c0", "q")},
          |${lloydSql(2, "c1", "q")},
-         |asg AS (SELECT vec_id, cell FROM (
-         |  SELECT q.vec_id, c2.cell,
-         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
-         |      ORDER BY ${l2Sql("q.qv", "c2.cv")}, c2.cell) AS rn
-         |  FROM q, c2) t WHERE rn = 1)
+         |${assignSql("asg", "vec_id", "q")}
          |SELECT b.vec_id, MIN(a.vec_id) AS dup_of, b.cell
          |FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
          |JOIN n p ON p.vec_id = a.vec_id JOIN n c ON c.vec_id = b.vec_id

@@ -33,6 +33,13 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
   private def executedStr(df: DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  // the binned branch must plan as a real equi-join on the bin key; the
+  // residual branch legitimately keeps a (usually empty) nested loop
+  private def hasBinnedJoin(df: DataFrame): Boolean = {
+    val s = executedStr(df)
+    s.contains("HashJoin") || s.contains("SortMergeJoin")
+  }
+
   private val points = Seq(1.0, 5.0, 10.0, 17.5, 42.0, 99.0, 100.0, -3.0)
     .zipWithIndex.map { case (p, i) => (i.toLong, p) }
   private val intervals = Seq(
@@ -55,7 +62,7 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     withRule(8.0) {
       val on = spark.sql(sql)
       assert(optimizedStr(on).contains("_graft_bin"))
-      assert(!executedStr(on).contains("NestedLoop"))
+      assert(hasBinnedJoin(on))
       assert(rows(on) == expected)
       assert(expected.nonEmpty)
     }
@@ -67,7 +74,7 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     withRule(8.0) {
       val on = intervalsDf.join(pointsDf, $"p" > $"lo" && $"p" < $"hi")
       assert(optimizedStr(on).contains("_graft_bin"))
-      assert(!executedStr(on).contains("NestedLoop"))
+      assert(hasBinnedJoin(on))
       assert(rows(on) == expected)
       // strict bounds: the zero-width interval (17.5, 17.5) must NOT match
       assert(!expected.exists(_.contains("105")))
@@ -85,9 +92,9 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     }
   }
 
-  test("inverted and null intervals are dropped before they can explode") {
+  test("inverted and null intervals take the residual branch, not the explode") {
     // lo=1e9 > hi=0: naively explodes a descending 1e9/w-bin sequence;
-    // the sanity filter must make this both correct AND fast
+    // the binnable filter must route these around the Generate
     val bad: Seq[(Long, Option[Double], Option[Double])] = Seq(
       (200L, Some(1.0e9), Some(0.0)), (201L, None, Some(5.0)),
       (202L, Some(3.0), None))
@@ -101,6 +108,75 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
       assert(rows(on) == expected)
       assert(!expected.exists(s => s.contains("200") || s.contains("201") ||
         s.contains("202")))
+    }
+  }
+
+  test("NaN bound: matches under Spark's NaN-greatest semantics, rule on or off") {
+    // hi = NaN: `p <= NaN` is TRUE for every p (NaN sorts greatest) — the
+    // row must reach the residual branch, not bin as floor(NaN)=0
+    val r = Seq((100L, 1.0, Double.NaN), (101L, 0.0, 10.0))
+      .toDF("iid", "lo", "hi")
+    val p = Seq((1L, 2000.0), (2L, 5.0)).toDF("pid", "p")
+    val cond = $"p" >= $"lo" && $"p" <= $"hi"
+    val expected = rows(p.join(r, cond))
+    assert(expected.size == 3, "control: NaN interval matches both points")
+    withRule(8.0) {
+      val on = p.join(r, cond)
+      assert(optimizedStr(on).contains("_graft_bin"))
+      assert(rows(on) == expected)
+    }
+  }
+
+  test("infinite and giant intervals cannot explode: residual branch, same rows") {
+    // +Infinity upper bound (open-ended interval) and a finite interval
+    // wider than maxBins*w — both previously fatal or unbounded
+    val r = Seq((100L, 1.0, Double.PositiveInfinity),
+      (101L, Double.NegativeInfinity, 50.0), (102L, 0.0, 1.0e9),
+      (103L, 0.0, 10.0)).toDF("iid", "lo", "hi")
+    val cond = $"p" >= $"lo" && $"p" <= $"hi"
+    val expected = rows(pointsDf.join(r, cond))
+    withRule(8.0) {
+      val on = pointsDf.join(r, cond)
+      assert(optimizedStr(on).contains("_graft_bin"))
+      assert(rows(on) == expected)
+    }
+  }
+
+  test("mixed numeric types across conjuncts resolve (explicit double casts)") {
+    // conjunct 1 coerces to DOUBLE, conjunct 2 stays INT: Least/Greatest
+    // over raw matched expressions would be unresolved
+    val a = Seq((1L, 0.5, 10), (2L, 20.5, 30)).toDF("a_id", "a_lo", "a_hi")
+    val b = Seq((9L, 5, 25.5), (8L, 40, 50.5)).toDF("b_id", "b_lo", "b_hi")
+    val cond = $"a_lo" <= $"b_hi" && $"b_lo" <= $"a_hi"
+    val expected = rows(a.join(b, cond))
+    assert(expected.nonEmpty)
+    withRule(8.0) {
+      val on = a.join(b, cond)
+      assert(optimizedStr(on).contains("_graft_bin"))
+      assert(rows(on) == expected)
+    }
+  }
+
+  test("id-dedup conjunct is not mistaken for an interval bound") {
+    // the realistic self-join: ON a_id < b_id AND overlap — greedy pairing
+    // would bin the id-to-value gap (~1e9/w bins per row)
+    val a = Seq((1000000001L, 0.0, 10.0), (1000000002L, 5.0, 15.0))
+      .toDF("a_id", "a_lo", "a_hi")
+    val b = Seq((1000000003L, 8.0, 20.0), (1000000004L, 100.0, 110.0))
+      .toDF("b_id", "b_lo", "b_hi")
+    val cond = $"a_id" < $"b_id" && $"a_lo" <= $"b_hi" && $"b_lo" <= $"a_hi"
+    val expected = rows(a.join(b, cond))
+    assert(expected.size == 2)
+    withRule(8.0) {
+      val on = a.join(b, cond)
+      assert(optimizedStr(on).contains("_graft_bin"))
+      assert(rows(on) == expected)
+      // the non-strict bound pair won: no million-element bin sequences
+      // (a mispairing would still be correct via the residual branch, but
+      // the plan must bin on the value columns, whose spans are tiny)
+      val t0 = System.nanoTime()
+      on.count()
+      assert((System.nanoTime() - t0) / 1e9 < 30.0)
     }
   }
 
@@ -139,7 +215,7 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     for (w <- Seq(4.0, 16.0, 512.0)) withRule(w) {
       val on = a.join(b, cond)
       assert(optimizedStr(on).contains("_graft_bin"), s"w=$w")
-      assert(!executedStr(on).contains("NestedLoop"), s"w=$w")
+      assert(hasBinnedJoin(on), s"w=$w")
       assert(rows(on) == expected, s"w=$w")
     }
   }
@@ -184,7 +260,7 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     withRule(16.0) {
       val on = spark.sql(sql)
       assert(optimizedStr(on).contains("_graft_bin"))
-      assert(!executedStr(on).contains("NestedLoop"))
+      assert(hasBinnedJoin(on))
       val expected = rows(on)
       spark.conf.set("spark.graft.rangeJoin.enabled", "false")
       val off = spark.sql(sql)
@@ -211,7 +287,8 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
       val q = s.sql(
         "SELECT pid, iid FROM rjr_p2 JOIN rjr_i2 ON p >= lo AND p <= hi")
       assert(q.queryExecution.optimizedPlan.toString.contains("_graft_bin"))
-      assert(!q.queryExecution.executedPlan.toString.contains("NestedLoop"))
+      assert(q.queryExecution.executedPlan.toString.contains("HashJoin") ||
+        q.queryExecution.executedPlan.toString.contains("SortMergeJoin"))
       assert(q.count() > 0)
     } finally {
       SparkSession.clearActiveSession()
