@@ -310,4 +310,50 @@ class PropertySpec extends AnyFunSuite {
     }
     check("passageStats", 10)(prop)
   }
+
+  // --------------------------------------------------------- RangeJoinRewrite
+
+  test("RangeJoinRewrite: on ≡ off for random inputs incl. NaN/±Inf/null/inverted") {
+    import spark.implicits._
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RangeJoinRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RangeJoinRewrite
+    // integral magnitudes force exact bin-boundary ties; the special pool
+    // exercises every residual-branch class the rule claims to handle
+    val normal = Gen.chooseNum(-100, 100).map(_.toDouble)
+    val special = Gen.oneOf(Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity, 1.0e308, -1.0e308, 1.0e12)
+    val bound: Gen[Option[Double]] = Gen.frequency(
+      7 -> normal.map(Some(_)), 2 -> special.map(Some(_)), 1 -> Gen.const(None))
+    val pGen = Gen.listOfN(16, Gen.frequency(9 -> normal, 1 -> special))
+    val ivGen = Gen.listOfN(10, Gen.zip(bound, bound)) // unordered ⇒ inverted too
+    val wGen = Gen.oneOf(1.0, 8.0, 512.0)
+
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+
+    val prop = Prop.forAll(pGen, ivGen, wGen) { (ps, ivs, w) =>
+      val pdf = ps.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+        .toDF("pid", "p")
+      val idf = ivs.zipWithIndex.map { case ((lo, hi), i) => (100L + i, lo, hi) }
+        .toDF("iid", "lo", "hi")
+      val point = col("p") >= col("lo") && col("p") <= col("hi")
+      val overlap = col("lo") <= col("p2") && col("lo2") <= col("hi")
+      val idf2 = ivs.zipWithIndex.map { case ((lo, hi), i) => (200L + i, lo, hi) }
+        .toDF("iid2", "lo2", "p2") // second interval relation for overlap
+      spark.conf.set("spark.graft.rangeJoin.enabled", "false")
+      val offP = rowsOf(pdf.join(idf, point))
+      val offO = rowsOf(idf.join(idf2, overlap))
+      spark.conf.set("spark.graft.rangeJoin.enabled", "true")
+      spark.conf.set("spark.graft.rangeJoin.binWidth", w.toString)
+      try {
+        val onPdf = pdf.join(idf, point)
+        val onOdf = idf.join(idf2, overlap)
+        val fired = onPdf.queryExecution.optimizedPlan.toString.contains("_graft") &&
+          onOdf.queryExecution.optimizedPlan.toString.contains("_graft")
+        fired && rowsOf(onPdf) == offP && rowsOf(onOdf) == offO
+      } finally spark.conf.set("spark.graft.rangeJoin.enabled", "false")
+    }
+    check("RangeJoinRewrite", 10)(prop)
+  }
 }
