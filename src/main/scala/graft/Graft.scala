@@ -81,6 +81,13 @@ object Graft {
   /** Resolve verified duplicate pairs into member→representative clusters. */
   def dupClusters(pairs: DataFrame): Map[Long, Long] = Dedup.clusters(pairs)
 
+  /** SemDeDup-style semantic dedup: k-means cells prune the pair space,
+    * within-cell cosine flags dups against their smallest-id rep.
+    */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nLists: Int = 16): DataFrame =
+    Similarity.semanticDedup(corpus, idCol, vecCol, threshold, nLists)
+
   // --- similarity search -----------------------------------------------------
 
   /** Exact quantized-cosine top-k (baseline; O(probes·corpus)). */

@@ -253,8 +253,17 @@ object Similarity {
     * [[nearDupPairs]].
     */
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nLists: Int = 16, iters: Int = 2): DataFrame = {
-    val assigned = IvfIndex.build(corpus, idCol, vecCol, nLists, iters).assigned
+      threshold: Double, nLists: Int = 16, iters: Int = 2): DataFrame =
+    semanticDedupIndexed(IvfIndex.build(corpus, idCol, vecCol, nLists, iters),
+      idCol, threshold)
+
+  /** [[semanticDedup]] over a PREBUILT (possibly loaded/appended) index —
+    * the train-once path: at scale the clustering already exists on disk
+    * (IvfIndex.save), and dedup is one join over its assignment.
+    */
+  def semanticDedupIndexed(index: IvfIndex.Index, idCol: String,
+      threshold: Double): DataFrame = {
+    val assigned = index.assigned
     val a = assigned.select(col("cell"), col("neighbor_id").as("a"),
       col("cq").as("qa"), col("n2c").as("n2a"))
     val b = assigned.select(col("cell"), col("neighbor_id").as("b"),

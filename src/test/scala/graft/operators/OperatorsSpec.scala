@@ -438,6 +438,15 @@ class SimilaritySpec extends AnyFunSuite {
       threshold = 0.75, nLists = 3, iters = 2)
       .select("vec_id", "dup_of").as[(Long, Long)].collect().toMap
     assert(loose.get(20L).contains(2L))
+
+    // the prebuilt-index path (train-once) gives bit-identical output,
+    // including through a save/load round trip
+    val dir = java.nio.file.Files.createTempDirectory("graft_semdedup").toString
+    IvfIndex.build(corpus, "vec_id", "embedding", nLists = 3, iters = 2).save(dir)
+    val viaIndex = Similarity.semanticDedupIndexed(
+        IvfIndex.load(spark, dir), "vec_id", threshold = 0.999)
+      .select("vec_id", "dup_of").as[(Long, Long)].collect().toMap
+    assert(viaIndex == dups)
   }
 }
 
