@@ -181,6 +181,62 @@ object LatestState {
   /** Output mode matching [[streaming]]. */
   val streamingOutputMode: OutputMode = OutputMode.Update()
 
+  /** One [[streamingForwardFill]] output row: the event plus the most
+    * recent state-bearing event's position and payload (null/None until a
+    * key's first bearer arrives).
+    */
+  final case class FilledEvent(table: String, key: String, lsn: Long,
+      seq: Long, op: String, after: String,
+      stateLsn: Option[Long], statePayload: String)
+
+  /** Keyed state for [[streamingForwardFill]]: last bearer (null before
+    * the first) + the high-water mark that silences at-least-once replays.
+    */
+  final case class FillState(bearer: CdcEvent, lastLsn: Long, lastSeq: Long)
+
+  /** Streaming forward fill (LOCF) — the stateful twin of the q47 window:
+    * every event is emitted enriched with the most recent STATE-BEARING
+    * event of its key at-or-before it (a bearer sees itself), carried
+    * across micro-batches in keyed state. The batch twin is
+    * `last(when(bearing, payload), ignoreNulls) over (PARTITION BY key
+    * ORDER BY lsn, seq ROWS UNBOUNDED PRECEDING..CURRENT)` — the
+    * enrichment consumers of compacted topics do as they read
+    * (README.md:288–297), here done once in the pipeline.
+    *
+    * Discipline matches the rest of the streaming family: in-batch order
+    * restored by an explicit (lsn, seq) sort per group; cross-batch order
+    * relies on the source's per-key monotonicity; events at-or-below the
+    * stored high-water mark emit NOTHING, so an at-least-once replay of a
+    * whole micro-batch is silent. State is one event + two longs per key.
+    */
+  def streamingForwardFill(events: Dataset[CdcEvent],
+      isStateBearing: CdcEvent => Boolean): Dataset[FilledEvent] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(e => Op.rowOps.contains(e.op))
+      .groupByKey(e => (e.table, e.key))
+      .flatMapGroupsWithState[FillState, FilledEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (_, batch, state: GroupState[FillState]) =>
+          val out = Seq.newBuilder[FilledEvent]
+          var st = state.getOption
+            .getOrElse(FillState(null, Long.MinValue, Long.MinValue))
+          batch.toSeq.sortBy(e => (e.lsn, e.seq)).foreach { e =>
+            val advances = e.lsn > st.lastLsn ||
+              (e.lsn == st.lastLsn && e.seq > st.lastSeq)
+            if (advances) {
+              val bearer = if (isStateBearing(e)) e else st.bearer
+              st = FillState(bearer, e.lsn, e.seq)
+              out += FilledEvent(e.table, e.key, e.lsn, e.seq, e.op, e.after,
+                Option(bearer).map(_.lsn),
+                if (bearer == null) null else bearer.after)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** The same compaction as a typed `Aggregator` — the §2b UDAF surface.
     * `ds.groupByKey(...).agg(LatestState.latestAggregator.toColumn)` ≡
     * the max_by formulation in [[batch]]; kept as the user-defined-aggregate

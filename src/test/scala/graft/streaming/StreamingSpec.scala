@@ -382,4 +382,51 @@ class CdcPipelineSpec extends AnyFunSuite {
       assert(rows.contains(("t", "insert", 2L))) // first window emitted on close
     } finally q.stop()
   }
+
+  test("streamingForwardFill ≡ batch LOCF window; whole-batch replays are silent") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(key: String, lsn: Long, op: String, after: String): CdcEvent =
+      CdcEvent(op, "t", lsn, lsn, 0, key, null, after)
+    // two keys; 'update' bears state, other ops are enriched passengers;
+    // k2 sees events BEFORE its first bearer (must fill null, not fail)
+    val events = Seq(
+      ev("k1", 1, "insert", "a0"), ev("k1", 2, "update", "s1"),
+      ev("k2", 3, "insert", "b0"), ev("k1", 4, "insert", "a1"),
+      ev("k2", 5, "update", "s2"), ev("k1", 6, "update", "s3"),
+      ev("k2", 7, "insert", "b1"), ev("k1", 8, "insert", "a2"))
+
+    val input = MemoryStream[CdcEvent]
+    val q = LatestState.streamingForwardFill(input.toDS(), _.op == "update")
+      .writeStream.format("memory").queryName("locf")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = events.splitAt(4) // bearer s1 must carry across the split
+      input.addData(b1)
+      q.processAllAvailable()
+      input.addData(b1) // at-least-once: full replay of batch 1 — silence
+      q.processAllAvailable()
+      input.addData(b2)
+      q.processAllAvailable()
+      val streamed = spark.table("locf")
+        .select($"key", $"lsn", $"stateLsn", $"statePayload")
+        .as[(String, Long, Option[Long], String)].collect().toSeq.sorted
+
+      // batch twin: the q47 formulation over the same events
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"key").orderBy($"lsn", $"seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val batch = events.toDF()
+        .select($"key", $"lsn",
+          last(when($"op" === "update", $"lsn"), ignoreNulls = true).over(w)
+            .as("stateLsn"),
+          last(when($"op" === "update", $"after"), ignoreNulls = true).over(w)
+            .as("statePayload"))
+        .as[(String, Long, Option[Long], String)].collect().toSeq.sorted
+      assert(streamed == batch)
+      assert(streamed.size == events.size, "replay must not duplicate rows")
+      // pre-bearer events filled with null state
+      assert(streamed.exists { case (k, _, st, _) => k == "k2" && st.isEmpty })
+    } finally q.stop()
+  }
 }
