@@ -31,12 +31,20 @@ object ChangelogGen {
   val opSql: String =
     "CASE event_type WHEN 'signup' THEN 'insert' WHEN 'error' THEN 'delete' ELSE 'update' END"
 
-  def fromEvents(spark: SparkSession, dir: String): Dataset[CdcEvent] = {
-    import spark.implicits._
+  def fromEvents(spark: SparkSession, dir: String): Dataset[CdcEvent] =
+    projectEvents(Tables.events(spark, dir))
+
+  /** The events→changelog projection behind [[fromEvents]], usable on ANY
+    * events relation — including a STREAMING one (file stream), where the
+    * same derivation feeds the stateful operators and the oracle restates
+    * it with [[opSql]].
+    */
+  def projectEvents(events: org.apache.spark.sql.DataFrame): Dataset[CdcEvent] = {
+    import events.sparkSession.implicits._
     // pipeline-start relid validation (trivially collision-free for one
     // table, but keeps the invariant wired at every changelog entry point)
     AvroFrame.validateRelids(Seq(TableName))
-    Tables.events(spark, dir)
+    events
       .select(
         when(col("event_type") === "signup", Op.Insert)
           .when(col("event_type") === "error", Op.Delete)

@@ -404,6 +404,30 @@ object CdcQueries {
           Qutil.dsum(col("v"), 2).as("sum_last_value"))
     },
 
+    // --- streaming LOCF gap fill: LatestState.streamingForwardFill executed
+    // --- by the REAL state store over the events file stream (AvailableNow,
+    // --- like cdc17) — every event enriched with its key's running last
+    // --- 'update' position; the oracle restates it as the q47 window over
+    // --- the same derived changelog. Pins that the stateful streaming path
+    // --- agrees with plain SQL, not just with the batch operator in specs. ---
+    q("cdc19_stream_gap_fill",
+      s"""WITH env AS (SELECT user_id, event_id, $opSql AS op FROM events),
+         |filled AS (SELECT user_id, event_id, op,
+         |  last_value(CASE WHEN op = 'update' THEN event_id END IGNORE NULLS)
+         |    OVER (PARTITION BY user_id ORDER BY event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS state_lsn
+         |  FROM env)
+         |SELECT user_id, event_id AS lsn, op, state_lsn FROM filled""".stripMargin) { (s, d) =>
+      import graft.streaming.StreamStreamJoin
+      val env = ChangelogGen.projectEvents(
+        StreamStreamJoin.eventsStream(s, s"$d/events.parquet"))
+      val filled = LatestState.streamingForwardFill(env, _.op == Op.Update)
+      StreamStreamJoin.runToMemory(s, filled.toDF(),
+          s"cdc19_${java.util.UUID.randomUUID().toString.take(8)}")
+        .select(col("key").cast("long").as("user_id"), col("lsn"), col("op"),
+          col("stateLsn").as("state_lsn"))
+    },
+
     // --- snapshot ∪ stream lifecycle (SURVEY §3.1: consistent snapshot then
     // --- streaming from the same LSN, no gap no overlap) ----------------------
     q("cdc07_snapshot_stream",
