@@ -268,4 +268,42 @@ object Dedup {
     jaccardOnPairs(pairs, train.unionByName(eval), idCol, textCol, k)
       .filter(col("jaccard") >= minJaccard)
   }
+
+  /** Exact n-gram overlap decontamination — the membership complement of
+    * [[crossCorpusNearDups]]'s similarity approach (the GPT-3-style "does
+    * any training n-gram appear verbatim in the eval set" check; public
+    * method, Brown et al. 2020 appendix C use 13-grams). For every eval
+    * document: how many of its n-grams exist ANYWHERE in the training
+    * corpus, as a count and a fraction.
+    *
+    * Returns one row per eval doc: (id, n_grams, n_overlap, overlap_frac
+    * — null when the doc is shorter than n tokens).
+    *
+    * Scale shape: both sides reduce to 32-char md5 keys BEFORE any join —
+    * gram text never shuffles; the train side collapses to its DISTINCT
+    * gram set (partial-agg'd), the membership probe is one hash equi-join,
+    * and the per-doc rollup is a second partial-agg'd count. Shuffle
+    * O(distinct train grams + eval gram occurrences). The fraction is one
+    * bigint/bigint IEEE divide, identical on every engine.
+    */
+  def ngramOverlap(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    require(n > 0, s"n must be positive: $n")
+    def grams(df: DataFrame) = df.select(col(idCol),
+      explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("_g"))
+      .select(col(idCol), md5(col("_g")).as("g"))
+    val trainGrams = grams(train).select("g").distinct()
+      .withColumn("_hit", lit(1L))
+    val perDoc = grams(eval)
+      .join(trainGrams, Seq("g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_overlap"))
+    eval.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (col("n_overlap").cast("double") / col("n_grams").cast("double"))
+          .as("overlap_frac"))
+  }
 }

@@ -543,6 +543,38 @@ object TextQueries {
           col("predictability"))
     },
 
+    // --- exact n-gram overlap decontamination (the membership complement of
+    // --- txt16's LSH similarity check): for each clipped eval doc, the
+    // --- count and fraction of its 4-grams that appear verbatim ANYWHERE in
+    // --- the training corpus. Both sides reduce to md5 keys before the
+    // --- join — gram text never shuffles; the fraction is one bigint/bigint
+    // --- IEEE divide ⇒ hash-exact. -------------------------------------------
+    q("txt23_ngram_overlap",
+      s"""WITH ev AS (SELECT doc_id+200000 AS doc_id,
+         |    substr(text, 1, CAST(length(text) AS INT)-10) AS text
+         |  FROM documents WHERE doc_id%17=0),
+         |ttok AS (SELECT $toksSql AS t FROM documents),
+         |tg AS (SELECT DISTINCT unnest(
+         |  [md5(array_to_string(t[i:i+3], ' ')) for i in generate_series(1, len(t)-3)]) AS g
+         |  FROM ttok),
+         |etok AS (SELECT doc_id, $toksSql AS t FROM ev),
+         |eg AS (SELECT doc_id, unnest(
+         |  [md5(array_to_string(t[i:i+3], ' ')) for i in generate_series(1, len(t)-3)]) AS g
+         |  FROM etok),
+         |ov AS (SELECT eg.doc_id, COUNT(*) AS n_grams,
+         |  CAST(SUM(CASE WHEN tg.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+         |  FROM eg LEFT JOIN tg ON eg.g = tg.g GROUP BY 1)
+         |SELECT ev.doc_id, COALESCE(ov.n_grams, 0) AS n_grams,
+         |  COALESCE(ov.n_overlap, 0) AS n_overlap,
+         |  CAST(ov.n_overlap AS DOUBLE)/CAST(ov.n_grams AS DOUBLE) AS overlap_frac
+         |FROM ev LEFT JOIN ov ON ev.doc_id = ov.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val eval = docs.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          expr("substring(text, 1, length(text)-10)").as("text"))
+      Dedup.ngramOverlap(docs, eval, "doc_id", "text", n = 4)
+    },
+
     // --- SimHash (native expression vs 32-way SQL vote) -----------------------
     q("txt08_simhash",
       s"""WITH toks AS (SELECT doc_id, list_distinct($toksSql) AS t FROM documents),

@@ -73,4 +73,26 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(once.select($"c1", TextOps.redactPii($"c1").as("c2"))
       .filter($"c1" =!= $"c2").count() == 0)
   }
+
+  test("ngramOverlap: verbatim copy scores 1.0, novel text 0, short doc null") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs")).toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // verbatim leak
+      (11L, "jabberwocky gyre gimble wabe mimsy borogoves outgrabe"), // novel
+      (12L, "five dozen liquor jugs were heavy"), // partial: 1 of 4 grams
+      (13L, "too short")).toDF("doc_id", "text") // < n tokens
+    val got = Dedup.ngramOverlap(train, eval, "doc_id", "text", n = 4)
+      .select($"doc_id", $"n_grams", $"n_overlap", $"overlap_frac")
+      .as[(Long, Long, Long, Option[Double])].collect().map(r => r._1 -> r).toMap
+    assert(got(10L) == ((10L, 6L, 6L, Some(1.0))), s"verbatim: ${got(10L)}")
+    assert(got(11L)._3 == 0L && got(11L)._4.contains(0.0))
+    assert(got(12L) == ((12L, 3L, 1L, Some(1.0 / 3.0))), s"partial: ${got(12L)}")
+    assert(got(13L) == ((13L, 0L, 0L, None)))
+    // the guarantee decontamination rests on: a verbatim training document
+    // can NEVER score below 1.0
+    assert(got.values.filter(_._2 > 0).forall(r => r._4.exists(_ <= 1.0)))
+  }
 }
