@@ -269,6 +269,25 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("conf guards: disabled flag and degenerate widths stand the rule down") {
+    val cond = $"p" >= $"lo" && $"p" <= $"hi"
+    withRule(8.0) {
+      for ((k, v) <- Seq("spark.graft.rangeJoin.enabled" -> "false",
+          "spark.graft.rangeJoin.binWidth" -> "0",
+          "spark.graft.rangeJoin.binWidth" -> "-4",
+          "spark.graft.rangeJoin.maxBins" -> "0")) {
+        spark.conf.set("spark.graft.rangeJoin.enabled", "true")
+        spark.conf.set("spark.graft.rangeJoin.binWidth", "8.0")
+        spark.conf.set("spark.graft.rangeJoin.maxBins", "4096")
+        spark.conf.set(k, v)
+        val df = pointsDf.join(intervalsDf, cond)
+        assert(!optimizedStr(df).contains("_graft"), s"$k=$v must disable")
+      }
+      spark.conf.set("spark.graft.rangeJoin.binWidth", "8.0")
+      spark.conf.set("spark.graft.rangeJoin.maxBins", "4096")
+    }
+  }
+
   test("extension-built session rewrites pure SQL without any API call") {
     val old = SparkSession.getDefaultSession
     SparkSession.clearDefaultSession()
