@@ -115,6 +115,14 @@ object MaterializedTable {
         val p = new org.apache.hadoop.fs.Path(s"$dir/_bucket=$b")
         if (fs.exists(p)) fs.delete(p, true)
       }
+      // schema sidecar: an EMPTY state (first batch all tombstones, or every
+      // key later deleted) has no parquet footer to infer from — a
+      // partitioned write of zero rows emits no files at all — so the state
+      // schema rides in a `_`-prefixed file (invisible to parquet listing)
+      // and [[read]] reconstructs an empty relation from it. Rewritten on
+      // every merge so it always reflects the evolved (widened) schema.
+      val os = fs.create(new org.apache.hadoop.fs.Path(dir, schemaFile), true)
+      try os.write(out.schema.json.getBytes("UTF-8")) finally os.close()
       touched.length
     } finally {
       incoming.unpersist()
@@ -170,8 +178,29 @@ object MaterializedTable {
     * Scale note: mergeSchema reconciles footers, not data — O(files) metadata
     * work, not a scan. On a no-evolution table it is a no-op.
     */
-  private def readState(spark: SparkSession, dir: String): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(dir)
+  private def readState(spark: SparkSession, dir: String): DataFrame = {
+    val hPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasBuckets = fs.exists(hPath) &&
+      fs.listStatus(hPath).exists(_.getPath.getName.startsWith("_bucket="))
+    if (hasBuckets) spark.read.option("mergeSchema", "true").parquet(dir)
+    else {
+      // a merged-but-currently-empty state (every key tombstoned) has no
+      // parquet to infer from; the sidecar schema written by every merge
+      // reconstructs the empty relation instead of UNABLE_TO_INFER_SCHEMA
+      val sf = new org.apache.hadoop.fs.Path(dir, schemaFile)
+      require(fs.exists(sf), s"no materialized state at $dir")
+      val in = fs.open(sf)
+      val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val schema = org.apache.spark.sql.types.DataType.fromJson(json)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+  }
+
+  private val schemaFile = "_graft_schema.json"
 
   /** Current materialized state (bucket column dropped). */
   def read(spark: SparkSession, dir: String): DataFrame =

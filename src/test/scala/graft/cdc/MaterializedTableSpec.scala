@@ -168,4 +168,31 @@ class MaterializedTableSpec extends AnyFunSuite {
       .select("key", "after").as[(String, String)].collect().toMap
     assert(m("k0") == "v0b" && m.size == 512)
   }
+
+  test("all-tombstone first batch: state reads as EMPTY, not schema error") {
+    import spark.implicits._
+    // regression (found by the incremental-merge ScalaCheck property): a
+    // first batch whose every key ends deleted writes ZERO parquet files —
+    // a partitioned empty write emits nothing — and read() used to die with
+    // UNABLE_TO_INFER_SCHEMA; the schema sidecar reconstructs the relation
+    val dir = java.nio.file.Files.createTempDirectory("mt_tomb").toString + "/state"
+    MaterializedTable.merge(spark, dir,
+      Seq(ev("delete", "k0", 10, null)).toDF(),
+      Seq("key"), Seq("lsn", "seq"), numBuckets = 4)
+    val empty = MaterializedTable.read(spark, dir)
+    assert(empty.count() == 0)
+    assert(empty.columns.contains("key") && empty.columns.contains("after"))
+    // the state dir stays fully usable: live rows merge and read back
+    MaterializedTable.merge(spark, dir,
+      Seq(ev("insert", "k1", 11, "v1")).toDF(),
+      Seq("key"), Seq("lsn", "seq"), numBuckets = 4)
+    val m = MaterializedTable.read(spark, dir)
+      .select("key", "after").as[(String, String)].collect().toMap
+    assert(m == Map("k1" -> "v1"))
+    // ...and deleting the last key returns it to readable-empty
+    MaterializedTable.merge(spark, dir,
+      Seq(ev("delete", "k1", 12, null)).toDF(),
+      Seq("key"), Seq("lsn", "seq"), numBuckets = 4)
+    assert(MaterializedTable.read(spark, dir).count() == 0)
+  }
 }
