@@ -70,13 +70,20 @@ object Bench {
         -1.0
     }
 
-    // ms precision: the driver captures a bounded stdout tail, and 61 queries
-    // at full double precision overflow it (BENCH_r03/r04 arrived truncated,
-    // `parsed: null`). 3 decimals halves the line length; sub-ms jitter is
-    // noise anyway.
+    // The driver captures a BOUNDED (~2,000-char) stdout tail; 101 full-name
+    // keys at 3 decimals is ~3.3 kB and arrived truncated (`parsed: null`) in
+    // BENCH r4 AND r5. Two defenses: (a) keys shrink to the unique gate
+    // prefix before the first '_' ("q46_auto_overlap_join" -> "q46") — ~1.4 kB
+    // total; (b) ms precision (sub-ms jitter is noise anyway). If two names
+    // ever shared a prefix the full names are kept for both (correct > short).
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    def prefix(name: String): String = name.takeWhile(_ != '_')
+    val prefixCounts = results.groupBy { case (k, _) => prefix(k) }
+      .map { case (p, g) => p -> g.size }
+    val qs = results.map { case (k, v) =>
+      val key = if (prefixCounts(prefix(k)) == 1) prefix(k) else k
+      "\"" + key + "\":" + fmt(v)
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
       s""""cdc_events_per_sec":${cdcEps.toLong},"sf":"$sfDir"}""")

@@ -121,8 +121,16 @@ object MaterializedTable {
       // schema rides in a `_`-prefixed file (invisible to parquet listing)
       // and [[read]] reconstructs an empty relation from it. Rewritten on
       // every merge so it always reflects the evolved (widened) schema.
-      val os = fs.create(new org.apache.hadoop.fs.Path(dir, schemaFile), true)
+      // Written to a temp name and renamed into place (rename is atomic on
+      // HDFS/local): an in-place overwrite would let a crash mid-write, or a
+      // concurrent reader of a fully-tombstoned state, observe a truncated
+      // sidecar and fail the empty-read path on JSON parse.
+      val sidecar = new org.apache.hadoop.fs.Path(dir, schemaFile)
+      val sidecarTmp = new org.apache.hadoop.fs.Path(dir, schemaFile + ".tmp")
+      val os = fs.create(sidecarTmp, true)
       try os.write(out.schema.json.getBytes("UTF-8")) finally os.close()
+      if (fs.exists(sidecar)) fs.delete(sidecar, false)
+      fs.rename(sidecarTmp, sidecar)
       touched.length
     } finally {
       incoming.unpersist()

@@ -35,11 +35,14 @@ import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType, NumericTyp
   *
   * A row is BINNABLE when its bounds are non-null and its bin span is a
   * small ascending finite range: `lo <= hi`, `hi/w - lo/w <= maxBins`, and
-  * both `|bound/w| <= 9e18` (inside Long's bin space). The span check is
-  * evaluated in double space, where a NaN or ±Infinity bound fails every
-  * comparison — so NaN/open-ended/giant intervals can neither explode a
-  * pathological sequence (the review repro: `sequence(bin(1), bin(NaN))`,
-  * or COLLECTION_SIZE_LIMIT_EXCEEDED on `hi = +Infinity`) nor be silently
+  * both `|bound/w| <= 9e18` (inside Long's bin space). NOTE the ordering
+  * check alone does NOT reject NaN: under Spark's NaN-sorts-greatest
+  * semantics `lo <= NaN` is TRUE. What rejects pathological rows is the
+  * span and magnitude checks, where NaN/±Infinity appear on the LEFT of
+  * `<=` (`NaN <= maxBins` and `Inf <= 9e18` are both false) — so
+  * NaN/open-ended/giant intervals can neither explode a pathological
+  * sequence (the review repro: `sequence(bin(1), bin(NaN))`, or
+  * COLLECTION_SIZE_LIMIT_EXCEEDED on `hi = +Infinity`) nor be silently
   * dropped: they fall through to the residual branch, which applies the
   * ORIGINAL predicates under Spark's own comparison semantics (where
   * `x <= NaN` is true: NaN sorts greatest). Results are therefore
@@ -137,9 +140,11 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   /** Binnable-row predicate for a `[lo, hi]` bound pair: non-null, in
     * ascending order, bin span within maxBins, endpoints inside Long's bin
-    * space. All comparisons run in double space, where NaN fails every
-    * test and ±Infinity fails the span test — pathological rows are routed
-    * to the residual branch, never dropped.
+    * space. The ordering check does NOT reject NaN (`lo <= NaN` is TRUE —
+    * NaN sorts greatest in Spark); rejection comes from the span and
+    * magnitude checks, where NaN/±Infinity sit on the LEFT of `<=` and so
+    * compare false. Pathological rows are routed to the residual branch,
+    * never dropped.
     */
   private def binnable(lo: Expression, hi: Expression, w: Double): Expression = {
     val nine18 = Literal(9.0e18)

@@ -691,7 +691,7 @@ object RelationalQueries {
         |  WHERE o_orderkey % 89 = 0),
         |b AS (SELECT o_orderkey AS b_key, lo AS b_lo, hi AS b_hi FROM o
         |  WHERE o_orderkey % 97 = 0)
-        |SELECT COUNT(*) AS n_pairs, SUM(a_key + b_key) AS key_sum
+        |SELECT COUNT(*) AS n_pairs, CAST(SUM(a_key + b_key) AS BIGINT) AS key_sum
         |FROM a JOIN b ON a_lo <= b_hi AND b_lo <= a_hi""".stripMargin) { (s, d) =>
       val s2 = s.newSession()
       s2.experimental.extraOptimizations =
@@ -707,7 +707,7 @@ object RelationalQueries {
           |  WHERE o_orderkey % 89 = 0),
           |b AS (SELECT o_orderkey AS b_key, lo AS b_lo, hi AS b_hi FROM o
           |  WHERE o_orderkey % 97 = 0)
-          |SELECT COUNT(*) AS n_pairs, SUM(a_key + b_key) AS key_sum
+          |SELECT COUNT(*) AS n_pairs, CAST(SUM(a_key + b_key) AS BIGINT) AS key_sum
           |FROM a JOIN b ON a_lo <= b_hi AND b_lo <= a_hi""".stripMargin)
     },
 

@@ -31,7 +31,8 @@ object TextQueries {
     """corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL SELECT doc_id+100000, text FROM documents WHERE doc_id%10=0
-      |  UNION ALL SELECT doc_id+200000, substr(text, 1, CAST(length(text) AS INT)-10)
+      |  UNION ALL SELECT doc_id+200000,
+      |    substr(text, 1, greatest(CAST(length(text) AS INT)-10, 0))
       |    FROM documents WHERE doc_id%17=0)""".stripMargin
 
   private def corpus(s: SparkSession, d: String): DataFrame = {
@@ -551,7 +552,7 @@ object TextQueries {
     // --- IEEE divide ⇒ hash-exact. -------------------------------------------
     q("txt23_ngram_overlap",
       s"""WITH ev AS (SELECT doc_id+200000 AS doc_id,
-         |    substr(text, 1, CAST(length(text) AS INT)-10) AS text
+         |    substr(text, 1, greatest(CAST(length(text) AS INT)-10, 0)) AS text
          |  FROM documents WHERE doc_id%17=0),
          |ttok AS (SELECT $toksSql AS t FROM documents),
          |tg AS (SELECT DISTINCT unnest(

@@ -171,12 +171,20 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
       val on = a.join(b, cond)
       assert(optimizedStr(on).contains("_graft_bin"))
       assert(rows(on) == expected)
-      // the non-strict bound pair won: no million-element bin sequences
-      // (a mispairing would still be correct via the residual branch, but
-      // the plan must bin on the value columns, whose spans are tiny)
-      val t0 = System.nanoTime()
-      on.count()
-      assert((System.nanoTime() - t0) / 1e9 < 30.0)
+      // the non-strict bound pair won: assert the plan DIRECTLY — every bin
+      // explosion's Sequence must be built from the value columns (lo/hi),
+      // never the id columns (a mispairing would still be correct via the
+      // residual branch, but would bin the ~1e9-wide id-to-value gap)
+      import org.apache.spark.sql.catalyst.expressions.Sequence
+      val seqs = on.queryExecution.optimizedPlan.collect {
+        case p => p.expressions.flatMap(_.collect { case s: Sequence => s })
+      }.flatten
+      assert(seqs.nonEmpty, "rewrite must produce bin Sequence expressions")
+      for (s <- seqs) {
+        val refs = s.references.map(_.name).toSet
+        assert(refs.subsetOf(Set("a_lo", "a_hi", "b_lo", "b_hi")),
+          s"bin sequence must reference value columns only, got $refs")
+      }
     }
   }
 
