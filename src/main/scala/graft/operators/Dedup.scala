@@ -287,14 +287,58 @@ object Dedup {
     * bigint/bigint IEEE divide, identical on every engine.
     */
   def ngramOverlap(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame =
+    ngramOverlapFrom(gramKeys(train, idCol, textCol, n).select("g"),
+      eval, idCol, textCol, n)
+
+  /** [[ngramOverlap]] with a Bloom runtime filter ([[RuntimeFilter.prune]])
+    * over the EVAL gram set applied to the train side BEFORE its distinct.
+    *
+    * Why: plain [[ngramOverlap]]'s dominant exchange is the train-side
+    * `distinct()` — it shuffles O(train gram occurrences), i.e. it scales
+    * with the TRAINING corpus, the one side that is 100 TB. The eval set is
+    * tiny by construction (a benchmark suite), so its gram set fits a
+    * kilobytes-sized Bloom bitset; probing it map-side BEFORE the distinct's
+    * exchange means only eval-adjacent train grams (+ ε false positives)
+    * ever shuffle — O(eval-adjacent), not O(train).
+    *
+    * Bit-identical to [[ngramOverlap]] on every input: a pruned-away train
+    * gram cannot match any eval gram (Bloom has no false negatives), and a
+    * false positive merely survives to the exact equi-join, which discards
+    * it — pinned in DedupSpec alongside the shrink itself.
+    *
+    * Size `numBits` for the expected DISTINCT eval grams (~10 bits/gram
+    * ⇒ <1% false positives at the default 5 hashes).
+    */
+  def ngramOverlapPruned(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int, numBits: Int = 1 << 20,
+      numHashes: Int = 5): DataFrame = {
+    val evalGrams = gramKeys(eval, idCol, textCol, n).select("g")
+    val trainGrams = gramKeys(train, idCol, textCol, n).select("g")
+    ngramOverlapFrom(
+      RuntimeFilter.prune(trainGrams, evalGrams, "g", "g", numBits, numHashes),
+      eval, idCol, textCol, n)
+  }
+
+  /** (id, g = md5(n-gram)) pairs of a corpus — the pre-shuffle projection
+    * both overlap variants (and their specs) share.
+    */
+  private[operators] def gramKeys(df: DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame = {
     require(n > 0, s"n must be positive: $n")
-    def grams(df: DataFrame) = df.select(col(idCol),
+    df.select(col(idCol),
       explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("_g"))
       .select(col(idCol), md5(col("_g")).as("g"))
-    val trainGrams = grams(train).select("g").distinct()
-      .withColumn("_hit", lit(1L))
-    val perDoc = grams(eval)
+  }
+
+  /** Shared tail of the overlap variants: distinct the (possibly pruned)
+    * train gram keys, probe eval grams with one hash equi-join, roll up
+    * per eval doc.
+    */
+  private def ngramOverlapFrom(trainGramKeys: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val trainGrams = trainGramKeys.distinct().withColumn("_hit", lit(1L))
+    val perDoc = gramKeys(eval, idCol, textCol, n)
       .join(trainGrams, Seq("g"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"),

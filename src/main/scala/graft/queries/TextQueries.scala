@@ -576,6 +576,39 @@ object TextQueries {
       Dedup.ngramOverlap(docs, eval, "doc_id", "text", n = 4)
     },
 
+    // --- Bloom-prefiltered decontamination (RuntimeFilter composed into
+    // --- txt23): identical semantics and oracle, but the train-side gram
+    // --- distinct — the ONE LLM-pipeline exchange that scales with the
+    // --- TRAIN corpus — is preceded by a map-side Bloom probe against the
+    // --- (tiny) eval gram set, so only eval-adjacent train grams shuffle.
+    // --- The gate pins that the pruned plan stays oracle-exact; the row-
+    // --- count shrink itself is pinned in DedupSpec. ---------------------------
+    q("txt24_ngram_overlap_pruned",
+      s"""WITH ev AS (SELECT doc_id+200000 AS doc_id,
+         |    substr(text, 1, greatest(CAST(length(text) AS INT)-10, 0)) AS text
+         |  FROM documents WHERE doc_id%17=0),
+         |ttok AS (SELECT $toksSql AS t FROM documents),
+         |tg AS (SELECT DISTINCT unnest(
+         |  [md5(array_to_string(t[i:i+3], ' ')) for i in generate_series(1, len(t)-3)]) AS g
+         |  FROM ttok),
+         |etok AS (SELECT doc_id, $toksSql AS t FROM ev),
+         |eg AS (SELECT doc_id, unnest(
+         |  [md5(array_to_string(t[i:i+3], ' ')) for i in generate_series(1, len(t)-3)]) AS g
+         |  FROM etok),
+         |ov AS (SELECT eg.doc_id, COUNT(*) AS n_grams,
+         |  CAST(SUM(CASE WHEN tg.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+         |  FROM eg LEFT JOIN tg ON eg.g = tg.g GROUP BY 1)
+         |SELECT ev.doc_id, COALESCE(ov.n_grams, 0) AS n_grams,
+         |  COALESCE(ov.n_overlap, 0) AS n_overlap,
+         |  CAST(ov.n_overlap AS DOUBLE)/CAST(ov.n_grams AS DOUBLE) AS overlap_frac
+         |FROM ev LEFT JOIN ov ON ev.doc_id = ov.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val eval = docs.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          expr("substring(text, 1, length(text)-10)").as("text"))
+      Dedup.ngramOverlapPruned(docs, eval, "doc_id", "text", n = 4)
+    },
+
     // --- SimHash (native expression vs 32-way SQL vote) -----------------------
     q("txt08_simhash",
       s"""WITH toks AS (SELECT doc_id, list_distinct($toksSql) AS t FROM documents),

@@ -95,4 +95,34 @@ class TextPipelineSpec extends AnyFunSuite {
     // can NEVER score below 1.0
     assert(got.values.filter(_._2 > 0).forall(r => r._4.exists(_ <= 1.0)))
   }
+
+  test("ngramOverlapPruned ≡ ngramOverlap; Bloom shrinks the train-side input") {
+    import spark.implicits._
+    // real corpus so the shrink is meaningful: eval = a handful of docs,
+    // train = all documents — most train grams are NOT eval-adjacent
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+    val eval = docs.filter($"doc_id" % 17 === 0)
+      .select(($"doc_id" + 200000).as("doc_id"),
+        expr("substring(text, 1, length(text)-10)").as("text"))
+
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val plain = Dedup.ngramOverlap(docs, eval, "doc_id", "text", n = 4)
+    val pruned = Dedup.ngramOverlapPruned(docs, eval, "doc_id", "text", n = 4)
+    assert(canon(pruned) == canon(plain), "prune must be result-transparent")
+
+    // the scale claim itself: the train-gram rows entering the distinct's
+    // exchange shrink (plain feeds ALL train grams; pruned only
+    // eval-adjacent + Bloom false positives)
+    val trainGrams = Dedup.gramKeys(docs, "doc_id", "text", n = 4).select("g")
+    val evalGrams = Dedup.gramKeys(eval, "doc_id", "text", n = 4).select("g")
+    val before = trainGrams.count()
+    val after = RuntimeFilter.prune(trainGrams, evalGrams, "g", "g").count()
+    assert(after < before / 2,
+      s"Bloom should shed most non-eval-adjacent train grams: $after vs $before")
+    // no false negatives: every gram that actually matches eval survives
+    val matching = trainGrams.join(evalGrams.distinct(), Seq("g"), "semi").count()
+    assert(after >= matching)
+  }
 }
