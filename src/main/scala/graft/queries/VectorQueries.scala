@@ -318,6 +318,32 @@ object VectorQueries {
           // length checks the copyOfRange boundary arithmetic end-to-end
           max(when(col("frame_idx") === col("total_frames") - 1,
             octet_length(col("frame")))).as("last_frame_bytes"))
+    },
+
+    // --- multimodal: fixed-grid resize (mm03) — the stub scaler's nearest-
+    // --- neighbor arithmetic (pixel i = blob[(i·len)/n]) restated in SQL.
+    // --- Byte indexing in DuckDB needs chars≡bytes, so BOTH sides filter to
+    // --- ASCII docs (octet_length = char length) — exact by construction,
+    // --- not by dataset luck. pix_sum folds every sampled byte (so one
+    // --- off-by-one anywhere in the grid walk fails the hash); last_pix
+    // --- pins the i = n−1 boundary specifically. --------------------------------
+    q("mm03_resize_grid",
+      """SELECT doc_id, 8 AS width, 4 AS height,
+        |  CAST(list_sum([CAST(unicode(substr(text, CAST((i*strlen(text))//32 AS INT)+1, 1)) AS BIGINT)
+        |    for i in generate_series(0, 31)]) AS BIGINT) AS pix_sum,
+        |  CAST(unicode(substr(text, CAST((31*strlen(text))//32 AS INT)+1, 1)) AS BIGINT) AS last_pix
+        |FROM documents
+        |WHERE strlen(text) = length(text) AND strlen(text) > 0""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val ascii = Tables.documents(s, d)
+        .filter(octet_length(col("text")) === length(col("text")) &&
+          octet_length(col("text")) > 0)
+      Multimodal.resizeBatched(
+          Multimodal.withBlob(ascii, "text", "source"), w = 8, h = 4)
+        .map(r => (r.doc_id, r.width, r.height,
+          r.pixels.map(b => (b & 0xff).toLong).sum,
+          (r.pixels.last & 0xff).toLong))
+        .toDF("doc_id", "width", "height", "pix_sum", "last_pix")
     }
   )
 }
