@@ -36,6 +36,33 @@ object AvroSafeName {
     }
     sb.toString
   }
+
+  /** Postgres identifier length for reference parity (NAMEDATALEN − 1). */
+  val PgMaxIdentifierBytes = 63
+
+  /** Postgres NAMEDATALEN identifier truncation — the SOURCE-side contract
+    * the reference's spec matrix relies on (spec/functional/schema_spec.rb:
+    * 359–377, topic_spec.rb:72–80; spec_helper.rb:28 fixes the limit at 63):
+    * Postgres silently clips identifiers to 63 BYTES, never splitting a
+    * multibyte UTF-8 character (pg_encoding_mbcliplen), so the reference —
+    * and this library — only ever see names at or under the limit. Names
+    * within the limit pass through unchanged; apply this where identifiers
+    * ENTER the pipeline from a non-Postgres source (e.g. snapshot table-name
+    * arguments) to keep that invariant.
+    */
+  def pgTruncateIdentifier(name: String,
+      maxBytes: Int = PgMaxIdentifierBytes): String = {
+    if (name == null) return null
+    val bytes = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (bytes.length <= maxBytes) name
+    else {
+      // back off past any continuation bytes (10xxxxxx) so a character
+      // straddling the limit is dropped whole, exactly as PG clips it
+      var end = maxBytes
+      while (end > 0 && (bytes(end) & 0xc0) == 0x80) end -= 1
+      new String(bytes, 0, end, java.nio.charset.StandardCharsets.UTF_8)
+    }
+  }
 }
 
 case class AvroSafeNameExpr(child: Expression) extends UnaryExpression {

@@ -27,9 +27,13 @@ object CdcPipeline {
     val spark = table.sparkSession
     import spark.implicits._
     val keyJson = to_json(struct(keyCols.map(col): _*))
+    // names enter the pipeline here from a non-Postgres caller: apply the
+    // source contract a real PG upstream would have (63-byte NAMEDATALEN
+    // clip) so downstream identifier handling sees the same invariant
+    val pgName = graft.functions.AvroSafeName.pgTruncateIdentifier(tableName)
     table.select(
       lit(Op.Insert).as("op"),
-      lit(tableName).as("table"),
+      lit(pgName).as("table"),
       lit(snapshotLsn).as("lsn"),
       lit(0L).as("xid"),
       // seq can be constant: snapshot keys are unique, so (lsn, seq) never

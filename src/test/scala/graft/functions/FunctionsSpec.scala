@@ -25,6 +25,50 @@ class AvroSafeNameSpec extends AnyFunSuite {
     for (s <- Seq("ünïcödé", "33", "тест", "a b c", "!@#$%", "ok_name"))
       assert(re.matches(AvroSafeName.sanitize(s)), s"for input $s")
   }
+
+  test("63-byte identifiers pass through whole (schema_spec.rb:359–377)") {
+    // the reference's max-identifier cases: 'z' * 63 survives column/table
+    // handling verbatim — sanitize must neither escape nor shorten it
+    val long63 = "z" * 63
+    assert(AvroSafeName.sanitize(long63) == long63)
+    assert(AvroSafeName.pgTruncateIdentifier(long63) eq long63)
+    // the router preserves the max-length name end-to-end (topic_spec.rb:72–80)
+    assert(graft.cdc.TopicRouter.topicName(null, "public", long63) == long63)
+    assert(graft.cdc.TopicRouter.topicName(null, "myapp", long63) ==
+      "myapp." + long63)
+  }
+
+  test("pgTruncateIdentifier clips at 63 bytes like NAMEDATALEN") {
+    val z64 = "z" * 64
+    assert(AvroSafeName.pgTruncateIdentifier(z64) == "z" * 63)
+    assert(AvroSafeName.pgTruncateIdentifier("") == "")
+    assert(AvroSafeName.pgTruncateIdentifier(null) == null)
+    for (n <- Seq(1, 62, 63)) {
+      val s = "a" * n
+      assert(AvroSafeName.pgTruncateIdentifier(s) eq s, s"<=63 bytes untouched: $n")
+    }
+  }
+
+  test("pgTruncateIdentifier never splits a multibyte character (mbcliplen)") {
+    // 'é' is 2 UTF-8 bytes: 62 ASCII + 'é' = 64 bytes, and byte 63 falls
+    // mid-character — PG drops the whole character, not half of it
+    val straddling = "z" * 62 + "é"
+    val clipped = AvroSafeName.pgTruncateIdentifier(straddling)
+    assert(clipped == "z" * 62)
+    // 31 z's + 16×'é' = 63 bytes exactly: fits, untouched
+    val exact = "z" * 31 + "é" * 16
+    assert(exact.getBytes("UTF-8").length == 63)
+    assert(AvroSafeName.pgTruncateIdentifier(exact) eq exact)
+    // clipped output is always valid UTF-8 at or under the limit, and
+    // round-trips through bytes unchanged (no replacement characters)
+    for (s <- Seq("é" * 40, "тест" * 12, "z" * 100, "日本語データベース" * 4)) {
+      val t = AvroSafeName.pgTruncateIdentifier(s)
+      val bytes = t.getBytes("UTF-8")
+      assert(bytes.length <= 63, s"for $s")
+      assert(new String(bytes, "UTF-8") == t, s"valid UTF-8 for $s")
+      assert(s.startsWith(t), s"truncation is a prefix for $s")
+    }
+  }
 }
 
 class TextHashSpec extends AnyFunSuite {
