@@ -296,6 +296,70 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("property: gate shapes over the REAL tables (date arithmetic), on ≡ off") {
+    // the one failure mode the synthetic frames can't reach: a type-coercion
+    // path unique to the gate tables' DATE arithmetic (datediff → BIGINT on
+    // orders, DECIMAL l_quantity vs double VALUES bounds on lineitem).
+    // Randomized over the q45/q46 SQL shapes; each trial must BOTH fire the
+    // rewrite and match the rule-off multiset.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val sf = "/root/testdata/sf0.001"
+    graft.Tables.orders(spark, sf).createOrReplaceTempView("rjrp_orders")
+    graft.Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+      .createOrReplaceTempView("rjrp_lineitem")
+
+    def overlapSql(modA: Int, modB: Int, span: Int): String =
+      s"""WITH o AS (SELECT o_orderkey,
+         |    CAST(datediff(o_orderdate, DATE '1970-01-01') AS BIGINT) AS lo,
+         |    CAST(datediff(o_orderdate, DATE '1970-01-01') AS BIGINT) + $span AS hi
+         |  FROM rjrp_orders),
+         |a AS (SELECT o_orderkey AS a_key, lo AS a_lo, hi AS a_hi FROM o
+         |  WHERE o_orderkey % $modA = 0),
+         |b AS (SELECT o_orderkey AS b_key, lo AS b_lo, hi AS b_hi FROM o
+         |  WHERE o_orderkey % $modB = 0)
+         |SELECT a_key, b_key FROM a JOIN b
+         |ON a_lo <= b_hi AND b_lo <= a_hi""".stripMargin
+
+    def betweenSql(bands: Seq[(Int, Double, Double)]): String = {
+      val values = bands.map { case (id, lo, hi) => s"($id, $lo, $hi)" }.mkString(", ")
+      s"""SELECT l_orderkey, band_id FROM rjrp_lineitem
+         |JOIN (VALUES $values) AS b(band_id, lo, hi)
+         |  ON l_quantity BETWEEN lo AND hi""".stripMargin
+    }
+
+    def onEqOff(sql: String, w: Double): Boolean = {
+      spark.conf.set("spark.graft.rangeJoin.enabled", "false")
+      val off = rows(spark.sql(sql))
+      withRule(w) {
+        val on = spark.sql(sql)
+        optimizedStr(on).contains("_graft_bin") && rows(on) == off
+      }
+    }
+
+    val overlapGen = for {
+      modA <- Gen.oneOf(53, 89, 127)
+      modB <- Gen.oneOf(61, 97, 131)
+      span <- Gen.chooseNum(0, 30)
+      w <- Gen.oneOf(1.0, 8.0, 16.0, 1024.0)
+    } yield (modA, modB, span, w)
+    val bandGen = for {
+      n <- Gen.chooseNum(1, 4)
+      los <- Gen.listOfN(n, Gen.chooseNum(0.0, 45.0))
+      lens <- Gen.listOfN(n, Gen.chooseNum(0.0, 15.0))
+      w <- Gen.oneOf(2.0, 8.0, 64.0)
+    } yield (los.zip(lens).zipWithIndex.map { case ((lo, len), i) =>
+      (i + 1, math.floor(lo), math.floor(lo) + math.floor(len)) }, w)
+
+    val prop = Prop.forAll(overlapGen) { case (a, b, span, w) =>
+      onEqOff(overlapSql(a, b, span), w)
+    } && Prop.forAll(bandGen) { case (bands, w) =>
+      onEqOff(betweenSql(bands), w)
+    }
+    val r = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12).withWorkers(1), prop)
+    assert(r.passed, s"gate-shape property: ${r.status}")
+  }
+
   test("extension-built session rewrites pure SQL without any API call") {
     val old = SparkSession.getDefaultSession
     SparkSession.clearDefaultSession()
