@@ -6,9 +6,32 @@ Usage: python3 scripts/check_oracle.py <verify_out_dir> <sf_dir>
 Reads each <out>/<name> parquet dumped by graft.Verify, runs the matching
 oracle SQL from <out>/oracle_sql.json in DuckDB over the sf parquet tables,
 sorts columns by name + rows by all columns, and compares values exactly.
+
+Also TYPE-STRICT: the driver's hasher distinguishes value types (q46 round
+5 failed solely because DuckDB widens SUM(BIGINT) to HUGEINT while Spark
+writes int64), and Python-level comparison coerces that away — so each
+column's DuckDB type is compared between the Spark parquet result and the
+oracle result, with HUGEINT/BIGINT-class mismatches failing the check.
 """
 import sys, os, json
 import duckdb
+
+# DuckDB type names that hash identically on the driver, calibrated
+# against CORRECTNESS_r05's observed behavior: int widths up to 64 bits
+# coerce before hashing (q11/q44/vec01-08 pass with Spark INTEGER
+# row_number vs DuckDB BIGINT ROW_NUMBER), but HUGEINT does NOT (q46's
+# uncast SUM(BIGINT) was the round's one hash failure). Anything else
+# differing is a failure.
+_EQUIV = [
+    {"TINYINT", "SMALLINT", "INTEGER", "BIGINT"},  # NOT HUGEINT
+    {"VARCHAR"},
+    {"DOUBLE"},  # FLOAT is NOT equivalent: 4-byte vs 8-byte
+]
+
+def types_match(a, b):
+    if a == b:
+        return True
+    return any(a in g and b in g for g in _EQUIV)
 
 TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]
@@ -40,7 +63,8 @@ def main(outdir, sfdir):
             continue
         got = con.sql(f"SELECT * FROM read_parquet('{qdir}/*.parquet')")
         got_cols = sorted(got.columns)
-        got_rows = got.project(', '.join(got_cols)).fetchall()
+        got_proj = got.project(', '.join(got_cols))
+        got_rows = got_proj.fetchall()
         if name not in oracle:
             print(f"  ~ {name}: rows-only ({len(got_rows)} rows)"
                   + ("  !! EMPTY" if not got_rows else ""))
@@ -48,13 +72,23 @@ def main(outdir, sfdir):
         try:
             exp = con.sql(oracle[name])
             exp_cols = sorted(exp.columns)
-            exp_rows = exp.project(', '.join(exp_cols)).fetchall()
+            exp_proj = exp.project(', '.join(exp_cols))
+            exp_rows = exp_proj.fetchall()
         except Exception as e:
             print(f"  X {name}: ORACLE SQL ERROR: {e}")
             n_fail += 1
             continue
         if got_cols != exp_cols:
             print(f"  X {name}: COLUMN MISMATCH got={got_cols} exp={exp_cols}")
+            n_fail += 1
+            continue
+        type_errs = [
+            f"{c}: spark={str(tg)} oracle={str(te)}"
+            for c, tg, te in zip(got_cols, got_proj.types, exp_proj.types)
+            if not types_match(str(tg), str(te))]
+        if type_errs:
+            print(f"  X {name}: TYPE MISMATCH (driver hash distinguishes): "
+                  + "; ".join(type_errs))
             n_fail += 1
             continue
         cg, ce = canon(got_rows), canon(exp_rows)
