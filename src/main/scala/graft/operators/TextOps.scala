@@ -130,4 +130,62 @@ object TextOps {
       concat((0 until RowsPerBand).flatMap(r =>
         Seq(col(s"h${b * RowsPerBand + r}").cast("string"), lit("_"))): _*).as(s"band$b")
     }
+
+  /** Sequence packing — the pretraining "concat and chunk" layout: documents
+    * are concatenated in deterministic `idCol` order and the token stream is
+    * cut every `seqLen` tokens; each document gets its global token offset
+    * and the first/last training sequence it lands in (documents may
+    * straddle a cut — that is the point of the layout; zero-token documents
+    * get null sequence ids).
+    *
+    * Scale shape: the naive formulation is ONE global-order running sum —
+    * `sum(tokens) OVER (ORDER BY id)` — which Spark executes as a
+    * single-partition window: the whole corpus through one task. Here the
+    * prefix sum is two-level: range-partition by id (order-aligned buckets),
+    * per-bucket running sums stay partition-local under a bucket-keyed
+    * window, and the bucket BASE offsets — one number per bucket — are the
+    * only thing that leaves the executors (a bounded `nBuckets`-row
+    * collect), prefix-summed on the driver and broadcast-joined back. The
+    * result is independent of `nBuckets` and of where the range partitioner
+    * draws its boundaries (order-alignment is all that matters) — pinned in
+    * spec by varying nBuckets.
+    *
+    * Returns (idCol, n_tokens, start_tok, seq_first, seq_last).
+    */
+  def packSequences(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, seqLen: Int, nBuckets: Int = 256)
+      : org.apache.spark.sql.DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // order-aligned buckets; localCheckpoint pins partition ids so the two
+    // passes below see the SAME bucketing (the computed-twice discipline of
+    // MaterializedTable.mergeBuckets)
+    val parts = docs
+      .select(col(idCol), size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .repartitionByRange(nBuckets, col(idCol))
+      .withColumn("_b", spark_partition_id())
+      .localCheckpoint()
+    // pass 1: one row per bucket leaves the executors; driver prefix-sum is
+    // O(nBuckets), never O(rows)
+    val totals = parts.groupBy($"_b").agg(sum($"n_tokens").as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val bases = totals.map(_._1)
+      .zip(totals.map(_._2).scanLeft(0L)(_ + _).init) // exclusive prefix
+    val baseDf = bases.toSeq.toDF("_b", "_base")
+    // pass 2: partition-local running sum + broadcast base offset; integer
+    // `div` (not floor of a double divide — exact past 2^53 tokens)
+    val w = Window.partitionBy($"_b").orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    parts
+      .join(broadcast(baseDf), Seq("_b"))
+      .select(col(idCol), $"n_tokens",
+        ($"_base" + coalesce(sum($"n_tokens").over(w), lit(0L))).as("start_tok"))
+      .select(col(idCol), $"n_tokens", $"start_tok",
+        when($"n_tokens" > 0, expr(s"start_tok div $seqLen")).as("seq_first"),
+        when($"n_tokens" > 0,
+          expr(s"(start_tok + n_tokens - 1) div $seqLen")).as("seq_last"))
+  }
 }

@@ -609,6 +609,28 @@ object TextQueries {
       Dedup.ngramOverlapPruned(docs, eval, "doc_id", "text", n = 4)
     },
 
+    // --- sequence packing (TextOps.packSequences): the pretraining concat-
+    // --- and-chunk layout — every doc's global token offset and the
+    // --- first/last 512-token training sequence it lands in, in doc_id
+    // --- order. The oracle is the naive single-window running sum; the
+    // --- operator computes the SAME numbers with a two-level prefix sum
+    // --- (per-bucket windows + an nBuckets-row driver prefix) so no task
+    // --- ever sees the whole corpus. All-integer ⇒ hash-exact. ----------------
+    q("txt25_pack_sequences",
+      s"""WITH t AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+         |  FROM t)
+         |SELECT doc_id, n_tokens, start_tok,
+         |  CAST(CASE WHEN n_tokens > 0 THEN start_tok // 512 END AS BIGINT) AS seq_first,
+         |  CAST(CASE WHEN n_tokens > 0 THEN (start_tok + n_tokens - 1) // 512 END AS BIGINT) AS seq_last
+         |FROM c""".stripMargin) { (s, d) =>
+      TextOps.packSequences(Tables.documents(s, d), "doc_id", "text",
+        seqLen = 512, nBuckets = 16)
+    },
+
     // --- SimHash (native expression vs 32-way SQL vote) -----------------------
     q("txt08_simhash",
       s"""WITH toks AS (SELECT doc_id, list_distinct($toksSql) AS t FROM documents),

@@ -125,4 +125,47 @@ class TextPipelineSpec extends AnyFunSuite {
     val matching = trainGrams.join(evalGrams.distinct(), Seq("g"), "semi").count()
     assert(after >= matching)
   }
+
+  test("packSequences ≡ naive global window; invariant under bucket count") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // empty doc, exact-boundary doc, straddling docs, non-dense ids
+    val docs = Seq(
+      (3L, "a b c d"), (10L, ""), (11L, "e f g"), (20L, "h i j k l m n"),
+      (21L, "o"), (35L, "p q r s t u v w x y z aa bb cc")).toDF("doc_id", "text")
+    val naive = docs
+      .select($"doc_id", size(TextOps.tokens($"text")).cast("long").as("n_tokens"))
+      .withColumn("start_tok", coalesce(sum($"n_tokens").over(
+        Window.orderBy($"doc_id").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select($"doc_id", $"n_tokens", $"start_tok",
+        when($"n_tokens" > 0, expr("start_tok div 5")).as("seq_first"),
+        when($"n_tokens" > 0,
+          expr("(start_tok + n_tokens - 1) div 5")).as("seq_last"))
+      .collect().map(_.toString).sorted.toSeq
+    for (nBuckets <- Seq(1, 3, 7, 64)) {
+      val got = TextOps.packSequences(docs, "doc_id", "text",
+          seqLen = 5, nBuckets = nBuckets)
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == naive, s"nBuckets=$nBuckets")
+    }
+    // the layout's defining properties on a bigger random corpus: offsets
+    // are a gapless tiling (each doc starts where the previous ended) and
+    // straddling is detected exactly when a cut falls inside the doc
+    val rnd = new scala.util.Random(7)
+    val big = (0 until 500)
+      .map(i => (i.toLong * 3, Seq.fill(rnd.nextInt(9))("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = TextOps.packSequences(big, "doc_id", "text", seqLen = 7, nBuckets = 11)
+      .orderBy("doc_id")
+      .select("n_tokens", "start_tok", "seq_first", "seq_last")
+      .as[(Long, Long, Option[Long], Option[Long])].collect()
+    rows.foldLeft(0L) { case (expectedStart, (n, start, f, l)) =>
+      assert(start == expectedStart, "offsets must tile the token stream")
+      for ((a, b) <- f.zip(l)) {
+        assert(a <= b && a == start / 7 && b == (start + n - 1) / 7)
+      }
+      start + n
+    }
+  }
 }
