@@ -428,6 +428,39 @@ object CdcQueries {
           col("stateLsn").as("state_lsn"))
     },
 
+    // --- streaming SESSIONIZATION through the real state store: the q35
+    // --- semantics executed by session_window's merging session state over
+    // --- the events file stream (complete mode, like cdc17). The oracle
+    // --- restates Spark's merge rule exactly — windows are half-open
+    // --- [ts, ts+gap), so a gap of EXACTLY 2h starts a NEW session (>=,
+    // --- where q35's lag-formulation uses >) and every session's end is
+    // --- last event + gap. Decimal-cast value sum ⇒ hash-exact. ---------------
+    q("cdc20_stream_sessionize",
+      """WITH e AS (SELECT user_id, value, epoch_us(ts) AS t_us FROM events),
+        |s AS (SELECT *, CASE WHEN lag(t_us) OVER w IS NULL
+        |    OR t_us - lag(t_us) OVER w >= 7200000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us)),
+        |t AS (SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id
+        |    ORDER BY t_us ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+        |  FROM s)
+        |SELECT user_id, MIN(t_us) AS start_us,
+        |  MAX(t_us) + 7200000000 AS end_us, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        |FROM t GROUP BY user_id, session_no""".stripMargin) { (s, d) =>
+      import graft.streaming.StreamStreamJoin
+      val sess = StreamStreamJoin.eventsStream(s, s"$d/events.parquet")
+        .withWatermark("ts", "1 hour")
+        .groupBy(session_window(col("ts"), "2 hours").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          Qutil.dsum(col("value"), 2).as("session_value"))
+      StreamStreamJoin.runToMemory(s, sess,
+          s"cdc20_${java.util.UUID.randomUUID().toString.take(8)}",
+          outputMode = "complete")
+        .select(col("user_id"), unix_micros(col("sw.start")).as("start_us"),
+          unix_micros(col("sw.end")).as("end_us"), col("n_events"),
+          col("session_value"))
+    },
+
     // --- snapshot ∪ stream lifecycle (SURVEY §3.1: consistent snapshot then
     // --- streaming from the same LSN, no gap no overlap) ----------------------
     q("cdc07_snapshot_stream",

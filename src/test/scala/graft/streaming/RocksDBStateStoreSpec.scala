@@ -152,6 +152,37 @@ class RocksDBStateStoreSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session windows (cdc20 family) merge session state on RocksDB") {
+    val s = rocksSession()
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val df = input.toDF().toDF("ts", "user", "v")
+      .withWatermark("ts", "1 minute")
+      .groupBy(session_window($"ts", "5 minutes").as("sw"), $"user")
+      .agg(count(lit(1)).as("n"))
+    val ckpt = java.nio.file.Files.createTempDirectory("rocks_sess").toString
+    val q = df.writeStream.format("memory").queryName("rocks_sess")
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      val t = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+      // events arrive across batches; the 3rd bridges the first two into ONE
+      // session (the merge is what exercises the session-store format)
+      input.addData((t(1), 7L, 1.0), (t(9), 7L, 1.0))
+      q.processAllAvailable()
+      input.addData((t(5), 7L, 1.0)) // bridges 1 and 9 (gaps now < 5 min)
+      q.processAllAvailable()
+      val got = s.table("rocks_sess")
+        .select(unix_micros($"sw.start"), unix_micros($"sw.end"), $"user", $"n")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      def us(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+        .getTime * 1000L
+      assert(got == Set((us(1), us(14), 7L, 3L)),
+        s"three events must merge into one session [1, 9+5): $got")
+    } finally q.stop()
+  }
+
   test("built-in stateful ops (dropDuplicates + windowed agg) on RocksDB") {
     val s = rocksSession()
     import s.implicits._
