@@ -131,6 +131,42 @@ object TextOps {
         Seq(col(s"h${b * RowsPerBand + r}").cast("string"), lit("_"))): _*).as(s"band$b")
     }
 
+  /** Token-budget mixture sampling — the data-mixing step of a pretraining
+    * pipeline: given target WEIGHTS per source and a total token budget,
+    * sample each source down to its share. Per-source acceptance fraction
+    * `f_s = min(1, budget·w_s / tokens_s)`; a document is kept iff its
+    * salted 32-bit hash falls below `floor(f_s · 2^32)` — the [[splitBucket]]
+    * discipline, so the SAME documents are selected on every run, engine,
+    * and cluster size (`sample()`/`rand()` cannot give you that), and the
+    * threshold comparison is integer, so the only cross-engine surface is
+    * one IEEE multiply/divide chain both engines compute identically.
+    *
+    * Scale shape: per-source token totals are ONE partial-agg'd aggregate
+    * over a tiny source dimension; thresholds broadcast back and acceptance
+    * is a map-side filter — the corpus is never shuffled. Sources without a
+    * weight are dropped (inner join against the weight table).
+    */
+  def sampleMixture(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      srcCol: String, textCol: String, weights: Map[String, Double],
+      tokenBudget: Long, salt: Int = 77): org.apache.spark.sql.DataFrame = {
+    require(tokenBudget > 0, s"tokenBudget must be positive: $tokenBudget")
+    require(weights.values.forall(_ >= 0), "weights must be non-negative")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.select(col(idCol), col(srcCol).as("source"),
+      size(tokens(col(textCol))).cast("long").as("n_tokens"))
+    val wDf = weights.toSeq.toDF("source", "_w")
+    val thr = base.groupBy($"source").agg(sum($"n_tokens").as("_tok"))
+      .join(wDf, Seq("source"))
+      .select($"source",
+        floor(least(lit(1.0),
+            lit(tokenBudget.toDouble) * $"_w" / $"_tok".cast("double"))
+          * lit(4294967296.0)).cast("long").as("_thr"))
+    base.join(broadcast(thr), Seq("source"))
+      .filter(hex32(col(idCol).cast("string"), salt) < $"_thr")
+      .select(col(idCol), $"source", $"n_tokens")
+  }
+
   /** Sequence packing — the pretraining "concat and chunk" layout: documents
     * are concatenated in deterministic `idCol` order and the token stream is
     * cut every `seqLen` tokens; each document gets its global token offset

@@ -631,6 +631,34 @@ object TextQueries {
         seqLen = 512, nBuckets = 16)
     },
 
+    // --- token-budget mixture sampling (TextOps.sampleMixture): per-source
+    // --- acceptance fraction min(1, budget·w/tokens) applied via the salted
+    // --- 32-bit hash threshold — deterministic doc selection, replayed
+    // --- doc-for-doc by the oracle. src4's weight oversubscribes its corpus
+    // --- (fraction clamps to 1); unweighted sources drop via the inner
+    // --- join; the threshold floor(f·2^32) makes acceptance an integer
+    // --- compare so the only IEEE surface is the fraction itself. -------------
+    q("txt26_mixture_sample",
+      s"""WITH t AS (SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |w(source, w) AS (VALUES ('src0', CAST(0.5 AS DOUBLE)),
+         |  ('src1', CAST(0.2 AS DOUBLE)), ('src2', CAST(0.25 AS DOUBLE)),
+         |  ('src3', CAST(0.05 AS DOUBLE)), ('src4', CAST(1.0 AS DOUBLE))),
+         |tot AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS tok
+         |  FROM t GROUP BY 1),
+         |thr AS (SELECT w.source,
+         |  CAST(floor(least(CAST(1.0 AS DOUBLE), 2000.0 * w / CAST(tok AS DOUBLE))
+         |    * 4294967296.0) AS BIGINT) AS thr
+         |  FROM w JOIN tot USING (source))
+         |SELECT t.doc_id, t.source, t.n_tokens
+         |FROM t JOIN thr ON t.source = thr.source
+         |WHERE ${hex32Sql("'77:'||CAST(doc_id AS VARCHAR)")} < thr""".stripMargin) { (s, d) =>
+      TextOps.sampleMixture(Tables.documents(s, d), "doc_id", "source", "text",
+        weights = Map("src0" -> 0.5, "src1" -> 0.2, "src2" -> 0.25,
+          "src3" -> 0.05, "src4" -> 1.0),
+        tokenBudget = 2000L, salt = 77)
+    },
+
     // --- SimHash (native expression vs 32-way SQL vote) -----------------------
     q("txt08_simhash",
       s"""WITH toks AS (SELECT doc_id, list_distinct($toksSql) AS t FROM documents),

@@ -126,6 +126,31 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(after >= matching)
   }
 
+  test("sampleMixture: deterministic, clamps to 1, drops unweighted sources") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"source", $"text")
+    val weights = Map("src0" -> 0.4, "src1" -> 5.0, "src2" -> 0.1)
+    def run(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Long)] =
+      TextOps.sampleMixture(df, "doc_id", "source", "text", weights, 500L)
+        .as[(Long, String, Long)].collect().toSet
+    val got = run(docs)
+    // deterministic under any partitioning — the 100 TB re-run guarantee
+    assert(run(docs.repartition(13, $"doc_id")) == got)
+    assert(run(docs.repartition(1)) == got)
+    // only weighted sources survive the inner join
+    assert(got.map(_._2).subsetOf(weights.keySet))
+    // src1's weight oversubscribes its corpus: fraction clamps to 1 and
+    // EVERY src1 doc is kept
+    val allSrc1 = docs.filter($"source" === "src1").count()
+    assert(allSrc1 > 0 && got.count(_._2 == "src1").toLong == allSrc1)
+    // a strictly-sub-1 fraction samples a strict, non-empty subset
+    val allSrc0 = docs.filter($"source" === "src0").count()
+    val gotSrc0 = got.count(_._2 == "src0").toLong
+    assert(gotSrc0 > 0 && gotSrc0 < allSrc0,
+      s"src0 should sample strictly partially: $gotSrc0 of $allSrc0")
+  }
+
   test("packSequences ≡ naive global window; invariant under bucket count") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
