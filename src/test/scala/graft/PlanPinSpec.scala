@@ -53,4 +53,49 @@ class PlanPinSpec extends AnyFunSuite {
     assert(p.contains("partial_topkagg") || p.contains("TopKAgg") ||
       p.contains("ObjectHashAggregate"), s"expected aggregate-based top-k:\n$p")
   }
+
+  test("txt24: the Bloom probe runs BELOW the train-gram distinct's exchange") {
+    // the whole point of the pruned variant: only eval-adjacent train grams
+    // may enter the distinct. In the executed plan the bit_get membership
+    // conjuncts must appear on the train side BEFORE the (partial) distinct
+    // aggregate — i.e. the first distinct-aggregate mention comes after a
+    // bit_get mention in the bottom-up plan text of that branch.
+    val plan = SparkEntry.queries("txt24_ngram_overlap_pruned")(spark, dir)
+      .queryExecution.executedPlan
+    val p = plan.toString
+    assert(p.contains("bit_get"), "membership probe must be codegen'd bit_get")
+    // the bitset reaches the probe as a broadcast, never a plan literal
+    assert(p.contains("Broadcast"), "bloom bitset must broadcast")
+    assert(!p.contains("[76,"), "bitset words must not be inlined as a literal")
+    // structural: some aggregate's SUBTREE contains the probe — the filter
+    // feeds the distinct from below rather than running after it.
+    // (AdaptiveSparkPlanExec hides its children from collect — unwrap.)
+    val inner = plan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    val probeBelowAgg = inner.collect {
+      case n if n.nodeName.contains("Aggregate") => n.toString.contains("bit_get")
+    }.exists(identity)
+    assert(probeBelowAgg, s"bloom probe must run below the distinct:\n$p")
+  }
+
+  test("txt26: mixture thresholds broadcast; the corpus is never re-shuffled") {
+    val p = executed("txt26_mixture_sample")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-source thresholds must broadcast into the corpus scan:\n$p")
+    // acceptance is a filter, not an aggregation over the corpus: exactly
+    // the threshold aggregate's exchanges, no corpus-wide extra exchange
+    assert(!p.contains("SortMergeJoin"), "corpus must not shuffle for the join")
+  }
+
+  test("txt25: sequence packing windows stay bucket-local (no global sort)") {
+    val p = executed("txt25_pack_sequences")
+    // the running sum must partition by the bucket column — a global-order
+    // window would show an Exchange SinglePartition + Sort over everything
+    assert(!p.contains("SinglePartition"),
+      s"packing must never single-partition the corpus:\n$p")
+    assert(p.contains("Window"), "per-bucket running sum is a window")
+  }
 }
