@@ -88,6 +88,45 @@ object Graft {
       threshold: Double, nLists: Int = 16): DataFrame =
     Similarity.semanticDedup(corpus, idCol, vecCol, threshold, nLists)
 
+  // --- training-data pipeline ------------------------------------------------
+
+  /** Per-eval-doc verbatim n-gram overlap against a training corpus (the
+    * GPT-3-style decontamination check).
+    */
+  def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 13): DataFrame =
+    Dedup.ngramOverlap(train, eval, idCol, textCol, n)
+
+  /** [[decontaminate]] with the train-side shuffle Bloom-pruned to
+    * eval-adjacent grams — identical output, the 100 TB-train path.
+    */
+  def decontaminatePruned(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 13): DataFrame =
+    Dedup.ngramOverlapPruned(train, eval, idCol, textCol, n)
+
+  /** Cross-corpus NEAR-duplicate leaks (LSH + exact-Jaccard verify). */
+  def decontaminateNear(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, minJaccard: Double = 0.8): DataFrame =
+    Dedup.crossCorpusNearDups(train, eval, idCol, textCol, minJaccard = minJaccard)
+
+  /** Concat-and-chunk sequence packing: each doc's global token offset and
+    * first/last training sequence (distributed prefix sum — no global sort).
+    */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      seqLen: Int): DataFrame =
+    TextOps.packSequences(docs, idCol, textCol, seqLen)
+
+  /** Deterministic token-budget mixture sampling across sources. */
+  def sampleMixture(docs: DataFrame, idCol: String, srcCol: String,
+      textCol: String, weights: Map[String, Double], tokenBudget: Long): DataFrame =
+    TextOps.sampleMixture(docs, idCol, srcCol, textCol, weights, tokenBudget)
+
+  /** Stable train/val/test split label (hash-bucketed, never `rand()`). */
+  def trainSplit(docs: DataFrame, idCol: String, salt: Int = 42): DataFrame =
+    docs.withColumn("split",
+      TextOps.splitLabel(TextOps.splitBucket(org.apache.spark.sql.functions.col(idCol),
+        salt, nBuckets = 10)))
+
   // --- similarity search -----------------------------------------------------
 
   /** Exact quantized-cosine top-k (baseline; O(probes·corpus)). */

@@ -356,4 +356,38 @@ class PropertySpec extends AnyFunSuite {
     }
     check("RangeJoinRewrite", 10)(prop)
   }
+
+  // ------------------------------------------------------------ packSequences
+
+  test("packSequences: any bucket count tiles the token stream like the naive window") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.TextOps
+    // random corpora with non-dense ids (negatives included), empty docs,
+    // and random seqLen/nBuckets — the two-level prefix sum must equal the
+    // naive single-window formulation on every draw
+    val corpusGen = for {
+      n <- Gen.chooseNum(1, 40)
+      ids <- Gen.listOfN(n, Gen.chooseNum(-1000L, 1000L)).map(_.distinct)
+      lens <- Gen.listOfN(ids.size, Gen.chooseNum(0, 12))
+    } yield ids.zip(lens).map { case (id, l) => (id, Seq.fill(l)("w").mkString(" ")) }
+    val prop = Prop.forAll(corpusGen, Gen.chooseNum(1, 9), Gen.oneOf(1, 3, 17)) {
+      (corpus, seqLen, nBuckets) =>
+        val docs = corpus.toDF("doc_id", "text")
+        val naive = docs
+          .select($"doc_id", size(TextOps.tokens($"text")).cast("long").as("n_tokens"))
+          .withColumn("start_tok", coalesce(sum($"n_tokens").over(
+            Window.orderBy($"doc_id").rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+          .select($"doc_id", $"n_tokens", $"start_tok",
+            when($"n_tokens" > 0, expr(s"start_tok div $seqLen")).as("seq_first"),
+            when($"n_tokens" > 0,
+              expr(s"(start_tok + n_tokens - 1) div $seqLen")).as("seq_last"))
+          .collect().map(_.toString).sorted.toSeq
+        val got = TextOps.packSequences(docs, "doc_id", "text", seqLen, nBuckets)
+          .collect().map(_.toString).sorted.toSeq
+        got == naive
+    }
+    check("packSequences", 30)(prop)
+  }
 }
