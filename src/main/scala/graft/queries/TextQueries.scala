@@ -659,6 +659,46 @@ object TextQueries {
         tokenBudget = 2000L, salt = 77)
     },
 
+    // --- composed layout pipeline (the txt15/cdc18 pattern for the new
+    // --- operators): mixture-sample the corpus to a token budget, then
+    // --- sequence-pack the SURVIVORS — the last two stages a pretraining
+    // --- data pipeline runs before tokenized shards ship. Pins that the
+    // --- deterministic acceptance set feeds the prefix sum unchanged (any
+    // --- acceptance flip or offset drift breaks the all-integer hash). -------
+    q("txt27_sample_pack_pipeline",
+      s"""WITH t AS (SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |w(source, w) AS (VALUES ('src0', CAST(0.6 AS DOUBLE)),
+         |  ('src1', CAST(0.3 AS DOUBLE)), ('src2', CAST(0.4 AS DOUBLE)),
+         |  ('src5', CAST(2.0 AS DOUBLE))),
+         |tot AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS tok
+         |  FROM t GROUP BY 1),
+         |thr AS (SELECT w.source,
+         |  CAST(floor(least(CAST(1.0 AS DOUBLE), 1500.0 * w / CAST(tok AS DOUBLE))
+         |    * 4294967296.0) AS BIGINT) AS thr
+         |  FROM w JOIN tot USING (source)),
+         |acc AS (SELECT t.doc_id, t.source, t.n_tokens
+         |  FROM t JOIN thr ON t.source = thr.source
+         |  WHERE ${hex32Sql("'19:'||CAST(doc_id AS VARCHAR)")} < thr),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+         |  FROM acc)
+         |SELECT doc_id, source, n_tokens, start_tok,
+         |  CAST(CASE WHEN n_tokens > 0 THEN start_tok // 128 END AS BIGINT) AS seq_first,
+         |  CAST(CASE WHEN n_tokens > 0 THEN (start_tok + n_tokens - 1) // 128 END AS BIGINT) AS seq_last
+         |FROM c""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val sampled = TextOps.sampleMixture(docs, "doc_id", "source", "text",
+        weights = Map("src0" -> 0.6, "src1" -> 0.3, "src2" -> 0.4, "src5" -> 2.0),
+        tokenBudget = 1500L, salt = 19)
+      val survivors = docs.join(sampled.select("doc_id"), Seq("doc_id"), "semi")
+      TextOps.packSequences(survivors, "doc_id", "text", seqLen = 128, nBuckets = 8)
+        .join(sampled.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("start_tok"),
+          col("seq_first"), col("seq_last"))
+    },
+
     // --- SimHash (native expression vs 32-way SQL vote) -----------------------
     q("txt08_simhash",
       s"""WITH toks AS (SELECT doc_id, list_distinct($toksSql) AS t FROM documents),
