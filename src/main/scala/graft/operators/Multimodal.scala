@@ -150,6 +150,32 @@ object Multimodal {
       }
   }
 
+  /** Typed per-frame features: frame identity + the codec's decode output. */
+  final case class FrameMeta(doc_id: Long, frame_idx: Int, n_bytes: Int,
+      checksum: Long, width: Int, height: Int)
+
+  /** Frame-level feature extraction — the composition of [[frameSample]]'s
+    * explode with the codec's decode, keeping frame identity: the shape a
+    * frame-level curation pipeline (caption, filter, embed per frame)
+    * consumes. Same batched executor plumbing as [[decodeBatched]]; the
+    * codec sees each frame as an independent blob.
+    */
+  def featurizeFrames(frames: Dataset[Frame], batchSize: Int = 64,
+      codec: MediaCodec = StubCodec): Dataset[FrameMeta] = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    frames.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // per-batch codec setup would happen here
+        batch.iterator.map { f =>
+          val m = codec.decode(f.doc_id, "frame", f.frame)
+          FrameMeta(f.doc_id, f.frame_idx, m.n_bytes, m.checksum,
+            m.width, m.height)
+        }
+      }
+    }
+  }
+
   /** A media item resized to a fixed grid. */
   final case class Resized(doc_id: Long, width: Int, height: Int,
       pixels: Array[Byte])

@@ -344,6 +344,38 @@ object VectorQueries {
           r.pixels.map(b => (b & 0xff).toLong).sum,
           (r.pixels.last & 0xff).toLong))
         .toDF("doc_id", "width", "height", "pix_sum", "last_pix")
+    },
+
+    // --- multimodal: per-frame feature extraction (mm04) — frameSample's
+    // --- explode composed with the codec's decode, frame identity kept.
+    // --- Frames of an ASCII blob are substr slices, so the oracle replays
+    // --- the stub's checksum/dimension arithmetic per frame; the lateral
+    // --- generate_series mirrors the sampling stride. -------------------------
+    q("mm04_frame_features",
+      """WITH d AS (SELECT doc_id, text,
+        |    CAST((strlen(text)+255)//256 AS INT) AS nf FROM documents
+        |  WHERE strlen(text) = length(text) AND strlen(text) > 0),
+        |i AS (SELECT doc_id, text,
+        |    unnest([i for i in generate_series(0, nf-1) if i % 4 = 0]) AS idx
+        |  FROM d),
+        |f AS (SELECT doc_id, CAST(idx AS INT) AS frame_idx,
+        |    substr(text, CAST(idx*256 AS INT)+1, 256) AS frame FROM i)
+        |SELECT doc_id, frame_idx, CAST(strlen(frame) AS INT) AS n_bytes,
+        |  CAST(list_sum(list_transform(regexp_split_to_array(frame,''),
+        |    x -> CAST(unicode(x) AS BIGINT))) AS BIGINT) % 2147483647 AS checksum,
+        |  CAST((strlen(frame) % 64) + 1 AS INT) AS width,
+        |  CAST((CAST(list_sum(list_transform(regexp_split_to_array(frame,''),
+        |    x -> CAST(unicode(x) AS BIGINT))) AS BIGINT) % 2147483647) % 64 + 1 AS INT) AS height
+        |FROM f""".stripMargin) { (s, d) =>
+      val ascii = Tables.documents(s, d)
+        .filter(octet_length(col("text")) === length(col("text")) &&
+          octet_length(col("text")) > 0)
+      Multimodal.featurizeFrames(
+          Multimodal.frameSample(
+            Multimodal.withBlob(ascii, "text", "source"),
+            frameBytes = 256, every = 4))
+        .toDF().select("doc_id", "frame_idx", "n_bytes", "checksum",
+          "width", "height")
     }
   )
 }
