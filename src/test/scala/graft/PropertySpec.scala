@@ -390,4 +390,31 @@ class PropertySpec extends AnyFunSuite {
     }
     check("packSequences", 30)(prop)
   }
+
+  // ------------------------------------------------------------ sampleMixture
+
+  test("sampleMixture: budget-monotone — a bigger budget only ADDS documents") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    // the fixed salted hash means raising the budget can only raise each
+    // source's threshold: the sampled set must GROW monotonically, never
+    // reshuffle (the property that makes incremental re-mixes cheap — docs
+    // already shipped stay shipped)
+    val corpusGen = for {
+      n <- Gen.chooseNum(4, 30)
+      srcs <- Gen.listOfN(n, Gen.chooseNum(0, 3).map(s => s"s$s"))
+      lens <- Gen.listOfN(n, Gen.chooseNum(1, 10))
+    } yield srcs.zip(lens).zipWithIndex.map { case ((src, l), i) =>
+      (i.toLong, src, Seq.fill(l)("w").mkString(" ")) }
+    val prop = Prop.forAll(corpusGen, Gen.chooseNum(1L, 40L), Gen.chooseNum(1L, 60L)) {
+      (corpus, b1, extra) =>
+        val docs = corpus.toDF("doc_id", "source", "text")
+        val weights = Map("s0" -> 0.7, "s1" -> 0.3, "s2" -> 1.5)
+        def ids(budget: Long): Set[Long] =
+          TextOps.sampleMixture(docs, "doc_id", "source", "text", weights, budget)
+            .select("doc_id").as[Long].collect().toSet
+        ids(b1).subsetOf(ids(b1 + extra))
+    }
+    check("sampleMixture-monotone", 25)(prop)
+  }
 }

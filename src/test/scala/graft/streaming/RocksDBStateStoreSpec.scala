@@ -183,6 +183,45 @@ class RocksDBStateStoreSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session state survives a checkpoint restart (stop mid-stream, resume)") {
+    // the restore path no other stateful test exercises: an OPEN session
+    // checkpointed by run 1 must merge with run 2's events after restart
+    val s = rocksSession()
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sess_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sess_ckpt").toString
+    val t = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    def write(name: String, rows: Seq[(java.sql.Timestamp, Long)]): Unit =
+      rows.toDF("ts", "user").coalesce(1).write.parquet(s"$dir/$name")
+    // file 1: two events of one session; file 2 (present only for run 2):
+    // a third event extending it + a separate later session
+    write("f1", Seq((t(1), 7L), (t(3), 7L)))
+    def run(): Unit = {
+      val q = s.readStream
+        .schema("ts timestamp, user bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$dir/*")
+        .withWatermark("ts", "1 minute")
+        .groupBy(session_window($"ts", "5 minutes").as("sw"), $"user")
+        .agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName("sess_restart")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run() // run 1 checkpoints the open [1, 3+5) session and stops
+    write("f2", Seq((t(6), 7L), (t(30), 7L)))
+    run() // run 2 must resume from state, not recompute from scratch
+    val got = s.table("sess_restart")
+      .select(unix_micros($"sw.start"), unix_micros($"sw.end"), $"user", $"n")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    def us(m: Int) = t(m).getTime * 1000L
+    assert(got == Set((us(1), us(11), 7L, 3L), (us(30), us(35), 7L, 1L)),
+      s"restored session must merge with post-restart events: $got")
+  }
+
   test("built-in stateful ops (dropDuplicates + windowed agg) on RocksDB") {
     val s = rocksSession()
     import s.implicits._
