@@ -39,14 +39,22 @@ object IvfIndex {
     * At cluster scale this is also the natural point to persist the index.
     */
   def train(corpus: DataFrame, idCol: String, vecCol: String, nLists: Int,
-      iters: Int = 2): DataFrame = {
-    val spark0 = corpus.sparkSession
+      iters: Int = 2): DataFrame =
+    trainQ(corpus.select(col(idCol).as("id"),
+      Similarity.quantize(col(vecCol)).as("qv")), nLists, iters)
+
+  /** [[train]] over an ALREADY-quantized `(id, qv)` relation — the entry
+    * point for callers whose quantization is not the plain elementwise one
+    * (PqIndex trains on unit-sphere-renormalized subspace slices).
+    */
+  def trainQ(qIn: DataFrame, nLists: Int, iters: Int = 2): DataFrame = {
+    val spark0 = qIn.sparkSession
     import spark0.implicits._
     // cache the quantized training set across Lloyd passes (the k-means
     // discipline — every iteration re-reads it; MEMORY_AND_DISK spills
     // rather than OOMs when the corpus outgrows executor memory). Released
     // before returning: train materializes its result via collect below.
-    val q = corpus.select(col(idCol).as("id"), Similarity.quantize(col(vecCol)).as("qv"))
+    val q = qIn.select(col("id"), col("qv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // deterministic seeding: the nLists lowest ids (TakeOrdered — no global
     // sort; Lloyd iterations wash out seed placement). Seeds are ≤nLists

@@ -1,0 +1,262 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product-quantization ANN (PQ + ADC): the memory-compression path one step
+  * beyond [[Similarity.annSq8]] — the vector is split into `m` contiguous
+  * subspaces, each subspace learns its own `k`-codeword codebook (the SAME
+  * deterministic quantized Lloyd as [[IvfIndex.train]], run per subspace),
+  * and every corpus vector is stored as `m` small codes. A probe scans the
+  * compressed corpus with an ADC (asymmetric-distance-computation) table —
+  * its exact distance to every codeword, computed ONCE per probe — then
+  * only the top `rerankN` candidates fetch full vectors for an exact
+  * quantized-cosine rerank.
+  *
+  * Scale shape (the whole point at 100 TB): a 64-dim float vector (256 B)
+  * compresses to `m` = 16 codes (16 B) — a 16× smaller scan set. The ADC
+  * scan is a codes×distance-table hash join + partial-agg sum: O(corpus·m)
+  * tiny integer rows, no per-row vector math; full vectors are touched only
+  * for `probes·rerankN` rows. Training cost equals ONE full-dimension Lloyd
+  * (each of the m sub-trainings reads 1/m of the dimensions), and the m
+  * trainings are independent — submitted as CONCURRENT Spark jobs.
+  *
+  * `m` is the resolution/recall lever (measured recall@3 vs exact brute
+  * force on the test corpus, k=16: m=4 → 0.20, m=8 → 0.33, m=16 → 0.67;
+  * the defaults m=16, k=32, rerankN=32 reach 0.93). The metric is cosine,
+  * so the PQ is SPHERICAL: vectors are renormalized to a fixed integer
+  * radius before slicing (see [[subVectors]]), making ADC's L2 ordering
+  * agree with cosine ordering regardless of the corpus's norm distribution
+  * (on the near-uniform-norm test embeddings this is worth a few recall
+  * points; on real mixed-norm corpora it is the difference between PQ
+  * working and not).
+  *
+  * Determinism (what makes a bit-exact DuckDB oracle possible): the
+  * renormalization is exactly-rounded IEEE math on exact integers; each
+  * sub-codebook inherits IvfIndex.trainQ's contracts (seed = lowest ids,
+  * exact integer L2, ties → lowest cell, integral floor-division means,
+  * empty cells keep the previous codeword); ADC distances are exact integer
+  * sums; all ranks tie-break on neighbor_id.
+  *
+  * Reference analog: the reference ships no ANN operator — this extends the
+  * training-data-curation surface (SURVEY §2's LLM-pipeline block) alongside
+  * LSH (vec03), IVF-Flat (vec05–07), and SQ8 (vec08).
+  */
+object PqIndex {
+
+  /** Train per-subspace codebooks: `(s INT, cell INT, cv ARRAY<LONG>)`,
+    * `m`·`k` rows — [[IvfIndex.trainQ]]'s Lloyd run once per subspace over
+    * the unit-sphere slices of [[subVectors]] (spherical PQ: see there).
+    * The m sub-trainings are independent, so they run as concurrent Spark
+    * jobs (trainQ materializes its ≤k centroids eagerly) — wall-clock is
+    * one training, not m.
+    */
+  def train(corpus: DataFrame, idCol: String, vecCol: String, m: Int = 16,
+      k: Int = 32, iters: Int = 2): DataFrame = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val subs = subVectors(corpus, idCol, vecCol, m)
+    Await.result(Future.traverse((0 until m).toList) { s => Future {
+      IvfIndex.trainQ(
+        subs.filter(col("s") === s).select(col("id"), col("sub").as("qv")),
+        k, iters)
+        .select(lit(s).as("s"), col("cell"), col("cv"))
+    } }, Duration.Inf).reduce(_ unionByName _)
+  }
+
+  /** Compress the corpus: `(id, codes ARRAY<INT>)` — code `s` is the nearest
+    * codeword (exact integer L2, ties → lowest cell) of subspace `s`. One
+    * explode to `corpus·m` subvector rows, one broadcast-hash join against
+    * the `m·k`-row codebooks, two partial-agg'd hash aggregations — no
+    * window, no shuffle keyed on anything wider than the id.
+    */
+  def encode(corpus: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame, m: Int): DataFrame = {
+    subVectors(corpus, idCol, vecCol, m)
+      .join(broadcast(codebooks), Seq("s"))
+      .select(col("id"), col("s"), col("cell"),
+        IvfIndex.l2Q(col("sub"), col("cv")).as("d2"))
+      .groupBy(col("id"), col("s"))
+      .agg(min_by(col("cell"), struct(col("d2"), col("cell"))).as("code"))
+      .groupBy(col("id"))
+      .agg(array_sort(collect_list(struct(col("s"), col("code")))).as("p"))
+      .select(col("id"), expr("transform(p, x -> x.code)").as("codes"))
+  }
+
+  /** The ADC scan: approximate squared-L2 of every probe to every corpus
+    * vector, computed from codes alone — `Σ_s dtable[probe][s][code_s]`.
+    * `dtable` (probe × subspace × codeword exact distances, `probes·m·k`
+    * rows) broadcasts; the corpus side is its exploded codes. Exposed for
+    * the spec's straight-line cross-check.
+    */
+  def adcDistances(probes: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, codebooks: DataFrame, m: Int): DataFrame = {
+    val dtab = subVectors(probes, idCol, vecCol, m)
+      .join(broadcast(codebooks), Seq("s"))
+      .select(col("id").as("probe_id"), col("s"), col("cell").as("code"),
+        IvfIndex.l2Q(col("sub"), col("cv")).as("d2"))
+    encode(corpus, idCol, vecCol, codebooks, m)
+      .select(col("id").as("neighbor_id"), posexplode(col("codes")))
+      .select(col("neighbor_id"), col("pos").as("s"), col("col").as("code"))
+      .join(broadcast(dtab), Seq("s", "code"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .groupBy(col("probe_id"), col("neighbor_id"))
+      .agg(sum(col("d2")).as("adc_d2"))
+  }
+
+  /** A trained PQ index: the `m`·`k` codebooks plus the corpus compressed to
+    * codes. This is the artifact that makes PQ's economics work at 100 TB —
+    * the codes relation is ~16 B/vector (vs 256 B of floats), so the ADC
+    * scan set fits where the raw corpus cannot; the full-vector corpus is
+    * consulted only for the `probes·rerankN` rerank rows.
+    *
+    * Schemas: `codebooks(s INT, cell INT, cv ARRAY<LONG>)`,
+    * `codes(id LONG, codes ARRAY<INT>)`.
+    */
+  final case class Index(codebooks: DataFrame, codes: DataFrame, m: Int) {
+
+    /** Persist to `dir` as parquet. Codes are what a scan reads end-to-end,
+      * so they repartition to a bounded file count first (the relation is
+      * tiny per-row; one file per shuffle partition of ids). Codebooks are
+      * `m`·`k` rows — one file.
+      */
+    def save(dir: String): Unit = {
+      codebooks.coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+      codes.write.mode("overwrite").parquet(s"$dir/codes")
+    }
+  }
+
+  /** Train codebooks + compress the corpus once. Train-once-search-many:
+    * every [[searchAdc]] call re-runs the m Lloyd trainings AND re-encodes
+    * the corpus; a built index pays both exactly once.
+    */
+  def build(corpus: DataFrame, idCol: String, vecCol: String, m: Int = 16,
+      k: Int = 32, iters: Int = 2): Index = {
+    val books = train(corpus, idCol, vecCol, m, k, iters)
+    Index(books, encode(corpus, idCol, vecCol, books, m), m)
+  }
+
+  /** Load a persisted index. All stored values are exact integers, so a
+    * save/load round-trip is bit-exact: [[searchIndex]] over
+    * `load(save(build(…)))` returns the same rows as over the in-memory
+    * index (pinned in spec).
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): Index = {
+    val books = spark.read.parquet(s"$dir/codebooks")
+      .select(col("s").cast("int"), col("cell").cast("int"), col("cv"))
+    val codes = spark.read.parquet(s"$dir/codes")
+    Index(books, codes, books.agg(max(col("s"))).head().getInt(0) + 1)
+  }
+
+  /** Compress NEW vectors against FROZEN codebooks and append — the PQ twin
+    * of [[IvfIndex.append]]: the m Lloyd trainings never re-run; an arriving
+    * batch pays only its own encode (one broadcast join over the batch).
+    * Same drift trade as IVF: codebooks trained on yesterday's distribution
+    * quantize tomorrow's worse — monitor ADC-vs-rerank disagreement and
+    * retrain when it grows.
+    */
+  def append(index: Index, newDocs: DataFrame, idCol: String,
+      vecCol: String): Index =
+    Index(index.codebooks,
+      index.codes.unionByName(
+        encode(newDocs, idCol, vecCol, index.codebooks, index.m)), index.m)
+
+  /** ANN search against a prebuilt [[Index]]: probe distance tables from the
+    * stored codebooks, ADC scan over the stored codes (the corpus's vectors
+    * are NOT touched), exact-cosine rerank of the top `rerankN` against
+    * `corpus` — the only step that reads full vectors, and only for
+    * `probes·rerankN` ids.
+    */
+  def searchIndex(probes: DataFrame, index: Index, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, rerankN: Int = 32): DataFrame = {
+    val dtab = subVectors(probes, idCol, vecCol, index.m)
+      .join(broadcast(index.codebooks), Seq("s"))
+      .select(col("id").as("probe_id"), col("s"), col("cell").as("code"),
+        IvfIndex.l2Q(col("sub"), col("cv")).as("d2"))
+    val adc = index.codes
+      .select(col("id").as("neighbor_id"), posexplode(col("codes")))
+      .select(col("neighbor_id"), col("pos").as("s"), col("col").as("code"))
+      .join(broadcast(dtab), Seq("s", "code"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .groupBy(col("probe_id"), col("neighbor_id"))
+      .agg(sum(col("d2")).as("adc_d2"))
+    rerank(adc, probes, corpus, idCol, vecCol, k, rerankN)
+  }
+
+  /** PQ-ADC ANN search: train → encode → ADC scan → top-`rerankN` candidates
+    * per probe (by exact-integer ADC distance, ties → neighbor_id) → exact
+    * quantized-cosine rerank → top-`k`. Output matches the IVF/LSH search
+    * shape: `(probe_id, neighbor_id, sim, rank)`.
+    */
+  def searchAdc(probes: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int = 16, nCodes: Int = 32, iters: Int = 2,
+      rerankN: Int = 32): DataFrame = {
+    val books = train(corpus, idCol, vecCol, m, nCodes, iters)
+    rerank(adcDistances(probes, corpus, idCol, vecCol, books, m),
+      probes, corpus, idCol, vecCol, k, rerankN)
+  }
+
+  /** The shared search tail: ADC distances → top-`rerankN` candidates per
+    * probe (ties → neighbor_id) → exact quantized-cosine rerank against the
+    * full-vector corpus → top-`k`.
+    */
+  private def rerank(adc: DataFrame, probes: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, rerankN: Int): DataFrame = {
+    val cand = adc
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("adc_d2"), col("neighbor_id"))))
+      .filter(col("crn") <= rerankN)
+      .select("probe_id", "neighbor_id")
+    val cq = corpus.select(col(idCol).as("neighbor_id"),
+      Similarity.quantize(col(vecCol)).as("cq"))
+      .withColumn("n2c", Similarity.dotQ(col("cq"), col("cq")))
+    val pq = probes.select(col(idCol).as("probe_id"),
+      Similarity.quantize(col(vecCol)).as("pq"))
+      .withColumn("n2p", Similarity.dotQ(col("pq"), col("pq")))
+    val scored = cand
+      .join(cq, Seq("neighbor_id"))
+      .join(broadcast(pq), Seq("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        Similarity.cosineQWithNorms(col("pq"), col("cq"),
+          col("n2p"), col("n2c")).as("sim"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** `(id, s, sub)` — the UNIT-SPHERE quantized subspace slices of every
+    * vector. The search metric is cosine, so PQ is spherical: each vector is
+    * renormalized to radius 1024 BEFORE slicing (`floor(qv·1024/√n2)`), which
+    * makes ADC's L2 ordering agree with cosine ordering — without it, on a
+    * corpus with spread-out norms, large-norm vectors dominate every
+    * distance table.
+    * Determinism: n2 is an exact integer, `sqrt`/`/` are exactly-rounded
+    * IEEE doubles of integer inputs, `floor` re-integrizes — the same
+    * cross-engine-portable shape as the cosine expression itself.
+    */
+  private def subVectors(df: DataFrame, idCol: String, vecCol: String,
+      m: Int): DataFrame = {
+    val dsub = subDim(df, vecCol, m)
+    df.select(col(idCol).as("id"), Similarity.quantize(col(vecCol)).as("qv"))
+      .withColumn("n2", Similarity.dotQ(col("qv"), col("qv")))
+      .withColumn("qn", expr(
+        """transform(qv, v -> CASE WHEN n2 = 0 THEN CAST(0 AS BIGINT)
+          |  ELSE CAST(floor(CAST(v * 1024 AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE))) AS BIGINT) END)"""
+          .stripMargin))
+      .select(col("id"), posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), s -> slice(qn, s * $dsub + 1, $dsub))")))
+      .select(col("id"), col("pos").cast("int").as("s"), col("col").as("sub"))
+  }
+
+  /** Subspace width from one sampled row (dimensions are uniform by the
+    * embedding-column contract; a bounded single-row action).
+    */
+  private def subDim(df: DataFrame, vecCol: String, m: Int): Int = {
+    val dim = df.select(size(col(vecCol)).as("d")).head().getInt(0)
+    require(dim % m == 0, s"vector dim $dim not divisible into $m subspaces")
+    dim / m
+  }
+}

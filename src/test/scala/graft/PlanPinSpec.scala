@@ -90,6 +90,17 @@ class PlanPinSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "corpus must not shuffle for the join")
   }
 
+  test("vec10: ADC scan joins codes hashed; codebooks and dtable broadcast") {
+    val p = executed("vec10_ann_pq")
+    // the compressed scan's joins are all bounded-side broadcasts — the
+    // corpus side (codes) must never be nested-looped or cartesian'd
+    assert(!p.contains("CartesianProduct"), s"ADC scan went all-pairs:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"codebook/dtable joins must stay equi-joins:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"m·k codebooks and probe dtable must broadcast:\n$p")
+  }
+
   test("txt25: sequence packing windows stay bucket-local (no global sort)") {
     val p = executed("txt25_pack_sequences")
     // the running sum must partition by the bucket column — a global-order

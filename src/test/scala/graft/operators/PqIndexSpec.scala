@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PQ-ADC ANN (vec10's operator): codebook structure, partitioning
+  * invariance, a straight-line cross-check of the ADC scan, the recall
+  * floor against exact brute force, and the plan shape (all joins hashed,
+  * nothing cartesian over vectors).
+  */
+class PqIndexSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val dir = "/root/testdata/sf0.001"
+  def emb = graft.Tables.embeddings(spark, dir)
+
+  test("train: m×k codebooks of subspace-width integer codewords") {
+    val books = PqIndex.train(emb, "vec_id", "embedding", m = 4, k = 16).cache()
+    assert(books.count() == 64)
+    import spark.implicits._
+    val widths = books.select(size(col("cv"))).as[Int].collect().toSet
+    assert(widths == Set(16), s"every codeword spans its 16-dim subspace: $widths")
+    val cells = books.groupBy("s").agg(countDistinct("cell").as("k"))
+      .select("k").as[Long].collect().toSet
+    assert(cells == Set(16L), "each subspace keeps exactly k codewords (empty cells held)")
+  }
+
+  test("encode: codes are invariant under repartitioning") {
+    import spark.implicits._
+    val books = PqIndex.train(emb, "vec_id", "embedding", m = 4, k = 16)
+    def codes(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Int]] =
+      PqIndex.encode(df, "vec_id", "embedding", books, m = 4)
+        .as[(Long, Seq[Int])].collect().toMap
+    val a = codes(emb)
+    val b = codes(emb.repartition(7))
+    assert(a == b, "deterministic ties (lowest cell) must survive re-partitioning")
+    assert(a.values.flatten.forall(c => c >= 0 && c < 16))
+  }
+
+  test("adcDistances equals a straight-line recompute over collected codes") {
+    import spark.implicits._
+    val books = PqIndex.train(emb, "vec_id", "embedding", m = 4, k = 16)
+    val probes = emb.filter(col("vec_id") < 5)
+    // local model: dtable[probe][s][code] from collected books + probe slices
+    val bk = books.as[(Int, Int, Seq[Long])].collect()
+      .map { case (s, cell, cv) => (s, cell) -> cv }.toMap
+    val pv = probes.select(col("vec_id"),
+      Similarity.quantize(col("embedding")).as("qv")).as[(Long, Seq[Long])].collect()
+      .map { case (id, qv) => // the spherical renorm of PqIndex.subVectors
+        val n2 = qv.map(x => x * x).sum
+        (id, if (n2 == 0) qv.map(_ => 0L)
+             else qv.map(v => math.floor(v * 1024d / math.sqrt(n2.toDouble)).toLong))
+      }
+    val codes = PqIndex.encode(emb, "vec_id", "embedding", books, m = 4)
+      .as[(Long, Seq[Int])].collect()
+    def l2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val expected = (for {
+      (pid, qn) <- pv
+      (nid, cs) <- codes if nid != pid
+    } yield (pid, nid) -> cs.zipWithIndex.map { case (c, s) =>
+      l2(qn.slice(s * 16, s * 16 + 16), bk((s, c))) }.sum).toMap
+    val got = PqIndex.adcDistances(probes, emb, "vec_id", "embedding", books, m = 4)
+      .as[(Long, Long, Long)].collect()
+      .map { case (p, n, d) => (p, n) -> d }.toMap
+    assert(got == expected, "the codes×dtable join-agg must equal the local ADC model")
+  }
+
+  test("searchAdc: recall@3 against exact brute force stays above its floor") {
+    import spark.implicits._
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("probe_id"), col("neighbor_id"))
+        .as[(Long, Long)].collect().toSet
+    val probes = emb.filter(col("vec_id") < 10)
+    val exact = pairs(Similarity.knnBrute(probes, emb, "vec_id", "embedding", k = 3))
+    val pq = pairs(PqIndex.searchAdc(probes, emb, "vec_id", "embedding",
+      k = 3, m = 16, nCodes = 32, iters = 2, rerankN = 32))
+    val recall = (exact intersect pq).size.toDouble / exact.size
+    // deterministic pipeline ⇒ a fixed number (measured 0.93), not a flaky
+    // sample; the floor sits under it so only a real regression trips this
+    assert(recall >= 0.85, s"PQ recall@3 collapsed: $recall (${exact.size} exact pairs)")
+  }
+
+  test("index: save/load round-trip searches bit-identically to inline train") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double, Int)] =
+      df.select(col("probe_id"), col("neighbor_id"), col("sim"), col("rank"))
+        .as[(Long, Long, Double, Int)].collect().toSet
+    val probes = emb.filter(col("vec_id") < 10)
+    val inline = rows(PqIndex.searchAdc(probes, emb, "vec_id", "embedding", k = 3))
+    val dir = java.nio.file.Files.createTempDirectory("pq_idx").toString
+    PqIndex.build(emb, "vec_id", "embedding").save(dir)
+    val loaded = PqIndex.load(spark, dir)
+    assert(loaded.m == 16, "m must be recoverable from the stored codebooks")
+    val viaIndex = rows(PqIndex.searchIndex(probes, loaded, emb,
+      "vec_id", "embedding", k = 3))
+    assert(viaIndex == inline,
+      "stored integer codes/codebooks must reproduce the inline search exactly")
+  }
+
+  test("append: frozen-codebook encode of a new batch ≡ encoding everything") {
+    import spark.implicits._
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val batch = emb.filter(col("vec_id") % 2 === 1)
+    val idx = PqIndex.build(base, "vec_id", "embedding")
+    val appended = PqIndex.append(idx, batch, "vec_id", "embedding")
+    def codeMap(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Int]] =
+      df.as[(Long, Seq[Int])].collect().toMap
+    val all = codeMap(PqIndex.encode(emb, "vec_id", "embedding",
+      idx.codebooks, idx.m))
+    assert(codeMap(appended.codes) == all,
+      "append must equal encode-all under the SAME (frozen) codebooks")
+    assert(codeMap(idx.codes).keySet.forall(_ % 2 == 0),
+      "the base index must not be mutated by append")
+  }
+
+  test("plan: ADC search joins are hashed — no cartesian over vectors") {
+    val plan = PqIndex.searchAdc(emb.filter(col("vec_id") < 10), emb,
+      "vec_id", "embedding", k = 3).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "PQ search must never do an all-pairs vector scan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "codebook/dtable joins are equi-joins — a nested loop means a lost key")
+  }
+}
