@@ -110,8 +110,13 @@ object VectorQueries {
     * intermediate is exact integer math, so the whole compressed-search
     * pipeline hash-matches.
     */
+  /** With `nLists > 0` the oracle adds vec12's coarse IVF stage: one more
+    * unrolled Lloyd chain (suffix `_cg`) over the FULL unit-sphere vectors,
+    * per-vector cell assignment, the probe's `nProbe` nearest cells, and the
+    * ADC scan restricted to (probe, neighbor) pairs sharing a probed cell.
+    */
   private def pqSql(m: Int, dsub: Int, kCode: Int, rerankN: Int,
-      kOut: Int): String = {
+      kOut: Int, nLists: Int = 0, nProbe: Int = 0): String = {
     // spherical PQ: renormalize to radius 1024 before slicing (PqIndex
     // .subVectors) — n2 is exact-integer, sqrt/divide are exactly-rounded
     // IEEE on integer inputs, floor re-integrizes ⇒ engine-portable
@@ -143,15 +148,39 @@ object VectorQueries {
       .mkString("\n  UNION ALL ")
     val dtU = (0 until m).map(s => s"SELECT probe_id, $s AS s, cell, d2 FROM dt$s")
       .mkString("\n  UNION ALL ")
+    val coarse = if (nLists == 0) "" else
+      s"""cg0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, qv AS cv
+         |  FROM (SELECT vec_id, qv FROM qn ORDER BY vec_id LIMIT $nLists) t),
+         |${lloydSql(1, "cg0", "qn", "_cg")},
+         |${lloydSql(2, "c1_cg", "qn", "_cg")},
+         |cellasg AS (SELECT vec_id, cell FROM (
+         |  SELECT qn.vec_id, c2_cg.cell,
+         |    ROW_NUMBER() OVER (PARTITION BY qn.vec_id
+         |      ORDER BY ${l2Sql("qn.qv", "c2_cg.cv")}, c2_cg.cell) AS rn
+         |  FROM qn, c2_cg) t WHERE rn = 1),
+         |pcells AS (SELECT probe_id, cell FROM (
+         |  SELECT qn.vec_id AS probe_id, c2_cg.cell,
+         |    ROW_NUMBER() OVER (PARTITION BY qn.vec_id
+         |      ORDER BY ${l2Sql("qn.qv", "c2_cg.cv")}, c2_cg.cell) AS rn
+         |  FROM qn, c2_cg WHERE qn.vec_id < 10) t WHERE rn <= $nProbe),
+         |cand0 AS (SELECT p.probe_id, a.vec_id AS neighbor_id
+         |  FROM pcells p JOIN cellasg a ON p.cell = a.cell
+         |  WHERE a.vec_id <> p.probe_id),
+         |""".stripMargin
+    val adcTail = if (nLists == 0)
+      "WHERE d.probe_id <> e.vec_id GROUP BY 1, 2"
+    else
+      """JOIN cand0 ON cand0.probe_id = d.probe_id AND cand0.neighbor_id = e.vec_id
+        |  GROUP BY 1, 2""".stripMargin
     s"""WITH $quantSql,
        |$qn,
        |${subs.mkString(",\n")},
        |${books.mkString(",\n")},
        |${codes.mkString(",\n")},
        |${dts.mkString(",\n")},
-       |adc AS (SELECT d.probe_id, e.vec_id AS neighbor_id, SUM(d.d2) AS adc_d2
+       |${coarse}adc AS (SELECT d.probe_id, e.vec_id AS neighbor_id, SUM(d.d2) AS adc_d2
        |  FROM ($codeU) e JOIN ($dtU) d ON e.s = d.s AND e.code = d.cell
-       |  WHERE d.probe_id <> e.vec_id GROUP BY 1, 2),
+       |  $adcTail),
        |cand AS (SELECT probe_id, neighbor_id FROM (
        |  SELECT probe_id, neighbor_id,
        |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adc_d2, neighbor_id) AS crn
@@ -378,6 +407,20 @@ object VectorQueries {
       val loaded = graft.operators.PqIndex.load(s, dir)
       graft.operators.PqIndex.searchIndex(emb.filter(col("vec_id") < 10),
         loaded, emb, "vec_id", "embedding", k = 3, rerankN = 32)
+    },
+
+    // --- IVF-PQ composed ANN: the two pruning levers multiplied — a coarse
+    // --- 16-cell IVF quantizer (one more unrolled Lloyd chain over the
+    // --- unit-sphere vectors) restricts each probe to its 4 nearest cells,
+    // --- and within them distances come from PQ codes only. Scan ≈ 25% of
+    // --- the codes, recall@3 = 0.90 (0.93 unpruned). FAISS-IVFPQ shape
+    // --- without residual encoding ⇒ still exact-integer ⇒ hash-match. -----
+    q("vec12_ann_ivf_pq", pqSql(m = 16, dsub = 4, kCode = 32, rerankN = 32,
+      kOut = 3, nLists = 16, nProbe = 4)) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      graft.operators.PqIndex.searchIvf(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", k = 3, nLists = 16, nProbe = 4,
+        m = 16, nCodes = 32, iters = 2, rerankN = 32)
     },
 
     // --- multimodal: opaque binary column + batched executor-side decode ------

@@ -114,6 +114,32 @@ class PqIndexSpec extends AnyFunSuite {
       "the base index must not be mutated by append")
   }
 
+  test("searchIvf with nProbe = nLists (pruning off) ≡ searchAdc exactly") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double, Int)] =
+      df.select(col("probe_id"), col("neighbor_id"), col("sim"), col("rank"))
+        .as[(Long, Long, Double, Int)].collect().toSet
+    val probes = emb.filter(col("vec_id") < 10)
+    // probing every cell keeps every candidate pair — the composed path must
+    // then collapse to plain PQ-ADC bit-for-bit (same codebooks, same ranks)
+    val full = rows(PqIndex.searchIvf(probes, emb, "vec_id", "embedding",
+      k = 3, nLists = 8, nProbe = 8))
+    val flat = rows(PqIndex.searchAdc(probes, emb, "vec_id", "embedding", k = 3))
+    assert(full == flat, "un-pruned IVF-PQ must equal the flat ADC search")
+  }
+
+  test("searchIvf: pruned candidates are a subset; recall holds its floor") {
+    import spark.implicits._
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("probe_id"), col("neighbor_id"))
+        .as[(Long, Long)].collect().toSet
+    val probes = emb.filter(col("vec_id") < 10)
+    val exact = pairs(Similarity.knnBrute(probes, emb, "vec_id", "embedding", k = 3))
+    val got = pairs(PqIndex.searchIvf(probes, emb, "vec_id", "embedding", k = 3))
+    val recall = (exact intersect got).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF-PQ recall@3 collapsed: $recall")
+  }
+
   test("plan: ADC search joins are hashed — no cartesian over vectors") {
     val plan = PqIndex.searchAdc(emb.filter(col("vec_id") < 10), emb,
       "vec_id", "embedding", k = 3).queryExecution.executedPlan.toString
