@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for 100 TB-scale corpus curation.
@@ -349,5 +349,108 @@ object Dedup {
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
         (col("n_overlap").cast("double") / col("n_grams").cast("double"))
           .as("overlap_frac"))
+  }
+
+  /** Hash-family salt for winnowing gram hashes (shared with the oracle). */
+  private val WinnowSalt = 7
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, "Winnowing: Local
+    * Algorithms for Document Fingerprinting", SIGMOD 2003 — the MOSS
+    * algorithm): the substring-level dedup layer between fixed-block
+    * passage dedup ([[passageStats]], which misses shifted copies) and full
+    * n-gram membership ([[ngramOverlap]], which keeps every gram).
+    *
+    * Per document: hash every `k`-token gram, slide a window of `w`
+    * consecutive gram hashes, keep each window's minimum hash (rightmost
+    * position on ties — the paper's rule, which makes the selection a
+    * deterministic function of content). Returns one row per distinct
+    * selected `(pos, fp)`: the document's fingerprint sketch.
+    *
+    * The guarantee (the paper's Theorem): any shared token run of length
+    * ≥ `w + k − 1` yields at least one shared fingerprint, while only
+    * ~`2/(w+1)` of all gram hashes are kept. That is what block hashing
+    * cannot promise — a one-token shift breaks every block boundary but
+    * shifts winnowing's windows WITH the content.
+    *
+    * Scale shape: the whole selection is ONE projection of array
+    * intrinsics — tokens → gram-hash structs → per-window fold —
+    * zero shuffles, document-length-bounded memory, O(n·w) work per doc
+    * (the paper's O(n) deque does not fit an expression tree; w is a
+    * small constant). Only the selected `(id, pos, fp)` rows — ~2n/(w+1)
+    * longs, never text — leave the projection.
+    *
+    * Each intermediate array is LET-BOUND via [[bind]]: the window fold
+    * reads the gram-hash array ~3·nW times, and as plain chained selects
+    * Catalyst's projection collapse would inline the tokenize+shingle
+    * expression at every one of those reads — O(n²·w) re-tokenization per
+    * doc (observed: a single sf0.01 partition pinned a core for 10+ min).
+    * A lambda variable is evaluated once per row no matter how often the
+    * body reads it.
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 4): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(w > 1, s"w must be at least 2: $w")
+    val fps = bind(TextOps.tokens(col(textCol)), toks =>
+      bind(TextOps.shingles(toks, k), g =>
+        bind(transform(g, (gram, i) => struct(
+            TextOps.hex32(gram, WinnowSalt).as("fp"),
+            i.cast("int").as("pos"))), hp =>
+          // window j (0-based) covers hp[j+1 .. j+w] (1-based): fold with
+          // the window's FIRST element as init — the same left fold the
+          // oracle's list_reduce performs — taking the strictly-smaller
+          // hash, or the larger position on equal hashes (rightmost min)
+          when(size(hp) === 0, array().cast("array<struct<fp:bigint,pos:int>>"))
+            .otherwise(array_distinct(transform(
+              sequence(lit(0), greatest(size(hp) - (w - 1), lit(1)) - 1),
+              j => aggregate(
+                slice(hp, (j + 2).cast("int"), lit(w - 1)),
+                element_at(hp, (j + 1).cast("int")),
+                (a, x) => when(
+                  x("fp") < a("fp") ||
+                    (x("fp") === a("fp") && x("pos") > a("pos")),
+                  x).otherwise(a))))))))
+    docs.select(col(idCol), explode(fps).as("_f"))
+      .select(col(idCol), col("_f.pos").as("pos"), col("_f.fp").as("fp"))
+  }
+
+  /** Let-binding for expression trees: evaluates `value` ONCE per row and
+    * hands the body a lambda variable — however many times the body reads
+    * it, the producer never re-evaluates. Spark has no `let`, but a
+    * single-element `transform` is one: the higher-order function evaluates
+    * its argument array once, then the lambda over its (single) element.
+    * This is the projection-collapse-proof alternative to chained selects
+    * when the consumer references the producer many times (Catalyst inlines
+    * across Projects it collapses, duplicating the producer expression).
+    */
+  private def bind(value: Column, body: Column => Column): Column =
+    element_at(transform(array(value), body), 1)
+
+  /** Document pairs sharing ≥ `minShared` winnowing fingerprints — the
+    * shift-tolerant overlap detector ([[winnowFingerprints]] for the
+    * selection and its guarantee).
+    *
+    * Fingerprints held by more than `maxDf` documents are dropped before
+    * pairing (the paper's shared-boilerplate filter); at scale this is also
+    * the join's skew guard — the pair count within one fingerprint bucket
+    * is capped at `maxDf²` instead of growing with the corpus. Pairing is
+    * strictly bucket-local (one hash equi-join on `fp`), never all-pairs,
+    * and carries only `(id, fp)` longs.
+    */
+  def winnowMatches(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 4, minShared: Long = 2,
+      maxDf: Long = 50): DataFrame = {
+    val fps = winnowFingerprints(docs, idCol, textCol, k, w)
+      .select(col(idCol), col("fp")).distinct()
+    val hot = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("_n")).filter(col("_n") > maxDf)
+      .select(col("fp"))
+    val cool = fps.join(hot, Seq("fp"), "left_anti")
+    cool.as("x").join(cool.as("y"),
+        col("x.fp") === col("y.fp") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .groupBy(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
   }
 }

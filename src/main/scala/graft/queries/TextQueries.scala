@@ -699,6 +699,40 @@ object TextQueries {
           col("seq_first"), col("seq_last"))
     },
 
+    // --- winnowing fingerprint dedup (MOSS, SIGMOD'03): the substring-level
+    // --- layer between fixed blocks (txt20, breaks on a one-token shift) and
+    // --- full n-gram membership (txt23, keeps every gram). Each window of
+    // --- w=4 consecutive 4-gram hashes keeps its min (rightmost on ties);
+    // --- any shared run of ≥ w+k−1 = 7 tokens is GUARANTEED a shared
+    // --- fingerprint while only ~2/(w+1) of hashes survive. Selection is one
+    // --- shuffle-free projection; pairing is bucket-local on fp with hot
+    // --- fingerprints (>maxDf docs — boilerplate AND the skew guard) dropped.
+    q("txt28_winnow_matches",
+      s"""WITH $corpusSql,
+         |toks AS (SELECT doc_id, $toksSql AS t FROM corpus),
+         |g AS (SELECT doc_id, CASE WHEN len(t) < 4 THEN [] ELSE
+         |  [array_to_string(t[i:i+3], ' ') for i in generate_series(1, len(t)-3)] END AS grams
+         |  FROM toks),
+         |hp AS (SELECT doc_id, [{'fp': ${hex32Sql("'7:'||grams[i]")},
+         |    'pos': CAST(i-1 AS INT)} for i in generate_series(1, len(grams))] AS hp
+         |  FROM g),
+         |sel AS (SELECT doc_id, [
+         |    list_reduce(hp[j : j+3], (a,x) -> CASE WHEN x.fp < a.fp
+         |      OR (x.fp = a.fp AND x.pos > a.pos) THEN x ELSE a END)
+         |    for j in generate_series(1, greatest(len(hp)-3, 1))] AS fps
+         |  FROM hp WHERE len(hp) > 0),
+         |f AS (SELECT DISTINCT doc_id, u.fp AS fp
+         |  FROM (SELECT doc_id, unnest(fps) AS u FROM sel)),
+         |hot AS (SELECT fp FROM f GROUP BY 1 HAVING COUNT(*) > 50),
+         |c AS (SELECT f.doc_id, f.fp FROM f
+         |  WHERE fp NOT IN (SELECT fp FROM hot))
+         |SELECT x.doc_id AS a, y.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS n_shared
+         |FROM c x JOIN c y ON x.fp = y.fp AND x.doc_id < y.doc_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin) { (s, d) =>
+      Dedup.winnowMatches(corpus(s, d), "doc_id", "text",
+        k = 4, w = 4, minShared = 2, maxDf = 50)
+    },
+
     // --- SimHash (native expression vs 32-way SQL vote) -----------------------
     q("txt08_simhash",
       s"""WITH toks AS (SELECT doc_id, list_distinct($toksSql) AS t FROM documents),

@@ -109,4 +109,17 @@ class PlanPinSpec extends AnyFunSuite {
       s"packing must never single-partition the corpus:\n$p")
     assert(p.contains("Window"), "per-bucket running sum is a window")
   }
+
+  test("txt28: winnow selection is one shuffle-free, collapse-proof projection") {
+    val p = graft.operators.Dedup.winnowFingerprints(
+        graft.Tables.documents(spark, dir), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      "fingerprint selection must not shuffle — only selected fps may")
+    // the let-binding pin: tokenization must appear ONCE in the projection.
+    // If projection collapse ever re-inlines it per window element, the
+    // plan shows split() once per read — and sf0.01 goes O(n²)
+    assert(countOf(p, "split(") == 1,
+      s"tokenize must be let-bound (evaluated once), plan shows:\n$p")
+  }
 }

@@ -193,4 +193,76 @@ class TextPipelineSpec extends AnyFunSuite {
       start + n
     }
   }
+
+  test("winnowing: shift-tolerant (the guarantee block hashing lacks)") {
+    import spark.implicits._
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val docs = Seq(
+      (1L, shared),
+      // same content shifted by a 3-token prefix: every fixed block boundary
+      // breaks, but winnowing's windows move WITH the content
+      (2L, "zz yy xx " + shared),
+      (3L, "kilo lima mike november oscar papa quebec romeo sierra tango")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowMatches(docs, "doc_id", "text",
+        k = 4, w = 4, minShared = 2, maxDf = 50)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+    // contrast: fixed-block passage hashing misses the shifted copy entirely
+    val blocks = Dedup.passageStats(docs, "doc_id", "text", blockTokens = 4)
+      .filter($"n_dup_passages" > 0).count()
+    assert(blocks == 0, "fixed blocks must NOT see the shifted duplicate")
+  }
+
+  test("winnowing theorem: any shared run of ≥ w+k−1 tokens shares a fp") {
+    import spark.implicits._
+    // the minimal guaranteed run: w+k−1 = 7 tokens, planted at DIFFERENT
+    // offsets inside otherwise-disjoint documents, every offset combination
+    val run = "one two three four five six seven"
+    val pads = Seq("", "aa ", "aa bb ", "aa bb cc dd ee ff gg hh ")
+    val docs = pads.zipWithIndex.map { case (p, i) =>
+      (i.toLong, p + run + " tail" + i)
+    }.toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(docs, "doc_id", "text", k = 4, w = 4)
+      .as[(Long, Int, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._3).toSet).toMap
+    for (i <- pads.indices; j <- pads.indices if i < j)
+      assert(fps(i.toLong).intersect(fps(j.toLong)).nonEmpty,
+        s"docs $i and $j share a 7-token run but no fingerprint")
+  }
+
+  test("winnowing density ≈ 2/(w+1) on the real corpus; short docs empty") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, dir).select($"doc_id", $"text")
+    val nFps = Dedup.winnowFingerprints(docs, "doc_id", "text", k = 4, w = 4)
+      .count().toDouble
+    val nGrams = docs
+      .select(size(TextOps.shingles(TextOps.tokens($"text"), 4)).as("n"))
+      .agg(sum($"n")).as[Long].head.toDouble
+    // expected density 2/(w+1) = 0.4; distinct-collapse pulls it a bit lower
+    val density = nFps / nGrams
+    assert(density > 0.2 && density < 0.55, s"density $density")
+    // a doc below k tokens has no grams, hence no fingerprints — and the
+    // selection is a pure function of content: same text ⇒ same (pos, fp)
+    val twin = Seq((100L, "tiny doc"), (101L, "alpha bravo charlie delta echo"),
+      (102L, "alpha bravo charlie delta echo")).toDF("doc_id", "text")
+    val sel = Dedup.winnowFingerprints(twin, "doc_id", "text", k = 4, w = 4)
+      .as[(Long, Int, Long)].collect()
+    assert(!sel.exists(_._1 == 100L))
+    assert(sel.filter(_._1 == 101L).map(r => (r._2, r._3)).toSet ==
+      sel.filter(_._1 == 102L).map(r => (r._2, r._3)).toSet)
+  }
+
+  test("winnowMatches: maxDf drops boilerplate fps; minShared thresholds") {
+    import spark.implicits._
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val docs = Seq((1L, shared), (2L, "pre fix " + shared)).toDF("doc_id", "text")
+    // with maxDf = 1 every shared fingerprint is "boilerplate" — no pairs
+    assert(Dedup.winnowMatches(docs, "doc_id", "text", maxDf = 1).count() == 0)
+    // raising minShared above the actual overlap also empties the result
+    val n = Dedup.winnowMatches(docs, "doc_id", "text", minShared = 2)
+      .select($"n_shared").as[Long].head
+    assert(Dedup.winnowMatches(docs, "doc_id", "text",
+      minShared = n + 1).count() == 0)
+  }
 }
