@@ -414,17 +414,8 @@ object Dedup {
       .select(col(idCol), col("_f.pos").as("pos"), col("_f.fp").as("fp"))
   }
 
-  /** Let-binding for expression trees: evaluates `value` ONCE per row and
-    * hands the body a lambda variable — however many times the body reads
-    * it, the producer never re-evaluates. Spark has no `let`, but a
-    * single-element `transform` is one: the higher-order function evaluates
-    * its argument array once, then the lambda over its (single) element.
-    * This is the projection-collapse-proof alternative to chained selects
-    * when the consumer references the producer many times (Catalyst inlines
-    * across Projects it collapses, duplicating the producer expression).
-    */
   private def bind(value: Column, body: Column => Column): Column =
-    element_at(transform(array(value), body), 1)
+    TextOps.bind(value, body)
 
   /** Document pairs sharing ≥ `minShared` winnowing fingerprints — the
     * shift-tolerant overlap detector ([[winnowFingerprints]] for the

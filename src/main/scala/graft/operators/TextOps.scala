@@ -15,6 +15,21 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Let-binding for expression trees: evaluates `value` ONCE per row and
+    * hands the body a lambda variable — however many times the body reads
+    * it, the producer never re-evaluates. Spark has no `let`, but a
+    * single-element `transform` is one: the higher-order function evaluates
+    * its argument array once, then the lambda over its (single) element.
+    * This is the projection-collapse-proof alternative to chained selects
+    * when the consumer references the producer many times (Catalyst inlines
+    * across Projects it collapses, duplicating the producer expression —
+    * [[Dedup.winnowFingerprints]] went O(n²) per document that way).
+    * Works for any value type: `array(value)` wraps scalars and structs
+    * alike, and the element type is preserved.
+    */
+  def bind(value: Column, body: Column => Column): Column =
+    element_at(transform(array(value), body), 1)
+
   /** Whitespace tokens, empties dropped. */
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= "")
@@ -223,5 +238,67 @@ object TextOps {
         when($"n_tokens" > 0, expr(s"start_tok div $seqLen")).as("seq_first"),
         when($"n_tokens" > 0,
           expr(s"(start_tok + n_tokens - 1) div $seqLen")).as("seq_last"))
+  }
+
+  /** Lexical-diversity quality bin in `[0, bins)`: `floor(|distinct toks| /
+    * |toks| · bins)` clamped to the top bin; null for token-less docs. An
+    * integer bin (not the raw double) on purpose — the calibration below
+    * aggregates bins exactly, so the result is engine-portable where a
+    * floating quantile would not be.
+    */
+  def qualityBin(text: Column, bins: Int): Column = {
+    require(bins > 1, s"bins must be at least 2: $bins")
+    bind(tokens(text), toks =>
+      when(size(toks) === 0, lit(null).cast("int"))
+        .otherwise(least(
+          floor(size(array_distinct(toks)).cast("double") / size(toks) * bins),
+          lit(bins - 1)).cast("int")))
+  }
+
+  /** Per-source quality-threshold calibration: keep each source's top
+    * documents by quality score, where the threshold is CALIBRATED from
+    * that source's own score distribution — a fixed global cutoff keeps
+    * everything from clean sources and nothing from noisy ones, so real
+    * curation pipelines (CCNet's per-language perplexity terciles, quality
+    * pruning per domain) cut per-source quantiles instead.
+    *
+    * The quantile is computed from a per-source HISTOGRAM of integer
+    * quality bins, not a sort: per source with `n` docs, the threshold bin
+    * is the smallest `b` with `cum(b) ≥ ceil(cutFrac·n)`, and a doc is
+    * kept iff its bin is strictly above the threshold (so slightly fewer
+    * than `1−cutFrac` of docs survive, bin granularity deciding the
+    * boundary deterministically — never a tie-broken sort).
+    *
+    * Returns kept `(id, source, bin)` rows.
+    *
+    * Scale shape: no global or per-source sort anywhere. Pass 1 reduces
+    * the corpus to a `|sources|·bins`-row histogram (partial-agg'd
+    * map-side); the cumulative window runs over that tiny frame; the
+    * per-source thresholds broadcast back onto pass 2's re-scan of the
+    * corpus. Exact-quantile alternatives buffer a source's every score
+    * (percentile) — the histogram is O(bins) per source regardless of
+    * corpus size, the same trade the GK sketch (q39) makes but exact over
+    * the binned domain and therefore oracle-restatable.
+    */
+  def calibratedQualityKeep(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, srcCol: String, textCol: String,
+      bins: Int = 50, cutFrac: Double = 0.5)
+      : org.apache.spark.sql.DataFrame = {
+    require(cutFrac >= 0.0 && cutFrac < 1.0, s"cutFrac in [0,1): $cutFrac")
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs.select(col(idCol), col(srcCol),
+        qualityBin(col(textCol), bins).as("bin"))
+      .filter(col("bin").isNotNull)
+    val hist = scored.groupBy(col(srcCol), col("bin"))
+      .agg(count(lit(1)).as("c"))
+    val perSrc = Window.partitionBy(srcCol)
+    val cum = hist.select(col(srcCol), col("bin"),
+      sum(col("c")).over(perSrc.orderBy(col("bin"))).as("cum"),
+      sum(col("c")).over(perSrc).as("n"))
+    val thr = cum.filter(col("cum") >= ceil(lit(cutFrac) * col("n")))
+      .groupBy(col(srcCol)).agg(min(col("bin")).as("thr"))
+    scored.join(broadcast(thr), Seq(srcCol))
+      .filter(col("bin") > col("thr"))
+      .select(col(idCol), col(srcCol), col("bin"))
   }
 }

@@ -733,6 +733,35 @@ object TextQueries {
         k = 4, w = 4, minShared = 2, maxDf = 50)
     },
 
+    // --- per-source quality calibration (CCNet-style): keep each source's
+    // --- top docs by lexical diversity, threshold CALIBRATED from that
+    // --- source's own histogram of integer quality bins — never a sort.
+    // --- Pass 1: corpus → |sources|·bins histogram (partial-agg'd);
+    // --- cumulative window over the tiny histogram picks the threshold
+    // --- bin (smallest b with cum ≥ ceil(cutFrac·n)); thresholds
+    // --- broadcast back onto pass 2's corpus re-scan; keep bin > thr.
+    q("txt29_quality_calibrate",
+      s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id, source,
+         |    CAST(least(floor(CAST(len(list_distinct(toks)) AS DOUBLE)/len(toks) * 50),
+         |      49) AS INT) AS bin
+         |  FROM t WHERE len(toks) > 0),
+         |h AS (SELECT source, bin, COUNT(*) AS c FROM s GROUP BY 1, 2),
+         |cum AS (SELECT source, bin,
+         |    SUM(c) OVER (PARTITION BY source ORDER BY bin) AS cum,
+         |    SUM(c) OVER (PARTITION BY source) AS n FROM h),
+         |thr AS (SELECT source, MIN(bin) AS thr FROM cum
+         |  WHERE cum >= ceil(0.5 * n) GROUP BY 1)
+         |SELECT s.source AS source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |  CAST(MIN(s.bin) AS INT) AS min_bin
+         |FROM s JOIN thr ON s.source = thr.source AND s.bin > thr.thr
+         |GROUP BY 1""".stripMargin) { (s, d) =>
+      TextOps.calibratedQualityKeep(Tables.documents(s, d),
+          "doc_id", "source", "text", bins = 50, cutFrac = 0.5)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), min(col("bin")).as("min_bin"))
+    },
+
     // --- SimHash (native expression vs 32-way SQL vote) -----------------------
     q("txt08_simhash",
       s"""WITH toks AS (SELECT doc_id, list_distinct($toksSql) AS t FROM documents),

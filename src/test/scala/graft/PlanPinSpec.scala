@@ -122,4 +122,16 @@ class PlanPinSpec extends AnyFunSuite {
     assert(countOf(p, "split(") == 1,
       s"tokenize must be let-bound (evaluated once), plan shows:\n$p")
   }
+
+  test("txt29: calibration thresholds broadcast back; corpus never sorted") {
+    val p = executed("txt29_quality_calibrate")
+    assert(p.contains("BroadcastHashJoin"),
+      "per-source thresholds are a tiny frame — must broadcast onto the corpus")
+    // the quantile comes from a histogram window over |sources|·bins rows;
+    // the corpus itself must never pass through a sort or a global window
+    assert(!p.contains("SinglePartition") || p.contains("Window"),
+      s"no global single-partition pass over the corpus:\n$p")
+    assert(countOf(p, "SortMergeJoin") == 0,
+      "threshold join must not sort-merge the corpus")
+  }
 }

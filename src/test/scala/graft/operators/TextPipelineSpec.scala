@@ -253,6 +253,49 @@ class TextPipelineSpec extends AnyFunSuite {
       sel.filter(_._1 == 102L).map(r => (r._2, r._3)).toSet)
   }
 
+  test("calibratedQualityKeep: per-source thresholds, kept ≥ dropped, bound") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, dir)
+    val kept = TextOps.calibratedQualityKeep(docs, "doc_id", "source", "text",
+      bins = 50, cutFrac = 0.5)
+    val scored = docs.select($"doc_id", $"source",
+        TextOps.qualityBin($"text", 50).as("bin"))
+      .filter($"bin".isNotNull)
+    val joined = scored.join(kept.select($"doc_id", lit(1).as("k")),
+      Seq("doc_id"), "left")
+    // per source: every kept doc outscores every dropped doc (threshold
+    // semantics), and the kept count respects the cut bound
+    val per = joined.groupBy($"source").agg(
+        min(when($"k" === 1, $"bin")).as("minKept"),
+        max(when($"k".isNull, $"bin")).as("maxDrop"),
+        sum(when($"k" === 1, 1L).otherwise(0L)).as("nKept"),
+        count(lit(1)).as("n"))
+      .as[(String, Option[Int], Option[Int], Long, Long)].collect()
+    assert(per.nonEmpty)
+    per.foreach { case (src, minKept, maxDrop, nKept, n) =>
+      for (a <- minKept; b <- maxDrop)
+        assert(a > b, s"$src: dropped bin $b outscores kept bin $a")
+      assert(nKept <= n - math.ceil(0.5 * n).toLong, s"$src kept $nKept of $n")
+    }
+    // the point of CALIBRATED thresholds: a clean and a noisy source each
+    // keep their own top half — a global cutoff would keep all of one and
+    // none of the other (diversity ranges are made disjoint: repeated
+    // tokens pull diversity low, unique tokens hold it at 1.0)
+    // clean docs spread over several high bins (a source whose entire mass
+    // sits in ONE bin keeps nothing — the documented granularity edge)
+    val synth = ((0 until 20).map(i =>
+        (i.toLong, "clean", ((0 until 12).map(j => s"u${i}w$j") ++
+          Seq.fill(i % 3)(s"u${i}w0")).mkString(" "))) ++
+      (0 until 20).map(i =>
+        (100L + i, "noisy", ("dup " * (8 + i) + s"tail$i").trim))
+      ).toDF("doc_id", "source", "text")
+    val keptSynth = TextOps.calibratedQualityKeep(synth, "doc_id", "source",
+        "text", bins = 50, cutFrac = 0.5)
+      .groupBy($"source").count().as[(String, Long)].collect().toMap
+    assert(keptSynth.keySet == Set("clean", "noisy"),
+      s"both sources must survive calibration: $keptSynth")
+  }
+
   test("winnowMatches: maxDf drops boilerplate fps; minShared thresholds") {
     import spark.implicits._
     val shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
