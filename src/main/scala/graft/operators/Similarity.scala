@@ -276,4 +276,57 @@ object Similarity {
       .select(col("b").as(idCol), col("dup_of"),
         col("cell").cast("bigint").as("cell"))
   }
+
+  /** Cross-corpus SEMANTIC decontamination: eval/benchmark vectors whose
+    * cosine against some training vector reaches `threshold` — the
+    * embedding-space analog of [[Dedup.crossCorpusNearDups]]'s LSH text path,
+    * catching paraphrased leaks that share no n-gram.
+    *
+    * Convenience form that trains the coarse quantizer on the training
+    * corpus; prefer [[semanticDecontaminateIndexed]] with a persisted
+    * [[IvfIndex]] — the SAME index built once for ANN search powers
+    * decontamination, and at 100 TB the clustering already exists on disk.
+    */
+  def semanticDecontaminate(train: DataFrame, eval: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, nLists: Int = 16, nProbe: Int = 3,
+      iters: Int = 2): DataFrame =
+    semanticDecontaminateIndexed(
+      IvfIndex.build(train, idCol, vecCol, nLists, iters),
+      eval, idCol, vecCol, threshold, nProbe)
+
+  /** [[semanticDecontaminate]] over a prebuilt index. Returns one row per
+    * contaminated `(eval_id, train_id)` pair with its cell and exact
+    * quantized cosine.
+    *
+    * Scale shape: the train side is already cell-partitioned by the index;
+    * each eval vector probes only its `nProbe` nearest cells (the
+    * [[IvfIndex.searchIndex]] probe rule — centroids broadcast, never a
+    * corpus-wide join), so the candidate set is Σ|probed cell| per eval
+    * vector instead of |train|. Eval sets are tiny next to a 100 TB train
+    * corpus, so the probe-cell frame broadcasts; a verbatim leak always
+    * lands in its twin's cell (identical vectors assign identically), and
+    * near-threshold leaks are caught within the probed cells — the same
+    * nProbe recall trade the ANN search path documents.
+    */
+  def semanticDecontaminateIndexed(index: IvfIndex.Index, eval: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      nProbe: Int = 3): DataFrame = {
+    val eq = eval.select(col(idCol).as("eval_id"),
+        quantize(col(vecCol)).as("pq"))
+      .withColumn("n2p", dotQ(col("pq"), col("pq")))
+    val probeCells = eq.crossJoin(broadcast(index.centroids))
+      .select(col("eval_id"), col("cell"),
+        IvfIndex.l2Q(col("pq"), col("cv")).as("d2"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("eval_id")).orderBy(col("d2"), col("cell"))))
+      .filter(col("_rn") <= nProbe)
+      .select("eval_id", "cell")
+    probeCells.join(index.assigned, Seq("cell"))
+      .join(eq, Seq("eval_id"))
+      .select(col("eval_id"), col("neighbor_id").as("train_id"),
+        col("cell").cast("bigint").as("cell"),
+        cosineQWithNorms(col("pq"), col("cq"), col("n2p"), col("n2c"))
+          .as("sim"))
+      .filter(col("sim") >= threshold)
+  }
 }

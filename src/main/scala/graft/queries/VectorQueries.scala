@@ -423,6 +423,45 @@ object VectorQueries {
         m = 16, nCodes = 32, iters = 2, rerankN = 32)
     },
 
+    // --- cross-corpus SEMANTIC decontamination: eval vectors whose cosine
+    // --- against some training vector reaches τ — the embedding-space analog
+    // --- of txt16's LSH text path, catching paraphrased leaks with no shared
+    // --- n-gram. The train side is cell-partitioned by the SAME IVF index the
+    // --- ANN path persists; each eval vector probes its 3 nearest cells
+    // --- (centroids broadcast), so candidates are Σ|probed cell|, never
+    // --- |train|·|eval|. Planted: identical copies (sim 1.0, caught) and
+    // --- reversed vectors (max sim 0.516 — below τ, clean). ----------------
+    q("vec13_semantic_decontaminate",
+      s"""WITH $quantSql,
+         |c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, qv AS cv
+         |  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 16) s),
+         |${lloydSql(1, "c0", "q")},
+         |${lloydSql(2, "c1", "q")},
+         |${assignSql("asg", "train_id", "q")},
+         |ev AS (SELECT vec_id + 30000 AS vec_id, embedding FROM embeddings WHERE vec_id % 7 = 0
+         |  UNION ALL SELECT vec_id + 40000, list_reverse(embedding) FROM embeddings WHERE vec_id % 5 = 0),
+         |eq AS (SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1024) AS BIGINT) for x in embedding] AS qv
+         |  FROM ev),
+         |en AS (SELECT vec_id, qv, CAST(list_sum([x*x for x in qv]) AS BIGINT) AS n2 FROM eq),
+         |${assignSql("pc", "eval_id", "eq", rnBound = "rn <= 3")}
+         |SELECT * FROM (
+         |  SELECT pc.eval_id, asg.train_id, CAST(asg.cell AS BIGINT) AS cell,
+         |    CAST(CAST(list_sum([t.qv[i]*e.qv[i] for i in generate_series(1, len(t.qv))]) AS BIGINT) AS DOUBLE)
+         |      / (sqrt(CAST(t.n2 AS DOUBLE))*sqrt(CAST(e.n2 AS DOUBLE))) AS sim
+         |  FROM pc JOIN asg ON pc.cell = asg.cell
+         |  JOIN n t ON t.vec_id = asg.train_id
+         |  JOIN en e ON e.vec_id = pc.eval_id) z
+         |WHERE sim >= 0.999""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val eval = emb.filter(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + 30000).as("vec_id"), col("embedding"))
+        .unionByName(emb.filter(col("vec_id") % 5 === 0)
+          .select((col("vec_id") + 40000).as("vec_id"),
+            reverse(col("embedding")).as("embedding")))
+      Similarity.semanticDecontaminate(emb, eval, "vec_id", "embedding",
+        threshold = 0.999, nLists = 16, nProbe = 3, iters = 2)
+    },
+
     // --- multimodal: opaque binary column + batched executor-side decode ------
     q("mm01_media_meta",
       """WITH raw AS (SELECT doc_id, source AS format, CAST(strlen(text) AS INT) AS n_bytes,

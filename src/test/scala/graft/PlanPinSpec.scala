@@ -123,6 +123,16 @@ class PlanPinSpec extends AnyFunSuite {
       s"tokenize must be let-bound (evaluated once), plan shows:\n$p")
   }
 
+  test("vec13: decontamination joins train cells hashed, never all-pairs") {
+    val p = executed("vec13_semantic_decontaminate")
+    // eval×train must go through the cell equi-join — the ONLY permitted
+    // nested-loop is the 16-row centroid broadcast for probe assignment
+    assert(!p.contains("CartesianProduct"),
+      s"decontamination went all-pairs:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"cell join must be an equi-join:\n$p")
+  }
+
   test("txt29: calibration thresholds broadcast back; corpus never sorted") {
     val p = executed("txt29_quality_calibrate")
     assert(p.contains("BroadcastHashJoin"),

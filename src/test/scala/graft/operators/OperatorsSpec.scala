@@ -448,6 +448,39 @@ class SimilaritySpec extends AnyFunSuite {
       .select("vec_id", "dup_of").as[(Long, Long)].collect().toMap
     assert(viaIndex == dups)
   }
+
+  test("semanticDecontaminate: finds every brute-force leak via probed cells") {
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    // eval = verbatim leaks (identical vectors) + clean decoys (reversed)
+    val eval = emb.filter($"vec_id" % 7 === 0)
+      .select(($"vec_id" + 30000).as("vec_id"), $"embedding")
+      .unionByName(emb.filter($"vec_id" % 5 === 0)
+        .select(($"vec_id" + 40000).as("vec_id"),
+          reverse($"embedding").as("embedding")))
+    val got = Similarity.semanticDecontaminate(emb, eval, "vec_id",
+        "embedding", threshold = 0.999, nLists = 8, nProbe = 3, iters = 2)
+      .select($"eval_id", $"train_id").as[(Long, Long)].collect().toSet
+    // ground truth: exact quantized cosine over the full cross product
+    val q = emb.select($"vec_id",
+      Similarity.quantize($"embedding").as("qv"))
+    val e = eval.select($"vec_id".as("eid"),
+      Similarity.quantize($"embedding").as("qe"))
+    val truth = e.crossJoin(q)
+      .filter(Similarity.cosineQ($"qe", $"qv") >= 0.999)
+      .select($"eid", $"vec_id").as[(Long, Long)].collect().toSet
+    assert(got == truth, s"missed ${truth -- got}, extra ${got -- truth}")
+    // every verbatim leak is caught, every reversed decoy stays clean
+    assert(truth.nonEmpty)
+    assert(got.forall(_._1 < 40000), "reversed decoys must not match")
+    val planted = emb.filter($"vec_id" % 7 === 0)
+      .select(($"vec_id" + 30000)).as[Long].collect().toSet
+    assert(planted.subsetOf(got.map(_._1)),
+      "every verbatim leak must be flagged")
+    // pairs are strictly cross-corpus by construction: eval ids ≥ 30000,
+    // train ids below
+    assert(got.forall(p => p._1 >= 30000 && p._2 < 30000))
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
