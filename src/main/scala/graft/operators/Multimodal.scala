@@ -49,6 +49,11 @@ object Multimodal {
       * fixed-size-output contract a training-batch assembler requires).
       */
     def resize(blob: Array[Byte], w: Int, h: Int): Array[Byte]
+    /** Decode to 8-bit PCM samples in [0, 255] (a real audio codec: demux +
+      * decode + resample; the default stub: the payload bytes ARE the
+      * samples). Default implementation so existing codecs stay pluggable.
+      */
+    def pcm(blob: Array[Byte]): Array[Int] = blob.map(b => b & 0xff)
   }
 
   /** ??? real decode goes here — the in-repo STUB: deterministic byte-level
@@ -201,6 +206,53 @@ object Multimodal {
             require(px.length == w * h,
               s"codec broke the fixed-size contract: ${px.length} != ${w * h}")
             Resized(id, w, h, px)
+          }
+        }
+      }
+  }
+
+  /** One overlapping audio feature window. */
+  final case class AudioWindow(doc_id: Long, win_idx: Int, n_samples: Int,
+      energy: Long, zero_crossings: Int)
+
+  /** Overlapping audio feature windows (STFT-style framing: length `win`,
+    * stride `hop` — 50 % overlap by default, the standard speech framing,
+    * unlike [[frameSample]]'s disjoint video frames): per window, the
+    * integer energy Σ(s−128)² over centered samples and the zero-crossing
+    * count — the two classic silence/voicing discriminators an audio
+    * curation pipeline filters on before transcription.
+    *
+    * The sample decode is the codec's ([[MediaCodec.pcm]]; stub: payload
+    * bytes are the samples); the framing arithmetic, integer features
+    * (exact on every engine — no float accumulation), and batched
+    * executor plumbing are codec-agnostic. Window `j` starts at `j·hop`
+    * for every start below the sample count, so trailing windows shorten
+    * rather than drop — silence at the clip tail still gets a window.
+    * Empty blobs produce no windows.
+    */
+  def audioWindows(blobs: DataFrame, win: Int = 64, hop: Int = 32,
+      batchSize: Int = 64, codec: MediaCodec = StubCodec): Dataset[AudioWindow] = {
+    require(win > 0 && hop > 0, "win and hop must be positive")
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select("doc_id", "format", "blob")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // per-batch decoder setup would happen here
+          batch.iterator.flatMap { case (id, _, blob) =>
+            val s = codec.pcm(blob)
+            (s.indices by hop).iterator.zipWithIndex.map { case (st, j) =>
+              val end = math.min(st + win, s.length)
+              var energy = 0L; var zc = 0; var i = st
+              while (i < end) {
+                val c = s(i) - 128
+                energy += c.toLong * c
+                if (i > st && ((s(i - 1) - 128 < 0) != (c < 0))) zc += 1
+                i += 1
+              }
+              AudioWindow(id, j, end - st, energy, zc)
+            }
           }
         }
       }

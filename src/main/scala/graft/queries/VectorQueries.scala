@@ -554,6 +554,45 @@ object VectorQueries {
             frameBytes = 256, every = 4))
         .toDF().select("doc_id", "frame_idx", "n_bytes", "checksum",
           "width", "height")
+    },
+
+    // --- multimodal audio path (mm05): overlapping STFT-style windows
+    // --- (len 64, hop 32) over stub-decoded 8-bit PCM; per window the
+    // --- integer energy Σ(s−128)² and the zero-crossing count — the
+    // --- silence/voicing features an audio pipeline filters on. The oracle
+    // --- restates the framing (window j = samples [j·32+1, j·32+64], every
+    // --- start below the sample count) and both integer features; per-doc
+    // --- sums fold every window so one wrong boundary fails the hash.
+    // --- ASCII docs only: chars ≡ bytes makes unicode(substr) the sample. --
+    q("mm05_audio_windows",
+      """WITH s AS (SELECT doc_id,
+        |    [CAST(unicode(substr(text, i, 1)) AS BIGINT) - 128
+        |     for i in generate_series(1, strlen(text))] AS c
+        |  FROM documents WHERE strlen(text) = length(text) AND strlen(text) > 0),
+        |j0 AS (SELECT doc_id, c,
+        |    unnest(generate_series(0, (len(c)-1)//32)) AS j FROM s),
+        |w AS (SELECT doc_id, j, c[CAST(j*32+1 AS INT) : CAST(j*32+64 AS INT)] AS win
+        |  FROM j0),
+        |f AS (SELECT doc_id, j,
+        |    CAST(list_sum([x*x for x in win]) AS BIGINT) AS energy,
+        |    CAST(len([i for i in generate_series(1, len(win)-1)
+        |      if (win[i] < 0) <> (win[i+1] < 0)]) AS BIGINT) AS zc
+        |  FROM w)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+        |  CAST(SUM(energy) AS BIGINT) AS sum_energy,
+        |  CAST(SUM(zc) AS BIGINT) AS sum_zc,
+        |  CAST(MAX(energy) AS BIGINT) AS max_energy
+        |FROM f GROUP BY 1""".stripMargin) { (s, d) =>
+      val ascii = Tables.documents(s, d)
+        .filter(octet_length(col("text")) === length(col("text")) &&
+          octet_length(col("text")) > 0)
+      Multimodal.audioWindows(
+          Multimodal.withBlob(ascii, "text", "source"), win = 64, hop = 32)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_windows"),
+          sum(col("energy")).as("sum_energy"),
+          sum(col("zero_crossings")).as("sum_zc"),
+          max(col("energy")).as("max_energy"))
     }
   )
 }

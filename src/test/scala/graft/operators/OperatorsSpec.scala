@@ -541,11 +541,11 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.view.mapValues(_.pixels.toSeq).toMap == again)
   }
 
-  test("MediaCodec is a pluggable seam: a custom codec drives all three paths") {
+  test("MediaCodec is a pluggable seam: a custom codec drives all four paths") {
     import spark.implicits._
     // a fake "real" codec: constant 2-frame segmentation, fixed features,
-    // all-42 resize — wrong for bytes, RIGHT for proving the plumbing calls
-    // the trait and nothing else
+    // all-42 resize, constant PCM — wrong for bytes, RIGHT for proving the
+    // plumbing calls the trait and nothing else
     object TestCodec extends Multimodal.MediaCodec {
       def decode(id: Long, fmt: String, blob: Array[Byte]) =
         Multimodal.MediaMeta(id, s"custom-$fmt", blob.length, 99L, 1, 1)
@@ -555,6 +555,9 @@ class MultimodalSpec extends AnyFunSuite {
         Array(i.toByte)
       def resize(blob: Array[Byte], w: Int, h: Int): Array[Byte] =
         Array.fill(w * h)(42.toByte)
+      // a real decoder would resample: 3 constant samples per blob byte
+      override def pcm(blob: Array[Byte]): Array[Int] =
+        Array.fill(blob.length * 3)(200)
     }
     val blobs = Seq((1L, "img", Array.fill[Byte](10)(5)))
       .toDF("doc_id", "format", "blob")
@@ -566,6 +569,41 @@ class MultimodalSpec extends AnyFunSuite {
       Seq((0, Seq(0.toByte)), (1, Seq(1.toByte))))
     val rs = Multimodal.resizeBatched(blobs, 2, 2, codec = TestCodec).collect().head
     assert(rs.pixels.toSeq == Seq.fill(4)(42.toByte))
+    // 30 codec samples at hop 32 → ONE window of all-200 (centered 72):
+    // the window count proves audioWindows frames the CODEC's samples,
+    // not the raw bytes
+    val aw = Multimodal.audioWindows(blobs, win = 64, hop = 32,
+      codec = TestCodec).collect()
+    assert(aw.toSeq == Seq(
+      Multimodal.AudioWindow(1L, 0, 30, 30L * 72 * 72, 0)))
+  }
+
+  test("audioWindows: framing arithmetic, features exact, batch-invariant") {
+    import spark.implicits._
+    // 100 samples alternating 100/156 (centered −28/+28): every adjacent
+    // pair crosses zero, so a full 64-window has 63 crossings and energy
+    // 64·28² — closed-form ground truth for every feature
+    val wave = Array.tabulate[Byte](100)(i => if (i % 2 == 0) 100.toByte else 156.toByte)
+    val blobs = Seq((1L, "wav", wave), (2L, "wav", Array.empty[Byte]),
+      (3L, "wav", Array.fill[Byte](5)(128.toByte)))
+      .toDF("doc_id", "format", "blob")
+    val got = Multimodal.audioWindows(blobs, win = 64, hop = 32).collect()
+      .groupBy(_.doc_id)
+    // starts 0, 32, 64, 96 → windows of 64, 64, 36, 4 samples
+    val w1 = got(1L).sortBy(_.win_idx)
+    assert(w1.map(w => (w.win_idx, w.n_samples)).toSeq ==
+      Seq((0, 64), (1, 64), (2, 36), (3, 4)))
+    assert(w1.take(2).forall(w => w.energy == 64L * 28 * 28 &&
+      w.zero_crossings == 63))
+    assert(w1(2).energy == 36L * 28 * 28 && w1(2).zero_crossings == 35)
+    // empty blob: no windows; constant-128 blob: one silent window
+    assert(!got.contains(2L))
+    assert(got(3L).toSeq == Seq(Multimodal.AudioWindow(3L, 0, 5, 0L, 0)))
+    // batch size must not affect results
+    val again = Multimodal.audioWindows(blobs, win = 64, hop = 32,
+      batchSize = 1).collect().sortBy(w => (w.doc_id, w.win_idx)).toSeq
+    assert(again == Multimodal.audioWindows(blobs, win = 64, hop = 32,
+      batchSize = 7).collect().sortBy(w => (w.doc_id, w.win_idx)).toSeq)
   }
 
   test("oversize blobs follow the error policy: log drops, exit fails") {
