@@ -47,6 +47,47 @@ object Layout {
   def morton2(x: Column, y: Column): Column =
     spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
 
+  /** Hilbert-curve index of two `bits`-bit coordinates — the layout key
+    * with strictly better locality than [[morton2]]: consecutive Hilbert
+    * positions are ALWAYS Manhattan-adjacent cells (Z-order jumps across
+    * the plane at every power-of-two boundary), so range-partitioned files
+    * cover tighter rectangles and per-file min-max stats prune harder.
+    * This is the same upgrade Delta/Iceberg made over Z-order clustering.
+    *
+    * The standard per-bit rotate-and-accumulate walk (Hilbert 1891; the
+    * iterative xy2d formulation is textbook): for each bit level s from
+    * high to low, the quadrant (rx, ry) contributes s²·((3·rx) XOR ry)
+    * curve positions and the sub-square's frame rotates/reflects. Each
+    * level is LET-BOUND ([[TextOps.bind]]): the rotation reads the
+    * previous level's (x, y) four times, so naive unrolling would square
+    * the expression tree per level — 4^bits nodes by the last. Bound, the
+    * tree is O(bits) and every step is codegen'd integer arithmetic.
+    *
+    * Values are masked to `bits` bits — callers map their domain onto the
+    * grid first, exactly as with [[morton2]].
+    */
+  def hilbert2(xIn: Column, yIn: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits in [1, 31]: $bits")
+    val mask = (1L << bits) - 1
+    var acc: Column = struct(xIn.bitwiseAND(lit(mask)).as("x"),
+      yIn.bitwiseAND(lit(mask)).as("y"), lit(0L).as("d"))
+    for (i <- bits - 1 to 0 by -1) {
+      val s = 1L << i
+      acc = TextOps.bind(acc, a => {
+        val (x, y, d) = (a("x"), a("y"), a("d"))
+        val rx = when(x.bitwiseAND(lit(s)) > lit(0L), lit(1L)).otherwise(lit(0L))
+        val ry = when(y.bitwiseAND(lit(s)) > lit(0L), lit(1L)).otherwise(lit(0L))
+        struct(
+          when(ry === 0 && rx === 1, lit(s - 1) - y)
+            .when(ry === 0, y).otherwise(x).as("x"),
+          when(ry === 0 && rx === 1, lit(s - 1) - x)
+            .when(ry === 0, x).otherwise(y).as("y"),
+          (d + lit(s * s) * (lit(3L) * rx).bitwiseXOR(ry)).as("d"))
+      })
+    }
+    acc("d")
+  }
+
   /** Write `df` Z-ordered on (x, y) as `numFiles` parquet files under
     * `path`: range-partition by the Morton key (contiguous key ranges per
     * file — the property that makes per-file min-max stats tight), sort

@@ -963,6 +963,49 @@ object RelationalQueries {
           .bitwiseAND(lit(65535L)).as("y"))
       b.select(col("o_orderkey"), col("x"), col("y"),
         graft.operators.Layout.morton2(col("x"), col("y")).as("z"))
+    },
+
+    // --- Hilbert layout key (q49): the locality upgrade over q41's Z-order —
+    // --- consecutive Hilbert positions are ALWAYS adjacent cells, so range-
+    // --- partitioned files cover tighter rectangles and min-max stats prune
+    // --- harder (the same move Delta/Iceberg made over Z-order). The oracle
+    // --- unrolls the 16 rotate-and-accumulate bit levels as a CTE ladder
+    // --- (q41's spread-ladder style); Spark runs the identical walk as 16
+    // --- let-bound codegen'd integer steps. ----------------------------------
+    q("q49_hilbert_key",
+      s"""WITH b AS (SELECT o_orderkey,
+         |    o_custkey & 65535 AS x,
+         |    date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) & 65535 AS y,
+         |    CAST(0 AS BIGINT) AS d
+         |  FROM orders),
+         |${hilbertLadderSql(16)}
+         |SELECT b.o_orderkey, b.x, b.y, g0.d AS h
+         |FROM b JOIN g0 USING (o_orderkey)""".stripMargin) { (s, d) =>
+      val b = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey").bitwiseAND(lit(65535L)).as("x"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
+          .bitwiseAND(lit(65535L)).as("y"))
+      b.select(col("o_orderkey"), col("x"), col("y"),
+        graft.operators.Layout.hilbert2(col("x"), col("y")).as("h"))
     }
   )
+
+  /** DuckDB twin of Layout.hilbert2: one (rx/ry, rotate, accumulate) CTE
+    * pair per bit level, high to low — the q41 spread-ladder style extended
+    * to the Hilbert walk. Starts from CTE `b(o_orderkey, x, y, d)`.
+    */
+  private def hilbertLadderSql(bits: Int): String =
+    (bits - 1 to 0 by -1).map { i =>
+      val s = 1L << i
+      val prev = if (i == bits - 1) "b" else s"g${i + 1}"
+      s"""r$i AS (SELECT o_orderkey,
+         |  CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END AS rx,
+         |  CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END AS ry, x, y, d FROM $prev),
+         |g$i AS (SELECT o_orderkey,
+         |  CASE WHEN ry = 0 AND rx = 1 THEN ${s - 1} - y
+         |       WHEN ry = 0 THEN y ELSE x END AS x,
+         |  CASE WHEN ry = 0 AND rx = 1 THEN ${s - 1} - x
+         |       WHEN ry = 0 THEN x ELSE y END AS y,
+         |  d + CAST(${s * s} AS BIGINT) * xor(3 * rx, ry) AS d FROM r$i)""".stripMargin
+    }.mkString(",\n")
 }

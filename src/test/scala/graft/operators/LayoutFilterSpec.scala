@@ -57,6 +57,42 @@ class LayoutFilterSpec extends AnyFunSuite {
       }.sum))
   }
 
+  test("hilbert2: bijection + unit-step locality on the full 16×16 grid") {
+    // the defining property Z-order lacks: walking the curve in d-order
+    // moves exactly ONE cell (Manhattan) per step. Checking every cell of
+    // a 4-bit grid validates all rotation/reflection branches.
+    val cells = for (x <- 0 until 16; y <- 0 until 16) yield (x.toLong, y.toLong)
+    val got = cells.toDF("x", "y")
+      .select($"x", $"y", Layout.hilbert2($"x", $"y", bits = 4).as("d"))
+      .as[(Long, Long, Long)].collect().sortBy(_._3)
+    assert(got.map(_._3).toSeq == (0L until 256L), "d must be a bijection")
+    got.sliding(2).foreach { case Array((x1, y1, _), (x2, y2, _)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"non-adjacent step ($x1,$y1)→($x2,$y2)")
+    }
+    // full-width agreement with the straight-line reference walk
+    def ref(bits: Int, x0: Long, y0: Long): Long = {
+      var (x, y, d) = (x0, y0, 0L); var s = 1L << (bits - 1)
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s >>= 1
+      }
+      d
+    }
+    val rnd = new scala.util.Random(42)
+    val pts = Seq.fill(64)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val wide = pts.toDF("x", "y")
+      .select($"x", $"y", Layout.hilbert2($"x", $"y").as("d"))
+      .as[(Long, Long, Long)].collect()
+    wide.foreach { case (x, y, d) => assert(d == ref(16, x, y), s"($x,$y)") }
+  }
+
   test("z-ordered layout clusters a 2-D box into few files") {
     val path = java.nio.file.Files.createTempDirectory("zorder").toString
     // 64×64 grid, 16 files ⇒ 256 rows/file; a Z-ordered 8×8 box at the
