@@ -311,6 +311,54 @@ class PropertySpec extends AnyFunSuite {
     check("passageStats", 10)(prop)
   }
 
+  test("winnowFingerprints equals the straight-line walk; shared runs intersect") {
+    import spark.implicits._
+    val (k, w) = (3, 3)
+    def hex32(s: String, salt: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$salt:$s".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16)
+    }
+    def ref(text: String): Set[(Int, Long)] = {
+      val toks = text.split(" ").filter(_.nonEmpty).toSeq
+      val grams = if (toks.length < k) Seq.empty[String]
+        else toks.sliding(k).map(_.mkString(" ")).toSeq
+      val hp = grams.zipWithIndex.map { case (g, i) => (hex32(g, 7), i) }
+      if (hp.isEmpty) Set.empty
+      else (0 until math.max(hp.length - (w - 1), 1)).map { j =>
+        hp.slice(j, math.min(j + w, hp.length))
+          .reduceLeft((a, x) =>
+            if (x._1 < a._1 || (x._1 == a._1 && x._2 > a._2)) x else a)
+      }.toSet.map((p: (Long, Int)) => (p._2, p._1))
+    }
+    // tiny vocab ⇒ repeated grams ⇒ equal hashes ⇒ the tie branch runs
+    val tok = Gen.oneOf("a", "b", "c")
+    val docGen = Gen.listOf(tok).map(_.mkString(" "))
+    val runGen = Gen.listOfN(w + k - 1, tok).map(_.mkString(" "))
+    val prop = Prop.forAll(docGen, docGen, docGen, runGen, Gen.chooseNum(1, 4)) {
+      (pad1, pad2, tail2, run, nParts) =>
+        // docs 0 and 1 share a guaranteed w+k−1-token run at random offsets
+        val docs = Seq(
+          (0L, s"$pad1 $run".trim),
+          (1L, s"$pad2 $run $tail2".trim),
+          (2L, pad1.trim))
+        val got = Dedup.winnowFingerprints(
+            docs.toDF("doc_id", "text").repartition(nParts),
+            "doc_id", "text", k, w)
+          .as[(Long, Int, Long)].collect()
+          .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+        docs.forall { case (id, text) =>
+          got.getOrElse(id, Set.empty) == ref(text)
+        } && {
+          val shared = got.getOrElse(0L, Set.empty).map(_._2)
+            .intersect(got.getOrElse(1L, Set.empty).map(_._2))
+          shared.nonEmpty // the SIGMOD'03 theorem
+        }
+    }
+    check("winnowFingerprints", 10)(prop)
+  }
+
   // --------------------------------------------------------- RangeJoinRewrite
 
   test("RangeJoinRewrite: on ≡ off for random inputs incl. NaN/±Inf/null/inverted") {
