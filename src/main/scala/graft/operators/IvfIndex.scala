@@ -166,6 +166,60 @@ object IvfIndex {
       .select(col("id").as("neighbor_id"), col("qv").as("cq"), col("cell"))
       .withColumn("n2c", Similarity.dotQ(col("cq"), col("cq")))
 
+  /** Remove vectors by id WITHOUT retraining — the delete mirror of
+    * [[append]]: centroids stay frozen, the dropped ids anti-join out of
+    * the assignment (ids and codes travel, never full vectors). Same drift
+    * caveat as append: heavy deletion skews cells; monitor and retrain.
+    */
+  def remove(index: Index, ids: DataFrame, idCol: String): Index =
+    Index(index.centroids, index.assigned.join(
+      ids.select(col(idCol).as("neighbor_id")), Seq("neighbor_id"), "left_anti"))
+
+  /** [[remove]] against a SAVED index: only the cells that actually held a
+    * dropped id are rewritten (dynamic partition overwrite over the
+    * touched-cell filter); untouched cells are neither read nor written and
+    * the centroids file never changes — the deletion analog of
+    * [[appendSaved]]'s touched-partition write. The touched-cell collect is
+    * bounded by nLists.
+    *
+    * A cell EMPTIED by the delete writes zero rows, and dynamic overwrite
+    * only replaces partitions present in the output — its stale files would
+    * silently survive, so emptied partitions are deleted explicitly (the
+    * same rule MaterializedTable applies to fully-tombstoned buckets).
+    * Deleting EVERY vector leaves a directory no parquet reader can infer a
+    * schema from; an index over nothing is meaningless, so that terminal
+    * state is unsupported — drop the directory instead.
+    */
+  def removeSaved(spark: org.apache.spark.sql.SparkSession, dir: String,
+      ids: DataFrame, idCol: String): Index = {
+    val drop = ids.select(col(idCol).as("neighbor_id"))
+    val assigned = spark.read.parquet(s"$dir/assigned")
+    val touched = assigned.join(drop, Seq("neighbor_id"), "left_semi")
+      .select(col("cell").cast("int")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (touched.nonEmpty) {
+      val remaining = assigned
+        .filter(col("cell").isin(touched.map(Integer.valueOf).toSeq: _*))
+        .join(drop, Seq("neighbor_id"), "left_anti")
+        // materialize BEFORE the write: the plan reads the same path the
+        // write overwrites (and it is consumed again for the written-cell
+        // list below)
+        .localCheckpoint()
+      remaining.repartition(col("cell"))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell").parquet(s"$dir/assigned")
+      val written = remaining.select(col("cell").cast("int")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      for (c <- touched if !written.contains(c)) {
+        val p = new org.apache.hadoop.fs.Path(s"$dir/assigned/cell=$c")
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+    }
+    load(spark, dir)
+  }
+
   /** [[append]] against a SAVED index: the new batch's assigned rows are
     * appended as new parquet files in the touched `cell=` partitions only —
     * cells receiving no new vectors are neither read nor written, and the

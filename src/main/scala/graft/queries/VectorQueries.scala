@@ -83,14 +83,14 @@ object VectorQueries {
     * centroids frozen from the base build, appended vectors assigned to
     * their nearest existing cell.
     */
-  private def ivfSqlOn(trainSrc: String): String =
+  private def ivfSqlOn(trainSrc: String, idxWhere: String = ""): String =
     s"""WITH $quantSql,
        |qe AS (SELECT vec_id, qv FROM q WHERE vec_id % 2 = 0),
        |c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, qv AS cv
        |  FROM (SELECT vec_id, qv FROM $trainSrc ORDER BY vec_id LIMIT 16) s),
        |${lloydSql(1, "c0", trainSrc)},
        |${lloydSql(2, "c1", trainSrc)},
-       |${assignSql("idx", "neighbor_id", "q")},
+       |${assignSql("idx", "neighbor_id", "q", idxWhere)},
        |${assignSql("pc", "probe_id", "n", " WHERE n.vec_id < 10", "rn <= 4")},
        |scored AS (SELECT pc.probe_id, idx.neighbor_id,
        |  CAST(CAST(list_sum([p.qv[i]*c.qv[i] for i in generate_series(1, len(p.qv))]) AS BIGINT) AS DOUBLE)
@@ -312,6 +312,23 @@ object VectorQueries {
       val appended = graft.operators.IvfIndex.append(
         base, emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
       graft.operators.IvfIndex.searchIndex(emb.filter(col("vec_id") < 10), appended,
+        "vec_id", "embedding", k = 3, nProbe = 4)
+    },
+
+    // --- IVF index DELETE (vec14): the maintenance mirror of vec07's append —
+    // --- centroids frozen, dropped ids anti-joined out of the assignment
+    // --- (never the full vectors), search then sees only survivors. The
+    // --- oracle trains on the FULL corpus but restricts the assignment to
+    // --- the remaining ids — per-vector assignment is independent, so
+    // --- remove ≡ assign-only-survivors exactly. --------------------------
+    q("vec14_ann_ivf_remove",
+      ivfSqlOn(trainSrc = "q", idxWhere = " WHERE q.vec_id % 3 <> 0")) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val base = graft.operators.IvfIndex.build(
+        emb, "vec_id", "embedding", nLists = 16, iters = 2)
+      val pruned = graft.operators.IvfIndex.remove(
+        base, emb.filter(col("vec_id") % 3 === 0).select("vec_id"), "vec_id")
+      graft.operators.IvfIndex.searchIndex(emb.filter(col("vec_id") < 10), pruned,
         "vec_id", "embedding", k = 3, nProbe = 4)
     },
 

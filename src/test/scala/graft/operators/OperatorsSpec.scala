@@ -354,6 +354,57 @@ class SimilaritySpec extends AnyFunSuite {
       canon(IvfIndex.searchIndex(probes, appended, "vec_id", "embedding", k = 3, nProbe = 4)))
   }
 
+  test("IVF remove: survivors exact, append restores, removeSaved per-cell") {
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, dir)
+    val base = IvfIndex.build(emb, "vec_id", "embedding", nLists = 8, iters = 2)
+    def rowsOf(a: org.apache.spark.sql.DataFrame) =
+      a.select($"neighbor_id", $"cell".cast("int")).as[(Long, Int)].collect().toSet
+    val baseSet = rowsOf(base.assigned)
+    val dropIds = emb.filter($"vec_id" % 3 === 0).select("vec_id")
+    val pruned = IvfIndex.remove(base, dropIds, "vec_id")
+    // exactly the survivors, in their original cells — nothing reassigned
+    assert(rowsOf(pruned.assigned) == baseSet.filterNot(_._1 % 3 == 0))
+    // search never surfaces a removed neighbor
+    val res = IvfIndex.searchIndex(emb.filter($"vec_id" < 10), pruned,
+      "vec_id", "embedding", k = 3, nProbe = 4)
+    assert(res.filter($"neighbor_id" % 3 === 0).count() == 0)
+    // delete → re-append the same vectors restores the assignment exactly
+    // (centroids frozen throughout, so assignment is reproducible)
+    val restored = IvfIndex.append(pruned,
+      emb.filter($"vec_id" % 3 === 0), "vec_id", "embedding")
+    assert(rowsOf(restored.assigned) == baseSet)
+
+    // removeSaved ≡ in-memory remove; cells holding no dropped id keep
+    // their exact file sets (the per-cell rewrite claim)
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_ivf_rm").toString
+    base.save(idxDir)
+    def cellFiles() = new java.io.File(s"$idxDir/assigned").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(f =>
+        f.getName -> f.listFiles().map(_.getName).toSet).toMap
+    val before = cellFiles()
+    val touched = base.assigned
+      .join(dropIds.select($"vec_id".as("neighbor_id")), Seq("neighbor_id"), "left_semi")
+      .select($"cell".cast("int")).distinct().as[Int].collect().toSet
+    val loaded = IvfIndex.removeSaved(spark, idxDir, dropIds, "vec_id")
+    val after = cellFiles()
+    for ((cell, files) <- before if !touched.contains(cell.stripPrefix("cell=").toInt))
+      assert(after(cell) == files, s"untouched $cell must keep its files")
+    assert(rowsOf(loaded.assigned) == rowsOf(pruned.assigned))
+
+    // a cell emptied by the delete loses its partition directory outright
+    // (dynamic overwrite alone would keep the stale files)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_ivf_rm2").toString
+    base.save(dir2)
+    val someCell = base.assigned.select($"cell".cast("int")).as[Int].head()
+    val cellIds = base.assigned.filter($"cell" === someCell)
+      .select($"neighbor_id".as("vec_id"))
+    val l2 = IvfIndex.removeSaved(spark, dir2, cellIds, "vec_id")
+    assert(!new java.io.File(s"$dir2/assigned/cell=$someCell").exists(),
+      "emptied cell partition must be deleted")
+    assert(l2.assigned.filter($"cell" === someCell).count() == 0)
+  }
+
   test("IVF with nProbe == nLists reproduces brute-force top-k exactly") {
     import spark.implicits._
     val emb = graft.Tables.embeddings(spark, dir)
