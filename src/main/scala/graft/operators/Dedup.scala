@@ -351,6 +351,38 @@ object Dedup {
           .as("overlap_frac"))
   }
 
+  /** Corpus n-gram novelty: per document, how many of its DISTINCT n-grams
+    * first appear in THIS document, scanning the corpus in ascending id
+    * order — the memorization-pressure signal curation pipelines threshold
+    * on (a document whose grams are mostly old adds repetition, not
+    * information; Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", measure exactly this overlap class).
+    *
+    * Returns one row per input doc: (id, n_grams, n_novel, novelty_frac),
+    * `novelty_frac` null for docs below `n` tokens (no grams — same
+    * convention as [[ngramOverlap]]).
+    *
+    * Scale shape: [[passageStats]]'s dataflow over gram keys — one explode
+    * to md5 keys (gram TEXT never shuffles), a partial-agg'd min-id winner
+    * per gram, one hash equi-join back, one per-doc rollup. Shuffles are
+    * O(distinct (doc, gram)) 16-byte keys.
+    */
+  def noveltyStats(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 4): DataFrame = {
+    val grams = gramKeys(docs, idCol, textCol, n)
+      .select(col(idCol), col("g")).distinct()
+    val first = grams.groupBy(col("g")).agg(min(col(idCol)).as("_first"))
+    val perDoc = grams.join(first, Seq("g"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum((col("_first") === col(idCol)).cast("long")).as("n_novel"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol.toString), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        (col("n_novel").cast("double") / col("n_grams")).as("novelty_frac"))
+  }
+
   /** Hash-family salt for winnowing gram hashes (shared with the oracle). */
   private val WinnowSalt = 7
 

@@ -762,6 +762,30 @@ object TextQueries {
         .agg(count(lit(1)).as("n_kept"), min(col("bin")).as("min_bin"))
     },
 
+    // --- corpus n-gram novelty (txt30): per doc, the fraction of its
+    // --- distinct 4-grams that FIRST appear in this doc by ascending id —
+    // --- the memorization-pressure signal (planted copies score 0: all
+    // --- their grams were seen at the original's lower id). passageStats
+    // --- dataflow over md5 gram keys: explode → min-id winner → join →
+    // --- rollup; gram text never shuffles. -------------------------------
+    q("txt30_gram_novelty",
+      s"""WITH $corpusSql,
+         |t AS (SELECT doc_id, $toksSql AS t FROM corpus),
+         |g0 AS (SELECT doc_id, unnest(
+         |  [md5(array_to_string(t[i:i+3], ' ')) for i in generate_series(1, len(t)-3)]) AS g
+         |  FROM t),
+         |g AS (SELECT DISTINCT doc_id, g FROM g0),
+         |f AS (SELECT g, MIN(doc_id) AS first_doc FROM g GROUP BY 1),
+         |p AS (SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         |    CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+         |  FROM g JOIN f USING (g) GROUP BY 1)
+         |SELECT c.doc_id, COALESCE(p.n_grams, CAST(0 AS BIGINT)) AS n_grams,
+         |  COALESCE(p.n_novel, CAST(0 AS BIGINT)) AS n_novel,
+         |  CAST(p.n_novel AS DOUBLE)/p.n_grams AS novelty_frac
+         |FROM corpus c LEFT JOIN p USING (doc_id)""".stripMargin) { (s, d) =>
+      Dedup.noveltyStats(corpus(s, d), "doc_id", "text", n = 4)
+    },
+
     // --- SimHash (native expression vs 32-way SQL vote) -----------------------
     q("txt08_simhash",
       s"""WITH toks AS (SELECT doc_id, list_distinct($toksSql) AS t FROM documents),

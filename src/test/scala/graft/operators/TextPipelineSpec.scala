@@ -194,6 +194,31 @@ class TextPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("noveltyStats: lowest id owns its grams; verbatim copies score zero") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // copy → 0.0
+      (3L, "pack my box with five dozen liquor jugs"),     // disjoint → 1.0
+      (4L, "jumps over the lazy dog and sleeps all day"),  // 2 old, 4 new
+      (5L, "too short")).toDF("doc_id", "text")
+    val got = Dedup.noveltyStats(docs, "doc_id", "text", n = 4)
+      .as[(Long, Long, Long, Option[Double])].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 6L, 6L, Some(1.0))))
+    assert(got(2L) == ((2L, 6L, 0L, Some(0.0))), s"copy: ${got(2L)}")
+    assert(got(3L) == ((3L, 5L, 5L, Some(1.0))))
+    assert(got(4L) == ((4L, 6L, 4L, Some(4.0 / 6.0))), s"partial: ${got(4L)}")
+    assert(got(5L) == ((5L, 0L, 0L, None)))
+    // novelty is an id-order notion: swapping ids swaps who scores 0
+    val swapped = Dedup.noveltyStats(
+        docs.withColumn("doc_id",
+          when($"doc_id" === 1, 2L).when($"doc_id" === 2, 1L)
+            .otherwise($"doc_id")),
+        "doc_id", "text", n = 4)
+      .as[(Long, Long, Long, Option[Double])].collect().map(r => r._1 -> r).toMap
+    assert(swapped(1L)._4.contains(1.0) && swapped(2L)._4.contains(0.0))
+  }
+
   test("winnowing: shift-tolerant (the guarantee block hashing lacks)") {
     import spark.implicits._
     val shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
