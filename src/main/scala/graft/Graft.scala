@@ -127,6 +127,40 @@ object Graft {
       TextOps.splitLabel(TextOps.splitBucket(org.apache.spark.sql.functions.col(idCol),
         salt, nBuckets = 10)))
 
+  /** Shift-tolerant substring-overlap pairs via winnowing fingerprints
+    * (MOSS) — catches copies that fixed blocks miss.
+    */
+  def winnowDups(docs: DataFrame, idCol: String, textCol: String,
+      minShared: Long = 2): DataFrame =
+    Dedup.winnowMatches(docs, idCol, textCol, minShared = minShared)
+
+  /** Per-source calibrated quality filtering: keep each source's top share
+    * by its OWN score distribution (histogram quantile, never a sort).
+    */
+  def calibrateQuality(docs: DataFrame, idCol: String, srcCol: String,
+      textCol: String, cutFrac: Double = 0.5): DataFrame =
+    TextOps.calibratedQualityKeep(docs, idCol, srcCol, textCol,
+      cutFrac = cutFrac)
+
+  /** Per-doc corpus n-gram novelty (the memorization-pressure signal). */
+  def novelty(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 4): DataFrame =
+    Dedup.noveltyStats(docs, idCol, textCol, n)
+
+  /** Cross-corpus SEMANTIC decontamination over embeddings — paraphrased
+    * leaks that share no n-gram; reuses the ANN path's IVF index.
+    */
+  def decontaminateSemantic(train: DataFrame, eval: DataFrame, idCol: String,
+      vecCol: String, threshold: Double = 0.99): DataFrame =
+    Similarity.semanticDecontaminate(train, eval, idCol, vecCol, threshold)
+
+  /** Overlapping audio feature windows (integer energy + zero crossings)
+    * over codec-decoded PCM.
+    */
+  def audioWindows(blobs: DataFrame, win: Int = 64,
+      hop: Int = 32): Dataset[Multimodal.AudioWindow] =
+    Multimodal.audioWindows(blobs, win, hop)
+
   // --- similarity search -----------------------------------------------------
 
   /** Exact quantized-cosine top-k (baseline; O(probes·corpus)). */
