@@ -123,6 +123,19 @@ class PlanPinSpec extends AnyFunSuite {
       s"tokenize must be let-bound (evaluated once), plan shows:\n$p")
   }
 
+  test("txt28: winnow projection computed once at runtime (AQE stage reuse)") {
+    // winnowMatches reads the fingerprint set four ways (hot-fp aggregate,
+    // anti-join, both self-join sides); the initial plan shows four copies
+    // of the projection, but they all hang below the SAME distinct
+    // exchange — AQE must dedupe them into one materialized stage, or the
+    // corpus is tokenized four times at 100 TB
+    val df = SparkEntry.queries("txt28_winnow_matches")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"winnow projection must be computed once, plan:\n$p")
+  }
+
   test("vec13: decontamination joins train cells hashed, never all-pairs") {
     val p = executed("vec13_semantic_decontaminate")
     // eval×train must go through the cell equi-join — the ONLY permitted
