@@ -26,6 +26,49 @@ object TextQueries {
     s"list_reduce(list_transform(regexp_split_to_array(substr(md5($arg),1,8),''), " +
       "c -> CAST(strpos('0123456789abcdef', c)-1 AS BIGINT)), (a,b) -> a*16+b)"
 
+  /** DuckDB twin of Dedup.winnowFingerprints + the hot-fp drop (txt28's CTE
+    * chain, parameterized on the source relation — `src` must provide
+    * (doc_id, text)). Ends at CTE `c`: the (doc_id, fp) pairs surviving the
+    * >maxDf boilerplate filter.
+    */
+  private def winnowSql(src: String): String =
+    s"""toks AS (SELECT doc_id, $toksSql AS t FROM $src),
+       |g AS (SELECT doc_id, CASE WHEN len(t) < 4 THEN [] ELSE
+       |  [array_to_string(t[i:i+3], ' ') for i in generate_series(1, len(t)-3)] END AS grams
+       |  FROM toks),
+       |hp AS (SELECT doc_id, [{'fp': ${hex32Sql("'7:'||grams[i]")},
+       |    'pos': CAST(i-1 AS INT)} for i in generate_series(1, len(grams))] AS hp
+       |  FROM g),
+       |sel AS (SELECT doc_id, [
+       |    list_reduce(hp[j : j+3], (a,x) -> CASE WHEN x.fp < a.fp
+       |      OR (x.fp = a.fp AND x.pos > a.pos) THEN x ELSE a END)
+       |    for j in generate_series(1, greatest(len(hp)-3, 1))] AS fps
+       |  FROM hp WHERE len(hp) > 0),
+       |f AS (SELECT DISTINCT doc_id, u.fp AS fp
+       |  FROM (SELECT doc_id, unnest(fps) AS u FROM sel)),
+       |hot AS (SELECT fp FROM f GROUP BY 1 HAVING COUNT(*) > 50),
+       |c AS (SELECT f.doc_id, f.fp FROM f
+       |  WHERE fp NOT IN (SELECT fp FROM hot))""".stripMargin
+
+  /** DuckDB twin of TextOps.calibratedQualityKeep (txt29's CTE chain,
+    * parameterized on the source relation — `src` must provide (doc_id,
+    * source, text)). Ends at CTEs `s` (binned docs) and `thr` (per-source
+    * threshold bins); kept docs are `s JOIN thr ON same source AND s.bin >
+    * thr.thr`.
+    */
+  private def calibSql(src: String): String =
+    s"""t AS (SELECT doc_id, source, $toksSql AS toks FROM $src),
+       |s AS (SELECT doc_id, source,
+       |    CAST(least(floor(CAST(len(list_distinct(toks)) AS DOUBLE)/len(toks) * 50),
+       |      49) AS INT) AS bin
+       |  FROM t WHERE len(toks) > 0),
+       |h AS (SELECT source, bin, COUNT(*) AS c FROM s GROUP BY 1, 2),
+       |cum AS (SELECT source, bin,
+       |    SUM(c) OVER (PARTITION BY source ORDER BY bin) AS cum,
+       |    SUM(c) OVER (PARTITION BY source) AS n FROM h),
+       |thr AS (SELECT source, MIN(bin) AS thr FROM cum
+       |  WHERE cum >= ceil(0.5 * n) GROUP BY 1)""".stripMargin
+
   /** Corpus with planted exact (x%10) and near (x%17, 10 chars clipped) dups. */
   private val corpusSql =
     """corpus AS (
@@ -709,23 +752,7 @@ object TextQueries {
     // --- fingerprints (>maxDf docs — boilerplate AND the skew guard) dropped.
     q("txt28_winnow_matches",
       s"""WITH $corpusSql,
-         |toks AS (SELECT doc_id, $toksSql AS t FROM corpus),
-         |g AS (SELECT doc_id, CASE WHEN len(t) < 4 THEN [] ELSE
-         |  [array_to_string(t[i:i+3], ' ') for i in generate_series(1, len(t)-3)] END AS grams
-         |  FROM toks),
-         |hp AS (SELECT doc_id, [{'fp': ${hex32Sql("'7:'||grams[i]")},
-         |    'pos': CAST(i-1 AS INT)} for i in generate_series(1, len(grams))] AS hp
-         |  FROM g),
-         |sel AS (SELECT doc_id, [
-         |    list_reduce(hp[j : j+3], (a,x) -> CASE WHEN x.fp < a.fp
-         |      OR (x.fp = a.fp AND x.pos > a.pos) THEN x ELSE a END)
-         |    for j in generate_series(1, greatest(len(hp)-3, 1))] AS fps
-         |  FROM hp WHERE len(hp) > 0),
-         |f AS (SELECT DISTINCT doc_id, u.fp AS fp
-         |  FROM (SELECT doc_id, unnest(fps) AS u FROM sel)),
-         |hot AS (SELECT fp FROM f GROUP BY 1 HAVING COUNT(*) > 50),
-         |c AS (SELECT f.doc_id, f.fp FROM f
-         |  WHERE fp NOT IN (SELECT fp FROM hot))
+         |${winnowSql("corpus")}
          |SELECT x.doc_id AS a, y.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS n_shared
          |FROM c x JOIN c y ON x.fp = y.fp AND x.doc_id < y.doc_id
          |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin) { (s, d) =>
@@ -741,17 +768,7 @@ object TextQueries {
     // --- bin (smallest b with cum ≥ ceil(cutFrac·n)); thresholds
     // --- broadcast back onto pass 2's corpus re-scan; keep bin > thr.
     q("txt29_quality_calibrate",
-      s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
-         |s AS (SELECT doc_id, source,
-         |    CAST(least(floor(CAST(len(list_distinct(toks)) AS DOUBLE)/len(toks) * 50),
-         |      49) AS INT) AS bin
-         |  FROM t WHERE len(toks) > 0),
-         |h AS (SELECT source, bin, COUNT(*) AS c FROM s GROUP BY 1, 2),
-         |cum AS (SELECT source, bin,
-         |    SUM(c) OVER (PARTITION BY source ORDER BY bin) AS cum,
-         |    SUM(c) OVER (PARTITION BY source) AS n FROM h),
-         |thr AS (SELECT source, MIN(bin) AS thr FROM cum
-         |  WHERE cum >= ceil(0.5 * n) GROUP BY 1)
+      s"""WITH ${calibSql("documents")}
          |SELECT s.source AS source, CAST(COUNT(*) AS BIGINT) AS n_kept,
          |  CAST(MIN(s.bin) AS INT) AS min_bin
          |FROM s JOIN thr ON s.source = thr.source AND s.bin > thr.thr
@@ -760,6 +777,51 @@ object TextQueries {
           "doc_id", "source", "text", bins = 50, cutFrac = 0.5)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_kept"), min(col("bin")).as("min_bin"))
+    },
+
+    // --- composed curation pipeline v2 (txt31): the late-round stages as ONE
+    // --- oracle-exact dataflow over a corpus with planted exact dups that
+    // --- KEEP their original's source — per-source quality calibration
+    // --- (txt29) keeps each source's top half; winnowing (txt28) then drops
+    // --- the higher id of every matched pair (planted copies die here,
+    // --- their originals survive); the curated corpus packs into 128-token
+    // --- training sequences (txt25's layout). Every stage is individually
+    // --- gated; this pins that they COMPOSE — schema, order and boundary
+    // --- conventions line up end-to-end. ---------------------------------
+    q("txt31_curation_pipeline_v2",
+      s"""WITH c2 AS (SELECT doc_id, source, text FROM documents
+         |  UNION ALL SELECT doc_id+100000, source, text FROM documents WHERE doc_id%10=0),
+         |${calibSql("c2")},
+         |keep AS (SELECT s.doc_id FROM s JOIN thr
+         |  ON s.source = thr.source AND s.bin > thr.thr),
+         |kd AS (SELECT c2.doc_id, c2.text FROM c2 JOIN keep USING (doc_id)),
+         |${winnowSql("kd")},
+         |dupb AS (SELECT DISTINCT b FROM (
+         |  SELECT x.doc_id AS a, y.doc_id AS b
+         |  FROM c x JOIN c y ON x.fp = y.fp AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)),
+         |cur AS (SELECT kd.doc_id, kd.text FROM kd
+         |  WHERE doc_id NOT IN (SELECT b FROM dupb)),
+         |tp AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens FROM cur),
+         |cc AS (SELECT doc_id, n_tokens,
+         |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+         |  FROM tp)
+         |SELECT doc_id, n_tokens, start_tok,
+         |  CAST(CASE WHEN n_tokens > 0 THEN start_tok // 128 END AS BIGINT) AS seq_first,
+         |  CAST(CASE WHEN n_tokens > 0 THEN (start_tok + n_tokens - 1) // 128 END AS BIGINT) AS seq_last
+         |FROM cc""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+      val corpus2 = docs.unionByName(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("source"), col("text")))
+      val kept = TextOps.calibratedQualityKeep(corpus2, "doc_id", "source",
+        "text", bins = 50, cutFrac = 0.5).select("doc_id")
+      val keptDocs = corpus2.join(kept, Seq("doc_id")).select("doc_id", "text")
+      val dupB = Dedup.winnowMatches(keptDocs, "doc_id", "text",
+          k = 4, w = 4, minShared = 2, maxDf = 50)
+        .select(col("b").as("doc_id")).distinct()
+      val curated = keptDocs.join(dupB, Seq("doc_id"), "left_anti")
+      TextOps.packSequences(curated, "doc_id", "text", seqLen = 128, nBuckets = 16)
     },
 
     // --- corpus n-gram novelty (txt30): per doc, the fraction of its

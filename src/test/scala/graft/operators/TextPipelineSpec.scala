@@ -194,6 +194,24 @@ class TextPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("curation v2 composition: planted copies die, their originals live") {
+    import spark.implicits._
+    val out = graft.SparkEntry.queries("txt31_curation_pipeline_v2")(spark, dir)
+      .select($"doc_id", $"n_tokens", $"start_tok").as[(Long, Long, Long)]
+      .collect().sortBy(_._3)
+    assert(out.nonEmpty)
+    // a planted copy shares its original's text AND source: quality keeps
+    // or drops both together, and winnowing then always kills the copy
+    // (higher id of the pair) — so no copy id can ever survive
+    assert(!out.exists(_._1 >= 100000), "planted copies must be deduped")
+    assert(out.exists(_._1 % 10 == 0), "some originals must survive")
+    // the packed layout over the curated corpus still tiles gaplessly
+    out.foldLeft(0L) { case (expected, (_, n, start)) =>
+      assert(start == expected, "curated packing must tile the token stream")
+      start + n
+    }
+  }
+
   test("noveltyStats: lowest id owns its grams; verbatim copies score zero") {
     import spark.implicits._
     val docs = Seq(
