@@ -824,6 +824,33 @@ object TextQueries {
       TextOps.packSequences(curated, "doc_id", "text", seqLen = 128, nBuckets = 16)
     },
 
+    // --- STREAMING curation (txt32): the quality gate running as a
+    // --- Structured Streaming ingest — file-stream source doubled (an
+    // --- at-least-once re-delivery sim), the stateless quality-bin
+    // --- projection + threshold filter per micro-batch, replayed rows
+    // --- collapsed by streaming dropDuplicates (state = one row per doc
+    // --- id; at a real 100 TB ingest the id would be paired with
+    // --- dropDuplicatesWithinWatermark on ingest time to bound state —
+    // --- cdc16's machinery). Oracle = the same curation as ONE batch SQL:
+    // --- streaming execution must change nothing. -------------------------
+    q("txt32_streaming_curation",
+      s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id, source,
+         |    CAST(least(floor(CAST(len(list_distinct(toks)) AS DOUBLE)/len(toks) * 50),
+         |      49) AS INT) AS bin
+         |  FROM t WHERE len(toks) > 0)
+         |SELECT doc_id, source, bin FROM s WHERE bin >= 30""".stripMargin) { (s, d) =>
+      import graft.streaming.StreamStreamJoin
+      def src() = StreamStreamJoin.tableStream(s, s"$d/documents.parquet")
+      val curated = src().unionByName(src())
+        .select(col("doc_id"), col("source"),
+          TextOps.qualityBin(col("text"), 50).as("bin"))
+        .filter(col("bin") >= 30)
+        .dropDuplicates("doc_id")
+      StreamStreamJoin.runToMemory(s, curated,
+        s"txt32_${java.util.UUID.randomUUID().toString.take(8)}")
+    },
+
     // --- corpus n-gram novelty (txt30): per doc, the fraction of its
     // --- distinct 4-grams that FIRST appear in this doc by ascending id —
     // --- the memorization-pressure signal (planted copies score 0: all

@@ -68,13 +68,12 @@ object StreamStreamJoin {
     spark.table(name)
   }
 
-  /** File-source STREAM over an events-style parquet path, with the same
-    * nanos→micros timestamp fix as the batch loader (graft.Tables.events).
-    * `maxFilesPerTrigger=0` means unlimited (one batch).
+  /** File-source STREAM over ANY parquet table path (documents ingest, or
+    * any timestamp-less table). `maxFilesPerTrigger=0` means unlimited
+    * (one batch).
     */
-  def eventsStream(spark: SparkSession, path: String,
+  def tableStream(spark: SparkSession, path: String,
       maxFilesPerTrigger: Int = 0): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the file STREAM source requires a directory; a single-file input is
     // exposed through a temp dir holding a symlink (no data copy)
     val p = java.nio.file.Paths.get(path)
@@ -89,6 +88,15 @@ object StreamStreamJoin {
     val withOpt = if (maxFilesPerTrigger > 0)
       reader.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader
     withOpt.parquet(streamPath)
+  }
+
+  /** [[tableStream]] over an events-style parquet path, with the same
+    * nanos→micros timestamp fix as the batch loader (graft.Tables.events).
+    */
+  def eventsStream(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 0): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tableStream(spark, path, maxFilesPerTrigger)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 }
