@@ -97,11 +97,24 @@ object Layout {
     * the write is one range exchange (sampled boundaries) + local sorts.
     */
   def writeZOrdered(df: DataFrame, xCol: String, yCol: String, path: String,
+      numFiles: Int): DataFrame =
+    writeOrderedBy(df, morton2(col(xCol), col(yCol)), path, numFiles)
+
+  /** [[writeZOrdered]] with the [[hilbert2]] key: consecutive file key
+    * ranges cover contiguous curve segments, and Hilbert segments are
+    * always connected regions (Z-order segments jump), so per-file min-max
+    * rectangles come out tighter for the same file count.
+    */
+  def writeHilbertOrdered(df: DataFrame, xCol: String, yCol: String,
+      path: String, numFiles: Int): DataFrame =
+    writeOrderedBy(df, hilbert2(col(xCol), col(yCol)), path, numFiles)
+
+  private def writeOrderedBy(df: DataFrame, key: Column, path: String,
       numFiles: Int): DataFrame = {
-    df.withColumn("_z", morton2(col(xCol), col(yCol)))
-      .repartitionByRange(numFiles, col("_z"))
-      .sortWithinPartitions(col("_z"))
-      .drop("_z")
+    df.withColumn("_k", key)
+      .repartitionByRange(numFiles, col("_k"))
+      .sortWithinPartitions(col("_k"))
+      .drop("_k")
       .write.mode("overwrite").parquet(path)
     df.sparkSession.read.parquet(path)
   }

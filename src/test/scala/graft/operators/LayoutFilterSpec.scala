@@ -119,5 +119,17 @@ class LayoutFilterSpec extends AnyFunSuite {
     val xAllFiles = xOrdered.select(input_file_name()).distinct().count()
     assert(xBoxFiles == xAllFiles,
       s"x-sorted control should scatter: $xBoxFiles of $xAllFiles")
+
+    // Hilbert layout achieves the same box locality — and because the curve
+    // enters an aligned 2^k-subsquare once and finishes it before leaving
+    // (Z-order re-enters), the origin box is ONE contiguous key range
+    val hPath = java.nio.file.Files.createTempDirectory("hilbert").toString
+    val hReloaded = Layout.writeHilbertOrdered(grid, "x", "y", hPath, numFiles = 16)
+    assert(hReloaded.count() == 4096L)
+    val hBoxFiles = hReloaded.filter(col("x") < 8 && col("y") < 8)
+      .select(input_file_name()).distinct().count()
+    val hAllFiles = hReloaded.select(input_file_name()).distinct().count()
+    assert(hAllFiles >= 8L, s"expected many files, got $hAllFiles")
+    assert(hBoxFiles <= 2L, s"box touched $hBoxFiles of $hAllFiles files")
   }
 }
