@@ -61,6 +61,67 @@ object TextOps {
   def hex32(s: Column, salt: Int): Column =
     conv(substring(md5(concat(lit(s"$salt:"), s)), 1, 8), 16, 10).cast("long")
 
+  /** One learned BPE merge. */
+  final case class BpeMerge(rank: Int, left: String, right: String,
+      merged: String, pair_count: Long)
+
+  /** Distributed BPE tokenizer training (Sennrich et al. 2016): learn
+    * `merges` byte-pair merges from the corpus — the tokenizer-training
+    * pass every LLM pipeline runs over its own data before token counting
+    * means anything. Words start as character sequences (word-internal
+    * merges only, the standard formulation); each round counts ADJACENT
+    * symbol pairs corpus-wide, picks the most frequent (ties broken
+    * lexicographically — deterministic across engines and partitionings),
+    * and rewrites every word. Returns the merge table in rank order.
+    *
+    * Scale shape per round: one explode of adjacent pairs → a
+    * partial-agg'd count (shuffle O(distinct pairs), never the corpus) →
+    * a bounded sort-take-1 to the driver (one row) → a map over words
+    * with the chosen pair broadcast in the closure. `merges` rounds ⇒
+    * `merges` corpus passes — the canonical distributed BPE trainer;
+    * production runs cache the symbol-sequence Dataset between rounds,
+    * which [[bpeTrain]] does via localCheckpoint to also keep the lineage
+    * from growing by one map per round.
+    *
+    * Deduplicating identical words first (word, weight) would cut each
+    * pass to O(vocab); kept at O(words) here for clarity — the counts are
+    * identical either way.
+    */
+  def bpeTrain(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      merges: Int): Seq[BpeMerge] = {
+    require(merges > 0, s"merges must be positive: $merges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .as[String].map(_.map(_.toString).toArray)
+      .localCheckpoint()
+    val out = Seq.newBuilder[BpeMerge]
+    for (rank <- 0 until merges) {
+      val top = words.flatMap(s => s.indices.dropRight(1)
+          .map(i => (s(i), s(i + 1))))
+        .groupByKey(identity).count().toDF("pair", "n")
+        .orderBy(col("n").desc, col("pair._1"), col("pair._2"))
+        .as[((String, String), Long)].take(1)
+      top.headOption match {
+        case Some(((a, b), n)) if n > 0 =>
+          out += BpeMerge(rank, a, b, a + b, n)
+          words = words.map { s =>
+            val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < s.length) {
+              if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+                buf += a + b; i += 2
+              } else { buf += s(i); i += 1 }
+            }
+            buf.toArray
+          }.localCheckpoint()
+        case _ => return out.result()
+      }
+    }
+    out.result()
+  }
+
   /** Deterministic hash bucket for train/val/test splitting: hex32 of the
     * salted id, mod nBuckets. Hash-based (not random) on purpose — the split
     * is STABLE across runs, engines and cluster sizes, so a document never

@@ -526,6 +526,34 @@ object TextQueries {
     // --- single output row and fails the driver's rows>0 gate. Rows-only by
     // --- design, like q27/q39: sketch internals are engine-specific, the
     // --- estimate contract is not. -------------------------------------------
+    // --- distributed BPE tokenizer training (txt33, rows-only): learn 8
+    // --- byte-pair merges from the corpus (Sennrich'16) — per round one
+    // --- adjacent-pair count (shuffle O(distinct pairs)), a bounded
+    // --- take(1) argmax with lexicographic ties, one word rewrite.
+    // --- SELF-VALIDATING: rows emit only if the merge table satisfies the
+    // --- BPE contract — ranks dense from 0, merged = left+right, and the
+    // --- selected counts non-increasing (a merge can only shrink existing
+    // --- pair counts; new pairs are bounded by the merged count). The
+    // --- sequence-rewrite rounds are not SQL-restatable, so correctness
+    // --- is pinned by the spec's straight-line reference equality. -------
+    Q("txt33_bpe_train", (s, d) => {
+      import s.implicits._
+      val merges = TextOps.bpeTrain(
+        Tables.documents(s, d).select("text"), "text", merges = 8)
+      val ok = merges.nonEmpty &&
+        merges.sliding(2).forall {
+          case Seq(a, b) => a.pair_count >= b.pair_count
+          case _ => true
+        } &&
+        merges.zipWithIndex.forall { case (m, i) =>
+          m.rank == i && m.merged == m.left + m.right && m.pair_count > 0 }
+      // `left`/`right`/`rank` are SQL reserved words — rename for the
+      // driver's DuckDB-side projection of the dumped parquet
+      (if (ok) merges else Seq.empty[TextOps.BpeMerge]).toDF()
+        .select(col("rank").as("merge_rank"), col("left").as("lhs"),
+          col("right").as("rhs"), col("merged"), col("pair_count"))
+    }, None),
+
     Q("txt21_cms_frequencies", (s, d) => {
       val width = graft.operators.Sketches.DefaultWidth
       val toks = graft.Tables.documents(s, d)

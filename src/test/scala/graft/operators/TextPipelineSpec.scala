@@ -194,6 +194,55 @@ class TextPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("bpeTrain equals the straight-line BPE reference; ties lexicographic") {
+    import spark.implicits._
+    def ref(words0: Seq[Array[String]], k: Int): Seq[TextOps.BpeMerge] = {
+      var words = words0
+      val acc = Seq.newBuilder[TextOps.BpeMerge]
+      for (rank <- 0 until k) {
+        val counts = scala.collection.mutable.Map
+          .empty[(String, String), Long].withDefaultValue(0L)
+        for (w <- words; i <- 0 until w.length - 1)
+          counts((w(i), w(i + 1))) += 1
+        if (counts.nonEmpty) {
+          val ((a, b), n) = counts.minBy { case ((x, y), c) => (-c, x, y) }
+          acc += TextOps.BpeMerge(rank, a, b, a + b, n)
+          words = words.map { s =>
+            val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < s.length) {
+              if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+                buf += a + b; i += 2
+              } else { buf += s(i); i += 1 }
+            }
+            buf.toArray
+          }
+        }
+      }
+      acc.result()
+    }
+    // the classic fixture: "low"-family vocabulary learns "lo" then "low"
+    val fix = Seq.fill(3)("low lower lowest") :+ "newer newest wider"
+    val fixDf = fix.toDF("text")
+    val gotFix = TextOps.bpeTrain(fixDf, "text", merges = 6)
+    val wantFix = ref(fix.flatMap(_.split(" ").filter(_.nonEmpty))
+      .map(_.map(_.toString).toArray), 6)
+    assert(gotFix == wantFix, s"fixture:\n$gotFix\nvs\n$wantFix")
+    assert(gotFix.take(2).map(_.merged) == Seq("lo", "low"))
+    // real corpus, and invariance under partitioning (the distributed
+    // count + deterministic argmax must not depend on layout)
+    val docs = graft.Tables.documents(spark, dir).select("text")
+    val corpus = docs.as[String].collect()
+      .flatMap(_.split(" ").filter(_.nonEmpty)).toSeq
+      .map(_.map(_.toString).toArray)
+    val want = ref(corpus, 5)
+    assert(TextOps.bpeTrain(docs, "text", merges = 5) == want)
+    assert(TextOps.bpeTrain(docs.repartition(7), "text", merges = 5) == want)
+    // merge-count monotonicity (the gate's self-validation contract)
+    assert(want.sliding(2).forall {
+      case Seq(a, b) => a.pair_count >= b.pair_count; case _ => true })
+  }
+
   test("curation v2 composition: planted copies die, their originals live") {
     import spark.implicits._
     val out = graft.SparkEntry.queries("txt31_curation_pipeline_v2")(spark, dir)
