@@ -74,39 +74,38 @@ object TextOps {
     * lexicographically — deterministic across engines and partitionings),
     * and rewrites every word. Returns the merge table in rank order.
     *
-    * Scale shape per round: one explode of adjacent pairs → a
-    * partial-agg'd count (shuffle O(distinct pairs), never the corpus) →
-    * a bounded sort-take-1 to the driver (one row) → a map over words
-    * with the chosen pair broadcast in the closure. `merges` rounds ⇒
-    * `merges` corpus passes — the canonical distributed BPE trainer;
-    * production runs cache the symbol-sequence Dataset between rounds,
-    * which [[bpeTrain]] does via localCheckpoint to also keep the lineage
-    * from growing by one map per round.
-    *
-    * Deduplicating identical words first (word, weight) would cut each
-    * pass to O(vocab); kept at O(words) here for clarity — the counts are
-    * identical either way.
+    * Scale shape: the corpus collapses ONCE to the weighted vocabulary
+    * (distinct word, occurrence count) — the classic BPE-trainer move, and
+    * the 100 TB lever: every later pass is O(|vocab|), not O(corpus), and
+    * vocabulary grows sublinearly in corpus size. Each round is then one
+    * weight-summed adjacent-pair count over the vocab (shuffle O(distinct
+    * pairs), partial-agg'd) → a bounded sort-take-1 to the driver (one
+    * row) → a map over vocab entries with the chosen pair broadcast in the
+    * closure; localCheckpoint between rounds keeps the lineage from
+    * growing by one map per round. Counts are identical to the unweighted
+    * formulation by construction.
     */
   def bpeTrain(docs: org.apache.spark.sql.DataFrame, textCol: String,
       merges: Int): Seq[BpeMerge] = {
     require(merges > 0, s"merges must be positive: $merges")
     val spark = docs.sparkSession
     import spark.implicits._
-    var words = docs
+    var vocab = docs
       .select(explode(tokens(col(textCol))).as("w"))
-      .as[String].map(_.map(_.toString).toArray)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].map { case (w, n) => (w.map(_.toString).toArray, n) }
       .localCheckpoint()
     val out = Seq.newBuilder[BpeMerge]
     for (rank <- 0 until merges) {
-      val top = words.flatMap(s => s.indices.dropRight(1)
-          .map(i => (s(i), s(i + 1))))
-        .groupByKey(identity).count().toDF("pair", "n")
+      val top = vocab.flatMap { case (s, wgt) =>
+          s.indices.dropRight(1).map(i => ((s(i), s(i + 1)), wgt)) }
+        .groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _).toDF("pair", "n")
         .orderBy(col("n").desc, col("pair._1"), col("pair._2"))
         .as[((String, String), Long)].take(1)
       top.headOption match {
         case Some(((a, b), n)) if n > 0 =>
           out += BpeMerge(rank, a, b, a + b, n)
-          words = words.map { s =>
+          vocab = vocab.map { case (s, wgt) =>
             val buf = scala.collection.mutable.ArrayBuffer.empty[String]
             var i = 0
             while (i < s.length) {
@@ -114,7 +113,7 @@ object TextOps {
                 buf += a + b; i += 2
               } else { buf += s(i); i += 1 }
             }
-            buf.toArray
+            (buf.toArray, wgt)
           }.localCheckpoint()
         case _ => return out.result()
       }
