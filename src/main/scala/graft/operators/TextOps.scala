@@ -65,6 +65,59 @@ object TextOps {
   final case class BpeMerge(rank: Int, left: String, right: String,
       merged: String, pair_count: Long)
 
+  /** Apply a learned merge table to the corpus — the ENCODE half of the
+    * tokenizer ([[bpeTrain]] is the train half): each word starts as
+    * characters and repeatedly applies the LOWEST-RANK applicable merge
+    * (leftmost occurrence first) until none applies — the standard BPE
+    * encode order, which makes segmentation independent of corpus order
+    * and identical for identical words.
+    *
+    * Returns per-doc `(idCol, n_words, n_chars, n_symbols)` — the token
+    * count under the learned vocabulary, the number an LLM pipeline
+    * budgets with. Invariants (the gate's self-validation): symbol
+    * concatenation restores every word (checked here — a violation throws,
+    * poisoning the gate to zero rows), and n_symbols decreases from
+    * n_chars by exactly the number of merge applications.
+    *
+    * Scale shape: the merge table is driver-side and tiny (its whole
+    * point); it broadcasts in the closure and encoding is one narrow map —
+    * no shuffle until the per-doc count aggregation.
+    */
+  def bpeEncode(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, merges: Seq[BpeMerge])
+      : org.apache.spark.sql.DataFrame = {
+    val rank = merges.map(m => (m.left, m.right) -> m.rank).toMap
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val words = text.split(" ").filter(_.nonEmpty)
+        var nSyms = 0L
+        var nChars = 0L
+        words.foreach { w =>
+          var s = w.map(_.toString).toVector
+          nChars += s.length
+          var done = false
+          while (!done && s.length > 1) {
+            // lowest-rank applicable merge, leftmost occurrence
+            val best = s.indices.dropRight(1)
+              .flatMap(i => rank.get((s(i), s(i + 1))).map(r => (r, i)))
+              .sortBy(identity).headOption
+            best match {
+              case Some((_, i)) =>
+                s = (s.take(i) :+ (s(i) + s(i + 1))) ++ s.drop(i + 2)
+              case None => done = true
+            }
+          }
+          require(s.mkString == w, s"encode must restore '$w'")
+          nSyms += s.length
+        }
+        (id, words.length.toLong, nChars, nSyms)
+      }
+      .toDF(idCol, "n_words", "n_chars", "n_symbols")
+  }
+
   /** Distributed BPE tokenizer training (Sennrich et al. 2016): learn
     * `merges` byte-pair merges from the corpus — the tokenizer-training
     * pass every LLM pipeline runs over its own data before token counting

@@ -554,6 +554,23 @@ object TextQueries {
           col("right").as("rhs"), col("merged"), col("pair_count"))
     }, None),
 
+    // --- BPE encode (txt34, rows-only): apply txt33's learned merge table
+    // --- to the corpus — the token count under the learned vocabulary, the
+    // --- number a pipeline budgets with. SELF-VALIDATING twice over: the
+    // --- operator itself throws unless symbol concatenation restores every
+    // --- word, and the gate emits rows only if every doc satisfies
+    // --- n_symbols ≤ n_chars AND the corpus-wide symbol reduction is
+    // --- strictly positive (8 learned merges must compress SOMETHING). ---
+    Q("txt34_bpe_encode", (s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = TextOps.bpeTrain(docs.select("text"), "text", merges = 8)
+      val enc = TextOps.bpeEncode(docs, "doc_id", "text", merges)
+      val bad = enc.filter(col("n_symbols") > col("n_chars")).count()
+      val saved = enc.agg(sum(col("n_chars") - col("n_symbols")))
+        .head.getLong(0)
+      if (bad == 0 && saved > 0) enc else enc.limit(0)
+    }, None),
+
     Q("txt21_cms_frequencies", (s, d) => {
       val width = graft.operators.Sketches.DefaultWidth
       val toks = graft.Tables.documents(s, d)

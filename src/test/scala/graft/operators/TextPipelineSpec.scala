@@ -243,6 +243,32 @@ class TextPipelineSpec extends AnyFunSuite {
       case Seq(a, b) => a.pair_count >= b.pair_count; case _ => true })
   }
 
+  test("bpeEncode: rank-order application, exact counts, trained-vocab fit") {
+    import spark.implicits._
+    // hand merge table: ranks force "lo"+"w" before any other pairing
+    val merges = Seq(
+      TextOps.BpeMerge(0, "l", "o", "lo", 99),
+      TextOps.BpeMerge(1, "lo", "w", "low", 98),
+      TextOps.BpeMerge(2, "e", "r", "er", 97))
+    val docs = Seq((1L, "low lower"), (2L, "zzz"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = TextOps.bpeEncode(docs, "doc_id", "text", merges)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // "low" → [low] (1 symbol of 3 chars); "lower" → [low, er] (2 of 5)
+    assert(got(1L) == ((1L, 2L, 8L, 3L)), s"got ${got(1L)}")
+    assert(got(2L) == ((2L, 1L, 3L, 3L)))   // no merge applies
+    assert(got(3L) == ((3L, 0L, 0L, 0L)))   // empty doc: zero everything
+    // end-to-end with a TRAINED table on the real corpus: encoding under
+    // the corpus's own merges must compress (that is what training is for)
+    val real = graft.Tables.documents(spark, dir)
+    val trained = TextOps.bpeTrain(real.select("text"), "text", merges = 6)
+    val enc = TextOps.bpeEncode(real, "doc_id", "text", trained)
+    val (chars, syms) = enc.agg(sum($"n_chars"), sum($"n_symbols"))
+      .as[(Long, Long)].head()
+    assert(syms < chars, s"trained merges must compress: $syms vs $chars")
+    assert(enc.filter($"n_symbols" > $"n_chars").count() == 0)
+  }
+
   test("curation v2 composition: planted copies die, their originals live") {
     import spark.implicits._
     val out = graft.SparkEntry.queries("txt31_curation_pipeline_v2")(spark, dir)
