@@ -11,10 +11,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
   *   // or spark.sql.extensions=graft.GraftExtensions
   *
-  * Also injects [[graft.plans.RangeJoinRewrite]], the optimizer rule that
-  * turns plain-SQL point-in-interval theta joins (planned as nested loops)
-  * into the binned equi-join. On a session built without extensions, append
-  * it at runtime instead:
+  * Also injects the optimizer rules: [[graft.plans.RangeJoinRewrite]]
+  * (plain-SQL range theta joins, planned as nested loops, rerouted onto the
+  * binned equi-join) and [[graft.plans.ApproxDistinctRewrite]] (opt-in
+  * COUNT(DISTINCT) → HyperLogLog++ sketch substitution, conf-gated OFF).
+  * On a session built without extensions, append them at runtime instead:
   *
   *   spark.experimental.extraOptimizations :+= graft.plans.RangeJoinRewrite
   *
@@ -36,6 +37,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    e.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
     e.injectFunction(fn("avro_safe_name",
       "avro_safe_name(str) - hex-escapes str into a valid Avro identifier", 1)(
       es => AvroSafeNameExpr(es.head)))

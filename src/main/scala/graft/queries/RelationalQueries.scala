@@ -987,7 +987,37 @@ object RelationalQueries {
           .bitwiseAND(lit(65535L)).as("y"))
       b.select(col("o_orderkey"), col("x"), col("y"),
         graft.operators.Layout.hilbert2(col("x"), col("y")).as("h"))
-    }
+    },
+
+    // --- opt-in sketch substitution (q50, rows-only self-validating): the
+    // --- ApproxDistinctRewrite optimizer rule turns exact COUNT(DISTINCT)
+    // --- into the HLL++ sketch when the session sets the conf — plan-level
+    // --- query acceleration, OFF by default because results change (within
+    // --- the sketch's rsd). The gate proves BOTH halves: the rewritten
+    // --- plan actually contains the sketch (no silent no-op), and every
+    // --- group's estimate is within 3·rsd of the exact count computed
+    // --- WITHOUT the rule (q27's bound-check pattern, now at rule level).
+    Q("q50_approx_distinct_rewrite", (s, d) => {
+      val rsd = 0.05
+      val s2 = s.newSession()
+      s2.experimental.extraOptimizations =
+        s2.experimental.extraOptimizations :+ graft.plans.ApproxDistinctRewrite
+      s2.conf.set("spark.graft.approxDistinct.enabled", "true")
+      s2.conf.set("spark.graft.approxDistinct.rsd", rsd.toString)
+      Tables.orders(s2, d).createOrReplaceTempView("q50_orders")
+      val apx = s2.sql(
+        """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS apx
+          |FROM q50_orders GROUP BY 1""".stripMargin)
+      val fired = apx.queryExecution.optimizedPlan.toString
+        .toLowerCase.contains("approx_count_distinct")
+      val exact = Tables.orders(s, d).groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("exact"))
+      val out = apx.join(exact, Seq("o_orderstatus"))
+        .select(col("o_orderstatus"), col("apx"), col("exact"))
+      val inBounds = out.filter(
+        abs(col("apx") - col("exact")) > col("exact") * (3 * rsd)).count() == 0
+      if (fired && inBounds) out else out.limit(0)
+    }, None)
   )
 
   /** DuckDB twin of Layout.hilbert2: one (rx/ry, rotate, accumulate) CTE
