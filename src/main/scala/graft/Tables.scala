@@ -26,14 +26,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects outright; read nanos as long and truncate to Spark's native µs
-    * (events are seconds apart — µs truncation cannot reorder them).
+  /** events.parquet has shipped with two physical `ts` encodings across
+    * driver testdata generations: TIMESTAMP(NANOS) (which Spark's parquet
+    * reader rejects outright — read nanos as long, truncate to µs; events
+    * are seconds apart so truncation cannot reorder them) and plain
+    * timestamp[us] (read as TIMESTAMP_NTZ — cast to the session-local
+    * TimestampType; session tz is pinned UTC so wall values are identical).
+    * Handle both so the loader survives testdata regeneration.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

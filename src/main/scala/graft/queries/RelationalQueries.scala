@@ -411,11 +411,13 @@ object RelationalQueries {
             .select(lit(null).cast("string").as("c_mktsegment"), col("c_nationkey"), col("n")))
     },
 
-    // --- approximate distinct (HLL sketch) — rows-only: HLL implementations
-    // --- are engine-specific, so no value oracle is possible. Self-validating
-    // --- instead: each estimate must land within 3·rsd of the exact count,
-    // --- and the final filter drops the row otherwise — an out-of-bounds
-    // --- sketch yields 0 rows, which the driver's rows>0 gate DOES fail -----
+    // --- approximate distinct (HLL sketch) — hash-green via the verdict-as-
+    // --- data shape: HLL estimates are engine-specific (no value oracle is
+    // --- possible for them), so the gate emits per-probe rows
+    // --- (probe, exact_n, ok) where exact_n IS oracle-able (COUNT DISTINCT)
+    // --- and ok is the in-plan 3·rsd bound check. The DuckDB oracle
+    // --- restates exact_n and literal TRUE — rows/schema/hash match iff
+    // --- the exact counts agree AND every sketch estimate is in bounds. ----
     Q("q27_approx_distinct", (s, d) => {
       def withinBounds(approx: Column, exact: Column, rsd: Double): Column =
         abs(approx.cast("double") - exact.cast("double")) <=
@@ -449,10 +451,18 @@ object RelationalQueries {
           withinBounds(col("approx_parts"), col("exact_parts"), 0.05))
         .withColumn("orders_within_3rsd",
           withinBounds(col("approx_orders_1pct"), col("exact_orders"), 0.01))
-        .filter(col("parts_within_3rsd") && col("orders_within_3rsd"))
-        .select("approx_parts", "exact_parts", "approx_orders_1pct", "exact_orders",
-          "parts_within_3rsd", "orders_within_3rsd")
-    }, None),
+        // verdict-as-data: one row per probe, (probe, exact_n, ok); the
+        // sketch estimates stay internal (engine-specific values)
+        .select(explode(array(
+          struct(lit("parts").as("probe"), col("exact_parts").as("exact_n"),
+            col("parts_within_3rsd").as("ok")),
+          struct(lit("orders").as("probe"), col("exact_orders").as("exact_n"),
+            col("orders_within_3rsd").as("ok")))).as("r"))
+        .select(col("r.probe"), col("r.exact_n"), col("r.ok"))
+    }, Some(
+      """SELECT 'parts' AS probe, COUNT(DISTINCT l_partkey) AS exact_n, TRUE AS ok FROM lineitem
+        |UNION ALL
+        |SELECT 'orders' AS probe, COUNT(DISTINCT l_orderkey) AS exact_n, TRUE AS ok FROM lineitem""".stripMargin)),
 
     // --- approximate percentiles (GK sketch — THE quantile path at 100 TB,
     // --- where exact percentile needs a full sort): q27-style
@@ -463,8 +473,9 @@ object RelationalQueries {
     // --- fails. Rank validation costs 8 conditional SUMs over one cheap
     // --- second scan — no exact-percentile value map / sort (an earlier
     // --- value-bounds formulation paid 2–4 s in percentile buffers alone).
-    // --- Second rows-only query by design: sketch internals are
-    // --- engine-specific, the rank contract is not. --------------------------
+    // --- Hash-green via verdict-as-data (q27 discipline): sketch internals
+    // --- are engine-specific, the rank contract is not — so the contract
+    // --- verdict IS the emitted data, matched against literal TRUE. ----------
     Q("q39_approx_percentiles", (s, d) => {
       val qs = Seq(0.25, 0.5, 0.75, 0.99)
       val eps = 0.01
@@ -477,17 +488,19 @@ object RelationalQueries {
         first(col("approx")).as("approx")
       val ranked = x.crossJoin(broadcast(approx))
         .agg(aggs.head, aggs.tail: _*)
-      val ok = qs.indices.map { i =>
-        col(s"rank$i") >= (lit(qs(i)) - eps) * col("n") &&
-          col(s"rank$i") <= (lit(qs(i)) + eps) * col("n")
-      }.reduce(_ && _)
-      ranked.filter(ok)
-        .select(col("n") +: qs.indices.flatMap { i =>
+      // verdict-as-data (hash-green): one row per quantile, (pq, n, ok) —
+      // n is the exact row count (oracle-able), ok the in-plan rank-contract
+      // check; estimate values and ranks stay internal (sketch-specific).
+      ranked.select(explode(array(qs.indices.map { i =>
           val tag = s"p${(qs(i) * 100).toInt}"
-          Seq(element_at(col("approx"), i + 1).as(s"${tag}_approx"),
-            col(s"rank$i").as(s"${tag}_rank"))
-        }: _*)
-    }, None),
+          struct(lit(tag).as("pq"), col("n"),
+            (col(s"rank$i") >= (lit(qs(i)) - eps) * col("n") &&
+              col(s"rank$i") <= (lit(qs(i)) + eps) * col("n")).as("ok"))
+        }: _*)).as("r"))
+        .select(col("r.pq"), col("r.n"), col("r.ok"))
+    }, Some(Seq(25, 50, 75, 99).map(p =>
+      s"SELECT 'p$p' AS pq, COUNT(*) AS n, TRUE AS ok FROM lineitem")
+      .mkString("\nUNION ALL\n"))),
 
     // --- exact percentiles (interpolated; sketch twin is q27-style approx) ----
     q("q30_percentiles",
@@ -989,14 +1002,16 @@ object RelationalQueries {
         graft.operators.Layout.hilbert2(col("x"), col("y")).as("h"))
     },
 
-    // --- opt-in sketch substitution (q50, rows-only self-validating): the
+    // --- opt-in sketch substitution (q50, hash-green verdict-as-data): the
     // --- ApproxDistinctRewrite optimizer rule turns exact COUNT(DISTINCT)
     // --- into the HLL++ sketch when the session sets the conf — plan-level
     // --- query acceleration, OFF by default because results change (within
     // --- the sketch's rsd). The gate proves BOTH halves: the rewritten
-    // --- plan actually contains the sketch (no silent no-op), and every
-    // --- group's estimate is within 3·rsd of the exact count computed
-    // --- WITHOUT the rule (q27's bound-check pattern, now at rule level).
+    // --- plan actually contains the sketch (no silent no-op; folded into
+    // --- every row's ok), and every group's estimate is within 3·rsd of
+    // --- the exact count computed WITHOUT the rule. The emitted rows are
+    // --- (o_orderstatus, exact_n, ok) — exact_n restated by the DuckDB
+    // --- oracle, ok matched against literal TRUE.
     Q("q50_approx_distinct_rewrite", (s, d) => {
       val rsd = 0.05
       val s2 = s.newSession()
@@ -1010,14 +1025,25 @@ object RelationalQueries {
           |FROM q50_orders GROUP BY 1""".stripMargin)
       val fired = apx.queryExecution.optimizedPlan.toString
         .toLowerCase.contains("approx_count_distinct")
-      val exact = Tables.orders(s, d).groupBy(col("o_orderstatus"))
-        .agg(countDistinct(col("o_custkey")).as("exact"))
-      val out = apx.join(exact, Seq("o_orderstatus"))
-        .select(col("o_orderstatus"), col("apx"), col("exact"))
-      val inBounds = out.filter(
-        abs(col("apx") - col("exact")) > col("exact") * (3 * rsd)).count() == 0
-      if (fired && inBounds) out else out.limit(0)
-    }, None)
+      // The exact side MUST stay out of s2: joining the two frames would put
+      // the whole joined plan under s2's optimizer and the rule would rewrite
+      // the "exact" countDistinct into a sketch as well (observed — the two
+      // sides then agree trivially and the gate is vacuous). Both aggregates
+      // run distributed; only the per-group verdict combine is driver-side,
+      // bounded by the handful of order statuses.
+      val apxByStatus = apx.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exactRows = Tables.orders(s, d).groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("exact_n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toSeq
+      import s.implicits._
+      exactRows.map { case (status, exactN) =>
+        val ap = apxByStatus.getOrElse(status, Long.MinValue)
+        (status, exactN, fired && math.abs(ap - exactN) <= exactN * 3 * rsd)
+      }.toDF("o_orderstatus", "exact_n", "ok")
+    }, Some(
+      """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS exact_n, TRUE AS ok
+        |FROM orders GROUP BY o_orderstatus""".stripMargin))
   )
 
   /** DuckDB twin of Layout.hilbert2: one (rx/ry, rotate, accumulate) CTE

@@ -69,6 +69,77 @@ object TextQueries {
        |thr AS (SELECT source, MIN(bin) AS thr FROM cum
        |  WHERE cum >= ceil(0.5 * n) GROUP BY 1)""".stripMargin
 
+  /** DuckDB twin of TextOps.bpeTrain: `rounds` fully-unrolled merge rounds
+    * (the vec05/vec10 unrolled-Lloyd discipline, applied to BPE). Round r:
+    *   p{r}: weighted adjacent-pair counts over vocab v{r-1} (overlapping
+    *         positions, exactly bpeTrain's `indices.dropRight(1)` scan);
+    *   m{r}: the argmax with bpeTrain's tie order (n DESC, lhs, rhs) —
+    *         byte order ≡ Spark's char order on this ASCII corpus;
+    *   eb/e/g/h{r}: greedy LEFT-TO-RIGHT rewrite flags, positionally. The
+    *         greedy skip-2 loop is restated as: a position merges iff it
+    *         matches (lhs,rhs) AND its offset inside its consecutive run of
+    *         matches is even (runs via gaps-and-islands i − ROW_NUMBER();
+    *         for lhs ≠ rhs runs have length 1, for lhs = rhs this takes
+    *         every other match — exactly the skip-2 semantics);
+    *   v{r}: the rewritten vocab (merged symbol absorbs its right
+    *         neighbor; a position is dropped iff its LEFT neighbor merged).
+    * Ends with vocab CTE `v{rounds}` and merge CTEs `m1..m{rounds}`.
+    * Starts from `documents`-shaped relation `src` (needs `text`).
+    */
+  private def bpeSql(rounds: Int, src: String): String = {
+    val v0 =
+      s"""v0 AS (
+         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |    regexp_split_to_array(word, '') AS syms
+         |  FROM (SELECT unnest($toksSql) AS word FROM $src)
+         |  GROUP BY word
+         |)""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      s"""p$r AS (
+         |  SELECT a AS lhs, b AS rhs, CAST(SUM(cnt) AS BIGINT) AS n FROM (
+         |    SELECT cnt, unnest([{'a': syms[i], 'b': syms[i+1]}
+         |        for i in generate_series(1, len(syms)-1)], recursive := true)
+         |    FROM v${r - 1} WHERE len(syms) > 1
+         |  ) GROUP BY 1, 2
+         |),
+         |m$r AS (SELECT lhs, rhs, n FROM p$r ORDER BY n DESC, lhs, rhs LIMIT 1),
+         |eb$r AS (
+         |  SELECT word, cnt, syms, unnest(generate_series(1, len(syms))) AS i
+         |  FROM v${r - 1}
+         |),
+         |e$r AS (
+         |  SELECT word, cnt, i, syms[i] AS s,
+         |    (i < len(syms) AND syms[i] = m.lhs AND syms[i+1] = m.rhs) AS mat
+         |  FROM eb$r CROSS JOIN m$r m
+         |),
+         |g$r AS (
+         |  SELECT word, cnt, i, s, mat,
+         |    CASE WHEN mat THEN i - ROW_NUMBER()
+         |      OVER (PARTITION BY word, mat ORDER BY i) END AS grp
+         |  FROM e$r
+         |),
+         |h$r AS (
+         |  SELECT word, cnt, i, s,
+         |    mat AND ((i - MIN(i) OVER (PARTITION BY word, grp)) % 2 = 0)
+         |      AS do_merge
+         |  FROM g$r
+         |),
+         |v$r AS (
+         |  SELECT word, cnt,
+         |    list(CASE WHEN do_merge THEN s || next_s ELSE s END ORDER BY i) AS syms
+         |  FROM (
+         |    SELECT word, cnt, i, s, do_merge,
+         |      LEAD(s) OVER (PARTITION BY word ORDER BY i) AS next_s,
+         |      COALESCE(LAG(do_merge) OVER (PARTITION BY word ORDER BY i), FALSE)
+         |        AS consumed
+         |    FROM h$r
+         |  ) WHERE NOT consumed
+         |  GROUP BY word, cnt
+         |)""".stripMargin
+    }
+    (v0 +: roundCtes).mkString(",\n")
+  }
+
   /** Corpus with planted exact (x%10) and near (x%17, 10 chars clipped) dups. */
   private val corpusSql =
     """corpus AS (
@@ -522,20 +593,19 @@ object TextQueries {
     // --- per-term counts (shuffle O(vocabulary)) are too big. q27-style
     // --- self-validation IN the plan: every term's estimate must satisfy
     // --- the one-sided CMS contract (est ≥ exact, est ≤ exact + ε·N with
-    // --- ε = 2/width over the min of 4 hash rows); any violation zeroes the
-    // --- single output row and fails the driver's rows>0 gate. Rows-only by
-    // --- design, like q27/q39: sketch internals are engine-specific, the
-    // --- estimate contract is not. -------------------------------------------
-    // --- distributed BPE tokenizer training (txt33, rows-only): learn 8
+    // --- ε = 2/width over the min of 4 hash rows); the verdict is emitted
+    // --- as data (q27 discipline) next to the exact, oracle-able corpus
+    // --- stats — sketch internals are engine-specific, the estimate
+    // --- contract is not, so the contract verdict is what hash-matches. ------
+    // --- distributed BPE tokenizer training (txt33, hash-green): learn 8
     // --- byte-pair merges from the corpus (Sennrich'16) — per round one
     // --- adjacent-pair count (shuffle O(distinct pairs)), a bounded
     // --- take(1) argmax with lexicographic ties, one word rewrite.
-    // --- SELF-VALIDATING: rows emit only if the merge table satisfies the
-    // --- BPE contract — ranks dense from 0, merged = left+right, and the
-    // --- selected counts non-increasing (a merge can only shrink existing
-    // --- pair counts; new pairs are bounded by the merged count). The
-    // --- sequence-rewrite rounds are not SQL-restatable, so correctness
-    // --- is pinned by the spec's straight-line reference equality. -------
+    // --- Twice-validated: the gate emits rows only if the merge table
+    // --- satisfies the BPE contract (ranks dense from 0, merged =
+    // --- left+right, selected counts non-increasing), AND the DuckDB
+    // --- oracle independently re-derives the full merge table by 8
+    // --- unrolled CTE rounds ([[bpeSql]]) — value-exact, not rows-only. --
     Q("txt33_bpe_train", (s, d) => {
       import s.implicits._
       val merges = TextOps.bpeTrain(
@@ -552,24 +622,41 @@ object TextQueries {
       (if (ok) merges else Seq.empty[TextOps.BpeMerge]).toDF()
         .select(col("rank").as("merge_rank"), col("left").as("lhs"),
           col("right").as("rhs"), col("merged"), col("pair_count"))
-    }, None),
+    }, Some(
+      s"""WITH ${bpeSql(8, "documents")}
+         |SELECT * FROM (
+         |${(1 to 8).map(r =>
+             s"SELECT ${r - 1} AS merge_rank, lhs, rhs, lhs || rhs AS merged, " +
+               s"n AS pair_count FROM m$r").mkString("\nUNION ALL\n")}
+         |)""".stripMargin)),
 
-    // --- BPE encode (txt34, rows-only): apply txt33's learned merge table
+    // --- BPE encode (txt34, hash-green): apply txt33's learned merge table
     // --- to the corpus — the token count under the learned vocabulary, the
-    // --- number a pipeline budgets with. SELF-VALIDATING twice over: the
-    // --- operator itself throws unless symbol concatenation restores every
-    // --- word, and the gate emits rows only if every doc satisfies
-    // --- n_symbols ≤ n_chars AND the corpus-wide symbol reduction is
-    // --- strictly positive (8 learned merges must compress SOMETHING). ---
+    // --- number a pipeline budgets with. The operator itself throws unless
+    // --- symbol concatenation restores every word; the DuckDB oracle
+    // --- re-derives per-doc symbol counts from [[bpeSql]]'s final vocab
+    // --- state v8: the 8 training rewrites ARE the sequential greedy
+    // --- encode of every corpus word, and bpeEncode's lowest-rank-first
+    // --- fixpoint agrees with that sweep (spec-pinned; they can differ
+    // --- only when a later merge resurrects an earlier pair, which the
+    // --- learned ASCII merge table cannot do). --------------------------
     Q("txt34_bpe_encode", (s, d) => {
       val docs = Tables.documents(s, d)
       val merges = TextOps.bpeTrain(docs.select("text"), "text", merges = 8)
-      val enc = TextOps.bpeEncode(docs, "doc_id", "text", merges)
-      val bad = enc.filter(col("n_symbols") > col("n_chars")).count()
-      val saved = enc.agg(sum(col("n_chars") - col("n_symbols")))
-        .head.getLong(0)
-      if (bad == 0 && saved > 0) enc else enc.limit(0)
-    }, None),
+      TextOps.bpeEncode(docs, "doc_id", "text", merges)
+    }, Some(
+      s"""WITH ${bpeSql(8, "documents")},
+         |w0 AS (SELECT doc_id, unnest($toksSql) AS word FROM documents),
+         |ag AS (
+         |  SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |    CAST(SUM(len(w.word)) AS BIGINT) AS n_chars,
+         |    CAST(SUM(len(v.syms)) AS BIGINT) AS n_symbols
+         |  FROM w0 w JOIN v8 v USING (word) GROUP BY w.doc_id
+         |)
+         |SELECT d.doc_id, COALESCE(ag.n_words, 0) AS n_words,
+         |  COALESCE(ag.n_chars, 0) AS n_chars,
+         |  COALESCE(ag.n_symbols, 0) AS n_symbols
+         |FROM documents d LEFT JOIN ag USING (doc_id)""".stripMargin)),
 
     Q("txt21_cms_frequencies", (s, d) => {
       val width = graft.operators.Sketches.DefaultWidth
@@ -577,16 +664,23 @@ object TextQueries {
         .select(explode(TextOps.tokens(col("text"))).as("term"))
       val sketch = graft.operators.Sketches.cmsBuild(toks, "term")
       val exact = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      // verdict-as-data (q27 discipline, hash-green): n_terms/n_tokens are
+      // exact and oracle-able; the one-sided CMS contract (est ≥ exact,
+      // est ≤ exact + ε·N, ε = 2/width over the min of 4 hash rows) folds
+      // into `ok`, matched against the oracle's literal TRUE.
       exact.crossJoin(broadcast(sketch))
         .withColumn("est", graft.operators.Sketches.cmsEstimate(col("_cms"), col("term")))
         .agg(count(lit(1)).as("n_terms"),
           sum(col("cnt")).as("n_tokens"),
           sum(when(col("est") < col("cnt"), 1L).otherwise(0L)).as("n_underestimates"),
           max(col("est") - col("cnt")).as("max_overestimate"))
-        .withColumn("err_bound", ceil(lit(2.0 / width) * col("n_tokens")))
-        .filter(col("n_underestimates") === 0 &&
-          col("max_overestimate") <= col("err_bound"))
-    }, None),
+        .select(col("n_terms"), col("n_tokens"),
+          (col("n_underestimates") === 0 &&
+            col("max_overestimate") <= ceil(lit(2.0 / width) * col("n_tokens")))
+            .as("ok"))
+    }, Some(
+      s"""SELECT COUNT(DISTINCT t) AS n_terms, COUNT(*) AS n_tokens, TRUE AS ok
+         |FROM (SELECT unnest($toksSql) AS t FROM documents)""".stripMargin)),
 
     // --- corpus-trained bigram-LM predictability (the KenLM-style quality
     // --- signal without logs): score(doc) = mean over its bigram

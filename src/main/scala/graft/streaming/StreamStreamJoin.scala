@@ -91,12 +91,19 @@ object StreamStreamJoin {
   }
 
   /** [[tableStream]] over an events-style parquet path, with the same
-    * nanos→micros timestamp fix as the batch loader (graft.Tables.events).
+    * ts-encoding fixes as the batch loader (graft.Tables.events): nanos-as-
+    * long → µs truncation, or TIMESTAMP_NTZ → session-local timestamp —
+    * whichever physical shape this testdata generation shipped.
     */
   def eventsStream(spark: SparkSession, path: String,
       maxFilesPerTrigger: Int = 0): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    tableStream(spark, path, maxFilesPerTrigger)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = tableStream(spark, path, maxFilesPerTrigger)
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 }
