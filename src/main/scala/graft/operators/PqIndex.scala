@@ -54,16 +54,20 @@ object PqIndex {
     */
   def train(corpus: DataFrame, idCol: String, vecCol: String, m: Int = 16,
       k: Int = 32, iters: Int = 2): DataFrame = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
+    import scala.concurrent.{Await, Future, blocking}
+    import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
     val subs = subVectors(corpus, idCol, vecCol, m)
-    Await.result(Future.traverse((0 until m).toList) { s => Future {
+    // blocking{}: each future parks on Spark job completion, and without the
+    // marker m > #workers would silently serialize the trainings (global
+    // pool starvation). Finite timeout so a hung Spark job surfaces as a
+    // failure instead of parking the caller forever.
+    Await.result(Future.traverse((0 until m).toList) { s => Future { blocking {
       IvfIndex.trainQ(
         subs.filter(col("s") === s).select(col("id"), col("sub").as("qv")),
         k, iters)
         .select(lit(s).as("s"), col("cell"), col("cv"))
-    } }, Duration.Inf).reduce(_ unionByName _)
+    } } }, 1.hour).reduce(_ unionByName _)
   }
 
   /** Compress the corpus: `(id, codes ARRAY<INT>)` — code `s` is the nearest
@@ -118,13 +122,15 @@ object PqIndex {
   final case class Index(codebooks: DataFrame, codes: DataFrame, m: Int) {
 
     /** Persist to `dir` as parquet. Codes are what a scan reads end-to-end,
-      * so they repartition to a bounded file count first (the relation is
-      * tiny per-row; one file per shuffle partition of ids). Codebooks are
+      * so they repartition to a bounded file count first (one file per
+      * shuffle partition of ids — the rows are ~16 B, so unbounded upstream
+      * task counts would write metadata-toxic slivers). Codebooks are
       * `m`·`k` rows — one file.
       */
     def save(dir: String): Unit = {
       codebooks.coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
-      codes.write.mode("overwrite").parquet(s"$dir/codes")
+      codes.repartition(col("id"))
+        .write.mode("overwrite").parquet(s"$dir/codes")
     }
   }
 
@@ -206,6 +212,8 @@ object PqIndex {
     * compose multiplicatively with PQ's 16× size reduction. (FAISS's IVFPQ
     * shape, without residual encoding: codebooks quantize the normalized
     * vectors directly, which keeps every intermediate an exact integer.)
+    * Trains per call — prefer [[buildIvf]] + [[IvfPq.save]] +
+    * [[searchIvfIndex]] for more than one search over a corpus.
     *
     * The coarse quantizer trains on the SAME unit-sphere vectors the PQ
     * slices come from ([[normalized]]), so cell pruning and ADC ranking
@@ -244,6 +252,110 @@ object PqIndex {
     val adc = encode(corpus, idCol, vecCol, books, m)
       .withColumnRenamed("id", "neighbor_id")
       .join(cand0, Seq("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"), posexplode(col("codes")))
+      .select(col("probe_id"), col("neighbor_id"),
+        col("pos").as("s"), col("col").as("code"))
+      .join(broadcast(dtab), Seq("probe_id", "s", "code"))
+      .groupBy(col("probe_id"), col("neighbor_id"))
+      .agg(sum(col("d2")).as("adc_d2"))
+    rerank(adc, probes, corpus, idCol, vecCol, k, rerankN)
+  }
+
+  /** A trained, persistable IVF-PQ index — the FAISS-IVFPQ production shape:
+    * the coarse quantizer (`nLists` unit-sphere centroids), the `m`·`k` PQ
+    * codebooks, and the corpus reduced to `(neighbor_id, cell, codes)`.
+    * Everything [[searchIvf]] retrains per call is computed exactly once
+    * here; a loaded search prunes cells by parquet partition pruning and
+    * then ADC-scans stored codes — raw vectors are touched only for the
+    * rerank rows.
+    *
+    * Schemas: `coarse(cell INT, cv ARRAY<LONG>)`,
+    * `codebooks(s INT, cell INT, cv ARRAY<LONG>)`,
+    * `codes(neighbor_id LONG, cell INT, codes ARRAY<INT>)`.
+    */
+  final case class IvfPq(coarse: DataFrame, codebooks: DataFrame,
+      codes: DataFrame, m: Int) {
+
+    /** Persist to `dir`. `codes` is partitioned by `cell` (the vec06/
+      * IvfIndex.Index.save discipline): a loaded search's probed-cell filter
+      * becomes parquet partition pruning, so untouched cells are never read.
+      * The repartition-by-cell aligns write tasks with partition dirs —
+      * without it every task writes a sliver of every cell.
+      */
+    def save(dir: String): Unit = {
+      coarse.coalesce(1).write.mode("overwrite").parquet(s"$dir/coarse")
+      codebooks.coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+      codes.repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+    }
+  }
+
+  /** Train the full IVF-PQ artifact once: coarse quantizer over the
+    * unit-sphere vectors, per-subspace PQ codebooks, and the corpus encoded
+    * to codes WITH its coarse-cell assignment. Exactly [[searchIvf]]'s
+    * training work, factored out so it runs once per corpus instead of once
+    * per search call.
+    */
+  def buildIvf(corpus: DataFrame, idCol: String, vecCol: String,
+      nLists: Int = 16, m: Int = 16, nCodes: Int = 32,
+      iters: Int = 2): IvfPq = {
+    val qn = normalized(corpus, idCol, vecCol)
+    val coarse = IvfIndex.trainQ(qn.select(col("id"), col("qn").as("qv")),
+      nLists, iters)
+    val cells = IvfIndex.assign(
+      qn.select(col("id"), col("qn").as("qv")), coarse)
+      .select(col("id"), col("cell"))
+    val books = train(corpus, idCol, vecCol, m, nCodes, iters)
+    val codes = encode(corpus, idCol, vecCol, books, m)
+      .join(cells, Seq("id"))
+      .select(col("id").as("neighbor_id"), col("cell"), col("codes"))
+    IvfPq(coarse, books, codes, m)
+  }
+
+  /** Load a persisted [[IvfPq]]. All stored values are exact integers, so
+    * search over `loadIvf(save(buildIvf(…)))` reproduces the inline
+    * [[searchIvf]] results bit-for-bit (spec + vec15 gate).
+    */
+  def loadIvf(spark: org.apache.spark.sql.SparkSession, dir: String): IvfPq = {
+    val books = spark.read.parquet(s"$dir/codebooks")
+      .select(col("s").cast("int"), col("cell").cast("int"), col("cv"))
+    // partition-column inference can widen `cell`; pin the written schema
+    val codes = spark.read.parquet(s"$dir/codes")
+      .select(col("neighbor_id"), col("cell").cast("int"), col("codes"))
+    IvfPq(spark.read.parquet(s"$dir/coarse"), books, codes,
+      books.agg(max(col("s"))).head().getInt(0) + 1)
+  }
+
+  /** IVF-PQ search against a prebuilt [[IvfPq]] — nothing retrains: each
+    * probe finds its `nProbe` nearest coarse cells (broadcast centroid
+    * scan), the stored codes are filtered to the probed cells with a
+    * LITERAL `isin` (collected from the probe side, bounded by nLists —
+    * static partition pruning on a loaded index, no DPP reliance), and ADC
+    * distances come from the stored codes joined against the probe distance
+    * tables. Same output contract as [[searchIvf]]: bit-identical rows for
+    * the same training parameters.
+    */
+  def searchIvfIndex(probes: DataFrame, index: IvfPq, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int = 4,
+      rerankN: Int = 32): DataFrame = {
+    val probeCells = normalized(probes, idCol, vecCol)
+      .crossJoin(broadcast(index.coarse))
+      .select(col("id").as("probe_id"), col("cell"),
+        IvfIndex.l2Q(col("qn"), col("cv")).as("d2"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("probe_id")).orderBy(col("d2"), col("cell"))))
+      .filter(col("_rn") <= nProbe)
+      .select("probe_id", "cell")
+    val probedCells = probeCells.select(col("cell").cast("int")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val dtab = subVectors(probes, idCol, vecCol, index.m)
+      .join(broadcast(index.codebooks), Seq("s"))
+      .select(col("id").as("probe_id"), col("s"), col("cell").as("code"),
+        IvfIndex.l2Q(col("sub"), col("cv")).as("d2"))
+    val adc = index.codes
+      .filter(col("cell").isin(probedCells.map(Integer.valueOf).toSeq: _*))
+      .join(probeCells, Seq("cell"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"), posexplode(col("codes")))
       .select(col("probe_id"), col("neighbor_id"),
         col("pos").as("s"), col("col").as("code"))

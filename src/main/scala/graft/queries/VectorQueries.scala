@@ -440,6 +440,25 @@ object VectorQueries {
         m = 16, nCodes = 32, iters = 2, rerankN = 32)
     },
 
+    // --- IVF-PQ persisted-index path (the FAISS production shape): build
+    // --- the full artifact ONCE (coarse quantizer + PQ codebooks + cell-
+    // --- partitioned codes), save, load, search — nothing retrains per
+    // --- call, the probed-cell filter prunes parquet partitions of the
+    // --- stored codes, and ADC reads codes only. Same oracle as vec12:
+    // --- every stored value is an exact integer, so the round-trip must
+    // --- reproduce the inline-train results bit-for-bit. -------------------
+    q("vec15_ann_ivf_pq_index", pqSql(m = 16, dsub = 4, kCode = 32,
+      rerankN = 32, kOut = 3, nLists = 16, nProbe = 4)) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_ivfpq_idx_" + Integer.toHexString(d.hashCode)).getPath
+      graft.operators.PqIndex.buildIvf(emb, "vec_id", "embedding",
+        nLists = 16, m = 16, nCodes = 32, iters = 2).save(dir)
+      val loaded = graft.operators.PqIndex.loadIvf(s, dir)
+      graft.operators.PqIndex.searchIvfIndex(emb.filter(col("vec_id") < 10),
+        loaded, emb, "vec_id", "embedding", k = 3, nProbe = 4, rerankN = 32)
+    },
+
     // --- cross-corpus SEMANTIC decontamination: eval vectors whose cosine
     // --- against some training vector reaches τ — the embedding-space analog
     // --- of txt16's LSH text path, catching paraphrased leaks with no shared

@@ -140,6 +140,58 @@ class PqIndexSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"IVF-PQ recall@3 collapsed: $recall")
   }
 
+  test("ivf-pq index: save/load round-trip ≡ inline searchIvf bit-for-bit") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double, Int)] =
+      df.select(col("probe_id"), col("neighbor_id"), col("sim"), col("rank"))
+        .as[(Long, Long, Double, Int)].collect().toSet
+    val probes = emb.filter(col("vec_id") < 10)
+    val inline = rows(PqIndex.searchIvf(probes, emb, "vec_id", "embedding",
+      k = 3, nLists = 8, nProbe = 3))
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString
+    PqIndex.buildIvf(emb, "vec_id", "embedding", nLists = 8).save(dir)
+    val loaded = PqIndex.loadIvf(spark, dir)
+    assert(loaded.m == 16, "m must be recoverable from the stored codebooks")
+    val viaIndex = rows(PqIndex.searchIvfIndex(probes, loaded, emb,
+      "vec_id", "embedding", k = 3, nProbe = 3))
+    assert(viaIndex == inline,
+      "stored coarse/codebooks/codes must reproduce inline searchIvf exactly")
+    // nProbe = nLists turns pruning off: the persisted path must collapse
+    // to the flat ADC search, same as inline searchIvf does
+    val unpruned = rows(PqIndex.searchIvfIndex(probes, loaded, emb,
+      "vec_id", "embedding", k = 3, nProbe = 8))
+    val flat = rows(PqIndex.searchAdc(probes, emb, "vec_id", "embedding", k = 3))
+    assert(unpruned == flat, "un-pruned persisted IVF-PQ must equal flat ADC")
+  }
+
+  test("ivf-pq index: loaded search scans only the probed cell partitions") {
+    val probes = emb.filter(col("vec_id") < 2)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_prune").toString
+    PqIndex.buildIvf(emb, "vec_id", "embedding", nLists = 8).save(dir)
+    val loaded = PqIndex.loadIvf(spark, dir)
+    val plan = PqIndex.searchIvfIndex(probes, loaded, emb,
+      "vec_id", "embedding", k = 3, nProbe = 2)
+      .queryExecution.executedPlan
+    // the literal isin over the partition column must reach the codes scan
+    // as a partition filter — the stored index's pruning contract.
+    // (AdaptiveSparkPlanExec hides scan details from toString — unwrap.)
+    val inner = plan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    val codesScans = inner.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("codes")) => f
+    }
+    assert(codesScans.nonEmpty, "the stored codes must be read by a file scan")
+    assert(codesScans.forall(_.partitionFilters.exists(_.toString.contains("cell"))),
+      "probed-cell filter must prune parquet partitions of the stored codes")
+    // (no BNLJ assert here: the probe-side centroid scan is a DELIBERATE
+    // broadcast cross join, bounded at probes × nLists rows)
+    assert(!plan.toString.contains("CartesianProduct"))
+  }
+
   test("plan: ADC search joins are hashed — no cartesian over vectors") {
     val plan = PqIndex.searchAdc(emb.filter(col("vec_id") < 10), emb,
       "vec_id", "embedding", k = 3).queryExecution.executedPlan.toString
