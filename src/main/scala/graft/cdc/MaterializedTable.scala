@@ -121,16 +121,22 @@ object MaterializedTable {
       // schema rides in a `_`-prefixed file (invisible to parquet listing)
       // and [[read]] reconstructs an empty relation from it. Rewritten on
       // every merge so it always reflects the evolved (widened) schema.
-      // Written to a temp name and renamed into place (rename is atomic on
-      // HDFS/local): an in-place overwrite would let a crash mid-write, or a
-      // concurrent reader of a fully-tombstoned state, observe a truncated
-      // sidecar and fail the empty-read path on JSON parse.
+      // Written to a temp name, then renamed into place with
+      // FileContext.rename(OVERWRITE) — a true atomic replace on HDFS/local
+      // (plain FileSystem.rename won't overwrite, and delete-then-rename
+      // opens a window where a crash or concurrent reader sees NO sidecar
+      // at all; rename throws on failure instead of returning an ignorable
+      // boolean). [[readState]] additionally falls back to the .tmp file
+      // when the primary is absent, covering a crash between create and
+      // rename on a previous run.
       val sidecar = new org.apache.hadoop.fs.Path(dir, schemaFile)
       val sidecarTmp = new org.apache.hadoop.fs.Path(dir, schemaFile + ".tmp")
       val os = fs.create(sidecarTmp, true)
       try os.write(out.schema.json.getBytes("UTF-8")) finally os.close()
-      if (fs.exists(sidecar)) fs.delete(sidecar, false)
-      fs.rename(sidecarTmp, sidecar)
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        sidecar.toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(sidecarTmp, sidecar,
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
       touched.length
     } finally {
       incoming.unpersist()
@@ -195,8 +201,13 @@ object MaterializedTable {
     else {
       // a merged-but-currently-empty state (every key tombstoned) has no
       // parquet to infer from; the sidecar schema written by every merge
-      // reconstructs the empty relation instead of UNABLE_TO_INFER_SCHEMA
-      val sf = new org.apache.hadoop.fs.Path(dir, schemaFile)
+      // reconstructs the empty relation instead of UNABLE_TO_INFER_SCHEMA.
+      // Fall back to the .tmp file if the primary is missing — a crash
+      // between the sidecar create and its atomic rename leaves only the
+      // fully-written temp (merge always finishes the write before rename).
+      val primary = new org.apache.hadoop.fs.Path(dir, schemaFile)
+      val tmp = new org.apache.hadoop.fs.Path(dir, schemaFile + ".tmp")
+      val sf = if (fs.exists(primary)) primary else tmp
       require(fs.exists(sf), s"no materialized state at $dir")
       val in = fs.open(sf)
       val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString

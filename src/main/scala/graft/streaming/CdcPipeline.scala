@@ -27,10 +27,16 @@ object CdcPipeline {
     val spark = table.sparkSession
     import spark.implicits._
     val keyJson = to_json(struct(keyCols.map(col): _*))
-    // names enter the pipeline here from a non-Postgres caller: apply the
-    // source contract a real PG upstream would have (63-byte NAMEDATALEN
-    // clip) so downstream identifier handling sees the same invariant
+    // names enter the pipeline here from a non-Postgres caller: the source
+    // contract a real PG upstream enforces is the 63-byte NAMEDATALEN clip.
+    // A longer name is caller error worth surfacing — clipping silently
+    // would make later `table = <original>` filters match nothing — so
+    // require instead of truncate (the reference never sees such a name;
+    // PG itself truncates at DDL time, before any decoding).
     val pgName = graft.functions.AvroSafeName.pgTruncateIdentifier(tableName)
+    require(pgName == tableName,
+      s"table name exceeds PostgreSQL's 63-byte identifier limit " +
+        s"(would truncate to '$pgName'): '$tableName'")
     table.select(
       lit(Op.Insert).as("op"),
       lit(pgName).as("table"),

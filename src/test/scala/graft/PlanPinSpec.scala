@@ -150,10 +150,11 @@ class PlanPinSpec extends AnyFunSuite {
     val p = executed("txt29_quality_calibrate")
     assert(p.contains("BroadcastHashJoin"),
       "per-source thresholds are a tiny frame — must broadcast onto the corpus")
-    // the quantile comes from a histogram window over |sources|·bins rows;
-    // the corpus itself must never pass through a sort or a global window
-    assert(!p.contains("SinglePartition") || p.contains("Window"),
-      s"no global single-partition pass over the corpus:\n$p")
+    // the quantile comes from a histogram window over |sources|·bins rows,
+    // partitioned BY SOURCE — the corpus (and even the histogram) must
+    // never pass through a single-partition exchange or a global window
+    assert(!p.contains("SinglePartition"),
+      s"no single-partition exchange anywhere in the calibration plan:\n$p")
     assert(countOf(p, "SortMergeJoin") == 0,
       "threshold join must not sort-merge the corpus")
   }

@@ -195,4 +195,23 @@ class MaterializedTableSpec extends AnyFunSuite {
       Seq("key"), Seq("lsn", "seq"), numBuckets = 4)
     assert(MaterializedTable.read(spark, dir).count() == 0)
   }
+
+  test("sidecar crash window: read falls back to the .tmp schema file") {
+    import spark.implicits._
+    // a crash between the sidecar's create and its atomic rename leaves
+    // only the fully-written .tmp — the empty-read path must still work
+    val dir = java.nio.file.Files.createTempDirectory("mt_sc").toString + "/state"
+    MaterializedTable.merge(spark, dir,
+      Seq(ev("delete", "k0", 10, null)).toDF(),
+      Seq("key"), Seq("lsn", "seq"), numBuckets = 4)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val primary = new org.apache.hadoop.fs.Path(dir, "_graft_schema.json")
+    val tmp = new org.apache.hadoop.fs.Path(dir, "_graft_schema.json.tmp")
+    // simulate the crash state: .tmp written, rename never happened
+    assert(fs.rename(primary, tmp), "setup: move primary to .tmp")
+    val empty = MaterializedTable.read(spark, dir)
+    assert(empty.count() == 0)
+    assert(empty.columns.contains("key") && empty.columns.contains("after"))
+  }
 }
