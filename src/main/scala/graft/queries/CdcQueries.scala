@@ -483,6 +483,48 @@ object CdcQueries {
         .select(col("key").cast("long").as("user_id"),
           col("lsn").as("last_lsn"),
           when(col("lsn") >= consistentLsn, "stream").otherwise("snapshot").as("phase"))
+    },
+
+    // --- Avro-JSON frame encode (kafka/json.c:23–101): the human-readable
+    // --- output mode, where every union value is TAGGED with its branch
+    // --- ({"key":{"bytes":"5"}}, null branches as bare null, records by
+    // --- full name "graft.cdc.Insert"). The oracle reconstructs every
+    // --- transaction's COMPLETE frame JSON by string construction —
+    // --- Begin/rows/Commit ordering, relid (the documented name-hash
+    // --- constant for public.users), byte-payload escaping (the only
+    // --- escapable char in these payloads is the quote), and Java/DuckDB-
+    // --- agreeing double formatting (all values are 2-decimal) — so the
+    // --- gate hash-matches the full strings, not just their counts. ---------
+    q("cdc21_avro_json_encode",
+      s"""WITH ev AS (SELECT event_id, event_id // 10 AS xid, user_id,
+         |    event_type, value, $opSql AS op FROM events),
+         |pay AS (SELECT *,
+         |  '{"user_id":' || user_id || ',"event_type":"' || event_type ||
+         |    '","value":' || CAST(value AS VARCHAR) || '}' AS after FROM ev),
+         |m AS (SELECT xid, event_id, CASE op
+         |  WHEN 'insert' THEN '{"graft.cdc.Insert":{"relid":3770939971,' ||
+         |    '"key":{"bytes":"' || user_id || '"},"newRow":"' ||
+         |    replace(after, '"', '\\"') || '"}}'
+         |  WHEN 'update' THEN '{"graft.cdc.Update":{"relid":3770939971,' ||
+         |    '"key":{"bytes":"' || user_id || '"},"oldRow":null,' ||
+         |    '"newRow":"' || replace(after, '"', '\\"') || '"}}'
+         |  ELSE '{"graft.cdc.Delete":{"relid":3770939971,' ||
+         |    '"key":{"bytes":"' || user_id || '"},"oldRow":null}}'
+         |  END AS msg FROM pay)
+         |SELECT xid,
+         |  '{"msg":[{"graft.cdc.BeginTxn":{"xid":' || xid || '}},' ||
+         |  string_agg(msg, ',' ORDER BY event_id) ||
+         |  ',{"graft.cdc.CommitTxn":{"xid":' || xid || ',"lsn":' ||
+         |  max(event_id) || '}}]}' AS frame_json
+         |FROM m GROUP BY xid""".stripMargin) { (s, d) =>
+      import s.implicits._
+      ChangelogGen.fromEvents(s, d)
+        .groupByKey(_.xid)
+        .mapGroups { (xid, it) =>
+          val evs = it.toSeq.sortBy(e => (e.lsn, e.seq))
+          (xid, AvroFrame.encodeTxnJson(xid, evs.map(_.lsn).max, evs))
+        }
+        .toDF("xid", "frame_json")
     }
   )
 }
