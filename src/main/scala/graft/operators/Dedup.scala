@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for 100 TB-scale corpus curation.
@@ -475,5 +476,68 @@ object Dedup {
       .groupBy(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+  }
+
+  /** Hash-family salt for repeat-interval gram hashes (shared with oracle). */
+  val RepeatSalt = "35:"
+
+  /** Exact repeated-substring detection (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" — the ExactSubstr
+    * modality): per document, the maximal token intervals lying inside some
+    * exact repeat of at least `minTokens` tokens occurring ANYWHERE else in
+    * the corpus (another document, or another position of the same one).
+    * This sits between [[passageStats]] (fixed non-overlapping blocks — a
+    * repeat straddling a block boundary is invisible) and
+    * [[winnowFingerprints]] (approximate, shift-tolerant): arbitrary-
+    * length, arbitrary-alignment, and EXACT.
+    *
+    * Lee et al. build a suffix array — inherently sequential over the
+    * corpus. The distributed restatement is duplicated-k-gram COVERAGE,
+    * which is exact for this contract, not an approximation: a position p
+    * lies inside a repeat of ≥ k tokens iff some k-gram containing p is
+    * duplicated corpus-wide (⇐ the duplicated k-gram IS such a repeat;
+    * ⇒ any ≥ k repeat containing p has a duplicated k-gram over p). So
+    * coverage = positions of duplicated k-grams widened by k−1, and the
+    * emitted intervals are maximal runs of covered positions — two seed
+    * positions chain iff they are ≤ k apart.
+    *
+    * Returns one row per repeat interval:
+    * `(idCol, start_tok, end_tok, n_toks)`, token positions 0-based
+    * inclusive, `n_toks ≥ minTokens`.
+    *
+    * Scale shape: one narrow explode to (id, pos, h) — 16-byte gram hashes
+    * travel, never gram text; the duplicate filter is one hash-keyed
+    * partial-agg'd count (shuffle O(tokens) hash rows — the same cost
+    * class as the txt23/txt30 gram pipelines); one equi-join back on the
+    * hash; then a PER-DOCUMENT window (keyed by id, never global) for the
+    * island merge and one final per-(id, island) aggregation. Nothing is
+    * quadratic and no suffix structure ever materializes.
+    */
+  def repeatIntervals(docs: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 8): DataFrame = {
+    require(minTokens > 0, s"minTokens must be positive: $minTokens")
+    val k = minTokens
+    val grams = docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("_t"))
+      .filter(size(col("_t")) >= k)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), size(col("_t")) - k),
+        i => md5(concat(lit(RepeatSalt),
+          concat_ws(" ", slice(col("_t"), i + 1, lit(k))))))))
+      .select(col(idCol), col("pos").cast("long").as("pos"), col("col").as("h"))
+    val dup = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("_n")).filter(col("_n") > 1)
+      .select(col("h"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    grams.join(dup, Seq("h"))
+      .select(col(idCol), col("pos"))
+      .withColumn("_brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) > k, 1L).otherwise(0L))
+      .withColumn("_island", sum(col("_brk")).over(w))
+      .groupBy(col(idCol), col("_island"))
+      .agg(min(col("pos")).as("start_tok"),
+        (max(col("pos")) + (k - 1)).as("end_tok"))
+      .select(col(idCol), col("start_tok"), col("end_tok"),
+        (col("end_tok") - col("start_tok") + 1).as("n_toks"))
   }
 }

@@ -1014,6 +1014,35 @@ object TextQueries {
       Dedup.noveltyStats(corpus(s, d), "doc_id", "text", n = 4)
     },
 
+    // --- exact repeated-substring intervals (txt35, Lee et al.'s ExactSubstr
+    // --- modality distributed): per doc, the maximal token intervals inside
+    // --- some exact ≥8-token repeat occurring anywhere else in the planted
+    // --- corpus. Duplicated-k-gram coverage is EXACT for this contract
+    // --- (Dedup.repeatIntervals scaladoc); the oracle restates it with the
+    // --- same salted gram hashes, a HAVING>1 duplicate filter, and the
+    // --- gaps-and-islands run merge. Planted copies (%10 whole docs, %17
+    // --- clipped prefixes) surface as full-document / prefix intervals. ---
+    q("txt35_repeat_intervals",
+      s"""WITH $corpusSql,
+         |t AS (SELECT doc_id, $toksSql AS t FROM corpus),
+         |g AS (SELECT doc_id, unnest(
+         |  [{'pos': CAST(i-1 AS BIGINT),
+         |    'h': md5('${Dedup.RepeatSalt}' || array_to_string(t[i:i+7], ' '))}
+         |   for i in generate_series(1, len(t)-7)], recursive := true)
+         |  FROM t WHERE len(t) >= 8),
+         |d AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) > 1),
+         |p AS (SELECT doc_id, pos FROM g JOIN d USING (h)),
+         |b AS (SELECT doc_id, pos,
+         |  CASE WHEN pos - LAG(pos) OVER w > 8 THEN 1 ELSE 0 END AS brk
+         |  FROM p WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |r AS (SELECT doc_id, pos,
+         |  SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM b)
+         |SELECT doc_id, MIN(pos) AS start_tok, MAX(pos) + 7 AS end_tok,
+         |  MAX(pos) + 8 - MIN(pos) AS n_toks
+         |FROM r GROUP BY doc_id, island""".stripMargin) { (s, d) =>
+      Dedup.repeatIntervals(corpus(s, d), "doc_id", "text", minTokens = 8)
+    },
+
     // --- SimHash (native expression vs 32-way SQL vote) -----------------------
     q("txt08_simhash",
       s"""WITH toks AS (SELECT doc_id, list_distinct($toksSql) AS t FROM documents),

@@ -311,6 +311,46 @@ class PropertySpec extends AnyFunSuite {
     check("passageStats", 10)(prop)
   }
 
+  test("repeatIntervals equals the straight-line covered-position scan") {
+    import spark.implicits._
+    val k = 3
+    val docsGen = Gen.nonEmptyListOf(
+      Gen.listOf(Gen.oneOf("a", "b", "c"))) // tiny vocab ⇒ real repeats
+      .map(_.zipWithIndex.map { case (toks, i) => (i.toLong, toks.mkString(" ")) })
+    val prop = Prop.forAll(docsGen, Gen.chooseNum(1, 4)) { (docs, nParts) =>
+      val df = docs.toDF("doc_id", "text").repartition(nParts)
+      val got = Dedup.repeatIntervals(df, "doc_id", "text", minTokens = k)
+        .select("doc_id", "start_tok", "end_tok", "n_toks")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      // reference: mark every position inside ANY ≥k substring occurring at
+      // ≥2 (doc, pos) sites, then merge maximal covered runs per doc —
+      // computed from first principles (all k-gram occurrence counts)
+      val occ = scala.collection.mutable.Map[Seq[String], Int]()
+      val toksOf = docs.map { case (id, t) =>
+        id -> t.split(" ").filter(_.nonEmpty).toSeq }.toMap
+      for ((_, toks) <- toksOf; i <- 0 to toks.length - k)
+        occ(toks.slice(i, i + k)) = occ.getOrElse(toks.slice(i, i + k), 0) + 1
+      val want = (for ((id, toks) <- toksOf.toSeq) yield {
+        val covered = Array.fill(toks.length)(false)
+        for (i <- 0 to toks.length - k if occ(toks.slice(i, i + k)) > 1;
+             p <- i until i + k) covered(p) = true
+        // maximal runs of covered positions
+        val runs = Seq.newBuilder[(Long, Long, Long, Long)]
+        var s = -1
+        for (p <- 0 to toks.length) {
+          val c = p < toks.length && covered(p)
+          if (c && s < 0) s = p
+          if (!c && s >= 0) {
+            runs += ((id, s.toLong, (p - 1).toLong, (p - s).toLong)); s = -1
+          }
+        }
+        runs.result()
+      }).flatten.toSet
+      got == want
+    }
+    check("repeatIntervals", 15)(prop)
+  }
+
   test("winnowFingerprints equals the straight-line walk; shared runs intersect") {
     import spark.implicits._
     val (k, w) = (3, 3)

@@ -312,6 +312,22 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(swapped(1L)._4.contains(1.0) && swapped(2L)._4.contains(0.0))
   }
 
+  test("repeatIntervals: cross-doc repeat found at any alignment; short misses") {
+    import spark.implicits._
+    val run = "r1 r2 r3 r4 r5 r6 r7 r8" // exactly minTokens = 8
+    val docs = Seq(
+      (1L, s"a1 a2 $run a3 a4"),
+      // same 8-token run at a DIFFERENT alignment (passageStats would miss)
+      (2L, s"b1 $run"),
+      // 7-token repeat of the run's prefix: below minTokens, invisible
+      (3L, "c1 r1 r2 r3 r4 r5 r6 r7 c2"),
+      (4L, "d1 d2 d3 d4 d5 d6 d7 d8 d9 d10")).toDF("doc_id", "text")
+    val got = Dedup.repeatIntervals(docs, "doc_id", "text", minTokens = 8)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 9L, 8L), (2L, 1L, 8L, 8L)),
+      s"exactly the two aligned copies of the 8-token run: $got")
+  }
+
   test("winnowing: shift-tolerant (the guarantee block hashing lacks)") {
     import spark.implicits._
     val shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
