@@ -353,6 +353,85 @@ object TextOps {
           expr(s"(start_tok + n_tokens - 1) div $seqLen")).as("seq_last"))
   }
 
+  /** Hash-feature salt for the trained quality classifier (shared with the
+    * oracle SQL). */
+  val ClassifierSalt = 36
+
+  /** Train a bag-of-hashed-tokens linear quality classifier — the
+    * fastText/CCNet-final-stage analog: labeled documents → one weight per
+    * hash bucket. The weight of bucket `h` is the Laplace-smoothed
+    * class-conditional probability difference
+    * `(n_pos(h)+1)/(N_pos+dims) − (n_neg(h)+1)/(N_neg+dims)` — i.e. the
+    * multinomial-Naive-Bayes evidence of `h` for the positive class,
+    * linearized (probability difference, not log-likelihood ratio: no
+    * libm, the txt11 idf discipline — each weight is ONE IEEE divide of
+    * exact integers per side, identical on every engine).
+    *
+    * Returns `(h INT, w DOUBLE)` for every bucket in [0, dims) — including
+    * never-seen buckets, whose weight is the smoothing floor difference,
+    * so scoring needs no null-handling and the table is exactly `dims`
+    * rows (broadcast-sized by construction; that is the point of feature
+    * hashing).
+    *
+    * Training is ONE distributed counting pass: explode to (h, label),
+    * partial-agg'd conditional sums into `dims` rows — no gradient
+    * rounds, no driver-side loop; the 100 TB cost is a token-count
+    * shuffle bounded by `dims` distinct keys.
+    */
+  def classifierTrain(docs: org.apache.spark.sql.DataFrame, labelCol: String,
+      textCol: String, dims: Int = 256): org.apache.spark.sql.DataFrame = {
+    require(dims > 1, s"dims must be at least 2: $dims")
+    val spark = docs.sparkSession
+    val counts = docs
+      .select(col(labelCol).as("_pos"), explode(tokens(col(textCol))).as("_tok"))
+      .select(col("_pos"), (hex32(col("_tok"), ClassifierSalt) % dims).cast("int").as("h"))
+      .groupBy(col("h"))
+      .agg(sum(when(col("_pos"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!col("_pos"), 1L).otherwise(0L)).as("n_neg"))
+    // dims is small by construction — densify driver-side so unseen buckets
+    // carry the smoothing-floor weight (bounded collect, |dims| rows)
+    val seen = counts.collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val nPos = seen.valuesIterator.map(_._1).sum
+    val nNeg = seen.valuesIterator.map(_._2).sum
+    import spark.implicits._
+    (0 until dims).map { h =>
+      val (np, nn) = seen.getOrElse(h, (0L, 0L))
+      (h, (np + 1).toDouble / (nPos + dims) - (nn + 1).toDouble / (nNeg + dims))
+    }.toDF("h", "w")
+  }
+
+  /** Score documents under a trained classifier: the mean weight of a
+    * document's hashed tokens — the dot product of its hashed-count vector
+    * with the weight vector, over its token count. Positive ⇒ the document
+    * looks like the positive training class. Returns
+    * `(idCol, n_toks, score)`; token-less docs score null.
+    *
+    * Exactness: per-token weights are engine-exact doubles
+    * ([[classifierTrain]]), the sum is the decimal-cast exact sum at
+    * DECIMAL(18,12) — the proven Qutil.dsum envelope (int64-backed decimals
+    * convert to double identically on both engines; wider decimals would
+    * not provably do so), the mean one IEEE divide — the whole score
+    * hash-matches cross-engine.
+    * Scale shape: weights broadcast (`dims` rows); one narrow explode; one
+    * per-doc partial-agg'd rollup. No shuffle wider than (id, h).
+    */
+  def classifierScore(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, weights: org.apache.spark.sql.DataFrame,
+      dims: Int): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol),
+        explode(tokens(col(textCol))).as("_tok"))
+      .select(col(idCol), (hex32(col("_tok"), ClassifierSalt) % dims).cast("int").as("h"))
+    val scored = toks.join(broadcast(weights), Seq("h"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_toks"),
+        (sum(col("w").cast(org.apache.spark.sql.types.DecimalType(18, 12)))
+          .cast("double") / count(lit(1))).as("score"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        col("score"))
+  }
+
   /** Lexical-diversity quality bin in `[0, bins)`: `floor(|distinct toks| /
     * |toks| · bins)` clamped to the top bin; null for token-less docs. An
     * integer bin (not the raw double) on purpose — the calibration below

@@ -1043,6 +1043,50 @@ object TextQueries {
       Dedup.repeatIntervals(corpus(s, d), "doc_id", "text", minTokens = 8)
     },
 
+    // --- trained quality classifier (txt36): the fastText/CCNet-final-stage
+    // --- analog — a bag-of-hashed-tokens linear model whose weights are
+    // --- Laplace-smoothed Naive-Bayes probability differences, trained in
+    // --- ONE distributed counting pass (no gradient rounds, no libm:
+    // --- every weight is an IEEE divide of exact integers, TextOps
+    // --- .classifierTrain). Labels are planted: the documents themselves
+    // --- are positive; each doc's 'zz'-interleaved twin (boilerplate
+    // --- marker between every token) is negative. Scoring is the mean
+    // --- hashed-bucket weight (a dot product), decimal-exact — the oracle
+    // --- restates training AND scoring, so the gate hash-matches every
+    // --- score, not just the separation. -------------------------------
+    q("txt36_quality_classifier",
+      s"""WITH lab AS (
+         |  SELECT doc_id, text, TRUE AS pos FROM documents
+         |  UNION ALL SELECT doc_id + 500000, replace(text, ' ', ' zz '), FALSE
+         |  FROM documents),
+         |tok AS (SELECT pos, unnest($toksSql) AS tok FROM lab),
+         |hh AS (SELECT pos, CAST(${hex32Sql("'36:'||tok")} % 256 AS INT) AS h FROM tok),
+         |cnt AS (SELECT h, SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS n_pos,
+         |    SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS n_neg FROM hh GROUP BY h),
+         |tot AS (SELECT SUM(n_pos) AS np, SUM(n_neg) AS nn FROM cnt),
+         |w AS (SELECT gs.h,
+         |    CAST(COALESCE(c.n_pos, 0) + 1 AS DOUBLE) / CAST(np + 256 AS DOUBLE)
+         |    - CAST(COALESCE(c.n_neg, 0) + 1 AS DOUBLE) / CAST(nn + 256 AS DOUBLE) AS w
+         |  FROM generate_series(0, 255) gs(h) LEFT JOIN cnt c ON gs.h = c.h
+         |  CROSS JOIN tot),
+         |dt AS (SELECT doc_id, unnest($toksSql) AS tok FROM lab),
+         |sc AS (SELECT dt.doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+         |    CAST(SUM(CAST(w.w AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*) AS score
+         |  FROM dt JOIN w ON CAST(${hex32Sql("'36:'||dt.tok")} % 256 AS INT) = w.h
+         |  GROUP BY dt.doc_id)
+         |SELECT lab.doc_id, lab.pos, COALESCE(sc.n_toks, 0) AS n_toks, sc.score
+         |FROM lab LEFT JOIN sc USING (doc_id)""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val lab = docs.withColumn("pos", lit(true)).unionByName(
+        docs.select((col("doc_id") + 500000).as("doc_id"),
+          expr("replace(text, ' ', ' zz ')").as("text"))
+          .withColumn("pos", lit(false)))
+      val weights = TextOps.classifierTrain(lab, "pos", "text", dims = 256)
+      TextOps.classifierScore(lab, "doc_id", "text", weights, dims = 256)
+        .join(lab.select(col("doc_id"), col("pos")), Seq("doc_id"))
+        .select(col("doc_id"), col("pos"), col("n_toks"), col("score"))
+    },
+
     // --- SimHash (native expression vs 32-way SQL vote) -----------------------
     q("txt08_simhash",
       s"""WITH toks AS (SELECT doc_id, list_distinct($toksSql) AS t FROM documents),

@@ -312,6 +312,30 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(swapped(1L)._4.contains(1.0) && swapped(2L)._4.contains(0.0))
   }
 
+  test("classifier: planted degradation separates; weights dense and bounded") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, dir).select("doc_id", "text")
+    val lab = docs.withColumn("pos", lit(true)).unionByName(
+      docs.select((col("doc_id") + 500000).as("doc_id"),
+        expr("replace(text, ' ', ' zz ')").as("text"))
+        .withColumn("pos", lit(false)))
+    val w = TextOps.classifierTrain(lab, "pos", "text", dims = 256)
+    assert(w.count() == 256, "one weight per hash bucket, unseen included")
+    val scored = TextOps.classifierScore(lab, "doc_id", "text", w, dims = 256)
+      .join(lab.select(col("doc_id"), col("pos")), Seq("doc_id"))
+      .filter(col("score").isNotNull)
+      .select(col("pos"), col("score")).as[(Boolean, Double)].collect()
+    val (pos, neg) = scored.partition(_._1)
+    assert(pos.nonEmpty && neg.nonEmpty)
+    // deterministic pipeline ⇒ fixed numbers, not a flaky sample: at the
+    // zero threshold the planted degradation must separate cleanly
+    val acc = (pos.count(_._2 > 0) + neg.count(_._2 <= 0)).toDouble / scored.length
+    assert(acc >= 0.95, s"classifier accuracy collapsed: $acc")
+    val meanP = pos.map(_._2).sum / pos.length
+    val meanN = neg.map(_._2).sum / neg.length
+    assert(meanP > meanN, s"mean separation inverted: $meanP vs $meanN")
+  }
+
   test("repeatIntervals: cross-doc repeat found at any alignment; short misses") {
     import spark.implicits._
     val run = "r1 r2 r3 r4 r5 r6 r7 r8" // exactly minTokens = 8
