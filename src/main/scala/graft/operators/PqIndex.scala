@@ -57,17 +57,29 @@ object PqIndex {
     import scala.concurrent.{Await, Future, blocking}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
+    // ONE shared materialization of the normalize→slice explode: each of the
+    // m trainings filters its subspace out of this cache — without it every
+    // training re-runs the full corpus scan + renormalize + m-way explode
+    // to fill its own per-subspace persist (m× redundant corpus work).
+    // Materialized EAGERLY before the concurrent trainings spawn so they
+    // never race to compute the same cached partitions.
     val subs = subVectors(corpus, idCol, vecCol, m)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    subs.count()
     // blocking{}: each future parks on Spark job completion, and without the
     // marker m > #workers would silently serialize the trainings (global
     // pool starvation). Finite timeout so a hung Spark job surfaces as a
     // failure instead of parking the caller forever.
-    Await.result(Future.traverse((0 until m).toList) { s => Future { blocking {
-      IvfIndex.trainQ(
-        subs.filter(col("s") === s).select(col("id"), col("sub").as("qv")),
-        k, iters)
-        .select(lit(s).as("s"), col("cell"), col("cv"))
-    } } }, 1.hour).reduce(_ unionByName _)
+    try {
+      // trainQ materializes its ≤k centroids locally, so the returned plans
+      // do not depend on `subs` lineage — unpersist in finally is safe
+      Await.result(Future.traverse((0 until m).toList) { s => Future { blocking {
+        IvfIndex.trainQ(
+          subs.filter(col("s") === s).select(col("id"), col("sub").as("qv")),
+          k, iters)
+          .select(lit(s).as("s"), col("cell"), col("cv"))
+      } } }, 1.hour).reduce(_ unionByName _)
+    } finally subs.unpersist(blocking = false)
   }
 
   /** Compress the corpus: `(id, codes ARRAY<INT>)` — code `s` is the nearest
