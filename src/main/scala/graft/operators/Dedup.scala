@@ -517,14 +517,7 @@ object Dedup {
       minTokens: Int = 8): DataFrame = {
     require(minTokens > 0, s"minTokens must be positive: $minTokens")
     val k = minTokens
-    val grams = docs
-      .select(col(idCol), TextOps.tokens(col(textCol)).as("_t"))
-      .filter(size(col("_t")) >= k)
-      .select(col(idCol), posexplode(transform(
-        sequence(lit(0), size(col("_t")) - k),
-        i => md5(concat(lit(RepeatSalt),
-          concat_ws(" ", slice(col("_t"), i + 1, lit(k))))))))
-      .select(col(idCol), col("pos").cast("long").as("pos"), col("col").as("h"))
+    val grams = gramPositions(docs, idCol, textCol, k)
     val dup = grams.groupBy(col("h"))
       .agg(count(lit(1)).as("_n")).filter(col("_n") > 1)
       .select(col("h"))
@@ -540,4 +533,78 @@ object Dedup {
       .select(col(idCol), col("start_tok"), col("end_tok"),
         (col("end_tok") - col("start_tok") + 1).as("n_toks"))
   }
+
+  /** The corpus-REWRITING half of exact repeated-substring dedup
+    * ([[repeatIntervals]] is the detection half): drop every token covered
+    * by a repeat occurrence that is not the repeat's globally FIRST
+    * occurrence — Lee et al.'s policy of keeping one copy of each repeated
+    * span. "First" per duplicated k-gram is the minimum (doc, pos) pair (a
+    * total order — deterministic on every engine and partitioning, the
+    * txt30 min-id-winner discipline): the earliest document keeps its
+    * text; later copies lose exactly the covered positions. Where
+    * different repeats overlap, a position is dropped if ANY covering
+    * duplicated gram is a non-first occurrence — deterministic, and
+    * conservative in the right direction for training data (never keeps
+    * two copies).
+    *
+    * Returns one row per input doc:
+    * `(idCol, n_tokens, n_kept, n_dropped, kept_text)` — kept tokens
+    * re-joined by single spaces in original order (empty string when
+    * everything was dropped, e.g. a verbatim copy).
+    *
+    * Scale shape: [[repeatIntervals]]'s gram-hash dataflow plus a min-
+    * struct winner per gram (partial-agg'd); the drop set explodes k rows
+    * per NON-FIRST duplicated occurrence (bounded by k·dup-occurrences,
+    * not corpus size) and anti-joins the token stream; reassembly is one
+    * per-doc aggregation of (pos, token) structs. Token text travels only
+    * in the final reassembly — the dedup decision path carries hashes and
+    * positions.
+    */
+  def dropRepeats(docs: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 8): DataFrame = {
+    require(minTokens > 0, s"minTokens must be positive: $minTokens")
+    val k = minTokens
+    val base = docs.select(col(idCol), TextOps.tokens(col(textCol)).as("_t"))
+    val grams = gramPositions(docs, idCol, textCol, k)
+    val winners = grams.groupBy(col("h"))
+      .agg(min(struct(col(idCol).as("wid"), col("pos").as("wpos"))).as("w"),
+        count(lit(1)).as("_n"))
+      .filter(col("_n") > 1)
+      .select(col("h"), col("w.wid").as("wid"), col("w.wpos").as("wpos"))
+    val dropped = grams.join(winners, Seq("h"))
+      .filter(!(col(idCol) === col("wid") && col("pos") === col("wpos")))
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("p"))
+      .distinct()
+    val toks = base
+      .select(col(idCol), posexplode(col("_t")))
+      .select(col(idCol), col("pos").cast("long").as("p"), col("col").as("tok"))
+    val kept = toks.join(dropped, Seq(idCol, "p"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(expr(
+          "transform(array_sort(collect_list(struct(p, tok))), x -> x.tok)"),
+          " ").as("kept_text"))
+    base.select(col(idCol), size(col("_t")).cast("long").as("n_tokens"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
+  /** Shared (id, pos, h) gram projection of [[repeatIntervals]] /
+    * [[dropRepeats]]: salted md5 of each k-token gram, 0-based start
+    * position; docs shorter than k contribute nothing.
+    */
+  private def gramPositions(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("_t"))
+      .filter(size(col("_t")) >= k)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), size(col("_t")) - k),
+        i => md5(concat(lit(RepeatSalt),
+          concat_ws(" ", slice(col("_t"), i + 1, lit(k))))))))
+      .select(col(idCol), col("pos").cast("long").as("pos"), col("col").as("h"))
 }

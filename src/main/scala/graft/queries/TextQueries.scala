@@ -1043,6 +1043,46 @@ object TextQueries {
       Dedup.repeatIntervals(corpus(s, d), "doc_id", "text", minTokens = 8)
     },
 
+    // --- exact repeated-substring REMOVAL (txt37, the rewrite half of
+    // --- txt35): drop every token covered by a non-first occurrence of a
+    // --- duplicated ≥8-token span (first = global min (doc, pos) per
+    // --- gram, the txt30 winner discipline) — Lee et al.'s keep-one-copy
+    // --- policy as an actual corpus rewrite. Planted %10 copies empty out
+    // --- (their originals keep every token); the oracle restates winners,
+    // --- the k-wide drop set, the anti-join, and the ordered reassembly,
+    // --- so kept_text hash-matches STRING-FOR-STRING. --------------------
+    q("txt37_drop_repeats",
+      s"""WITH $corpusSql,
+         |t AS (SELECT doc_id, $toksSql AS t FROM corpus),
+         |g AS (SELECT doc_id, unnest(
+         |  [{'pos': CAST(i-1 AS BIGINT),
+         |    'h': md5('${Dedup.RepeatSalt}' || array_to_string(t[i:i+7], ' '))}
+         |   for i in generate_series(1, len(t)-7)], recursive := true)
+         |  FROM t WHERE len(t) >= 8),
+         |w AS (SELECT h, doc_id AS wid, pos AS wpos FROM (
+         |  SELECT h, doc_id, pos,
+         |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+         |    COUNT(*) OVER (PARTITION BY h) AS n FROM g)
+         |  WHERE rn = 1 AND n > 1),
+         |dr AS (SELECT DISTINCT doc_id, p FROM (
+         |  SELECT g.doc_id, unnest(generate_series(g.pos, g.pos + 7)) AS p
+         |  FROM g JOIN w USING (h)
+         |  WHERE NOT (g.doc_id = w.wid AND g.pos = w.wpos))),
+         |tk AS (SELECT doc_id, unnest(
+         |  [{'p': CAST(i-1 AS BIGINT), 'tok': t[i]}
+         |   for i in generate_series(1, len(t))], recursive := true) FROM t),
+         |kp AS (SELECT tk.doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |    array_to_string(list(tok ORDER BY p), ' ') AS kept_text
+         |  FROM tk ANTI JOIN dr ON tk.doc_id = dr.doc_id AND tk.p = dr.p
+         |  GROUP BY tk.doc_id)
+         |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+         |  COALESCE(kp.n_kept, 0) AS n_kept,
+         |  CAST(len(t.t) AS BIGINT) - COALESCE(kp.n_kept, 0) AS n_dropped,
+         |  COALESCE(kp.kept_text, '') AS kept_text
+         |FROM t LEFT JOIN kp USING (doc_id)""".stripMargin) { (s, d) =>
+      Dedup.dropRepeats(corpus(s, d), "doc_id", "text", minTokens = 8)
+    },
+
     // --- trained quality classifier (txt36): the fastText/CCNet-final-stage
     // --- analog — a bag-of-hashed-tokens linear model whose weights are
     // --- Laplace-smoothed Naive-Bayes probability differences, trained in

@@ -352,6 +352,26 @@ class TextPipelineSpec extends AnyFunSuite {
       s"exactly the two aligned copies of the 8-token run: $got")
   }
 
+  test("dropRepeats: first occurrence keeps its text, later copies lose it") {
+    import spark.implicits._
+    val run = "r1 r2 r3 r4 r5 r6 r7 r8"
+    val run2 = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val docs = Seq(
+      (1L, s"a1 a2 $run a3"),            // first occurrence — keeps everything
+      (2L, s"b1 $run b2 b3"),            // later copy — loses exactly the run
+      (3L, s"$run2 x1 x2 $run2"),        // within-doc repeat: 2nd copy dropped
+      (4L, "d1 d2 d3 d4 d5 d6 d7 d8 d9")).toDF("doc_id", "text")
+    val got = Dedup.dropRepeats(docs, "doc_id", "text", minTokens = 8)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 11L, 11L, 0L, s"a1 a2 $run a3")))
+    assert(got(2L) == ((2L, 11L, 3L, 8L, "b1 b2 b3")), s"copy: ${got(2L)}")
+    assert(got(3L) == ((3L, 18L, 10L, 8L, s"$run2 x1 x2")), s"self: ${got(3L)}")
+    assert(got(4L) == ((4L, 9L, 9L, 0L, "d1 d2 d3 d4 d5 d6 d7 d8 d9")))
+    // invariant: total kept+dropped tiles every doc
+    assert(got.values.forall(r => r._3 + r._4 == r._2))
+  }
+
   test("winnowing: shift-tolerant (the guarantee block hashing lacks)") {
     import spark.implicits._
     val shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
