@@ -192,13 +192,25 @@ object IvfIndex {
     */
   def removeSaved(spark: org.apache.spark.sql.SparkSession, dir: String,
       ids: DataFrame, idCol: String): Index = {
-    val drop = ids.select(col(idCol).as("neighbor_id"))
-    val assigned = spark.read.parquet(s"$dir/assigned")
-    val touched = assigned.join(drop, Seq("neighbor_id"), "left_semi")
+    removeFromCellPartitioned(spark, s"$dir/assigned",
+      ids.select(col(idCol).as("neighbor_id")))
+    load(spark, dir)
+  }
+
+  /** The shared touched-cells-only delete over ANY `cell=`-partitioned
+    * relation keyed by `neighbor_id` (IVF-Flat `assigned`, IVF-PQ `codes`):
+    * dynamic partition overwrite of cells holding a dropped id, explicit
+    * deletion of emptied partitions, untouched cells never read or written.
+    */
+  private[operators] def removeFromCellPartitioned(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      drop: DataFrame): Unit = {
+    val rows = spark.read.parquet(path)
+    val touched = rows.join(drop, Seq("neighbor_id"), "left_semi")
       .select(col("cell").cast("int")).distinct()
       .collect().map(_.getInt(0)).sorted
     if (touched.nonEmpty) {
-      val remaining = assigned
+      val remaining = rows
         .filter(col("cell").isin(touched.map(Integer.valueOf).toSeq: _*))
         .join(drop, Seq("neighbor_id"), "left_anti")
         // materialize BEFORE the write: the plan reads the same path the
@@ -207,17 +219,16 @@ object IvfIndex {
         .localCheckpoint()
       remaining.repartition(col("cell"))
         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-        .partitionBy("cell").parquet(s"$dir/assigned")
+        .partitionBy("cell").parquet(path)
       val written = remaining.select(col("cell").cast("int")).distinct()
         .collect().map(_.getInt(0)).toSet
-      val fs = new org.apache.hadoop.fs.Path(dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       for (c <- touched if !written.contains(c)) {
-        val p = new org.apache.hadoop.fs.Path(s"$dir/assigned/cell=$c")
+        val p = new org.apache.hadoop.fs.Path(s"$path/cell=$c")
         if (fs.exists(p)) fs.delete(p, true)
       }
     }
-    load(spark, dir)
   }
 
   /** [[append]] against a SAVED index: the new batch's assigned rows are

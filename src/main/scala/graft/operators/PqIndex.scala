@@ -338,6 +338,46 @@ object PqIndex {
       books.agg(max(col("s"))).head().getInt(0) + 1)
   }
 
+  /** [[IvfIndex.appendSaved]]'s IVF-PQ twin: encode a new batch against the
+    * FROZEN stored codebooks, assign it to the FROZEN coarse cells, and
+    * append the resulting code rows into the touched `cell=` partitions
+    * only — neither quantizer retrains, the standing codes are never read,
+    * and untouched cells are never written. The ingest path of a
+    * production IVF-PQ store; same drift caveat as every frozen-quantizer
+    * append (monitor cell balance / ADC-vs-rerank disagreement, retrain
+    * offline when they skew).
+    */
+  def appendSavedIvf(spark: org.apache.spark.sql.SparkSession, dir: String,
+      newDocs: DataFrame, idCol: String, vecCol: String): IvfPq = {
+    val coarse = spark.read.parquet(s"$dir/coarse")
+    val books = spark.read.parquet(s"$dir/codebooks")
+      .select(col("s").cast("int"), col("cell").cast("int"), col("cv"))
+    val m = books.agg(max(col("s"))).head().getInt(0) + 1
+    val cells = IvfIndex.assign(
+      normalized(newDocs, idCol, vecCol).select(col("id"), col("qn").as("qv")),
+      coarse)
+      .select(col("id"), col("cell"))
+    encode(newDocs, idCol, vecCol, books, m)
+      .join(cells, Seq("id"))
+      .select(col("id").as("neighbor_id"), col("cell"), col("codes"))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+    loadIvf(spark, dir)
+  }
+
+  /** [[IvfIndex.removeSaved]]'s IVF-PQ twin: drop ids from the stored codes
+    * — only cells holding a dropped id are rewritten (dynamic partition
+    * overwrite; emptied partitions deleted explicitly), quantizers and
+    * untouched cells are never touched. Ids and 16-byte code rows travel;
+    * vectors never do.
+    */
+  def removeSavedIvf(spark: org.apache.spark.sql.SparkSession, dir: String,
+      ids: DataFrame, idCol: String): IvfPq = {
+    IvfIndex.removeFromCellPartitioned(spark, s"$dir/codes",
+      ids.select(col(idCol).as("neighbor_id")))
+    loadIvf(spark, dir)
+  }
+
   /** IVF-PQ search against a prebuilt [[IvfPq]] — nothing retrains: each
     * probe finds its `nProbe` nearest coarse cells (broadcast centroid
     * scan), the stored codes are filtered to the probed cells with a
@@ -415,7 +455,7 @@ object PqIndex {
     * re-integrizes — the same cross-engine-portable shape as the cosine
     * expression itself.
     */
-  private def normalized(df: DataFrame, idCol: String,
+  private[operators] def normalized(df: DataFrame, idCol: String,
       vecCol: String): DataFrame =
     df.select(col(idCol).as("id"), Similarity.quantize(col(vecCol)).as("qv"))
       .withColumn("n2", Similarity.dotQ(col("qv"), col("qv")))

@@ -192,6 +192,40 @@ class PqIndexSpec extends AnyFunSuite {
     assert(!plan.toString.contains("CartesianProduct"))
   }
 
+  test("ivf-pq append/remove on the saved index: frozen-quantizer lifecycle") {
+    import spark.implicits._
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_life").toString
+    PqIndex.buildIvf(base, "vec_id", "embedding", nLists = 8).save(dir)
+    def codeMap(idx: PqIndex.IvfPq): Map[Long, (Int, Seq[Int])] =
+      idx.codes.select(col("neighbor_id"), col("cell"), col("codes"))
+        .as[(Long, Int, Seq[Int])].collect()
+        .map { case (id, c, cs) => id -> (c, cs) }.toMap
+    // append odds under the FROZEN codebooks + coarse cells: must equal
+    // encoding + assigning EVERYTHING under the base-trained quantizers
+    val appended = PqIndex.appendSavedIvf(spark, dir, rest, "vec_id", "embedding")
+    val baseIdx = PqIndex.loadIvf(spark, dir)
+    val cells = IvfIndex.assign(
+      PqIndex.normalized(emb, "vec_id", "embedding")
+        .select(col("id"), col("qn").as("qv")),
+      baseIdx.coarse).select(col("id"), col("cell"))
+    val expectAll = PqIndex.encode(emb, "vec_id", "embedding",
+        baseIdx.codebooks, baseIdx.m)
+      .join(cells, Seq("id"))
+      .select(col("id").as("neighbor_id"), col("cell"), col("codes"))
+    assert(codeMap(appended) ==
+      expectAll.as[(Long, Int, Seq[Int])].collect()
+        .map { case (id, c, cs) => id -> (c, cs) }.toMap,
+      "append must equal encode+assign-all under the frozen quantizers")
+    // remove the odds again: back to exactly the base codes
+    val removed = PqIndex.removeSavedIvf(spark, dir,
+      rest.select(col("vec_id")), "vec_id")
+    val rebuilt = PqIndex.buildIvf(base, "vec_id", "embedding", nLists = 8)
+    assert(codeMap(removed) == codeMap(rebuilt),
+      "remove must restore the base corpus codes exactly")
+  }
+
   test("plan: ADC search joins are hashed — no cartesian over vectors") {
     val plan = PqIndex.searchAdc(emb.filter(col("vec_id") < 10), emb,
       "vec_id", "embedding", k = 3).queryExecution.executedPlan.toString
