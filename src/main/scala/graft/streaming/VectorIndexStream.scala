@@ -38,22 +38,41 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object VectorIndexStream {
 
+  /** The two filesystem mutations a maintained index kind must provide —
+    * both index families ship frozen-quantizer incremental ops with the
+    * same shape, so the maintenance loop is index-kind-agnostic.
+    */
+  final case class IndexOps(
+      remove: (org.apache.spark.sql.SparkSession, String, DataFrame, String) => Unit,
+      append: (org.apache.spark.sql.SparkSession, String, DataFrame, String, String) => Unit)
+
+  /** IVF-Flat ([[graft.operators.IvfIndex]]) saved-index operations. */
+  val IvfFlatOps: IndexOps = IndexOps(
+    (s, dir, ids, idCol) => { IvfIndex.removeSaved(s, dir, ids, idCol); () },
+    (s, dir, docs, idCol, vecCol) => {
+      IvfIndex.appendSaved(s, dir, docs, idCol, vecCol); () })
+
+  /** IVF-PQ ([[graft.operators.PqIndex.IvfPq]]) saved-index operations. */
+  val IvfPqOps: IndexOps = IndexOps(
+    (s, dir, ids, idCol) => {
+      graft.operators.PqIndex.removeSavedIvf(s, dir, ids, idCol); () },
+    (s, dir, docs, idCol, vecCol) => {
+      graft.operators.PqIndex.appendSavedIvf(s, dir, docs, idCol, vecCol); () })
+
   /** Apply one changelog micro-batch to the saved index at `dir`.
     * Exposed for replay/crash-rerun reasoning and direct batch use.
     */
   def applyBatch(batch: DataFrame, dir: String, idCol: String,
-      vecCol: String, orderCols: Seq[String], opCol: String = "op"): Unit = {
+      vecCol: String, orderCols: Seq[String], opCol: String = "op",
+      ops: IndexOps = IvfFlatOps): Unit = {
     val spark = batch.sparkSession
     // one index touch per key: latest event wins inside the batch; bounded
     // localCheckpoint (≤ one row per batch key, consumed by both phases)
     val latest = LatestState.batch(batch, Seq(idCol), orderCols, opCol,
       keepDeleted = true).localCheckpoint()
-    IvfIndex.removeSaved(spark, dir, latest.select(col(idCol)), idCol)
+    ops.remove(spark, dir, latest.select(col(idCol)), idCol)
     val alive = latest.filter(col(opCol) =!= Op.Delete)
-    if (!alive.isEmpty) {
-      IvfIndex.appendSaved(spark, dir, alive, idCol, vecCol)
-      ()
-    }
+    if (!alive.isEmpty) ops.append(spark, dir, alive, idCol, vecCol)
   }
 
   /** Run the maintenance loop over a streaming changelog. The checkpoint
@@ -63,11 +82,12 @@ object VectorIndexStream {
   def maintain(changes: DataFrame, dir: String, idCol: String,
       vecCol: String, orderCols: Seq[String], checkpoint: String,
       opCol: String = "op",
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      ops: IndexOps = IvfFlatOps): StreamingQuery =
     changes.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: Dataset[Row], _: Long) =>
-        applyBatch(b.toDF(), dir, idCol, vecCol, orderCols, opCol)
+        applyBatch(b.toDF(), dir, idCol, vecCol, orderCols, opCol, ops)
       }
       .trigger(trigger)
       .start()

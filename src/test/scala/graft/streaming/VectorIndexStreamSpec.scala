@@ -85,4 +85,30 @@ class VectorIndexStreamSpec extends AnyFunSuite {
       .select("neighbor_id").as[Long].collect().toSet
     assert(res.nonEmpty && !res.contains(2L) && !res.contains(5L))
   }
+
+  test("the same loop maintains an IVF-PQ index (IvfPqOps); replays silent") {
+    import spark.implicits._
+    import graft.operators.PqIndex
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val idxDir = java.nio.file.Files.createTempDirectory("vis_pq").toString
+    PqIndex.buildIvf(base, "vec_id", "embedding", nLists = 8).save(idxDir)
+    val rows = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toMap
+    val events = Seq(
+      VecChange("insert", 7L, rows(7L), 10, 0),
+      VecChange("insert", 9L, rows(9L), 11, 0),
+      VecChange("delete", 0L, null, 12, 0))
+    VectorIndexStream.applyBatch(events.toDF(), idxDir,
+      "vec_id", "embedding", Seq("lsn", "seq"), ops = VectorIndexStream.IvfPqOps)
+    def codeMap(idx: PqIndex.IvfPq): Map[Long, (Int, Seq[Int])] =
+      idx.codes.select(col("neighbor_id"), col("cell"), col("codes"))
+        .as[(Long, Int, Seq[Int])].collect()
+        .map { case (id, c, cs) => id -> (c, cs) }.toMap
+    val after = codeMap(PqIndex.loadIvf(spark, idxDir))
+    assert(after.contains(7L) && after.contains(9L) && !after.contains(0L))
+    // replay the full batch: state unchanged
+    VectorIndexStream.applyBatch(events.toDF(), idxDir,
+      "vec_id", "embedding", Seq("lsn", "seq"), ops = VectorIndexStream.IvfPqOps)
+    assert(codeMap(PqIndex.loadIvf(spark, idxDir)) == after)
+  }
 }
