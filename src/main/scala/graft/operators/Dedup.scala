@@ -593,6 +593,75 @@ object Dedup {
         coalesce(col("kept_text"), lit("")).as("kept_text"))
   }
 
+  /** Per-source line-level boilerplate removal (the CCNet/RefinedWeb
+    * "line-wise dedup" stage): within each source/domain, any LINE whose
+    * content recurs in ≥ `minDf` distinct documents OF THAT SOURCE is
+    * boilerplate (nav bars, cookie banners, footers — template text the
+    * crawler stamped on every page) and EVERY occurrence is removed —
+    * unlike [[passageStats]]' global keep-first, which would preserve one
+    * copy of the banner. Lines here are fixed `lineTokens`-token blocks
+    * including the ragged tail (boilerplate is as often a footer as a
+    * header, so the tail block must participate).
+    *
+    * Returns one row per input doc:
+    * (id, source, n_lines, n_dropped, kept_tokens, kept_text).
+    *
+    * Scale shape: the exploded stream is (source, id, slot, h) — 16-byte
+    * hashes travel, never line text. Document frequency is a two-level
+    * aggregation (distinct (source,h,id) partial-agg'd map-side, then a
+    * count per (source,h)); the surviving hot set is bounded by the
+    * volume of ACTUAL boilerplate (tiny next to the corpus) so the join
+    * back broadcast-sides under AQE, degrading to a hash equi-join on
+    * (source,h) if a domain's template set is ever huge. Reassembly is
+    * per-doc LOCAL: each doc rebuilds its kept text from its own token
+    * array, so the dedup decision stream shuffles only (id, slot) pairs;
+    * the drop-sets usually broadcast onto the corpus (AQE), and when every
+    * doc carries boilerplate they degrade to one id-equi-join — the single
+    * unavoidable reassembly exchange.
+    */
+  def boilerplateRemove(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, lineTokens: Int = 10, minDf: Int = 3): DataFrame = {
+    require(lineTokens > 0, s"lineTokens must be positive: $lineTokens")
+    require(minDf > 1, s"minDf must exceed 1: $minDf")
+    val L = lineTokens
+    // one let-bound line array per doc (TextOps.bind: projection collapse
+    // would otherwise re-tokenize per consumer — the txt28 O(n²) hazard)
+    val linesOf: Column => Column = toks =>
+      when(size(toks) === 0, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(0), ceil(size(toks) / lit(L.toDouble)).cast("int") - 1),
+          i => array_join(slice(toks, i * L + 1, lit(L)), " ")))
+    val base = docs.select(col(idCol), col(sourceCol),
+      TextOps.bind(TextOps.tokens(col(textCol)), t => t).as("_toks"))
+    val lines = base.select(col(idCol), col(sourceCol),
+        posexplode(linesOf(col("_toks"))))
+      .select(col(sourceCol), col(idCol), col("pos").as("slot"),
+        md5(col("col")).as("h"))
+    val hot = lines.select(col(sourceCol), col("h"), col(idCol)).distinct()
+      .groupBy(col(sourceCol), col("h"))
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= minDf)
+      .select(col(sourceCol), col("h"))
+    val dropSets = lines.join(hot, Seq(sourceCol, "h"))
+      .groupBy(col(idCol))
+      .agg(collect_set(col("slot")).as("_drop"))
+    base.join(dropSets, Seq(idCol), "left")
+      .select(col(idCol), col(sourceCol), col("_toks"),
+        coalesce(col("_drop"), array().cast("array<int>")).as("_drop"))
+      .select(col(idCol), col(sourceCol),
+        size(linesOf(col("_toks"))).cast("long").as("n_lines"),
+        size(col("_drop")).cast("long").as("n_dropped"),
+        TextOps.bind(
+          array_join(filter(linesOf(col("_toks")),
+            (_, i) => !array_contains(col("_drop"), i)), " "),
+          kt => struct(
+            size(TextOps.tokens(kt)).cast("long").as("kept_tokens"),
+            kt.as("kept_text"))).as("_k"))
+      .select(col(idCol), col(sourceCol), col("n_lines"), col("n_dropped"),
+        col("_k.kept_tokens").as("kept_tokens"),
+        col("_k.kept_text").as("kept_text"))
+  }
+
   /** Shared (id, pos, h) gram projection of [[repeatIntervals]] /
     * [[dropRepeats]]: salted md5 of each k-token gram, 0-based start
     * position; docs shorter than k contribute nothing.

@@ -283,6 +283,30 @@ object IvfIndex {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** PRE-FILTERED view of an index: only `allowedIds` remain searchable —
+    * the FAISS `IDSelector` / vector-store metadata-filter shape, as an
+    * index view rather than a search variant so every search path
+    * ([[searchIndex]], and PqIndex's ADC scans over an IVF assignment)
+    * composes with it unchanged. Semantics are PRE-filter: the top-k is
+    * taken among allowed vectors in the probed cells, so a probe never
+    * starves because its k nearest UNfiltered neighbors were disallowed —
+    * the failure mode of post-filtering a fixed top-k.
+    *
+    * Derive `allowedIds` from a payload predicate:
+    * `filtered(idx, meta.filter(pred).select(id), id)`. Scale shape: the
+    * semi-join sits beneath the search's cell filter, so a loaded index
+    * still prunes cell partitions first and the selector joins only the
+    * probed cells' rows; a selective predicate broadcasts under AQE, a
+    * non-selective one degrades to one hash semi-join on id. Per-vector
+    * cell assignment is filter-independent, so filtering the assignment
+    * ≡ filtering the corpus before indexing, bit-for-bit.
+    */
+  def filtered(index: Index, allowedIds: DataFrame, idCol: String): Index =
+    Index(index.centroids,
+      index.assigned.join(
+        allowedIds.select(col(idCol).as("neighbor_id")),
+        Seq("neighbor_id"), "left_semi"))
+
   /** Convenience: train + search in one call. Prefer [[build]] (+ [[Index.save]])
     * and [[searchIndex]] when issuing more than one search — this trains anew
     * on every call.

@@ -1127,6 +1127,53 @@ object TextQueries {
         .select(col("doc_id"), col("pos"), col("n_toks"), col("score"))
     },
 
+    // --- per-source line-level boilerplate removal (txt38, the CCNet/
+    // --- RefinedWeb line-wise dedup stage): a 10-token LINE recurring in
+    // --- ≥3 distinct docs of the SAME source is template text (nav bar,
+    // --- cookie banner) and every occurrence is removed — no keep-first.
+    // --- Planted: even docs of each source get the same 10-token header
+    // --- line, so per-source df ≈ |source|/2 ≥ 3 and exactly that line
+    // --- vanishes from every even doc; odd docs and the shifted body
+    // --- lines pass untouched. The oracle restates the line split
+    // --- (ragged tail included), per-source doc frequency, and the
+    // --- ordered reassembly — kept_text hash-matches string-for-string. --
+    q("txt38_boilerplate_lines",
+      s"""WITH bcorp AS (SELECT doc_id, source,
+         |  CASE WHEN doc_id % 2 = 0 THEN 'www ' || source ||
+         |    ' home about contact subscribe follow share login copyright ' || text
+         |  ELSE text END AS text FROM documents),
+         |t AS (SELECT doc_id, source, $toksSql AS toks FROM bcorp),
+         |b AS (SELECT doc_id, source, toks, CASE WHEN len(toks) = 0 THEN []
+         |  ELSE [array_to_string(toks[10*i+1 : 10*i+10], ' ')
+         |    for i in generate_series(0, CAST(ceil(len(toks)/10.0) AS BIGINT)-1)]
+         |  END AS ls FROM t),
+         |e AS (SELECT doc_id, source, u.slot AS slot, u.line AS line,
+         |    md5(u.line) AS h
+         |  FROM (SELECT doc_id, source, unnest([{'slot': i-1, 'line': ls[i]}
+         |    for i in generate_series(1, len(ls))]) AS u FROM b)),
+         |hot AS (SELECT source, h FROM
+         |  (SELECT DISTINCT source, h, doc_id FROM e)
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+         |k AS (SELECT e.doc_id,
+         |    CAST(COUNT(*) FILTER (WHERE hot.h IS NOT NULL) AS BIGINT) AS n_dropped,
+         |    COALESCE(string_agg(CASE WHEN hot.h IS NULL THEN e.line END,
+         |      ' ' ORDER BY e.slot), '') AS kept_text
+         |  FROM e LEFT JOIN hot ON e.source = hot.source AND e.h = hot.h
+         |  GROUP BY 1)
+         |SELECT b.doc_id, b.source, CAST(len(b.ls) AS BIGINT) AS n_lines,
+         |  COALESCE(k.n_dropped, 0) AS n_dropped,
+         |  CAST(len(list_filter(string_split(COALESCE(k.kept_text, ''), ' '),
+         |    x -> x <> '')) AS BIGINT) AS kept_tokens,
+         |  COALESCE(k.kept_text, '') AS kept_text
+         |FROM b LEFT JOIN k USING (doc_id)""".stripMargin) { (s, d) =>
+      val bdocs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        when(col("doc_id") % 2 === 0, concat(lit("www "), col("source"),
+          lit(" home about contact subscribe follow share login copyright "),
+          col("text"))).otherwise(col("text")).as("text"))
+      Dedup.boilerplateRemove(bdocs, "doc_id", "text", "source",
+        lineTokens = 10, minDf = 3)
+    },
+
     // --- SimHash (native expression vs 32-way SQL vote) -----------------------
     q("txt08_simhash",
       s"""WITH toks AS (SELECT doc_id, list_distinct($toksSql) AS t FROM documents),

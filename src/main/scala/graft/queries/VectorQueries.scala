@@ -332,6 +332,27 @@ object VectorQueries {
         "vec_id", "embedding", k = 3, nProbe = 4)
     },
 
+    // --- metadata-FILTERED ANN (vec16): the vector-store "search where
+    // --- label = 1" shape — a pre-filter ID selector restricts the index
+    // --- view, so top-k is taken among allowed vectors in the probed
+    // --- cells (post-filtering a fixed top-k would starve probes whose
+    // --- near neighbors are disallowed). Oracle: the same unrolled-Lloyd
+    // --- chain with the assignment restricted to label-1 ids — per-vector
+    // --- assignment is filter-independent, so index-view filtering ≡
+    // --- filtering the corpus before indexing, exactly. -------------------
+    q("vec16_ann_filtered",
+      ivfSqlOn(trainSrc = "q", idxWhere =
+        " WHERE q.vec_id IN (SELECT vec_id FROM embeddings WHERE label = 1)")) {
+      (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val base = graft.operators.IvfIndex.build(
+        emb, "vec_id", "embedding", nLists = 16, iters = 2)
+      val view = graft.operators.IvfIndex.filtered(
+        base, emb.filter(col("label") === 1).select("vec_id"), "vec_id")
+      graft.operators.IvfIndex.searchIndex(emb.filter(col("vec_id") < 10), view,
+        "vec_id", "embedding", k = 3, nProbe = 4)
+    },
+
     // --- SemDeDup semantic dedup: coarse k-means cells (the SAME unrolled
     // --- Lloyd as vec05, trained on the PLANTED-COPY union corpus) prune
     // --- the pair space, then within-cell pairwise quantized cosine flags

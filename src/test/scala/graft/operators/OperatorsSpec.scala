@@ -418,6 +418,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivf == brute)
   }
 
+  test("IVF filtered view: only allowed ids surface; pruning-off ≡ filtered brute") {
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, dir)
+    val probes = emb.filter(col("vec_id") < 5)
+    val allowed = emb.filter(col("label") === 1).select("vec_id")
+    val allowedSet = allowed.as[Long].collect().toSet
+    val idx = IvfIndex.build(emb, "vec_id", "embedding", nLists = 8, iters = 2)
+    val view = IvfIndex.filtered(idx, allowed, "vec_id")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "neighbor_id", "sim", "rank")
+        .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    val got = canon(IvfIndex.searchIndex(probes, view, "vec_id", "embedding",
+      k = 3, nProbe = 8))
+    // pre-filter contract: every hit is allowed, and with pruning off the
+    // result IS brute-force top-k over the filtered corpus — probes whose
+    // unfiltered near neighbors are disallowed still get k hits
+    assert(got.nonEmpty && got.forall(r => allowedSet(r._2)))
+    val brute = canon(Similarity.knnBrute(probes,
+      emb.filter(col("label") === 1), "vec_id", "embedding", 3))
+    assert(got == brute)
+  }
+
   test("SQ8 ANN: high recall vs brute force, exact sims, partitioning-invariant") {
     import spark.implicits._
     val emb = graft.Tables.embeddings(spark, dir)

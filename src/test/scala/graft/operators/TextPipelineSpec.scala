@@ -372,6 +372,33 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(got.values.forall(r => r._3 + r._4 == r._2))
   }
 
+  test("boilerplateRemove: per-source threshold, all copies drop, tail lines") {
+    import spark.implicits._
+    val hdr = "h1 h2 h3 h4 h5 h6 h7 h8 h9 h10" // exactly one 10-token line
+    val docs = Seq(
+      (1L, "a", s"$hdr u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"),
+      (2L, "a", s"$hdr v1 v2 v3 v4 v5"),  // ragged 5-token tail line
+      (3L, "a", s"$hdr $hdr w1"),         // header TWICE — both must die
+      (4L, "a", hdr),                     // pure boilerplate — empties out
+      (5L, "b", s"$hdr x1 x2"),           // source b: df=2 < minDf → kept
+      (6L, "b", s"$hdr y1"),
+      (7L, "b", "z1 z2 z3")).toDF("doc_id", "source", "text")
+    val got = Dedup.boilerplateRemove(docs, "doc_id", "text", "source",
+        lineTokens = 10, minDf = 3)
+      .as[(Long, String, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // source a: header in 4 distinct docs ≥ 3 → every occurrence removed,
+    // including BOTH copies inside doc 3 (no keep-first for boilerplate)
+    assert(got(1L) == ((1L, "a", 2L, 1L, 10L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10")))
+    assert(got(2L) == ((2L, "a", 2L, 1L, 5L, "v1 v2 v3 v4 v5")))
+    assert(got(3L) == ((3L, "a", 3L, 2L, 1L, "w1")), s"both copies: ${got(3L)}")
+    assert(got(4L) == ((4L, "a", 1L, 1L, 0L, "")))
+    // source b: same header but df=2 < 3 — threshold is PER SOURCE
+    assert(got(5L) == ((5L, "b", 2L, 0L, 12L, s"$hdr x1 x2")))
+    assert(got(6L) == ((6L, "b", 2L, 0L, 11L, s"$hdr y1")))
+    assert(got(7L) == ((7L, "b", 1L, 0L, 3L, "z1 z2 z3")))
+  }
+
   test("winnowing: shift-tolerant (the guarantee block hashing lacks)") {
     import spark.implicits._
     val shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
