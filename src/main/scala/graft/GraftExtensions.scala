@@ -13,8 +13,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *
   * Also injects the optimizer rules: [[graft.plans.RangeJoinRewrite]]
   * (plain-SQL range theta joins, planned as nested loops, rerouted onto the
-  * binned equi-join) and [[graft.plans.ApproxDistinctRewrite]] (opt-in
-  * COUNT(DISTINCT) → HyperLogLog++ sketch substitution, conf-gated OFF).
+  * binned equi-join), [[graft.plans.ApproxDistinctRewrite]] (opt-in
+  * COUNT(DISTINCT) → HyperLogLog++ sketch substitution, conf-gated OFF),
+  * and [[graft.plans.JoinEliminationRewrite]] (opt-in unused left-join
+  * elimination under declared unique keys, conf-gated OFF).
   * On a session built without extensions, append them at runtime instead:
   *
   *   spark.experimental.extraOptimizations :+= graft.plans.RangeJoinRewrite
@@ -38,6 +40,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
     e.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
+    e.injectOptimizerRule(_ => graft.plans.JoinEliminationRewrite)
     e.injectFunction(fn("avro_safe_name",
       "avro_safe_name(str) - hex-escapes str into a valid Avro identifier", 1)(
       es => AvroSafeNameExpr(es.head)))

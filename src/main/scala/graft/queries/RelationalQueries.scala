@@ -1043,7 +1043,67 @@ object RelationalQueries {
       }.toDF("o_orderstatus", "exact_n", "ok")
     }, Some(
       """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS exact_n, TRUE AS ok
-        |FROM orders GROUP BY o_orderstatus""".stripMargin))
+        |FROM orders GROUP BY o_orderstatus""".stripMargin)),
+
+    // --- left-join elimination (q52, the repo's THIRD optimizer rule,
+    // --- hash-green verdict-as-data): generated BI SQL left-joins unused
+    // --- dimensions "just in case"; under a declared unique key
+    // --- (c_custkey) the JoinEliminationRewrite drops the join whole —
+    // --- at 100 TB that is a full dimension shuffle+build never executed.
+    // --- The gate proves both halves: the optimized plan truly has NO
+    // --- join left (folded into ok), and the join-free result equals the
+    // --- oracle's plain single-table aggregate — which IS the soundness
+    // --- claim (left outer × unique key is row-preserving). ---------------
+    Q("q52_join_elimination", (s, d) => {
+      val s2 = s.newSession()
+      s2.experimental.extraOptimizations =
+        s2.experimental.extraOptimizations :+ graft.plans.JoinEliminationRewrite
+      s2.conf.set("spark.graft.joinElim.enabled", "true")
+      s2.conf.set("spark.graft.joinElim.uniqueKeys", "c_custkey")
+      Tables.orders(s2, d).createOrReplaceTempView("q52_orders")
+      Tables.customer(s2, d).createOrReplaceTempView("q52_customer")
+      val res = s2.sql(
+        """SELECT o_orderstatus, COUNT(*) AS n
+          |FROM q52_orders o LEFT JOIN q52_customer c
+          |  ON o.o_custkey = c.c_custkey
+          |GROUP BY o_orderstatus""".stripMargin)
+      val fired = res.queryExecution.optimizedPlan.collectFirst {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.isEmpty
+      res.withColumn("ok", lit(fired))
+    }, Some(
+      """SELECT o_orderstatus, COUNT(*) AS n, TRUE AS ok
+        |FROM orders GROUP BY o_orderstatus""".stripMargin)),
+
+    // --- recursive hierarchy rollup (q51): the WITH RECURSIVE surface
+    // --- Spark SQL lacks, over a supplier org-tree (heap numbering:
+    // --- parent(c) = (c-1)/2, root 0). Per node: depth, root ancestor,
+    // --- and subtree count + exact decimal balance over all descendants.
+    // --- The operator is PATH DOUBLING — ⌈log2 depth⌉ self-joins, not
+    // --- depth dependent steps (Hierarchy scaladoc) — while the oracle is
+    // --- DuckDB's literal one-step recursion; they must agree row-exactly.
+    q("q51_hierarchy_rollup",
+      """WITH RECURSIVE pairs(anc, node, dist) AS (
+        |  SELECT s_suppkey, s_suppkey, CAST(0 AS BIGINT) FROM supplier
+        |  UNION ALL
+        |  SELECT p.anc, s.s_suppkey, p.dist + 1 FROM pairs p
+        |  JOIN supplier s ON s.s_suppkey >= 1 AND (s.s_suppkey - 1) // 2 = p.node),
+        |up AS (SELECT node, dist AS depth, anc AS root FROM (
+        |  SELECT node, anc, dist,
+        |    ROW_NUMBER() OVER (PARTITION BY node ORDER BY dist DESC) AS rn
+        |  FROM pairs) t WHERE rn = 1),
+        |down AS (SELECT anc, COUNT(*) AS n_subtree,
+        |    CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS subtree_val
+        |  FROM pairs JOIN supplier ON node = s_suppkey GROUP BY anc)
+        |SELECT up.node, up.depth, up.root, down.n_subtree, down.subtree_val
+        |FROM up JOIN down ON up.node = down.anc""".stripMargin) { (s, d) =>
+      val sup = Tables.supplier(s, d)
+      val edges = sup.filter(col("s_suppkey") >= 1)
+        .select(col("s_suppkey").as("child"),
+          expr("(s_suppkey - 1) div 2").cast("long").as("parent"))
+      graft.operators.Hierarchy.rollup(sup, edges,
+        "s_suppkey", "s_acctbal", "child", "parent")
+    }
   )
 
   /** DuckDB twin of Layout.hilbert2: one (rx/ry, rotate, accumulate) CTE
