@@ -177,4 +177,32 @@ object Graft {
   def annIvf(probes: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame =
     IvfIndex.search(probes, corpus, idCol, vecCol, k)
+
+  /** Metadata-filtered ANN: a pre-filter ID-selector view over a built
+    * index — top-k among `allowedIds` only (vec16).
+    */
+  def annFiltered(probes: DataFrame, index: IvfIndex.Index,
+      allowedIds: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
+    IvfIndex.searchIndex(probes, IvfIndex.filtered(index, allowedIds, idCol),
+      idCol, vecCol, k)
+
+  /** Per-source boilerplate line removal — the CCNet/RefinedWeb line-wise
+    * dedup stage (txt38).
+    */
+  def removeBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, lineTokens: Int = 10, minDf: Int = 3): DataFrame =
+    Dedup.boilerplateRemove(docs, idCol, textCol, sourceCol, lineTokens, minDf)
+
+  /** Perceptual-hash image near-dup pairs (blockhash + banded Hamming join,
+    * mm06).
+    */
+  def imageDupPairs(blobs: DataFrame, maxHamming: Int = 3): DataFrame =
+    Multimodal.phashDupPairs(Multimodal.perceptualHash(blobs).toDF(), maxHamming)
+
+  /** Ancestor closure + per-node subtree rollup of a forest — the
+    * WITH RECURSIVE surface, in ⌈log2 depth⌉ joins (q51).
+    */
+  def hierarchyRollup(nodes: DataFrame, edges: DataFrame, idCol: String,
+      valCol: String, childCol: String, parentCol: String): DataFrame =
+    operators.Hierarchy.rollup(nodes, edges, idCol, valCol, childCol, parentCol)
 }

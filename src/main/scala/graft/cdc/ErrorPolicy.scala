@@ -43,13 +43,39 @@ object ErrorPolicy {
             .otherwise(col(wrapCol)))
     }
 
+  /** The oversize predicate shared by [[maxRecordSize]] and DLQ callers. */
+  def oversize(payloadCol: String, maxBytes: Int): Column =
+    octet_length(col(payloadCol)) > maxBytes
+
   /** Max-record-size guard over a serialized payload column (1 MiB default,
     * ext/io_util.c:3–4).
     */
   def maxRecordSize(df: DataFrame, payloadCol: String, policy: ErrorPolicy,
       maxBytes: Int = PgTypes.MaxRecordBytes): DataFrame =
-    guard(df, octet_length(col(payloadCol)) > maxBytes, policy,
+    guard(df, oversize(payloadCol, maxBytes), policy,
       s"record exceeds $maxBytes bytes", payloadCol)
+
+  /** Dead-letter split — the production third answer the reference's
+    * exit|log matrix stops short of: Exit halts the pipeline, Log silently
+    * LOSES the poison rows; a DLQ keeps the pipeline alive AND the poison
+    * rows queryable (replayable after the bug fix). Returns (good, dead):
+    * `good` is exactly Log's surviving stream; `dead` is the complement
+    * annotated with `dlq_reason` — disjoint and complete by construction
+    * (`bad` is null-coalesced once, so a NULL predicate row lands in
+    * `good`, matching [[guard]]'s Log behavior).
+    *
+    * Both frames derive from one plan; under a shared cache (or inside a
+    * foreachBatch over an already-materialized micro-batch) the split costs
+    * one scan, else each side re-reads — the same trade every
+    * dual-output filter makes. Compose per micro-batch for streams:
+    * `foreachBatch { (b, _) => val (g, d) = deadLetter(b, bad, why);
+    * g.write…; d.write… }`.
+    */
+  def deadLetter(df: DataFrame, bad: Column,
+      reason: String): (DataFrame, DataFrame) = {
+    val p = coalesce(bad, lit(false))
+    (df.filter(!p), df.filter(p).withColumn("dlq_reason", lit(reason)))
+  }
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 

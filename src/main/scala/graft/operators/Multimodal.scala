@@ -257,4 +257,81 @@ object Multimodal {
         }
       }
   }
+
+  /** A 64-bit perceptual hash, packed as two 32-bit halves so every bit op
+    * stays in non-negative BIGINT range on every engine (bit 63 of a single
+    * long would flip its sign). Bit `i` of the conceptual 64-bit hash lives
+    * in `ph_lo` for i<32, else in `ph_hi` at i−32.
+    */
+  final case class PHash(doc_id: Long, ph_hi: Long, ph_lo: Long)
+
+  /** Blockhash-style perceptual image hash: resize to an 8×8 grid (the
+    * codec's scaler — stub: nearest-neighbor byte walk; real: bilinear over
+    * decoded luma), threshold each pixel against the integer mean, pack the
+    * 64 above-mean bits. Near-identical images — recompressed, lightly
+    * edited — land within a few bits of each other, which byte-exact
+    * hashing ([[Dedup.exactGroups]] on blobs) can never see. Runs in the
+    * same batched executor plumbing as the other decoders; one narrow row
+    * (id + two longs) per image comes out, so at 100 TB the downstream
+    * dedup never touches pixels again.
+    */
+  def perceptualHash(blobs: DataFrame, batchSize: Int = 64,
+      codec: MediaCodec = StubCodec): Dataset[PHash] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select("doc_id", "format", "blob")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // per-batch scaler setup would happen here
+          batch.iterator.map { case (id, _, blob) =>
+            val px = codec.resize(blob, 8, 8).map(b => (b & 0xff).toLong)
+            val mean = px.sum / 64
+            var hi = 0L; var lo = 0L
+            var i = 0
+            while (i < 64) {
+              if (px(i) > mean) {
+                if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+              }
+              i += 1
+            }
+            PHash(id, hi, lo)
+          }
+        }
+      }
+  }
+
+  /** Near-duplicate image pairs by perceptual-hash Hamming distance ≤
+    * `maxHamming`: the banded-join discipline (SimHash/MinHash style) —
+    * the 64 bits split into four 16-bit bands, candidates meet in a band
+    * bucket, exact Hamming verifies. Pigeonhole: ≤3 differing bits cannot
+    * touch all 4 bands, so every qualifying pair shares at least one band
+    * — the candidate join is COMPLETE for `maxHamming` ≤ 3 (required), and
+    * never all-pairs: shuffle is O(images·4) band rows, pair work only
+    * inside buckets. Returns (a, b, hamming), a < b.
+    */
+  def phashDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"banding over 4 bands is only complete for maxHamming ≤ 3: $maxHamming")
+    val banded = hashes.select(col("doc_id"), col("ph_hi"), col("ph_lo"),
+        posexplode(array(
+          col("ph_lo").bitwiseAND(lit(0xffffL)),
+          shiftrightunsigned(col("ph_lo"), 16).bitwiseAND(lit(0xffffL)),
+          col("ph_hi").bitwiseAND(lit(0xffffL)),
+          shiftrightunsigned(col("ph_hi"), 16).bitwiseAND(lit(0xffffL)))))
+      .select(col("doc_id"), col("ph_hi"), col("ph_lo"),
+        col("pos").as("band"), col("col").as("bv"))
+    val l = banded.select(col("band"), col("bv"), col("doc_id").as("a"),
+      col("ph_hi").as("hi_a"), col("ph_lo").as("lo_a"))
+    val r = banded.select(col("band"), col("bv"), col("doc_id").as("b"),
+      col("ph_hi").as("hi_b"), col("ph_lo").as("lo_b"))
+    l.join(r, Seq("band", "bv"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b"))))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
 }

@@ -525,6 +525,32 @@ object CdcQueries {
           (xid, AvroFrame.encodeTxnJson(xid, evs.map(_.lsn).max, evs))
         }
         .toDF("xid", "frame_json")
+    },
+
+    // --- dead-letter split (cdc22): the production THIRD answer beyond the
+    // --- reference's exit|log — exit halts the pipeline, log silently
+    // --- LOSES the poison rows; the DLQ keeps both: good rows flow on
+    // --- (exactly log's surviving stream), poison rows land annotated and
+    // --- queryable for replay after the bug fix. Gate runs the real
+    // --- oversize predicate over real binary payloads; the two sides are
+    // --- disjoint and complete by construction, which the single-relation
+    // --- oracle restates as one CASE. ------------------------------------
+    q("cdc22_dead_letter",
+      """SELECT doc_id,
+        |  CASE WHEN strlen(text) > 400 THEN 'dead' ELSE 'good' END AS side,
+        |  CASE WHEN strlen(text) > 400
+        |       THEN 'record exceeds 400 bytes' END AS dlq_reason,
+        |  CAST(strlen(text) AS INT) AS n_bytes
+        |FROM documents""".stripMargin) { (s, d) =>
+      val blobs = graft.operators.Multimodal.withBlob(
+        Tables.documents(s, d), "text", "source")
+      val (good, dead) = ErrorPolicy.deadLetter(blobs,
+        ErrorPolicy.oversize("blob", 400), "record exceeds 400 bytes")
+      good.select(col("doc_id"), lit("good").as("side"),
+          lit(null).cast("string").as("dlq_reason"),
+          octet_length(col("blob")).as("n_bytes"))
+        .unionByName(dead.select(col("doc_id"), lit("dead").as("side"),
+          col("dlq_reason"), octet_length(col("blob")).as("n_bytes")))
     }
   )
 }

@@ -650,6 +650,56 @@ object VectorQueries {
           sum(col("energy")).as("sum_energy"),
           sum(col("zero_crossings")).as("sum_zc"),
           max(col("energy")).as("max_energy"))
+    },
+
+    // --- perceptual-hash image near-dup (mm06): blockhash over the codec's
+    // --- 8×8 resize (mean-thresholded bits, packed as two 32-bit halves so
+    // --- no engine ever shifts into a sign bit), then Hamming-≤3 pairs via
+    // --- the 4×16-bit banded join — complete by pigeonhole, never
+    // --- all-pairs. Planted: %7 exact blob copies (Hamming 0 guaranteed)
+    // --- and %5 one-char edits (tiny or zero pixel drift — in iff ≤3,
+    // --- identically on both engines). The oracle restates the pixel walk,
+    // --- mean threshold, bit packing, and a brute-force Hamming join. ------
+    q("mm06_phash_dedup",
+      """WITH pcorp AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id+400000, text FROM documents WHERE doc_id%7=0
+        |  UNION ALL SELECT doc_id+500000,
+        |    substr(text,1,3) || 'Q' || substr(text,5)
+        |    FROM documents WHERE doc_id%5=0),
+        |a AS (SELECT doc_id, text FROM pcorp
+        |  WHERE strlen(text) = length(text) AND strlen(text) > 0),
+        |px AS (SELECT doc_id,
+        |  [CAST(unicode(substr(text, CAST((i*strlen(text))//64 AS INT)+1, 1)) AS BIGINT)
+        |    for i in generate_series(0, 63)] AS px FROM a),
+        |mn AS (SELECT doc_id, px, CAST(list_sum(px)//64 AS BIGINT) AS mean FROM px),
+        |ph AS (SELECT doc_id,
+        |  CAST(list_sum([CASE WHEN px[i+33] > mean THEN CAST(1 AS BIGINT) << i
+        |    ELSE CAST(0 AS BIGINT) END for i in generate_series(0, 31)]) AS BIGINT) AS ph_hi,
+        |  CAST(list_sum([CASE WHEN px[i+1] > mean THEN CAST(1 AS BIGINT) << i
+        |    ELSE CAST(0 AS BIGINT) END for i in generate_series(0, 31)]) AS BIGINT) AS ph_lo
+        |  FROM mn)
+        |SELECT p.doc_id AS a, q.doc_id AS b,
+        |  CAST(bit_count(xor(p.ph_hi, q.ph_hi)) +
+        |       bit_count(xor(p.ph_lo, q.ph_lo)) AS BIGINT) AS hamming
+        |FROM ph p JOIN ph q ON p.doc_id < q.doc_id
+        |WHERE bit_count(xor(p.ph_hi, q.ph_hi)) +
+        |      bit_count(xor(p.ph_lo, q.ph_lo)) <= 3""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val planted = docs
+        .unionByName(docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 400000).as("doc_id"), col("text")))
+        .unionByName(docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 500000).as("doc_id"),
+            concat(substring(col("text"), 1, 3), lit("Q"),
+              expr("substring(text, 5)")).as("text")))
+      val ascii = planted
+        .filter(octet_length(col("text")) === length(col("text")) &&
+          octet_length(col("text")) > 0)
+        .withColumn("fmt", lit("img"))
+      val hashes = Multimodal.perceptualHash(
+        Multimodal.withBlob(ascii, "text", "fmt")).toDF()
+      Multimodal.phashDupPairs(hashes, maxHamming = 3)
     }
   )
 }

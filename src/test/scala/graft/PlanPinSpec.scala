@@ -136,6 +136,22 @@ class PlanPinSpec extends AnyFunSuite {
       s"winnow projection must be computed once, plan:\n$p")
   }
 
+  test("txt38: boilerplate removal — hash joins only, no window, no cartesian") {
+    val p = executed("txt38_boilerplate_lines")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"boilerplate df/join must stay equi-keyed:\n$p")
+    assert(!p.contains("Window"),
+      "df-count and reassembly are aggregations, never a window sort")
+  }
+
+  test("mm06: phash pairing meets in band buckets, never all-pairs") {
+    val p = executed("mm06_phash_dedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"banded candidate join must be an equi-join on (band, value):\n$p")
+  }
+
   test("vec13: decontamination joins train cells hashed, never all-pairs") {
     val p = executed("vec13_semantic_decontaminate")
     // eval×train must go through the cell equi-join — the ONLY permitted

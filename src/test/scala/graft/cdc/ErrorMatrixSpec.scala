@@ -93,6 +93,57 @@ class ErrorMatrixSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  // --- dead-letter split (the production third column of the matrix) --------
+
+  test("deadLetter: disjoint, complete, annotated; NULL predicate rows are good") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq((1L, "ok"), (2L, "poison"), (3L, null), (4L, "ok2"))
+      .toDF("id", "payload")
+    val (good, dead) = ErrorPolicy.deadLetter(rows,
+      col("payload") === "poison", "poison payload")
+    val g = good.select("id").as[Long].collect().toSet
+    val d = dead.select("id").as[Long].collect().toSet
+    assert(g.intersect(d).isEmpty && (g ++ d) == Set(1L, 2L, 3L, 4L))
+    // NULL predicate (id 3, payload null) lands in good — the same row
+    // ErrorPolicy.guard's Log keeps, so DLQ'ing a pipeline never changes
+    // the surviving stream
+    assert(g == Set(1L, 3L, 4L) && d == Set(2L))
+    assert(dead.select("dlq_reason").as[String].collect().toSeq ==
+      Seq("poison payload"))
+    assert(good.columns.toSeq == Seq("id", "payload"), "good side unchanged")
+  }
+
+  test("streaming DLQ: poison ROWS land queryable, good rows flow, query lives") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sq = spark.sqlContext
+    val delivered = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val dlq = java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+    val input = MemoryStream[CdcEvent]
+    val q = input.toDS().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[CdcEvent], _: Long) =>
+        val (good, dead) = ErrorPolicy.deadLetter(batch.toDF(),
+          col("key").contains("poison"), "unparseable key")
+        good.select("key").collect().foreach(r => delivered.add(r.getString(0)))
+        dead.select("key", "dlq_reason").collect()
+          .foreach(r => dlq.add((r.getString(0), r.getString(1))))
+      }
+      .start()
+    try {
+      input.addData(
+        ev(Op.Insert, """{"id":"poison"}""", 1, """{"id":1}"""),
+        ev(Op.Insert, """{"id":2}""", 2, """{"id":2,"thing":7}"""))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty)                      // pipeline alive
+      assert(delivered.contains("""{"id":2}"""))       // good row delivered
+      assert(!delivered.contains("""{"id":"poison"}"""))
+      // unlike Log (which loses the whole poison batch), the poison ROW is
+      // retained with its reason — replayable after the fix
+      assert(dlq.contains(("""{"id":"poison"}""", "unparseable key")))
+    } finally q.stop()
+  }
+
   // --- upfront relid validation (the catalog analog of the per-JVM check) ---
 
   test("validateRelids: clean set passes, synthetic collision fails loudly") {

@@ -597,6 +597,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(withLast.map(_.frame.length).toSeq == Seq(1000 - 3 * 256))
   }
 
+  test("perceptual hash: exact copy at Hamming 0; banded pairs ≡ brute force") {
+    import spark.implicits._
+    val base = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).limit(100)
+    val blobs = Multimodal.withBlob(
+      base.unionByName(base.filter(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 1000L).as("doc_id"), col("text")))
+        .withColumn("fmt", lit("img")), "text", "fmt")
+    val hashes = Multimodal.perceptualHash(blobs, batchSize = 7).toDF()
+    val got = Multimodal.phashDupPairs(hashes, maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    // every planted copy pairs with its original at distance 0
+    val copies = base.filter(col("doc_id") % 9 === 0)
+      .select("doc_id").as[Long].collect()
+    copies.foreach(id => assert(got.contains((id, id + 1000L, 0L)),
+      s"missing exact-copy pair for $id"))
+    // completeness: the banded join finds exactly the brute-force ≤3 pairs
+    val hs = hashes.as[(Long, Long, Long)].collect()
+    val brute = (for {
+      (a, ha, la) <- hs; (b, hb, lb) <- hs if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) + java.lang.Long.bitCount(la ^ lb)
+      if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    assert(got == brute)
+    // 4 bands can only guarantee completeness through Hamming 3
+    intercept[IllegalArgumentException] {
+      Multimodal.phashDupPairs(hashes, maxHamming = 4)
+    }
+  }
+
   test("resize: fixed w*h output, nearest-neighbor sampling, deterministic") {
     import spark.implicits._
     val blobs = Seq(
