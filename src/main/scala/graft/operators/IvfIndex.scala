@@ -283,6 +283,31 @@ object IvfIndex {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Index health stats — the monitoring half of the frozen-quantizer
+    * trade [[append]] documents ("monitor cell sizes and retrain when they
+    * skew"): one row per CELL (empty cells included — a cell whose
+    * centroid attracts nothing is itself a drift signal) with its vector
+    * count and an `overloaded` flag, exact-integer (n·nCells > 2·total ⇔
+    * n > 2·mean, no division) so the verdict is engine-portable. Search
+    * cost in a cell is linear in its size, so overloaded cells are exactly
+    * where recall-vs-latency degrades first; the production loop reads
+    * this after each append wave and retrains when flags accumulate.
+    * Scale shape: one partial-agg'd count per cell + two single-row
+    * aggregates broadcast back — never touches vectors.
+    */
+  def cellStats(index: Index): DataFrame = {
+    val counts = index.centroids.select(col("cell"))
+      .join(index.assigned.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vectors")), Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("n_vectors"), lit(0L)).as("n_vectors"))
+    val totals = counts.agg(sum(col("n_vectors")).as("_total"),
+      count(lit(1)).as("_ncells"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("cell"), col("n_vectors"),
+        (col("n_vectors") * col("_ncells") > lit(2) * col("_total"))
+          .as("overloaded"))
+  }
+
   /** PRE-FILTERED view of an index: only `allowedIds` remain searchable —
     * the FAISS `IDSelector` / vector-store metadata-filter shape, as an
     * index view rather than a search variant so every search path

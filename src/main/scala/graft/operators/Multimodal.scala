@@ -301,6 +301,38 @@ object Multimodal {
       }
   }
 
+  /** Near-duplicate VIDEO pairs: two videos are near-dups when ≥
+    * `minShared` of their frame perceptual hashes collide within
+    * `maxHamming` — re-encoded, watermarked, or lightly-edited re-uploads
+    * share almost every frame hash while byte-level dedup sees nothing.
+    * Composes the existing stages: [[frameSample]] (every frame) →
+    * [[perceptualHash]] per frame (keyed doc_id·10⁶ + frame_idx, so frames
+    * ride the image machinery unchanged) → [[phashDupPairs]] banded
+    * matching → one aggregation over cross-video matches. Returns
+    * (a, b, n_frame_matches), a < b.
+    *
+    * Scale: per-frame pixels still die inside the decode; the pair space
+    * is band-bucketed, never |frames|²; the final rollup groups the match
+    * stream by video pair. Requires < 10⁶ frames per video (the composite
+    * key's stride).
+    */
+  def videoDupPairs(blobs: DataFrame, frameBytes: Int = 64,
+      maxHamming: Int = 3, minShared: Int = 3, batchSize: Int = 64,
+      codec: MediaCodec = StubCodec): DataFrame = {
+    val frames = frameSample(blobs, frameBytes, every = 1, batchSize, codec)
+    val frameBlobs = frames.toDF().select(
+      (col("doc_id") * 1000000L + col("frame_idx")).as("doc_id"),
+      lit("frame").as("format"), col("frame").as("blob"))
+    phashDupPairs(perceptualHash(frameBlobs, batchSize, codec).toDF(),
+        maxHamming)
+      .select(expr("a div 1000000").as("va"), expr("b div 1000000").as("vb"))
+      .filter(col("va") =!= col("vb"))
+      .groupBy(col("va"), col("vb"))
+      .agg(count(lit(1)).as("n_frame_matches"))
+      .filter(col("n_frame_matches") >= minShared)
+      .select(col("va").as("a"), col("vb").as("b"), col("n_frame_matches"))
+  }
+
   /** Near-duplicate image pairs by perceptual-hash Hamming distance ≤
     * `maxHamming`: the banded-join discipline (SimHash/MinHash style) —
     * the 64 bits split into four 16-bit bands, candidates meet in a band

@@ -353,6 +353,31 @@ object VectorQueries {
         "vec_id", "embedding", k = 3, nProbe = 4)
     },
 
+    // --- IVF index health stats (vec17): the monitoring loop of the
+    // --- frozen-quantizer trade — per-cell vector counts (empty cells
+    // --- included: a centroid attracting nothing is drift too) plus an
+    // --- exact-integer overloaded flag (n·nCells > 2·total, no division),
+    // --- read after each append wave to decide retraining. Oracle: the
+    // --- same unrolled-Lloyd chain, assignment grouped per cell off a
+    // --- LEFT join so empties stay. --------------------------------------
+    q("vec17_index_stats",
+      s"""WITH $quantSql,
+         |c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, qv AS cv
+         |  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 16) s),
+         |${lloydSql(1, "c0", "q")},
+         |${lloydSql(2, "c1", "q")},
+         |${assignSql("idx", "neighbor_id", "q")},
+         |cnt AS (SELECT c2.cell, CAST(COUNT(idx.neighbor_id) AS BIGINT) AS n_vectors
+         |  FROM c2 LEFT JOIN idx ON c2.cell = idx.cell GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(n_vectors) AS BIGINT) AS total,
+         |  COUNT(*) AS ncells FROM cnt)
+         |SELECT cell, n_vectors,
+         |  (n_vectors * ncells > 2 * total) AS overloaded
+         |FROM cnt, tot""".stripMargin) { (s, d) =>
+      graft.operators.IvfIndex.cellStats(graft.operators.IvfIndex.build(
+        Tables.embeddings(s, d), "vec_id", "embedding", nLists = 16, iters = 2))
+    },
+
     // --- SemDeDup semantic dedup: coarse k-means cells (the SAME unrolled
     // --- Lloyd as vec05, trained on the PLANTED-COPY union corpus) prune
     // --- the pair space, then within-cell pairwise quantized cosine flags
@@ -700,6 +725,63 @@ object VectorQueries {
       val hashes = Multimodal.perceptualHash(
         Multimodal.withBlob(ascii, "text", "fmt")).toDF()
       Multimodal.phashDupPairs(hashes, maxHamming = 3)
+    },
+
+    // --- video near-dup by shared frame hashes (mm07): re-encoded or
+    // --- lightly-edited re-uploads share almost every FRAME perceptual
+    // --- hash while whole-blob hashing sees nothing — frameSample(every
+    // --- frame) → per-frame phash → banded Hamming pairs → one rollup per
+    // --- video pair, ≥3 shared frames. Planted on the even half of the
+    // --- corpus: %6 exact re-uploads (every frame collides) and %4
+    // --- one-char edits (all but the touched frame collide). Oracle
+    // --- restates the frame slicing, per-frame pixel walk/packing, and a
+    // --- brute-force frame-pair Hamming join rolled up per video. --------
+    q("mm07_video_dedup",
+      """WITH pcorp AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL SELECT doc_id+600000, text FROM documents
+        |    WHERE doc_id % 2 = 0 AND doc_id % 6 = 0
+        |  UNION ALL SELECT doc_id+700000,
+        |    substr(text,1,80) || 'Q' || substr(text,82)
+        |    FROM documents WHERE doc_id % 2 = 0 AND doc_id % 4 = 0),
+        |a AS (SELECT doc_id, text FROM pcorp
+        |  WHERE strlen(text) = length(text) AND strlen(text) > 0),
+        |f AS (SELECT doc_id,
+        |    unnest(generate_series(0, CAST((strlen(text)+63)//64 AS BIGINT)-1)) AS idx,
+        |    text FROM a),
+        |fr AS (SELECT doc_id, idx,
+        |    substr(text, CAST(idx*64 AS INT)+1, 64) AS fr FROM f),
+        |px AS (SELECT doc_id, idx,
+        |  [CAST(unicode(substr(fr, CAST((i*strlen(fr))//64 AS INT)+1, 1)) AS BIGINT)
+        |    for i in generate_series(0, 63)] AS px FROM fr),
+        |mn AS (SELECT doc_id, idx, px, CAST(list_sum(px)//64 AS BIGINT) AS mean FROM px),
+        |ph AS (SELECT doc_id, idx,
+        |  CAST(list_sum([CASE WHEN px[i+33] > mean THEN CAST(1 AS BIGINT) << i
+        |    ELSE CAST(0 AS BIGINT) END for i in generate_series(0, 31)]) AS BIGINT) AS ph_hi,
+        |  CAST(list_sum([CASE WHEN px[i+1] > mean THEN CAST(1 AS BIGINT) << i
+        |    ELSE CAST(0 AS BIGINT) END for i in generate_series(0, 31)]) AS BIGINT) AS ph_lo
+        |  FROM mn)
+        |SELECT p.doc_id AS a, q.doc_id AS b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_frame_matches
+        |FROM ph p JOIN ph q ON p.doc_id < q.doc_id
+        |WHERE bit_count(xor(p.ph_hi, q.ph_hi)) +
+        |      bit_count(xor(p.ph_lo, q.ph_lo)) <= 3
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).filter(col("doc_id") % 2 === 0)
+        .select("doc_id", "text")
+      val planted = docs
+        .unionByName(docs.filter(col("doc_id") % 6 === 0)
+          .select((col("doc_id") + 600000).as("doc_id"), col("text")))
+        .unionByName(docs.filter(col("doc_id") % 4 === 0)
+          .select((col("doc_id") + 700000).as("doc_id"),
+            concat(substring(col("text"), 1, 80), lit("Q"),
+              expr("substring(text, 82)")).as("text")))
+      val ascii = planted
+        .filter(octet_length(col("text")) === length(col("text")) &&
+          octet_length(col("text")) > 0)
+        .withColumn("fmt", lit("vid"))
+      Multimodal.videoDupPairs(Multimodal.withBlob(ascii, "text", "fmt"),
+        frameBytes = 64, maxHamming = 3, minShared = 3)
     }
   )
 }

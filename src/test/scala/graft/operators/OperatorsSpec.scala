@@ -440,6 +440,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == brute)
   }
 
+  test("cellStats: counts tile the corpus, empties kept, overloaded = n > 2·mean") {
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, dir)
+    val idx = IvfIndex.build(emb, "vec_id", "embedding", nLists = 16, iters = 2)
+    val stats = IvfIndex.cellStats(idx)
+      .as[(Int, Long, Boolean)].collect().sortBy(_._1)
+    assert(stats.length == 16, "one row per cell, empty cells included")
+    val total = emb.count()
+    assert(stats.map(_._2).sum == total, "cell counts must tile the corpus")
+    stats.foreach { case (_, n, over) =>
+      assert(over == (n * 16 > 2 * total), s"flag math wrong for n=$n") }
+    // stats compose with the filtered view: counts reflect the view, so
+    // the monitor also works on a tenant's slice of a shared index
+    val skewed = IvfIndex.cellStats(IvfIndex.filtered(
+      idx, emb.filter(col("label") === 0).select("vec_id"), "vec_id"))
+      .as[(Int, Long, Boolean)].collect()
+    assert(skewed.map(_._2).sum ==
+      emb.filter(col("label") === 0).count(),
+      "stats over a filtered view count only the view")
+  }
+
   test("SQ8 ANN: high recall vs brute force, exact sims, partitioning-invariant") {
     import spark.implicits._
     val emb = graft.Tables.embeddings(spark, dir)
@@ -625,6 +646,42 @@ class MultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Multimodal.phashDupPairs(hashes, maxHamming = 4)
     }
+  }
+
+  test("videoDupPairs: re-upload shares all frames; edit loses one; threshold") {
+    import spark.implicits._
+    // 64-byte "frames" of per-(video, frame) seeded random bytes: frames of
+    // DIFFERENT videos must threshold to well-separated bit patterns (a
+    // structured generator like base + j² mod 26 leaves all videos within
+    // a few bits of each other — observed)
+    def vid(seed: Int, frames: Int): String =
+      (0 until frames).flatMap { i =>
+        val r = new scala.util.Random(seed * 1000 + i)
+        (0 until 64).map(_ => ('a' + r.nextInt(26)).toChar)
+      }.mkString
+    val v1 = vid(1, 5)
+    val v1edit = v1.updated(70, 'Z').mkString          // touches frame 1 only
+    val blobs = Seq(
+      (1L, "vid", v1),
+      (2L, "vid", v1),              // exact re-upload of 1
+      (3L, "vid", v1edit),          // near re-upload of 1
+      (4L, "vid", vid(9, 5)),       // unrelated
+      (5L, "vid", vid(17, 2)))      // short: < minShared frames
+      .toDF("doc_id", "format", "text")
+      .select(col("doc_id"), col("format"),
+        encode(col("text"), "UTF-8").as("blob"))
+    val got = Multimodal.videoDupPairs(blobs, frameBytes = 64,
+        maxHamming = 3, minShared = 3)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got.contains((1L, 2L)) && got((1L, 2L)) >= 5L,
+      s"exact re-upload must share every frame: $got")
+    assert(got.contains((1L, 3L)) && got((1L, 3L)) >= 4L,
+      s"one-frame edit keeps the other frames: $got")
+    assert(got.contains((2L, 3L)), "near-dup is transitive through the copy")
+    assert(!got.keys.exists(p => p._1 == 4L || p._2 == 4L),
+      s"unrelated video must not pair: $got")
+    assert(!got.keys.exists(p => p._1 == 5L || p._2 == 5L),
+      "a 2-frame video cannot reach minShared = 3")
   }
 
   test("resize: fixed w*h output, nearest-neighbor sampling, deterministic") {
