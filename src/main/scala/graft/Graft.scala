@@ -199,6 +199,12 @@ object Graft {
   def imageDupPairs(blobs: DataFrame, maxHamming: Int = 3): DataFrame =
     Multimodal.phashDupPairs(Multimodal.perceptualHash(blobs).toDF(), maxHamming)
 
+  /** Deterministic shard export for data loaders — salted-hash shard +
+    * reproducible in-shard order (txt39).
+    */
+  def shardExport(docs: DataFrame, idCol: String, nShards: Int): DataFrame =
+    TextOps.shardAssign(docs, idCol, nShards)
+
   /** Ancestor closure + per-node subtree rollup of a forest — the
     * WITH RECURSIVE surface, in ⌈log2 depth⌉ joins (q51).
     */

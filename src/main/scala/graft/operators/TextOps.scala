@@ -65,6 +65,56 @@ object TextOps {
   final case class BpeMerge(rank: Int, left: String, right: String,
       merged: String, pair_count: Long)
 
+  /** Persist a learned merge table — the tokenizer ARTIFACT: training runs
+    * once over the corpus, the merges ship to every downstream job
+    * (encode, token budgeting, packing) as a tiny parquet. One file: the
+    * table is `merges` rows by construction.
+    */
+  def saveVocab(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[BpeMerge], dir: String): Unit = {
+    import spark.implicits._
+    merges.toDS().coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Load a merge table saved by [[saveVocab]], re-validating the BPE
+    * contract (ranks dense from 0, merged = left+right) so a corrupt or
+    * truncated vocab fails at LOAD — not as mis-segmented text three jobs
+    * downstream.
+    */
+  def loadVocab(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[BpeMerge] = {
+    import spark.implicits._
+    val merges = spark.read.parquet(dir).as[BpeMerge].collect()
+      .sortBy(_.rank).toSeq
+    merges.zipWithIndex.foreach { case (m, i) =>
+      require(m.rank == i && m.merged == m.left + m.right,
+        s"corrupt vocab at $dir: rank ${m.rank} at position $i " +
+          s"('${m.left}'+'${m.right}' vs '${m.merged}')")
+    }
+    merges
+  }
+
+  /** Deterministic shard assignment — the data-loader EXPORT step after
+    * sampling (txt26) and packing (txt25): shard = salted hash of the id,
+    * in-shard position = rank by (hash, id). The hash order IS the
+    * training shuffle — deterministic across reruns, engines, and cluster
+    * sizes, so shard files are reproducible artifacts and a resumed run
+    * reads byte-identical order. One exchange keyed by shard; the
+    * position window runs inside that same partitioning (no second
+    * exchange, and a shard's rows sort in one task — shards are sized for
+    * a data-loader worker, far below a partition's capacity).
+    */
+  def shardAssign(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      nShards: Int, salt: Int = 13): org.apache.spark.sql.DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("hv"), col(idCol))
+    docs.select(col(idCol), hex32(col(idCol).cast("string"), salt).as("hv"))
+      .withColumn("shard", pmod(col("hv"), lit(nShards)).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .select(col("shard"), col("pos"), col(idCol))
+  }
+
   /** Apply a learned merge table to the corpus — the ENCODE half of the
     * tokenizer ([[bpeTrain]] is the train half): each word starts as
     * characters and repeatedly applies the LOWEST-RANK applicable merge

@@ -1127,6 +1127,47 @@ object TextQueries {
         .select(col("doc_id"), col("pos"), col("n_toks"), col("score"))
     },
 
+    // --- deterministic shard export (txt39): the data-loader handoff after
+    // --- sampling/packing — shard by salted id-hash, in-shard position by
+    // --- (hash, id) rank; the hash order IS the training shuffle,
+    // --- reproducible across reruns/engines/cluster sizes. One exchange
+    // --- keyed by shard, the position window inside it. ------------------
+    q("txt39_shard_export",
+      s"""WITH h AS (SELECT doc_id,
+         |  ${hex32Sql("'13:'||CAST(doc_id AS VARCHAR)")} AS hv FROM documents)
+         |SELECT CAST(hv % 8 AS INT) AS shard,
+         |  ROW_NUMBER() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS pos,
+         |  doc_id
+         |FROM h""".stripMargin) { (s, d) =>
+      TextOps.shardAssign(Tables.documents(s, d), "doc_id", nShards = 8)
+    },
+
+    // --- persisted tokenizer vocabulary (txt40): the artifact lifecycle —
+    // --- train once, save the merge table, a LATER job loads it (contract
+    // --- re-validated at load: dense ranks, merged = left+right) and
+    // --- encodes; must reproduce txt34's inline-trained counts exactly,
+    // --- which the same unrolled-CTE oracle pins value-for-value. --------
+    q("txt40_bpe_persisted",
+      s"""WITH ${bpeSql(8, "documents")},
+         |w0 AS (SELECT doc_id, unnest($toksSql) AS word FROM documents),
+         |ag AS (
+         |  SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |    CAST(SUM(len(w.word)) AS BIGINT) AS n_chars,
+         |    CAST(SUM(len(v.syms)) AS BIGINT) AS n_symbols
+         |  FROM w0 w JOIN v8 v USING (word) GROUP BY w.doc_id
+         |)
+         |SELECT d.doc_id, COALESCE(ag.n_words, 0) AS n_words,
+         |  COALESCE(ag.n_chars, 0) AS n_chars,
+         |  COALESCE(ag.n_symbols, 0) AS n_symbols
+         |FROM documents d LEFT JOIN ag USING (doc_id)""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val trained = TextOps.bpeTrain(docs.select("text"), "text", merges = 8)
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_bpe_vocab_" + Integer.toHexString(d.hashCode)).getPath
+      TextOps.saveVocab(s, trained, dir)
+      TextOps.bpeEncode(docs, "doc_id", "text", TextOps.loadVocab(s, dir))
+    },
+
     // --- per-source line-level boilerplate removal (txt38, the CCNet/
     // --- RefinedWeb line-wise dedup stage): a 10-token LINE recurring in
     // --- ≥3 distinct docs of the SAME source is template text (nav bar,

@@ -145,6 +145,14 @@ class PlanPinSpec extends AnyFunSuite {
       "df-count and reassembly are aggregations, never a window sort")
   }
 
+  test("txt39: the position window reuses the shard exchange (one shuffle)") {
+    val p = executed("txt39_shard_export")
+    assert(countOf(p, "Exchange") <= 1,
+      s"shard window must run inside the shard partitioning:\n$p")
+    assert(!p.contains("SinglePartition"),
+      "no global ordering anywhere in the export")
+  }
+
   test("mm06: phash pairing meets in band buckets, never all-pairs") {
     val p = executed("mm06_phash_dedup")
     assert(!p.contains("CartesianProduct") &&

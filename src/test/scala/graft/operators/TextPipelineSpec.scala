@@ -372,6 +372,43 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(got.values.forall(r => r._3 + r._4 == r._2))
   }
 
+  test("shardAssign: complete, deterministic shuffle order, dense positions") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, dir)
+    val got = TextOps.shardAssign(docs, "doc_id", nShards = 8)
+      .as[(Int, Int, Long)].collect()
+    assert(got.length == 500 && got.map(_._3).distinct.length == 500,
+      "every doc lands in exactly one shard slot")
+    assert(got.map(_._1).toSet.subsetOf((0 until 8).toSet))
+    // positions are dense 1..n within each shard
+    got.groupBy(_._1).foreach { case (sh, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length).toSeq,
+        s"shard $sh positions not dense") }
+    // the order is a property of the DATA, not the physical layout
+    val again = TextOps.shardAssign(docs.repartition(13), "doc_id", 8)
+      .as[(Int, Int, Long)].collect()
+    assert(got.sortBy(r => (r._1, r._2)).toSeq ==
+      again.sortBy(r => (r._1, r._2)).toSeq)
+  }
+
+  test("vocab save/load round-trips; corrupt tables rejected at load") {
+    import spark.implicits._
+    val trained = TextOps.bpeTrain(
+      graft.Tables.documents(spark, dir).select("text"), "text", merges = 6)
+    val vdir = java.nio.file.Files.createTempDirectory("vocab").toString
+    TextOps.saveVocab(spark, trained, s"$vdir/good")
+    assert(TextOps.loadVocab(spark, s"$vdir/good") == trained)
+    // a truncated table (rank gap) must fail at load, not mis-encode later
+    TextOps.saveVocab(spark, trained.filterNot(_.rank == 2), s"$vdir/gap")
+    intercept[IllegalArgumentException] {
+      TextOps.loadVocab(spark, s"$vdir/gap") }
+    // a tampered merged symbol must fail the left+right contract
+    TextOps.saveVocab(spark,
+      trained.updated(1, trained(1).copy(merged = "zz")), s"$vdir/bad")
+    intercept[IllegalArgumentException] {
+      TextOps.loadVocab(spark, s"$vdir/bad") }
+  }
+
   test("boilerplateRemove: per-source threshold, all copies drop, tail lines") {
     import spark.implicits._
     val hdr = "h1 h2 h3 h4 h5 h6 h7 h8 h9 h10" // exactly one 10-token line
