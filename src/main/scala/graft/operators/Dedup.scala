@@ -593,6 +593,36 @@ object Dedup {
         coalesce(col("kept_text"), lit("")).as("kept_text"))
   }
 
+  /** Contamination REPORT — the decision table a decontamination run
+    * actually ships: one row per EVAL doc combining the two independent
+    * leak signals ([[ngramOverlapPruned]] exact n-gram membership and
+    * [[crossCorpusNearDups]] LSH near-duplication) into a `contaminated`
+    * verdict — either signal alone misses real leaks (verbatim quotes
+    * shorter than a near-dup, paraphrases with few exact grams), which is
+    * why production pipelines OR them. Columns: (id, n_grams, n_overlap,
+    * overlap_frac, n_neardup, max_jaccard, contaminated).
+    *
+    * Scale: both signals already scale eval-shaped (the Bloom-pruned
+    * overlap never shuffles O(train); the LSH bucket join generates only
+    * cross pairs) and the final assembly is two left joins on the TINY
+    * eval side.
+    */
+  def contaminationReport(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 4, overlapTau: Double = 0.5,
+      minJaccard: Double = 0.5): DataFrame = {
+    val ov = ngramOverlapPruned(train, eval, idCol, textCol, n)
+    val hits = crossCorpusNearDups(train, eval, idCol, textCol,
+        minJaccard = minJaccard)
+      .groupBy(col("b").as(idCol))
+      .agg(count(lit(1)).as("n_neardup"), max(col("jaccard")).as("max_jaccard"))
+    ov.join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"), col("n_overlap"), col("overlap_frac"),
+        coalesce(col("n_neardup"), lit(0L)).as("n_neardup"),
+        col("max_jaccard"),
+        (coalesce(col("overlap_frac"), lit(0.0)) >= overlapTau ||
+          coalesce(col("n_neardup"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Per-source line-level boilerplate removal (the CCNet/RefinedWeb
     * "line-wise dedup" stage): within each source/domain, any LINE whose
     * content recurs in ≥ `minDf` distinct documents OF THAT SOURCE is

@@ -1127,6 +1127,56 @@ object TextQueries {
         .select(col("doc_id"), col("pos"), col("n_toks"), col("score"))
     },
 
+    // --- contamination report (txt41): the decision table a decontamination
+    // --- run ships — per EVAL doc, the exact-n-gram membership signal
+    // --- (txt23/24) OR'd with the LSH near-dup signal (txt16) into one
+    // --- contaminated verdict; either alone misses real leaks (short
+    // --- verbatim quotes vs paraphrases). Oracle composes both existing
+    // --- CTE chains over the same planted eval set and restates the OR. --
+    q("txt41_contamination_report",
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id+200000,
+         |    substr(text, 1, greatest(CAST(length(text) AS INT)-10, 0))
+         |  FROM documents WHERE doc_id%17=0),
+         |$minhashSql,
+         |shd AS (SELECT doc_id, list_distinct(
+         |  [array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)]) AS sh
+         |  FROM toks),
+         |v AS (SELECT p.a, p.b,
+         |    CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
+         |  FROM pairs p JOIN shd x ON p.a = x.doc_id JOIN shd y ON p.b = y.doc_id
+         |  WHERE p.a < 200000 AND p.b >= 200000),
+         |nh AS (SELECT b AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_neardup,
+         |    MAX(jaccard) AS max_jaccard FROM v WHERE jaccard >= 0.5 GROUP BY 1),
+         |ev AS (SELECT doc_id, text FROM corpus WHERE doc_id >= 200000),
+         |ttok AS (SELECT $toksSql AS t FROM documents),
+         |tg AS (SELECT DISTINCT unnest(
+         |  [md5(array_to_string(t[i:i+3], ' ')) for i in generate_series(1, len(t)-3)]) AS g
+         |  FROM ttok),
+         |etok AS (SELECT doc_id, $toksSql AS t FROM ev),
+         |eg AS (SELECT doc_id, unnest(
+         |  [md5(array_to_string(t[i:i+3], ' ')) for i in generate_series(1, len(t)-3)]) AS g
+         |  FROM etok),
+         |ov AS (SELECT eg.doc_id, COUNT(*) AS n_grams,
+         |  CAST(SUM(CASE WHEN tg.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+         |  FROM eg LEFT JOIN tg ON eg.g = tg.g GROUP BY 1)
+         |SELECT ev.doc_id, COALESCE(ov.n_grams, 0) AS n_grams,
+         |  COALESCE(ov.n_overlap, 0) AS n_overlap,
+         |  CAST(ov.n_overlap AS DOUBLE)/CAST(ov.n_grams AS DOUBLE) AS overlap_frac,
+         |  COALESCE(nh.n_neardup, 0) AS n_neardup, nh.max_jaccard,
+         |  (COALESCE(CAST(ov.n_overlap AS DOUBLE)/CAST(ov.n_grams AS DOUBLE), 0) >= 0.5
+         |    OR COALESCE(nh.n_neardup, 0) > 0) AS contaminated
+         |FROM ev LEFT JOIN ov USING (doc_id) LEFT JOIN nh USING (doc_id)""".stripMargin) {
+      (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val eval = docs.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          expr("substring(text, 1, length(text)-10)").as("text"))
+      Dedup.contaminationReport(docs, eval, "doc_id", "text", n = 4)
+    },
+
     // --- deterministic shard export (txt39): the data-loader handoff after
     // --- sampling/packing — shard by salted id-hash, in-shard position by
     // --- (hash, id) rank; the hash order IS the training shuffle,

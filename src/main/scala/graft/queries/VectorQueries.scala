@@ -782,6 +782,31 @@ object VectorQueries {
         .withColumn("fmt", lit("vid"))
       Multimodal.videoDupPairs(Multimodal.withBlob(ascii, "text", "fmt"),
         frameBytes = 64, maxHamming = 3, minShared = 3)
+    },
+
+    // --- STREAMING media ingest (mm08): the multimodal path as a
+    // --- Structured Streaming pipeline — blobs arrive on a file stream
+    // --- (doubled source = at-least-once redelivery), the batched decode
+    // --- runs per micro-batch (mapPartitions is stateless, so the same
+    // --- executor code serves batch and stream), and dropDuplicates
+    // --- collapses the replays; result ≡ mm01's batch decode, which the
+    // --- same oracle pins. ------------------------------------------------
+    q("mm08_streaming_media",
+      """WITH raw AS (SELECT doc_id, source AS format, CAST(strlen(text) AS INT) AS n_bytes,
+        |  CAST(list_sum(list_transform(regexp_split_to_array(text,''),
+        |    x -> CAST(unicode(x) AS BIGINT))) AS BIGINT) % 2147483647 AS checksum
+        |  FROM documents)
+        |SELECT doc_id, format, n_bytes, checksum,
+        |  CAST(n_bytes % 64 + 1 AS INT) AS width,
+        |  CAST(checksum % 64 + 1 AS INT) AS height
+        |FROM raw""".stripMargin) { (s, d) =>
+      import graft.streaming.StreamStreamJoin
+      def src() = StreamStreamJoin.tableStream(s, s"$d/documents.parquet")
+      val metas = Multimodal.decodeBatched(
+        Multimodal.withBlob(src().unionByName(src()), "text", "source"))
+      StreamStreamJoin.runToMemory(s,
+        metas.toDF().dropDuplicates("doc_id"),
+        s"mm08_${java.util.UUID.randomUUID().toString.take(8)}")
     }
   )
 }

@@ -372,6 +372,29 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(got.values.forall(r => r._3 + r._4 == r._2))
   }
 
+  test("contaminationReport: OR of the two signals, per-signal evidence kept") {
+    import spark.implicits._
+    val filler = (1 to 40).map(i => s"w$i").mkString(" ")
+    val filler2 = (1 to 40).map(i => s"v$i").mkString(" ")
+    val train = Seq((1L, filler), (2L, filler2)).toDF("doc_id", "text")
+    val eval = Seq(
+      (101L, filler),                                   // verbatim leak
+      (102L, filler.split(" ").drop(5).mkString(" ")),  // clipped near-dup
+      (103L, (1 to 40).map(i => s"z$i").mkString(" "))) // clean
+      .toDF("doc_id", "text")
+    val got = Dedup.contaminationReport(train, eval, "doc_id", "text", n = 4)
+      .select("doc_id", "overlap_frac", "n_neardup", "contaminated")
+      .as[(Long, Option[Double], Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(101L)._2.contains(1.0) && got(101L)._4,
+      s"verbatim leak must flag: ${got(101L)}")
+    assert(got(102L)._4 && (got(102L)._2.exists(_ >= 0.5) || got(102L)._3 > 0),
+      s"clipped leak must flag via at least one signal: ${got(102L)}")
+    assert(!got(103L)._4 && got(103L)._2.contains(0.0) && got(103L)._3 == 0L,
+      s"clean doc must pass: ${got(103L)}")
+    assert(got.keySet == Set(101L, 102L, 103L), "one row per eval doc")
+  }
+
   test("shardAssign: complete, deterministic shuffle order, dense positions") {
     import spark.implicits._
     val docs = graft.Tables.documents(spark, dir)
