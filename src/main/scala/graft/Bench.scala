@@ -22,6 +22,8 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir",
+        new java.io.File(sys.props("java.io.tmpdir"), "graft-warehouse").getPath)
       .config("spark.sql.files.maxPartitionBytes", (2 * 1024 * 1024).toString)
       .config("spark.sql.files.openCostInBytes", (256 * 1024).toString)
       .config("spark.ui.enabled", "false")

@@ -1075,6 +1075,37 @@ object RelationalQueries {
       """SELECT o_orderstatus, COUNT(*) AS n, TRUE AS ok
         |FROM orders GROUP BY o_orderstatus""".stripMargin)),
 
+    // --- bucketed co-located join (q53): the fact-fact join answer at
+    // --- 100 TB — both tables WRITTEN bucketed (and sorted) on the join
+    // --- key, so the join consumes the on-disk layout instead of
+    // --- shuffling either side at read time; the exchange is paid ONCE at
+    // --- write, amortized over every subsequent join. The layout is a
+    // --- physical-plan property (spec pins the exchange-free sort-merge
+    // --- join with broadcast off); this gate pins that the bucketed
+    // --- round-trip loses no rows and aggregates exactly. ----------------
+    q("q53_bucketed_join",
+      """SELECT o_orderstatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus""".stripMargin) { (s, d) =>
+      val wh = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_bucketed_" + Integer.toHexString(d.hashCode)).getPath
+      s.sql("DROP TABLE IF EXISTS g53_li")
+      s.sql("DROP TABLE IF EXISTS g53_ord")
+      Tables.lineitem(s, d).select("l_orderkey", "l_quantity")
+        .write.mode("overwrite").option("path", s"$wh/li")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("g53_li")
+      Tables.orders(s, d).select("o_orderkey", "o_orderstatus")
+        .write.mode("overwrite").option("path", s"$wh/ord")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("g53_ord")
+      s.table("g53_li")
+        .join(s.table("g53_ord"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(dsum(col("l_quantity"), 2).as("sum_qty"),
+          count(lit(1)).as("n"))
+    },
+
     // --- recursive hierarchy rollup (q51): the WITH RECURSIVE surface
     // --- Spark SQL lacks, over a supplier org-tree (heap numbering:
     // --- parent(c) = (c-1)/2, root 0). Per node: depth, root ancestor,

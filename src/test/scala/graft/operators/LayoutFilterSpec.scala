@@ -12,6 +12,37 @@ class LayoutFilterSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("bucketed co-located join: no exchange on either side at read time") {
+    val dir = "/root/testdata/sf0.001"
+    val wh = java.nio.file.Files.createTempDirectory("buck").toString
+    spark.sql("DROP TABLE IF EXISTS bjs_li")
+    spark.sql("DROP TABLE IF EXISTS bjs_ord")
+    graft.Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity")
+      .write.option("path", s"$wh/li")
+      .bucketBy(4, "l_orderkey").sortBy("l_orderkey").saveAsTable("bjs_li")
+    graft.Tables.orders(spark, dir).select("o_orderkey", "o_totalprice")
+      .write.option("path", s"$wh/ord")
+      .bucketBy(4, "o_orderkey").sortBy("o_orderkey").saveAsTable("bjs_ord")
+    // broadcast off so the plan must choose sort-merge — the property under
+    // test is that the bucketed layout makes that join exchange-free
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("bjs_li")
+        .join(spark.table("bjs_ord"), col("l_orderkey") === col("o_orderkey"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"expected sort-merge join:\n$p")
+      assert(!p.contains("Exchange"),
+        s"bucketed join must read the layout, not shuffle:\n$p")
+      // and the rows are the same as the plain (shuffling) path
+      val plain = graft.Tables.lineitem(spark, dir)
+        .select("l_orderkey", "l_quantity")
+        .join(graft.Tables.orders(spark, dir).select("o_orderkey", "o_totalprice"),
+          col("l_orderkey") === col("o_orderkey"))
+      assert(j.count() == plain.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("bloom prune never drops a present key (no false negatives)") {
     val dim = (0L until 1000L).toDF("dk")
     val fact = (0L until 1000L).toDF("fk")
