@@ -593,6 +593,28 @@ object Dedup {
         coalesce(col("kept_text"), lit("")).as("kept_text"))
   }
 
+  /** Near-dup cluster REWRITE — the actionable end of the near-dup
+    * lifecycle: [[minhashCandidatePairs]] finds pairs,
+    * [[clustersDistributed]] closes them into clusters, and this keeps
+    * exactly ONE doc (the min-id representative) per cluster, dropping
+    * every other member — turning the analysis into the deduplicated
+    * corpus a pipeline actually trains on. Docs in no cluster pass
+    * through untouched.
+    *
+    * Scale: the cluster map is O(docs-in-clusters) rows of two longs; the
+    * final keep is one left-anti equi-join on the id — the corpus is
+    * never compared pairwise (that already happened inside the banded
+    * candidate machinery).
+    */
+  def clusterDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val reps = clustersDistributed(
+      minhashCandidatePairs(docs, idCol, textCol))
+    docs.join(
+      reps.filter(col("member") =!= col("rep"))
+        .select(col("member").as(idCol)),
+      Seq(idCol), "left_anti")
+  }
+
   /** Contamination REPORT — the decision table a decontamination run
     * actually ships: one row per EVAL doc combining the two independent
     * leak signals ([[ngramOverlapPruned]] exact n-gram membership and

@@ -1075,6 +1075,31 @@ object RelationalQueries {
       """SELECT o_orderstatus, COUNT(*) AS n, TRUE AS ok
         |FROM orders GROUP BY o_orderstatus""".stripMargin)),
 
+    // --- ordered funnel (q54): the MATCH_RECOGNIZE-shaped question Spark
+    // --- has no operator for — view, THEN click, THEN purchase, each step
+    // --- strictly after the previous step's first-touch time. One min-agg
+    // --- + join per step (3 here), never a per-user ordered event list —
+    // --- a 10⁸-event user costs what a 10-event user costs. --------------
+    q("q54_funnel",
+      """WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        |  JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        |  JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+        |SELECT u.user_id,
+        |  CASE WHEN p.user_id IS NOT NULL THEN 3
+        |       WHEN c.user_id IS NOT NULL THEN 2
+        |       WHEN v.user_id IS NOT NULL THEN 1 ELSE 0 END AS stage
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+        |LEFT JOIN p USING (user_id)""".stripMargin) { (s, d) =>
+      graft.operators.Funnel.stages(Tables.events(s, d),
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+    },
+
     // --- bucketed co-located join (q53): the fact-fact join answer at
     // --- 100 TB — both tables WRITTEN bucketed (and sorted) on the join
     // --- key, so the join consumes the on-disk layout instead of

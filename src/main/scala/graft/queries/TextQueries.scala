@@ -1127,6 +1127,27 @@ object TextQueries {
         .select(col("doc_id"), col("pos"), col("n_toks"), col("score"))
     },
 
+    // --- near-dup cluster rewrite (txt42): the actionable end of txt06/
+    // --- txt10 — keep exactly the min-id representative per LSH cluster,
+    // --- drop every other member; docs in no cluster pass untouched. The
+    // --- output IS the training corpus after near-dedup. Oracle = txt10's
+    // --- recursive closure, dropped = members whose rep ≠ self. ----------
+    q("txt42_cluster_dedup",
+      s"""WITH RECURSIVE $corpusSql,
+         |$minhashSql,
+         |sym AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM sym
+         |  UNION
+         |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u
+         |),
+         |dropped AS (SELECT u AS doc_id FROM reach
+         |  GROUP BY u HAVING LEAST(u, MIN(v)) <> u)
+         |SELECT doc_id, text FROM corpus
+         |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin) { (s, d) =>
+      Dedup.clusterDedup(corpus(s, d), "doc_id", "text")
+    },
+
     // --- contamination report (txt41): the decision table a decontamination
     // --- run ships — per EVAL doc, the exact-n-gram membership signal
     // --- (txt23/24) OR'd with the LSH near-dup signal (txt16) into one

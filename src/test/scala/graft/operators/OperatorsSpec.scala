@@ -30,6 +30,25 @@ class DedupSpec extends AnyFunSuite {
     assert(deduped.count() == corpus().count() - 50)
   }
 
+  test("clusterDedup keeps exactly the min-id representative per cluster") {
+    import spark.implicits._
+    val kept = Dedup.clusterDedup(corpus(), "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    // planted exact copies (+100000) can never be representatives — their
+    // original (a strictly smaller id) shares the cluster, so they die.
+    // (The original itself may still fall to an even smaller NATURAL
+    // near-dup in its cluster, so no blanket originals-kept claim.)
+    val copies = (0L until 500L by 10).toSet
+    assert(copies.forall(i => !kept(i + 100000)), "exact copies dropped")
+    // membership is exactly: all docs minus non-representative members
+    val reps = Dedup.clustersDistributed(
+      Dedup.minhashCandidatePairs(corpus(), "doc_id", "text"))
+      .as[(Long, Long)].collect()
+    val dropped = reps.filter(r => r._1 != r._2).map(_._1).toSet
+    val all = corpus().select("doc_id").as[Long].collect().toSet
+    assert(kept == all -- dropped)
+  }
+
   test("cross-corpus decontamination flags planted eval contamination, never train-train pairs") {
     import spark.implicits._
     val docs = graft.Tables.documents(spark, dir).select("doc_id", "text")

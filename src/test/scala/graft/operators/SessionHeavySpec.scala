@@ -135,4 +135,26 @@ class SessionHeavySpec extends AnyFunSuite {
       .as[(String, Long)].collect().toSet
     assert(got == Set(("a", 30L)))
   }
+
+  test("funnel: order matters, strict ties, per-stage levels, absent step = 0") {
+    import spark.implicits._
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val ev = Seq(
+      // user 1: full ordered funnel
+      (1L, "view", ts(1)), (1L, "click", ts(2)), (1L, "purchase", ts(3)),
+      // user 2: purchase BEFORE click — only view+click count
+      (2L, "view", ts(1)), (2L, "purchase", ts(2)), (2L, "click", ts(5)),
+      // user 3: click at the SAME ts as view — strictness rejects it
+      (3L, "view", ts(1)), (3L, "click", ts(1)),
+      // user 4: never views; clicks and purchases are unreachable
+      (4L, "click", ts(1)), (4L, "purchase", ts(2)),
+      // user 5: first-touch semantics — the EARLIEST view anchors, so a
+      // click between two views still counts
+      (5L, "view", ts(1)), (5L, "click", ts(2)), (5L, "view", ts(3))
+    ).toDF("user_id", "event_type", "ts")
+    val got = Funnel.stages(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 3, 2L -> 2, 3L -> 1, 4L -> 0, 5L -> 2), s"$got")
+  }
 }
