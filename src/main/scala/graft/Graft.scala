@@ -199,6 +199,29 @@ object Graft {
   def imageDupPairs(blobs: DataFrame, maxHamming: Int = 3): DataFrame =
     Multimodal.phashDupPairs(Multimodal.perceptualHash(blobs).toDF(), maxHamming)
 
+  /** One-row-per-eval-doc contamination verdict: exact n-gram overlap OR
+    * LSH near-duplication (txt41).
+    */
+  def contaminationReport(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    Dedup.contaminationReport(train, eval, idCol, textCol)
+
+  /** Keep one representative per near-dup LSH cluster (txt42). */
+  def dedupByCluster(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    Dedup.clusterDedup(docs, idCol, textCol)
+
+  /** Top-k Jaccard-similar corpus docs per query doc via LSH buckets
+    * (txt43).
+    */
+  def similarDocs(corpus: DataFrame, queries: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame =
+    Dedup.similarDocs(corpus, queries, idCol, textCol, k)
+
+  /** Ordered funnel stages per user — view→click→purchase style (q54). */
+  def funnelStages(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String]): DataFrame =
+    Funnel.stages(events, userCol, typeCol, tsCol, steps)
+
   /** Deterministic shard export for data loaders — salted-hash shard +
     * reproducible in-shard order (txt39).
     */

@@ -593,6 +593,32 @@ object Dedup {
         coalesce(col("kept_text"), lit("")).as("kept_text"))
   }
 
+  /** Text SIMILARITY SEARCH — the query-time counterpart of the dedup
+    * machinery: for each QUERY doc, the top-`k` most Jaccard-similar
+    * corpus docs, found through the same LSH band buckets (so the search
+    * only ever scores candidates that share a bucket with the query —
+    * never the corpus). The retrieval analog of [[Similarity.knnBrute]]
+    * for token space: near-dup lookup, citation finding,
+    * retrieve-similar-training-examples.
+    *
+    * Recall caveat inherited from LSH: documents sharing NO band with the
+    * query are invisible regardless of true similarity — band/row counts
+    * tune the recall/cost point exactly as in [[minhashCandidatePairs]].
+    * Requires disjoint id spaces (the [[crossCorpusNearDups]] contract).
+    * Returns (query_id, neighbor_id, jaccard, rank), rank 1..k by
+    * (jaccard desc, neighbor id).
+    */
+  def similarDocs(corpus: DataFrame, queries: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame = {
+    val pairs = crossCorpusNearDups(corpus, queries, idCol, textCol,
+      minJaccard = 0.0)
+    val w = Window.partitionBy(col("b"))
+      .orderBy(col("jaccard").desc, col("a"))
+    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("b").as("query_id"), col("a").as("neighbor_id"),
+        col("jaccard"), col("rank"))
+  }
+
   /** Near-dup cluster REWRITE — the actionable end of the near-dup
     * lifecycle: [[minhashCandidatePairs]] finds pairs,
     * [[clustersDistributed]] closes them into clusters, and this keeps

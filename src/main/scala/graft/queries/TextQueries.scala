@@ -1127,6 +1127,38 @@ object TextQueries {
         .select(col("doc_id"), col("pos"), col("n_toks"), col("score"))
     },
 
+    // --- LSH text similarity search (txt43): the query-time counterpart
+    // --- of dedup — top-3 Jaccard neighbors per query doc, scored only
+    // --- inside shared band buckets, never against the corpus. Queries =
+    // --- %13 docs clipped by 10 chars (+400000), so each query's own
+    // --- original is its guaranteed bucket-mate. Oracle restates banding,
+    // --- cross-pair Jaccard, and the (jaccard DESC, id) rank. ------------
+    q("txt43_similar_docs",
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id+400000,
+         |    substr(text, 1, greatest(CAST(length(text) AS INT)-10, 0))
+         |  FROM documents WHERE doc_id%13=0),
+         |$minhashSql,
+         |shd AS (SELECT doc_id, list_distinct(
+         |  [array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)]) AS sh
+         |  FROM toks),
+         |v AS (SELECT p.a, p.b,
+         |    CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
+         |  FROM pairs p JOIN shd x ON p.a = x.doc_id JOIN shd y ON p.b = y.doc_id
+         |  WHERE p.a < 400000 AND p.b >= 400000)
+         |SELECT b AS query_id, a AS neighbor_id, jaccard, rank FROM (
+         |  SELECT a, b, jaccard, ROW_NUMBER() OVER (
+         |    PARTITION BY b ORDER BY jaccard DESC, a) AS rank FROM v) t
+         |WHERE rank <= 3""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val queries = docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 400000).as("doc_id"),
+          expr("substring(text, 1, length(text)-10)").as("text"))
+      Dedup.similarDocs(docs, queries, "doc_id", "text", k = 3)
+    },
+
     // --- near-dup cluster rewrite (txt42): the actionable end of txt06/
     // --- txt10 — keep exactly the min-id representative per LSH cluster,
     // --- drop every other member; docs in no cluster pass untouched. The

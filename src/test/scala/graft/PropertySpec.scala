@@ -505,4 +505,71 @@ class PropertySpec extends AnyFunSuite {
     }
     check("sampleMixture-monotone", 25)(prop)
   }
+
+  // ------------------------------------------------------------------ funnel
+
+  test("funnel: step-join formulation equals the naive per-user ordered scan") {
+    import spark.implicits._
+    import graft.operators.Funnel
+    val steps = Seq("A", "B", "C")
+    val evGen = Gen.listOf(Gen.zip(
+      Gen.chooseNum(0L, 4L),                         // user
+      Gen.oneOf("A", "B", "C", "X"),                 // type (X = noise)
+      Gen.chooseNum(0, 20))).suchThat(_.nonEmpty)    // ts (ties likely)
+    val prop = Prop.forAll(evGen) { evs =>
+      val df = evs.toDF("user_id", "event_type", "ts")
+      val got = Funnel.stages(df, "user_id", "event_type", "ts", steps)
+        .as[(Long, Int)].collect().toMap
+      val want = evs.map(_._1).distinct.map { u =>
+        var t = Int.MinValue; var stage = 0; var stuck = false
+        steps.foreach { st =>
+          if (!stuck) {
+            val c = evs.filter(e => e._1 == u && e._2 == st && e._3 > t)
+            if (c.isEmpty) stuck = true
+            else { t = c.map(_._3).min; stage += 1 }
+          }
+        }
+        u -> stage
+      }.toMap
+      got == want
+    }
+    check("funnel", 150)(prop)
+  }
+
+  // ------------------------------------------------------- boilerplateRemove
+
+  test("boilerplateRemove equals the straight-line per-source df scan") {
+    import spark.implicits._
+    // 2-token lines over a 3-word vocabulary on two sources: repeated lines
+    // are common, ragged tails guaranteed by odd token counts
+    val docGen = Gen.listOf(Gen.zip(
+      Gen.oneOf("s1", "s2"),
+      Gen.chooseNum(1, 7).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc")).map(_.mkString(" ")))))
+      .suchThat(_.nonEmpty)
+      .map(_.zipWithIndex.map { case ((src, t), i) => (i.toLong, src, t) })
+    val prop = Prop.forAll(docGen, Gen.chooseNum(1, 5)) { (docs, nPart) =>
+      val got = Dedup.boilerplateRemove(
+          docs.toDF("doc_id", "source", "text").repartition(nPart),
+          "doc_id", "text", "source", lineTokens = 2, minDf = 2)
+        .as[(Long, String, Long, Long, Long, String)].collect()
+        .map(r => r._1 -> r).toMap
+      // straight-line reference
+      def lines(t: String): Seq[String] =
+        t.split(" ").filter(_.nonEmpty).grouped(2).map(_.mkString(" ")).toSeq
+      val df = docs.flatMap { case (id, src, t) =>
+        lines(t).distinct.map(l => (src, l) -> id) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+      docs.forall { case (id, src, t) =>
+        val ls = lines(t)
+        val keptLs = ls.filter(l => df((src, l)) < 2)
+        val want = (id, src, ls.size.toLong,
+          (ls.size - keptLs.size).toLong,
+          keptLs.map(_.split(" ").length.toLong).sum,
+          keptLs.mkString(" "))
+        got(id) == want
+      }
+    }
+    check("boilerplateRemove", 60)(prop)
+  }
 }

@@ -49,6 +49,34 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == all -- dropped)
   }
 
+  test("similarDocs: the clipped original ranks first; k bound; cross-only") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, dir).select("doc_id", "text")
+    val queries = docs.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 400000).as("doc_id"),
+        expr("substring(text, 1, length(text)-10)").as("text"))
+    val got = Dedup.similarDocs(docs, queries, "doc_id", "text", k = 3)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(got.nonEmpty)
+    assert(got.forall { case (q, n, j, r) =>
+      q >= 400000 && n < 400000 && r >= 1 && r <= 3 && j >= 0 && j <= 1 })
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.length <= 3 &&
+        rows.map(_._4).sorted.toSeq == (1 to rows.length).toSeq)
+      // within a query's result, rank follows (jaccard desc, id)
+      val sorted = rows.sortBy(_._4).toSeq
+      assert(sorted.sliding(2).forall {
+        case Seq(x, y) => x._3 > y._3 || (x._3 == y._3 && x._2 < y._2)
+        case _ => true
+      }, s"rank order broken for $q")
+    }
+    // a query whose rank-1 is its own clipped original (jaccard near 1)
+    val rank1 = got.filter(_._4 == 1).map(r => r._1 -> (r._2, r._3)).toMap
+    val selfHits = rank1.count { case (q, (n, _)) => n == q - 400000 }
+    assert(selfHits >= rank1.size * 8 / 10,
+      s"most queries must retrieve their own original first: $selfHits/${rank1.size}")
+  }
+
   test("cross-corpus decontamination flags planted eval contamination, never train-train pairs") {
     import spark.implicits._
     val docs = graft.Tables.documents(spark, dir).select("doc_id", "text")
