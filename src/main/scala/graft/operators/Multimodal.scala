@@ -258,6 +258,41 @@ object Multimodal {
       }
   }
 
+  /** Energy-gated segmentation over [[audioWindows]] — the VAD-shaped
+    * (voice-activity-detection) step an audio curation pipeline runs
+    * before transcription: windows above `energyThreshold` are ACTIVE,
+    * and maximal runs of consecutive active windows become segments (one
+    * row each, with window span and summed energy). Everything below the
+    * threshold — silence, hum — is simply never transcribed, which at
+    * scale is most of the audio.
+    *
+    * The run merge is the gaps-and-islands trick on the window index
+    * (idx − rank is constant within a consecutive run): the rank window
+    * and the segment group-by both key on the doc, so segmentation adds
+    * ONE exchange after the decode. A real codec slots in through the
+    * same [[MediaCodec.pcm]] seam as mm05.
+    */
+  def voiceSegments(blobs: DataFrame, win: Int = 64, hop: Int = 32,
+      energyThreshold: Long = 120000L, batchSize: Int = 64,
+      codec: MediaCodec = StubCodec): DataFrame = {
+    val active = audioWindows(blobs, win, hop, batchSize, codec).toDF()
+      .filter(col("energy") > energyThreshold)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("win_idx"))
+    active
+      .withColumn("_grp", col("win_idx") - row_number().over(w))
+      .groupBy(col("doc_id"), col("_grp"))
+      .agg(min(col("win_idx")).as("start_win"),
+        max(col("win_idx")).as("end_win"),
+        count(lit(1)).as("n_windows"),
+        sum(col("energy")).as("total_energy"))
+      .withColumn("seg_idx",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("start_win"))) - 1)
+      .select(col("doc_id"), col("seg_idx"), col("start_win"),
+        col("end_win"), col("n_windows"), col("total_energy"))
+  }
+
   /** A 64-bit perceptual hash, packed as two 32-bit halves so every bit op
     * stays in non-negative BIGINT range on every engine (bit 63 of a single
     * long would flip its sign). Bit `i` of the conceptual 64-bit hash lives

@@ -784,6 +784,43 @@ object VectorQueries {
         frameBytes = 64, maxHamming = 3, minShared = 3)
     },
 
+    // --- energy-gated VAD segmentation (mm09): maximal runs of
+    // --- above-threshold audio windows become segments — the step that
+    // --- keeps transcription off the silence, composed from mm05's
+    // --- windows by the gaps-and-islands trick on the window index (one
+    // --- doc-keyed exchange). Oracle = mm05's window chain + the same
+    // --- idx − ROW_NUMBER island grouping. -------------------------------
+    q("mm09_voice_segments",
+      """WITH s AS (SELECT doc_id,
+        |    [CAST(unicode(substr(text, i, 1)) AS BIGINT) - 128
+        |     for i in generate_series(1, strlen(text))] AS c
+        |  FROM documents WHERE strlen(text) = length(text) AND strlen(text) > 0),
+        |j0 AS (SELECT doc_id, c,
+        |    unnest(generate_series(0, (len(c)-1)//32)) AS j FROM s),
+        |w AS (SELECT doc_id, j, c[CAST(j*32+1 AS INT) : CAST(j*32+64 AS INT)] AS win
+        |  FROM j0),
+        |f AS (SELECT doc_id, j,
+        |    CAST(list_sum([x*x for x in win]) AS BIGINT) AS energy FROM w),
+        |a AS (SELECT doc_id, j, energy,
+        |    j - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY j) AS grp
+        |  FROM f WHERE energy > 120000),
+        |seg AS (SELECT doc_id, MIN(j) AS start_win, MAX(j) AS end_win,
+        |    CAST(COUNT(*) AS BIGINT) AS n_windows,
+        |    CAST(SUM(energy) AS BIGINT) AS total_energy
+        |  FROM a GROUP BY doc_id, grp)
+        |SELECT doc_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY start_win) - 1 AS INT) AS seg_idx,
+        |  CAST(start_win AS INT) AS start_win, CAST(end_win AS INT) AS end_win,
+        |  n_windows, total_energy
+        |FROM seg""".stripMargin) { (s, d) =>
+      val ascii = Tables.documents(s, d)
+        .filter(octet_length(col("text")) === length(col("text")) &&
+          octet_length(col("text")) > 0)
+      Multimodal.voiceSegments(
+        Multimodal.withBlob(ascii, "text", "source"),
+        win = 64, hop = 32, energyThreshold = 120000L)
+    },
+
     // --- STREAMING media ingest (mm08): the multimodal path as a
     // --- Structured Streaming pipeline — blobs arrive on a file stream
     // --- (doubled source = at-least-once redelivery), the batched decode

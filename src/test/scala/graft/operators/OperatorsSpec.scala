@@ -695,6 +695,35 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("voiceSegments ≡ straight-line islands over a crafted silence/tone blob") {
+    import spark.implicits._
+    // silence (pcm 128 ⇒ energy 0) — tone (228 ⇒ 10000/sample) — silence —
+    // a second short tone: two separate segments expected
+    val blob = (Array.fill[Byte](96)(128.toByte)
+      ++ Array.fill[Byte](160)(228.toByte)
+      ++ Array.fill[Byte](96)(128.toByte)
+      ++ Array.fill[Byte](64)(228.toByte))
+    val blobs = Seq((1L, "aud", blob)).toDF("doc_id", "format", "blob")
+    val got = Multimodal.voiceSegments(blobs, win = 64, hop = 32,
+        energyThreshold = 100000L)
+      .as[(Long, Int, Int, Int, Long, Long)].collect().sortBy(_._2)
+    // straight-line reference over the same framing
+    val s = blob.map(b => b & 0xff)
+    def energy(st: Int) = s.slice(st, math.min(st + 64, s.length))
+      .map(x => { val c = x - 128; c.toLong * c }).sum
+    val active = (s.indices by 32).zipWithIndex
+      .collect { case (st, j) if energy(st) > 100000L => (j, energy(st)) }
+    val islands = active.foldLeft(Vector.empty[Vector[(Int, Long)]]) {
+      case (acc, (j, e)) if acc.nonEmpty && acc.last.last._1 == j - 1 =>
+        acc.init :+ (acc.last :+ (j, e))
+      case (acc, w) => acc :+ Vector(w)
+    }
+    assert(islands.size == 2, s"fixture should give two segments: $islands")
+    val want = islands.zipWithIndex.map { case (isl, i) =>
+      (1L, i, isl.head._1, isl.last._1, isl.size.toLong, isl.map(_._2).sum) }
+    assert(got.toSeq == want, s"got ${got.toSeq}, want $want")
+  }
+
   test("videoDupPairs: re-upload shares all frames; edit loses one; threshold") {
     import spark.implicits._
     // 64-byte "frames" of per-(video, frame) seeded random bytes: frames of
