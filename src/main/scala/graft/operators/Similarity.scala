@@ -46,6 +46,31 @@ object Similarity {
   /** Brute-force top-k neighbors for each probe (probe ≠ neighbor).
     * probes/corpus: (id, vec) DataFrames with the given column names.
     */
+  /** kNN LABEL PREDICTION — majority vote over the top-`k` neighbors, the
+    * weak-supervision / label-propagation step a labeling pipeline runs
+    * over embeddings (predict a new item's class from its labeled
+    * neighbors). Vote ties break to the SMALLEST label (deterministic, so
+    * the gate hash-matches); the neighbor set itself is [[knnBrute]]'s
+    * exact quantized-cosine top-k — swap in an index search for the 100 TB
+    * path, the vote is the same one aggregation per probe.
+    *
+    * `labeled` provides (idCol, labelCol). Returns (probe_id, predicted,
+    * n_votes).
+    */
+  def knnClassify(probes: DataFrame, corpus: DataFrame, labeled: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val nn = knnBrute(probes, corpus, idCol, vecCol, k)
+    nn.join(labeled.select(col(idCol).as("neighbor_id"),
+        col(labelCol).as("_lbl")), Seq("neighbor_id"))
+      .groupBy(col("probe_id"), col("_lbl"))
+      .agg(count(lit(1)).as("n_votes"))
+      .groupBy(col("probe_id"))
+      .agg(min_by(struct(col("_lbl"), col("n_votes")),
+        struct(negate(col("n_votes")), col("_lbl"))).as("_w"))
+      .select(col("probe_id"), col("_w._lbl").as("predicted"),
+        col("_w.n_votes").as("n_votes"))
+  }
+
   def knnBrute(probes: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
     val p = probes.select(col(idCol).as("probe_id"), quantize(col(vecCol)).as("pq"))

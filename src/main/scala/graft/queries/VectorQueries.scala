@@ -353,6 +353,34 @@ object VectorQueries {
         "vec_id", "embedding", k = 3, nProbe = 4)
     },
 
+    // --- kNN label prediction (vec18): the weak-supervision step — each
+    // --- probe's class predicted by majority vote over its exact top-5
+    // --- quantized-cosine neighbors, ties to the smallest label
+    // --- (deterministic ⇒ hash-exact). Swap an index search in for the
+    // --- 100 TB neighbor set; the vote stays one aggregation per probe. --
+    q("vec18_knn_classify",
+      s"""WITH $quantSql,
+         |scored AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |  CAST(CAST(list_sum([p.qv[i]*c.qv[i] for i in generate_series(1, len(p.qv))]) AS BIGINT) AS DOUBLE)
+         |    / (sqrt(CAST(p.n2 AS DOUBLE))*sqrt(CAST(c.n2 AS DOUBLE))) AS sim
+         |  FROM n p, n c WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id),
+         |nn AS (SELECT probe_id, neighbor_id FROM (
+         |  SELECT probe_id, neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM scored) t WHERE rank <= 5),
+         |votes AS (SELECT nn.probe_id, e.label,
+         |    CAST(COUNT(*) AS BIGINT) AS n_votes
+         |  FROM nn JOIN embeddings e ON nn.neighbor_id = e.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT probe_id, label AS predicted, n_votes FROM (
+         |  SELECT probe_id, label, n_votes, ROW_NUMBER() OVER (
+         |    PARTITION BY probe_id ORDER BY n_votes DESC, label) AS rn
+         |  FROM votes) t WHERE rn = 1""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.knnClassify(emb.filter(col("vec_id") < 10), emb,
+        emb.select("vec_id", "label"), "vec_id", "embedding", "label", k = 5)
+    },
+
     // --- IVF index health stats (vec17): the monitoring loop of the
     // --- frozen-quantizer trade — per-cell vector counts (empty cells
     // --- included: a centroid attracting nothing is drift too) plus an

@@ -487,6 +487,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == brute)
   }
 
+  test("knnClassify: majority wins, ties break to the smallest label") {
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.01f), 1), (11L, Array(1.0f, -0.01f), 2),
+      (12L, Array(0.9f, 0.0f), 2), (13L, Array(-1.0f, 0.0f), 9))
+      .toDF("vec_id", "embedding", "label")
+    val probes = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    // k=3: labels {1, 2, 2} → majority 2
+    val maj = Similarity.knnClassify(probes, corpus,
+        corpus.select("vec_id", "label"), "vec_id", "embedding", "label", k = 3)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(maj == Seq((1L, 2, 2L)), s"majority: $maj")
+    // k=2: labels {1, 2} tie → smallest label wins
+    val tie = Similarity.knnClassify(probes, corpus,
+        corpus.select("vec_id", "label"), "vec_id", "embedding", "label", k = 2)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(tie == Seq((1L, 1, 1L)), s"tie: $tie")
+    // real table: one row per probe, bounded votes, partitioning-invariant
+    // (labels in the testdata are NOT cluster-correlated — ~chance 1-NN
+    // match measured — so no accuracy claim is possible here)
+    val emb = graft.Tables.embeddings(spark, dir)
+    val probes50 = emb.filter(col("vec_id") < 50)
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Similarity.knnClassify(probes50, c, c.select("vec_id", "label"),
+          "vec_id", "embedding", "label", k = 5)
+        .as[(Long, Int, Long)].collect().sortBy(_._1).toSeq
+    val a = run(emb)
+    assert(a.map(_._1).distinct.size == a.size && a.size == 50)
+    assert(a.forall(r => r._3 >= 1 && r._3 <= 5))
+    assert(a == run(emb.repartition(7)), "vote must be partitioning-invariant")
+  }
+
   test("cellStats: counts tile the corpus, empties kept, overloaded = n > 2·mean") {
     import spark.implicits._
     val emb = graft.Tables.embeddings(spark, dir)
