@@ -147,4 +147,50 @@ object ScdHistory {
       lit(null).cast("long").as("valid_to_lsn"),
       lit(null).cast("long").as("valid_to_seq"),
       col("op"), col("after"))
+
+  /** TEMPORAL ALIGNMENT of two SCD2 histories on a shared key — the
+    * bitemporal "what did A and B say SIMULTANEOUSLY" join (SQL:2011 temporal
+    * join; what a warehouse runs to reconstruct a consistent wide row for any
+    * point in commit history). For every pair of same-key versions whose
+    * validity intervals intersect, one output row covers the intersection:
+    * `valid_from = greatest(a.from, b.from)`,
+    * `valid_to = least(a.to, b.to)` with a null (open) end treated as +∞ —
+    * both engines' least/greatest skip nulls, so `least` IS the null-as-∞
+    * minimum. Within a key the output intervals tile each overlap region
+    * disjointly, because each input side's intervals are disjoint.
+    *
+    * Input contract: each frame has `keyCols`, orderable `valid_from` and
+    * nullable `valid_to` columns (the STRUCT-of-order-columns shape
+    * [[batch]] emits), and otherwise-disjoint payload columns (project
+    * before calling). Payload travels verbatim — no arithmetic, so the
+    * output is engine-exact.
+    *
+    * Scale shape: ONE hash equi-join on the key columns; the interval
+    * intersection is a residual predicate evaluated inside the joined key
+    * group, so the exchange ships each version exactly once and no
+    * interval-driven blowup crosses the wire. Per-key cost is
+    * O(versions_A · versions_B) pre-filter — bounded by per-key update
+    * counts, the quantity SCD2 histories are sized by anyway. (For
+    * key-less interval joins use the range-join machinery instead —
+    * [[graft.plans.RangeJoinRewrite]].)
+    */
+  def alignHistories(histA: DataFrame, histB: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val meta = Set("valid_from", "valid_to") ++ keyCols
+    val payloadA = histA.columns.filterNot(meta)
+    val payloadB = histB.columns.filterNot(meta)
+    val clash = payloadA.toSet.intersect(payloadB.toSet)
+    require(clash.isEmpty, s"payload columns must be disjoint: $clash")
+    val a = histA.alias("ha")
+    val b = histB.alias("hb")
+    val cond = keyCols.map(k => col(s"ha.$k") === col(s"hb.$k")).reduce(_ && _) &&
+      (col("hb.valid_to").isNull || col("ha.valid_from") < col("hb.valid_to")) &&
+      (col("ha.valid_to").isNull || col("hb.valid_from") < col("ha.valid_to"))
+    a.join(b, cond)
+      .select(keyCols.map(k => col(s"ha.$k").as(k)) ++ Seq(
+        greatest(col("ha.valid_from"), col("hb.valid_from")).as("valid_from"),
+        least(col("ha.valid_to"), col("hb.valid_to")).as("valid_to")) ++
+        payloadA.map(c => col(s"ha.$c")).toSeq ++
+        payloadB.map(c => col(s"hb.$c")).toSeq: _*)
+  }
 }

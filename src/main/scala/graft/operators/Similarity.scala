@@ -354,4 +354,77 @@ object Similarity {
           .as("sim"))
       .filter(col("sim") >= threshold)
   }
+
+  // ---- random-projection (Johnson–Lindenstrauss) dimensionality reduction --
+
+  /** Deterministic ±1 projection weight for (output dim, input dim) — the
+    * [[planeWeightValue]] md5-parity family under an `rp` namespace, so
+    * projection matrices and LSH hyperplanes never alias. A ±1 (Achlioptas)
+    * JL matrix preserves pairwise inner products/distances in expectation
+    * with variance O(1/kOut); it is the database-JL construction precisely
+    * because the "matrix" is a pure function — nothing is stored or
+    * shipped, every engine regenerates it bit-identically.
+    */
+  def rpWeightValue(outDim: Int, dim: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(s"rp${outDim}_$dim".getBytes("UTF-8"))
+    if (((d(0) >> 4) & 0xf) % 2 == 0) 1L else -1L
+  }
+
+  /** Project a quantized vector to `kOut` dims: r_k = Σ_i q_i · w(k,i),
+    * exact integer arithmetic throughout. Weights are literal arrays
+    * (constant-folded into codegen — no lookup join, no stored matrix).
+    * Same too-wide guard as [[lshBucket]]: silence would zero the tail.
+    */
+  def randomProject(vecQ: Column, kOut: Int, maxDims: Int = 128): Column = {
+    val outs = (0 until kOut).map { k =>
+      val weights = typedLit((0 until maxDims).map(i => rpWeightValue(k, i)).toArray)
+      aggregate(
+        zip_with(vecQ, slice(weights, lit(1), size(vecQ)), (x, w) => x * w),
+        lit(0L), (acc, x) => acc + x)
+    }
+    when(size(vecQ) > maxDims,
+      raise_error(concat(lit(s"random_project: vector wider than maxDims=$maxDims: "),
+        size(vecQ).cast("string"))).cast("array<bigint>"))
+      .otherwise(array(outs: _*))
+  }
+
+  /** ANN in REDUCED space with exact full-dimension rerank — [[annSq8]]'s
+    * two-stage shape with JL projection as the compressor: candidates are
+    * ranked by the exact integer dot product of the kOut-dim projections
+    * (64→16 dims ⇒ 4× less arithmetic and scan bandwidth in the O(probes ×
+    * corpus) stage), then the top `candidates` are re-scored with the
+    * full-dimension quantized cosine. At 100 TB the reduced vectors are
+    * what an IVF/LSH index would store and scan — compose with
+    * [[IvfIndex]] pruning exactly as vec12 composes PQ; this operator pins
+    * the projection + rerank algebra.
+    */
+  def annRandomProject(probes: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, kOut: Int = 16, candidates: Int = 16): DataFrame = {
+    val cq = corpus.select(col(idCol).as("neighbor_id"),
+        quantize(col(vecCol)).as("cq"))
+      .withColumn("n2c", dotQ(col("cq"), col("cq")))
+    val pq = probes.select(col(idCol).as("probe_id"),
+        quantize(col(vecCol)).as("pq"))
+      .withColumn("n2p", dotQ(col("pq"), col("pq")))
+    val cr = cq.select(col("neighbor_id"), randomProject(col("cq"), kOut).as("cr"))
+    val pr = pq.select(col("probe_id"), randomProject(col("pq"), kOut).as("pr"))
+    val approx = pr.crossJoin(cr)
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        dotQ(col("pr"), col("cr")).as("ad"))
+    val wc = Window.partitionBy(col("probe_id"))
+      .orderBy(col("ad").desc, col("neighbor_id"))
+    val cand = approx.withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= candidates)
+      .select("probe_id", "neighbor_id")
+    val scored = cand
+      .join(pq, Seq("probe_id"))
+      .join(cq, Seq("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        cosineQWithNorms(col("pq"), col("cq"), col("n2p"), col("n2c")).as("sim"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 }

@@ -543,4 +543,44 @@ object TextOps {
       .filter(col("bin") > col("thr"))
       .select(col(idCol), col(srcCol), col("bin"))
   }
+
+  /** SLIDING-WINDOW CHUNKING — split each document into token windows of
+    * `size` every `stride` tokens (stride < size ⇒ overlapping context
+    * windows, the retrieval/embedding-prep shape; stride = size ⇒ disjoint
+    * blocks). Chunk `c` covers tokens `[c·stride, c·stride+size)`; starts
+    * run while `start < n_tokens`, so tail chunks may be short (kept — a
+    * truncated tail is still trainable/retrievable context) and an
+    * empty-token document yields no chunks.
+    *
+    * Returns (idCol, chunk_idx, tok_start, n_toks, chunk_text).
+    *
+    * Scale shape: entirely per-document — a projection + one
+    * posexplode-style expansion, ZERO exchanges; output fan-out is
+    * n/stride rows per doc, each carrying only its own window of text.
+    * The expansion happens inside whole-stage codegen (sequence/transform
+    * over the already-split token array), never a UDF.
+    */
+  def chunk(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, size: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(size > 0 && stride > 0, s"size/stride must be positive: $size/$stride")
+    require(stride <= size, s"stride > size would drop tokens: $stride > $size")
+    val toks = tokens(col(textCol))
+    docs.select(col(idCol), toks.as("_toks"))
+      .filter(size_(col("_toks")) > 0)
+      .select(col(idCol), col("_toks"),
+        // (n-1) div stride, as exact integer arithmetic (Column `/` is
+        // double division; floor of it is exact for any 32-bit size)
+        explode(sequence(lit(0),
+          floor((size_(col("_toks")) - 1) / lit(stride)).cast("int"))).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("tok_start"),
+        least(lit(size), size_(col("_toks")) - col("chunk_idx") * stride).as("n_toks"),
+        array_join(slice(col("_toks"), col("chunk_idx") * stride + 1, lit(size)), " ")
+          .as("chunk_text"))
+  }
+
+  /** `org.apache.spark.sql.functions.size` shadow-safe alias (this object
+    * takes Int `size` parameters in several signatures).
+    */
+  private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
 }

@@ -551,6 +551,101 @@ object CdcQueries {
           octet_length(col("blob")).as("n_bytes"))
         .unionByName(dead.select(col("doc_id"), lit("dead").as("side"),
           col("dlq_reason"), octet_length(col("blob")).as("n_bytes")))
+    },
+
+    // --- incremental JOIN-view maintenance (cdc23): the join half of IVM —
+    // --- a users⋈segments equi-join view maintained across three
+    // --- commit-ordered micro-batch folds via the z-set delta identity
+    // --- Δ(A⋈B) = ΔA⋈B_old + A_new⋈ΔB, never recomputing from history.
+    // --- Both sides carry updates AND deletes (tombstones retract every
+    // --- fanned pair); the oracle computes the same view the opposite way:
+    // --- compact each side to latest state, then join from scratch. -------
+    q("cdc23_join_view_maintenance",
+      s"""WITH a AS (
+         |  SELECT user_id, value AS user_value, user_id % 101 AS seg FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+         |    FROM events WHERE event_id % 2 = 0)
+         |  WHERE rn = 1 AND event_type <> 'error'),
+         |b AS (
+         |  SELECT segment_id, value AS segment_value FROM (
+         |    SELECT user_id % 101 AS segment_id, value, event_type,
+         |      row_number() OVER (PARTITION BY user_id % 101 ORDER BY event_id DESC) AS rn
+         |    FROM events WHERE event_id % 2 = 1)
+         |  WHERE rn = 1 AND event_type <> 'error')
+         |SELECT a.user_id, a.user_value, b.segment_id, b.segment_value
+         |FROM a JOIN b ON a.seg = b.segment_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val op = when(col("event_type") === "signup", Op.Insert)
+        .when(col("event_type") === "error", Op.Delete)
+        .otherwise(Op.Update)
+      // side A: per-user changelog from even events; joins on its segment
+      val aLog = ev.filter(col("event_id") % 2 === 0).select(
+        op.as("op"), col("event_id").as("lsn"), col("user_id"),
+        col("value").as("user_value"), (col("user_id") % 101).as("seg"))
+      // side B: per-segment dimension changelog from odd events
+      val bLog = ev.filter(col("event_id") % 2 === 1).select(
+        op.as("op"), col("event_id").as("lsn"),
+        (col("user_id") % 101).as("segment_id"), col("value").as("segment_value"))
+      val a = JoinView.Side(Seq("user_id"), Seq("lsn"),
+        Seq("user_id", "user_value", "seg"), joinCol = "seg")
+      val b = JoinView.Side(Seq("segment_id"), Seq("lsn"),
+        Seq("segment_id", "segment_value"), joinCol = "segment_id")
+      // three commit-ordered micro-batches split at thirds of the LSN range
+      // (one bounded scalar to the driver — the batching is the thing under
+      // test; the oracle is batching-independent)
+      val mx = ev.agg(max(col("event_id"))).head().getLong(0)
+      val bounds = Seq((0L, mx / 3), (mx / 3, 2 * mx / 3), (2 * mx / 3, mx + 1))
+      val batches = bounds.map { case (lo, hi) =>
+        (aLog.filter(col("lsn") >= lo && col("lsn") < hi),
+         bLog.filter(col("lsn") >= lo && col("lsn") < hi))
+      }
+      JoinView.foldAll(batches, a, b)
+        .view.select(col("user_id"), col("user_value"),
+          col("segment_id"), col("segment_value"))
+    },
+
+    // --- temporal alignment of two SCD2 histories (cdc24): the bitemporal
+    // --- join — per user, every (A-version × B-version) interval
+    // --- intersection becomes one row valid over exactly that overlap, so
+    // --- any point in commit history reads one consistent wide row. Deletes
+    // --- close intervals on each side independently (lead() before the
+    // --- delete filter, the cdc13 discipline). Oracle restates the interval
+    // --- algebra with explicit null-as-∞ CASEs. --------------------------
+    q("cdc24_history_align",
+      """WITH av AS (SELECT user_id, event_id AS vf,
+        |    lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS vt,
+        |    value AS a_value, event_type
+        |  FROM events WHERE event_id % 2 = 0),
+        |bv AS (SELECT user_id, event_id AS vf,
+        |    lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS vt,
+        |    value AS b_value, event_type
+        |  FROM events WHERE event_id % 2 = 1),
+        |a2 AS (SELECT * FROM av WHERE event_type <> 'error'),
+        |b2 AS (SELECT * FROM bv WHERE event_type <> 'error')
+        |SELECT a2.user_id, GREATEST(a2.vf, b2.vf) AS from_lsn,
+        |  CASE WHEN a2.vt IS NULL THEN b2.vt
+        |       WHEN b2.vt IS NULL THEN a2.vt
+        |       ELSE LEAST(a2.vt, b2.vt) END AS to_lsn,
+        |  a2.a_value, b2.b_value
+        |FROM a2 JOIN b2 ON a2.user_id = b2.user_id
+        |  AND (b2.vt IS NULL OR a2.vf < b2.vt)
+        |  AND (a2.vt IS NULL OR b2.vf < a2.vt)""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val op = when(col("event_type") === "signup", Op.Insert)
+        .when(col("event_type") === "error", Op.Delete)
+        .otherwise(Op.Update)
+      def hist(parity: Int, valName: String) = {
+        val log = ev.filter(col("event_id") % 2 === parity).select(
+          op.as("op"), col("event_id").as("lsn"),
+          col("user_id"), col("value").as(valName))
+        ScdHistory.batch(log, Seq("user_id"), Seq("lsn"))
+          .select(col("user_id"), struct(col("lsn")).as("valid_from"),
+            col("valid_to"), col(valName))
+      }
+      ScdHistory.alignHistories(hist(0, "a_value"), hist(1, "b_value"),
+          Seq("user_id"))
+        .select(col("user_id"), col("valid_from.lsn").as("from_lsn"),
+          col("valid_to.lsn").as("to_lsn"), col("a_value"), col("b_value"))
     }
   )
 }

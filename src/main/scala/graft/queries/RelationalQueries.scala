@@ -1159,6 +1159,59 @@ object RelationalQueries {
           expr("(s_suppkey - 1) div 2").cast("long").as("parent"))
       graft.operators.Hierarchy.rollup(sup, edges,
         "s_suppkey", "s_acctbal", "child", "parent")
+    },
+
+    // --- sketch RE-AGGREGATION over a time hierarchy (q55): the property
+    // --- that makes sketches the 100 TB distinct-count answer — per
+    // --- (event_type, day) HLL sketches are built once (the partial
+    // --- aggregate a daily rollup table stores), then MERGED per
+    // --- event_type without touching raw events again; COUNT DISTINCT
+    // --- cannot re-aggregate that way (daily distinct counts don't sum —
+    // --- a user active on many days must count once, which the sketch
+    // --- union gets right by construction). Verdict-as-data (q27
+    // --- discipline): estimates are engine-specific, so the gate emits the
+    // --- merged estimate's 3·rsd bound check per event_type next to the
+    // --- oracle-able exact count (lgK=12 ⇒ rsd ≈ 1.04/√4096 ≈ 1.63%). ----
+    Q("q55_sketch_reaggregate", (s, d) => {
+      val ev = Tables.events(s, d)
+      val daily = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id"), 12).as("sk"))
+      val merged = daily.groupBy(col("event_type"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      val exact = ev.select(col("event_type"), col("user_id")).distinct()
+        .groupBy(col("event_type")).agg(count(lit(1)).as("exact_n"))
+      // both sides are |event_types| rows — the join is a broadcast nit
+      merged.join(exact, Seq("event_type"))
+        .select(col("event_type"), col("exact_n"),
+          (abs(col("est").cast("double") - col("exact_n").cast("double")) <=
+            lit(3 * 0.0163) * col("exact_n").cast("double")).as("ok"))
+    }, Some(
+      """SELECT event_type, COUNT(DISTINCT user_id) AS exact_n, TRUE AS ok
+        |FROM events GROUP BY 1""".stripMargin)),
+
+    // --- cohort retention (q56): the product-analytics staple — users
+    // --- bucketed by first-activity week, activity counted per
+    // --- (cohort_week, week_offset). Two distinct-aggregations and one
+    // --- join on user_id; weeks are Monday-truncated in both engines and
+    // --- the offset is an exact integer division of whole days. ----------
+    q("q56_cohort_retention",
+      """WITH f AS (SELECT user_id, MIN(date_trunc('week', ts)) AS cw
+        |  FROM events GROUP BY 1),
+        |act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events)
+        |SELECT CAST(f.cw AS DATE) AS cohort_week,
+        |  (CAST(aw AS DATE) - CAST(cw AS DATE)) // 7 AS week_offset,
+        |  COUNT(*) AS n_users
+        |FROM f JOIN act USING (user_id)
+        |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val first = ev.groupBy(col("user_id"))
+        .agg(min(date_trunc("week", col("ts"))).as("cw"))
+      val act = ev.select(col("user_id"), date_trunc("week", col("ts")).as("aw"))
+        .distinct()
+      first.join(act, Seq("user_id"))
+        .groupBy(col("cw").cast("date").as("cohort_week"),
+          expr("datediff(aw, cw) div 7").as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
     }
   )
 

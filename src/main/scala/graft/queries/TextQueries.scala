@@ -1332,6 +1332,24 @@ object TextQueries {
          |GROUP BY d.doc_id""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), GraftFunctions.simhash(col("text")).as("simhash"))
+    },
+
+    // --- sliding-window chunking (txt44): the retrieval/embedding-prep
+    // --- step — size-32 windows every 24 tokens (8-token overlap), short
+    // --- tails kept, empty docs dropped. Per-document projection +
+    // --- explode, zero exchanges; the oracle restates window starts with
+    // --- generate_series and 1-based inclusive list slices. ----------------
+    q("txt44_chunk_overlap",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id, toks,
+         |        unnest(generate_series(0, (len(toks)-1)//24)) AS c
+         |      FROM t WHERE len(toks) > 0)
+         |SELECT doc_id, c AS chunk_idx, c*24 AS tok_start,
+         |  LEAST(32, len(toks) - c*24) AS n_toks,
+         |  array_to_string(toks[c*24+1:c*24+32], ' ') AS chunk_text
+         |FROM s""".stripMargin) { (s, d) =>
+      TextOps.chunk(Tables.documents(s, d), "doc_id", "text",
+        size = 32, stride = 24)
     }
   )
 }

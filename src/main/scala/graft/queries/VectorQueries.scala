@@ -872,6 +872,41 @@ object VectorQueries {
       StreamStreamJoin.runToMemory(s,
         metas.toDF().dropDuplicates("doc_id"),
         s"mm08_${java.util.UUID.randomUUID().toString.take(8)}")
+    },
+
+    // --- random-projection (JL) dimensionality reduction + reduced-space ANN
+    // --- with exact rerank (vec19): 64 dims → 16 via a ±1 md5-parity
+    // --- projection matrix that is a pure FUNCTION (regenerated, never
+    // --- stored/shipped), exact integer math end-to-end until the final
+    // --- rerank cosine — so the full pipeline hash-matches the oracle's
+    // --- restatement. The reduced vectors are what an index would store at
+    // --- 100 TB (4× scan-bandwidth cut); rerank restores exactness. --------
+    q("vec19_ann_random_projection",
+      s"""WITH $quantSql,
+         |rp AS (SELECT vec_id,
+         |  [CAST(list_sum([ qv[i+1] * (CASE WHEN (strpos('0123456789abcdef',
+         |       substr(md5('rp'||CAST(kk AS VARCHAR)||'_'||CAST(i AS VARCHAR)),1,1))-1) % 2 = 0
+         |     THEN 1 ELSE -1 END) for i in generate_series(0, len(qv)-1)]) AS BIGINT)
+         |   for kk in generate_series(0, 15)] AS rv
+         |  FROM q),
+         |ad AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |  CAST(list_sum([p.rv[i]*c.rv[i] for i in generate_series(1, len(p.rv))]) AS BIGINT) AS ad
+         |  FROM rp p, rp c WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id),
+         |cand AS (SELECT probe_id, neighbor_id FROM (
+         |  SELECT probe_id, neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY ad DESC, neighbor_id) AS rn
+         |  FROM ad) t WHERE rn <= 16),
+         |scored AS (SELECT cand.probe_id, cand.neighbor_id,
+         |  CAST(CAST(list_sum([p.qv[i]*c.qv[i] for i in generate_series(1, len(p.qv))]) AS BIGINT) AS DOUBLE)
+         |    / (sqrt(CAST(p.n2 AS DOUBLE))*sqrt(CAST(c.n2 AS DOUBLE))) AS sim
+         |  FROM cand JOIN n p ON cand.probe_id = p.vec_id
+         |            JOIN n c ON cand.neighbor_id = c.vec_id)
+         |SELECT * FROM (SELECT probe_id, neighbor_id, sim,
+         |  ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM scored) t WHERE rank <= 3""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.annRandomProject(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", k = 3, kOut = 16, candidates = 16)
     }
   )
 }

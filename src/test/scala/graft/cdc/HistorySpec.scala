@@ -252,4 +252,74 @@ class HistorySpec extends AnyFunSuite {
       .agg(sum($"dn"), sum($"dv")).collect()(0)
     assert(deltas == Row(0L, java.math.BigDecimal.valueOf(0).setScale(4)))
   }
+
+  // ---- temporal alignment of two histories ---------------------------------
+
+  private def histOf(rows: Seq[(String, Long, String, Double)], valName: String) = {
+    val df = rows.toDF("op", "lsn", "key", valName)
+    ScdHistory.batch(df, Seq("key"), Seq("lsn"))
+      .select($"key", struct($"lsn").as("valid_from"), $"valid_to", col(valName))
+  }
+
+  test("alignHistories tiles interval intersections; open/closed ends; no cross-key rows") {
+    // A: k1 has v=1 on [1,5), v=2 on [5,∞); k2 deleted at 4 → [2,4) only
+    val ha = histOf(Seq(
+      ("insert", 1L, "k1", 1.0), ("update", 5L, "k1", 2.0),
+      ("insert", 2L, "k2", 9.0), ("delete", 4L, "k2", 0.0),
+      ("insert", 1L, "k3", 7.0)), "a")
+    // B: k1 has w=10 on [3,8), w=20 on [8,∞); k2 w=30 on [1,∞); k4 unmatched
+    val hb = histOf(Seq(
+      ("insert", 3L, "k1", 10.0), ("update", 8L, "k1", 20.0),
+      ("insert", 1L, "k2", 30.0), ("insert", 9L, "k4", 40.0)), "b")
+    val got = ScdHistory.alignHistories(ha, hb, Seq("key"))
+      .select($"key", $"valid_from.lsn", $"valid_to.lsn", $"a", $"b")
+      .as[(String, Long, Option[Long], Double, Double)].collect().toSet
+    assert(got == Set(
+      ("k1", 3L, Some(5L), 1.0, 10.0),   // [1,5)∩[3,8)
+      ("k1", 5L, Some(8L), 2.0, 10.0),   // [5,∞)∩[3,8)
+      ("k1", 8L, None, 2.0, 20.0),       // [5,∞)∩[8,∞) — both open ⇒ open
+      ("k2", 2L, Some(4L), 9.0, 30.0)))  // delete closed A's side at 4
+    // k3 (no B history) and k4 (no A history) produce nothing — inner join
+  }
+
+  test("alignHistories rejects colliding payload column names") {
+    val h = histOf(Seq(("insert", 1L, "k1", 1.0)), "a")
+    intercept[IllegalArgumentException] {
+      ScdHistory.alignHistories(h, h, Seq("key"))
+    }
+  }
+
+  test("alignHistories ≡ straight-line per-key interval intersection on random histories") {
+    val rnd = new scala.util.Random(11)
+    val ops = Array("insert", "update", "delete")
+    for (_ <- 1 to 20) {
+      val n = 1 + rnd.nextInt(20)
+      val ar = (1 to n).map(i =>
+        (ops(rnd.nextInt(3)), i.toLong, s"k${rnd.nextInt(4)}", rnd.nextInt(50).toDouble))
+      val br = (1 to n).map(i =>
+        (ops(rnd.nextInt(3)), i.toLong, s"k${rnd.nextInt(4)}", rnd.nextInt(50).toDouble))
+      val got = ScdHistory.alignHistories(histOf(ar, "a"), histOf(br, "b"), Seq("key"))
+        .select($"key", $"valid_from.lsn", $"valid_to.lsn", $"a", $"b")
+        .as[(String, Long, Option[Long], Double, Double)].collect().toSet
+      // straight-line truth: enumerate versions per key, intersect all pairs
+      def versions(rows: Seq[(String, Long, String, Double)]) =
+        rows.groupBy(_._3).flatMap { case (k, evs) =>
+          val srt = evs.sortBy(_._2)
+          srt.zipWithIndex.collect { case ((op, lsn, _, v), i) if op != "delete" =>
+            val to = if (i + 1 < srt.size) Some(srt(i + 1)._2) else None
+            (k, lsn, to, v)
+          }
+        }.toSeq
+      val expect = (for {
+        (k, af, at, av) <- versions(ar)
+        (k2, bf, bt, bv) <- versions(br) if k2 == k
+        if bt.forall(af < _) && at.forall(bf < _)
+      } yield (k, math.max(af, bf),
+        (at, bt) match {
+          case (Some(x), Some(y)) => Some(math.min(x, y))
+          case (x, y) => x.orElse(y)
+        }, av, bv)).toSet
+      assert(got == expect, s"a=$ar b=$br")
+    }
+  }
 }

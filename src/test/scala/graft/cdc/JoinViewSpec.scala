@@ -1,0 +1,117 @@
+package graft.cdc
+
+import graft.SparkTestSession
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Incremental join-view maintenance: the delta-join fold must equal the
+  * from-scratch join of the two compacted latest states under every
+  * batching, with updates, deletes, regroups (join-attr change) and
+  * resurrect transitions on both sides.
+  */
+class JoinViewSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // (op, lsn, uid, uval, seg) — users side, joins on seg
+  private val aRows = Seq(
+    ("insert", 1L, 1L, 10.0, 100L),
+    ("update", 4L, 1L, 11.0, 100L),  // value update
+    ("update", 9L, 1L, 11.0, 200L),  // JOIN-ATTR change: moves u1 100→200
+    ("insert", 2L, 2L, 20.0, 100L),
+    ("delete", 7L, 2L, 0.0, 0L),     // delete retracts u2's pairs
+    ("insert", 3L, 3L, 30.0, 300L),  // joins nothing until s300 appears
+    ("insert", 5L, 4L, 40.0, 100L),
+    ("delete", 6L, 4L, 0.0, 0L),
+    ("insert", 8L, 4L, 41.0, 100L)   // post-delete resurrect
+  )
+  // (op, lsn, seg, sval) — segments side
+  private val bRows = Seq(
+    ("insert", 1L, 100L, 1.0),
+    ("update", 5L, 100L, 1.5),       // update fans to every u in seg 100
+    ("insert", 2L, 200L, 2.0),
+    ("insert", 4L, 300L, 3.0),
+    ("delete", 6L, 300L, 0.0),       // tombstone retracts u3's pair
+    ("insert", 3L, 400L, 4.0)        // joins no user
+  )
+
+  private def aDf(rows: Seq[(String, Long, Long, Double, Long)]): DataFrame =
+    rows.toDF("op", "lsn", "user_id", "user_value", "seg")
+  private def bDf(rows: Seq[(String, Long, Long, Double)]): DataFrame =
+    rows.toDF("op", "lsn", "segment_id", "segment_value")
+
+  private val aSide = JoinView.Side(Seq("user_id"), Seq("lsn"),
+    Seq("user_id", "user_value", "seg"), joinCol = "seg")
+  private val bSide = JoinView.Side(Seq("segment_id"), Seq("lsn"),
+    Seq("segment_id", "segment_value"), joinCol = "segment_id")
+
+  /** From-scratch truth: compact each side, join. */
+  private def direct(a: DataFrame, b: DataFrame): Set[(Long, Double, Long, Double)] = {
+    val la = LatestState.batch(
+      a.withColumn("table", lit("a")), Seq("table", "user_id"), Seq("lsn"))
+    val lb = LatestState.batch(
+      b.withColumn("table", lit("b")), Seq("table", "segment_id"), Seq("lsn"))
+    la.join(lb, la("seg") === lb("segment_id"))
+      .select($"user_id", $"user_value", $"segment_id", $"segment_value")
+      .as[(Long, Double, Long, Double)].collect().toSet
+  }
+
+  private def folded(a: DataFrame, b: DataFrame, cuts: Seq[Long]): DataFrame = {
+    val bounds = (Seq(Long.MinValue) ++ cuts ++ Seq(Long.MaxValue)).sliding(2).toSeq
+    val batches = bounds.map { case Seq(lo, hi) =>
+      (a.filter($"lsn" > lo && $"lsn" <= hi), b.filter($"lsn" > lo && $"lsn" <= hi))
+    }
+    JoinView.foldAll(batches, aSide, bSide).view
+  }
+
+  test("single-batch fold ≡ from-scratch join (all transition kinds)") {
+    val v = folded(aDf(aRows), bDf(bRows), Nil)
+    assert(v.agg(max($"n")).head().getLong(0) == 1L) // keyed sides ⇒ set view
+    assert(v.select($"user_id", $"user_value", $"segment_id", $"segment_value")
+      .as[(Long, Double, Long, Double)].collect().toSet ==
+      direct(aDf(aRows), bDf(bRows)))
+  }
+
+  test("every batching folds to the same view") {
+    val expect = direct(aDf(aRows), bDf(bRows))
+    for (cuts <- Seq(Seq(4L), Seq(2L, 6L), Seq(1L, 3L, 5L, 7L))) {
+      val got = folded(aDf(aRows), bDf(bRows), cuts)
+        .select($"user_id", $"user_value", $"segment_id", $"segment_value")
+        .as[(Long, Double, Long, Double)].collect().toSet
+      assert(got == expect, s"cuts=$cuts")
+    }
+  }
+
+  test("intermediate states are exact too: fold prefix ≡ direct join of prefix") {
+    val upTo = 5L
+    val st = folded(aDf(aRows), bDf(bRows), Seq(2L, upTo)) // 3 batches
+    // refold just the first two batches
+    val pa = aDf(aRows).filter($"lsn" <= upTo)
+    val pb = bDf(bRows).filter($"lsn" <= upTo)
+    val prefix = folded(pa, pb, Seq(2L))
+      .select($"user_id", $"user_value", $"segment_id", $"segment_value")
+      .as[(Long, Double, Long, Double)].collect().toSet
+    assert(prefix == direct(pa, pb))
+    st.collect() // final state still materializes fine after the prefix read
+  }
+
+  test("randomized: 30 seeded corpora × arbitrary cut points ≡ direct join") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 30) {
+      val n = 1 + rnd.nextInt(25)
+      val ops = Array("insert", "update", "delete")
+      val ar = (1 to n).map { i =>
+        (ops(rnd.nextInt(3)), i.toLong, (1 + rnd.nextInt(4)).toLong,
+          rnd.nextInt(100).toDouble, (1 + rnd.nextInt(3)).toLong * 100) }
+      val br = (1 to n).map { i =>
+        (ops(rnd.nextInt(3)), i.toLong, (1 + rnd.nextInt(3)).toLong * 100,
+          rnd.nextInt(100).toDouble) }
+      val cuts = (1 to rnd.nextInt(3)).map(_ => 1L + rnd.nextInt(n)).distinct.sorted
+      val got = folded(aDf(ar), bDf(br), cuts)
+        .select($"user_id", $"user_value", $"segment_id", $"segment_value")
+        .as[(Long, Double, Long, Double)].collect().toSet
+      assert(got == direct(aDf(ar), bDf(br)), s"n=$n cuts=$cuts a=$ar b=$br")
+    }
+  }
+}

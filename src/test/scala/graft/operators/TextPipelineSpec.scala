@@ -573,4 +573,29 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(Dedup.winnowMatches(docs, "doc_id", "text",
       minShared = n + 1).count() == 0)
   }
+
+  test("chunk: overlap windows cover every token; tails short; empty docs dropped") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks: 3 chunks @4/3
+      (2L, "a b c"),                                  // 3 toks: 1 chunk
+      (3L, "  "),                                     // empty after tokenize
+      (4L, "solo")).toDF("doc_id", "text")
+    val got = TextOps.chunk(docs, "doc_id", "text", size = 4, stride = 3)
+      .select($"doc_id", $"chunk_idx", $"tok_start", $"n_toks", $"chunk_text")
+      .as[(Long, Int, Int, Int, String)].collect().toSet
+    assert(got == Set(
+      (1L, 0, 0, 4, "t1 t2 t3 t4"),
+      (1L, 1, 3, 4, "t4 t5 t6 t7"),
+      (1L, 2, 6, 4, "t7 t8 t9 t10"),
+      (1L, 3, 9, 1, "t10"),
+      (2L, 0, 0, 3, "a b c"),
+      (4L, 0, 0, 1, "solo")))
+    // disjoint blocks when stride = size: every token in exactly one chunk
+    val blocks = TextOps.chunk(docs, "doc_id", "text", size = 5, stride = 5)
+      .agg(sum($"n_toks")).head().getLong(0)
+    assert(blocks == 10 + 3 + 1)
+    intercept[IllegalArgumentException] { // stride > size drops tokens
+      TextOps.chunk(docs, "doc_id", "text", size = 3, stride = 4)
+    }
+  }
 }
