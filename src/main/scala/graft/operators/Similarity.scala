@@ -427,4 +427,58 @@ object Similarity {
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** MAXIMAL MARGINAL RELEVANCE rerank — the diversity-aware top-k a
+    * retrieval pipeline puts between ANN candidates and the consumer, so k
+    * near-duplicate neighbors don't crowd out distinct relevant results:
+    * greedily pick argmax of `λ·sim(q,c) − (1−λ)·max_{s∈picked} sim(c,s)`
+    * with λ = 1/2 (halving is EXACT in binary floating point, so scores are
+    * engine-identical; ties break on the id).
+    *
+    * Scale shape: the expensive part is candidate generation (swap
+    * [[knnBrute]] for any index search at 100 TB); the greedy loop runs
+    * over `candidates`-sized per-probe sets — the candidate pair-sim frame
+    * is O(probes·candidates²) narrow rows and each of the k rounds is one
+    * window argmax + one equi-join, all partitioned by probe. The
+    * running max-sim-to-picked is maintained incrementally (`greatest`),
+    * never rescanning the picked set.
+    */
+  def mmrRerank(probes: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int = 3, candidates: Int = 8): DataFrame = {
+    require(k >= 1 && candidates >= k, s"need candidates ≥ k ≥ 1: $candidates/$k")
+    val cand = knnBrute(probes, corpus, idCol, vecCol, candidates)
+    val qs = corpus.select(col(idCol).as("_nid"), quantize(col(vecCol)).as("_q"))
+    val withQ = cand.join(qs, col("neighbor_id") === col("_nid"))
+      .select(col("probe_id"), col("neighbor_id"), col("sim"), col("_q"))
+    val pairs = withQ.select(col("probe_id"), col("neighbor_id").as("na"),
+        col("_q").as("qa"))
+      .join(withQ.select(col("probe_id").as("_pp"), col("neighbor_id").as("nb"),
+        col("_q").as("qb")), col("probe_id") === col("_pp") && col("na") =!= col("nb"))
+      .select(col("probe_id"), col("na"), col("nb"),
+        cosineQ(col("qa"), col("qb")).as("psim"))
+    var remaining = withQ.select(col("probe_id"), col("neighbor_id"), col("sim"))
+      .withColumn("mx", lit(null).cast("double"))
+    var picks: DataFrame = null
+    for (i <- 1 to k) {
+      val score = when(col("mx").isNull, col("sim"))
+        .otherwise(lit(0.5) * col("sim") - lit(0.5) * col("mx"))
+      val ranked = remaining.withColumn("_score", score)
+        .withColumn("_rn", row_number().over(Window.partitionBy(col("probe_id"))
+          .orderBy(col("_score").desc, col("neighbor_id"))))
+      val pick = ranked.filter(col("_rn") === 1)
+        .select(col("probe_id"), lit(i).as("pick"), col("neighbor_id"), col("sim"))
+      picks = if (picks == null) pick else picks.unionByName(pick)
+      if (i < k) {
+        val pickN = pick.select(col("probe_id"), col("neighbor_id").as("_picked"))
+        remaining = remaining.join(pickN, Seq("probe_id"))
+          .filter(col("neighbor_id") =!= col("_picked"))
+          .join(pairs.withColumnRenamed("probe_id", "_pp"),
+            col("_pp") === col("probe_id") && col("na") === col("neighbor_id") &&
+              col("nb") === col("_picked"))
+          .select(col("probe_id"), col("neighbor_id"), col("sim"),
+            greatest(col("mx"), col("psim")).as("mx"))
+      }
+    }
+    picks
+  }
 }

@@ -646,6 +646,27 @@ object CdcQueries {
           Seq("user_id"))
         .select(col("user_id"), col("valid_from.lsn").as("from_lsn"),
           col("valid_to.lsn").as("to_lsn"), col("a_value"), col("b_value"))
+    },
+
+    // --- incremental chunked snapshot (cdc25): the DBLog/Debezium answer to
+    // --- snapshotting a table too big for one repeatable-read transaction —
+    // --- 4 chunks read at ASCENDING watermarks, merged with the stream tail
+    // --- (events after the mid-history retention horizon) by pure
+    // --- commit-order precedence. The oracle is the ground truth the whole
+    // --- dance must reconstruct: plain full-history latest state. ---------
+    q("cdc25_incremental_snapshot",
+      """WITH ranked AS (SELECT *, row_number() OVER (
+        |  PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events)
+        |SELECT user_id, value AS last_value
+        |FROM ranked WHERE rn = 1 AND event_type <> 'error'""".stripMargin) { (s, d) =>
+      val env = ChangelogGen.fromEvents(s, d).toDF()
+      val mx = Tables.events(s, d).agg(max(col("event_id"))).head().getLong(0)
+      val hz = mx / 2
+      val wms = (1 to 4).map(i => hz + i * (mx - hz) / 4)
+      IncrementalSnapshot.mergedState(env, Seq("table", "key"),
+          chunkExpr = col("key").cast("long") % 4, watermarks = wms, horizon = hz)
+        .select(col("key").cast("long").as("user_id"),
+          get_json_object(col("after"), "$.value").cast("double").as("last_value"))
     }
   )
 }

@@ -1212,6 +1212,39 @@ object RelationalQueries {
         .groupBy(col("cw").cast("date").as("cohort_week"),
           expr("datediff(aw, cw) div 7").as("week_offset"))
         .agg(count(lit(1)).as("n_users"))
+    },
+
+    // --- iterative graph ranking (q57): integer-exact PageRank, 2 unrolled
+    // --- rounds over the order↔part bipartite graph. Floor-division
+    // --- fixed-point ranks are bit-identical across engines and
+    // --- partitionings (the unrolled-Lloyd discipline on graphs), so the
+    // --- whole iteration chain value-oracles; the CAST pins DuckDB's
+    // --- HUGEINT sum widening back to BIGINT. -----------------------------
+    q("q57_pagerank",
+      """WITH ep AS (SELECT DISTINCT 'o' || CAST(l_orderkey AS VARCHAR) AS a,
+        |    'p' || CAST(l_partkey AS VARCHAR) AS b FROM lineitem),
+        |e AS (SELECT a AS src, b AS dst FROM ep
+        |      UNION ALL SELECT b AS src, a AS dst FROM ep),
+        |nodes AS (SELECT DISTINCT src AS node FROM e),
+        |od AS (SELECT src, COUNT(*) AS od FROM e GROUP BY 1),
+        |c1 AS (SELECT e.dst AS node, SUM(1000000 // od.od) AS s
+        |  FROM e JOIN od ON e.src = od.src GROUP BY 1),
+        |r1 AS (SELECT n.node,
+        |    CAST(150000 + (850 * COALESCE(c1.s, 0)) // 1000 AS BIGINT) AS r
+        |  FROM nodes n LEFT JOIN c1 ON n.node = c1.node),
+        |c2 AS (SELECT e.dst AS node, SUM(r1.r // od.od) AS s
+        |  FROM e JOIN od ON e.src = od.src JOIN r1 ON r1.node = e.src GROUP BY 1),
+        |r2 AS (SELECT n.node,
+        |    CAST(150000 + (850 * COALESCE(c2.s, 0)) // 1000 AS BIGINT) AS r
+        |  FROM nodes n LEFT JOIN c2 ON n.node = c2.node)
+        |SELECT node, r FROM r2""".stripMargin) { (s, d) =>
+      val ep = Tables.lineitem(s, d)
+        .select(concat(lit("o"), col("l_orderkey")).as("a"),
+          concat(lit("p"), col("l_partkey")).as("b"))
+        .distinct()
+      val edges = ep.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(ep.select(col("b").as("src"), col("a").as("dst")))
+      graft.operators.PageRank.integerPageRank(edges, "src", "dst", iters = 2)
     }
   )
 

@@ -907,6 +907,59 @@ object VectorQueries {
       val emb = Tables.embeddings(s, d)
       Similarity.annRandomProject(emb.filter(col("vec_id") < 10), emb,
         "vec_id", "embedding", k = 3, kOut = 16, candidates = 16)
+    },
+
+    // --- maximal marginal relevance rerank (vec20): diversity-aware top-3
+    // --- from brute top-8 candidates — greedy argmax of
+    // --- 0.5·sim(q,c) − 0.5·max_sim(c, picked), halving exact in binary FP
+    // --- so every score is engine-identical; the oracle unrolls all three
+    // --- greedy rounds with the running-max maintained exactly as the
+    // --- operator maintains it. -------------------------------------------
+    q("vec20_mmr_rerank",
+      s"""WITH $quantSql,
+         |scored AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |  CAST(CAST(list_sum([p.qv[i]*c.qv[i] for i in generate_series(1, len(p.qv))]) AS BIGINT) AS DOUBLE)
+         |    / (sqrt(CAST(p.n2 AS DOUBLE))*sqrt(CAST(c.n2 AS DOUBLE))) AS sim
+         |  FROM n p, n c WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id),
+         |cand AS (SELECT probe_id, neighbor_id, sim FROM (
+         |  SELECT probe_id, neighbor_id, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rn
+         |  FROM scored) t WHERE rn <= 8),
+         |pairs AS (SELECT a.probe_id, a.neighbor_id AS na, b.neighbor_id AS nb,
+         |  CAST(CAST(list_sum([x.qv[i]*y.qv[i] for i in generate_series(1, len(x.qv))]) AS BIGINT) AS DOUBLE)
+         |    / (sqrt(CAST(x.n2 AS DOUBLE))*sqrt(CAST(y.n2 AS DOUBLE))) AS psim
+         |  FROM cand a JOIN cand b
+         |    ON a.probe_id = b.probe_id AND a.neighbor_id <> b.neighbor_id
+         |  JOIN n x ON x.vec_id = a.neighbor_id
+         |  JOIN n y ON y.vec_id = b.neighbor_id),
+         |p1 AS (SELECT probe_id, neighbor_id, sim FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+         |    ORDER BY sim DESC, neighbor_id) AS rn FROM cand) t WHERE rn = 1),
+         |rem1 AS (SELECT c.probe_id, c.neighbor_id, c.sim, pr.psim AS mx
+         |  FROM cand c
+         |  JOIN p1 ON c.probe_id = p1.probe_id AND c.neighbor_id <> p1.neighbor_id
+         |  JOIN pairs pr ON pr.probe_id = c.probe_id
+         |    AND pr.na = c.neighbor_id AND pr.nb = p1.neighbor_id),
+         |p2 AS (SELECT probe_id, neighbor_id, sim FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+         |    ORDER BY (0.5*sim - 0.5*mx) DESC, neighbor_id) AS rn FROM rem1) t
+         |  WHERE rn = 1),
+         |rem2 AS (SELECT r.probe_id, r.neighbor_id, r.sim,
+         |    GREATEST(r.mx, pr.psim) AS mx
+         |  FROM rem1 r
+         |  JOIN p2 ON r.probe_id = p2.probe_id AND r.neighbor_id <> p2.neighbor_id
+         |  JOIN pairs pr ON pr.probe_id = r.probe_id
+         |    AND pr.na = r.neighbor_id AND pr.nb = p2.neighbor_id),
+         |p3 AS (SELECT probe_id, neighbor_id, sim FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+         |    ORDER BY (0.5*sim - 0.5*mx) DESC, neighbor_id) AS rn FROM rem2) t
+         |  WHERE rn = 1)
+         |SELECT probe_id, 1 AS pick, neighbor_id, sim FROM p1
+         |UNION ALL SELECT probe_id, 2 AS pick, neighbor_id, sim FROM p2
+         |UNION ALL SELECT probe_id, 3 AS pick, neighbor_id, sim FROM p3""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.mmrRerank(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", k = 3, candidates = 8)
     }
   )
 }
