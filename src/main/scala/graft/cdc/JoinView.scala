@@ -24,6 +24,12 @@ import org.apache.spark.sql.functions._
   * a retraction cancels the addition that produced it bit-exactly — the
   * fold is deterministic under any shuffle order.
   *
+  * At-least-once safety: latest states carry each key's commit order, and a
+  * batch event that does not ADVANCE it emits nothing and changes nothing —
+  * the [[LatestState]] newer-of discipline. A fully replayed micro-batch
+  * (foreachBatch retry, source redelivery) is therefore a strict no-op,
+  * and a stale event arriving after a newer one cannot regress the view.
+  *
   * Why it scales: per micro-batch the work is two joins of O(|batch|)
   * deltas against a latest-state side plus one grouped sum over
   * O(|view_touched| + |ΔV|) rows — history is never re-read. In a persisted
@@ -33,10 +39,8 @@ import org.apache.spark.sql.functions._
   * side of each delta-join is consumed in place and only the delta side
   * shuffles, and the view re-sum rewrites only touched buckets.
   *
-  * Contract: each changelog is keyed (its key columns are part of the
-  * payload, so view rows from different keys can never collide) and batches
-  * arrive in per-key commit order — the micro-batch property the streaming
-  * sources here already guarantee ([[CdcPipeline]]).
+  * Contract: each changelog is keyed, and its key columns are part of the
+  * payload so view rows from different keys can never collide.
   */
 object JoinView {
 
@@ -59,52 +63,79 @@ object JoinView {
       s"payloadCols must include joinCol $joinCol")
   }
 
-  /** Standing state: live latest versions of both sides (payload columns
-    * only, one row per live key) and the view (payload ++ `n` multiplicity).
+  /** Standing state: newest versions of both sides — live rows carry their
+    * payload, deleted keys stay as TOMBSTONE rows (`_live = false`) so a
+    * stale pre-delete event replayed later is still recognized as stale
+    * (without them a replay would resurrect the key). `_o` is the commit-
+    * order struct powering the advance guard. Tombstones are retained
+    * indefinitely here; a deployment bounds them with the same TTL
+    * compaction [[LatestState.streamingEventTimeTtl]] applies.
     */
   final case class State(latestA: DataFrame, latestB: DataFrame, view: DataFrame)
 
   /** The batch-final version of every key touched by `batch`:
-    * (keyCols, payload STRUCT, live BOOLEAN). One `max_by` aggregation —
-    * intra-batch supersedes collapse before anything else looks at them.
+    * (keyCols, `_p` payload STRUCT, `_live`, `_o` order STRUCT). One
+    * `max_by` aggregation — intra-batch supersedes collapse first.
     */
   private def lastVersions(batch: DataFrame, side: Side): DataFrame = {
     val payload = struct(side.payloadCols.map(col): _*)
+    val ord = struct(side.orderCols.map(col): _*)
     batch.groupBy(side.keyCols.map(col): _*)
       .agg(max_by(
-        struct(payload.as("p"), (col(side.opCol) =!= Op.Delete).as("live")),
-        struct(side.orderCols.map(col): _*)).as("v"))
-      .select(side.keyCols.map(col) :+ col("v.p").as("_p") :+ col("v.live").as("_live"): _*)
+        struct(payload.as("p"), (col(side.opCol) =!= Op.Delete).as("live"),
+          ord.as("o")),
+        ord).as("v"))
+      .select(side.keyCols.map(col) :+ col("v.p").as("_p") :+
+        col("v.live").as("_live") :+ col("v.o").as("_o"): _*)
   }
 
-  /** Signed payload deltas of `batch` relative to standing live rows `prev`:
-    * retract prev's version of every touched key, add the batch-final
-    * version where it is live. Returns payloadCols ++ dn.
+  /** Batch-final versions joined against the standing rows, keeping only
+    * keys the batch ADVANCES (no standing row, or strictly newer order).
+    * Columns: keyCols, `_p`, `_live`, `_o`, `_pp` (standing payload struct,
+    * null if the key had no live standing row).
+    */
+  private def advancing(prev: DataFrame, batch: DataFrame, side: Side): DataFrame = {
+    val last = lastVersions(batch, side)
+    val prevP = prev.select(
+      side.keyCols.map(col) :+
+        struct(side.payloadCols.map(col): _*).as("_pp") :+
+        col("_live").as("_plive") :+
+        col("_o").as("_po"): _*)
+    last.join(prevP, side.keyCols, "left")
+      .filter(col("_po").isNull || col("_o") > col("_po"))
+  }
+
+  /** Signed payload deltas of `batch` relative to standing state `prev`:
+    * retract the standing LIVE version of every ADVANCED key, add the
+    * batch-final version where it is live. Returns payloadCols ++ dn.
     */
   def deltas(prev: DataFrame, batch: DataFrame, side: Side): DataFrame = {
-    val last = lastVersions(batch, side)
-    val adds = last.filter(col("_live"))
+    val adv = advancing(prev, batch, side)
+    val retracts = adv.filter(col("_plive") === true)
+      .select(side.payloadCols.map(n => col(s"_pp.$n").as(n)) :+ lit(-1L).as("dn"): _*)
+    val adds = adv.filter(col("_live"))
       .select(side.payloadCols.map(n => col(s"_p.$n").as(n)) :+ lit(1L).as("dn"): _*)
-    val retracts = prev
-      .join(last.select(side.keyCols.map(col): _*), side.keyCols, "left_semi")
-      .select(side.payloadCols.map(col) :+ lit(-1L).as("dn"): _*)
     retracts.unionByName(adds)
   }
 
-  /** `prev` with `batch` applied: untouched live rows kept, touched keys
-    * replaced by their batch-final version (dropped if it is a delete).
+  /** `prev` with `batch` applied: non-advanced rows kept verbatim, advanced
+    * keys replaced by their batch-final version — deletes stay as tombstone
+    * rows (`_live = false`) so their order keeps guarding against stale
+    * replays.
     */
   private def applyBatch(prev: DataFrame, batch: DataFrame, side: Side): DataFrame = {
-    val last = lastVersions(batch, side)
-    val kept = prev.join(last.select(side.keyCols.map(col): _*), side.keyCols, "left_anti")
-    val fresh = last.filter(col("_live"))
-      .select(side.payloadCols.map(n => col(s"_p.$n").as(n)): _*)
+    val adv = advancing(prev, batch, side)
+    val kept = prev.join(adv.select(side.keyCols.map(col): _*),
+      side.keyCols, "left_anti")
+    val fresh = adv.select(side.payloadCols.map(n => col(s"_p.$n").as(n)) :+
+      col("_live") :+ col("_o"): _*)
     kept.unionByName(fresh)
   }
 
   /** Fold one micro-batch pair into the standing state. Either batch may be
-    * empty. States are eagerly local-checkpointed so lineage stays O(1)
-    * across folds (the persisted-bucket deployment makes this a table write).
+    * empty; a replayed batch folds to a no-op. States are eagerly
+    * local-checkpointed so lineage stays O(1) across folds (the persisted-
+    * bucket deployment makes this a table write).
     */
   def fold(state: State, batchA: DataFrame, batchB: DataFrame,
       a: Side, b: Side): State = {
@@ -113,13 +144,16 @@ object JoinView {
     val aNew = applyBatch(state.latestA, batchA, a).localCheckpoint(true)
     val bNew = applyBatch(state.latestB, batchB, b).localCheckpoint(true)
     // Δ(A⋈B) = ΔA ⋈ B_old + A_new ⋈ ΔB; the sign of a pair is the delta
-    // side's sign (the latest-state side always has multiplicity +1)
+    // side's sign (the live latest-state side always has multiplicity +1 —
+    // tombstone rows exist only for the advance guard and never join)
     val viewCols = a.payloadCols ++ b.payloadCols
+    val bOldLive = state.latestB.filter(col("_live"))
+    val aNewLive = aNew.filter(col("_live"))
     val dV =
-      dA.join(state.latestB, dA(a.joinCol) === state.latestB(b.joinCol))
+      dA.join(bOldLive, dA(a.joinCol) === bOldLive(b.joinCol))
         .select(viewCols.map(col) :+ dA("dn"): _*)
         .unionByName(
-          aNew.join(dB, aNew(a.joinCol) === dB(b.joinCol))
+          aNewLive.join(dB, aNewLive(a.joinCol) === dB(b.joinCol))
             .select(viewCols.map(col) :+ dB("dn"): _*))
     val viewNew = state.view
       .select(viewCols.map(col) :+ col("n").as("dn"): _*)
@@ -135,9 +169,14 @@ object JoinView {
     * zero-row projections of the given changelogs).
     */
   def emptyState(chlogA: DataFrame, chlogB: DataFrame, a: Side, b: Side): State = {
-    val ea = chlogA.select(a.payloadCols.map(col): _*).limit(0)
-    val eb = chlogB.select(b.payloadCols.map(col): _*).limit(0)
-    val ev = ea.crossJoin(eb).withColumn("n", lit(0L)).limit(0)
+    def e(chlog: DataFrame, s: Side) = chlog
+      .select(s.payloadCols.map(col) :+ lit(true).as("_live") :+
+        struct(s.orderCols.map(col): _*).as("_o"): _*)
+      .limit(0)
+    val ea = e(chlogA, a)
+    val eb = e(chlogB, b)
+    val ev = ea.drop("_live", "_o").crossJoin(eb.drop("_live", "_o"))
+      .withColumn("n", lit(0L)).limit(0)
     State(ea, eb, ev)
   }
 

@@ -56,6 +56,70 @@ final class SchemaCache {
   def snapshot: Map[Long, (String, StructType)] = cache.toMap
 }
 
+/** Schema-EVOLUTION compatibility — the Avro-resolution rules a Confluent
+  * registry enforces per subject (BACKWARD / FORWARD / FULL), restated over
+  * the StructType schemas [[PgTypes]] generates. `backwardReasons(reader,
+  * writer)` answers "can a consumer on `reader` decode data written with
+  * `writer`":
+  *
+  *   - field in both: types must match or be Avro-promotable
+  *     (int→long/double, long→double, float→double);
+  *   - field only in the writer: the reader ignores it — fine;
+  *   - field only in the reader: needs a default — our all-nullable
+  *     convention (PgTypes makes every column nullable, the reference's
+  *     oid2avro.c nullable-union choice) supplies `null`, so nullable
+  *     additions pass and non-nullable ones are the one structural break.
+  *
+  * Consequence worth stating: PG-derived schemas are FULL-compatible under
+  * every add/drop-column DDL, and only TYPE changes (e.g. bigint→int) break
+  * a direction — exactly the operational contract CDC pipelines advertise.
+  */
+object SchemaCompat {
+  sealed trait Mode
+  /** New schema can read data written with the previous one. */
+  case object Backward extends Mode
+  /** Previous schema can read data written with the new one. */
+  case object Forward extends Mode
+  /** Both directions. */
+  case object Full extends Mode
+
+  import org.apache.spark.sql.types._
+
+  private def promotable(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (IntegerType, LongType | DoubleType) => true
+    case (LongType, DoubleType) => true
+    case (FloatType, DoubleType) => true
+    case _ => false
+  }
+
+  /** Empty = compatible; otherwise one reason per offending field. */
+  def backwardReasons(reader: StructType, writer: StructType): Seq[String] = {
+    val wf = writer.fields.map(f => f.name -> f).toMap
+    reader.fields.toSeq.flatMap { rf =>
+      wf.get(rf.name) match {
+        case Some(w) if w.dataType == rf.dataType ||
+          promotable(w.dataType, rf.dataType) => Nil
+        case Some(w) => Seq(s"field ${rf.name}: writer ${w.dataType.simpleString} " +
+          s"not readable as ${rf.dataType.simpleString}")
+        case None if rf.nullable => Nil // null default fills it
+        case None => Seq(s"field ${rf.name}: added without default (non-nullable)")
+      }
+    }
+  }
+
+  /** Confluent-orientation check of `proposed` against the subject's
+    * `latest`: BACKWARD reads old data with the new schema, FORWARD reads
+    * new data with the old one, FULL both.
+    */
+  def check(mode: Mode, proposed: StructType, latest: StructType): Seq[String] =
+    mode match {
+      case Backward => backwardReasons(proposed, latest)
+      case Forward  => backwardReasons(latest, proposed)
+      case Full     => (backwardReasons(proposed, latest) ++
+        backwardReasons(latest, proposed)).distinct
+    }
+}
+
 /** In-memory Confluent-style schema registry: subject `{topic}-key|-value`,
   * monotonically assigned ids, identical-schema id reuse. A stand-in for the
   * HTTP registry (zero-egress environment) with the same observable contract.
@@ -89,4 +153,28 @@ final class MockSchemaRegistry {
   def subjects: Set[String] = subjectVersions.keySet.toSet
   def versions(subject: String): Vector[Int] =
     subjectVersions.getOrElse(subject, Vector.empty)
+
+  private val structById = scala.collection.mutable.Map[Int, StructType]()
+
+  /** Compatibility-gated registration (the registry's `compatibility=<mode>`
+    * subject config): the proposed schema is checked against the subject's
+    * LATEST version under `mode`; an incompatible evolution is REFUSED with
+    * the per-field reasons (Left) and registers nothing — the pipeline
+    * fails at schema-publish time, not as undecodable frames downstream.
+    * First registration under a subject always passes.
+    */
+  def registerChecked(topic: String, isKey: Boolean, schema: StructType,
+      mode: SchemaCompat.Mode): Either[Seq[String], Int] = {
+    val subject = topic + (if (isKey) "-key" else "-value")
+    val latest = subjectVersions.getOrElse(subject, Vector.empty)
+      .lastOption.flatMap(structById.get)
+    val reasons = latest.map(SchemaCompat.check(mode, schema, _))
+      .getOrElse(Nil)
+    if (reasons.nonEmpty) Left(reasons)
+    else {
+      val id = register(topic, isKey, schema.json)
+      structById(id) = schema
+      Right(id)
+    }
+  }
 }

@@ -308,6 +308,33 @@ object IvfIndex {
           .as("overloaded"))
   }
 
+  /** CLUSTER-BALANCED SAMPLING — the diversity-sampling curation step: draw
+    * an equal quota of `mPerCell` vectors from every IVF cell, so dominant
+    * modes of the embedding distribution (boilerplate clusters, one
+    * over-crawled domain) cannot flood the sample the way uniform sampling
+    * lets them. Within a cell the quota is taken by a SALTED deterministic
+    * rank — `(id·2654435761) mod 1000003` (Knuth multiplicative scatter,
+    * exact in 64-bit on every engine), ties to the id — so the sample is
+    * reproducible across engines, reruns, and partitionings, never a
+    * `rand()` draw.
+    *
+    * Returns (idCol, cell, pos ∈ [1, mPerCell]). Cells with fewer than
+    * `mPerCell` members contribute all of them.
+    *
+    * Scale shape: one window rank per cell over the (id, cell) assignment —
+    * a single exchange keyed by cell, which a PERSISTED index
+    * ([[Index.save]]) already stores partitioned by, making the rank
+    * exchange-free there; full vectors never travel.
+    */
+  def balancedSample(index: Index, idCol: String, mPerCell: Int): DataFrame = {
+    require(mPerCell >= 1, s"mPerCell must be ≥ 1: $mPerCell")
+    val salted = (col(idCol) * lit(2654435761L)) % lit(1000003L)
+    index.assigned.select(col("neighbor_id").as(idCol), col("cell"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("cell")).orderBy(salted, col(idCol))))
+      .filter(col("pos") <= mPerCell)
+  }
+
   /** PRE-FILTERED view of an index: only `allowedIds` remain searchable —
     * the FAISS `IDSelector` / vector-store metadata-filter shape, as an
     * index view rather than a search variant so every search path

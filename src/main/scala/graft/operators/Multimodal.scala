@@ -123,6 +123,35 @@ object Multimodal {
       }
   }
 
+  /** ViT PATCH-GRID PREP (mm10): the vision-transformer input-shaping step
+    * that follows decode — tile each image into `patch`×`patch` patches
+    * (ceil-divided grid, so partial edge patches count and `pad_w`/`pad_h`
+    * record the padding a real pixel pipeline would add), cap the token
+    * budget at `maxPatches` (`truncated` marks images whose grid overflows,
+    * the crop/resize decision signal), and report `seq_len` = kept patches
+    * + 1 CLS token.
+    *
+    * Pixels die inside [[decodeBatched]] as everywhere in this family; the
+    * grid math is pure per-row projection after it — zero exchanges, and
+    * the one thing that would touch bytes again (actual patch extraction)
+    * belongs in the codec seam next to `resize`.
+    */
+  def vitPatchGrid(blobs: DataFrame, patch: Int = 16, maxPatches: Int = 196,
+      batchSize: Int = 64, codec: MediaCodec = StubCodec): DataFrame = {
+    require(patch >= 1 && maxPatches >= 1, s"bad patch/maxPatches: $patch/$maxPatches")
+    val gw = expr(s"(width + ${patch - 1}) div $patch")
+    val gh = expr(s"(height + ${patch - 1}) div $patch")
+    decodeBatched(blobs, batchSize, codec).toDF()
+      .select(col("doc_id"), gw.as("grid_w"), gh.as("grid_h"),
+        col("width"), col("height"))
+      .select(col("doc_id"), col("grid_w"), col("grid_h"),
+        (col("grid_w") * col("grid_h")).as("n_patches"),
+        (least(col("grid_w") * col("grid_h"), lit(maxPatches)) + 1).as("seq_len"),
+        (col("grid_w") * col("grid_h") > maxPatches).as("truncated"),
+        (col("grid_w") * lit(patch) - col("width")).as("pad_w"),
+        (col("grid_h") * lit(patch) - col("height")).as("pad_h"))
+  }
+
   /** One sampled frame of a video-like blob. */
   final case class Frame(doc_id: Long, frame_idx: Int, total_frames: Int,
       frame: Array[Byte])

@@ -1350,6 +1350,32 @@ object TextQueries {
          |FROM s""".stripMargin) { (s, d) =>
       TextOps.chunk(Tables.documents(s, d), "doc_id", "text",
         size = 32, stride = 24)
+    },
+
+    // --- per-source vocabulary statistics (txt45): the corpus-health report
+    // --- curation runs before training — token volume, type (distinct
+    // --- token) count, hapax-legomena count, type/token ratio per source
+    // --- (low TTR or collapsed hapax mass flags templated/duplicated
+    // --- sources). Two hash aggregations, both partial-agg'd map-side; the
+    // --- ratio is one IEEE division of exact counts. The CASTs pin
+    // --- DuckDB's HUGEINT sum widening back to BIGINT. --------------------
+    q("txt45_vocab_stats",
+      s"""WITH t AS (SELECT source, unnest($toksSql) AS tok FROM documents),
+         |cnt AS (SELECT source, tok, COUNT(*) AS c FROM t GROUP BY 1, 2)
+         |SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |  COUNT(*) AS n_types,
+         |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+         |  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS type_token_ratio
+         |FROM cnt GROUP BY 1""".stripMargin) { (s, d) =>
+      val cnt = Tables.documents(s, d)
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      cnt.groupBy(col("source")).agg(
+          sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .withColumn("type_token_ratio",
+          col("n_types").cast("double") / col("n_tokens").cast("double"))
     }
   )
 }

@@ -960,6 +960,51 @@ object VectorQueries {
       val emb = Tables.embeddings(s, d)
       Similarity.mmrRerank(emb.filter(col("vec_id") < 10), emb,
         "vec_id", "embedding", k = 3, candidates = 8)
+    },
+
+    // --- cluster-balanced diversity sampling (vec21): equal per-cell quota
+    // --- from the trained IVF assignment, ranked by a salted deterministic
+    // --- scatter (never rand()) — dominant embedding modes can't flood the
+    // --- sample. Oracle = the vec05 unrolled-Lloyd chain + the same
+    // --- windowed quota. --------------------------------------------------
+    q("vec21_balanced_sample",
+      s"""WITH $quantSql,
+         |c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, qv AS cv
+         |  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 16) s),
+         |${lloydSql(1, "c0", "q")},
+         |${lloydSql(2, "c1", "q")},
+         |${assignSql("asg", "vec_id", "q")}
+         |SELECT vec_id, cell, pos FROM (
+         |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY cell
+         |    ORDER BY (vec_id * 2654435761) % 1000003, vec_id) AS pos
+         |  FROM asg) t WHERE pos <= 8""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val idx = graft.operators.IvfIndex.build(emb, "vec_id", "embedding",
+        nLists = 16, iters = 2)
+      graft.operators.IvfIndex.balancedSample(idx, "vec_id", mPerCell = 8)
+    },
+
+    // --- ViT patch-grid prep (mm10): the vision-transformer input shaping
+    // --- after decode — ceil-divided 16×16 patch grid, padding amounts,
+    // --- token budget capped at 9 patches (+1 CLS) with a truncation flag.
+    // --- Pure per-row math after the batched decode; the oracle restates
+    // --- the stub-decode dims and the grid arithmetic. --------------------
+    q("mm10_vit_patch_grid",
+      """WITH raw AS (SELECT doc_id, CAST(strlen(text) AS INT) AS n_bytes,
+        |  CAST(list_sum(list_transform(regexp_split_to_array(text,''),
+        |    x -> CAST(unicode(x) AS BIGINT))) AS BIGINT) % 2147483647 AS checksum
+        |  FROM documents),
+        |d AS (SELECT doc_id, CAST(n_bytes % 64 + 1 AS INT) AS w,
+        |  CAST(checksum % 64 + 1 AS INT) AS h FROM raw),
+        |g AS (SELECT doc_id, (w+15)//16 AS grid_w, (h+15)//16 AS grid_h, w, h FROM d)
+        |SELECT doc_id, grid_w, grid_h, grid_w*grid_h AS n_patches,
+        |  LEAST(grid_w*grid_h, 9) + 1 AS seq_len,
+        |  grid_w*grid_h > 9 AS truncated,
+        |  grid_w*16 - w AS pad_w, grid_h*16 - h AS pad_h
+        |FROM g""".stripMargin) { (s, d) =>
+      Multimodal.vitPatchGrid(
+        Multimodal.withBlob(Tables.documents(s, d), "text", "source"),
+        patch = 16, maxPatches = 9)
     }
   )
 }

@@ -96,6 +96,29 @@ class JoinViewSpec extends AnyFunSuite {
     st.collect() // final state still materializes fine after the prefix read
   }
 
+  test("replayed micro-batch is a no-op; stale events cannot regress the view") {
+    val a = aDf(aRows); val b = bDf(bRows)
+    val cut = 5L
+    val (a1, a2) = (a.filter($"lsn" <= cut), a.filter($"lsn" > cut))
+    val (b1, b2) = (b.filter($"lsn" <= cut), b.filter($"lsn" > cut))
+    val st = JoinView.foldAll(Seq((a1, b1), (a2, b2)), aSide, bSide)
+    def viewSet(s: JoinView.State) =
+      s.view.select($"user_id", $"user_value", $"segment_id", $"segment_value")
+        .as[(Long, Double, Long, Double)].collect().toSet
+    val expect = viewSet(st)
+    assert(expect == direct(a, b))
+    // full redelivery of batch 1 (source replay / foreachBatch retry):
+    // every event is stale now — strict no-op
+    val replayed = JoinView.fold(st, a1, b1, aSide, bSide)
+    assert(viewSet(replayed) == expect)
+    assert(replayed.latestA.count() == st.latestA.count())
+    // a single stale event older than the standing version for its key
+    // must not regress (u1 is at lsn 9; this update is lsn 2)
+    val stale = aDf(Seq(("update", 2L, 1L, 99.0, 100L)))
+    val after = JoinView.fold(replayed, stale, b1.limit(0), aSide, bSide)
+    assert(viewSet(after) == expect)
+  }
+
   test("randomized: 30 seeded corpora × arbitrary cut points ≡ direct join") {
     val rnd = new scala.util.Random(7)
     for (_ <- 1 to 30) {

@@ -43,6 +43,56 @@ class MockSchemaRegistrySpec extends AnyFunSuite {
     r.register("bw.users", isKey = false, """{"a":1,"b":2}""")
     assert(r.versions("bw.users-value").size == 2)
   }
+
+  // ---- schema-evolution compatibility --------------------------------------
+
+  private def st(fs: (String, DataType)*): StructType =
+    StructType(fs.map { case (n, t) => StructField(n, t, nullable = true) })
+
+  test("compat rules: nullable add/drop pass FULL; promotions one-way; type change breaks") {
+    import SchemaCompat._
+    val v1 = st("id" -> LongType, "v" -> DoubleType)
+    val v2 = st("id" -> LongType, "v" -> DoubleType, "email" -> StringType)
+    // all-nullable add: compatible in BOTH directions (the PG DDL contract)
+    assert(check(Full, v2, v1).isEmpty)
+    assert(check(Full, v1, v2).isEmpty) // drop-column view of the same pair
+    // promotion int→long readable backward, not forward
+    val narrow = st("id" -> IntegerType, "v" -> DoubleType)
+    assert(check(Backward, v1, narrow).isEmpty)       // new long reads old int
+    assert(check(Forward, v1, narrow).nonEmpty)       // old int cannot read long
+    // incompatible type change caught with a per-field reason
+    val broken = st("id" -> StringType, "v" -> DoubleType)
+    val reasons = check(Backward, broken, v1)
+    assert(reasons.exists(_.contains("field id")))
+    // non-nullable addition is the one structural break
+    val hard = StructType(v1.fields :+ StructField("req", LongType, nullable = false))
+    assert(check(Backward, hard, v1).exists(_.contains("without default")))
+  }
+
+  test("registerChecked refuses incompatible evolution and registers nothing") {
+    import SchemaCompat._
+    val reg = new MockSchemaRegistry
+    val v1 = st("id" -> LongType, "v" -> DoubleType)
+    val Right(id1) = reg.registerChecked("t.users", isKey = false, v1, Full)
+    // compatible evolution versioned normally
+    val v2 = st("id" -> LongType, "v" -> DoubleType, "email" -> StringType)
+    val Right(id2) = reg.registerChecked("t.users", isKey = false, v2, Full)
+    assert(id2 != id1 && reg.versions("t.users-value") == Vector(id1, id2))
+    // breaking change refused; subject versions untouched
+    val broken = st("id" -> StringType, "v" -> DoubleType)
+    assert(reg.registerChecked("t.users", isKey = false, broken, Full).isLeft)
+    assert(reg.versions("t.users-value") == Vector(id1, id2))
+    // first registration under a NEW subject always passes, even "broken"
+    assert(reg.registerChecked("t.other", isKey = false, broken, Full).isRight)
+  }
+
+  test("PgTypes-generated schemas evolve FULL-compatibly under add/drop DDL") {
+    val before = PgTypes.schemaFor(Seq("id" -> 20, "name" -> 25))         // int8, text
+    val after  = PgTypes.schemaFor(Seq("id" -> 20, "name" -> 25,
+      "created" -> 1114))                                                 // + timestamp
+    assert(SchemaCompat.check(SchemaCompat.Full, after, before).isEmpty)
+    assert(SchemaCompat.check(SchemaCompat.Full, before, after).isEmpty)
+  }
 }
 
 class UnkeyedSemanticsSpec extends AnyFunSuite {
@@ -57,4 +107,5 @@ class UnkeyedSemanticsSpec extends AnyFunSuite {
     val out = graft.streaming.CdcPipeline.dropUnkeyedDeletes(evs.toDS()).collect()
     assert(out.map(_.lsn).toSet == Set(1L, 3L))
   }
+
 }

@@ -890,4 +890,47 @@ class MultimodalSpec extends AnyFunSuite {
     assert(e.getMessage.contains("error policy exit") ||
       Option(e.getCause).exists(_.getMessage.contains("error policy exit")))
   }
+
+  test("vitPatchGrid: ceil grid, padding, truncation boundary") {
+    import spark.implicits._
+    // stub decode: width = n_bytes % 64 + 1, height = checksum % 64 + 1;
+    // craft blobs hitting exact-multiple and ragged dims
+    val blobs = Seq(
+      (1L, "img", Array.fill[Byte](31)(64)),  // w=32: exact 2 cols
+      (2L, "img", Array.fill[Byte](33)(64)),  // w=34: ragged 3rd col
+      (3L, "img", Array.fill[Byte](63)(1)))   // w=64: 4 cols
+      .toDF("doc_id", "format", "blob")
+    val g = Multimodal.vitPatchGrid(blobs, patch = 16, maxPatches = 6)
+      .select($"doc_id", $"grid_w", $"n_patches", $"seq_len", $"truncated", $"pad_w")
+      .as[(Long, Long, Long, Long, Boolean, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(g(1L)._2 == 2 && g(1L)._6 == 0)          // 32/16 exact, no pad
+    assert(g(2L)._2 == 3 && g(2L)._6 == 14)         // ceil(34/16)=3, pad 48-34
+    assert(g(3L)._2 == 4)
+    // truncation: n_patches > maxPatches caps seq_len at maxPatches+1
+    for ((_, (_, gw, np, seq, trunc, _)) <- g) {
+      if (np > 6) assert(trunc && seq == 7)
+      else assert(!trunc && seq == np + 1)
+    }
+  }
+
+  test("balancedSample: quota per cell, deterministic, complete under small cells") {
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val idx = IvfIndex.build(emb, "vec_id", "embedding", nLists = 8, iters = 1)
+    val m = 5
+    val sample = IvfIndex.balancedSample(idx, "vec_id", m)
+    val perCell = sample.groupBy($"cell".cast("long").as("c")).count()
+      .as[(Long, Long)].collect().toMap
+    val cellSizes = idx.assigned.groupBy($"cell".cast("long").as("c")).count()
+      .as[(Long, Long)].collect().toMap
+    for ((cell, n) <- perCell) assert(n == math.min(m.toLong, cellSizes(cell)))
+    // no cell exceeds quota; every nonempty cell is represented
+    assert(perCell.keySet == cellSizes.keySet)
+    // deterministic under repartitioning
+    val again = IvfIndex.balancedSample(
+      IvfIndex.Index(idx.centroids, idx.assigned.repartition(13)), "vec_id", m)
+    assert(sample.select($"vec_id", $"cell", $"pos").collect().toSet ==
+      again.select($"vec_id", $"cell", $"pos").collect().toSet)
+  }
 }

@@ -11,9 +11,14 @@ class ScaleJoinsSpec extends AnyFunSuite {
   test("bucketed join plans with zero shuffle exchanges") {
     // clean both catalog entries and leftover warehouse dirs (the in-memory
     // catalog forgets tables between JVMs; the directories persist)
+    // the warehouse location comes from the session conf — cleaning a
+    // hard-coded "spark-warehouse/" missed the real dir and a table
+    // directory surviving from a previous JVM (whose in-memory catalog died
+    // with it) failed the CREATE with LOCATION_ALREADY_EXISTS
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
     for (t <- Seq("b_lineitem", "b_orders")) {
       spark.sql(s"DROP TABLE IF EXISTS $t")
-      val p = java.nio.file.Paths.get("spark-warehouse", t)
+      val p = java.nio.file.Paths.get(wh, t)
       if (java.nio.file.Files.exists(p)) {
         import scala.jdk.CollectionConverters._
         java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
