@@ -182,4 +182,34 @@ class PlanPinSpec extends AnyFunSuite {
     assert(countOf(p, "SortMergeJoin") == 0,
       "threshold join must not sort-merge the corpus")
   }
+
+  test("txt44: chunking is scan → project → generate — ZERO exchanges") {
+    val p = executed("txt44_chunk_overlap")
+    assert(countOf(p, "Exchange") == 0,
+      s"per-document chunking must never shuffle:\n$p")
+    assert(!p.contains("text,"), "only doc_id + text may be read")
+  }
+
+  test("cdc24: history alignment is one keyed equi-join, never a nested loop") {
+    val p = executed("cdc24_history_align")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"interval residual must ride the user_id equi-join:\n$p")
+  }
+
+  test("vec21: balanced sampling ranks inside the cell partitioning — no global sort") {
+    val p = executed("vec21_balanced_sample")
+    assert(!p.contains("SinglePartition"),
+      s"per-cell quota must not serialize through one partition:\n$p")
+  }
+
+  test("q55: daily sketches partial-aggregate before the shuffle; exact side joins broadcast") {
+    val p = executed("q55_sketch_reaggregate")
+    assert(p.contains("partial_hll_union_agg"),
+      s"sketch merge must partial-aggregate map-side (the re-aggregation claim):\n$p")
+    assert(p.contains("hll_sketch_agg"),
+      s"daily sketches must be built by hll_sketch_agg:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      "the |event_types|-row exact side must broadcast")
+  }
 }
