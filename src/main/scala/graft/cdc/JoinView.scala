@@ -189,4 +189,33 @@ object JoinView {
     val init = emptyState(batches.head._1, batches.head._2, a, b)
     batches.foldLeft(init) { case (st, (ba, bb)) => fold(st, ba, bb, a, b) }
   }
+
+  /** STREAMING maintenance: the production wiring — one unified changelog
+    * stream (the CDC topic union, rows tagged with which table they belong
+    * to) folded per micro-batch via foreachBatch. Each trigger splits the
+    * batch by tag and runs one [[fold]]; `onState` observes every updated
+    * state (publish the view, write the bucketed tables, expose a temp
+    * view — caller's choice). The advance guard makes foreachBatch's
+    * at-least-once batch retries and source redeliveries no-ops, so no
+    * extra idempotence machinery is needed here.
+    */
+  def maintain(tagged: DataFrame, tagCol: String, aTag: String,
+      a: Side, b: Side)(onState: State => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = tagged.sparkSession
+    val base = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), tagged.schema)
+    var state = emptyState(base, base, a, b)
+    tagged.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        val df = batch.toDF().localCheckpoint()
+        state = fold(state,
+          df.filter(col(tagCol) === aTag),
+          df.filter(col(tagCol) =!= aTag), a, b)
+        onState(state)
+        ()
+      }
+      .start()
+  }
 }

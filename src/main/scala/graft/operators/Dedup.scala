@@ -754,4 +754,63 @@ object Dedup {
         i => md5(concat(lit(RepeatSalt),
           concat_ws(" ", slice(col("_t"), i + 1, lit(k))))))))
       .select(col(idCol), col("pos").cast("long").as("pos"), col("col").as("h"))
+
+  /** EXACT set-similarity join with PREFIX FILTERING (the PPJoin/AllPairs
+    * family) — all document pairs whose token-set Jaccard ≥ `threshold`,
+    * found WITHOUT all-pairs comparison and WITHOUT the recall loss of LSH
+    * ([[minhashCandidatePairs]] trades recall for speed; this operator is
+    * exact-complete at higher cost, the right tool when a dedup decision
+    * must be provably exhaustive).
+    *
+    * The filter: order every document's tokens by GLOBAL rarity (ascending
+    * document frequency, ties lexicographic — one canonical order for the
+    * whole corpus), and take each document's first
+    * `p = n − ⌈t·n⌉ + 1` tokens as its prefix. Any pair with
+    * `J(A,B) ≥ t` must share at least one PREFIX token (the classic
+    * AllPairs lemma: `J ≥ t` forces `|A∩B| ≥ ⌈t·n⌉`, and a shared set that
+    * large cannot avoid both prefixes under a common total order) — so
+    * the prefix-token equi-join generates a complete candidate set, and
+    * the exact intersection verify keeps no false positives.
+    *
+    * Scale shape: candidates meet on RARE tokens by construction (the
+    * prefix is the low-df end of the order), so bucket occupancy — hence
+    * pair volume — is bounded by rare-token df, not corpus size; the df
+    * table and sorted projections are two partial-agg'd aggregations; the
+    * verify joins token arrays only for surviving candidates. Returns
+    * (a, b, n_shared, jaccard) with a < b.
+    */
+  def setSimilarityJoin(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1]: $threshold")
+    val toks = docs
+      .select(col(idCol).as("id"),
+        array_distinct(TextOps.tokens(col(textCol))).as("tk"))
+      .filter(size(col("tk")) > 0)
+    val ex = toks.select(col("id"), explode(col("tk")).as("tok"))
+    val df = ex.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val sorted = ex.join(df, Seq("tok"))
+      .groupBy(col("id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("st"))
+      .select(col("id"),
+        transform(col("st"), s => s.getField("tok")).as("ts"),
+        size(col("st")).as("n"))
+    val p = (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int")
+    val pref = sorted.select(col("id"),
+      explode(slice(col("ts"), lit(1), p)).as("ptok"))
+    val cand = pref.select(col("id").as("a"), col("ptok"))
+      .join(pref.select(col("id").as("b"), col("ptok")), Seq("ptok"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val byId = sorted.select(col("id"), col("ts"), col("n"))
+    cand
+      .join(byId.select(col("id").as("a"), col("ts").as("ta"), col("n").as("na")),
+        Seq("a"))
+      .join(byId.select(col("id").as("b"), col("ts").as("tb"), col("n").as("nb")),
+        Seq("b"))
+      .withColumn("n_shared", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("jaccard", col("n_shared").cast("double") /
+        (col("na") + col("nb") - col("n_shared")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("n_shared"), col("jaccard"))
+  }
 }

@@ -1245,6 +1245,39 @@ object RelationalQueries {
       val edges = ep.select(col("a").as("src"), col("b").as("dst"))
         .unionByName(ep.select(col("b").as("src"), col("a").as("dst")))
       graft.operators.PageRank.integerPageRank(edges, "src", "dst", iters = 2)
+    },
+
+    // --- calendar gap-fill (q58): dense per-type daily series with ZERO
+    // --- rows for silent days — the reporting shape a sparse activity
+    // --- table (here: the ~1% event_id%97 slice) can't produce with a
+    // --- plain GROUP BY, and the dual of q47's LOCF fill. The day spine is
+    // --- generated from the global span (one scalar agg, broadcast), the
+    // --- type×day cross is |types|·|days| rows, and the actual counts
+    // --- left-join onto it. ------------------------------------------------
+    q("q58_calendar_gap_fill",
+      """WITH sparse AS (SELECT * FROM events WHERE event_id % 97 = 0),
+        |span AS (SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+        |  FROM sparse),
+        |days AS (SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM span),
+        |types AS (SELECT DISTINCT event_type FROM sparse),
+        |actual AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        |  FROM sparse GROUP BY 1, 2)
+        |SELECT t.event_type, d.day, COALESCE(a.n, 0) AS n
+        |FROM types t CROSS JOIN days d
+        |LEFT JOIN actual a ON a.event_type = t.event_type AND a.day = d.day""".stripMargin) { (s, d) =>
+      val sparse = Tables.events(s, d).filter(col("event_id") % 97 === 0)
+      val span = sparse.agg(min(to_date(col("ts"))).as("d0"),
+        max(to_date(col("ts"))).as("d1"))
+      val days = span.select(explode(sequence(col("d0"), col("d1"),
+        expr("interval 1 day"))).as("day"))
+      val types = sparse.select(col("event_type")).distinct()
+      val actual = sparse.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      types.crossJoin(days)
+        .join(actual, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("n"), lit(0L)).as("n"))
     }
   )
 

@@ -1376,6 +1376,48 @@ object TextQueries {
           sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
         .withColumn("type_token_ratio",
           col("n_types").cast("double") / col("n_tokens").cast("double"))
+    },
+
+    // --- exact set-similarity join via prefix filtering (txt46, the
+    // --- PPJoin/AllPairs family): provably ALL pairs with token-set
+    // --- Jaccard ≥ 0.7 — candidates meet only on shared RARE-end prefix
+    // --- tokens under one global (df, token) order, then exact
+    // --- intersection verify; complete where LSH (txt06) is probabilistic.
+    // --- The gate runs a 1-in-7 corpus slice + planted exact copies: this
+    // --- synthetic corpus is pathologically self-similar (11M true pairs
+    // --- at J≥0.9 over full sf0.1 — output volume, not filter weakness),
+    // --- and the completeness contract is slice-independent. Oracle
+    // --- replays the order, the prefix bound, and the verify. -------------
+    q("txt46_set_similarity_join",
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
+         |  UNION ALL SELECT doc_id+100000, text FROM documents
+         |    WHERE doc_id % 7 = 0 AND doc_id % 10 = 0),
+         |tk AS (SELECT doc_id, list_distinct($toksSql) AS tk FROM corpus),
+         |tk2 AS (SELECT doc_id, tk FROM tk WHERE len(tk) > 0),
+         |ex AS (SELECT doc_id, unnest(tk) AS tok FROM tk2),
+         |df AS (SELECT tok, COUNT(*) AS df FROM ex GROUP BY 1),
+         |srt AS (SELECT e.doc_id, array_agg(e.tok ORDER BY d.df, e.tok) AS ts
+         |  FROM ex e JOIN df d ON e.tok = d.tok GROUP BY 1),
+         |pre AS (SELECT doc_id,
+         |  unnest(ts[1:CAST(len(ts) - ceil(0.7*len(ts)) + 1 AS INT)]) AS ptok
+         |  FROM srt),
+         |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |  FROM pre a JOIN pre b ON a.ptok = b.ptok AND a.doc_id < b.doc_id),
+         |v AS (SELECT cand.a, cand.b,
+         |    CAST(len(list_intersect(x.ts, y.ts)) AS BIGINT) AS n_shared,
+         |    len(x.ts) AS na, len(y.ts) AS nb
+         |  FROM cand JOIN srt x ON cand.a = x.doc_id
+         |            JOIN srt y ON cand.b = y.doc_id)
+         |SELECT a, b, n_shared,
+         |  CAST(n_shared AS DOUBLE)/(na + nb - n_shared) AS jaccard
+         |FROM v WHERE CAST(n_shared AS DOUBLE)/(na + nb - n_shared) >= 0.7""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val sliced = docs.filter(col("doc_id") % 7 === 0)
+      val planted = sliced.unionByName(
+        sliced.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      Dedup.setSimilarityJoin(planted, "doc_id", "text", threshold = 0.7)
     }
   )
 }

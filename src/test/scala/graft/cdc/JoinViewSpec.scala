@@ -119,6 +119,39 @@ class JoinViewSpec extends AnyFunSuite {
     assert(viewSet(after) == expect)
   }
 
+  test("streaming maintain: tagged union stream folds per trigger; redelivery silent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // unified row: (_side, op, lsn, user_id, user_value, seg, segment_id, segment_value)
+    type Tagged = (String, String, Long, Long, Double, Long, Long, Double)
+    def tagA(r: (String, Long, Long, Double, Long)): Tagged =
+      ("a", r._1, r._2, r._3, r._4, r._5, 0L, 0.0)
+    def tagB(r: (String, Long, Long, Double)): Tagged =
+      ("b", r._1, r._2, 0L, 0.0, 0L, r._3, r._4)
+    val input =
+      MemoryStream[(String, String, Long, Long, Double, Long, Long, Double)]
+    val tagged = input.toDF().toDF("_side", "op", "lsn",
+      "user_id", "user_value", "seg", "segment_id", "segment_value")
+    @volatile var current: JoinView.State = null
+    val q = JoinView.maintain(tagged, "_side", "a", aSide, bSide) { st =>
+      current = st
+    }
+    try {
+      val (a1, a2) = aRows.partition(_._2 <= 4)
+      val (b1, b2) = bRows.partition(_._2 <= 4)
+      input.addData(a1.map(tagA) ++ b1.map(tagB))
+      q.processAllAvailable()
+      val mid = current.view.count()
+      assert(mid > 0)
+      input.addData(a2.map(tagA) ++ b2.map(tagB) ++ a1.map(tagA)) // replay a1
+      q.processAllAvailable()
+      val got = current.view
+        .select($"user_id", $"user_value", $"segment_id", $"segment_value")
+        .as[(Long, Double, Long, Double)].collect().toSet
+      assert(got == direct(aDf(aRows), bDf(bRows)))
+    } finally q.stop()
+  }
+
   test("randomized: 30 seeded corpora × arbitrary cut points ≡ direct join") {
     val rnd = new scala.util.Random(7)
     for (_ <- 1 to 30) {

@@ -574,6 +574,33 @@ class TextPipelineSpec extends AnyFunSuite {
       minShared = n + 1).count() == 0)
   }
 
+  test("setSimilarityJoin ≡ brute-force Jaccard over all pairs (prefix filter complete)") {
+    val rnd = new scala.util.Random(17)
+    val vocab = (1 to 30).map(i => s"w$i")
+    for (t <- Seq(0.5, 0.7, 0.9); trial <- 1 to 3) {
+      val docs = (1L to 25L).map { id =>
+        val n = 3 + rnd.nextInt(10)
+        (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      // plant one exact duplicate and one near-duplicate
+      val planted = docs ++ Seq((100L, docs.head._2),
+        (101L, docs(1)._2 + " " + docs(1)._2.split(" ").head))
+      val got = Dedup.setSimilarityJoin(planted.toDF("doc_id", "text"),
+          "doc_id", "text", t)
+        .select($"a", $"b").as[(Long, Long)].collect().toSet
+      val sets = planted.map { case (id, s) =>
+        id -> s.split(" ").filter(_.nonEmpty).toSet }.toMap
+      val expect = (for {
+        (i, si) <- sets.toSeq; (j, sj) <- sets.toSeq if i < j
+        inter = (si & sj).size
+        if si.nonEmpty && sj.nonEmpty &&
+          inter.toDouble / (si.size + sj.size - inter) >= t
+      } yield (i, j)).toSet
+      assert(got == expect, s"t=$t trial=$trial")
+      assert(expect.contains((1L, 100L))) // the planted duplicate is found
+    }
+  }
+
   test("chunk: overlap windows cover every token; tails short; empty docs dropped") {
     val docs = Seq(
       (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks: 3 chunks @4/3
