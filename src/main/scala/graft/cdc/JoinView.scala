@@ -190,6 +190,107 @@ object JoinView {
     batches.foldLeft(init) { case (st, (ba, bb)) => fold(st, ba, bb, a, b) }
   }
 
+  // ---- persisted fold: the production storage loop -------------------------
+
+  /** Zero-row latest-state relation shaped after a batch (payload ++ _live
+    * ++ _o) — the pre-first-write stand-in.
+    */
+  private def emptyLatest(batch: DataFrame, side: Side): DataFrame =
+    batch.select(side.payloadCols.map(col) :+ lit(true).as("_live") :+
+      struct(side.orderCols.map(col): _*).as("_o"): _*).limit(0)
+
+  private def readLatestOr(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame, side: Side): DataFrame = {
+    val hPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val has = fs.exists(hPath) &&
+      fs.listStatus(hPath).exists(_.getPath.getName.startsWith("_bucket="))
+    if (has) MaterializedTable.readState(spark, dir).drop("_bucket")
+    else emptyLatest(batch, side)
+  }
+
+  /** Merge one side's batch-final versions into its bucketed latest table:
+    * newer-of per key inside the touched buckets only (stale incoming rows
+    * lose to the stored version inside the combine, so no pre-read advance
+    * filter is needed for the MERGE — only the delta computation reads the
+    * prior state).
+    */
+  private def mergeLatest(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame, side: Side, numBuckets: Int): Int = {
+    val updates = lastVersions(batch, side).select(
+      side.payloadCols.map(n => col(s"_p.$n").as(n)) :+
+        col("_live") :+ col("_o"): _*)
+    MaterializedTable.mergeBuckets(spark, dir, updates, side.keyCols, numBuckets) {
+      combined =>
+        val others = combined.columns.filterNot(side.keyCols.contains)
+        combined.groupBy(side.keyCols.map(col): _*)
+          .agg(max_by(struct(others.map(col).toIndexedSeq: _*), col("_o")).as("_v"))
+          .select(side.keyCols.map(col) :+ col("_v.*"): _*)
+    }
+  }
+
+  /** PERSISTED fold — the deployment shape the in-memory [[fold]] scaladoc
+    * promises: the three standing tables live as hash-bucketed parquet
+    * under `dir` (`latest_a`/`latest_b` bucketed by their key columns so
+    * the newer-of merge touches only the batch's key-buckets; `view`
+    * bucketed by the A-side join column so the multiplicity re-sum touches
+    * only the join values the deltas hit). Per batch:
+    *
+    *   1. read prior latest states (delta prev + B_old of the identity);
+    *   2. compute signed ΔA/ΔB under the advance guard;
+    *   3. newer-of merge both latest tables ([[MaterializedTable]] bucket
+    *      dataflow — only touched buckets read/rewritten);
+    *   4. ΔV = ΔA⋈B_old + A_new⋈ΔB, folded into the view table by
+    *      grouped-sum combine; fully-retracted rows vanish (emptied
+    *      buckets deleted by the merge machinery).
+    *
+    * Batch retries are DOUBLY safe: a re-fold under the same `batchId` is
+    * a marker-guarded no-op ([[IncrementalAgg.foldStandingBatch]]
+    * discipline), and a redelivery under a NEW id folds empty deltas (the
+    * advance guard) — both leave every table byte-stable.
+    *
+    * Returns the number of view buckets rewritten.
+    */
+  def foldPersisted(spark: org.apache.spark.sql.SparkSession, dir: String,
+      batchA: DataFrame, batchB: DataFrame, a: Side, b: Side,
+      batchId: Long, numBuckets: Int = 64): Int = {
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/_applied/$batchId")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) return 0
+    val prevA = readLatestOr(spark, s"$dir/latest_a", batchA, a)
+    // prevB feeds the ΔA⋈B_old join AFTER the merges overwrite latest_b's
+    // files — materialize it now or the late join reads deleted parquet
+    val prevB = readLatestOr(spark, s"$dir/latest_b", batchB, b)
+      .localCheckpoint()
+    val dA = deltas(prevA, batchA, a).localCheckpoint()
+    val dB = deltas(prevB, batchB, b).localCheckpoint()
+    mergeLatest(spark, s"$dir/latest_a", batchA, a, numBuckets)
+    mergeLatest(spark, s"$dir/latest_b", batchB, b, numBuckets)
+    val viewCols = a.payloadCols ++ b.payloadCols
+    val aNewLive = readLatestOr(spark, s"$dir/latest_a", batchA, a)
+      .filter(col("_live"))
+    val bOldLive = prevB.filter(col("_live"))
+    val dV = dA.join(bOldLive, dA(a.joinCol) === bOldLive(b.joinCol))
+      .select(viewCols.map(col) :+ dA("dn").as("n"): _*)
+      .unionByName(
+        aNewLive.join(dB, aNewLive(a.joinCol) === dB(b.joinCol))
+          .select(viewCols.map(col) :+ dB("dn").as("n"): _*))
+    val touched = MaterializedTable.mergeBuckets(spark, s"$dir/view", dV,
+      Seq(a.joinCol), numBuckets) { combined =>
+        combined.groupBy((viewCols :+ "_bucket").map(col): _*)
+          .agg(sum(col("n")).as("n"))
+          .filter(col("n") > 0)
+      }
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, true).close()
+    touched
+  }
+
+  /** The persisted view (bucket column dropped; multiplicity kept). */
+  def readPersistedView(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    MaterializedTable.readState(spark, s"$dir/view").drop("_bucket")
+
   /** STREAMING maintenance: the production wiring — one unified changelog
     * stream (the CDC topic union, rows tagged with which table they belong
     * to) folded per micro-batch via foreachBatch. Each trigger splits the

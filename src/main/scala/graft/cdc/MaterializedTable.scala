@@ -192,7 +192,7 @@ object MaterializedTable {
     * Scale note: mergeSchema reconciles footers, not data — O(files) metadata
     * work, not a scan. On a no-evolution table it is a no-op.
     */
-  private def readState(spark: SparkSession, dir: String): DataFrame = {
+  private[cdc] def readState(spark: SparkSession, dir: String): DataFrame = {
     val hPath = new org.apache.hadoop.fs.Path(dir)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hasBuckets = fs.exists(hPath) &&

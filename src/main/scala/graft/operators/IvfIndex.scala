@@ -308,6 +308,43 @@ object IvfIndex {
           .as("overloaded"))
   }
 
+  /** DISTRIBUTION-DRIFT REPORT — the monitoring step that decides when the
+    * frozen-quantizer trade ([[append]]'s documented price) has gone bad:
+    * assign an incoming batch to the SAME frozen centroids and compare each
+    * cell's share of the new data against its share of the indexed base.
+    * A cell whose share more than doubled or halved is `drifted` — the
+    * exact-integer cross-multiplication
+    * `n_new·total_base > 2·n_base·total_new` (and its mirror) avoids any
+    * division, so the verdict is engine-portable ([[cellStats]]
+    * discipline); growth from an empty cell always flags. Empty cells stay
+    * in the report — mass appearing where the quantizer attracted nothing
+    * is precisely the retrain signal.
+    *
+    * Returns (cell, n_base, n_new, drifted). Scale shape: one broadcast
+    * assignment pass over the BATCH, two tiny per-cell counts, totals as a
+    * broadcast scalar row — the base corpus is never re-scanned beyond its
+    * stored assignment.
+    */
+  def driftReport(index: Index, newDocs: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val newAsg = assignNew(index.centroids, newDocs, idCol, vecCol)
+    val base = index.assigned.groupBy(col("cell")).agg(count(lit(1)).as("_nb"))
+    val nw = newAsg.groupBy(col("cell")).agg(count(lit(1)).as("_nn"))
+    val counts = index.centroids.select(col("cell"))
+      .join(base, Seq("cell"), "left")
+      .join(nw, Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("_nb"), lit(0L)).as("n_base"),
+        coalesce(col("_nn"), lit(0L)).as("n_new"))
+    val totals = counts.agg(sum(col("n_base")).as("_tb"),
+      sum(col("n_new")).as("_tn"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("cell"), col("n_base"), col("n_new"),
+        (col("n_new") * col("_tb") > lit(2) * col("n_base") * col("_tn") ||
+          col("n_base") * col("_tn") > lit(2) * col("n_new") * col("_tb"))
+          .as("drifted"))
+  }
+
   /** CLUSTER-BALANCED SAMPLING — the diversity-sampling curation step: draw
     * an equal quota of `mPerCell` vectors from every IVF cell, so dominant
     * modes of the embedding distribution (boilerplate clusters, one

@@ -583,4 +583,41 @@ object TextOps {
     * takes Int `size` parameters in several signatures).
     */
   private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
+
+  /** LENGTH-BUCKETED BATCH ASSEMBLY — the dynamic-batching step a training
+    * or inference loader runs when sequences are padded to the batch max:
+    * batching docs of similar length together bounds padding waste, where
+    * random batching pays for every batch's longest member. Docs are
+    * bucketed by token-count band (`bandWidth` tokens per band), ordered
+    * within a band by the salted deterministic scatter (the
+    * [[graft.operators.IvfIndex.balancedSample]] discipline — reproducible
+    * across engines/reruns, never `rand()`), and cut into batches of
+    * `batchSize`; ragged final batches per band are kept.
+    *
+    * Returns (idCol, n_tokens, band, batch_id, pos) — `batch_id` unique
+    * within a band, `pos ∈ [0, batchSize)`.
+    *
+    * Scale shape: one projection for counts, ONE exchange keyed by band
+    * for the rank window; batch assembly is arithmetic on the rank. The
+    * per-band rank is the same shape as [[shardAssign]] and inherits its
+    * layout-invariance.
+    */
+  def lengthBucketBatches(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, bandWidth: Int, batchSize: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(bandWidth >= 1 && batchSize >= 1,
+      s"bad bandWidth/batchSize: $bandWidth/$batchSize")
+    import org.apache.spark.sql.expressions.Window
+    val n = size_(tokens(col(textCol)))
+    val salted = (col(idCol) * lit(2654435761L)) % lit(1000003L)
+    val banded = docs.select(col(idCol), n.as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("band", expr(s"n_tokens div $bandWidth"))
+    banded
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(col("band")).orderBy(salted, col(idCol))) - 1)
+      .select(col(idCol), col("n_tokens"), col("band"),
+        expr(s"_rk div $batchSize").as("batch_id"),
+        (col("_rk") % batchSize).as("pos"))
+  }
 }

@@ -1418,6 +1418,24 @@ object TextQueries {
         sliced.filter(col("doc_id") % 10 === 0)
           .select((col("doc_id") + 100000).as("doc_id"), col("text")))
       Dedup.setSimilarityJoin(planted, "doc_id", "text", threshold = 0.7)
+    },
+
+    // --- length-bucketed batch assembly (txt47): dynamic batching for
+    // --- padded training/inference — 16-token length bands, batches of 8
+    // --- cut by the salted deterministic rank within each band, so
+    // --- per-batch padding waste is bounded by the band width instead of
+    // --- the corpus length spread. One band-keyed exchange total. ---------
+    q("txt47_length_batches",
+      s"""WITH t AS (SELECT doc_id, len($toksSql) AS n_tokens FROM documents),
+         |t2 AS (SELECT * FROM t WHERE n_tokens > 0),
+         |r AS (SELECT doc_id, n_tokens, n_tokens // 16 AS band,
+         |  ROW_NUMBER() OVER (PARTITION BY n_tokens // 16
+         |    ORDER BY (doc_id * 2654435761) % 1000003, doc_id) - 1 AS rk
+         |  FROM t2)
+         |SELECT doc_id, n_tokens, band, rk // 8 AS batch_id, rk % 8 AS pos
+         |FROM r""".stripMargin) { (s, d) =>
+      TextOps.lengthBucketBatches(Tables.documents(s, d), "doc_id", "text",
+        bandWidth = 16, batchSize = 8)
     }
   )
 }

@@ -984,6 +984,41 @@ object VectorQueries {
       graft.operators.IvfIndex.balancedSample(idx, "vec_id", mPerCell = 8)
     },
 
+    // --- embedding distribution-drift report (vec22): the monitoring half
+    // --- of the frozen-quantizer trade — assign the incoming half to the
+    // --- centroids trained on the base half, flag cells whose data share
+    // --- more than doubled/halved via exact-integer cross-multiplication
+    // --- (no division ⇒ engine-portable verdicts; empty cells kept).
+    // --- Oracle = the vec07 unrolled-Lloyd chain over the base half + both
+    // --- assignments + the same integer inequality. -----------------------
+    q("vec22_drift_report",
+      s"""WITH $quantSql,
+         |qe AS (SELECT vec_id, qv FROM q WHERE vec_id % 2 = 0),
+         |qn AS (SELECT vec_id, qv FROM q WHERE vec_id % 2 = 1),
+         |c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, qv AS cv
+         |  FROM (SELECT vec_id, qv FROM qe ORDER BY vec_id LIMIT 16) s),
+         |${lloydSql(1, "c0", "qe")},
+         |${lloydSql(2, "c1", "qe")},
+         |${assignSql("ab", "vec_id", "qe")},
+         |${assignSql("an", "vec_id", "qn")},
+         |bc AS (SELECT cell, COUNT(*) AS c FROM ab GROUP BY 1),
+         |nc AS (SELECT cell, COUNT(*) AS c FROM an GROUP BY 1),
+         |tot AS (SELECT (SELECT COUNT(*) FROM ab) AS tb,
+         |               (SELECT COUNT(*) FROM an) AS tn)
+         |SELECT c2.cell, CAST(COALESCE(bc.c, 0) AS BIGINT) AS n_base,
+         |  CAST(COALESCE(nc.c, 0) AS BIGINT) AS n_new,
+         |  (COALESCE(nc.c, 0)*tb > 2*COALESCE(bc.c, 0)*tn
+         |   OR COALESCE(bc.c, 0)*tn > 2*COALESCE(nc.c, 0)*tb) AS drifted
+         |FROM c2 LEFT JOIN bc ON c2.cell = bc.cell
+         |        LEFT JOIN nc ON c2.cell = nc.cell, tot""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val idx = graft.operators.IvfIndex.build(
+        emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        nLists = 16, iters = 2)
+      graft.operators.IvfIndex.driftReport(idx,
+        emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+    },
+
     // --- ViT patch-grid prep (mm10): the vision-transformer input shaping
     // --- after decode — ceil-divided 16×16 patch grid, padding amounts,
     // --- token budget capped at 9 patches (+1 CLS) with a truncation flag.

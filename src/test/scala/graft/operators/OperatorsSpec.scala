@@ -914,6 +914,28 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("driftReport: share doubling/halving flags; balanced halves stay calm") {
+    import spark.implicits._
+    def vecs(rows: Seq[(Long, Array[Float])]) = rows.toDF("vec_id", "embedding")
+    val a = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val b = Array(0.0f, 1.0f, 0.0f, 0.0f)
+    // base: 2 in cluster A, 8 in cluster B; ids 0/1 seed one of each
+    val base = vecs(Seq(0L -> a, 1L -> b, 2L -> a) ++
+      (3L to 9L).map(_ -> b))
+    val idx = IvfIndex.build(base, "vec_id", "embedding", nLists = 2, iters = 1)
+    // skewed incoming: everything lands in A's cell
+    val skew = vecs((100L to 109L).map(_ -> a))
+    val r = IvfIndex.driftReport(idx, skew, "vec_id", "embedding")
+      .select($"n_base", $"n_new", $"drifted")
+      .as[(Long, Long, Boolean)].collect().toSet
+    // A: 2→10 of a 10-total (share 0.2→1.0, >2×) — drifted;
+    // B: 8→0 — drifted (emptied)
+    assert(r == Set((2L, 10L, true), (8L, 0L, true)))
+    // the base re-presented as "incoming" drifts nothing
+    val calm = IvfIndex.driftReport(idx, base, "vec_id", "embedding")
+    assert(calm.filter($"drifted").count() == 0)
+  }
+
   test("balancedSample: quota per cell, deterministic, complete under small cells") {
     import spark.implicits._
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")

@@ -601,6 +601,27 @@ class TextPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("lengthBucketBatches: complete, band-homogeneous batches, layout-invariant") {
+    val docs = graft.Tables.documents(spark, dir)
+    val out = TextOps.lengthBucketBatches(docs, "doc_id", "text",
+      bandWidth = 16, batchSize = 8)
+    val n = docs.filter(length(trim($"text")) > 0).count()
+    assert(out.count() == n)                               // every doc once
+    assert(out.select($"doc_id").distinct().count() == n)
+    // positions dense in [0, batchSize); batch homogeneity bounded by band
+    val bad = out.filter($"pos" < 0 || $"pos" >= 8).count()
+    assert(bad == 0)
+    val spread = out.groupBy($"band", $"batch_id")
+      .agg((max($"n_tokens") - min($"n_tokens")).as("spread"),
+        countDistinct($"pos").as("np"), count(lit(1)).as("cnt"))
+    assert(spread.filter($"spread" >= 16).count() == 0)    // padding bound
+    assert(spread.filter($"np" =!= $"cnt").count() == 0)   // pos dense per batch
+    // deterministic under physical layout
+    val again = TextOps.lengthBucketBatches(docs.repartition(11), "doc_id",
+      "text", bandWidth = 16, batchSize = 8)
+    assert(out.collect().toSet == again.collect().toSet)
+  }
+
   test("chunk: overlap windows cover every token; tails short; empty docs dropped") {
     val docs = Seq(
       (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks: 3 chunks @4/3
