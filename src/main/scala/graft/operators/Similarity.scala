@@ -428,6 +428,31 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** RECALL@K EVALUATION — the index-quality harness every ANN deployment
+    * runs before trusting an approximate search path: per probe, the
+    * fraction of the EXACT top-k the approximate search recovered. Both
+    * inputs are (probe_id, neighbor_id) top-k frames (rank columns
+    * ignored); the exact side anchors, so probes the approximate path
+    * missed entirely still report recall 0. Deterministic because both
+    * search paths here are (quantized integer math + id tie-breaks), which
+    * is what makes recall itself hash-exact and oracle-able — most systems
+    * can only eyeball this number.
+    *
+    * Scale shape: one equi-join on (probe, neighbor) over two k·probes
+    * frames + one grouped count — evaluation cost is independent of corpus
+    * size once the two searches have run.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be ≥ 1: $k")
+    val hit = approx.select(col("probe_id"), col("neighbor_id"), lit(1L).as("_hit"))
+    exact.select(col("probe_id"), col("neighbor_id"))
+      .join(hit, Seq("probe_id", "neighbor_id"), "left")
+      .groupBy(col("probe_id"))
+      .agg(sum(coalesce(col("_hit"), lit(0L))).as("n_hit"))
+      .select(col("probe_id"), col("n_hit"),
+        (col("n_hit").cast("double") / k).as("recall"))
+  }
+
   /** MAXIMAL MARGINAL RELEVANCE rerank — the diversity-aware top-k a
     * retrieval pipeline puts between ANN candidates and the consumer, so k
     * near-duplicate neighbors don't crowd out distinct relevant results:

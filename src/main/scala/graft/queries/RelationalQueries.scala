@@ -1278,6 +1278,42 @@ object RelationalQueries {
         .join(actual, Seq("event_type", "day"), "left")
         .select(col("event_type"), col("day"),
           coalesce(col("n"), lit(0L)).as("n"))
+    },
+
+    // --- referential-integrity audit (q59): the data-quality report a
+    // --- warehouse runs over a star schema — orphans (children without
+    // --- parents) and childless parents, one anti-join each, unioned into
+    // --- a single (check, n) report. Anti joins broadcast their smaller
+    // --- side; each check scans only its two key columns. ----------------
+    q("q59_integrity_audit",
+      """SELECT 'lineitem_without_order' AS chk, COUNT(*) AS n FROM lineitem l
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |UNION ALL
+        |SELECT 'order_without_customer', COUNT(*) FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |UNION ALL
+        |SELECT 'order_without_lineitem', COUNT(*) FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+        |UNION ALL
+        |SELECT 'customer_without_order', COUNT(*) FROM customer c
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |UNION ALL
+        |SELECT 'part_never_ordered', COUNT(*) FROM part p
+        |  WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)""".stripMargin) { (s, d) =>
+      def orphans(name: String, child: DataFrame, ck: String,
+          parent: DataFrame, pk: String) =
+        child.join(parent, child(ck) === parent(pk), "left_anti")
+          .agg(count(lit(1)).as("n")).select(lit(name).as("chk"), col("n"))
+      orphans("lineitem_without_order",
+          Tables.lineitem(s, d), "l_orderkey", Tables.orders(s, d), "o_orderkey")
+        .unionByName(orphans("order_without_customer",
+          Tables.orders(s, d), "o_custkey", Tables.customer(s, d), "c_custkey"))
+        .unionByName(orphans("order_without_lineitem",
+          Tables.orders(s, d), "o_orderkey", Tables.lineitem(s, d), "l_orderkey"))
+        .unionByName(orphans("customer_without_order",
+          Tables.customer(s, d), "c_custkey", Tables.orders(s, d), "o_custkey"))
+        .unionByName(orphans("part_never_ordered",
+          Tables.part(s, d), "p_partkey", Tables.lineitem(s, d), "l_partkey"))
     }
   )
 

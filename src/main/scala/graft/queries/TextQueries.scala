@@ -1436,6 +1436,41 @@ object TextQueries {
          |FROM r""".stripMargin) { (s, d) =>
       TextOps.lengthBucketBatches(Tables.documents(s, d), "doc_id", "text",
         bandWidth = 16, batchSize = 8)
+    },
+
+    // --- leakage-safe train/val/test split (txt48): near-duplicates MUST
+    // --- land in the same split — hashing the doc id (txt12) leaks a
+    // --- training doc's near-copy into eval. Split by the dup-CLUSTER
+    // --- representative instead: members share the rep by construction,
+    // --- so co-location is structural, not probabilistic. Composes txt10's
+    // --- distributed connected components with txt12's salted-md5 bucket;
+    // --- unclustered docs fall back to their own id. ----------------------
+    q("txt48_leakage_safe_split",
+      s"""WITH RECURSIVE $corpusSql,
+         |$minhashSql,
+         |sym AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM sym
+         |  UNION
+         |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u
+         |),
+         |cl AS (SELECT u AS member, LEAST(u, MIN(v)) AS rep FROM reach GROUP BY u),
+         |wr AS (SELECT c.doc_id, COALESCE(cl.rep, c.doc_id) AS rep
+         |  FROM corpus c LEFT JOIN cl ON c.doc_id = cl.member),
+         |h AS (SELECT doc_id, rep,
+         |  ${hex32Sql("'42:'||CAST(rep AS VARCHAR)")} % 10 AS bucket FROM wr)
+         |SELECT doc_id, rep, bucket,
+         |  CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM h""".stripMargin) { (s, d) =>
+      val docs = corpus(s, d)
+      val cl = Dedup.clustersDistributed(
+        Dedup.minhashCandidatePairs(docs, "doc_id", "text"))
+      val wr = docs.join(cl, docs("doc_id") === cl("member"), "left")
+        .select(docs("doc_id"), coalesce(col("rep"), docs("doc_id")).as("rep"))
+      wr.select(col("doc_id"), col("rep"),
+          TextOps.splitBucket(col("rep"), salt = 42, nBuckets = 10).as("bucket"))
+        .withColumn("split", TextOps.splitLabel(col("bucket")))
     }
   )
 }

@@ -1040,6 +1040,79 @@ object VectorQueries {
       Multimodal.vitPatchGrid(
         Multimodal.withBlob(Tables.documents(s, d), "text", "source"),
         patch = 16, maxPatches = 9)
+    },
+
+    // --- ANN recall@k evaluation (vec23): the index-quality harness — per
+    // --- probe, how much of the EXACT top-3 the IVF search (nProbe=4 of 16
+    // --- cells) recovered. Both paths are integer-quantized + id
+    // --- tie-broken, so recall itself is deterministic and fully
+    // --- value-oracled — the rare case where an ANN quality number is
+    // --- hash-exact rather than eyeballed. --------------------------------
+    q("vec23_recall_eval",
+      s"""WITH $quantSql,
+         |c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, qv AS cv
+         |  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 16) s),
+         |${lloydSql(1, "c0", "q")},
+         |${lloydSql(2, "c1", "q")},
+         |${assignSql("idx", "neighbor_id", "q")},
+         |${assignSql("pc", "probe_id", "n", " WHERE n.vec_id < 10", "rn <= 4")},
+         |iscored AS (SELECT pc.probe_id, idx.neighbor_id,
+         |  CAST(CAST(list_sum([p.qv[i]*c.qv[i] for i in generate_series(1, len(p.qv))]) AS BIGINT) AS DOUBLE)
+         |    / (sqrt(CAST(p.n2 AS DOUBLE))*sqrt(CAST(c.n2 AS DOUBLE))) AS sim
+         |  FROM pc JOIN idx ON pc.cell = idx.cell
+         |  JOIN n p ON p.vec_id = pc.probe_id
+         |  JOIN n c ON c.vec_id = idx.neighbor_id
+         |  WHERE idx.neighbor_id <> pc.probe_id),
+         |ivf AS (SELECT probe_id, neighbor_id FROM (SELECT probe_id, neighbor_id,
+         |  ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM iscored) t WHERE rank <= 3),
+         |bscored AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |  CAST(CAST(list_sum([p.qv[i]*c.qv[i] for i in generate_series(1, len(p.qv))]) AS BIGINT) AS DOUBLE)
+         |    / (sqrt(CAST(p.n2 AS DOUBLE))*sqrt(CAST(c.n2 AS DOUBLE))) AS sim
+         |  FROM n p, n c WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id),
+         |bf AS (SELECT probe_id, neighbor_id FROM (SELECT probe_id, neighbor_id,
+         |  ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM bscored) t WHERE rank <= 3)
+         |SELECT bf.probe_id, CAST(COUNT(ivf.neighbor_id) AS BIGINT) AS n_hit,
+         |  CAST(COUNT(ivf.neighbor_id) AS DOUBLE)/3 AS recall
+         |FROM bf LEFT JOIN ivf ON bf.probe_id = ivf.probe_id
+         |  AND bf.neighbor_id = ivf.neighbor_id
+         |GROUP BY bf.probe_id""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val probes = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.knnBrute(probes, emb, "vec_id", "embedding", k = 3)
+      val approx = graft.operators.IvfIndex.search(probes, emb,
+        "vec_id", "embedding", k = 3, nLists = 16, nProbe = 4)
+      Similarity.recallAtK(exact, approx, k = 3)
+    },
+
+    // --- text-image pair assembly (mm11): the CLIP-style training-pair
+    // --- step — captions (token-counted, quality-banded) joined 1:1 with
+    // --- their decoded image dims, a keep flag for the trainable band
+    // --- (5–64 caption tokens, ≥256 px). One equi-join on the id after
+    // --- the batched decode; the quality predicate is pure projection. ----
+    q("mm11_pair_table",
+      s"""WITH raw AS (SELECT doc_id, CAST(strlen(text) AS INT) AS n_bytes,
+         |  CAST(list_sum(list_transform(regexp_split_to_array(text,''),
+         |    x -> CAST(unicode(x) AS BIGINT))) AS BIGINT) % 2147483647 AS checksum
+         |  FROM documents),
+         |dims AS (SELECT doc_id, CAST(n_bytes % 64 + 1 AS INT) AS width,
+         |  CAST(checksum % 64 + 1 AS INT) AS height FROM raw),
+         |cap AS (SELECT doc_id,
+         |  len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_caption_tokens
+         |  FROM documents)
+         |SELECT d.doc_id AS pair_id, c.n_caption_tokens, d.width, d.height,
+         |  (c.n_caption_tokens BETWEEN 5 AND 64 AND d.width*d.height >= 256) AS keep
+         |FROM dims d JOIN cap c ON d.doc_id = c.doc_id""".stripMargin) { (s, d) =>
+      val metas = Multimodal.decodeBatched(
+        Multimodal.withBlob(Tables.documents(s, d), "text", "source")).toDF()
+      val caps = Tables.documents(s, d).select(col("doc_id"),
+        size(graft.operators.TextOps.tokens(col("text"))).as("n_caption_tokens"))
+      metas.join(caps, Seq("doc_id"))
+        .select(col("doc_id").as("pair_id"), col("n_caption_tokens"),
+          col("width"), col("height"),
+          (col("n_caption_tokens").between(5, 64) &&
+            col("width") * col("height") >= 256).as("keep"))
     }
   )
 }

@@ -58,6 +58,21 @@ class RankDiversitySpec extends AnyFunSuite {
     assert(mmr.size == 3 && mmr.toSet.size == 3)
   }
 
+  test("recallAtK: identity = 1.0, disjoint = 0, partial counts exactly; missed probes anchored") {
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L), (2L, 22L))
+      .toDF("probe_id", "neighbor_id")
+    assert(Similarity.recallAtK(exact, exact, 3)
+      .select($"recall").as[Double].collect().forall(_ == 1.0))
+    val approx = Seq((1L, 10L), (1L, 99L), (1L, 98L)) // probe 2 entirely missed
+      .toDF("probe_id", "neighbor_id")
+    val r = Similarity.recallAtK(exact, approx, 3)
+      .select($"probe_id", $"n_hit", $"recall")
+      .as[(Long, Long, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(r(1L) == ((1L, 1.0 / 3)))
+    assert(r(2L) == ((0L, 0.0)))
+  }
+
   test("mmrRerank: pick 1 equals brute rank 1; picks are distinct candidates") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val probes = emb.filter($"vec_id" < 5)

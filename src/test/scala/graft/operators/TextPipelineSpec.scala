@@ -601,6 +601,27 @@ class TextPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("leakage-safe split: every dup-cluster lands whole in ONE split") {
+    val docs = graft.Tables.documents(spark, dir).select($"doc_id", $"text")
+    // plant copies whose id-hash split WOULD differ from the original's
+    val planted = docs.unionByName(docs.filter($"doc_id" % 4 === 0)
+      .select(($"doc_id" + 50000).as("doc_id"), $"text"))
+    val cl = Dedup.clustersDistributed(
+      Dedup.minhashCandidatePairs(planted, "doc_id", "text"))
+    val wr = planted.join(cl, planted("doc_id") === cl("member"), "left")
+      .select(planted("doc_id"), coalesce($"rep", planted("doc_id")).as("rep"))
+    val split = wr.withColumn("split",
+      TextOps.splitLabel(TextOps.splitBucket($"rep", 42, 10)))
+    // a cluster never straddles splits
+    val straddlers = split.groupBy($"rep")
+      .agg(countDistinct($"split").as("ns")).filter($"ns" > 1).count()
+    assert(straddlers == 0)
+    // and the planted copies demonstrably clustered with their originals
+    val copyReps = split.filter($"doc_id" >= 50000).select($"doc_id", $"rep")
+      .as[(Long, Long)].collect()
+    assert(copyReps.nonEmpty && copyReps.forall { case (id, rep) => rep <= id - 50000 })
+  }
+
   test("lengthBucketBatches: complete, band-homogeneous batches, layout-invariant") {
     val docs = graft.Tables.documents(spark, dir)
     val out = TextOps.lengthBucketBatches(docs, "doc_id", "text",
