@@ -584,6 +584,53 @@ object TextOps {
     */
   private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
 
+  /** RAKE KEYWORD EXTRACTION (Rose et al.) — candidate phrases are maximal
+    * runs of non-stopword tokens (gaps-and-islands on token position);
+    * word score = deg/freq over all candidate-phrase occurrences
+    * corpus-wide (deg(w) = Σ phrase-length over w's occurrences — the
+    * within-phrase co-occurrence degree including self; freq(w) = its
+    * occurrence count), phrase score = sum of member word scores. Words
+    * that only appear alone score 1.0; words that ride in long phrases
+    * score higher — RAKE's preference for multi-word technical terms.
+    *
+    * Determinism: word scores are one IEEE division of exact integers;
+    * the phrase sum follows the decimal-cast discipline
+    * ([[graft.queries.Qutil.dsum]] rationale) so member order cannot
+    * change it. Returns distinct (idCol, phrase, n_words, score) with
+    * `n_words ≥ minWords`.
+    *
+    * Scale shape: islands are one doc-keyed window; word stats are two
+    * partial-agg'd hash aggregations over phrase members (vocabulary-
+    * bounded); the score join back is vocabulary-sized.
+    */
+  def rakeKeywords(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, stopwords: Seq[String],
+      minWords: Int = 2): org.apache.spark.sql.DataFrame = {
+    require(stopwords.nonEmpty, "need a stopword list (phrase delimiters)")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val px = docs.select(col(idCol), posexplode(tokens(col(textCol))))
+      .toDF(idCol, "pos", "tok")
+    val ns = px.filter(!col("tok").isin(stopwords: _*))
+      .withColumn("isl", col("pos") - row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("pos"))))
+    val ph = ns.groupBy(col(idCol), col("isl"))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").as("phrase"),
+        count(lit(1)).as("plen"))
+    val ws = ns.join(ph, Seq(idCol, "isl"))
+      .groupBy(col("tok"))
+      .agg((sum(col("plen")).cast("double") / count(lit(1))).as("wscore"))
+    val psc = ns.join(ws, Seq("tok"))
+      .groupBy(col(idCol), col("isl"))
+      .agg(sum(col("wscore").cast(DecimalType(18, 6))).cast("double").as("score"))
+    psc.join(ph, Seq(idCol, "isl"))
+      .filter(col("plen") >= minWords)
+      .select(col(idCol), col("phrase"), col("plen").as("n_words"), col("score"))
+      .distinct()
+  }
+
   /** LENGTH-BUCKETED BATCH ASSEMBLY — the dynamic-batching step a training
     * or inference loader runs when sequences are padded to the batch max:
     * batching docs of similar length together bounds padding waste, where

@@ -667,6 +667,37 @@ object CdcQueries {
           chunkExpr = col("key").cast("long") % 4, watermarks = wms, horizon = hz)
         .select(col("key").cast("long").as("user_id"),
           get_json_object(col("after"), "$.value").cast("double").as("last_value"))
+    },
+
+    // --- warehouse-loop consistency cross-check (cdc26): three independent
+    // --- consumers of the same changelog — latest-state compaction, SCD2
+    // --- current versions, and the retract-stream IVM — must agree on the
+    // --- live-key count. Each path computes its number through its OWN
+    // --- machinery; the oracle states the single ground-truth count three
+    // --- times, so ANY divergence between the operator families breaks
+    // --- the gate. --------------------------------------------------------
+    q("cdc26_consistency_check",
+      """WITH ranked AS (SELECT *, row_number() OVER (
+        |  PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events),
+        |live AS (SELECT COUNT(*) AS n FROM ranked
+        |  WHERE rn = 1 AND event_type <> 'error')
+        |SELECT 'latest_keys' AS src, n FROM live
+        |UNION ALL SELECT 'scd2_current' AS src, n FROM live
+        |UNION ALL SELECT 'ivm_live' AS src, n FROM live""".stripMargin) { (s, d) =>
+      val env = ChangelogGen.fromEvents(s, d).toDF()
+      val latest = LatestState.batch(env, Seq("table", "key"), Seq("lsn", "seq"))
+        .agg(count(lit(1)).as("n"))
+        .select(lit("latest_keys").as("src"), col("n"))
+      val scd2 = ScdHistory.batch(env, Seq("table", "key"), Seq("lsn", "seq"))
+        .filter(col("is_current"))
+        .agg(count(lit(1)).as("n"))
+        .select(lit("scd2_current").as("src"), col("n"))
+      val ivm = IncrementalAgg.sumCount(env, Seq("table", "key"), Seq("lsn", "seq"),
+          groupExpr = get_json_object(col("after"), "$.event_type"),
+          valueExpr = get_json_object(col("after"), "$.value").cast("double"))
+        .agg(sum(col("n_live")).as("n"))
+        .select(lit("ivm_live").as("src"), col("n"))
+      latest.unionByName(scd2).unionByName(ivm)
     }
   )
 }

@@ -1314,6 +1314,22 @@ object RelationalQueries {
           Tables.customer(s, d), "c_custkey", Tables.orders(s, d), "o_custkey"))
         .unionByName(orphans("part_never_ordered",
           Tables.part(s, d), "p_partkey", Tables.lineitem(s, d), "l_partkey"))
+    },
+
+    // --- UNPIVOT / melt (q60): the inverse of q28's PIVOT — wide numeric
+    // --- attributes to long (key, attr, val) form, the normalization step
+    // --- before generic per-attribute profiling. Spark's native unpivot
+    // --- (Expand under the hood: one pass, rows × n_attrs, no shuffle);
+    // --- oracle is the literal UNION ALL definition. ----------------------
+    q("q60_unpivot",
+      """SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val FROM part""".stripMargin) { (s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"), col("p_size").cast("double"),
+          col("p_retailprice"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("p_size"), col("p_retailprice")), "attr", "val")
     }
   )
 

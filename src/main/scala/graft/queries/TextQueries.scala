@@ -1471,6 +1471,38 @@ object TextQueries {
       wr.select(col("doc_id"), col("rep"),
           TextOps.splitBucket(col("rep"), salt = 42, nBuckets = 10).as("bucket"))
         .withColumn("split", TextOps.splitLabel(col("bucket")))
+    },
+
+    // --- RAKE keyword extraction (txt49): multi-word technical terms by
+    // --- degree/frequency scoring over stopword-delimited candidate
+    // --- phrases; word scores are exact-integer divisions, phrase sums
+    // --- decimal-cast (order-proof) — the whole pipeline hash-matches.
+    // --- Oracle mirrors the islands, both aggregations, and the decimal
+    // --- phrase sum. ------------------------------------------------------
+    q("txt49_rake_keywords",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |px AS (SELECT doc_id, unnest(toks) AS tok,
+         |  unnest(generate_series(1, len(toks))) AS pos FROM t),
+         |ns AS (SELECT doc_id, tok, pos,
+         |  pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+         |  FROM px WHERE tok NOT IN ('a','the','of','to','and','in','is')),
+         |ph AS (SELECT doc_id, isl,
+         |  array_to_string(array_agg(tok ORDER BY pos), ' ') AS phrase,
+         |  COUNT(*) AS plen FROM ns GROUP BY 1, 2),
+         |ws AS (SELECT ns.tok,
+         |  CAST(SUM(ph.plen) AS DOUBLE)/COUNT(*) AS wscore
+         |  FROM ns JOIN ph ON ns.doc_id = ph.doc_id AND ns.isl = ph.isl
+         |  GROUP BY 1),
+         |psc AS (SELECT ns.doc_id, ns.isl,
+         |  CAST(SUM(CAST(ws.wscore AS DECIMAL(18,6))) AS DOUBLE) AS score
+         |  FROM ns JOIN ws ON ns.tok = ws.tok GROUP BY 1, 2)
+         |SELECT DISTINCT p.doc_id, p.phrase, CAST(p.plen AS BIGINT) AS n_words,
+         |  psc.score
+         |FROM ph p JOIN psc ON p.doc_id = psc.doc_id AND p.isl = psc.isl
+         |WHERE p.plen >= 2""".stripMargin) { (s, d) =>
+      TextOps.rakeKeywords(Tables.documents(s, d), "doc_id", "text",
+        stopwords = Seq("a", "the", "of", "to", "and", "in", "is"),
+        minWords = 2)
     }
   )
 }

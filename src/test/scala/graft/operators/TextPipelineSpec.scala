@@ -601,6 +601,21 @@ class TextPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("rakeKeywords: hand-computed deg/freq scores; solo phrases filtered") {
+    val docs = Seq(
+      (1L, "deep learning of deep networks"),
+      (2L, "training of models of data")).toDF("doc_id", "text")
+    val got = TextOps.rakeKeywords(docs, "doc_id", "text",
+      stopwords = Seq("of"), minWords = 2)
+      .select($"doc_id", $"phrase", $"n_words", $"score")
+      .as[(Long, String, Long, Double)].collect().toSet
+    // deep: freq 2, deg 2+2=4 → 2.0; learning/networks: freq 1, deg 2 → 2.0
+    // ⇒ both phrases score 4.0; doc 2's singleton phrases fall below minWords
+    assert(got == Set(
+      (1L, "deep learning", 2L, 4.0),
+      (1L, "deep networks", 2L, 4.0)))
+  }
+
   test("leakage-safe split: every dup-cluster lands whole in ONE split") {
     val docs = graft.Tables.documents(spark, dir).select($"doc_id", $"text")
     // plant copies whose id-hash split WOULD differ from the original's
