@@ -641,6 +641,31 @@ object Dedup {
       Seq(idCol), "left_anti")
   }
 
+  /** QUALITY-AWARE cluster dedup — [[clusterDedup]] keeps the MIN-ID member
+    * per near-dup cluster, which is arbitrary; production curation keeps
+    * the BEST member (longest, highest quality score, freshest crawl).
+    * The keeper per cluster is argmax(`qualityCol`), ties to the smallest
+    * id (deterministic ⇒ hash-exact); docs in no cluster pass untouched.
+    *
+    * Same scale shape as [[clusterDedup]] — the pairwise work lives in the
+    * banded LSH machinery; choosing keepers is one max_by per cluster
+    * (clusters are two-column narrow rows) plus one anti-join back.
+    */
+  def clusterDedupByQuality(docs: DataFrame, idCol: String, textCol: String,
+      qualityCol: String): DataFrame = {
+    val clusters = clustersDistributed(
+      minhashCandidatePairs(docs, idCol, textCol))
+    val withQ = clusters.join(
+      docs.select(col(idCol).as("member"), col(qualityCol).as("_q")),
+      Seq("member"))
+    val keepers = withQ.groupBy(col("rep"))
+      .agg(max_by(col("member"), struct(col("_q"), -col("member"))).as("_keep"))
+    val dropped = withQ.join(keepers, Seq("rep"))
+      .filter(col("member") =!= col("_keep"))
+      .select(col("member").as(idCol))
+    docs.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Contamination REPORT — the decision table a decontamination run
     * actually ships: one row per EVAL doc combining the two independent
     * leak signals ([[ngramOverlapPruned]] exact n-gram membership and

@@ -1330,6 +1330,35 @@ object RelationalQueries {
           col("p_retailprice"))
         .unpivot(Array(col("p_partkey")),
           Array(col("p_size"), col("p_retailprice")), "attr", "val")
+    },
+
+    // --- trailing-window distinct actives (q61): rolling 7-day WAU per
+    // --- day — the metric COUNT(DISTINCT) OVER RANGE cannot express and
+    // --- daily distincts cannot sum (a user active twice in the window
+    // --- counts once). Shape: dedup to (user, day) first (the big
+    // --- reduction), then each pair CONTRIBUTES to the ≤7 report days it
+    // --- covers (a bounded explode), one distinct-agg per report day.
+    // --- Window length is the only fan-out factor — at 100 TB this is
+    // --- O(active-pairs · window), never events · window. ----------------
+    q("q61_rolling_actives",
+      """WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM du),
+        |c AS (SELECT user_id, CAST(unnest(generate_series(
+        |    CAST(day AS TIMESTAMP), CAST(day + 6 AS TIMESTAMP),
+        |    INTERVAL 1 DAY)) AS DATE) AS day FROM du)
+        |SELECT c.day, COUNT(DISTINCT user_id) AS wau
+        |FROM c, span WHERE c.day BETWEEN span.d0 AND span.d1
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val du = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val span = du.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      du.select(col("user_id"),
+          explode(sequence(col("day"), date_add(col("day"), 6),
+            expr("interval 1 day"))).as("day"))
+        .crossJoin(broadcast(span))
+        .filter(col("day").between(col("d0"), col("d1")))
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("wau"))
     }
   )
 

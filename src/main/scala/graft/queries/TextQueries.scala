@@ -1503,6 +1503,37 @@ object TextQueries {
       TextOps.rakeKeywords(Tables.documents(s, d), "doc_id", "text",
         stopwords = Seq("a", "the", "of", "to", "and", "in", "is"),
         minWords = 2)
+    },
+
+    // --- quality-aware cluster dedup (txt50): keep the BEST member per
+    // --- near-dup cluster (longest here; ties to smallest id) instead of
+    // --- txt42's arbitrary min-id — clipped copies lose to their fuller
+    // --- originals, exact copies tie-break to the original id. Oracle =
+    // --- the recursive closure + per-cluster argmax window. ---------------
+    q("txt50_quality_dedup",
+      s"""WITH RECURSIVE $corpusSql,
+         |$minhashSql,
+         |sym AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM sym
+         |  UNION
+         |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u
+         |),
+         |cl AS (SELECT u AS member, LEAST(u, MIN(v)) AS rep FROM reach GROUP BY u),
+         |qv AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS q FROM corpus),
+         |wq AS (SELECT cl.member, cl.rep, qv.q FROM cl JOIN qv ON cl.member = qv.doc_id),
+         |keep AS (SELECT rep, member AS keeper FROM (
+         |  SELECT rep, member,
+         |    ROW_NUMBER() OVER (PARTITION BY rep ORDER BY q DESC, member) AS rn
+         |  FROM wq) t WHERE rn = 1),
+         |dropped AS (SELECT wq.member AS doc_id FROM wq
+         |  JOIN keep ON wq.rep = keep.rep WHERE wq.member <> keep.keeper)
+         |SELECT doc_id, text FROM corpus
+         |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin) { (s, d) =>
+      val docs = corpus(s, d)
+        .withColumn("q_len", octet_length(col("text")).cast("long"))
+      Dedup.clusterDedupByQuality(docs, "doc_id", "text", "q_len")
+        .select(col("doc_id"), col("text"))
     }
   )
 }

@@ -601,6 +601,30 @@ class TextPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("clusterDedupByQuality: fuller member beats clipped copy; ties keep min id") {
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val other = (100 to 130).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),                          // cluster A: fullest
+      (2L, base.split(" ").dropRight(6).mkString(" ")), // clipped — must drop
+      (3L, other),                         // cluster B: tie on length
+      (4L, other),                         //   → min id 3 kept
+      (5L, "completely different isolated content here")) // unclustered
+      .toDF("doc_id", "text")
+      .withColumn("q_len", octet_length($"text").cast("long"))
+    val kept = Dedup.clusterDedupByQuality(docs, "doc_id", "text", "q_len")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 5L))
+    // contrast: min-id dedup would also keep 1/3/5 here, so flip cluster A —
+    // give the HIGHER id the fuller text and assert quality wins over id
+    val flipped = Seq((1L, base.split(" ").dropRight(6).mkString(" ")),
+      (2L, base)).toDF("doc_id", "text")
+      .withColumn("q_len", octet_length($"text").cast("long"))
+    val kept2 = Dedup.clusterDedupByQuality(flipped, "doc_id", "text", "q_len")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept2 == Set(2L), "quality must beat the min-id default")
+  }
+
   test("rakeKeywords: hand-computed deg/freq scores; solo phrases filtered") {
     val docs = Seq(
       (1L, "deep learning of deep networks"),
