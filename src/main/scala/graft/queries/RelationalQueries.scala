@@ -1359,6 +1359,63 @@ object RelationalQueries {
         .filter(col("day").between(col("d0"), col("d1")))
         .groupBy(col("day"))
         .agg(countDistinct(col("user_id")).as("wau"))
+    },
+
+    // --- robust outlier report (q62): median/MAD per group — the outlier
+    // --- detector that survives the outliers it hunts (mean/stddev get
+    // --- dragged by them). Two exact interpolated-percentile passes (q30's
+    // --- proven-portable aggregate) + one conditional count; medians
+    // --- broadcast back per group. -----------------------------------------
+    q("q62_robust_outliers",
+      """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |dev AS (SELECT e.event_type, m.med, abs(e.value - m.med) AS ad
+        |  FROM events e JOIN med m USING (event_type)),
+        |mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT dev.event_type, MIN(dev.med) AS med, MIN(mad.mad) AS mad,
+        |  CAST(SUM(CASE WHEN dev.ad > 3*mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM dev JOIN mad USING (event_type)
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val med = ev.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val dev = ev.join(broadcast(med), Seq("event_type"))
+        .select(col("event_type"), col("med"),
+          abs(col("value") - col("med")).as("ad"))
+      val mad = dev.groupBy(col("event_type"))
+        .agg(expr("percentile(ad, 0.5)").as("mad"))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(min(col("med")).as("med"), min(col("mad")).as("mad"),
+          sum(when(col("ad") > lit(3) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"))
+    },
+
+    // --- event-transition matrix (q63): per-user next-event bigrams with
+    // --- per-source transition probabilities — the Markov-chain view of a
+    // --- clickstream. One user-keyed window for the successor, one
+    // --- grouped count, one tiny window for the row-normalization; the
+    // --- probability is a single division of exact counts. ---------------
+    q("q63_event_transitions",
+      """WITH seq AS (SELECT user_id, event_type,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS nxt
+        |  FROM events)
+        |SELECT event_type AS src, nxt AS dst, COUNT(*) AS n,
+        |  CAST(COUNT(*) AS DOUBLE) /
+        |    SUM(COUNT(*)) OVER (PARTITION BY event_type) AS p
+        |FROM seq WHERE nxt IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val seq = Tables.events(s, d).select(col("user_id"), col("event_type"),
+        lead(col("event_type"), 1).over(
+          Window.partitionBy(col("user_id")).orderBy(col("event_id"))).as("nxt"))
+      seq.filter(col("nxt").isNotNull)
+        .groupBy(col("event_type").as("src"), col("nxt").as("dst"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("src"))))
     }
   )
 

@@ -1534,6 +1534,50 @@ object TextQueries {
         .withColumn("q_len", octet_length(col("text")).cast("long"))
       Dedup.clusterDedupByQuality(docs, "doc_id", "text", "q_len")
         .select(col("doc_id"), col("text"))
+    },
+
+    // --- collocation mining (txt52): statistically-bound word pairs by
+    // --- LIFT = P(w1w2)/(P(w1)·P(w2)) = n_ab·N/(n_a·n_b) — the PMI family
+    // --- without the log (exact integer numerator/denominator, ONE IEEE
+    // --- division ⇒ engine-identical, the txt11 idf discipline). Pairs
+    // --- with count ≥ 3 and lift ≥ 1.4 are reported (this corpus's lift
+    // --- ceiling is ~4.8 — templated text keeps co-occurrence flat). Two vocabulary-bounded
+    // --- hash aggs + one pair-keyed join; N broadcasts as one row. --------
+    q("txt52_collocations",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |uni AS (SELECT unnest(toks) AS w FROM t),
+         |n AS (SELECT COUNT(*) AS nt FROM uni),
+         |uc AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY 1),
+         |bi AS (SELECT unnest([ [toks[i], toks[i+1]]
+         |    for i in generate_series(1, len(toks)-1) ]) AS pr FROM t),
+         |bc AS (SELECT pr[1] AS w1, pr[2] AS w2, COUNT(*) AS n_pair
+         |  FROM bi GROUP BY 1, 2)
+         |SELECT bc.w1, bc.w2, bc.n_pair,
+         |  CAST(bc.n_pair * n.nt AS DOUBLE) / CAST(a.c * b.c AS DOUBLE) AS lift
+         |FROM bc JOIN uc a ON bc.w1 = a.w JOIN uc b ON bc.w2 = b.w, n
+         |WHERE bc.n_pair >= 3
+         |  AND CAST(bc.n_pair * n.nt AS DOUBLE) / CAST(a.c * b.c AS DOUBLE) >= 1.4""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      val uni = t.select(explode(col("toks")).as("w"))
+      val n = uni.agg(count(lit(1)).as("nt"))
+      val uc = uni.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      // Spark's sequence(0, -1) counts DOWN (the shingles() hazard) — a
+      // one-token doc must contribute no pairs, not a reversed range
+      val bc = t.filter(size(col("toks")) >= 2)
+        .select(explode(transform(
+          sequence(lit(0), size(col("toks")) - 2),
+          i => struct(element_at(col("toks"), i + 1).as("w1"),
+            element_at(col("toks"), i + 2).as("w2")))).as("pr"))
+        .select(col("pr.w1"), col("pr.w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+      bc.join(uc.select(col("w").as("w1"), col("c").as("_ca")), Seq("w1"))
+        .join(uc.select(col("w").as("w2"), col("c").as("_cb")), Seq("w2"))
+        .crossJoin(broadcast(n))
+        .withColumn("lift", (col("n_pair") * col("nt")).cast("double") /
+          (col("_ca") * col("_cb")).cast("double"))
+        .filter(col("n_pair") >= 3 && col("lift") >= 1.4)
+        .select(col("w1"), col("w2"), col("n_pair"), col("lift"))
     }
   )
 }
