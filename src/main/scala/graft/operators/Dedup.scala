@@ -641,6 +641,41 @@ object Dedup {
       Seq(idCol), "left_anti")
   }
 
+  /** FUZZY PAIR JOIN at edit distance ≤ 1 (FastSS deletion neighborhoods) —
+    * typo-level entity matching, EXACT and complete: two strings are
+    * within Levenshtein distance 1 iff their deletion neighborhoods
+    * (`{s} ∪ {s minus character i}`) intersect — a substitution at `i`
+    * makes both `minus-i` variants equal, an insertion/deletion makes one
+    * string a member of the other's neighborhood, and `s` itself catches
+    * duplicates. So the candidate set is ONE equi-join on neighborhood
+    * strings (never all-pairs, never a similarity scan), and the built-in
+    * `levenshtein` verify keeps no false positives.
+    *
+    * Returns (a, b, dist ∈ {0,1}) with a < b.
+    *
+    * Scale shape: |s|+1 variant rows per string, each a near-full-length
+    * key — collisions happen only between near-identical strings, so
+    * bucket occupancy follows real duplication, not corpus size. The
+    * distance-k generalization (all k-deletion subsets) trades k-th-power
+    * fan-out for the same completeness; k = 1 is the typo sweet spot.
+    */
+  def fuzzyPairsEd1(strs: DataFrame, idCol: String, strCol: String): DataFrame = {
+    val s = col(strCol)
+    val variants = strs.select(col(idCol).as("_id"), s.as("_s"),
+        explode(concat(
+          array(s),
+          transform(sequence(lit(1), length(s)),
+            i => concat(s.substr(lit(1), i - 1),
+              s.substr(i + 1, length(s)))))).as("_v"))
+    val a = variants.select(col("_id").as("a"), col("_s").as("_sa"), col("_v"))
+    val b = variants.select(col("_id").as("b"), col("_s").as("_sb"), col("_v"))
+    a.join(b, Seq("_v"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("_sa"), col("_sb")).distinct()
+      .select(col("a"), col("b"), levenshtein(col("_sa"), col("_sb")).as("dist"))
+      .filter(col("dist") <= 1)
+  }
+
   /** QUALITY-AWARE cluster dedup — [[clusterDedup]] keeps the MIN-ID member
     * per near-dup cluster, which is arbitrary; production curation keeps
     * the BEST member (longest, highest quality score, freshest crawl).

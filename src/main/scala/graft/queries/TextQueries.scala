@@ -1578,6 +1578,38 @@ object TextQueries {
           (col("_ca") * col("_cb")).cast("double"))
         .filter(col("n_pair") >= 3 && col("lift") >= 1.4)
         .select(col("w1"), col("w2"), col("n_pair"), col("lift"))
+    },
+
+    // --- fuzzy entity matching at edit distance ≤ 1 (txt53, FastSS
+    // --- deletion neighborhoods): candidates meet on shared neighborhood
+    // --- strings — COMPLETE for ed ≤ 1 by construction, one equi-join,
+    // --- never an all-pairs distance scan; levenshtein verifies. Runs at
+    // --- the CANONICAL level — distinct values with their min-id
+    // --- representative (64 name strings carry up to 347 copies each
+    // --- here; id-level pairing would square that for nothing — the
+    // --- production shape canonicalizes values, then maps ids back
+    // --- through the value table). Planted one-character mutations must
+    // --- pair with their originals. ---------------------------------------
+    q("txt53_fuzzy_join",
+      """WITH raw AS (
+        |  SELECT p_partkey AS id, p_name AS s FROM part
+        |  UNION ALL SELECT p_partkey + 100000, 'z' || substr(p_name, 2)
+        |    FROM part WHERE p_partkey % 50 = 0),
+        |names AS (SELECT MIN(id) AS id, s FROM raw GROUP BY s),
+        |vars AS (SELECT id, s, unnest(list_append(
+        |    [substr(s, 1, i-1) || substr(s, i+1, strlen(s))
+        |     for i in generate_series(1, strlen(s))], s)) AS v FROM names),
+        |cand AS (SELECT DISTINCT a.id AS a, b.id AS b, a.s AS sa, b.s AS sb
+        |  FROM vars a JOIN vars b ON a.v = b.v AND a.id < b.id)
+        |SELECT a, b, CAST(levenshtein(sa, sb) AS INT) AS dist
+        |FROM cand WHERE levenshtein(sa, sb) <= 1""".stripMargin) { (s, d) =>
+      val part = Tables.part(s, d)
+      val raw = part.select(col("p_partkey").as("id"), col("p_name").as("s"))
+        .unionByName(part.filter(col("p_partkey") % 50 === 0)
+          .select((col("p_partkey") + 100000).as("id"),
+            concat(lit("z"), expr("substring(p_name, 2)")).as("s")))
+      val canonical = raw.groupBy(col("s")).agg(min(col("id")).as("id"))
+      Dedup.fuzzyPairsEd1(canonical, "id", "s")
     }
   )
 }

@@ -601,6 +601,32 @@ class TextPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzzyPairsEd1 ≡ brute-force levenshtein over all pairs (FastSS completeness)") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 5) {
+      val strs = (1L to 40L).map { id =>
+        val n = 2 + rnd.nextInt(6)
+        (id, Seq.fill(n)(('a' + rnd.nextInt(3)).toChar).mkString) // tiny alphabet → many near-misses
+      }
+      val got = Dedup.fuzzyPairsEd1(strs.toDF("id", "s"), "id", "s")
+        .select($"a", $"b", $"dist").as[(Long, Long, Int)].collect().toSet
+      val expect = (for {
+        (i, si) <- strs; (j, sj) <- strs if i < j
+        dd = lev(si, sj) if dd <= 1
+      } yield (i, j, dd)).toSet
+      assert(got == expect, s"trial=$trial")
+      assert(expect.nonEmpty) // the tiny alphabet guarantees real work
+    }
+  }
+
   test("clusterDedupByQuality: fuller member beats clipped copy; ties keep min id") {
     val base = (1 to 30).map(i => s"tok$i").mkString(" ")
     val other = (100 to 130).map(i => s"w$i").mkString(" ")
