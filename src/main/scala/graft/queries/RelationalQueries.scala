@@ -1416,6 +1416,52 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"))
         .withColumn("p", col("n").cast("double") /
           sum(col("n")).over(Window.partitionBy(col("src"))))
+    },
+
+    // --- grouped linear regression + correlation (q64): per-type OLS
+    // --- slope/intercept and Pearson r of value over time, from the
+    // --- closed-form sufficient statistics — every Σ is an EXACT decimal
+    // --- sum (the dsum discipline, with products of decimal-cast inputs
+    // --- staying exact through multiply+sum), so the handful of final
+    // --- IEEE operations is engine-identical and the regression
+    // --- hash-matches. One partial-agg'd aggregation; nothing iterative. --
+    q("q64_group_regression",
+      """WITH pts AS (SELECT event_type,
+        |    CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS x,
+        |    value AS y FROM events),
+        |s AS (SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(y AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+        |  CAST(SUM(CAST(x AS DECIMAL(18,4)) * CAST(y AS DECIMAL(18,4))) AS DOUBLE) AS sxy,
+        |  CAST(SUM(CAST(x AS DECIMAL(18,4)) * CAST(x AS DECIMAL(18,4))) AS DOUBLE) AS sxx,
+        |  CAST(SUM(CAST(y AS DECIMAL(18,4)) * CAST(y AS DECIMAL(18,4))) AS DOUBLE) AS syy
+        |  FROM pts GROUP BY 1)
+        |SELECT event_type, n,
+        |  (n*sxy - sx*sy) / (n*sxx - sx*sx) AS slope,
+        |  (sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n AS intercept,
+        |  (n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)) AS r
+        |FROM s""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val dec = DecimalType(18, 4)
+      val pts = Tables.events(s, d).select(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+          .cast("long").as("x"),
+        col("value").as("y"))
+      val st = pts.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).cast("double").as("sx"),
+        sum(col("y").cast(dec)).cast("double").as("sy"),
+        sum(col("x").cast(dec) * col("y").cast(dec)).cast("double").as("sxy"),
+        sum(col("x").cast(dec) * col("x").cast(dec)).cast("double").as("sxx"),
+        sum(col("y").cast(dec) * col("y").cast(dec)).cast("double").as("syy"))
+      val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx"))
+      st.select(col("event_type"), col("n"),
+        slope.as("slope"),
+        ((col("sy") - slope * col("sx")) / col("n")).as("intercept"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("r"))
     }
   )
 

@@ -755,6 +755,67 @@ object VectorQueries {
       Multimodal.phashDupPairs(hashes, maxHamming = 3)
     },
 
+    // --- image dedup end-to-end (mm12): mm06's perceptual-hash pairs fed
+    // --- through the distributed connected components and a keep-one
+    // --- rewrite — the surviving image set after visual dedup (the txt42
+    // --- shape on the visual modality). Oracle = the mm06 chain + the
+    // --- recursive closure + min-id keepers. ------------------------------
+    q("mm12_phash_cluster_keep",
+      """WITH RECURSIVE pcorp AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id+400000, text FROM documents WHERE doc_id%7=0
+        |  UNION ALL SELECT doc_id+500000,
+        |    substr(text,1,3) || 'Q' || substr(text,5)
+        |    FROM documents WHERE doc_id%5=0),
+        |a AS (SELECT doc_id, text FROM pcorp
+        |  WHERE strlen(text) = length(text) AND strlen(text) > 0),
+        |px AS (SELECT doc_id,
+        |  [CAST(unicode(substr(text, CAST((i*strlen(text))//64 AS INT)+1, 1)) AS BIGINT)
+        |    for i in generate_series(0, 63)] AS px FROM a),
+        |mn AS (SELECT doc_id, px, CAST(list_sum(px)//64 AS BIGINT) AS mean FROM px),
+        |ph AS (SELECT doc_id,
+        |  CAST(list_sum([CASE WHEN px[i+33] > mean THEN CAST(1 AS BIGINT) << i
+        |    ELSE CAST(0 AS BIGINT) END for i in generate_series(0, 31)]) AS BIGINT) AS ph_hi,
+        |  CAST(list_sum([CASE WHEN px[i+1] > mean THEN CAST(1 AS BIGINT) << i
+        |    ELSE CAST(0 AS BIGINT) END for i in generate_series(0, 31)]) AS BIGINT) AS ph_lo
+        |  FROM mn),
+        |prs AS (SELECT p.doc_id AS u, q.doc_id AS v
+        |  FROM ph p JOIN ph q ON p.doc_id < q.doc_id
+        |  WHERE bit_count(xor(p.ph_hi, q.ph_hi)) +
+        |        bit_count(xor(p.ph_lo, q.ph_lo)) <= 3),
+        |sym AS (SELECT u, v FROM prs UNION SELECT v, u FROM prs),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM sym
+        |  UNION
+        |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u
+        |),
+        |dropped AS (SELECT u AS doc_id FROM reach
+        |  GROUP BY u HAVING LEAST(u, MIN(v)) <> u)
+        |SELECT doc_id FROM a
+        |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val planted = docs
+        .unionByName(docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 400000).as("doc_id"), col("text")))
+        .unionByName(docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 500000).as("doc_id"),
+            concat(substring(col("text"), 1, 3), lit("Q"),
+              expr("substring(text, 5)")).as("text")))
+      val ascii = planted
+        .filter(octet_length(col("text")) === length(col("text")) &&
+          octet_length(col("text")) > 0)
+        .withColumn("fmt", lit("img"))
+      val pairs = Multimodal.phashDupPairs(
+          Multimodal.perceptualHash(
+            Multimodal.withBlob(ascii, "text", "fmt")).toDF(),
+          maxHamming = 3)
+        .select(col("a"), col("b"))
+      val cl = graft.operators.Dedup.clustersDistributed(pairs)
+      ascii.join(cl.filter(col("member") =!= col("rep"))
+          .select(col("member").as("doc_id")), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"))
+    },
+
     // --- video near-dup by shared frame hashes (mm07): re-encoded or
     // --- lightly-edited re-uploads share almost every FRAME perceptual
     // --- hash while whole-blob hashing sees nothing — frameSample(every
