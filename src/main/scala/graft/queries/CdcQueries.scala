@@ -698,6 +698,44 @@ object CdcQueries {
         .agg(sum(col("n_live")).as("n"))
         .select(lit("ivm_live").as("src"), col("n"))
       latest.unionByName(scd2).unionByName(ivm)
+    },
+
+    // --- right-to-be-forgotten sweep (cdc27): delete-request propagation
+    // --- across EVERY materialization a changelog feeds — latest state AND
+    // --- full SCD2 history (the table people forget; history retains the
+    // --- "deleted" user's every version). One anti-join per table; the
+    // --- report carries before/after/purged counts so the sweep is
+    // --- auditable. Requests = user_id % 13 = 0. --------------------------
+    q("cdc27_forget_sweep",
+      """WITH req AS (SELECT DISTINCT user_id FROM events WHERE user_id % 13 = 0),
+        |ranked AS (SELECT *, row_number() OVER (
+        |  PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events),
+        |latest AS (SELECT user_id FROM ranked
+        |  WHERE rn = 1 AND event_type <> 'error'),
+        |hist AS (SELECT user_id FROM events WHERE event_type <> 'error')
+        |SELECT 'latest' AS tbl,
+        |  (SELECT COUNT(*) FROM latest) AS n_before,
+        |  (SELECT COUNT(*) FROM latest WHERE user_id NOT IN (SELECT user_id FROM req)) AS n_after,
+        |  (SELECT COUNT(*) FROM latest WHERE user_id IN (SELECT user_id FROM req)) AS n_purged
+        |UNION ALL
+        |SELECT 'history',
+        |  (SELECT COUNT(*) FROM hist),
+        |  (SELECT COUNT(*) FROM hist WHERE user_id NOT IN (SELECT user_id FROM req)),
+        |  (SELECT COUNT(*) FROM hist WHERE user_id IN (SELECT user_id FROM req))""".stripMargin) { (s, d) =>
+      val env = ChangelogGen.fromEvents(s, d).toDF()
+      val req = Tables.events(s, d).filter(col("user_id") % 13 === 0)
+        .select(col("user_id").cast("string").as("key")).distinct()
+      def sweep(name: String, tbl: DataFrame) = {
+        val purgedT = tbl.join(req, Seq("key"), "left_anti")
+        val before = tbl.agg(count(lit(1)).as("n_before"))
+        val after = purgedT.agg(count(lit(1)).as("n_after"))
+        before.crossJoin(after)
+          .select(lit(name).as("tbl"), col("n_before"), col("n_after"),
+            (col("n_before") - col("n_after")).as("n_purged"))
+      }
+      val latest = LatestState.batch(env, Seq("table", "key"), Seq("lsn", "seq"))
+      val hist = ScdHistory.batch(env, Seq("table", "key"), Seq("lsn", "seq"))
+      sweep("latest", latest).unionByName(sweep("history", hist))
     }
   )
 }

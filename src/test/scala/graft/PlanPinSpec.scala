@@ -212,4 +212,38 @@ class PlanPinSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"),
       "the |event_types|-row exact side must broadcast")
   }
+
+  test("q57: PageRank rounds are hash joins + partial aggs — no nested loop, no collect") {
+    val p = executed("q57_pagerank")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"graph rounds must stay equi-join shaped:\n$p")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"),
+      s"contributions must partial-aggregate before the dst shuffle:\n$p")
+  }
+
+  test("q61: the (user, day) dedup runs BEFORE the window-contribution explode") {
+    val p = executed("q61_rolling_actives")
+    // the Generate (explode) must consume the deduped frame, not raw events —
+    // in the executed plan the first aggregate pair appears below Generate
+    val gi = p.indexOf("Generate")
+    val ai = p.indexOf("HashAggregate")
+    assert(gi >= 0 && ai >= 0, s"expected Generate and HashAggregate:\n$p")
+    assert(p.lastIndexOf("HashAggregate") > gi,
+      s"dedup aggregate must sit beneath the explode:\n$p")
+  }
+
+  test("txt53: fuzzy candidates meet on neighborhood strings — never all-pairs") {
+    val p = executed("txt53_fuzzy_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"deletion-neighborhood join must be an equi-join:\n$p")
+  }
+
+  test("q64: regression is ONE aggregation — no joins, no second scan") {
+    val p = executed("q64_group_regression")
+    assert(!p.contains("Join"), s"sufficient statistics need no join:\n$p")
+    assert(countOf(p, "Exchange") <= 1,
+      s"one partial→final aggregate exchange only:\n$p")
+  }
 }
