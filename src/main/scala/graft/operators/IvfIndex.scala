@@ -308,6 +308,31 @@ object IvfIndex {
           .as("overloaded"))
   }
 
+  /** CLUSTER-QUALITY (INERTIA) REPORT — per cell, the exact-integer sum of
+    * squared quantized L2 distances of its members to the centroid (the
+    * k-means objective broken out per cell) plus the member count. Rising
+    * per-cell SSE after append waves under frozen centroids is the retrain
+    * trigger that [[cellStats]] (counts) and [[driftReport]] (shares) can't
+    * see: a cell can keep its share while its members scatter. Empty cells
+    * stay in the report with sse = 0. Exact integers end-to-end, so the
+    * report is engine-portable and hash-exact.
+    *
+    * Scale shape: one pass over the stored assignment against broadcast
+    * centroids, both aggregates partial-agg'd map-side; output O(nLists).
+    */
+  def inertiaReport(index: Index): DataFrame = {
+    val sse = index.assigned
+      .join(broadcast(index.centroids), Seq("cell"))
+      .select(col("cell"), l2Q(col("cq"), col("cv")).as("_d2"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("_d2")).as("sse"))
+    index.centroids.select(col("cell"))
+      .join(sse, Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("n_vectors"), lit(0L)).as("n_vectors"),
+        coalesce(col("sse"), lit(0L)).as("sse"))
+  }
+
   /** DISTRIBUTION-DRIFT REPORT — the monitoring step that decides when the
     * frozen-quantizer trade ([[append]]'s documented price) has gone bad:
     * assign an incoming batch to the SAME frozen centroids and compare each

@@ -506,4 +506,112 @@ object Similarity {
     }
     picks
   }
+
+  /** CROSS-MODAL ALIGNMENT SCORING (the CLIP-score filter shape): each
+    * (caption, image-embedding) pair gets a cosine alignment score, and the
+    * curation keep-flag is a threshold on it — the step that drops
+    * mis-captioned pairs from a multimodal training set. The real system
+    * embeds the caption with a text tower; this engine-portable stand-in
+    * projects the caption to the embedding space as a hashed bag-of-words:
+    * token t contributes ±1 (md5-parity sign) to dimension hex32(t) mod
+    * dims — deterministic, integer, and restatable in SQL, so the whole
+    * path hash-matches while keeping the exact production dataflow (project
+    * text → join embedding on the pair id → cosine → band). Pairs whose
+    * text vector cancels to zero norm score NULL (no direction to compare).
+    *
+    * Scale shape: token explode + two partial-agg'd hash aggregations build
+    * the text vectors (O(token occurrences) shuffle, 64-long rows out);
+    * ONE id equi-join against the embedding side; score is per-row math.
+    */
+  def crossModalAlign(docs: DataFrame, idCol: String, textCol: String,
+      emb: DataFrame, embIdCol: String, vecCol: String,
+      dims: Int = 64, salt: Int = 21): DataFrame = {
+    val h = TextOps.hex32(col("_tok"), salt)
+    val contrib = docs
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("_tok"))
+      .select(col(idCol), (h % dims).cast("int").as("_dim"),
+        // integer h div dims: h < 2^32 so the double division is exact far
+        // beyond the 52-bit mantissa; cast truncates = floor for h ≥ 0
+        when(((h / dims).cast("long") % 2) === 0, 1L).otherwise(-1L).as("_w"))
+    val tv = contrib.groupBy(col(idCol), col("_dim"))
+      .agg(sum(col("_w")).as("_v"))
+      .groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("_dim"), col("_v"))))
+        .as("_m"))
+      .select(col(idCol),
+        transform(sequence(lit(0), lit(dims - 1)),
+          i => coalesce(element_at(col("_m"), i), lit(0L))).as("tv"))
+    val iv = emb.select(col(embIdCol).as(idCol), quantize(col(vecCol)).as("qv"))
+    val n2t = dotQ(col("tv"), col("tv"))
+    val n2v = dotQ(col("qv"), col("qv"))
+    tv.join(iv, Seq(idCol))
+      .select(col(idCol).as("pair_id"),
+        when(n2t === 0 || n2v === 0, lit(null).cast("double"))
+          .otherwise(dotQ(col("tv"), col("qv")).cast("double") /
+            (sqrt(n2t.cast("double")) * sqrt(n2v.cast("double"))))
+          .as("score"))
+      .withColumn("aligned", col("score") >= 0)
+  }
+
+  /** BINARY (sign-bit) QUANTIZATION — 1 bit per dimension, packed into two
+    * 32-bit halves (lo = dims 1..32, hi = dims 33..64) carried as longs so
+    * no sign-bit shift arithmetic differs across engines (mm06's packing
+    * discipline). A 64-dim float vector becomes 8 bytes: a 32× scan-set
+    * reduction, and Hamming distance — `bit_count(lo⊕lo) + bit_count(hi⊕hi)`
+    * — is a handful of SIMD-able integer ops per comparison. This is the
+    * coarsest rung of the quantization ladder (float → SQ8 (vec08) → PQ
+    * (vec10) → binary), the one production systems use for the *first*
+    * filter pass over billions of vectors; exact-cosine rerank of the
+    * Hamming top-`rerankN` restores ranking quality, and sign bits of the
+    * quantized vector are deterministic, so the whole path hash-matches.
+    * Bit convention: dimension `from+i` sets bit `i` iff q_{from+i} ≥ 0.
+    */
+  def signBits(vecQ: Column, from: Int): Column =
+    (0 until 32).map(i =>
+      when(element_at(vecQ, from + i + 1) >= 0, lit(1L << i)).otherwise(0L))
+      .reduce(_ + _)
+
+  /** (id, lo, hi, qv, n2) binary signature table for a (idCol, vecCol)
+    * corpus — the persisted artifact a binary-ANN deployment scans.
+    */
+  def binarySignatures(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val q = quantize(col(vecCol))
+    df.select(col(idCol).as("id"), q.as("qv"))
+      .select(col("id"), col("qv"),
+        signBits(col("qv"), 0).as("lo"), signBits(col("qv"), 32).as("hi"),
+        dotQ(col("qv"), col("qv")).as("n2"))
+  }
+
+  /** Hamming-prefiltered top-k: scan the 8-byte signatures for each probe's
+    * `rerankN` nearest by Hamming (ties → id), exact-cosine rerank those to
+    * the final `k`. The signature scan replaces the full-vector scan of
+    * [[knnBrute]]; full vectors are touched only for the rerankN candidate
+    * rows — at 100 TB the float corpus stays on disk (or composes with IVF
+    * cell pruning) while signatures fit in memory.
+    */
+  def binarySearch(probes: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, rerankN: Int): DataFrame = {
+    val sig = binarySignatures(corpus, idCol, vecCol)
+    val p = binarySignatures(probes, idCol, vecCol)
+      .select(col("id").as("probe_id"), col("lo").as("plo"),
+        col("hi").as("phi"), col("qv").as("pq"), col("n2").as("pn2"))
+    val hamming =
+      expr("bit_count(plo ^ lo) + bit_count(phi ^ hi)")
+    val cand = p.crossJoin(sig)
+      .filter(col("probe_id") =!= col("id"))
+      .select(col("probe_id"), col("id").as("neighbor_id"),
+        hamming.as("hamming"), col("pq"), col("pn2"),
+        col("qv"), col("n2"))
+      .withColumn("_crank", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("hamming"), col("neighbor_id"))))
+      .filter(col("_crank") <= rerankN)
+    cand
+      .select(col("probe_id"), col("neighbor_id"), col("hamming"),
+        cosineQWithNorms(col("pq"), col("qv"), col("pn2"), col("n2")).as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+  }
 }

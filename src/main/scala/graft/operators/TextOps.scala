@@ -667,4 +667,43 @@ object TextOps {
         expr(s"_rk div $batchSize").as("batch_id"),
         (col("_rk") % batchSize).as("pos"))
   }
+
+  /** BLOCKLIST PHRASE FILTERING — per document, which of a set of banned
+    * token phrases occur verbatim (token-boundary match), as a
+    * (id, n_matched, blocked) report. The compliance / unsafe-content
+    * screen every corpus ships through before training.
+    *
+    * Scale shape (the Aho-Corasick analog in dataflow): real blocklists run
+    * 10⁵–10⁶ phrases, where `N_phrases × contains()` per document is the
+    * O(corpus·blocklist) scan that doesn't survive 100 TB. Instead each
+    * phrase is ANCHORED on its first token: documents explode to their
+    * distinct token set once, one hash equi-join against the anchor column
+    * yields candidate (doc, phrase) pairs — complete, since a verbatim
+    * phrase occurrence implies its anchor token occurs — and only those
+    * candidates pay the exact boundary-padded `contains` verify. Candidate
+    * volume is bounded by anchor-token document frequency (pick the RAREST
+    * phrase token as anchor when df stats exist; first token here).
+    * Phrases travel as a DataFrame so a 10⁶-row blocklist shuffles instead
+    * of broadcasting.
+    */
+  def blocklistFilter(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, blocklist: org.apache.spark.sql.DataFrame,
+      phraseCol: String): org.apache.spark.sql.DataFrame = {
+    val bl = blocklist.select(col(phraseCol).as("_phrase"),
+      element_at(split(col(phraseCol), " "), 1).as("_anchor"))
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("_tok"))
+      .distinct()
+    val cand = toks.join(bl, col("_tok") === col("_anchor"))
+      .select(col(idCol), col("_phrase")).distinct()
+    val matched = cand
+      .join(docs.select(col(idCol), col(textCol)), Seq(idCol))
+      .filter(concat(lit(" "), col(textCol), lit(" "))
+        .contains(concat(lit(" "), col("_phrase"), lit(" "))))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_matched"))
+    docs.select(col(idCol))
+      .join(matched, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        (coalesce(col("n_matched"), lit(0L)) > 0).as("blocked"))
+  }
 }

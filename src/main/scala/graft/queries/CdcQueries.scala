@@ -736,6 +736,39 @@ object CdcQueries {
       val latest = LatestState.batch(env, Seq("table", "key"), Seq("lsn", "seq"))
       val hist = ScdHistory.batch(env, Seq("table", "key"), Seq("lsn", "seq"))
       sweep("latest", latest).unionByName(sweep("history", hist))
+    },
+
+    // --- stream-stream LEFT OUTER interval join (cdc28): cdc15's
+    // --- click-attribution join, but purchases with NO click in the 24h
+    // --- lookback now emit with nulls — the "unattributed conversions"
+    // --- rows an inner join silently drops. Outer emission is the hard
+    // --- part in the streaming engine: a null row may only be produced
+    // --- once the watermark proves no match can still arrive, so a BOUNDED
+    // --- drive pushes the watermark past its own tail with a far-future
+    // --- sentinel on both feeds (filtered out below); state stays
+    // --- O(rate × lookback). Oracle = the batch LEFT JOIN — streaming
+    // --- execution plus deferred null emission must change nothing. -------
+    q("cdc28_stream_stream_left_outer",
+      """SELECT p.user_id, p.event_id AS p_id, c.event_id AS c_id, c.value AS c_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.ts >= p.ts - INTERVAL 24 HOUR AND c.ts <= p.ts""".stripMargin) { (s, d) =>
+      import graft.streaming.StreamStreamJoin
+      val ev = StreamStreamJoin.eventsStreamWithSentinel(s,
+        s"$d/events.parquet", Seq("purchase", "click"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("c_id"),
+          col("value").as("c_value"), col("ts").as("c_ts"))
+      val joined = StreamStreamJoin.intervalJoinLeftOuter(purchases, clicks,
+        "user_id", "p_ts", "c_ts", lookback = "24 HOURS",
+        watermark = "0 seconds")
+      StreamStreamJoin.runToMemory(s, joined,
+          s"cdc28_${java.util.UUID.randomUUID().toString.take(8)}")
+        .filter(col("user_id") >= 0)
+        .select("user_id", "p_id", "c_id", "c_value")
     }
   )
 }

@@ -1462,6 +1462,172 @@ object RelationalQueries {
         ((col("n") * col("sxy") - col("sx") * col("sy")) /
           (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
             sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("r"))
+    },
+
+    // --- time-weighted average (q65): per-user TWAP of `value` held between
+    // --- consecutive events (the LOCF-interval weighting q47 fills with) —
+    // --- the metric a plain AVG gets wrong whenever sampling is irregular.
+    // --- Interval durations are exact epoch-micros differences from ONE
+    // --- user-keyed lead() window; Σ(value·dur) and Σ(dur) are exact
+    // --- decimal sums, so the single final IEEE division hash-matches.
+    // --- value is quantized at scale 1 so the per-user Σ(value·dur)
+    // --- UNSCALED magnitude stays < 2^53: DuckDB casts wide decimals to
+    // --- double in two roundings (int128→double, then /10^scale) while
+    // --- Java rounds once — identical only while the unscaled value is
+    // --- double-exact. One exchange on the user key; output O(users). ----
+    q("q65_time_weighted_avg",
+      """WITH iv AS (SELECT user_id, value,
+        |  lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id)
+        |    - epoch_us(ts) AS dur
+        |  FROM events)
+        |SELECT user_id, COUNT(*) AS n_intervals,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,1)) * CAST(dur AS DECIMAL(18,0))) AS DOUBLE)
+        |    / CAST(SUM(CAST(dur AS DECIMAL(18,0))) AS DOUBLE) AS twap
+        |FROM iv WHERE dur IS NOT NULL GROUP BY 1""".stripMargin) { (s, d) =>
+      val iv = Tables.events(s, d).select(col("user_id"), col("value"),
+        (lead(unix_micros(col("ts")), 1).over(
+          Window.partitionBy(col("user_id")).orderBy(col("event_id")))
+          - unix_micros(col("ts"))).as("dur"))
+      iv.filter(col("dur").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_intervals"),
+          (sum(col("value").cast(DecimalType(18, 1))
+              * col("dur").cast(DecimalType(18, 0))).cast("double")
+            / sum(col("dur").cast(DecimalType(18, 0))).cast("double"))
+            .as("twap"))
+    },
+
+    // --- last-touch attribution (q66): each purchase credited to the most
+    // --- recent PRECEDING click/view by the same user (the marketing
+    // --- attribution view). The exclusive-frame last(_, ignoreNulls)
+    // --- window ships every event once through one user-keyed exchange —
+    // --- never a per-conversion scan-back join; purchases with no prior
+    // --- touch land in 'none'. -------------------------------------------
+    q("q66_last_touch_attribution",
+      """WITH t AS (SELECT user_id, event_type,
+        |  last_value(CASE WHEN event_type IN ('click','view') THEN event_type END
+        |    IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM events)
+        |SELECT COALESCE(touch, 'none') AS touch, COUNT(*) AS n_conversions,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM t WHERE event_type = 'purchase' GROUP BY 1""".stripMargin) { (s, d) =>
+      val touch = last(
+        when(col("event_type").isin("click", "view"), col("event_type")),
+        ignoreNulls = true)
+        .over(Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), touch.as("touch"))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("touch"), lit("none")).as("touch"))
+        .agg(count(lit(1)).as("n_conversions"),
+          countDistinct(col("user_id")).as("n_users"))
+    },
+
+    // --- data-quality constraint audit (q67, Deequ-style): declared
+    // --- expectations over `orders` — key uniqueness, column completeness,
+    // --- value bounds, set membership, cross-column sanity — evaluated in
+    // --- ONE full-scan aggregation (every check is a conditional count that
+    // --- partial-aggregates map-side), then unpivoted to a (check,
+    // --- violations, ok) report. The 100 TB shape: N checks cost one scan,
+    // --- not N. Uniqueness rides a second count-distinct pass over the key
+    // --- column only. ----------------------------------------------------
+    q("q67_constraint_audit",
+      """WITH a AS (SELECT
+        |  COUNT(*) AS n_rows,
+        |  COUNT(DISTINCT o_orderkey) AS n_keys,
+        |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_cust,
+        |  CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_price,
+        |  CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS bad_status,
+        |  CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01 00:00:00'
+        |    OR o_orderdate > TIMESTAMP '1998-12-31 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS bad_date
+        |  FROM orders)
+        |SELECT 'key_unique' AS checkname, n_rows - n_keys AS violations,
+        |  n_rows = n_keys AS ok FROM a
+        |UNION ALL SELECT 'custkey_complete', null_cust, null_cust = 0 FROM a
+        |UNION ALL SELECT 'price_positive', bad_price, bad_price = 0 FROM a
+        |UNION ALL SELECT 'status_domain', bad_status, bad_status = 0 FROM a
+        |UNION ALL SELECT 'date_in_range', bad_date, bad_date = 0 FROM a""".stripMargin) { (s, d) =>
+      def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+      val a = Tables.orders(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("o_orderkey")).as("n_keys"),
+        cnt(col("o_custkey").isNull).as("null_cust"),
+        cnt(col("o_totalprice") <= 0).as("bad_price"),
+        cnt(!col("o_orderstatus").isin("O", "F", "P")).as("bad_status"),
+        cnt(col("o_orderdate") < to_timestamp(lit("1992-01-01 00:00:00"))
+          || col("o_orderdate") > to_timestamp(lit("1998-12-31 00:00:00")))
+          .as("bad_date"))
+      a.select(expr(
+        """stack(5,
+          |  'key_unique', n_rows - n_keys, n_rows = n_keys,
+          |  'custkey_complete', null_cust, null_cust = 0L,
+          |  'price_positive', bad_price, bad_price = 0L,
+          |  'status_domain', bad_status, bad_status = 0L,
+          |  'date_in_range', bad_date, bad_date = 0L)
+          |  AS (checkname, violations, ok)""".stripMargin))
+    },
+
+    // --- equi-depth histogram (q68): the optimizer-statistics object —
+    // --- 8 buckets holding ~equal row counts over o_totalprice. Inner
+    // --- boundaries come from ONE exact interpolated-percentile aggregation
+    // --- (q30's proven-portable quantile), broadcast as a single row; each
+    // --- row's bucket is then 7 comparisons summed — never an NTILE global
+    // --- sort (a SinglePartition window at 100 TB). Ties at a boundary go
+    // --- left (strict > counts). -----------------------------------------
+    q("q68_equidepth_histogram",
+      """WITH b AS (SELECT quantile_cont(o_totalprice,
+        |    [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS bs FROM orders),
+        |r AS (SELECT o_totalprice AS v,
+        |  CASE WHEN v > bs[1] THEN 1 ELSE 0 END + CASE WHEN v > bs[2] THEN 1 ELSE 0 END
+        |  + CASE WHEN v > bs[3] THEN 1 ELSE 0 END + CASE WHEN v > bs[4] THEN 1 ELSE 0 END
+        |  + CASE WHEN v > bs[5] THEN 1 ELSE 0 END + CASE WHEN v > bs[6] THEN 1 ELSE 0 END
+        |  + CASE WHEN v > bs[7] THEN 1 ELSE 0 END AS bucket
+        |  FROM orders, b)
+        |SELECT bucket, COUNT(*) AS n, MIN(v) AS lo, MAX(v) AS hi
+        |FROM r GROUP BY 1""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      val b = o.agg(expr(
+        "percentile(o_totalprice, array(0.125D,0.25D,0.375D,0.5D,0.625D,0.75D,0.875D))")
+        .as("bs"))
+      val bucket = (1 to 7).map(i =>
+        when(col("o_totalprice") > element_at(col("bs"), i), 1).otherwise(0))
+        .reduce(_ + _)
+      o.crossJoin(broadcast(b))
+        .select(col("o_totalprice").as("v"), bucket.as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("v")).as("lo"), max(col("v")).as("hi"))
+    },
+
+    // --- EWMA smoothing (q69): per-user half-life-weighted recent value,
+    // --- over each user's last 16 events (weight 2^-r for recency rank r).
+    // --- The ratio is computed with weights multiplied through by 2^16 —
+    // --- INTEGER weights 2^(16−r), the same quotient — so every weighted
+    // --- term is an exact small decimal product (unscaled < 2^53, the q65
+    // --- double-rounding discipline), both Σ are exact, and the one final
+    // --- IEEE division hash-matches: the engine-portable EWMA no libm
+    // --- exp() formulation allows. Bounding to 16 terms is what keeps the
+    // --- weights integral AND bounds the window state. One user-keyed
+    // --- window + one aggregation. ---------------------------------------
+    q("q69_ewma_smoothing",
+      """WITH r AS (SELECT user_id, value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, COUNT(*) AS n_used,
+        |  CAST(SUM(CAST(value AS DECIMAL(10,4)) * CAST(power(2.0, 16 - rn) AS BIGINT)) AS DOUBLE)
+        |  / CAST(SUM(CAST(power(2.0, 16 - rn) AS BIGINT)) AS DOUBLE) AS ewma
+        |FROM r WHERE rn <= 16 GROUP BY 1""".stripMargin) { (s, d) =>
+      val r = Tables.events(s, d).select(col("user_id"), col("value"),
+        row_number().over(
+          Window.partitionBy(col("user_id")).orderBy(col("event_id").desc))
+          .as("rn"))
+      val w = pow(lit(2.0), lit(16) - col("rn")).cast("long")
+      r.filter(col("rn") <= 16)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_used"),
+          (sum(col("value").cast(DecimalType(10, 4)) * w).cast("double")
+            / sum(w).cast("double")).as("ewma"))
     }
   )
 

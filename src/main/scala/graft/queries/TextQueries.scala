@@ -1610,6 +1610,30 @@ object TextQueries {
             concat(lit("z"), expr("substring(p_name, 2)")).as("s")))
       val canonical = raw.groupBy(col("s")).agg(min(col("id")).as("id"))
       Dedup.fuzzyPairsEd1(canonical, "id", "s")
+    },
+
+    // --- blocklist phrase filtering (txt51): the compliance screen — which
+    // --- banned token phrases occur verbatim in each doc. Scale shape is
+    // --- the Aho-Corasick analog: phrases ANCHOR on their first token, the
+    // --- corpus explodes to distinct tokens ONCE, one hash equi-join
+    // --- yields candidate (doc, phrase) pairs (complete: a phrase occurring
+    // --- implies its anchor occurring), and only candidates pay the exact
+    // --- boundary-padded contains verify — a 10⁶-phrase blocklist never
+    // --- scans the corpus 10⁶ times. Oracle = the brute contains join. ----
+    q("txt51_blocklist_filter",
+      """WITH bl(phrase) AS (VALUES ('slow fast'), ('hash value table'),
+        |  ('batch window spark'), ('data stream filter'), ('no such phrase ever')),
+        |m AS (SELECT d.doc_id, b.phrase FROM documents d JOIN bl b
+        |  ON contains(' ' || d.text || ' ', ' ' || b.phrase || ' '))
+        |SELECT d.doc_id, COUNT(m.phrase) AS n_matched,
+        |  COUNT(m.phrase) > 0 AS blocked
+        |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+        |GROUP BY d.doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val bl = Seq("slow fast", "hash value table", "batch window spark",
+        "data stream filter", "no such phrase ever").toDF("phrase")
+      TextOps.blocklistFilter(Tables.documents(s, d), "doc_id", "text",
+        bl, "phrase")
     }
   )
 }

@@ -406,6 +406,30 @@ object VectorQueries {
         Tables.embeddings(s, d), "vec_id", "embedding", nLists = 16, iters = 2))
     },
 
+    // --- cluster-quality / inertia report (vec25): per-cell exact-integer
+    // --- SSE to the centroid + member count — the k-means objective the
+    // --- frozen-quantizer lifecycle watches that counts (vec17) and shares
+    // --- (vec22) can't see: a cell keeps its share while its members
+    // --- scatter. One pass over the stored assignment against broadcast
+    // --- centroids, partial-agg'd; empty cells kept at sse = 0. ------------
+    q("vec25_inertia_report",
+      s"""WITH $quantSql,
+         |c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, qv AS cv
+         |  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 16) s),
+         |${lloydSql(1, "c0", "q")},
+         |${lloydSql(2, "c1", "q")},
+         |${assignSql("idx", "neighbor_id", "q")},
+         |sse AS (SELECT idx.cell, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         |  CAST(SUM(${l2Sql("q.qv", "c2.cv")}) AS BIGINT) AS sse
+         |  FROM idx JOIN q ON q.vec_id = idx.neighbor_id
+         |  JOIN c2 ON c2.cell = idx.cell GROUP BY 1)
+         |SELECT c2.cell, COALESCE(sse.n_vectors, CAST(0 AS BIGINT)) AS n_vectors,
+         |  COALESCE(sse.sse, CAST(0 AS BIGINT)) AS sse
+         |FROM c2 LEFT JOIN sse ON c2.cell = sse.cell""".stripMargin) { (s, d) =>
+      graft.operators.IvfIndex.inertiaReport(graft.operators.IvfIndex.build(
+        Tables.embeddings(s, d), "vec_id", "embedding", nLists = 16, iters = 2))
+    },
+
     // --- SemDeDup semantic dedup: coarse k-means cells (the SAME unrolled
     // --- Lloyd as vec05, trained on the PLANTED-COPY union corpus) prune
     // --- the pair space, then within-cell pairwise quantized cosine flags
@@ -1174,6 +1198,82 @@ object VectorQueries {
           col("width"), col("height"),
           (col("n_caption_tokens").between(5, 64) &&
             col("width") * col("height") >= 256).as("keep"))
+    },
+
+    // --- binary-quantized ANN (vec24): sign-bit signatures (64 dims → two
+    // --- 32-bit halves = 8 bytes, a 32× scan-set cut — the coarsest rung of
+    // --- the float→SQ8→PQ→binary quantization ladder and the first-pass
+    // --- filter production systems run over billions of vectors), Hamming
+    // --- top-64 candidates via bit_count(xor), exact-cosine rerank to
+    // --- top-3. Sign bits of the quantized vectors are deterministic, so
+    // --- signatures, Hamming ranks, and rerank all hash-match. Full
+    // --- vectors are touched only for the 64 candidate rows per probe. ----
+    q("vec24_ann_binary",
+      s"""WITH $quantSql,
+         |sig AS (SELECT vec_id, qv, n2,
+         |  CAST(list_sum([CASE WHEN qv[i+1] >= 0 THEN CAST(1 AS BIGINT) << i
+         |    ELSE CAST(0 AS BIGINT) END for i in generate_series(0, 31)]) AS BIGINT) AS lo,
+         |  CAST(list_sum([CASE WHEN qv[i+33] >= 0 THEN CAST(1 AS BIGINT) << i
+         |    ELSE CAST(0 AS BIGINT) END for i in generate_series(0, 31)]) AS BIGINT) AS hi
+         |  FROM n),
+         |cand AS (SELECT probe_id, neighbor_id, hamming, pqv, pn2, qv, n2 FROM (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |    bit_count(xor(p.lo, c.lo)) + bit_count(xor(p.hi, c.hi)) AS hamming,
+         |    p.qv AS pqv, p.n2 AS pn2, c.qv AS qv, c.n2 AS n2,
+         |    ROW_NUMBER() OVER (PARTITION BY p.vec_id
+         |      ORDER BY bit_count(xor(p.lo, c.lo)) + bit_count(xor(p.hi, c.hi)),
+         |        c.vec_id) AS crank
+         |  FROM sig p JOIN sig c ON c.vec_id <> p.vec_id
+         |  WHERE p.vec_id < 10) t WHERE crank <= 64),
+         |scored AS (SELECT probe_id, neighbor_id, hamming,
+         |  CAST(CAST(list_sum([pqv[i]*qv[i] for i in generate_series(1, len(pqv))]) AS BIGINT) AS DOUBLE)
+         |    / (sqrt(CAST(pn2 AS DOUBLE))*sqrt(CAST(n2 AS DOUBLE))) AS sim
+         |  FROM cand)
+         |SELECT probe_id, neighbor_id, hamming, sim, rank FROM (
+         |  SELECT probe_id, neighbor_id, hamming, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY probe_id
+         |      ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM scored) t WHERE rank <= 3""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.binarySearch(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", k = 3, rerankN = 64)
+    },
+
+    // --- cross-modal alignment scoring (mm13, the CLIP-score filter): each
+    // --- (caption, image-embedding) pair scored by cosine and banded into
+    // --- the keep flag that drops mis-captioned pairs. The caption tower is
+    // --- an engine-portable hashed bag-of-words ±1 projection (md5 dim +
+    // --- parity sign — deterministic, SQL-restatable), the dataflow is the
+    // --- production one: project text → ONE id equi-join to the embedding →
+    // --- per-row cosine → threshold. Zero-norm text vectors score NULL. ---
+    q("mm13_cross_modal_align",
+      s"""WITH $quantSql,
+         |toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+         |  x -> x <> '')) AS tok FROM documents),
+         |c AS (SELECT doc_id, hv % 64 AS dim,
+         |  CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END AS w
+         |  FROM (SELECT doc_id,
+         |    list_reduce(list_transform(regexp_split_to_array(
+         |      substr(md5('21:' || tok), 1, 8), ''),
+         |      ch -> CAST(strpos('0123456789abcdef', ch) - 1 AS BIGINT)),
+         |      (a, b) -> a*16 + b) AS hv FROM toks) t),
+         |sv AS (SELECT doc_id, dim, CAST(SUM(w) AS BIGINT) AS v FROM c GROUP BY 1, 2),
+         |dense AS (SELECT dd.doc_id, g.i AS dim,
+         |  COALESCE(sv.v, CAST(0 AS BIGINT)) AS v
+         |  FROM (SELECT DISTINCT doc_id FROM documents) dd
+         |  CROSS JOIN generate_series(0, 63) g(i)
+         |  LEFT JOIN sv ON sv.doc_id = dd.doc_id AND sv.dim = g.i),
+         |tvec AS (SELECT doc_id, list(v ORDER BY dim) AS tv FROM dense GROUP BY 1),
+         |scored AS (SELECT tvec.doc_id AS pair_id,
+         |  CASE WHEN CAST(list_sum([tv[i]*tv[i] for i in generate_series(1, 64)]) AS BIGINT) = 0
+         |        OR n.n2 = 0 THEN NULL
+         |    ELSE CAST(CAST(list_sum([tv[i]*n.qv[i] for i in generate_series(1, 64)]) AS BIGINT) AS DOUBLE)
+         |      / (sqrt(CAST(CAST(list_sum([tv[i]*tv[i] for i in generate_series(1, 64)]) AS BIGINT) AS DOUBLE))
+         |         * sqrt(CAST(n.n2 AS DOUBLE))) END AS score
+         |  FROM tvec JOIN n ON n.vec_id = tvec.doc_id)
+         |SELECT pair_id, score, score >= 0 AS aligned FROM scored""".stripMargin) { (s, d) =>
+      Similarity.crossModalAlign(Tables.documents(s, d), "doc_id", "text",
+        Tables.embeddings(s, d), "vec_id", "embedding")
     }
   )
 }

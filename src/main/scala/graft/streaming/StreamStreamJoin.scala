@@ -29,14 +29,40 @@ object StreamStreamJoin {
     */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, lookback: String,
-      watermark: String): DataFrame = {
+      watermark: String): DataFrame =
+    intervalJoinTyped(left, right, key, leftTs, rightTs, lookback, watermark,
+      "inner")
+
+  /** LEFT OUTER stream–stream interval join: left rows that never found a
+    * right match inside the lookback are emitted WITH NULLS — but only once
+    * the watermark has passed the point where a match could still arrive
+    * (the streaming engine cannot know "no match" earlier). That deferred
+    * null emission is the whole subtlety of outer joins in the streaming
+    * engine, and it means trailing left rows — those the watermark never
+    * moves past because no later data arrives — stay in state unemitted at
+    * AvailableNow termination. A production feed keeps flowing so the
+    * watermark keeps moving; a BOUNDED drive must push the watermark past
+    * its own tail (e.g. a far-future sentinel row on both sides, filtered
+    * from the output) to collect the full outer result — the cdc28 gate
+    * does exactly that.
+    */
+  def intervalJoinLeftOuter(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, lookback: String,
+      watermark: String): DataFrame =
+    intervalJoinTyped(left, right, key, leftTs, rightTs, lookback, watermark,
+      "left_outer")
+
+  private def intervalJoinTyped(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, lookback: String,
+      watermark: String, joinType: String): DataFrame = {
     val rKey = s"_r_$key"
     val l = left.withWatermark(leftTs, watermark)
     val r = right.withColumnRenamed(key, rKey).withWatermark(rightTs, watermark)
     l.join(r,
       col(key) === col(rKey) &&
         col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lookback") &&
-        col(rightTs) <= col(leftTs))
+        col(rightTs) <= col(leftTs),
+      joinType)
       .drop(rKey)
   }
 
@@ -88,6 +114,39 @@ object StreamStreamJoin {
     val withOpt = if (maxFilesPerTrigger > 0)
       reader.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader
     withOpt.parquet(streamPath)
+  }
+
+  /** [[eventsStream]] over a staging dir holding the events file (symlinked,
+    * no copy) PLUS a far-future sentinel row per type in `sentinelTypes`
+    * (event_id = user_id = −1, 30 days past the real max ts, written as a
+    * second, newer file so `maxFilesPerTrigger = 1` lands it in a later
+    * micro-batch). Purpose: a bounded drive of a watermark-gated operator
+    * (outer join null emission, state eviction) must advance the watermark
+    * past its own tail or the trailing results never leave state — the
+    * sentinel is that final watermark push. Callers filter `user_id < 0`
+    * out of the result. Handles both physical ts encodings the driver has
+    * shipped (nanos-as-long and timestamp[us]) by doing the +30d arithmetic
+    * in the file's own encoding before the stream-side fix applies.
+    */
+  def eventsStreamWithSentinel(spark: SparkSession, path: String,
+      sentinelTypes: Seq[String], maxFilesPerTrigger: Int = 1): DataFrame = {
+    val p = java.nio.file.Paths.get(path)
+    val dir = java.nio.file.Files.createTempDirectory("evsentinel")
+    java.nio.file.Files.createSymbolicLink(dir.resolve(p.getFileName), p)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(path)
+    val plus30d = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // nanos-as-long encoding
+        col("_mts") + lit(30L * 86400L * 1000L * 1000L * 1000L)
+      case _ => col("_mts") + expr("INTERVAL 30 DAYS")
+    }
+    raw.agg(max(col("ts")).as("_mts"))
+      .select(explode(lit(sentinelTypes.toArray)).as("event_type"), col("_mts"))
+      .select(lit(-1L).as("event_id"), plus30d.as("ts"), lit(-1L).as("user_id"),
+        col("event_type"), lit(0.0).as("value"),
+        lit(null).cast("string").as("props"))
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    eventsStream(spark, dir.toString, maxFilesPerTrigger)
   }
 
   /** [[tableStream]] over an events-style parquet path, with the same

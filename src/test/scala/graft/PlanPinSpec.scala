@@ -246,4 +246,41 @@ class PlanPinSpec extends AnyFunSuite {
     assert(countOf(p, "Exchange") <= 1,
       s"one partial→final aggregate exchange only:\n$p")
   }
+
+  test("q67: N constraint checks cost ONE scan of orders (plus key distinct)") {
+    val p = executed("q67_constraint_audit")
+    // one orders scan feeds every conditional count; a per-check scan would
+    // show up as multiple FileScans over orders
+    assert(countOf(p, "orders.parquet") <= 1,
+      s"constraint audit must not re-scan per check:\n$p")
+  }
+
+  test("q68: histogram boundaries broadcast; rows never globally sorted") {
+    val p = executed("q68_equidepth_histogram")
+    assert(p.contains("BroadcastExchange"),
+      s"the one-row boundary frame must broadcast:\n$p")
+    assert(!p.contains("SinglePartition") || !p.contains("Window"),
+      s"equi-depth must not NTILE through a single-partition window:\n$p")
+  }
+
+  test("txt51: blocklist candidates meet on anchor tokens — never N·contains") {
+    val p = executed("txt51_blocklist_filter")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"anchor candidate generation must be an equi-join:\n$p")
+  }
+
+  test("vec25: inertia report scans the assignment once, centroids broadcast") {
+    val p = executed("vec25_inertia_report")
+    assert(p.contains("BroadcastExchange"),
+      s"centroids must broadcast into the SSE pass:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs:\n$p")
+  }
+
+  test("mm13: cross-modal scoring is one id equi-join, no cartesian") {
+    val p = executed("mm13_cross_modal_align")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"text-vector ⋈ embedding must be an equi-join:\n$p")
+  }
 }

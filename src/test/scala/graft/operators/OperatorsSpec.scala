@@ -654,6 +654,42 @@ class SimilaritySpec extends AnyFunSuite {
     // train ids below
     assert(got.forall(p => p._1 >= 30000 && p._2 < 30000))
   }
+
+  test("binary ANN: signatures pack sign bits exactly; sims exact; recall floor") {
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, dir)
+    // straight-line signature check: lo/hi reproduce a driver-side pack of
+    // the quantized signs for a few vectors
+    val sigs = Similarity.binarySignatures(emb.filter($"vec_id" < 5),
+        "vec_id", "embedding")
+      .select($"id", $"lo", $"hi").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val raw = emb.filter($"vec_id" < 5)
+      .select($"vec_id", Similarity.quantize($"embedding"))
+      .as[(Long, Seq[Long])].collect().toMap
+    for ((id, qv) <- raw) {
+      val lo = (0 until 32).map(i => if (qv(i) >= 0) 1L << i else 0L).sum
+      val hi = (0 until 32).map(i => if (qv(32 + i) >= 0) 1L << i else 0L).sum
+      assert(sigs(id) == (lo, hi), s"signature mismatch for $id")
+    }
+    val probes = emb.filter($"vec_id" < 10)
+    val got = Similarity.binarySearch(probes, emb, "vec_id", "embedding",
+        k = 3, rerankN = 64)
+      .select("probe_id", "neighbor_id", "sim")
+      .as[(Long, Long, Double)].collect()
+    // reported sims are the exact quantized cosines
+    val bruteAll = Similarity.knnBrute(probes, emb, "vec_id", "embedding", 1000)
+      .select("probe_id", "neighbor_id", "sim")
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got.forall { case (p, nb, s) => bruteAll((p, nb)) == s })
+    // recall@3 of the Hamming-prefiltered search vs exact
+    val brute = Similarity.knnBrute(probes, emb, "vec_id", "embedding", 3)
+      .select("probe_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = brute.count(p =>
+      got.exists(g => g._1 == p._1 && g._2 == p._2)).toDouble / brute.size
+    assert(recall >= 0.5, s"binary+rerank recall@3 = $recall")
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {

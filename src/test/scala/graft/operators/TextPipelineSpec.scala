@@ -732,4 +732,30 @@ class TextPipelineSpec extends AnyFunSuite {
       TextOps.chunk(docs, "doc_id", "text", size = 3, stride = 4)
     }
   }
+
+  test("blocklist filter: anchor-join ≡ brute contains, token boundaries hold") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),      // matches "brown fox"
+      (2L, "a slow fast table scan"),          // matches "slow fast"
+      (3L, "nobrown foxhole here"),            // substring, NOT a token match
+      (4L, "brown fox brown fox twice"),       // still ONE phrase match row
+      (5L, "clean document entirely"),
+      (6L, "slow fast brown fox both")         // two distinct phrases
+    ).toDF("doc_id", "text")
+    val bl = Seq("brown fox", "slow fast", "never present").toDF("phrase")
+    val got = TextOps.blocklistFilter(docs, "doc_id", "text", bl, "phrase")
+      .select("doc_id", "n_matched", "blocked")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == Map(
+      1L -> (1L, true), 2L -> (1L, true), 3L -> (0L, false),
+      4L -> (1L, true), 5L -> (0L, false), 6L -> (2L, true)))
+    // brute-force cross-check: every doc × phrase boundary-padded contains
+    val brute = docs.crossJoin(bl)
+      .filter(concat(lit(" "), $"text", lit(" "))
+        .contains(concat(lit(" "), $"phrase", lit(" "))))
+      .groupBy($"doc_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(got.forall { case (id, (n, _)) => brute.getOrElse(id, 0L) == n })
+  }
 }

@@ -359,6 +359,39 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("stream-stream LEFT OUTER join: unmatched rows emit nulls once proven") {
+    val d = "/root/testdata/sf0.001"
+    val ev = StreamStreamJoin.eventsStreamWithSentinel(spark,
+      s"$d/events.parquet", Seq("purchase", "click"))
+    val sp = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val sc = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("c_id"), col("ts").as("c_ts"))
+    val streamed = StreamStreamJoin.runToMemory(spark,
+        StreamStreamJoin.intervalJoinLeftOuter(sp, sc, "user_id",
+          "p_ts", "c_ts", "24 HOURS", "0 seconds"),
+        s"ssjo_${java.util.UUID.randomUUID().toString.take(8)}")
+      .filter(col("user_id") >= 0)
+      .select("user_id", "p_id", "c_id")
+    val bev = graft.Tables.events(spark, d)
+    val bp = bev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val bc = bev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("c_id"),
+        col("ts").as("c_ts"))
+    val batch = bp.join(bc,
+        col("user_id") === col("cu") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 24 HOURS") &&
+          col("c_ts") <= col("p_ts"), "left_outer")
+      .select("user_id", "p_id", "c_id")
+    // the outer rows are the point: some purchases have no click in window
+    assert(batch.filter(col("c_id").isNull).count() > 0,
+      "fixture produced no unmatched purchases")
+    assert(streamed.filter(col("c_id").isNull).count() ==
+      batch.filter(col("c_id").isNull).count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("windowed aggregation with watermark over the envelope stream") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
