@@ -430,4 +430,58 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** AUDIO FINGERPRINTING (the Shazam landmark shape): consecutive-window
+    * feature pairs become compact hashes, and a clip matches a track when
+    * MANY of its hashes agree at ONE CONSISTENT window offset — the
+    * offset-histogram vote that makes landmark matching robust to the
+    * clip starting mid-track. Features here are [[audioWindows]]'s integer
+    * zero-crossing count and a 6-bit energy band per window (the
+    * codec-agnostic stand-ins for spectral peaks; a real deployment swaps
+    * the codec and the per-window feature, the pairing/voting dataflow is
+    * unchanged): feat = zc · 64 + (energy div 16 mod 64) — 12 bits —
+    * and fp = feat_j · 4096 + feat_{j+1} — 24 bits, enough entropy that
+    * unrelated windows rarely collide. Exact integers, engine-portable.
+    *
+    * Returns (doc_id, win_idx, fp), one row per consecutive window pair.
+    * Scale shape: the window features come from the batched decode; the
+    * pairing is one doc-keyed lead() window.
+    */
+  def audioFingerprints(blobs: DataFrame, win: Int = 64, hop: Int = 32,
+      codec: MediaCodec = StubCodec): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val feat = expr("zero_crossings * 64 + (energy div 16) % 64")
+    audioWindows(blobs, win, hop, codec = codec).toDF()
+      .withColumn("_feat", feat)
+      .select(col("doc_id"), col("win_idx"),
+        (col("_feat") * 4096 +
+          lead(col("_feat"), 1).over(
+            Window.partitionBy(col("doc_id")).orderBy(col("win_idx"))))
+          .cast("long").as("fp"))
+      .filter(col("fp").isNotNull)
+  }
+
+  /** Match clip fingerprints against track fingerprints: hash equi-join on
+    * fp, vote per (clip, track, window offset), keep each clip's best
+    * (score DESC, track, offset) hypothesis. The fp join is the inverted
+    * index of a production system — candidates are bounded by fp document
+    * frequency, never clips × tracks; the vote is one partial-agg'd count.
+    * Returns (clip_id, track_id, offset, n_matched).
+    */
+  def audioMatch(clipFps: DataFrame, trackFps: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = clipFps.select(col("doc_id").as("clip_id"),
+      col("win_idx").as("_cj"), col("fp"))
+    val t = trackFps.select(col("doc_id").as("track_id"),
+      col("win_idx").as("_tj"), col("fp"))
+    c.join(t, Seq("fp"))
+      .groupBy(col("clip_id"), col("track_id"),
+        (col("_tj") - col("_cj")).as("offset"))
+      .agg(count(lit(1)).as("n_matched"))
+      .withColumn("_rnk", row_number().over(
+        Window.partitionBy(col("clip_id"))
+          .orderBy(col("n_matched").desc, col("track_id"), col("offset"))))
+      .filter(col("_rnk") === 1)
+      .select(col("clip_id"), col("track_id"), col("offset"), col("n_matched"))
+  }
 }

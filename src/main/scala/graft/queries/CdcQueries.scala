@@ -769,6 +769,44 @@ object CdcQueries {
           s"cdc28_${java.util.UUID.randomUUID().toString.take(8)}")
         .filter(col("user_id") >= 0)
         .select("user_id", "p_id", "c_id", "c_value")
+    },
+
+    // --- streaming trending report via APPEND-mode windows (cdc29): daily
+    // --- per-type counts through the streaming state store, each window
+    // --- emitted EXACTLY ONCE when the watermark finalizes it (complete
+    // --- mode — cdc17 — re-emits everything every batch: O(history) sink
+    // --- churn; append mode is the production shape for an ever-growing
+    // --- window history). The cdc28 sentinel pushes the watermark past the
+    // --- final real day so every window finalizes in the bounded drive;
+    // --- the top-3 rank per day is a batch projection over the FINALIZED
+    // --- window table (O(days·types) rows). Oracle = batch counts + rank. -
+    q("cdc29_streaming_trending",
+      """WITH c AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+        |  event_type, COUNT(*) AS n FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY day_start
+        |  ORDER BY n DESC, event_type) AS rnk FROM c)
+        |SELECT day_start, event_type, n, rnk FROM r WHERE rnk <= 3""".stripMargin) { (s, d) =>
+      import graft.streaming.StreamStreamJoin
+      import org.apache.spark.sql.expressions.Window
+      val ev = StreamStreamJoin.eventsStreamWithSentinel(s,
+        s"$d/events.parquet", Seq("view"))
+      val counts = ev
+        .withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("day_start"), col("event_type"), col("n"))
+      val fin = StreamStreamJoin.runToMemory(s, counts,
+        s"cdc29_${java.util.UUID.randomUUID().toString.take(8)}")
+      // the sentinel's own far-future window also finalizes — drop it by
+      // bounding to the real data's max event time
+      val mx = Tables.events(s, d).agg(max(col("ts")).as("_mx"))
+      fin.crossJoin(broadcast(mx))
+        .filter(col("day_start") <= col("_mx"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("day_start"))
+            .orderBy(col("n").desc, col("event_type"))))
+        .filter(col("rnk") <= 3)
+        .select(col("day_start"), col("event_type"), col("n"), col("rnk"))
     }
   )
 }

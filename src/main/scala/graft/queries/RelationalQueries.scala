@@ -1628,6 +1628,82 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_used"),
           (sum(col("value").cast(DecimalType(10, 4)) * w).cast("double")
             / sum(w).cast("double")).as("ewma"))
+    },
+
+    // --- table diff / reconciliation (q70): the anti-entropy audit — does
+    // --- the replica match the source? Planted drift over orders (removed
+    // --- %97 keys, +1 price on %101, added keys past 10M) must come back
+    // --- as exactly those keys with change type and the per-column change
+    // --- set. ONE full-outer hash join on the key (co-located and
+    // --- exchange-free when both sides are bucketed on it); matching rows
+    // --- die before the report materializes — output O(divergence). ------
+    q("q70_table_diff",
+      """WITH oldt AS (SELECT * FROM orders),
+        |newt AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, 'O', 1.0,
+        |    TIMESTAMP '1995-01-01 00:00:00', 'added'
+        |  FROM orders WHERE o_orderkey % 103 = 0),
+        |j AS (SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |  o.o_orderkey AS lk, n.o_orderkey AS rk,
+        |  list_filter([
+        |    CASE WHEN o.o_custkey IS DISTINCT FROM n.o_custkey THEN 'o_custkey' END,
+        |    CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus THEN 'o_orderstatus' END,
+        |    CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'o_totalprice' END,
+        |    CASE WHEN o.o_orderdate IS DISTINCT FROM n.o_orderdate THEN 'o_orderdate' END,
+        |    CASE WHEN o.o_orderpriority IS DISTINCT FROM n.o_orderpriority THEN 'o_orderpriority' END],
+        |    x -> x IS NOT NULL) AS cc
+        |  FROM oldt o FULL JOIN newt n ON o.o_orderkey = n.o_orderkey)
+        |SELECT o_orderkey,
+        |  CASE WHEN lk IS NULL THEN 'added' WHEN rk IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS change,
+        |  CASE WHEN lk IS NULL OR rk IS NULL THEN ''
+        |       ELSE array_to_string(cc, ',') END AS changed_cols
+        |FROM j WHERE lk IS NULL OR rk IS NULL OR len(cc) > 0""".stripMargin) { (s, d) =>
+      import graft.operators.TableDiff
+      val o = Tables.orders(s, d)
+      val oldT = o
+      val newT = o.filter(col("o_orderkey") % 97 =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          when(col("o_orderkey") % 101 === 0, col("o_totalprice") + 1)
+            .otherwise(col("o_totalprice")).as("o_totalprice"),
+          col("o_orderdate"), col("o_orderpriority"))
+        .unionByName(o.filter(col("o_orderkey") % 103 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            col("o_custkey"), lit("O").as("o_orderstatus"),
+            lit(1.0).as("o_totalprice"),
+            to_timestamp(lit("1995-01-01 00:00:00")).as("o_orderdate"),
+            lit("added").as("o_orderpriority")))
+      TableDiff.diff(oldT, newT, "o_orderkey")
+    },
+
+    // --- exact distinct-count rollup via bitmaps (q71): per-(type, day,
+    // --- bucket) user bitmaps built ONCE, then OR-merged per type and
+    // --- popcounted — the EXACT twin of q55's HLL re-aggregation: daily
+    // --- distincts don't sum, but daily BITMAPS union losslessly, so any
+    // --- period's exact distinct count comes from merging KB-sized
+    // --- bitmaps instead of re-shuffling raw user ids. Both aggregation
+    // --- levels partial-agg map-side; the bucket split keeps each bitmap
+    // --- a bounded 4 KB. Oracle = plain COUNT(DISTINCT). ------------------
+    q("q71_bitmap_distinct",
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          col("user_id"))
+        .groupBy(col("event_type"), col("day"),
+          expr("bitmap_bucket_number(user_id)").as("bucket"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))")
+          .as("bm"))
+      daily.groupBy(col("event_type"), col("bucket"))
+        .agg(expr("bitmap_count(bitmap_or_agg(bm))").as("n_part"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("n_part")).as("n_users"))
     }
   )
 

@@ -1634,6 +1634,45 @@ object TextQueries {
         "data stream filter", "no such phrase ever").toDF("phrase")
       TextOps.blocklistFilter(Tables.documents(s, d), "doc_id", "text",
         bl, "phrase")
+    },
+
+    // --- vocabulary coverage curve (txt54): how many word types cover each
+    // --- decile of corpus token mass — the Zipf summary a tokenizer budget
+    // --- decision reads (steep curve ⇒ small vocab suffices). The corpus
+    // --- scan is ONE partial-agg'd count; the rank/cumsum windows run over
+    // --- the VOCABULARY-bounded count frame (the txt29/q63 tiny-frame
+    // --- discipline — never the corpus); the decile probe is an exact
+    // --- integer cross-multiplication, no division. Ties rank (count DESC,
+    // --- token) — total order, engine-identical. --------------------------
+    q("txt54_vocab_coverage",
+      """WITH t AS (SELECT unnest(list_filter(string_split(text, ' '),
+        |  x -> x <> '')) AS tok FROM documents),
+        |c AS (SELECT tok, COUNT(*) AS n FROM t GROUP BY 1),
+        |r AS (SELECT tok, n,
+        |  ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rk,
+        |  SUM(n) OVER (ORDER BY n DESC, tok ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM c),
+        |tot AS (SELECT SUM(n) AS tot FROM c)
+        |SELECT CAST(d.decile AS BIGINT) AS decile, MIN(rk) AS n_types
+        |FROM r, tot, generate_series(1, 9) d(decile)
+        |WHERE cum * 10 >= d.decile * tot.tot
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.documents(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      val ord = Window.orderBy(col("n").desc, col("tok"))
+      val ranked = counts
+        .withColumn("rk", row_number().over(ord))
+        .withColumn("cum", sum(col("n")).over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val tot = counts.agg(sum(col("n")).as("tot"))
+      ranked.crossJoin(broadcast(tot))
+        .select(explode(sequence(lit(1), lit(9))).as("decile"),
+          col("rk"), col("cum"), col("tot"))
+        .filter(col("cum") * 10 >= col("decile") * col("tot"))
+        .groupBy(col("decile").cast("long").as("decile"))
+        .agg(min(col("rk")).as("n_types"))
     }
   )
 }

@@ -1246,6 +1246,61 @@ object VectorQueries {
     // --- parity sign — deterministic, SQL-restatable), the dataflow is the
     // --- production one: project text → ONE id equi-join to the embedding →
     // --- per-row cosine → threshold. Zero-norm text vectors score NULL. ---
+    // --- audio fingerprint matching (mm14, the Shazam landmark shape):
+    // --- consecutive-window zero-crossing pairs hash to compact landmarks;
+    // --- a clip (hop-aligned excerpt of a track, planted at sample offset
+    // --- 64 = window offset 2) matches the track whose landmarks agree at
+    // --- ONE consistent window offset — the offset-histogram vote. The fp
+    // --- equi-join is the inverted index (candidates bounded by fp df,
+    // --- never clips × tracks); the vote is one partial-agg'd count. -------
+    q("mm14_audio_fingerprint",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE strlen(text) = length(text) AND strlen(text) > 0
+        |  UNION ALL
+        |  SELECT doc_id + 500000, substr(text, 65, 192) FROM documents
+        |  WHERE strlen(text) = length(text) AND strlen(text) >= 256
+        |    AND doc_id % 20 = 0),
+        |s AS (SELECT doc_id, [CAST(unicode(substr(text, i, 1)) AS BIGINT) - 128
+        |    for i in generate_series(1, strlen(text))] AS c FROM corpus),
+        |j0 AS (SELECT doc_id, c,
+        |    unnest(generate_series(0, (len(c)-1)//32)) AS j FROM s),
+        |w AS (SELECT doc_id, j, c[CAST(j*32+1 AS INT) : CAST(j*32+64 AS INT)] AS win
+        |  FROM j0),
+        |f AS (SELECT doc_id, j,
+        |    CAST(len([i for i in generate_series(1, len(win)-1)
+        |      if (win[i] < 0) <> (win[i+1] < 0)]) AS BIGINT) * 64
+        |    + (CAST(list_sum([x*x for x in win]) AS BIGINT) // 16) % 64 AS feat
+        |  FROM w),
+        |fp0 AS (SELECT doc_id, j, feat * 4096 + lead(feat) OVER (
+        |    PARTITION BY doc_id ORDER BY j) AS fp FROM f),
+        |fpx AS (SELECT doc_id, j, fp FROM fp0 WHERE fp IS NOT NULL),
+        |cand AS (SELECT c.doc_id AS clip_id, t.doc_id AS track_id,
+        |    t.j - c.j AS o, COUNT(*) AS n_matched
+        |  FROM fpx c JOIN fpx t ON c.fp = t.fp
+        |  WHERE c.doc_id >= 500000 AND t.doc_id < 500000
+        |  GROUP BY 1, 2, 3)
+        |SELECT clip_id, track_id, CAST(o AS BIGINT) AS win_offset, n_matched
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY clip_id
+        |    ORDER BY n_matched DESC, track_id, o) AS rnk FROM cand) t
+        |WHERE rnk = 1""".stripMargin) { (s, d) =>
+      val ascii = Tables.documents(s, d)
+        .filter(octet_length(col("text")) === length(col("text")) &&
+          octet_length(col("text")) > 0)
+      val clips = Tables.documents(s, d)
+        .filter(octet_length(col("text")) === length(col("text")) &&
+          octet_length(col("text")) >= 256 && col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 500000L).as("doc_id"),
+          expr("substring(text, 65, 192)").as("text"), col("source"))
+      val trackFps = Multimodal.audioFingerprints(
+        Multimodal.withBlob(ascii, "text", "source"))
+      val clipFps = Multimodal.audioFingerprints(
+        Multimodal.withBlob(clips, "text", "source"))
+      Multimodal.audioMatch(clipFps, trackFps)
+        .select(col("clip_id"), col("track_id"),
+          col("offset").cast("long").as("win_offset"), col("n_matched"))
+    },
+
     q("mm13_cross_modal_align",
       s"""WITH $quantSql,
          |toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),

@@ -992,3 +992,84 @@ class MultimodalSpec extends AnyFunSuite {
       again.select($"vec_id", $"cell", $"pos").collect().toSet)
   }
 }
+
+class TableDiffSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("diff: change types exact, changed columns named, identical rows silent") {
+    import spark.implicits._
+    val oldT = Seq(
+      (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0),
+      (5L, null.asInstanceOf[String], 50.0))
+      .toDF("k", "s", "v")
+    val newT = Seq(
+      (1L, "a", 10.0),                       // untouched → absent from diff
+      (2L, "B", 20.0),                       // one col changed
+      (3L, "c", 31.0),                       // other col changed
+      (6L, "new", 60.0),                     // added (4 removed)
+      (5L, "now-set", 50.0))                 // null → value IS a change
+      .toDF("k", "s", "v")
+    val got = TableDiff.diff(oldT, newT, "k")
+      .as[(Long, String, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == Map(
+      2L -> ("changed", "s"), 3L -> ("changed", "v"),
+      4L -> ("removed", ""), 6L -> ("added", ""),
+      5L -> ("changed", "s")))
+    // identical snapshots diff to nothing
+    assert(TableDiff.diff(oldT, oldT, "k").isEmpty)
+    // both columns changed → both named, schema order
+    val both = Seq((2L, "x", 99.0)).toDF("k", "s", "v")
+    val g2 = TableDiff.diff(oldT.filter($"k" === 2), both, "k")
+      .as[(Long, String, String)].head()
+    assert(g2 == ((2L, "changed", "s,v")))
+    intercept[IllegalArgumentException] {
+      TableDiff.diff(oldT, newT.select("k", "v", "s"), "k")
+    }
+  }
+}
+
+class AudioFingerprintSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("clip matches its source track at the planted window offset") {
+    import spark.implicits._
+    val ascii = graft.Tables.documents(spark, dir)
+      .filter(octet_length(col("text")) === length(col("text")) &&
+        octet_length(col("text")) >= 256)
+    val tracks = Multimodal.audioFingerprints(
+      Multimodal.withBlob(ascii, "text", "source"))
+    // hop-aligned excerpt: samples [64, 256) → clip window j ≡ track j+2
+    val clips = Multimodal.audioFingerprints(
+      Multimodal.withBlob(ascii.filter($"doc_id" % 20 === 0)
+        .select(($"doc_id" + 500000L).as("doc_id"),
+          expr("substring(text, 65, 192)").as("text"), $"source"),
+        "text", "source"))
+    val got = Multimodal.audioMatch(clips, tracks)
+      .as[(Long, Long, Int, Long)].collect()
+    assert(got.nonEmpty)
+    // the corpus contains NEAR-DUPLICATE documents (e.g. one doc literally
+    // containing another's excerpt), so a clip may legitimately tie between
+    // its own track and a content-identical one — the correctness contract
+    // is: the OWN track at the planted offset 2 scores the per-clip MAXIMUM
+    // vote count (it can never be beaten, only tied by identical content)
+    val cands = clips.select($"doc_id".as("clip_id"), $"win_idx".as("cj"), $"fp")
+      .join(tracks.select($"doc_id".as("track_id"), $"win_idx".as("tj"), $"fp"),
+        Seq("fp"))
+      .groupBy($"clip_id", $"track_id", ($"tj" - $"cj").as("off"))
+      .count()
+      .as[(Long, Long, Int, Long)].collect()
+    val maxVotes = cands.groupBy(_._1).view.mapValues(_.map(_._4).max).toMap
+    val own = cands.filter(c => c._2 == c._1 - 500000L && c._3 == 2)
+      .map(c => c._1 -> c._4).toMap
+    for ((clip, _, off, n) <- got) {
+      assert(own(clip) == maxVotes(clip),
+        s"clip $clip: own track at offset 2 has ${own(clip)} votes, max ${maxVotes(clip)}")
+      assert(n == maxVotes(clip) && n >= 3, s"clip $clip winner votes $n")
+      assert(off >= 0, s"clip $clip negative offset $off")
+    }
+    // every clip produced a match row
+    assert(got.map(_._1).toSet == own.keySet)
+  }
+}
