@@ -245,6 +245,27 @@ object TextOps {
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(text, "[^a-z0-9 ]", ""), " +", " "))
 
+  /** PORTER-LITE SUFFIX STEMMING — the first-rules subset of Porter's
+    * step 1 (sses→ss, ies→i, ss kept, trailing s dropped, -ing / -ed
+    * stripped when a long-enough stem remains), as ONE deterministic CASE
+    * chain over string primitives both engines share (LIKE, substring,
+    * length) — no stemmer library, no UDF, bit-identical across engines.
+    * Collapses inflection so counting/dedup/retrieval see one type where
+    * raw text has five; rule order is the contract (first match wins).
+    * Uses [[bind]] so the token expression is evaluated once, not once
+    * per rule.
+    */
+  def stemLite(tok: Column): Column = bind(tok, { t =>
+    def drop(n: Int) = t.substr(lit(1), length(t) - n)
+    when(t.like("%sses"), drop(2))
+      .when(t.like("%ies"), drop(2))
+      .when(t.like("%ss"), t)
+      .when(t.like("%s") && length(t) > 3, drop(1))
+      .when(t.like("%ing") && length(t) > 5, drop(3))
+      .when(t.like("%ed") && length(t) > 4, drop(2))
+      .otherwise(t)
+  })
+
   /** PII patterns for redaction scrubbing. Character classes + bounded
     * quantifiers + \b only, so Java regex (Spark) and RE2 (DuckDB oracle)
     * agree. Order matters and is part of the contract: emails first (their

@@ -1704,6 +1704,49 @@ object RelationalQueries {
         .agg(expr("bitmap_count(bitmap_or_agg(bm))").as("n_part"))
         .groupBy(col("event_type"))
         .agg(sum(col("n_part")).as("n_users"))
+    },
+
+    // --- co-purchase triangle census (q72): triangles and wedges of the
+    // --- parts-bought-together graph (1-in-10 part slice) + the global
+    // --- clustering coefficient — the graph-cohesion statistic behind
+    // --- recommendation quality checks. Edges from one order self-join
+    // --- (u < v dedup), triangles from two hash equi-joins closed by a
+    // --- third (the id-ordered orientation counts each triangle once);
+    // --- wedges from degrees alone — Σ C(deg,2) — never a path join. At
+    // --- scale the orientation key becomes DEGREE (not id) so hub
+    // --- vertices don't fan out quadratically; same dataflow. -------------
+    q("q72_triangle_census",
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem WHERE l_partkey % 10 = 0),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |deg AS (SELECT x, COUNT(*) AS dg FROM (
+        |  SELECT u AS x FROM e UNION ALL SELECT v FROM e) t GROUP BY 1),
+        |wed AS (SELECT CAST(SUM(dg * (dg - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+        |tri AS (SELECT COUNT(*) AS n_triangles
+        |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |ne AS (SELECT COUNT(*) AS n_edges FROM e)
+        |SELECT ne.n_edges, wed.n_wedges, tri.n_triangles,
+        |  3.0 * tri.n_triangles / wed.n_wedges AS global_cc
+        |FROM ne, wed, tri""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d).filter(col("l_partkey") % 10 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val e = li.alias("a").join(li.alias("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      val deg = e.select(col("u").as("x"))
+        .unionAll(e.select(col("v").as("x")))
+        .groupBy(col("x")).agg(count(lit(1)).as("dg"))
+      val wed = deg.agg(sum(expr("dg * (dg - 1) div 2")).as("n_wedges"))
+      val tri = e.alias("e1").join(e.alias("e2"), col("e1.v") === col("e2.u"))
+        .join(e.alias("e3"),
+          col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val ne = e.agg(count(lit(1)).as("n_edges"))
+      ne.crossJoin(wed).crossJoin(tri)
+        .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+          (lit(3.0) * col("n_triangles") / col("n_wedges")).as("global_cc"))
     }
   )
 

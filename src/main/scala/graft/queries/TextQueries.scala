@@ -1673,6 +1673,35 @@ object TextQueries {
         .filter(col("cum") * 10 >= col("decile") * col("tot"))
         .groupBy(col("decile").cast("long").as("decile"))
         .agg(min(col("rk")).as("n_types"))
+    },
+
+    // --- suffix stemming report (txt55): Porter-lite step-1 rules as ONE
+    // --- deterministic CASE chain over shared string primitives (no
+    // --- stemmer lib, no UDF — bit-identical across engines); the report
+    // --- shows the vocabulary compaction stemming buys per source. Pure
+    // --- projection on the token stream + two partial-agg'd distincts. ----
+    q("txt55_stemming_report",
+      """WITH t AS (SELECT source, unnest(list_filter(string_split(text, ' '),
+        |  x -> x <> '')) AS tok FROM documents),
+        |s AS (SELECT source, tok, CASE
+        |  WHEN tok LIKE '%sses' THEN substr(tok, 1, length(tok)-2)
+        |  WHEN tok LIKE '%ies' THEN substr(tok, 1, length(tok)-2)
+        |  WHEN tok LIKE '%ss' THEN tok
+        |  WHEN tok LIKE '%s' AND length(tok) > 3 THEN substr(tok, 1, length(tok)-1)
+        |  WHEN tok LIKE '%ing' AND length(tok) > 5 THEN substr(tok, 1, length(tok)-3)
+        |  WHEN tok LIKE '%ed' AND length(tok) > 4 THEN substr(tok, 1, length(tok)-2)
+        |  ELSE tok END AS stem FROM t)
+        |SELECT source, COUNT(*) AS n_tokens,
+        |  COUNT(DISTINCT tok) AS n_types_raw,
+        |  COUNT(DISTINCT stem) AS n_types_stemmed
+        |FROM s GROUP BY 1""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .select(col("source"), col("tok"), TextOps.stemLite(col("tok")).as("stem"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("tok")).as("n_types_raw"),
+          countDistinct(col("stem")).as("n_types_stemmed"))
     }
   )
 }

@@ -758,4 +758,30 @@ class TextPipelineSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(got.forall { case (id, (n, _)) => brute.getOrElse(id, 0L) == n })
   }
+
+  test("stemLite: rule order, length guards, and inflection collapse") {
+    import spark.implicits._
+    val cases = Seq(
+      "caresses" -> "caress",   // sses → ss
+      "ponies"   -> "poni",     // ies → i
+      "caress"   -> "caress",   // ss kept (rule 3 blocks rule 4)
+      "cats"     -> "cat",      // trailing s
+      "its"      -> "its",      // len guard: 3-char word keeps its s
+      "running"  -> "runn",     // ing stripped (len > 5)
+      "sing"     -> "sing",     // len guard: 4-char keeps ing
+      "wanted"   -> "want",     // ed stripped (len > 4)
+      "red"      -> "red",      // len guard
+      "table"    -> "table")    // no rule
+    val got = cases.map(_._1).toDF("tok")
+      .select($"tok", TextOps.stemLite($"tok").as("stem"))
+      .as[(String, String)].collect().toMap
+    for ((tok, want) <- cases)
+      assert(got(tok) == want, s"stem($tok) = ${got(tok)}, want $want")
+    // stemming only ever merges types, never splits them
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val toks = docs.select(explode(TextOps.tokens($"text")).as("tok"))
+    val raw = toks.select($"tok").distinct().count()
+    val stemmed = toks.select(TextOps.stemLite($"tok")).distinct().count()
+    assert(stemmed <= raw && stemmed > 0)
+  }
 }
