@@ -397,6 +397,47 @@ object Multimodal {
       .select(col("va").as("a"), col("vb").as("b"), col("n_frame_matches"))
   }
 
+  /** VIDEO SCENE-CHANGE DETECTION — split a video into visually coherent
+    * runs: per-frame perceptual hashes (the mm06 machinery over the frame
+    * explode, composite doc·10⁶+idx key), one doc-keyed lead() window for
+    * the frame-to-frame Hamming distance, a boundary wherever it exceeds
+    * `threshold` (a held shot hashes near-identically; a cut jumps). The
+    * shot-boundary step every video curation pipeline runs before
+    * per-scene sampling/captioning. Returns per video: n_frames, n_scenes
+    * (= boundaries + 1), and the comma-joined boundary frame indices.
+    *
+    * Scale shape: pixels die inside the batched decode; the Hamming lead
+    * and the island rollup ride ONE video-keyed exchange.
+    */
+  def sceneChanges(blobs: DataFrame, frameBytes: Int = 64,
+      threshold: Int = 3, batchSize: Int = 64,
+      codec: MediaCodec = StubCodec): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frames = frameSample(blobs, frameBytes, every = 1, batchSize, codec)
+    val frameBlobs = frames.toDF().select(
+      (col("doc_id") * 1000000L + col("frame_idx")).as("doc_id"),
+      lit("frame").as("format"), col("frame").as("blob"))
+    val ph = perceptualHash(frameBlobs, batchSize, codec).toDF()
+      .select(expr("doc_id div 1000000").as("vid"),
+        (col("doc_id") % 1000000L).as("idx"), col("ph_hi"), col("ph_lo"))
+    val w = Window.partitionBy(col("vid")).orderBy(col("idx"))
+    val dist = ph
+      .withColumn("_nhi", lead(col("ph_hi"), 1).over(w))
+      .withColumn("_nlo", lead(col("ph_lo"), 1).over(w))
+      .withColumn("_d",
+        bit_count(col("ph_hi").bitwiseXOR(col("_nhi"))) +
+          bit_count(col("ph_lo").bitwiseXOR(col("_nlo"))))
+    dist.groupBy(col("vid"))
+      .agg(count(lit(1)).as("n_frames"),
+        (sum(when(col("_d") > threshold, 1L).otherwise(0L)) + 1L)
+          .as("n_scenes"),
+        array_join(array_sort(collect_list(
+          when(col("_d") > threshold, col("idx") + 1))), ",")
+          .as("boundaries"))
+      .select(col("vid").as("doc_id"), col("n_frames"), col("n_scenes"),
+        col("boundaries"))
+  }
+
   /** Near-duplicate image pairs by perceptual-hash Hamming distance ≤
     * `maxHamming`: the banded-join discipline (SimHash/MinHash style) —
     * the 64 bits split into four 16-bit bands, candidates meet in a band

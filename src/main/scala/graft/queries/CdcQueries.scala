@@ -807,6 +807,37 @@ object CdcQueries {
             .orderBy(col("n").desc, col("event_type"))))
         .filter(col("rnk") <= 3)
         .select(col("day_start"), col("event_type"), col("n"), col("rnk"))
+    },
+
+    // --- streaming sketch maintenance (cdc30): per-type HLL sketches kept
+    // --- current across micro-batches — each batch sketches only its own
+    // --- rows, the standing (group, sketch) table unions them (q55's
+    // --- mergeable-sketch algebra pumped by a stream; history never
+    // --- re-read). The events file is split 4 ways and driven two files
+    // --- per micro-batch (2 real batches — enough to exercise the merge;
+    // --- a merge bug shows as a ~½ estimate and a false verdict; each
+    // --- extra batch costs a full state commit in the bounded drive).
+    // --- Retries are free (sketch union is idempotent —
+    // --- spec-pinned). Verdict-as-data: |est − exact| ≤ 3·rsd·exact
+    // --- (lgK=12 ⇒ rsd ≈ 1.63%) against the literal-TRUE oracle. ----------
+    q("cdc30_streaming_sketches",
+      """SELECT event_type, COUNT(*) AS exact_n, TRUE AS ok
+        |FROM events GROUP BY 1""".stripMargin) { (s, d) =>
+      import graft.streaming.{SketchStream, StreamStreamJoin}
+      val src = java.nio.file.Files.createTempDirectory("cdc30src").toString
+      Tables.events(s, d).select(col("event_id"), col("event_type"))
+        .repartition(4).write.mode("overwrite").parquet(src)
+      val tableDir =
+        java.nio.file.Files.createTempDirectory("cdc30tbl").toString + "/t"
+      val stream = StreamStreamJoin.tableStream(s, src, maxFilesPerTrigger = 2)
+      SketchStream.foldSketches(stream, "event_type", "event_id", tableDir)
+      val est = SketchStream.estimates(s, tableDir, "event_type")
+      Tables.events(s, d).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("exact_n"))
+        .join(est, Seq("event_type"))
+        .select(col("event_type"), col("exact_n"),
+          (abs(col("estimate") - col("exact_n")) <=
+            lit(3 * 0.0163) * col("exact_n")).as("ok"))
     }
   )
 }

@@ -1747,6 +1747,62 @@ object RelationalQueries {
       ne.crossJoin(wed).crossJoin(tri)
         .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
           (lit(3.0) * col("n_triangles") / col("n_wedges")).as("global_cc"))
+    },
+
+    // --- relative-ranking window family (q73): percent_rank, cume_dist,
+    // --- ntile — the remaining SQL window rank functions (q11 covers
+    // --- row_number/rank/dense_rank). All three are exact integer ratios /
+    // --- bucket arithmetic over a TOTAL order ((price, key) tie-break), so
+    // --- they hash-match; the 1-in-100 key sample bounds the report, taken
+    // --- AFTER ranking (sampling first would change every rank). ----------
+    q("q73_relative_rank",
+      """WITH r AS (SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  ntile(4) OVER w AS quartile
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice, o_orderkey))
+        |SELECT o_orderstatus, o_orderkey, pr, cd,
+        |  CAST(quartile AS BIGINT) AS quartile
+        |FROM r WHERE o_orderkey % 100 = 0""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .filter(col("o_orderkey") % 100 === 0)
+    },
+
+    // --- relational division (q74): customers whose orders span EVERY
+    // --- priority class — "for all" over a dimension, the one classic
+    // --- relational operator joins/aggregations don't spell directly. The
+    // --- scalable formulation: distinct (cust, priority) once, count per
+    // --- cust, compare to the (broadcast scalar) universe count — two
+    // --- partial-agg'd aggregations, no per-customer subquery. The ORACLE
+    // --- is the textbook double-NOT-EXISTS — an INDEPENDENT formulation,
+    // --- so the gate cross-checks division semantics, not arithmetic. -----
+    q("q74_relational_division",
+      """SELECT c.o_custkey
+        |FROM (SELECT DISTINCT o_custkey FROM orders) c
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM (SELECT DISTINCT o_orderpriority FROM orders) p
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.o_custkey
+        |      AND o.o_orderpriority = p.o_orderpriority))""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      val universe = o.agg(
+        countDistinct(col("o_orderpriority")).as("_n_all"))
+      o.select(col("o_custkey"), col("o_orderpriority")).distinct()
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("_n"))
+        .crossJoin(broadcast(universe))
+        .filter(col("_n") === col("_n_all"))
+        .select(col("o_custkey"))
     }
   )
 

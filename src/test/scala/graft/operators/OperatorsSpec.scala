@@ -1029,6 +1029,66 @@ class TableDiffSpec extends AnyFunSuite {
   }
 }
 
+class SceneChangeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("planted shot structure: held frames never split, cuts detected") {
+    import spark.implicits._
+    // frames A,A,A,B,B,C — 64-char blocks, A/B/C pairwise very different
+    val a = "x" * 64
+    val b = ("qz" * 32)
+    val c = ("m n o p " * 8)
+    val docs = Seq((1L, a * 3 + b * 2 + c), (2L, a * 4), (3L, a))
+      .toDF("doc_id", "text").withColumn("fmt", lit("vid"))
+    val got = Multimodal.sceneChanges(
+        Multimodal.withBlob(docs, "text", "fmt"), frameBytes = 64,
+        threshold = 3)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // identical frames hash identically → distance 0 → never a boundary;
+    // the two cuts (A→B at frame 3, B→C at frame 5) must both register
+    assert(got(1L) == ((6L, 3L, "3,5")), s"got ${got(1L)}")
+    assert(got(2L) == ((4L, 1L, "")))   // one held shot
+    assert(got(3L) == ((1L, 1L, "")))   // single frame = one scene
+  }
+}
+
+class SketchStreamSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("sketch fold: within HLL error, deterministic, batch retry is a no-op") {
+    import spark.implicits._
+    import graft.streaming.SketchStream
+    val all = (1 to 2000).map(i => (s"g${i % 3}", i.toLong)).toDF("g", "v")
+    val parts = (0 until 4).map(k => all.filter($"v" % 4 === k))
+    def estimatesOf(dir: String) =
+      SketchStream.estimates(spark, dir, "g")
+        .as[(String, Double)].collect().toMap
+
+    val incDir = java.nio.file.Files.createTempDirectory("skinc").toString + "/t"
+    parts.foreach(p => SketchStream.foldOnce(p, "g", "v", incDir))
+    val oneDir = java.nio.file.Files.createTempDirectory("skone").toString + "/t"
+    SketchStream.foldOnce(all, "g", "v", oneDir)
+    val inc = estimatesOf(incDir)
+    val one = estimatesOf(oneDir)
+    // NOTE: incremental and one-shot estimates are NOT bit-identical —
+    // DataSketches invalidates the HIP estimator on union — but both must
+    // sit well within HLL error of the true count (n≈667/group, lgK=12)
+    for ((_, e) <- inc ++ one)
+      assert(math.abs(e - 2000.0 / 3) < 0.05 * 2000 / 3, s"estimate $e")
+    // incremental folding is deterministic: a second identical run of the
+    // whole fold sequence reproduces the estimates exactly
+    val inc2Dir = java.nio.file.Files.createTempDirectory("skinc2").toString + "/t"
+    parts.foreach(p => SketchStream.foldOnce(p, "g", "v", inc2Dir))
+    assert(estimatesOf(inc2Dir) == inc)
+    // retry: folding an already-folded batch again must not move a single
+    // estimate — HLL union is a set union, re-inserting is a no-op (the
+    // property that makes this sink retry-safe WITHOUT batch-id markers)
+    SketchStream.foldOnce(parts(2), "g", "v", incDir)
+    assert(estimatesOf(incDir) == inc)
+  }
+}
+
 class AudioFingerprintSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   val dir = "/root/testdata/sf0.001"
