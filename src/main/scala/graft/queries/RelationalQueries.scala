@@ -1803,6 +1803,59 @@ object RelationalQueries {
         .crossJoin(broadcast(universe))
         .filter(col("_n") === col("_n_all"))
         .select(col("o_custkey"))
+    },
+
+    // --- k-anonymity generalization audit (q75): publish customer rows
+    // --- only in quasi-identifier groups of ≥ k=5 — records in small
+    // --- (nation, segment, fine acctbal band) groups fall back to a
+    // --- coarser band, and records still unsafe there are suppressed (the
+    // --- one-round Mondrian shape). Counting is two partial-agg'd
+    // --- groupBys + one broadcast-joined recheck over the REMAINING rows
+    // --- only (records already safe at fine level never re-count). The
+    // --- report is the (level, n_groups, n_rows) compliance summary. -----
+    q("q75_k_anonymity",
+      """WITH f AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+        |  CAST(floor(c_acctbal / 100) AS BIGINT) AS b_fine,
+        |  CAST(floor(c_acctbal / 1000) AS BIGINT) AS b_coarse
+        |  FROM customer),
+        |fg AS (SELECT c_nationkey, c_mktsegment, b_fine, COUNT(*) AS n
+        |  FROM f GROUP BY 1, 2, 3),
+        |fine AS (SELECT f.* FROM f JOIN fg USING (c_nationkey, c_mktsegment, b_fine)
+        |  WHERE fg.n >= 5),
+        |rest AS (SELECT f.* FROM f JOIN fg USING (c_nationkey, c_mktsegment, b_fine)
+        |  WHERE fg.n < 5),
+        |cg AS (SELECT c_nationkey, c_mktsegment, b_coarse, COUNT(*) AS n
+        |  FROM rest GROUP BY 1, 2, 3),
+        |coarse AS (SELECT rest.* FROM rest
+        |  JOIN cg USING (c_nationkey, c_mktsegment, b_coarse) WHERE cg.n >= 5),
+        |supp AS (SELECT rest.* FROM rest
+        |  JOIN cg USING (c_nationkey, c_mktsegment, b_coarse) WHERE cg.n < 5)
+        |SELECT 'fine' AS level, COUNT(*) AS n_rows,
+        |  COUNT(DISTINCT (c_nationkey, c_mktsegment, b_fine)) AS n_groups FROM fine
+        |UNION ALL SELECT 'coarse', COUNT(*),
+        |  COUNT(DISTINCT (c_nationkey, c_mktsegment, b_coarse)) FROM coarse
+        |UNION ALL SELECT 'suppressed', COUNT(*),
+        |  COUNT(DISTINCT (c_nationkey, c_mktsegment, b_coarse)) FROM supp""".stripMargin) { (s, d) =>
+      val f = Tables.customer(s, d).select(col("c_custkey"),
+        col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 100).cast("long").as("b_fine"),
+        floor(col("c_acctbal") / 1000).cast("long").as("b_coarse"))
+      val qiF = Seq("c_nationkey", "c_mktsegment", "b_fine")
+      val qiC = Seq("c_nationkey", "c_mktsegment", "b_coarse")
+      val fg = f.groupBy(qiF.map(col): _*).agg(count(lit(1)).as("_nf"))
+      val withF = f.join(fg, qiF)
+      val fine = withF.filter(col("_nf") >= 5)
+      val rest = withF.filter(col("_nf") < 5)
+      val cg = rest.groupBy(qiC.map(col): _*).agg(count(lit(1)).as("_nc"))
+      val withC = rest.join(cg, qiC)
+      def report(name: String, df: org.apache.spark.sql.DataFrame,
+          qi: Seq[String]) =
+        df.agg(count(lit(1)).as("n_rows"),
+          countDistinct(struct(qi.map(col): _*)).as("n_groups"))
+          .select(lit(name).as("level"), col("n_rows"), col("n_groups"))
+      report("fine", fine, qiF)
+        .unionByName(report("coarse", withC.filter(col("_nc") >= 5), qiC))
+        .unionByName(report("suppressed", withC.filter(col("_nc") < 5), qiC))
     }
   )
 

@@ -1702,6 +1702,104 @@ object TextQueries {
         .agg(count(lit(1)).as("n_tokens"),
           countDistinct(col("tok")).as("n_types_raw"),
           countDistinct(col("stem")).as("n_types_stemmed"))
+    },
+
+    // --- dialog flattening + loss-mask spans (txt56): the SFT data-prep
+    // --- step — per-user event sequences rendered as alternating
+    // --- user/assistant turns, flattened to one training string, with the
+    // --- CHARACTER SPANS of the assistant turns emitted alongside (the
+    // --- loss mask: train only on assistant tokens). Offsets are exact
+    // --- integer prefix sums of line lengths over one user-keyed window;
+    // --- assembly is array_sort over collected (idx, line) structs —
+    // --- collect order never matters. First 6 events per user bound the
+    // --- dialog. --------------------------------------------------------
+    q("txt56_dialog_masks",
+      """WITH e AS (SELECT user_id, event_type,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS idx
+        |  FROM events),
+        |t AS (SELECT user_id, idx,
+        |  (CASE WHEN idx % 2 = 0 THEN 'user' ELSE 'assistant' END)
+        |    || ': ' || event_type AS line
+        |  FROM e WHERE idx < 6),
+        |o AS (SELECT user_id, idx, line,
+        |  COALESCE(SUM(length(line) + 1) OVER (PARTITION BY user_id ORDER BY idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+        |  FROM t)
+        |SELECT user_id,
+        |  string_agg(line, chr(10) ORDER BY idx) AS dialog,
+        |  COUNT(*) AS n_turns,
+        |  array_to_string(list_filter(
+        |    list(CASE WHEN idx % 2 = 1
+        |      THEN CAST(st AS VARCHAR) || '-' || CAST(st + length(line) AS VARCHAR)
+        |      END ORDER BY idx), x -> x IS NOT NULL), ',') AS mask_spans
+        |FROM o GROUP BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val t = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          (row_number().over(byUser) - 1).as("idx"))
+        .filter(col("idx") < 6)
+        .select(col("user_id"), col("idx"),
+          concat(when(col("idx") % 2 === 0, lit("user"))
+              .otherwise(lit("assistant")),
+            lit(": "), col("event_type")).as("line"))
+      val o = t.withColumn("st", coalesce(
+        sum(length(col("line")) + 1).over(
+          Window.partitionBy(col("user_id")).orderBy(col("idx"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      o.groupBy(col("user_id"))
+        .agg(
+          concat_ws("\n", expr(
+            "transform(array_sort(collect_list(struct(idx, line))), p -> p.line)"))
+            .as("dialog"),
+          count(lit(1)).as("n_turns"),
+          array_join(expr(
+            """filter(transform(array_sort(collect_list(struct(idx,
+              |  CASE WHEN idx % 2 = 1
+              |    THEN concat(cast(st AS STRING), '-',
+              |      cast(st + length(line) AS STRING)) END AS span))),
+              |  p -> p.span), x -> x IS NOT NULL)""".stripMargin), ",")
+            .as("mask_spans"))
+    },
+
+    // --- golden-record survivorship (txt57): the MERGE step of entity
+    // --- resolution — duplicate customer records (planted clipped-name,
+    // --- drained-balance copies) collapse to one record per entity under
+    // --- declared per-attribute rules: name = longest (ties lexicographic
+    // --- min), balance = max, source id = min. One aggregation with
+    // --- max_by/min over the cluster key (clusters come from the matching
+    // --- stage — txt53/txt10 — in a full pipeline; the gate pins the
+    // --- SURVIVORSHIP semantics). ----------------------------------------
+    q("txt57_golden_record",
+      """WITH corp AS (
+        |  SELECT c_custkey AS id, c_name AS name, c_acctbal AS bal FROM customer
+        |  UNION ALL SELECT c_custkey + 500000,
+        |    substr(c_name, 1, length(c_name) - 3), c_acctbal - 50
+        |  FROM customer WHERE c_custkey % 9 = 0),
+        |e AS (SELECT id, id % 500000 AS entity, name, bal FROM corp),
+        |named AS (SELECT entity, name FROM (SELECT entity, name,
+        |  ROW_NUMBER() OVER (PARTITION BY entity
+        |    ORDER BY length(name) DESC, name, entity) AS rn FROM e) t
+        |  WHERE rn = 1)
+        |SELECT e.entity, MIN(named.name) AS golden_name,
+        |  MAX(e.bal) AS golden_bal, MIN(e.id) AS src_id
+        |FROM e JOIN named ON e.entity = named.entity
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d)
+      val corp = c.select(col("c_custkey").as("id"), col("c_name").as("name"),
+          col("c_acctbal").as("bal"))
+        .unionByName(c.filter(col("c_custkey") % 9 === 0)
+          .select((col("c_custkey") + 500000L).as("id"),
+            expr("substring(c_name, 1, length(c_name) - 3)").as("name"),
+            (col("c_acctbal") - 50).as("bal")))
+      corp.select(col("id"), (col("id") % 500000L).as("entity"),
+          col("name"), col("bal"))
+        .groupBy(col("entity"))
+        .agg(
+          min_by(col("name"),
+            struct(negate(length(col("name"))), col("name"))).as("golden_name"),
+          max(col("bal")).as("golden_bal"),
+          min(col("id")).as("src_id"))
     }
   )
 }
