@@ -15,8 +15,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * (plain-SQL range theta joins, planned as nested loops, rerouted onto the
   * binned equi-join), [[graft.plans.ApproxDistinctRewrite]] (opt-in
   * COUNT(DISTINCT) → HyperLogLog++ sketch substitution, conf-gated OFF),
-  * and [[graft.plans.JoinEliminationRewrite]] (opt-in unused left-join
-  * elimination under declared unique keys, conf-gated OFF).
+  * [[graft.plans.JoinEliminationRewrite]] (opt-in unused left-join
+  * elimination under declared unique keys, conf-gated OFF), and
+  * [[graft.plans.MetadataCountRewrite]] (opt-in metadata-only COUNT(*)
+  * from parquet footers, conf-gated OFF).
   * On a session built without extensions, append them at runtime instead:
   *
   *   spark.experimental.extraOptimizations :+= graft.plans.RangeJoinRewrite
@@ -41,6 +43,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
     e.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
     e.injectOptimizerRule(_ => graft.plans.JoinEliminationRewrite)
+    e.injectOptimizerRule(_ => graft.plans.MetadataCountRewrite)
     e.injectFunction(fn("avro_safe_name",
       "avro_safe_name(str) - hex-escapes str into a valid Avro identifier", 1)(
       es => AvroSafeNameExpr(es.head)))

@@ -838,6 +838,37 @@ object CdcQueries {
         .select(col("event_type"), col("exact_n"),
           (abs(col("estimate") - col("exact_n")) <=
             lit(3 * 0.0163) * col("exact_n")).as("ok"))
+    },
+
+    // --- stream-stream FULL OUTER interval join (cdc31): cdc28's
+    // --- attribution join emitting BOTH orphan classes — purchases with
+    // --- no click in the lookback AND clicks no purchase ever picked up
+    // --- (the rows an audit of either feed needs). Null emission on each
+    // --- side is watermark-gated; the sentinel pair pushes the final
+    // --- watermark past both tails. Oracle = the batch FULL JOIN with the
+    // --- key coalesced across sides. -------------------------------------
+    q("cdc31_stream_stream_full_outer",
+      """SELECT COALESCE(p.user_id, c.user_id) AS user_id,
+        |  p.event_id AS p_id, c.event_id AS c_id, c.value AS c_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.ts >= p.ts - INTERVAL 24 HOUR AND c.ts <= p.ts""".stripMargin) { (s, d) =>
+      import graft.streaming.StreamStreamJoin
+      val ev = StreamStreamJoin.eventsStreamWithSentinel(s,
+        s"$d/events.parquet", Seq("purchase", "click"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("c_id"),
+          col("value").as("c_value"), col("ts").as("c_ts"))
+      val joined = StreamStreamJoin.intervalJoinFullOuter(purchases, clicks,
+        "user_id", "p_ts", "c_ts", lookback = "24 HOURS",
+        watermark = "0 seconds")
+      StreamStreamJoin.runToMemory(s, joined,
+          s"cdc31_${java.util.UUID.randomUUID().toString.take(8)}")
+        .filter(col("user_id") >= 0)
+        .select("user_id", "p_id", "c_id", "c_value")
     }
   )
 }

@@ -1856,7 +1856,34 @@ object RelationalQueries {
       report("fine", fine, qiF)
         .unionByName(report("coarse", withC.filter(col("_nc") >= 5), qiC))
         .unionByName(report("suppressed", withC.filter(col("_nc") < 5), qiC))
-    }
+    },
+
+    // --- metadata-only COUNT(*) (q76, the repo's FOURTH optimizer rule,
+    // --- hash-green verdict-as-data): an unfiltered COUNT(*) over parquet
+    // --- is answered from footer row counts — the whole Aggregate+scan
+    // --- collapses to a LocalRelation at optimization time, zero data
+    // --- pages read (every warehouse's most common query against a fresh
+    // --- table). The gate proves BOTH halves: the optimized plan is a
+    // --- LocalRelation with no surviving relation scan (folded into ok),
+    // --- and the footer sum equals the oracle's real COUNT(*). A filtered
+    // --- count on the same session must NOT fire (stand-down guard in ok
+    // --- too: predicates make footer counts wrong). -----------------------
+    Q("q76_metadata_count", (s, d) => {
+      val s2 = s.newSession()
+      s2.experimental.extraOptimizations =
+        s2.experimental.extraOptimizations :+ graft.plans.MetadataCountRewrite
+      s2.conf.set("spark.graft.metaCount.enabled", "true")
+      val cnt = Tables.orders(s2, d).agg(count(lit(1)).as("n"))
+      val fired = cnt.queryExecution.optimizedPlan.collectFirst {
+        case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+      }.nonEmpty
+      val filtered = Tables.orders(s2, d)
+        .filter(col("o_orderkey") % 2 === 0).agg(count(lit(1)).as("n"))
+      val stoodDown = filtered.queryExecution.optimizedPlan.collectFirst {
+        case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+      }.isEmpty
+      cnt.withColumn("ok", lit(fired && stoodDown))
+    }, Some("SELECT COUNT(*) AS n, TRUE AS ok FROM orders"))
   )
 
   /** DuckDB twin of Layout.hilbert2: one (rx/ry, rotate, accumulate) CTE

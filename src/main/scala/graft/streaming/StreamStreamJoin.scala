@@ -52,6 +52,29 @@ object StreamStreamJoin {
     intervalJoinTyped(left, right, key, leftTs, rightTs, lookback, watermark,
       "left_outer")
 
+  /** FULL OUTER stream–stream interval join: BOTH sides emit
+    * watermark-proven null rows — unmatched left rows as in
+    * [[intervalJoinLeftOuter]], and unmatched right rows (those no left row
+    * ever picked up inside the lookback) with nulls on the left. The key
+    * column is coalesced across sides so right-only rows keep their key.
+    * Same bounded-drive caveat: the watermark must pass the tail (sentinel)
+    * before trailing outer rows emit.
+    */
+  def intervalJoinFullOuter(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, lookback: String,
+      watermark: String): DataFrame = {
+    val rKey = s"_r_$key"
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withColumnRenamed(key, rKey).withWatermark(rightTs, watermark)
+    l.join(r,
+      col(key) === col(rKey) &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lookback") &&
+        col(rightTs) <= col(leftTs),
+      "full_outer")
+      .withColumn(key, coalesce(col(key), col(rKey)))
+      .drop(rKey)
+  }
+
   private def intervalJoinTyped(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, lookback: String,
       watermark: String, joinType: String): DataFrame = {

@@ -39,4 +39,41 @@ class GraftExtensionsSpec extends AnyFunSuite {
       old.foreach(SparkSession.setDefaultSession)
     }
   }
+
+  test("MetadataCountRewrite: fires on bare parquet count(*), guards hold") {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.functions._
+    val spark = SparkTestSession.spark
+    val s2 = spark.newSession()
+    s2.experimental.extraOptimizations =
+      s2.experimental.extraOptimizations :+ graft.plans.MetadataCountRewrite
+    val dir = "/root/testdata/sf0.001"
+    def isLocal(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collectFirst {
+        case l: LocalRelation => l }.nonEmpty
+    def counted(df: org.apache.spark.sql.DataFrame) = df.head().getLong(0)
+
+    // off by default: no rewrite, result exact
+    val off = s2.read.parquet(s"$dir/orders.parquet").agg(count(lit(1)))
+    assert(!isLocal(off))
+    val exact = counted(off)
+
+    s2.conf.set("spark.graft.metaCount.enabled", "true")
+    // fires, and the footer sum equals the scanned count
+    val on = s2.read.parquet(s"$dir/orders.parquet").agg(count(lit(1)))
+    assert(isLocal(on), on.queryExecution.optimizedPlan.toString)
+    assert(counted(on) == exact)
+    // multiple count(*) columns all get the same footer sum
+    val multi = s2.read.parquet(s"$dir/orders.parquet")
+      .agg(count(lit(1)).as("a"), count(lit(1)).as("b"))
+    assert(isLocal(multi))
+    assert(multi.head() == org.apache.spark.sql.Row(exact, exact))
+    // stand-down guards: any filter, grouping, distinct, or non-count agg
+    val r = s2.read.parquet(s"$dir/orders.parquet")
+    assert(!isLocal(r.filter(col("o_orderkey") > 100).agg(count(lit(1)))))
+    assert(!isLocal(r.groupBy(col("o_orderstatus")).agg(count(lit(1)))))
+    assert(!isLocal(r.agg(countDistinct(col("o_custkey")))))
+    assert(!isLocal(r.agg(count(lit(1)), max(col("o_orderkey")))))
+    s2.conf.set("spark.graft.metaCount.enabled", "false")
+  }
 }
