@@ -1884,6 +1884,34 @@ object RelationalQueries {
       }.isEmpty
       cnt.withColumn("ok", lit(fired && stoodDown))
     }, Some("SELECT COUNT(*) AS n, TRUE AS ok FROM orders"))
+    ,
+
+    // --- summary-table navigation (q77): answer a coarser aggregate from a
+    // --- MATERIALIZED summary instead of the fact table — the aggregate-
+    // --- navigation move every warehouse's cube layer makes. The summary
+    // --- keeps its sums as DECIMAL (additive, exactly re-aggregable; the
+    // --- non-additive distinct case is what q55's sketches and q71's
+    // --- bitmaps solve), so rolling (flag, status) up to (flag) reads
+    // --- O(groups) summary rows — the 100 TB fact is scanned ONCE at
+    // --- summary-build time, never per query. Oracle = the direct
+    // --- fact-table aggregate: navigation must change nothing. ------------
+    Q("q77_summary_navigation", (s, d) => {
+      val sumDir = java.nio.file.Files
+        .createTempDirectory("q77sum").toString + "/t"
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(sumDir)
+      s.read.parquet(sumDir)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("sum_qty")).cast("double").as("sum_qty"),
+          sum(col("n")).as("n"))
+    }, Some(
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY 1""".stripMargin))
   )
 
   /** DuckDB twin of Layout.hilbert2: one (rx/ry, rotate, accumulate) CTE

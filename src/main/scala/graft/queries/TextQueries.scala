@@ -1800,6 +1800,81 @@ object TextQueries {
             struct(negate(length(col("name"))), col("name"))).as("golden_name"),
           max(col("bal")).as("golden_bal"),
           min(col("id")).as("src_id"))
+    },
+
+    // --- bigram LM with unigram BACKOFF (txt58): txt22 trained on the
+    // --- whole corpus, so every bigram was seen and the score NULLed
+    // --- nothing; real LMs score HELD-OUT text, where unseen transitions
+    // --- are the norm. Counts train on the EVEN half only; every doc is
+    // --- scored with P(w2|w1) = c(w1w2)/c(w1·) when seen, else the Katz-
+    // --- style 0.4·c(w2)/N unigram fallback (0 for OOV w2) — each branch
+    // --- a couple of IEEE ops over exact integers, mean via the decimal-
+    // --- cast exact sum. The backoff count per doc is reported (odd docs
+    // --- exercise it by construction). Same two-hash-agg + equi-join
+    // --- shuffle shape as txt22; N broadcasts as a one-row scalar. --------
+    q("txt58_backoff_lm",
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |bi AS (SELECT doc_id, unnest(
+         |  [{'w1': t[i], 'w2': t[i+1]} for i in generate_series(1, len(t)-1)],
+         |  recursive := true) FROM toks),
+         |tbi AS (SELECT * FROM bi WHERE doc_id % 2 = 0),
+         |bg AS (SELECT w1, w2, COUNT(*) AS c_bg FROM tbi GROUP BY 1, 2),
+         |hd AS (SELECT w1, COUNT(*) AS c_head FROM tbi GROUP BY 1),
+         |uni AS (SELECT u AS w, COUNT(*) AS c_u FROM (
+         |  SELECT unnest(t) AS u FROM toks WHERE doc_id % 2 = 0) GROUP BY 1),
+         |nn AS (SELECT CAST(SUM(c_u) AS BIGINT) AS n_train FROM uni),
+         |ps AS (SELECT bi.doc_id,
+         |  CASE WHEN bg.c_bg IS NOT NULL
+         |    THEN CAST(bg.c_bg AS DOUBLE)/CAST(hd.c_head AS DOUBLE)
+         |    ELSE 0.4 * (CAST(COALESCE(uni.c_u, 0) AS DOUBLE)/CAST(nn.n_train AS DOUBLE))
+         |  END AS p,
+         |  CASE WHEN bg.c_bg IS NULL THEN 1 ELSE 0 END AS backed
+         |  FROM bi
+         |  LEFT JOIN bg ON bi.w1 = bg.w1 AND bi.w2 = bg.w2
+         |  LEFT JOIN hd ON bi.w1 = hd.w1
+         |  LEFT JOIN uni ON bi.w2 = uni.w
+         |  CROSS JOIN nn),
+         |ag AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  CAST(SUM(backed) AS BIGINT) AS n_backoff,
+         |  CAST(SUM(CAST(p AS DECIMAL(18,12))) AS DOUBLE)/COUNT(*) AS score
+         |  FROM ps GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(ag.n_bigrams, 0) AS n_bigrams,
+         |  COALESCE(ag.n_backoff, 0) AS n_backoff, ag.score
+         |FROM documents d LEFT JOIN ag ON d.doc_id = ag.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val t = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      val nbg = greatest(size(col("t")) - 1, lit(0))
+      val bi = t.select(col("doc_id"), explode(zip_with(
+          slice(col("t"), lit(1), nbg), slice(col("t"), lit(2), nbg),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val tbi = bi.filter(col("doc_id") % 2 === 0)
+      val bg = tbi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_bg"))
+      val hd = tbi.groupBy(col("w1")).agg(count(lit(1)).as("c_head"))
+      val uni = t.filter(col("doc_id") % 2 === 0)
+        .select(explode(col("t")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c_u"))
+      val nn = uni.agg(sum(col("c_u")).as("n_train"))
+      val ps = bi
+        .join(bg, Seq("w1", "w2"), "left")
+        .join(hd, Seq("w1"), "left")
+        .join(uni.withColumnRenamed("w", "w2"), Seq("w2"), "left")
+        .crossJoin(broadcast(nn))
+        .select(col("doc_id"),
+          when(col("c_bg").isNotNull,
+            col("c_bg").cast("double") / col("c_head").cast("double"))
+            .otherwise(lit(0.4) *
+              (coalesce(col("c_u"), lit(0L)).cast("double")
+                / col("n_train").cast("double"))).as("p"),
+          when(col("c_bg").isNull, 1L).otherwise(0L).as("backed"))
+      val ag = ps.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("backed")).as("n_backoff"),
+        (dsum(col("p"), 12) / count(lit(1))).as("score"))
+      docs.select(col("doc_id")).join(ag, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("n_backoff"), lit(0L)).as("n_backoff"), col("score"))
     }
   )
 }

@@ -1246,6 +1246,41 @@ object VectorQueries {
     // --- parity sign — deterministic, SQL-restatable), the dataflow is the
     // --- production one: project text → ONE id equi-join to the embedding →
     // --- per-row cosine → threshold. Zero-norm text vectors score NULL. ---
+    // --- per-dimension embedding statistics (vec26): the normalization /
+    // --- feature-scaling artifact — per dimension n, mean, variance (via
+    // --- E[x²]−mean², exact decimal sums with unscaled < 2^53 so the few
+    // --- final IEEE ops hash-match), min, max. ONE posexplode + one
+    // --- partial-agg'd aggregation; output O(dims). A whitening or
+    // --- scalar-quantizer training step reads exactly this table. --------
+    q("vec26_dimension_stats",
+      """WITH x0 AS (SELECT unnest(embedding) AS xf,
+        |  unnest(generate_series(0, len(embedding)-1)) AS dim FROM embeddings),
+        |c AS (SELECT dim, CAST(xf AS DOUBLE) AS x FROM x0),
+        |a AS (SELECT dim, COUNT(*) AS n,
+        |  CAST(SUM(CAST(x AS DECIMAL(12,5))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(x AS DECIMAL(12,5)) * CAST(x AS DECIMAL(12,5))) AS DOUBLE) AS sxx,
+        |  MIN(x) AS vmin, MAX(x) AS vmax FROM c GROUP BY 1)
+        |SELECT CAST(dim AS BIGINT) AS dim, n, sx/n AS mean,
+        |  sxx/n - (sx/n)*(sx/n) AS variance, vmin, vmax
+        |FROM a""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val dec = DecimalType(12, 5)
+      val c = Tables.embeddings(s, d)
+        .select(posexplode(col("embedding")))
+        .select(col("pos").cast("long").as("dim"),
+          col("col").cast("double").as("x"))
+      c.groupBy(col("dim")).agg(
+          count(lit(1)).as("n"),
+          sum(col("x").cast(dec)).cast("double").as("sx"),
+          sum(col("x").cast(dec) * col("x").cast(dec)).cast("double").as("sxx"),
+          min(col("x")).as("vmin"), max(col("x")).as("vmax"))
+        .select(col("dim"), col("n"),
+          (col("sx") / col("n")).as("mean"),
+          (col("sxx") / col("n")
+            - (col("sx") / col("n")) * (col("sx") / col("n"))).as("variance"),
+          col("vmin"), col("vmax"))
+    },
+
     // --- video scene-change detection (mm15): per-frame perceptual hashes,
     // --- frame-to-frame Hamming via one video-keyed lead() window, a cut
     // --- wherever the distance jumps past the threshold — the shot-
