@@ -171,6 +171,38 @@ object Dedup {
           size(array_union(col("sha"), col("shb")))).as("jaccard"))
   }
 
+  /** LSH CALIBRATION REPORT — for every banded candidate pair, the
+    * MinHash-ESTIMATED Jaccard (the fraction of equal signature
+    * components — what the sketch believes) next to the EXACT shingle
+    * Jaccard, with the absolute error. This is the table an engineer
+    * reads to pick permutation/band/row counts: if the estimator is
+    * biased or the error spread is wide at the dedup threshold, the
+    * banding misroutes pairs. Everything is deterministic (signatures
+    * are exact integers, both fractions are single IEEE divisions), so
+    * the whole report hash-matches. Cost rides the already-bucketed
+    * candidate set — never all pairs.
+    */
+  def lshCalibration(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    val pairs = minhashCandidatePairs(docs, idCol, textCol, k)
+    val sig = docs.select(col(idCol),
+      graft.functions.GraftFunctions.minhash_signature(col(textCol), k)
+        .as("_sig"))
+    val est = pairs
+      .join(sig.select(col(idCol).as("a"), col("_sig").as("_sa")), Seq("a"))
+      .join(sig.select(col(idCol).as("b"), col("_sig").as("_sb")), Seq("b"))
+      .select(col("a"), col("b"),
+        (aggregate(
+          zip_with(col("_sa"), col("_sb"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, x) => acc + x).cast("double") /
+          TextOps.NumPerms).as("est_jaccard"))
+    jaccardOnPairs(pairs, docs, idCol, textCol, k)
+      .join(est, Seq("a", "b"))
+      .select(col("a"), col("b"), col("est_jaccard"), col("jaccard"),
+        abs(col("est_jaccard") - col("jaccard")).as("abs_err"))
+  }
+
   /** The banded-signature relation behind [[minhashCandidatePairs]]:
     * (id, band, sig), one row per non-null band signature.
     */

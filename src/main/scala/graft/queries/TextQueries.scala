@@ -287,6 +287,35 @@ object TextQueries {
         Dedup.minhashCandidatePairs(cp, "doc_id", "text"), cp, "doc_id", "text")
     },
 
+    // --- LSH calibration report (txt59): per candidate pair, the MinHash-
+    // --- estimated Jaccard (fraction of equal signature components)
+    // --- against the exact shingle Jaccard with the absolute error — the
+    // --- table that justifies permutation/band/row choices before a
+    // --- corpus-wide dedup run commits to them. Signatures are exact
+    // --- integers and both fractions single IEEE divisions, so the whole
+    // --- calibration hash-matches; cost rides the banded candidates. -----
+    q("txt59_lsh_calibration",
+      s"""WITH $corpusSql,
+         |$minhashSql,
+         |shd AS (SELECT doc_id, list_distinct(
+         |  [array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)]) AS sh
+         |  FROM toks),
+         |cal AS (SELECT p.a, p.b,
+         |  CAST(len([i for i in generate_series(1, 16)
+         |    if sa.hs[i] = sb.hs[i]]) AS DOUBLE)/16 AS est_jaccard
+         |  FROM pairs p JOIN sig sa ON p.a = sa.doc_id
+         |  JOIN sig sb ON p.b = sb.doc_id),
+         |ex AS (SELECT p.a, p.b,
+         |  CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
+         |  FROM pairs p JOIN shd x ON p.a = x.doc_id
+         |  JOIN shd y ON p.b = y.doc_id)
+         |SELECT cal.a, cal.b, cal.est_jaccard, ex.jaccard,
+         |  abs(cal.est_jaccard - ex.jaccard) AS abs_err
+         |FROM cal JOIN ex ON cal.a = ex.a AND cal.b = ex.b""".stripMargin) { (s, d) =>
+      Dedup.lshCalibration(corpus(s, d), "doc_id", "text")
+    },
+
     // --- cross-corpus decontamination (Dedup.crossCorpusNearDups): training
     // --- docs that near-duplicate an EVAL doc — LSH buckets joined strictly
     // --- ACROSS the corpora (train–train pairs never generated), exact

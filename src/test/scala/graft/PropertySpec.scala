@@ -572,4 +572,29 @@ class PropertySpec extends AnyFunSuite {
     }
     check("boilerplateRemove", 60)(prop)
   }
+
+  // -------------------------------------------------------------- TableDiff
+
+  test("TableDiff: applyPatch(old, diffRows(old, new)) reconstructs new") {
+    import spark.implicits._
+    // random keyed tables over a tiny key/value space so all three change
+    // classes (added / removed / changed, incl. null transitions) occur
+    val tableGen = for {
+      n <- Gen.chooseNum(0, 12)
+      ks <- Gen.listOfN(n, Gen.chooseNum(0L, 9L))
+      vs <- Gen.listOfN(n, Gen.option(Gen.chooseNum(0, 3).map(v => s"v$v")))
+      ws <- Gen.listOfN(n, Gen.chooseNum(0.0, 3.0))
+    } yield ks.distinct.zip(vs.zip(ws)).map { case (k, (v, w)) =>
+      (k, v.orNull, w) }
+    val prop = Prop.forAll(tableGen, tableGen) { (oldRows, newRows) =>
+      val oldT = oldRows.toDF("k", "s", "x")
+      val newT = newRows.toDF("k", "s", "x")
+      val patch = graft.operators.TableDiff.diffRows(oldT, newT, "k")
+      val rebuilt = graft.operators.TableDiff.applyPatch(oldT, patch, "k")
+        .as[(Long, String, Double)].collect().sortBy(_._1).toList
+      val want = newRows.map(r => (r._1, r._2, r._3)).sortBy(_._1)
+      rebuilt == want
+    }
+    check("TableDiff.applyPatch", 80)(prop)
+  }
 }
