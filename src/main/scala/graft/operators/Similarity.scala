@@ -523,8 +523,11 @@ object Similarity {
     * the text vectors (O(token occurrences) shuffle, 64-long rows out);
     * ONE id equi-join against the embedding side; score is per-row math.
     */
-  def crossModalAlign(docs: DataFrame, idCol: String, textCol: String,
-      emb: DataFrame, embIdCol: String, vecCol: String,
+  /** The hashed-BoW text projection behind [[crossModalAlign]], exposed so
+    * retrieval-style consumers (mm16's recall eval) can score one text
+    * vector against MANY images. Returns (idCol, tv ARRAY<LONG>).
+    */
+  def crossModalTextVectors(docs: DataFrame, idCol: String, textCol: String,
       dims: Int = 64, salt: Int = 21): DataFrame = {
     val h = TextOps.hex32(col("_tok"), salt)
     val contrib = docs
@@ -533,7 +536,7 @@ object Similarity {
         // integer h div dims: h < 2^32 so the double division is exact far
         // beyond the 52-bit mantissa; cast truncates = floor for h ≥ 0
         when(((h / dims).cast("long") % 2) === 0, 1L).otherwise(-1L).as("_w"))
-    val tv = contrib.groupBy(col(idCol), col("_dim"))
+    contrib.groupBy(col(idCol), col("_dim"))
       .agg(sum(col("_w")).as("_v"))
       .groupBy(col(idCol))
       .agg(map_from_entries(collect_list(struct(col("_dim"), col("_v"))))
@@ -541,6 +544,12 @@ object Similarity {
       .select(col(idCol),
         transform(sequence(lit(0), lit(dims - 1)),
           i => coalesce(element_at(col("_m"), i), lit(0L))).as("tv"))
+  }
+
+  def crossModalAlign(docs: DataFrame, idCol: String, textCol: String,
+      emb: DataFrame, embIdCol: String, vecCol: String,
+      dims: Int = 64, salt: Int = 21): DataFrame = {
+    val tv = crossModalTextVectors(docs, idCol, textCol, dims, salt)
     val iv = emb.select(col(embIdCol).as(idCol), quantize(col(vecCol)).as("qv"))
     val n2t = dotQ(col("tv"), col("tv"))
     val n2v = dotQ(col("qv"), col("qv"))

@@ -1911,7 +1911,51 @@ object RelationalQueries {
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  COUNT(*) AS n
-        |FROM lineitem GROUP BY 1""".stripMargin))
+        |FROM lineitem GROUP BY 1""".stripMargin)),
+
+    // --- winsorization (q78): clamp o_totalprice into its [p05, p95] band
+    // --- — the outlier treatment a feature pipeline applies before scaling
+    // --- (clipping, unlike dropping, keeps the row count). Bounds come
+    // --- from ONE exact interpolated-percentile aggregate (q30's portable
+    // --- quantile) broadcast as a single row; the clamp is a projection;
+    // --- the report shows per-status n, clamped counts both sides, and
+    // --- the exact-decimal mean before/after. --------------------------
+    q("q78_winsorize",
+      """WITH b AS (SELECT quantile_cont(o_totalprice, [0.05, 0.95]) AS bs
+        |  FROM orders),
+        |w AS (SELECT o_orderstatus, o_totalprice,
+        |  CASE WHEN o_totalprice < bs[1] THEN bs[1]
+        |       WHEN o_totalprice > bs[2] THEN bs[2]
+        |       ELSE o_totalprice END AS clamped,
+        |  CASE WHEN o_totalprice < bs[1] THEN 1 ELSE 0 END AS lo,
+        |  CASE WHEN o_totalprice > bs[2] THEN 1 ELSE 0 END AS hi
+        |  FROM orders, b)
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(lo) AS BIGINT) AS n_clamped_low,
+        |  CAST(SUM(hi) AS BIGINT) AS n_clamped_high,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)/COUNT(*) AS mean_raw,
+        |  CAST(SUM(CAST(clamped AS DECIMAL(18,4))) AS DOUBLE)/COUNT(*) AS mean_winsorized
+        |FROM w GROUP BY 1""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      val b = o.agg(expr("percentile(o_totalprice, array(0.05D, 0.95D))")
+        .as("bs"))
+      val lo = element_at(col("bs"), 1)
+      val hi = element_at(col("bs"), 2)
+      val clamped = when(col("o_totalprice") < lo, lo)
+        .when(col("o_totalprice") > hi, hi)
+        .otherwise(col("o_totalprice"))
+      o.crossJoin(broadcast(b))
+        .select(col("o_orderstatus"), col("o_totalprice"),
+          clamped.as("clamped"),
+          when(col("o_totalprice") < lo, 1L).otherwise(0L).as("lo_f"),
+          when(col("o_totalprice") > hi, 1L).otherwise(0L).as("hi_f"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("lo_f")).as("n_clamped_low"),
+          sum(col("hi_f")).as("n_clamped_high"),
+          davg(col("o_totalprice")).as("mean_raw"),
+          davg(col("clamped")).as("mean_winsorized"))
+    }
   )
 
   /** DuckDB twin of Layout.hilbert2: one (rx/ry, rotate, accumulate) CTE

@@ -1415,6 +1415,63 @@ object VectorQueries {
          |SELECT pair_id, score, score >= 0 AS aligned FROM scored""".stripMargin) { (s, d) =>
       Similarity.crossModalAlign(Tables.documents(s, d), "doc_id", "text",
         Tables.embeddings(s, d), "vec_id", "embedding")
+    },
+
+    // --- cross-modal retrieval evaluation (mm16): the recall metric a
+    // --- CLIP-style pairing ships with — for each probe caption, rank ALL
+    // --- images by the alignment score and report where the caption's OWN
+    // --- paired image landed (rank + hit@10 flag). Ties rank (score DESC,
+    // --- image id) — total order, hash-exact. Probes bounded to 10
+    // --- captions; the corpus-side scan composes with any ANN index at
+    // --- 100 TB, the rank stays one window per probe. ---------------------
+    q("mm16_cross_modal_recall",
+      s"""WITH $quantSql,
+         |toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+         |  x -> x <> '')) AS tok FROM documents WHERE doc_id < 10),
+         |c AS (SELECT doc_id, hv % 64 AS dim,
+         |  CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END AS w
+         |  FROM (SELECT doc_id,
+         |    list_reduce(list_transform(regexp_split_to_array(
+         |      substr(md5('21:' || tok), 1, 8), ''),
+         |      ch -> CAST(strpos('0123456789abcdef', ch) - 1 AS BIGINT)),
+         |      (a, b) -> a*16 + b) AS hv FROM toks) t),
+         |sv AS (SELECT doc_id, dim, CAST(SUM(w) AS BIGINT) AS v FROM c GROUP BY 1, 2),
+         |dense AS (SELECT dd.doc_id, g.i AS dim,
+         |  COALESCE(sv.v, CAST(0 AS BIGINT)) AS v
+         |  FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 10) dd
+         |  CROSS JOIN generate_series(0, 63) g(i)
+         |  LEFT JOIN sv ON sv.doc_id = dd.doc_id AND sv.dim = g.i),
+         |tvec AS (SELECT doc_id, list(v ORDER BY dim) AS tv FROM dense GROUP BY 1),
+         |scored AS (SELECT tvec.doc_id AS probe_id, n.vec_id AS image_id,
+         |  CAST(CAST(list_sum([tv[i]*n.qv[i] for i in generate_series(1, 64)]) AS BIGINT) AS DOUBLE)
+         |    / (sqrt(CAST(CAST(list_sum([tv[i]*tv[i] for i in generate_series(1, 64)]) AS BIGINT) AS DOUBLE))
+         |       * sqrt(CAST(n.n2 AS DOUBLE))) AS score
+         |  FROM tvec CROSS JOIN n),
+         |ranked AS (SELECT probe_id, image_id,
+         |  ROW_NUMBER() OVER (PARTITION BY probe_id
+         |    ORDER BY score DESC, image_id) AS rnk FROM scored)
+         |SELECT probe_id, CAST(rnk AS BIGINT) AS own_rank,
+         |  rnk <= 10 AS hit_at_10
+         |FROM ranked WHERE image_id = probe_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val probes = Tables.documents(s, d).filter(col("doc_id") < 10)
+      val tv = Similarity.crossModalTextVectors(probes, "doc_id", "text")
+      val iv = Tables.embeddings(s, d)
+        .select(col("vec_id").as("image_id"),
+          Similarity.quantize(col("embedding")).as("qv"))
+      val n2t = Similarity.dotQ(col("tv"), col("tv"))
+      val n2v = Similarity.dotQ(col("qv"), col("qv"))
+      tv.crossJoin(iv)
+        .select(col("doc_id").as("probe_id"), col("image_id"),
+          (Similarity.dotQ(col("tv"), col("qv")).cast("double") /
+            (sqrt(n2t.cast("double")) * sqrt(n2v.cast("double"))))
+            .as("score"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("probe_id"))
+            .orderBy(col("score").desc, col("image_id"))))
+        .filter(col("image_id") === col("probe_id"))
+        .select(col("probe_id"), col("rnk").cast("long").as("own_rank"),
+          (col("rnk") <= 10).as("hit_at_10"))
     }
   )
 }
