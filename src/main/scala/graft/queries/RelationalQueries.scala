@@ -1955,6 +1955,98 @@ object RelationalQueries {
           sum(col("hi_f")).as("n_clamped_high"),
           davg(col("o_totalprice")).as("mean_raw"),
           davg(col("clamped")).as("mean_winsorized"))
+    },
+
+    // --- distribution drift / binned KS statistic (q79): are 'O' and 'F'
+    // --- orders priced from the same distribution? 20 equi-width bins over
+    // --- the global [min, max], per-slice cumulative counts, and the KS
+    // --- distance max_b |cdf1 − cdf2| computed as an EXACT integer
+    // --- cross-multiplication max |cum1·n2 − cum2·n1| (no per-bin
+    // --- division; one final IEEE divide) — the training/serving drift
+    // --- test an ML feature pipeline runs, engine-portable. Two scans
+    // --- (bounds, bins), windows over the 20-row bin frame only. --------
+    q("q79_ks_drift",
+      """WITH b AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        |  FROM orders WHERE o_orderstatus IN ('O', 'F')),
+        |r AS (SELECT o_orderstatus AS s,
+        |  LEAST(CAST(floor((o_totalprice - lo) / ((hi - lo) / 20)) AS BIGINT), 19) AS bin
+        |  FROM orders, b WHERE o_orderstatus IN ('O', 'F')),
+        |c AS (SELECT bin,
+        |  CAST(SUM(CASE WHEN s = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |  CAST(SUM(CASE WHEN s = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM r GROUP BY 1),
+        |cum AS (SELECT bin,
+        |  SUM(c1) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS k1,
+        |  SUM(c2) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS k2,
+        |  SUM(c1) OVER () AS n1, SUM(c2) OVER () AS n2 FROM c)
+        |SELECT CAST(MAX(abs(k1*n2 - k2*n1)) AS BIGINT) AS ks_num,
+        |  CAST(MIN(n1) AS BIGINT) AS n1, CAST(MIN(n2) AS BIGINT) AS n2,
+        |  CAST(MAX(abs(k1*n2 - k2*n1)) AS DOUBLE)
+        |    / (CAST(MIN(n1) AS DOUBLE) * CAST(MIN(n2) AS DOUBLE)) AS ks
+        |FROM cum""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderstatus").isin("O", "F"))
+      val b = o.agg(min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+      val r = o.crossJoin(broadcast(b))
+        .select(col("o_orderstatus").as("s"),
+          least(floor((col("o_totalprice") - col("lo"))
+            / ((col("hi") - col("lo")) / 20)).cast("long"), lit(19L))
+            .as("bin"))
+      val c = r.groupBy(col("bin")).agg(
+        sum(when(col("s") === "O", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("s") === "F", 1L).otherwise(0L)).as("c2"))
+      val ord = Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.partitionBy()
+      val cum = c.select(col("bin"),
+        sum(col("c1")).over(ord).as("k1"), sum(col("c2")).over(ord).as("k2"),
+        sum(col("c1")).over(all).as("n1"), sum(col("c2")).over(all).as("n2"))
+      cum.agg(
+        max(abs(col("k1") * col("n2") - col("k2") * col("n1"))).as("ks_num"),
+        min(col("n1")).as("n1"), min(col("n2")).as("n2"))
+        .select(col("ks_num"), col("n1"), col("n2"),
+          (col("ks_num").cast("double")
+            / (col("n1").cast("double") * col("n2").cast("double"))).as("ks"))
+    },
+
+    // --- conversion latency (q80): per user, time from FIRST view to
+    // --- FIRST subsequent purchase (null when never converting), rolled
+    // --- into a distribution report — n converted, exact-decimal mean
+    // --- hours, exact interpolated median hours. Two min-aggregations and
+    // --- one join on the user key; the funnel q54 counts reach, this
+    // --- measures HOW LONG the step takes. ------------------------------
+    q("q80_conversion_latency",
+      """WITH v AS (SELECT user_id, MIN(ts) AS t0 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |p AS (SELECT v.user_id, MIN(e.ts) AS t1
+        |  FROM v JOIN events e ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > v.t0 GROUP BY 1),
+        |lat AS (SELECT v.user_id,
+        |  CAST(epoch_us(p.t1) - epoch_us(v.t0) AS BIGINT) AS us
+        |  FROM v LEFT JOIN p ON v.user_id = p.user_id)
+        |SELECT COUNT(*) AS n_viewers,
+        |  CAST(COUNT(us) AS BIGINT) AS n_converted,
+        |  CAST(SUM(CAST(us AS DECIMAL(18,0))) AS DOUBLE)/COUNT(us)/3600e6 AS mean_hours,
+        |  quantile_cont(us, 0.5)/3600e6 AS median_hours
+        |FROM lat""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"))
+        .join(v, Seq("user_id"))
+        .filter(col("pts") > col("t0"))
+        .groupBy(col("user_id")).agg(min(col("pts")).as("t1"))
+      val lat = v.join(p, Seq("user_id"), "left")
+        .select(col("user_id"),
+          (unix_micros(col("t1")) - unix_micros(col("t0"))).as("us"))
+      lat.agg(count(lit(1)).as("n_viewers"),
+          count(col("us")).as("n_converted"),
+          (sum(col("us").cast(DecimalType(18, 0))).cast("double")
+            / count(col("us")) / lit(3600e6)).as("mean_hours"),
+          (expr("percentile(us, 0.5)") / lit(3600e6)).as("median_hours"))
     }
   )
 
