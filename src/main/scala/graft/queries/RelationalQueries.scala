@@ -2047,6 +2047,46 @@ object RelationalQueries {
           (sum(col("us").cast(DecimalType(18, 0))).cast("double")
             / count(col("us")) / lit(3600e6)).as("mean_hours"),
           (expr("percentile(us, 0.5)") / lit(3600e6)).as("median_hours"))
+    },
+
+    // --- session journey analysis (q81): the top session PATHS — each
+    // --- q35 session rendered as its ordered event-type string, counted,
+    // --- top-5 by frequency (ties lexicographic). The product-analytics
+    // --- view of "what do sessions look like". Journey assembly is
+    // --- array_sort over collected (t, id, type) structs (collect order
+    // --- never matters); the rank runs over the journey-count frame,
+    // --- bounded by distinct paths, never events. ------------------------
+    q("q81_session_journeys",
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us
+        |  FROM events),
+        |s AS (SELECT *, CASE WHEN lag(t_us) OVER w IS NULL
+        |    OR t_us - lag(t_us) OVER w > 7200000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
+        |t AS (SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id
+        |    ORDER BY t_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+        |  FROM s),
+        |j AS (SELECT user_id, session_no,
+        |  string_agg(event_type, '>' ORDER BY t_us, event_id) AS journey
+        |  FROM t GROUP BY 1, 2),
+        |c AS (SELECT journey, COUNT(*) AS n_sessions FROM j GROUP BY 1)
+        |SELECT journey, n_sessions, CAST(rk AS BIGINT) AS rank FROM (
+        |  SELECT journey, n_sessions, ROW_NUMBER() OVER (
+        |    ORDER BY n_sessions DESC, journey) AS rk FROM c) z
+        |WHERE rk <= 5""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("t_us"))
+      val j = graft.operators.Sessionize.assign(ev, Seq("user_id"),
+          col("t_us"), Seq(col("event_id")), gap = 7200L * 1000000L)
+        .groupBy(col("user_id"), col("session_no"))
+        .agg(concat_ws(">", expr(
+          "transform(array_sort(collect_list(struct(t_us, event_id, event_type))), p -> p.event_type)"))
+          .as("journey"))
+      j.groupBy(col("journey")).agg(count(lit(1)).as("n_sessions"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("n_sessions").desc, col("journey"))).cast("long"))
+        .filter(col("rank") <= 5)
     }
   )
 

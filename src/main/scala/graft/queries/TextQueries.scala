@@ -1156,6 +1156,68 @@ object TextQueries {
         .select(col("doc_id"), col("pos"), col("n_toks"), col("score"))
     },
 
+    // --- classifier evaluation report (txt60): the confusion matrix +
+    // --- precision/recall for txt36's trained quality classifier at the
+    // --- zero threshold, on the planted corpus where ground truth is
+    // --- known — the eval artifact that justifies shipping a filter
+    // --- threshold. Counts are exact integers; the two ratios are single
+    // --- IEEE divides. Oracle restates training, scoring, AND the
+    // --- confusion rollup. ----------------------------------------------
+    q("txt60_classifier_eval",
+      s"""WITH lab AS (
+         |  SELECT doc_id, text, TRUE AS pos FROM documents
+         |  UNION ALL SELECT doc_id + 500000, replace(text, ' ', ' zz '), FALSE
+         |  FROM documents),
+         |tok AS (SELECT pos, unnest($toksSql) AS tok FROM lab),
+         |hh AS (SELECT pos, CAST(${hex32Sql("'36:'||tok")} % 256 AS INT) AS h FROM tok),
+         |cnt AS (SELECT h, SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS n_pos,
+         |    SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS n_neg FROM hh GROUP BY h),
+         |tot AS (SELECT SUM(n_pos) AS np, SUM(n_neg) AS nn FROM cnt),
+         |w AS (SELECT gs.h,
+         |    CAST(COALESCE(c.n_pos, 0) + 1 AS DOUBLE) / CAST(np + 256 AS DOUBLE)
+         |    - CAST(COALESCE(c.n_neg, 0) + 1 AS DOUBLE) / CAST(nn + 256 AS DOUBLE) AS w
+         |  FROM generate_series(0, 255) gs(h) LEFT JOIN cnt c ON gs.h = c.h
+         |  CROSS JOIN tot),
+         |dt AS (SELECT doc_id, unnest($toksSql) AS tok FROM lab),
+         |sc AS (SELECT dt.doc_id,
+         |    CAST(SUM(CAST(w.w AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*) AS score
+         |  FROM dt JOIN w ON CAST(${hex32Sql("'36:'||dt.tok")} % 256 AS INT) = w.h
+         |  GROUP BY dt.doc_id),
+         |pred AS (SELECT lab.pos, sc.score >= 0 AS p
+         |  FROM lab JOIN sc ON lab.doc_id = sc.doc_id),
+         |cm AS (SELECT
+         |  CAST(SUM(CASE WHEN pos AND p THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |  CAST(SUM(CASE WHEN NOT pos AND p THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |  CAST(SUM(CASE WHEN pos AND NOT p THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |  CAST(SUM(CASE WHEN NOT pos AND NOT p THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |  FROM pred)
+         |SELECT tp, fp, fn, tn,
+         |  CAST(tp AS DOUBLE)/(tp + fp) AS precision_,
+         |  CAST(tp AS DOUBLE)/(tp + fn) AS recall_
+         |FROM cm""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val lab = docs.withColumn("pos", lit(true)).unionByName(
+        docs.select((col("doc_id") + 500000).as("doc_id"),
+          expr("replace(text, ' ', ' zz ')").as("text"))
+          .withColumn("pos", lit(false)))
+      val weights = TextOps.classifierTrain(lab, "pos", "text", dims = 256)
+      val pred = TextOps.classifierScore(lab, "doc_id", "text", weights,
+          dims = 256)
+        .join(lab.select(col("doc_id"), col("pos")), Seq("doc_id"))
+        .select(col("pos"), (col("score") >= 0).as("p"))
+      def cnt(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
+      pred.agg(
+          cnt(col("pos") && col("p")).as("tp"),
+          cnt(!col("pos") && col("p")).as("fp"),
+          cnt(col("pos") && !col("p")).as("fn"),
+          cnt(!col("pos") && !col("p")).as("tn"))
+        .select(col("tp"), col("fp"), col("fn"), col("tn"),
+          (col("tp").cast("double") / (col("tp") + col("fp")))
+            .as("precision_"),
+          (col("tp").cast("double") / (col("tp") + col("fn")))
+            .as("recall_"))
+    },
+
     // --- LSH text similarity search (txt43): the query-time counterpart
     // --- of dedup — top-3 Jaccard neighbors per query doc, scored only
     // --- inside shared band buckets, never against the corpus. Queries =
