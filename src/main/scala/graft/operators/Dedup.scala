@@ -203,6 +203,37 @@ object Dedup {
         abs(col("est_jaccard") - col("jaccard")).as("abs_err"))
   }
 
+  /** CONTRASTIVE TRIPLET MINING — (anchor, positive, hard_negative)
+    * training rows for an embedding model, both mates drawn from the LSH
+    * candidate machinery: positives are bucket-mates whose exact Jaccard
+    * clears `threshold`; HARD negatives are bucket-mates that FAILED the
+    * verify — lexically close enough to collide in a band, provably not
+    * duplicates: exactly the near-miss examples contrastive training
+    * wants (random negatives are trivially easy). Per anchor the min-id
+    * mate of each class; anchors lacking either class are dropped. All
+    * selection is (id)-ordered — deterministic, hash-exact.
+    *
+    * Scale shape: everything rides the banded candidate set; the per-
+    * anchor picks are two partial-agg'd min_by aggregations + one join.
+    */
+  def contrastiveTriplets(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val scored = jaccardOnPairs(
+      minhashCandidatePairs(docs, idCol, textCol, k), docs, idCol, textCol, k)
+    val sym = scored.select(col("a").as("anchor"), col("b").as("mate"),
+        col("jaccard"))
+      .unionByName(scored.select(col("b").as("anchor"), col("a").as("mate"),
+        col("jaccard")))
+    def pick(df: DataFrame, mateName: String, jName: String) =
+      df.groupBy(col("anchor"))
+        .agg(min_by(struct(col("mate"), col("jaccard")), col("mate")).as("_m"))
+        .select(col("anchor"), col("_m.mate").as(mateName),
+          col("_m.jaccard").as(jName))
+    pick(sym.filter(col("jaccard") >= threshold), "positive", "pos_jaccard")
+      .join(pick(sym.filter(col("jaccard") < threshold),
+        "hard_negative", "neg_jaccard"), Seq("anchor"))
+  }
+
   /** The banded-signature relation behind [[minhashCandidatePairs]]:
     * (id, band, sig), one row per non-null band signature.
     */

@@ -2087,6 +2087,49 @@ object RelationalQueries {
         .withColumn("rank", row_number().over(
           Window.orderBy(col("n_sessions").desc, col("journey"))).cast("long"))
         .filter(col("rank") <= 5)
+    },
+
+    // --- interval union / coverage (q82): each event opens a 30-minute
+    // --- activity window; overlapping windows per user MERGE into maximal
+    // --- covered intervals (the running-max-end gaps-and-islands trick —
+    // --- an island starts where the window start clears everything seen
+    // --- before it). Reports per user the merged-interval count and the
+    // --- exact covered microseconds — the machine-utilization / SLA-
+    // --- coverage computation. ONE user-keyed exchange carries both
+    // --- windows and the rollup; all integer math. -----------------------
+    q("q82_interval_coverage",
+      """WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+        |  epoch_us(ts) + 1800000000 AS e FROM events),
+        |m AS (SELECT user_id, s, e,
+        |  MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM iv),
+        |isl AS (SELECT user_id, s, e,
+        |  CAST(SUM(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY s, e ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS island
+        |  FROM m),
+        |g AS (SELECT user_id, island, MIN(s) AS is_, MAX(e) AS ie
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT user_id, COUNT(*) AS n_intervals,
+        |  CAST(SUM(ie - is_) AS BIGINT) AS covered_us
+        |FROM g GROUP BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val iv = Tables.events(s, d).select(col("user_id"),
+        unix_micros(col("ts")).as("s"),
+        (unix_micros(col("ts")) + 1800000000L).as("e"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("s"), col("e"))
+      val m = iv.withColumn("prev_max",
+        max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      val isl = m.withColumn("island",
+        sum(when(col("prev_max").isNull || col("s") > col("prev_max"), 1L)
+          .otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      isl.groupBy(col("user_id"), col("island"))
+        .agg(min(col("s")).as("is_"), max(col("e")).as("ie"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("ie") - col("is_")).as("covered_us"))
     }
   )
 

@@ -1156,6 +1156,38 @@ object TextQueries {
         .select(col("doc_id"), col("pos"), col("n_toks"), col("score"))
     },
 
+    // --- contrastive triplet mining (txt61): (anchor, positive, hard
+    // --- negative) embedding-training rows — positives are LSH bucket-
+    // --- mates passing the exact-Jaccard verify, HARD negatives are
+    // --- bucket-mates that FAILED it (lexically close, provably not
+    // --- duplicates — the near-misses contrastive training wants; random
+    // --- negatives are trivially easy). Min-id picks per anchor;
+    // --- everything rides the banded candidates. -------------------------
+    q("txt61_contrastive_triplets",
+      s"""WITH $corpusSql,
+         |$minhashSql,
+         |shd AS (SELECT doc_id, list_distinct(
+         |  [array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)]) AS sh
+         |  FROM toks),
+         |v AS (SELECT p.a, p.b,
+         |  CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
+         |  FROM pairs p JOIN shd x ON p.a = x.doc_id JOIN shd y ON p.b = y.doc_id),
+         |sym AS (SELECT a AS anchor, b AS mate, jaccard FROM v
+         |  UNION ALL SELECT b, a, jaccard FROM v),
+         |pos AS (SELECT anchor, mate AS positive, jaccard AS pos_jaccard FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor ORDER BY mate) AS rn
+         |  FROM sym WHERE jaccard >= 0.95) t WHERE rn = 1),
+         |neg AS (SELECT anchor, mate AS hard_negative, jaccard AS neg_jaccard FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor ORDER BY mate) AS rn
+         |  FROM sym WHERE jaccard < 0.95) t WHERE rn = 1)
+         |SELECT pos.anchor, pos.positive, pos.pos_jaccard,
+         |  neg.hard_negative, neg.neg_jaccard
+         |FROM pos JOIN neg ON pos.anchor = neg.anchor""".stripMargin) { (s, d) =>
+      Dedup.contrastiveTriplets(corpus(s, d), "doc_id", "text",
+        threshold = 0.95)
+    },
+
     // --- classifier evaluation report (txt60): the confusion matrix +
     // --- precision/recall for txt36's trained quality classifier at the
     // --- zero threshold, on the planted corpus where ground truth is
