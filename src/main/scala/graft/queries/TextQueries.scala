@@ -1156,6 +1156,65 @@ object TextQueries {
         .select(col("doc_id"), col("pos"), col("n_toks"), col("score"))
     },
 
+    // --- composed curation v3 (txt62): the NEW stages composed under one
+    // --- oracle — blocklist screen (txt51's anchor join) → trained-
+    // --- classifier keep (txt36's NB model at the zero threshold) →
+    // --- deterministic shard export (txt39's salted hash). Pins that the
+    // --- round's compliance, quality, and layout stages COMPOSE: schema /
+    // --- id / threshold conventions line up end to end. The classifier
+    // --- trains on the planted pos/neg corpus but SCORES only surviving
+    // --- real docs; shards see only the doubly-surviving set. ------------
+    q("txt62_curation_v3",
+      s"""WITH bl(phrase) AS (VALUES ('slow fast'), ('hash value table'),
+         |  ('batch window spark')),
+         |blocked AS (SELECT DISTINCT d.doc_id FROM documents d JOIN bl b
+         |  ON contains(' ' || d.text || ' ', ' ' || b.phrase || ' ')),
+         |lab AS (
+         |  SELECT doc_id, text, TRUE AS pos FROM documents
+         |  UNION ALL SELECT doc_id + 500000, replace(text, ' ', ' zz '), FALSE
+         |  FROM documents),
+         |tok AS (SELECT pos, unnest($toksSql) AS tok FROM lab),
+         |hh AS (SELECT pos, CAST(${hex32Sql("'36:'||tok")} % 256 AS INT) AS h FROM tok),
+         |cnt AS (SELECT h, SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS n_pos,
+         |    SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS n_neg FROM hh GROUP BY h),
+         |tot AS (SELECT SUM(n_pos) AS np, SUM(n_neg) AS nn FROM cnt),
+         |w AS (SELECT gs.h,
+         |    CAST(COALESCE(c.n_pos, 0) + 1 AS DOUBLE) / CAST(np + 256 AS DOUBLE)
+         |    - CAST(COALESCE(c.n_neg, 0) + 1 AS DOUBLE) / CAST(nn + 256 AS DOUBLE) AS w
+         |  FROM generate_series(0, 255) gs(h) LEFT JOIN cnt c ON gs.h = c.h
+         |  CROSS JOIN tot),
+         |clean AS (SELECT d.doc_id, d.text FROM documents d
+         |  WHERE d.doc_id NOT IN (SELECT doc_id FROM blocked)),
+         |dt AS (SELECT doc_id, unnest($toksSql) AS tok FROM clean),
+         |sc AS (SELECT dt.doc_id,
+         |    CAST(SUM(CAST(w.w AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*) AS score
+         |  FROM dt JOIN w ON CAST(${hex32Sql("'36:'||dt.tok")} % 256 AS INT) = w.h
+         |  GROUP BY dt.doc_id),
+         |kept AS (SELECT doc_id FROM sc WHERE score >= 0),
+         |h AS (SELECT doc_id,
+         |  ${hex32Sql("'13:'||CAST(doc_id AS VARCHAR)")} AS hv FROM kept)
+         |SELECT CAST(hv % 4 AS INT) AS shard,
+         |  ROW_NUMBER() OVER (PARTITION BY hv % 4 ORDER BY hv, doc_id) AS pos,
+         |  doc_id
+         |FROM h""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val bl = Seq("slow fast", "hash value table", "batch window spark")
+        .toDF("phrase")
+      val clean = TextOps.blocklistFilter(docs, "doc_id", "text", bl, "phrase")
+        .filter(!col("blocked")).select("doc_id")
+        .join(docs, Seq("doc_id"))
+      val lab = docs.withColumn("pos", lit(true)).unionByName(
+        docs.select((col("doc_id") + 500000).as("doc_id"),
+          expr("replace(text, ' ', ' zz ')").as("text"))
+          .withColumn("pos", lit(false)))
+      val weights = TextOps.classifierTrain(lab, "pos", "text", dims = 256)
+      val kept = TextOps.classifierScore(clean, "doc_id", "text", weights,
+          dims = 256)
+        .filter(col("score") >= 0).select("doc_id")
+      TextOps.shardAssign(kept, "doc_id", nShards = 4)
+    },
+
     // --- contrastive triplet mining (txt61): (anchor, positive, hard
     // --- negative) embedding-training rows — positives are LSH bucket-
     // --- mates passing the exact-Jaccard verify, HARD negatives are

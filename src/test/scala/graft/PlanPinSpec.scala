@@ -283,4 +283,34 @@ class PlanPinSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"),
       s"text-vector ⋈ embedding must be an equi-join:\n$p")
   }
+
+  test("q70: table diff is ONE full-outer join, output filtered before report") {
+    val p = executed("q70_table_diff")
+    assert(countOf(p, "SortMergeJoin") + countOf(p, "ShuffledHashJoin") +
+      countOf(p, "BroadcastHashJoin") == 1,
+      s"diff must be exactly one key join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs:\n$p")
+  }
+
+  test("q79: KS windows run on the bin frame, the corpus is never sorted") {
+    val p = executed("q79_ks_drift")
+    // the only sorts allowed are inside the 20-row bin-frame windows;
+    // a global sort of orders would be a plan regression
+    assert(!p.contains("rangepartitioning(o_totalprice"),
+      s"corpus must not be range-partitioned for the bin windows:\n$p")
+  }
+
+  test("txt61: triplet mining rides banded candidates — no cartesian") {
+    val p = executed("txt61_contrastive_triplets")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"candidates must meet in band buckets:\n$p")
+  }
+
+  test("mm14: fingerprint match joins on fp hashes — no cartesian") {
+    val p = executed("mm14_audio_fingerprint")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the fp join is the inverted index:\n$p")
+  }
 }
