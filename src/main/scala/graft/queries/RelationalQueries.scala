@@ -2130,6 +2130,59 @@ object RelationalQueries {
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_intervals"),
           sum(col("ie") - col("is_")).as("covered_us"))
+    },
+
+    // --- OHLC downsampling (q83): per (event_type, day) the open / high /
+    // --- low / close of `value` — the time-series bar compression every
+    // --- metrics store runs. Open/close are min_by/max_by on the total
+    // --- (ts, event_id) order (partial-agg'd — never a window sort over
+    // --- the raw series); high/low plain min/max; ONE aggregation. -------
+    q("q83_ohlc_bars",
+      """SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |  arg_min(value, (epoch_us(ts) - 1704067200000000)*1000000 + event_id) AS open_v,
+        |  MAX(value) AS high_v, MIN(value) AS low_v,
+        |  arg_max(value, (epoch_us(ts) - 1704067200000000)*1000000 + event_id) AS close_v,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+          col("value"),
+          ((unix_micros(col("ts")) - 1704067200000000L) * 1000000L
+            + col("event_id")).as("_k"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(
+          min_by(col("value"), col("_k")).as("open_v"),
+          max(col("value")).as("high_v"), min(col("value")).as("low_v"),
+          max_by(col("value"), col("_k")).as("close_v"),
+          count(lit(1)).as("n"))
+    },
+
+    // --- churn triad (q84): users RETAINED / CHURNED / NEW between the
+    // --- first and second half of the month — the retention report every
+    // --- growth dashboard opens with. Two distinct user sets, one
+    // --- full-outer membership join, three conditional counts; all
+    // --- partial-agg'd, output one row. ----------------------------------
+    q("q84_churn_triad",
+      """WITH p1 AS (SELECT DISTINCT user_id FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
+        |p2 AS (SELECT DISTINCT user_id FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'),
+        |m AS (SELECT p1.user_id AS u1, p2.user_id AS u2
+        |  FROM p1 FULL JOIN p2 ON p1.user_id = p2.user_id)
+        |SELECT
+        |  CAST(SUM(CASE WHEN u1 IS NOT NULL AND u2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS retained,
+        |  CAST(SUM(CASE WHEN u1 IS NOT NULL AND u2 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS churned,
+        |  CAST(SUM(CASE WHEN u1 IS NULL AND u2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS new_users
+        |FROM m""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val cut = to_timestamp(lit("2024-01-16 00:00:00"))
+      val p1 = ev.filter(col("ts") < cut).select(col("user_id").as("u1")).distinct()
+      val p2 = ev.filter(col("ts") >= cut).select(col("user_id").as("u2")).distinct()
+      def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+      p1.join(p2, col("u1") === col("u2"), "full_outer")
+        .agg(cnt(col("u1").isNotNull && col("u2").isNotNull).as("retained"),
+          cnt(col("u1").isNotNull && col("u2").isNull).as("churned"),
+          cnt(col("u1").isNull && col("u2").isNotNull).as("new_users"))
     }
   )
 
