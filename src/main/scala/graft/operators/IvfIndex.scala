@@ -333,6 +333,27 @@ object IvfIndex {
         coalesce(col("sse"), lit(0L)).as("sse"))
   }
 
+  /** CLUSTER-SEPARATION REPORT — each centroid's nearest OTHER centroid
+    * and the exact integer squared distance to it: the "these two cells
+    * are the same cluster" merge signal that completes the quantizer-
+    * health triad (counts [[cellStats]], shares [[driftReport]], spread
+    * [[inertiaReport]]) — two cells can be individually tight yet sit on
+    * top of each other, wasting a probe. O(nLists²) pair work over the
+    * tiny broadcast centroid relation; ties break to the lower cell id.
+    */
+  def separationReport(index: Index): DataFrame = {
+    val x = index.centroids.select(col("cell"), col("cv"))
+    val y = index.centroids.select(col("cell").as("_oc"), col("cv").as("_ov"))
+    x.crossJoin(broadcast(y))
+      .filter(col("cell") =!= col("_oc"))
+      .select(col("cell"), col("_oc"), l2Q(col("cv"), col("_ov")).as("_d2"))
+      .groupBy(col("cell"))
+      .agg(min_by(struct(col("_oc"), col("_d2")),
+        struct(col("_d2"), col("_oc"))).as("_m"))
+      .select(col("cell"), col("_m._oc").as("nearest_cell"),
+        col("_m._d2").as("d2_nearest"))
+  }
+
   /** DISTRIBUTION-DRIFT REPORT — the monitoring step that decides when the
     * frozen-quantizer trade ([[append]]'s documented price) has gone bad:
     * assign an incoming batch to the SAME frozen centroids and compare each

@@ -1246,6 +1246,29 @@ object VectorQueries {
     // --- parity sign — deterministic, SQL-restatable), the dataflow is the
     // --- production one: project text → ONE id equi-join to the embedding →
     // --- per-row cosine → threshold. Zero-norm text vectors score NULL. ---
+    // --- cluster-separation report (vec27): each centroid's nearest other
+    // --- centroid + exact integer d² — the "merge these cells" signal
+    // --- completing the quantizer-health triad (counts vec17, shares
+    // --- vec22, spread vec25): two cells can be individually tight yet
+    // --- overlap, wasting a probe. O(nLists²) pairs over the broadcast
+    // --- centroid relation; ties to the lower cell. ----------------------
+    q("vec27_separation_report",
+      s"""WITH $quantSql,
+         |c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, qv AS cv
+         |  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 16) s),
+         |${lloydSql(1, "c0", "q")},
+         |${lloydSql(2, "c1", "q")},
+         |p AS (SELECT x.cell, y.cell AS oc,
+         |  ${l2Sql("x.cv", "y.cv")} AS d2,
+         |  ROW_NUMBER() OVER (PARTITION BY x.cell
+         |    ORDER BY ${l2Sql("x.cv", "y.cv")}, y.cell) AS rn
+         |  FROM c2 x JOIN c2 y ON x.cell <> y.cell)
+         |SELECT cell, oc AS nearest_cell, d2 AS d2_nearest
+         |FROM p WHERE rn = 1""".stripMargin) { (s, d) =>
+      graft.operators.IvfIndex.separationReport(graft.operators.IvfIndex.build(
+        Tables.embeddings(s, d), "vec_id", "embedding", nLists = 16, iters = 2))
+    },
+
     // --- per-dimension embedding statistics (vec26): the normalization /
     // --- feature-scaling artifact — per dimension n, mean, variance (via
     // --- E[x²]−mean², exact decimal sums with unscaled < 2^53 so the few
