@@ -869,6 +869,47 @@ object CdcQueries {
           s"cdc31_${java.util.UUID.randomUUID().toString.take(8)}")
         .filter(col("user_id") >= 0)
         .select("user_id", "p_id", "c_id", "c_value")
+    },
+
+    // --- replica-divergence audit (cdc32): TableDiff over the CDC
+    // --- materializations — a replica frozen at LSN 3000 (the point-in-
+    // --- time state cdc10 serves) diffed against the live latest state.
+    // --- The report names exactly the keys the replica must catch up on:
+    // --- 'added' = keys born after the cut, 'removed' = keys deleted
+    // --- since, 'changed' = keys whose version moved (lsn/op column
+    // --- set). The anti-entropy loop a CDC deployment runs nightly; one
+    // --- full-outer key join, output O(divergence). ----------------------
+    q("cdc32_replica_divergence",
+      """WITH r1 AS (SELECT *, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_id <= 3000),
+        |s1 AS (SELECT user_id, event_id AS lsn,
+        |  CASE event_type WHEN 'signup' THEN 'insert' ELSE 'update' END AS op
+        |  FROM r1 WHERE rn = 1 AND event_type <> 'error'),
+        |r2 AS (SELECT *, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events),
+        |s2 AS (SELECT user_id, event_id AS lsn,
+        |  CASE event_type WHEN 'signup' THEN 'insert' ELSE 'update' END AS op
+        |  FROM r2 WHERE rn = 1 AND event_type <> 'error'),
+        |j AS (SELECT COALESCE(s1.user_id, s2.user_id) AS user_id,
+        |  s1.user_id AS lk, s2.user_id AS rk,
+        |  list_filter([
+        |    CASE WHEN s1.lsn IS DISTINCT FROM s2.lsn THEN 'lsn' END,
+        |    CASE WHEN s1.op IS DISTINCT FROM s2.op THEN 'op' END],
+        |    x -> x IS NOT NULL) AS cc
+        |  FROM s1 FULL JOIN s2 ON s1.user_id = s2.user_id)
+        |SELECT user_id,
+        |  CASE WHEN lk IS NULL THEN 'added' WHEN rk IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS change,
+        |  CASE WHEN lk IS NULL OR rk IS NULL THEN ''
+        |       ELSE array_to_string(cc, ',') END AS changed_cols
+        |FROM j WHERE lk IS NULL OR rk IS NULL OR len(cc) > 0""".stripMargin) { (s, d) =>
+      val env = ChangelogGen.fromEvents(s, d).toDF()
+      def state(asOf: Option[Long]) =
+        LatestState.batch(env, Seq("table", "key"), Seq("lsn", "seq"),
+            asOfLsn = asOf)
+          .select(col("key").cast("long").as("user_id"), col("lsn"), col("op"))
+      graft.operators.TableDiff.diff(state(Some(3000L)), state(None), "user_id")
     }
   )
 }
