@@ -553,6 +553,43 @@ object CdcQueries {
           col("dlq_reason"), octet_length(col("blob")).as("n_bytes")))
     },
 
+    // --- dead-letter REPLAY (cdc33): the second half of cdc22's story —
+    // --- after the fix ships (here: truncate to the cap), the retained
+    // --- dead rows are repaired and re-fed through the SAME guard; the
+    // --- delivered set becomes original-good ∪ repaired-dead, all rows
+    // --- delivered exactly once, DLQ drained (the repaired batch must
+    // --- pass the guard or remain dead — this one fully passes by
+    // --- construction). Replay touches only the O(poison) DLQ, never the
+    // --- healthy corpus. -------------------------------------------------
+    q("cdc33_dlq_replay",
+      """SELECT doc_id,
+        |  CASE WHEN strlen(text) > 400 THEN 'repaired' ELSE 'original' END AS provenance,
+        |  CAST(LEAST(strlen(text), 400) AS INT) AS n_bytes
+        |FROM documents""".stripMargin) { (s, d) =>
+      val blobs = graft.operators.Multimodal.withBlob(
+        Tables.documents(s, d), "text", "source")
+      val guard = ErrorPolicy.oversize("blob", 400)
+      val (good, dead) = ErrorPolicy.deadLetter(blobs, guard,
+        "record exceeds 400 bytes")
+      // the "fix": truncate the payload to the cap, then re-run the SAME
+      // guard over the repaired batch — replay must not bypass validation
+      val repaired = dead.drop("dlq_reason")
+        .withColumn("blob", expr("substring(blob, 1, 400)"))
+      val (replayGood, replayDead) = ErrorPolicy.deadLetter(repaired, guard,
+        "still oversize after repair")
+      val delivered = good.select(col("doc_id"),
+          lit("original").as("provenance"),
+          octet_length(col("blob")).as("n_bytes"))
+        .unionByName(replayGood.select(col("doc_id"),
+          lit("repaired").as("provenance"),
+          octet_length(col("blob")).as("n_bytes")))
+      // a repaired row that STILL fails would stay dead; assert-drained is
+      // part of the gate's contract (truncation can never exceed the cap)
+      delivered.unionByName(replayDead.select(col("doc_id"),
+        lit("still_dead").as("provenance"),
+        octet_length(col("blob")).as("n_bytes")))
+    },
+
     // --- incremental JOIN-view maintenance (cdc23): the join half of IVM —
     // --- a users⋈segments equi-join view maintained across three
     // --- commit-ordered micro-batch folds via the z-set delta identity
