@@ -2183,6 +2183,43 @@ object RelationalQueries {
         .agg(cnt(col("u1").isNotNull && col("u2").isNotNull).as("retained"),
           cnt(col("u1").isNotNull && col("u2").isNull).as("churned"),
           cnt(col("u1").isNull && col("u2").isNotNull).as("new_users"))
+    },
+
+    // --- ABC / Pareto analysis (q85): customers classed A (first 80% of
+    // --- revenue), B (next 15%), C (tail) by cumulative revenue share —
+    // --- the inventory-management classic. Revenue per customer is one
+    // --- partial-agg'd decimal aggregation; rank/cumsum windows run on
+    // --- the per-customer frame; class boundaries are exact integer-
+    // --- scaled decimal cross-multiplications (cum·100 vs pct·total — no
+    // --- division anywhere). Ties rank (revenue DESC, custkey). ----------
+    q("q85_abc_analysis",
+      """WITH rev AS (SELECT o_custkey,
+        |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS r FROM orders GROUP BY 1),
+        |rk AS (SELECT o_custkey, r,
+        |  SUM(r) OVER (ORDER BY r DESC, o_custkey ROWS UNBOUNDED PRECEDING) AS cum,
+        |  SUM(r) OVER () AS tot FROM rev),
+        |cls AS (SELECT o_custkey,
+        |  CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+        |       WHEN cum * 100 <= tot * 95 THEN 'B' ELSE 'C' END AS abc,
+        |  r FROM rk)
+        |SELECT abc, COUNT(*) AS n_customers,
+        |  CAST(SUM(r) AS DOUBLE) AS revenue
+        |FROM cls GROUP BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val rev = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("r"))
+      val ord = Window.orderBy(col("r").desc, col("o_custkey"))
+      val rk = rev
+        .withColumn("cum", sum(col("r")).over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("tot", sum(col("r")).over(Window.partitionBy()))
+      rk.select(col("o_custkey"), col("r"),
+          when(col("cum") * 100 <= col("tot") * 80, "A")
+            .when(col("cum") * 100 <= col("tot") * 95, "B")
+            .otherwise("C").as("abc"))
+        .groupBy(col("abc"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("r")).cast("double").as("revenue"))
     }
   )
 

@@ -1156,6 +1156,24 @@ object TextQueries {
         .select(col("doc_id"), col("pos"), col("n_toks"), col("score"))
     },
 
+    // --- dup-graph degree report (txt63): how many near-duplicate
+    // --- partners each duplicated doc has, rolled into a (degree,
+    // --- n_docs) histogram — the dedup QA artifact that tells template
+    // --- farms (hub docs with huge degree) from honest pairwise copies
+    // --- (degree 1). Pairs symmetrize, one count per doc, one count per
+    // --- degree; all on the banded pair set. ------------------------------
+    q("txt63_dup_degree",
+      s"""WITH $corpusSql,
+         |$minhashSql,
+         |sym AS (SELECT a AS d, b AS o FROM pairs UNION ALL SELECT b, a FROM pairs),
+         |deg AS (SELECT d, COUNT(*) AS degree FROM sym GROUP BY 1)
+         |SELECT degree, COUNT(*) AS n_docs FROM deg GROUP BY 1""".stripMargin) { (s, d) =>
+      val pairs = Dedup.minhashCandidatePairs(corpus(s, d), "doc_id", "text")
+      pairs.select(col("a").as("d")).unionAll(pairs.select(col("b").as("d")))
+        .groupBy(col("d")).agg(count(lit(1)).as("degree"))
+        .groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
+    },
+
     // --- composed curation v3 (txt62): the NEW stages composed under one
     // --- oracle — blocklist screen (txt51's anchor join) → trained-
     // --- classifier keep (txt36's NB model at the zero threshold) →
