@@ -2220,6 +2220,47 @@ object RelationalQueries {
         .groupBy(col("abc"))
         .agg(count(lit(1)).as("n_customers"),
           sum(col("r")).cast("double").as("revenue"))
+    },
+
+    // --- event-sequence conformance audit (q86): state-machine rules over
+    // --- each user's ordered stream — 'first event must be signup' and
+    // --- 'no purchase before a view' — reported as per-rule violating-user
+    // --- counts. Each rule is one per-user min-aggregation compared in
+    // --- plan (no per-user subquery, no ordered event list materialized);
+    // --- the protocol-conformance check an event pipeline runs at ingest.
+    q("q86_sequence_audit",
+      """WITH f AS (SELECT user_id,
+        |  arg_min(event_type, (epoch_us(ts) - 1704067200000000)*1000000 + event_id)
+        |    AS first_type FROM events GROUP BY 1),
+        |r1 AS (SELECT COUNT(*) AS n FROM f WHERE first_type <> 'signup'),
+        |pv AS (SELECT user_id,
+        |  MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_p,
+        |  MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_v
+        |  FROM events GROUP BY 1),
+        |r2 AS (SELECT COUNT(*) AS n FROM pv
+        |  WHERE t_p IS NOT NULL AND (t_v IS NULL OR t_p < t_v))
+        |SELECT 'first_not_signup' AS rule, n AS n_violating_users FROM r1
+        |UNION ALL SELECT 'purchase_before_view', n FROM r2""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val key = (unix_micros(col("ts")) - 1704067200000000L) * 1000000L +
+        col("event_id")
+      val r1 = ev.select(col("user_id"), col("event_type"), key.as("_k"))
+        .groupBy(col("user_id"))
+        .agg(min_by(col("event_type"), col("_k")).as("first_type"))
+        .filter(col("first_type") =!= "signup")
+        .agg(count(lit(1)).as("n_violating_users"))
+        .select(lit("first_not_signup").as("rule"), col("n_violating_users"))
+      val r2 = ev.groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "purchase",
+            unix_micros(col("ts")))).as("t_p"),
+          min(when(col("event_type") === "view",
+            unix_micros(col("ts")))).as("t_v"))
+        .filter(col("t_p").isNotNull &&
+          (col("t_v").isNull || col("t_p") < col("t_v")))
+        .agg(count(lit(1)).as("n_violating_users"))
+        .select(lit("purchase_before_view").as("rule"),
+          col("n_violating_users"))
+      r1.unionByName(r2)
     }
   )
 
