@@ -222,6 +222,32 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** SQ8 QUANTIZATION-ERROR REPORT — per vector, the exact integer
+    * reconstruction error of [[annSq8]]'s byte quantization: scaling both
+    * sides by 127 keeps everything integral (qv·127 vs code·m), so
+    * err = Σ(qv_i·127 − c_i·m)² is a BIGINT and the relative error one
+    * final IEEE divide by 127²·‖qv‖². The decide-the-compression-level
+    * artifact: if rel_err is tiny, ship SQ8 (4× smaller scans); if not,
+    * spend PQ's training. One broadcast scale + one projection pass.
+    */
+  def sq8ErrorReport(corpus: DataFrame, idCol: String, vecCol: String)
+      : DataFrame = {
+    val cq = corpus.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))
+    val scale = cq.agg(max(array_max(transform(col("qv"), x => abs(x)))).as("m"))
+    cq.crossJoin(broadcast(scale))
+      .select(col("id"),
+        transform(col("qv"), x => floor((x * 127).cast("double") / col("m"))
+          .cast("long")).as("c"), col("qv"), col("m"))
+      .select(col("id"),
+        aggregate(zip_with(col("qv"), col("c"),
+            (x, cc) => (x * 127 - cc * col("m")) * (x * 127 - cc * col("m"))),
+          lit(0L), (acc, x) => acc + x).as("err"),
+        dotQ(col("qv"), col("qv")).as("_n2"))
+      .select(col("id"), col("err"),
+        (col("err").cast("double") /
+          (lit(127.0 * 127.0) * col("_n2").cast("double"))).as("rel_err"))
+  }
+
   /** ANN: candidates share the probe's bucket in ANY of the hash tables;
     * rerank by exact quantized cosine over the candidate union, keep top-k.
     *

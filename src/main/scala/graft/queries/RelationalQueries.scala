@@ -2261,6 +2261,31 @@ object RelationalQueries {
         .select(lit("purchase_before_view").as("rule"),
           col("n_violating_users"))
       r1.unionByName(r2)
+    },
+
+    // --- period-over-period change (q87): weekly revenue with
+    // --- week-over-week absolute and relative deltas — the growth
+    // --- dashboard's first chart. One decimal aggregation to the weekly
+    // --- frame; the lag window and both deltas run on O(weeks) rows
+    // --- (exact decimal subtraction, one IEEE ratio). --------------------
+    q("q87_wow_change",
+      """WITH wk AS (SELECT CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS week,
+        |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1)
+        |SELECT week, CAST(rev AS DOUBLE) AS revenue,
+        |  CAST(rev - lag(rev) OVER (ORDER BY week) AS DOUBLE) AS wow_delta,
+        |  CAST(rev - lag(rev) OVER (ORDER BY week) AS DOUBLE)
+        |    / CAST(lag(rev) OVER (ORDER BY week) AS DOUBLE) AS wow_pct
+        |FROM wk""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val wk = Tables.orders(s, d)
+        .groupBy(date_trunc("week", col("o_orderdate")).as("week"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+      val prev = lag(col("rev"), 1).over(Window.orderBy(col("week")))
+      wk.select(col("week"), col("rev").cast("double").as("revenue"),
+        (col("rev") - prev).cast("double").as("wow_delta"),
+        ((col("rev") - prev).cast("double") / prev.cast("double"))
+          .as("wow_pct"))
     }
   )
 

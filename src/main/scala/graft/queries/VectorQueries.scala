@@ -1246,6 +1246,27 @@ object VectorQueries {
     // --- parity sign — deterministic, SQL-restatable), the dataflow is the
     // --- production one: project text → ONE id equi-join to the embedding →
     // --- per-row cosine → threshold. Zero-norm text vectors score NULL. ---
+    // --- SQ8 quantization-error report (vec28): per-vector exact integer
+    // --- reconstruction error of the byte quantization (both sides scaled
+    // --- by 127 to stay integral) + relative error — the decide-the-
+    // --- compression-level artifact before committing to SQ8's 4× scan
+    // --- cut vs PQ's training spend. One broadcast scale, one pass. ------
+    q("vec28_sq8_error",
+      s"""WITH $quantSql,
+         |mx AS (SELECT MAX(list_max([abs(x) for x in qv])) AS m FROM q),
+         |cc AS (SELECT vec_id, qv, m,
+         |  [CAST(floor(CAST(x*127 AS DOUBLE)/m) AS BIGINT) for x in qv] AS c
+         |  FROM q, mx)
+         |SELECT vec_id AS id,
+         |  CAST(list_sum([(qv[i]*127 - c[i]*m)*(qv[i]*127 - c[i]*m)
+         |    for i in generate_series(1, len(qv))]) AS BIGINT) AS err,
+         |  CAST(list_sum([(qv[i]*127 - c[i]*m)*(qv[i]*127 - c[i]*m)
+         |    for i in generate_series(1, len(qv))]) AS DOUBLE)
+         |  / (127.0*127.0 * CAST(list_sum([x*x for x in qv]) AS DOUBLE)) AS rel_err
+         |FROM cc""".stripMargin) { (s, d) =>
+      Similarity.sq8ErrorReport(Tables.embeddings(s, d), "vec_id", "embedding")
+    },
+
     // --- cluster-separation report (vec27): each centroid's nearest other
     // --- centroid + exact integer d² — the "merge these cells" signal
     // --- completing the quantizer-health triad (counts vec17, shares
