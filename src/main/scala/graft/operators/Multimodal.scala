@@ -438,6 +438,47 @@ object Multimodal {
         col("boundaries"))
   }
 
+  /** STREAMING VISUAL DEDUP — exact-phash dedup pumped by a stream: each
+    * micro-batch decodes its own blobs to perceptual hashes (the batched
+    * mm06 path, stateless, so batch and stream share it unchanged) and
+    * folds (ph_hi, ph_lo) → min doc_id into a standing keeper table; a
+    * re-upload arriving in ANY later batch resolves against every hash
+    * seen so far without re-touching history. Folding is idempotent (min
+    * is) — replays/retries are free, the SketchStream discipline. The
+    * standing table is O(distinct images); bucket it through
+    * MaterializedTable if that outgrows one rewrite.
+    */
+  def foldPhashKeepers(batch: DataFrame, tableDir: String,
+      codec: MediaCodec = StubCodec): Unit = {
+    val spark = batch.sparkSession
+    val h = perceptualHash(batch, codec = codec).toDF()
+      .groupBy(col("ph_hi"), col("ph_lo")).agg(min(col("doc_id")).as("keep_id"))
+    val existing =
+      try Some(spark.read.parquet(tableDir)) catch { case _: Throwable => None }
+    val merged = existing match {
+      case None => h
+      case Some(e) => e.unionByName(h)
+        .groupBy(col("ph_hi"), col("ph_lo")).agg(min(col("keep_id")).as("keep_id"))
+    }
+    val tmp = s"$tableDir.tmp"
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(tableDir)
+  }
+
+  /** Drive a blob stream through [[foldPhashKeepers]] to completion. */
+  def streamingVisualDedup(stream: DataFrame, tableDir: String,
+      codec: MediaCodec = StubCodec): Unit = {
+    val ckpt = java.nio.file.Files.createTempDirectory("phfold").toString
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        foldPhashKeepers(batch, tableDir, codec)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Near-duplicate image pairs by perceptual-hash Hamming distance ≤
     * `maxHamming`: the banded-join discipline (SimHash/MinHash style) —
     * the 64 bits split into four 16-bit bands, candidates meet in a band

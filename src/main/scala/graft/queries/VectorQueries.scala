@@ -1246,6 +1246,51 @@ object VectorQueries {
     // --- parity sign — deterministic, SQL-restatable), the dataflow is the
     // --- production one: project text → ONE id equi-join to the embedding →
     // --- per-row cosine → threshold. Zero-norm text vectors score NULL. ---
+    // --- streaming visual dedup (mm17): exact-phash keep-one pumped by a
+    // --- stream — each micro-batch decodes its own blobs (the stateless
+    // --- batched mm06 path serves batch and stream unchanged) and folds
+    // --- hash → min doc_id into a standing keeper table; re-uploads
+    // --- landing in ANY later batch resolve against every hash seen so
+    // --- far without re-reading history. Min-fold is idempotent, so
+    // --- replays are free. Planted exact copies (%6, +600000) must lose
+    // --- to their originals across batch boundaries. Oracle = the batch
+    // --- pixel-walk phash + min per hash. --------------------------------
+    q("mm17_streaming_visual_dedup",
+      """WITH pcorp AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE strlen(text) = length(text) AND strlen(text) > 0
+        |  UNION ALL SELECT doc_id+600000, text FROM documents
+        |  WHERE strlen(text) = length(text) AND strlen(text) > 0
+        |    AND doc_id % 6 = 0),
+        |px AS (SELECT doc_id,
+        |  [CAST(unicode(substr(text, CAST((i*strlen(text))//64 AS INT)+1, 1)) AS BIGINT)
+        |    for i in generate_series(0, 63)] AS px FROM pcorp),
+        |mn AS (SELECT doc_id, px, CAST(list_sum(px)//64 AS BIGINT) AS mean FROM px),
+        |ph AS (SELECT doc_id,
+        |  CAST(list_sum([CASE WHEN px[i+33] > mean THEN CAST(1 AS BIGINT) << i
+        |    ELSE CAST(0 AS BIGINT) END for i in generate_series(0, 31)]) AS BIGINT) AS ph_hi,
+        |  CAST(list_sum([CASE WHEN px[i+1] > mean THEN CAST(1 AS BIGINT) << i
+        |    ELSE CAST(0 AS BIGINT) END for i in generate_series(0, 31)]) AS BIGINT) AS ph_lo
+        |  FROM mn)
+        |SELECT ph_hi, ph_lo, MIN(doc_id) AS keep_id
+        |FROM ph GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      import graft.streaming.StreamStreamJoin
+      val docs = Tables.documents(s, d)
+        .filter(octet_length(col("text")) === length(col("text")) &&
+          octet_length(col("text")) > 0)
+        .select(col("doc_id"), col("text"))
+      val planted = docs.unionByName(docs.filter(col("doc_id") % 6 === 0)
+        .select((col("doc_id") + 600000).as("doc_id"), col("text")))
+      val src = java.nio.file.Files.createTempDirectory("mm17src").toString
+      Multimodal.withBlob(planted.withColumn("fmt", lit("img")), "text", "fmt")
+        .repartition(4).write.mode("overwrite").parquet(src)
+      val tableDir =
+        java.nio.file.Files.createTempDirectory("mm17tbl").toString + "/t"
+      Multimodal.streamingVisualDedup(
+        StreamStreamJoin.tableStream(s, src, maxFilesPerTrigger = 2), tableDir)
+      s.read.parquet(tableDir).select("ph_hi", "ph_lo", "keep_id")
+    },
+
     // --- SQ8 quantization-error report (vec28): per-vector exact integer
     // --- reconstruction error of the byte quantization (both sides scaled
     // --- by 127 to stay integral) + relative error — the decide-the-
