@@ -2286,6 +2286,37 @@ object RelationalQueries {
         (col("rev") - prev).cast("double").as("wow_delta"),
         ((col("rev") - prev).cast("double") / prev.cast("double"))
           .as("wow_pct"))
+    },
+
+    // --- skyline / Pareto frontier (q88): parts not DOMINATED on (price ↓
+    // --- better, size ↑ better) — the multi-criteria shortlist operator.
+    // --- Scale shape: dedupe to distinct (price, size) pairs, sort them
+    // --- (price ASC, size DESC) and keep a pair iff the running max size
+    // --- over its predecessors is below its own — every predecessor is
+    // --- cheaper-or-equal-with-bigger-size, so rmax ≥ size ⇔ dominated;
+    // --- the sort runs over DISTINCT pairs, not parts (and shards by
+    // --- price range at 100 TB — local skylines merge). The ORACLE is the
+    // --- textbook NOT EXISTS dominance test — an independent formulation
+    // --- cross-checking the window trick's semantics. --------------------
+    q("q88_skyline",
+      """SELECT p_partkey, p_retailprice, p_size
+        |FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val parts = Tables.part(s, d)
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      val pairs = parts.select(col("p_retailprice"), col("p_size")).distinct()
+      val rmax = max(col("p_size")).over(
+        Window.orderBy(col("p_retailprice"), col("p_size").desc)
+          .rowsBetween(Window.unboundedPreceding, -1))
+      val frontier = pairs.withColumn("_rm", rmax)
+        .filter(col("_rm").isNull || col("_rm") < col("p_size"))
+        .select(col("p_retailprice"), col("p_size"))
+      parts.join(frontier, Seq("p_retailprice", "p_size"))
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
     }
   )
 
