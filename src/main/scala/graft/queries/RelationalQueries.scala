@@ -2317,6 +2317,36 @@ object RelationalQueries {
         .select(col("p_retailprice"), col("p_size"))
       parts.join(frontier, Seq("p_retailprice", "p_size"))
         .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+    },
+
+    // --- audience overlap matrix (q89): |users(a) ∩ users(b)| and Jaccard
+    // --- for every event-type pair — the segment-overlap view an audience
+    // --- platform serves. Distinct (type, user) pairs ONCE (partial-
+    // --- agg'd), intersections via one self-equi-join on user, sizes
+    // --- joined back from a tiny per-type count; Jaccard by
+    // --- inclusion–exclusion, one IEEE divide of exact integers. ---------
+    q("q89_audience_overlap",
+      """WITH tu AS (SELECT DISTINCT event_type AS t, user_id AS u FROM events),
+        |sz AS (SELECT t, COUNT(*) AS n FROM tu GROUP BY 1),
+        |ov AS (SELECT a.t AS ta, b.t AS tb, COUNT(*) AS n_common
+        |  FROM tu a JOIN tu b ON a.u = b.u AND a.t < b.t
+        |  GROUP BY 1, 2)
+        |SELECT ov.ta, ov.tb, ov.n_common,
+        |  CAST(ov.n_common AS DOUBLE)
+        |    / (sa.n + sb.n - ov.n_common) AS jaccard
+        |FROM ov JOIN sz sa ON ov.ta = sa.t JOIN sz sb ON ov.tb = sb.t""".stripMargin) { (s, d) =>
+      val tu = Tables.events(s, d)
+        .select(col("event_type").as("t"), col("user_id").as("u")).distinct()
+      val sz = tu.groupBy(col("t")).agg(count(lit(1)).as("n"))
+      val ov = tu.select(col("t").as("ta"), col("u"))
+        .join(tu.select(col("t").as("tb"), col("u")), Seq("u"))
+        .filter(col("ta") < col("tb"))
+        .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("n_common"))
+      ov.join(broadcast(sz.select(col("t").as("ta"), col("n").as("_na"))), Seq("ta"))
+        .join(broadcast(sz.select(col("t").as("tb"), col("n").as("_nb"))), Seq("tb"))
+        .select(col("ta"), col("tb"), col("n_common"),
+          (col("n_common").cast("double")
+            / (col("_na") + col("_nb") - col("n_common"))).as("jaccard"))
     }
   )
 
