@@ -89,6 +89,53 @@ object Hierarchy {
         col("n_subtree"), col("subtree_val"))
   }
 
+  /** QUANTITY-WEIGHTED rollup — the BOM explosion: edge (child, parent,
+    * qty) means the parent assembly uses `qty` units of the child; the
+    * effective units of a descendant in an ancestor is the PRODUCT of
+    * quantities along the path. Per node (assembly) this returns the
+    * descendant count and total effective units (descendants including
+    * itself at weight 1) — the "how many screws in the airplane" query.
+    *
+    * FOREST contract (each child one parent ⇒ one path per (node, anc)),
+    * which is what lets path doubling carry the product without a
+    * same-pair sum; integer quantities keep everything exact. Same
+    * O(log depth) loop shape as [[ancestorClosure]].
+    */
+  def weightedRollup(nodes: DataFrame, edges: DataFrame, idCol: String,
+      childCol: String, parentCol: String, qtyCol: String,
+      maxDepth: Long = 1L << 20): DataFrame = {
+    val e = edges.select(col(childCol).as("node"), col(parentCol).as("anc"),
+      col(qtyCol).cast("long").as("w")).withColumn("dist", lit(1L))
+    var closure = e
+    var frontier = e
+    var depth = 1L
+    var done = false
+    while (!done) {
+      val ext = frontier
+        .select(col("node"), col("anc").as("mid"), col("w").as("w1"),
+          col("dist").as("d1"))
+        .join(closure.select(col("node").as("mid"), col("anc"),
+          col("w").as("w2"), col("dist").as("d2")), Seq("mid"))
+        .select(col("node"), col("anc"), (col("w1") * col("w2")).as("w"),
+          (col("d1") + col("d2")).as("dist"))
+      val extC = ext.persist()
+      if (extC.isEmpty) done = true
+      else {
+        closure = closure.unionByName(extC)
+        frontier = extC.filter(col("dist") === depth * 2)
+        depth *= 2
+        require(depth <= maxDepth,
+          s"hierarchy deeper than $maxDepth — cycle in the parent relation?")
+      }
+    }
+    val reflexive = nodes.select(col(idCol).as("node"),
+        col(idCol).as("anc"), lit(1L).as("w"), lit(0L).as("dist"))
+      .unionByName(closure)
+    reflexive.groupBy(col("anc"))
+      .agg(count(lit(1)).as("n_desc"), sum(col("w")).as("total_units"))
+      .select(col("anc").as("node"), col("n_desc"), col("total_units"))
+  }
+
   private object Qlocal {
     import org.apache.spark.sql.Column
     import org.apache.spark.sql.types.DecimalType

@@ -2347,6 +2347,31 @@ object RelationalQueries {
         .select(col("ta"), col("tb"), col("n_common"),
           (col("n_common").cast("double")
             / (col("_na") + col("_nb") - col("n_common"))).as("jaccard"))
+    },
+
+    // --- BOM explosion / weighted rollup (q90): q51's supplier heap tree
+    // --- with a per-edge quantity — effective units of each descendant in
+    // --- an assembly is the PRODUCT of quantities along the path (the
+    // --- "how many screws in the airplane" query). Path doubling carries
+    // --- the product (⌈log₂ depth⌉ joins; forest ⇒ one path per pair, no
+    // --- same-pair sum needed); all integer-exact. Oracle = the literal
+    // --- one-step WITH RECURSIVE multiplying as it descends. -------------
+    q("q90_bom_explosion",
+      """WITH RECURSIVE pairs(anc, node, w) AS (
+        |  SELECT s_suppkey, s_suppkey, CAST(1 AS BIGINT) FROM supplier
+        |  UNION ALL
+        |  SELECT p.anc, s.s_suppkey, p.w * (s.s_suppkey % 5 + 1) FROM pairs p
+        |  JOIN supplier s ON s.s_suppkey >= 1 AND (s.s_suppkey - 1) // 2 = p.node)
+        |SELECT anc AS node, COUNT(*) AS n_desc,
+        |  CAST(SUM(w) AS BIGINT) AS total_units
+        |FROM pairs GROUP BY 1""".stripMargin) { (s, d) =>
+      val sup = Tables.supplier(s, d)
+      val edges = sup.filter(col("s_suppkey") >= 1)
+        .select(col("s_suppkey").as("child"),
+          expr("(s_suppkey - 1) div 2").cast("long").as("parent"),
+          (col("s_suppkey") % 5 + 1).as("qty"))
+      graft.operators.Hierarchy.weightedRollup(sup, edges,
+        "s_suppkey", "child", "parent", "qty")
     }
   )
 
