@@ -72,4 +72,30 @@ class HierarchySpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Double)].collect()
     assert(got.toSeq == Seq((7L, 0L, 7L, 1L, 3.0)))
   }
+
+  test("weightedRollup: hand-computed BOM; deep chain multiplies through doubling") {
+    import spark.implicits._
+    // 0 uses 2× node1 and 3× node2; node1 uses 4× node3
+    val nodes = Seq(0L, 1L, 2L, 3L).toDF("id")
+    val edges = Seq((1L, 0L, 2L), (2L, 0L, 3L), (3L, 1L, 4L))
+      .toDF("child", "parent", "qty")
+    val got = Hierarchy.weightedRollup(nodes, edges, "id",
+        "child", "parent", "qty")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // in 0: self 1 + 1×2 + 2×3 + 3×(4·2)=8 → 14 units over 4 nodes
+    assert(got(0L) == ((4L, 14L)))
+    assert(got(1L) == ((2L, 5L)))   // self + 4× node3
+    assert(got(2L) == ((1L, 1L)))
+    assert(got(3L) == ((1L, 1L)))
+    // 10-deep chain, qty 2 per hop: root units = Σ 2^i = 2^10 − 1 — paths
+    // longer than one doubling round must still multiply correctly
+    val n = 10
+    val chainNodes = (0 until n).map(_.toLong).toDF("id")
+    val chainEdges = (1 until n).map(i => (i.toLong, i.toLong - 1, 2L))
+      .toDF("child", "parent", "qty")
+    val chain = Hierarchy.weightedRollup(chainNodes, chainEdges, "id",
+        "child", "parent", "qty")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(chain(0L) == (1L << n) - 1)
+  }
 }
