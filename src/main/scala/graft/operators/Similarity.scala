@@ -286,6 +286,53 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** MULTI-PROBE LSH — recall recovery WITHOUT more hash tables: each
+    * probe additionally checks the buckets at Hamming distance 1 from its
+    * own (one hyperplane bit flipped — the neighboring buckets a
+    * borderline vector most likely fell into, Lv et al.'s multi-probe
+    * idea). Candidates ≈ (1 + planes)× the single-probe set from the SAME
+    * index — the memory/recall trade runs on the query side instead of
+    * multiplying stored tables. Corpus side is untouched; only probe rows
+    * fan out (probes ≪ corpus). Exact-cosine rerank as always.
+    */
+  def annLshMultiProbe(probes: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, numPlanes: Int = NumPlanes,
+      numTables: Int = NumTables): DataFrame = {
+    val cq = corpus.select(col(idCol).as("neighbor_id"),
+      quantize(col(vecCol)).as("cq"))
+      .withColumn("n2c", dotQ(col("cq"), col("cq")))
+    val pq = probes.select(col(idCol).as("probe_id"),
+      quantize(col(vecCol)).as("pq"))
+      .withColumn("n2p", dotQ(col("pq"), col("pq")))
+    val cBuckets = cq.select(col("neighbor_id"), posexplode(
+        array((0 until numTables).map(t =>
+          lshBucket(col("cq"), t * numPlanes, numPlanes)): _*)))
+      .withColumnRenamed("pos", "htable").withColumnRenamed("col", "bucket")
+    // probe side: home bucket + each one-bit flip
+    val pHome = pq.select(col("probe_id"), posexplode(
+        array((0 until numTables).map(t =>
+          lshBucket(col("pq"), t * numPlanes, numPlanes)): _*)))
+      .withColumnRenamed("pos", "htable").withColumnRenamed("col", "_home")
+    val pProbes = pHome.select(col("probe_id"), col("htable"),
+        explode(array(lit(0L) +: (0 until numPlanes)
+          .map(j => lit(1L << j)): _*)).as("_flip"))
+      .join(pHome, Seq("probe_id", "htable"))
+      .select(col("probe_id"), col("htable"),
+        col("_home").bitwiseXOR(col("_flip")).as("bucket"))
+      .distinct()
+    val scored = pProbes.join(cBuckets, Seq("htable", "bucket"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"))
+      .distinct()
+      .join(pq, Seq("probe_id"))
+      .join(cq, Seq("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        cosineQWithNorms(col("pq"), col("cq"), col("n2p"), col("n2c")).as("sim"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023, public
     * method): coarse k-means clustering — [[IvfIndex]]'s deterministic
     * quantized Lloyd, reused as-is — then within-cluster pairwise cosine.

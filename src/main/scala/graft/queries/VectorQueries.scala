@@ -247,6 +247,34 @@ object VectorQueries {
         "vec_id", "embedding", k = 3)
     },
 
+    // --- multi-probe LSH (vec29): recall recovery WITHOUT more tables —
+    // --- each probe also checks the buckets one hyperplane-bit away from
+    // --- its own (the neighbors a borderline vector most likely fell
+    // --- into); candidates ≈ (1+planes)× single-probe from the SAME
+    // --- index, the trade running query-side instead of multiplying the
+    // --- stored corpus rows. Exact-cosine rerank; deterministic. ---------
+    q("vec29_ann_multiprobe",
+      s"""WITH $quantSql,
+         |${bandedSql(4)},
+         |pp AS (SELECT DISTINCT vec_id, t, xor(bucket, f.f) AS bucket
+         |  FROM banded, (SELECT unnest([0, 1, 2, 4, 8]) AS f) f
+         |  WHERE vec_id < 10),
+         |cand AS (SELECT DISTINCT pp.vec_id AS probe_id, c.vec_id AS neighbor_id
+         |  FROM pp JOIN banded c ON pp.t = c.t AND pp.bucket = c.bucket
+         |  WHERE c.vec_id <> pp.vec_id),
+         |scored AS (SELECT probe_id, neighbor_id,
+         |  CAST(CAST(list_sum([p.qv[i]*c.qv[i] for i in generate_series(1, len(p.qv))]) AS BIGINT) AS DOUBLE)
+         |    / (sqrt(CAST(p.n2 AS DOUBLE))*sqrt(CAST(c.n2 AS DOUBLE))) AS sim
+         |  FROM cand JOIN n p ON cand.probe_id = p.vec_id
+         |            JOIN n c ON cand.neighbor_id = c.vec_id)
+         |SELECT * FROM (SELECT probe_id, neighbor_id, sim,
+         |  ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM scored) t WHERE rank <= 3""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.annLshMultiProbe(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", k = 3)
+    },
+
     // --- embedding-cosine near-duplicate pairs (vector-space dedup mode) ------
     q("vec04_embedding_dedup",
       s"""WITH vcorpus AS (

@@ -655,6 +655,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.forall(p => p._1 >= 30000 && p._2 < 30000))
   }
 
+  test("multi-probe LSH: superset of single-probe candidates, recall never worse") {
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, dir)
+    val probes = emb.filter(col("vec_id") < 10)
+    def recallOf(ann: Array[(Long, Long)]): Double = {
+      val brute = Similarity.knnBrute(probes, emb, "vec_id", "embedding", 3)
+        .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      brute.count(ann.toSet.contains).toDouble / brute.size
+    }
+    val sp = Similarity.annLsh(probes, emb, "vec_id", "embedding", 3)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect()
+    val mp = Similarity.annLshMultiProbe(probes, emb, "vec_id", "embedding", 3)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect()
+    // multi-probe candidates are a strict superset (flip 0 = home bucket),
+    // so its exact-rerank recall can never be worse
+    assert(recallOf(mp) >= recallOf(sp),
+      s"multi-probe ${recallOf(mp)} < single ${recallOf(sp)}")
+    // and every reported sim is still an exact quantized cosine
+    val bruteAll = Similarity.knnBrute(probes, emb, "vec_id", "embedding", 1000)
+      .select("probe_id", "neighbor_id", "sim")
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val mpSims = Similarity.annLshMultiProbe(probes, emb, "vec_id",
+        "embedding", 3)
+      .select("probe_id", "neighbor_id", "sim").as[(Long, Long, Double)].collect()
+    assert(mpSims.forall { case (p, nb, s) => bruteAll((p, nb)) == s })
+  }
+
   test("binary ANN: signatures pack sign bits exactly; sims exact; recall floor") {
     import spark.implicits._
     val emb = graft.Tables.embeddings(spark, dir)
