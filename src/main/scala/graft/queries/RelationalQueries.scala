@@ -2372,6 +2372,45 @@ object RelationalQueries {
           (col("s_suppkey") % 5 + 1).as("qty"))
       graft.operators.Hierarchy.weightedRollup(sup, edges,
         "s_suppkey", "child", "parent", "qty")
+    },
+
+    // --- linear multi-touch attribution (q91): each purchase's credit is
+    // --- split EQUALLY across every click/view in its 24h lookback (q66
+    // --- gave the whole conversion to the last touch; linear is the other
+    // --- standard model). (purchase, touch) pairs come from the bounded
+    // --- interval join (state O(rate·lookback), the cdc15 shape); the
+    // --- per-purchase fan-out count rides one partial-agg'd groupBy; each
+    // --- 1/n credit is one IEEE divide cast to decimal so the final sums
+    // --- are order-proof. ------------------------------------------------
+    q("q91_linear_attribution",
+      """WITH p AS (SELECT user_id, event_id AS pid, ts AS pts FROM events
+        |  WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, event_id AS tid, event_type AS ttype, ts AS tts
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |pairs AS (SELECT p.pid, t.ttype FROM p JOIN t
+        |  ON p.user_id = t.user_id
+        |  AND t.tts >= p.pts - INTERVAL 24 HOUR AND t.tts <= p.pts),
+        |n AS (SELECT pid, COUNT(*) AS n_t FROM pairs GROUP BY 1)
+        |SELECT pairs.ttype AS touch, COUNT(*) AS n_touches,
+        |  CAST(SUM(CAST(1.0 / n.n_t AS DECIMAL(18,12))) AS DOUBLE) AS credit
+        |FROM pairs JOIN n ON pairs.pid = n.pid
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("pid"), col("ts").as("pts"))
+      val t = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("event_type").as("ttype"),
+          col("ts").as("tts"))
+      val pairs = p.join(t, Seq("user_id"))
+        .filter(col("tts") >= col("pts") - expr("INTERVAL 24 HOURS") &&
+          col("tts") <= col("pts"))
+        .select(col("pid"), col("ttype"))
+      val n = pairs.groupBy(col("pid")).agg(count(lit(1)).as("n_t"))
+      pairs.join(n, Seq("pid"))
+        .groupBy(col("ttype").as("touch"))
+        .agg(count(lit(1)).as("n_touches"),
+          sum((lit(1.0) / col("n_t")).cast(DecimalType(18, 12)))
+            .cast("double").as("credit"))
     }
   )
 
