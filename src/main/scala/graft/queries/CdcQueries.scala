@@ -590,6 +590,28 @@ object CdcQueries {
         octet_length(col("blob")).as("n_bytes")))
     },
 
+    // --- compaction-ratio report (cdc34): versions per key over the
+    // --- changelog — n_keys, n_events, mean and exact interpolated
+    // --- p50/p90 versions-per-key. The log-compaction savings estimate
+    // --- (README.md:288–291's compacted-topic reliance): a ratio near 1
+    // --- means compaction buys nothing; heavy tails mean hot keys
+    // --- dominate state. One partial-agg'd count per key + one
+    // --- percentile aggregation over the per-key frame. ------------------
+    q("cdc34_compaction_stats",
+      """WITH pk AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1)
+        |SELECT COUNT(*) AS n_keys, CAST(SUM(n) AS BIGINT) AS n_events,
+        |  CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mean_versions,
+        |  quantile_cont(n, 0.5) AS p50_versions,
+        |  quantile_cont(n, 0.9) AS p90_versions
+        |FROM pk""".stripMargin) { (s, d) =>
+      val env = ChangelogGen.fromEvents(s, d).toDF()
+      env.groupBy(col("key")).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_events"),
+          (sum(col("n")).cast("double") / count(lit(1))).as("mean_versions"),
+          expr("percentile(n, 0.5)").as("p50_versions"),
+          expr("percentile(n, 0.9)").as("p90_versions"))
+    },
+
     // --- incremental JOIN-view maintenance (cdc23): the join half of IVM —
     // --- a users⋈segments equi-join view maintained across three
     // --- commit-ordered micro-batch folds via the z-set delta identity

@@ -2411,6 +2411,85 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_touches"),
           sum((lit(1.0) / col("n_t")).cast(DecimalType(18, 12)))
             .cast("double").as("credit"))
+    },
+
+    // --- hierarchical contribution (q92): each node's share of its
+    // --- PARENT's subtree value — the drill-down percentage a hierarchy
+    // --- dashboard shows at every level. Rides q51's closure rollup (the
+    // --- expensive part, already O(nodes·depth)); the share is one
+    // --- parent-edge self-join + an IEEE divide of the exact decimal
+    // --- subtree sums. Roots carry share 1.0 of themselves. --------------
+    q("q92_hierarchy_contribution",
+      """WITH RECURSIVE pairs(anc, node) AS (
+        |  SELECT s_suppkey, s_suppkey FROM supplier
+        |  UNION ALL
+        |  SELECT p.anc, s.s_suppkey FROM pairs p
+        |  JOIN supplier s ON s.s_suppkey >= 1 AND (s.s_suppkey - 1) // 2 = p.node),
+        |down AS (SELECT anc, CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS subtree_val
+        |  FROM pairs JOIN supplier ON node = s_suppkey GROUP BY anc)
+        |SELECT c.s_suppkey AS node,
+        |  CASE WHEN c.s_suppkey = 0 THEN CAST(1.0 AS DOUBLE)
+        |       ELSE dc.subtree_val / dp.subtree_val END AS share_of_parent
+        |FROM supplier c
+        |JOIN down dc ON dc.anc = c.s_suppkey
+        |LEFT JOIN down dp ON c.s_suppkey >= 1
+        |  AND dp.anc = (c.s_suppkey - 1) // 2""".stripMargin) { (s, d) =>
+      val sup = Tables.supplier(s, d)
+      val edges = sup.filter(col("s_suppkey") >= 1)
+        .select(col("s_suppkey").as("child"),
+          expr("(s_suppkey - 1) div 2").cast("long").as("parent"))
+      val down = graft.operators.Hierarchy.rollup(sup, edges,
+          "s_suppkey", "s_acctbal", "child", "parent")
+        .select(col("node"), col("subtree_val"))
+      sup.select(col("s_suppkey").as("node"),
+          expr("(s_suppkey - 1) div 2").cast("long").as("_parent"))
+        .join(down, Seq("node"))
+        .join(down.select(col("node").as("_parent"),
+          col("subtree_val").as("_pval")), Seq("_parent"), "left")
+        .select(col("node"),
+          when(col("node") === 0, lit(1.0))
+            .otherwise(col("subtree_val") / col("_pval"))
+            .as("share_of_parent"))
+    },
+
+    // --- session bounce rate (q93): sessions with exactly one event,
+    // --- reported per ENTRY event type (what did bouncers land on?) —
+    // --- the engagement metric beside q81's journeys. Session assembly
+    // --- rides q35's one user-keyed exchange; entry type and size are one
+    // --- grouped min_by/count; the rate one IEEE divide. -----------------
+    q("q93_bounce_rate",
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us
+        |  FROM events),
+        |s AS (SELECT *, CASE WHEN lag(t_us) OVER w IS NULL
+        |    OR t_us - lag(t_us) OVER w > 7200000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
+        |t AS (SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id
+        |    ORDER BY t_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+        |  FROM s),
+        |g AS (SELECT user_id, session_no,
+        |  arg_min(event_type, (t_us - 1704067200000000)*1000000 + event_id) AS entry_type,
+        |  COUNT(*) AS n_events
+        |  FROM t GROUP BY 1, 2)
+        |SELECT entry_type, COUNT(*) AS n_sessions,
+        |  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+        |  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*) AS bounce_rate
+        |FROM g GROUP BY 1""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("t_us"))
+      val g = graft.operators.Sessionize.assign(ev, Seq("user_id"),
+          col("t_us"), Seq(col("event_id")), gap = 7200L * 1000000L)
+        .groupBy(col("user_id"), col("session_no"))
+        .agg(min_by(col("event_type"),
+          (col("t_us") - 1704067200000000L) * 1000000L + col("event_id"))
+          .as("entry_type"), count(lit(1)).as("n_events"))
+      g.groupBy(col("entry_type"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"))
+        .withColumn("bounce_rate",
+          col("n_bounces").cast("double") / col("n_sessions"))
     }
   )
 
