@@ -2490,6 +2490,38 @@ object RelationalQueries {
           sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"))
         .withColumn("bounce_rate",
           col("n_bounces").cast("double") / col("n_sessions"))
+    },
+
+    // --- Gini dispersion (q94): revenue inequality per order status via
+    // --- the sorted-rank formulation G = Σ(2r−n−1)x / (n·Σx) — exact
+    // --- integer×decimal products (values at scale 1 keep the unscaled
+    // --- sum < 2^53, the q65 double-rounding discipline), one IEEE divide
+    // --- at the end. Ties rank by order key — identical total order both
+    // --- engines, so the statistic hash-matches. The rank window runs per
+    // --- status partition (a rank statistic needs the order; at scale the
+    // --- partition key is whatever slices the analysis). ------------------
+    q("q94_gini",
+      """WITH r AS (SELECT o_orderstatus AS st,
+        |  CAST(o_totalprice AS DECIMAL(12,1)) AS x,
+        |  ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice, o_orderkey) AS rk,
+        |  COUNT(*) OVER (PARTITION BY o_orderstatus) AS n FROM orders)
+        |SELECT st, CAST(MIN(n) AS BIGINT) AS n,
+        |  CAST(SUM((2*rk - n - 1) * x) AS DOUBLE)
+        |    / (CAST(MIN(n) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)) AS gini
+        |FROM r GROUP BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val r = Tables.orders(s, d).select(col("o_orderstatus").as("st"),
+        col("o_totalprice").cast(DecimalType(12, 1)).as("x"),
+        row_number().over(w).as("rk"),
+        count(lit(1)).over(Window.partitionBy(col("o_orderstatus"))).as("n"))
+      r.groupBy(col("st"))
+        .agg(min(col("n")).as("n"),
+          (sum((lit(2) * col("rk") - col("n") - 1) * col("x")).cast("double")
+            / (min(col("n")).cast("double") * sum(col("x")).cast("double")))
+            .as("gini"))
     }
   )
 
