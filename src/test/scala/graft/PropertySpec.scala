@@ -573,6 +573,39 @@ class PropertySpec extends AnyFunSuite {
     check("boilerplateRemove", 60)(prop)
   }
 
+  // ------------------------------------------------------- interval coverage
+
+  test("interval union coverage ≡ brute-force covered-point count") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // the q82 running-max-end island dataflow, over random small intervals
+    val ivGen = for {
+      n <- Gen.chooseNum(1, 25)
+      ks <- Gen.listOfN(n, Gen.chooseNum(0L, 2L))
+      ss <- Gen.listOfN(n, Gen.chooseNum(0L, 60L))
+      ws <- Gen.listOfN(n, Gen.chooseNum(1L, 15L))
+    } yield ks.lazyZip(ss).lazyZip(ws).map((k, s, w) => (k, s, s + w)).toList
+    val prop = Prop.forAll(ivGen) { ivs =>
+      val df = ivs.toDF("k", "s", "e")
+      val w = Window.partitionBy($"k").orderBy($"s", $"e")
+      val m = df.withColumn("pm",
+        max($"e").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      val isl = m.withColumn("island",
+        sum(when($"pm".isNull || $"s" > $"pm", 1L).otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val got = isl.groupBy($"k", $"island")
+        .agg(min($"s").as("is_"), max($"e").as("ie"))
+        .groupBy($"k").agg(sum($"ie" - $"is_").as("cov"))
+        .as[(Long, Long)].collect().toMap
+      // brute force: count the distinct integer points covered per key
+      val want = ivs.groupBy(_._1).map { case (k, list) =>
+        k -> list.flatMap { case (_, s, e) => s until e }.toSet.size.toLong
+      }
+      got == want
+    }
+    check("intervalCoverage", 120)(prop)
+  }
+
   // -------------------------------------------------------------- TableDiff
 
   test("TableDiff: applyPatch(old, diffRows(old, new)) reconstructs new") {
