@@ -2522,6 +2522,28 @@ object RelationalQueries {
           (sum((lit(2) * col("rk") - col("n") - 1) * col("x")).cast("double")
             / (min(col("n")).cast("double") * sum(col("x")).cast("double")))
             .as("gini"))
+    },
+
+    // --- cumulative audience curve (q95): per day, NEW users (first-seen
+    // --- that day) and the exact cumulative distinct audience to date —
+    // --- the growth curve COUNT(DISTINCT) OVER cannot express without
+    // --- re-scanning per day. First-touch reduces each user to ONE row
+    // --- (partial-agg'd min), the cumsum runs on the O(days) frame. -----
+    q("q95_cumulative_audience",
+      """WITH ft AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS d0
+        |  FROM events GROUP BY 1),
+        |nd AS (SELECT d0 AS day, COUNT(*) AS new_users FROM ft GROUP BY 1)
+        |SELECT day, new_users,
+        |  CAST(SUM(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS cumulative_users
+        |FROM nd""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val nd = Tables.events(s, d)
+        .groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+      nd.withColumn("cumulative_users",
+        sum(col("new_users")).over(Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     }
   )
 

@@ -1156,6 +1156,40 @@ object TextQueries {
         .select(col("doc_id"), col("pos"), col("n_toks"), col("score"))
     },
 
+    // --- cross-source syndication report (txt64): near-duplicate pairs
+    // --- that SPAN sources, counted per (source_a, source_b) — the
+    // --- syndication/mirror detector (same content republished across
+    // --- feeds inflates a corpus invisibly to per-source stats). Pairs
+    // --- from the banded machinery; one join to the doc→source map;
+    // --- source pair ordered lexicographically so each pair counts once.
+    q("txt64_syndication",
+      s"""WITH $corpusSql,
+         |$minhashSql,
+         |src AS (SELECT doc_id, source FROM documents
+         |  UNION ALL SELECT doc_id + 100000, source FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL SELECT doc_id + 200000, source FROM documents WHERE doc_id % 17 = 0),
+         |sp AS (SELECT LEAST(sa.source, sb.source) AS source_a,
+         |  GREATEST(sa.source, sb.source) AS source_b
+         |  FROM pairs p JOIN src sa ON p.a = sa.doc_id
+         |  JOIN src sb ON p.b = sb.doc_id)
+         |SELECT source_a, source_b, COUNT(*) AS n_pairs
+         |FROM sp GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val srcMap = docs.select(col("doc_id"), col("source"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("source")))
+        .unionByName(docs.filter(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"), col("source")))
+      Dedup.minhashCandidatePairs(corpus(s, d), "doc_id", "text")
+        .join(srcMap.select(col("doc_id").as("a"), col("source").as("_sa")),
+          Seq("a"))
+        .join(srcMap.select(col("doc_id").as("b"), col("source").as("_sb")),
+          Seq("b"))
+        .groupBy(least(col("_sa"), col("_sb")).as("source_a"),
+          greatest(col("_sa"), col("_sb")).as("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+    },
+
     // --- dup-graph degree report (txt63): how many near-duplicate
     // --- partners each duplicated doc has, rolled into a (degree,
     // --- n_docs) histogram — the dedup QA artifact that tells template
