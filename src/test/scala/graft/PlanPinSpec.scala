@@ -313,4 +313,29 @@ class PlanPinSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"),
       s"the fp join is the inverted index:\n$p")
   }
+
+  test("partitioning invariance: rank/window-heavy gates identical at 5 vs 32 shuffle partitions") {
+    // the failure mode this guards: a nondeterministic tie-break or a
+    // partial-agg that isn't commutative shows up as different rows under a
+    // different partitioning — the same way a cluster resize would corrupt
+    // results in production. Sampled over the most order-sensitive gates.
+    val sample = Seq("q36_topk_per_group", "q69_ewma_smoothing",
+      "q83_ohlc_bars", "q94_gini", "txt39_shard_export", "vec01_knn_brute",
+      "q85_abc_analysis", "txt54_vocab_coverage")
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    def rows(name: String): Set[String] =
+      SparkEntry.queries(name)(spark, dir).collect()
+        .map(_.toString).toSet
+    try {
+      for (name <- sample if SparkEntry.queries.contains(name)) {
+        spark.conf.set(key, "32")
+        val a = rows(name)
+        spark.conf.set(key, "5")
+        val b = rows(name)
+        assert(a == b, s"$name differs across partitionings")
+        assert(a.nonEmpty, s"$name empty")
+      }
+    } finally spark.conf.set(key, prev)
+  }
 }
