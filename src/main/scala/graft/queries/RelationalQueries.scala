@@ -2544,6 +2544,32 @@ object RelationalQueries {
       nd.withColumn("cumulative_users",
         sum(col("new_users")).over(Window.orderBy(col("day"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    },
+
+    // --- first/nth_value window surface (q96): per status, the top price
+    // --- and the 2nd/3rd highest via nth_value over the full-partition
+    // --- frame — the remaining value-window functions (q11 ranks rows,
+    // --- q12 lags them; this reads specific positions). Total (price
+    // --- DESC, key) order makes every position deterministic; one row per
+    // --- status via DISTINCT. --------------------------------------------
+    q("q96_nth_value",
+      """SELECT DISTINCT o_orderstatus,
+        |  first_value(o_totalprice) OVER w AS top_price,
+        |  nth_value(o_totalprice, 2) OVER w AS second_price,
+        |  nth_value(o_totalprice, 3) OVER w AS third_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |  ORDER BY o_totalprice DESC, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d).select(col("o_orderstatus"),
+          first(col("o_totalprice")).over(w).as("top_price"),
+          nth_value(col("o_totalprice"), 2).over(w).as("second_price"),
+          nth_value(col("o_totalprice"), 3).over(w).as("third_price"))
+        .distinct()
     }
   )
 
