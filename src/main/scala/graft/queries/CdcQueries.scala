@@ -930,6 +930,29 @@ object CdcQueries {
         .select("user_id", "p_id", "c_id", "c_value")
     },
 
+    // --- watermark-lag report (cdc35): per event type, how far its newest
+    // --- event trails the stream head — the monitoring view for watermark
+    // --- stragglers: the GLOBAL watermark is the min of per-source maxes,
+    // --- so the type with the largest lag is what's holding every
+    // --- watermark-gated operator (windows, outer joins, TTLs) back. One
+    // --- partial-agg'd max per type + a broadcast global max. ------------
+    q("cdc35_watermark_lag",
+      """WITH mx AS (SELECT event_type, MAX(epoch_us(ts)) AS max_us
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT MAX(max_us) AS head_us FROM mx)
+        |SELECT event_type, mx.max_us,
+        |  CAST(g.head_us - mx.max_us AS BIGINT) AS lag_us,
+        |  mx.max_us = g.head_us AS is_head
+        |FROM mx, g""".stripMargin) { (s, d) =>
+      val mx = Tables.events(s, d).groupBy(col("event_type"))
+        .agg(max(unix_micros(col("ts"))).as("max_us"))
+      val g = mx.agg(max(col("max_us")).as("head_us"))
+      mx.crossJoin(broadcast(g))
+        .select(col("event_type"), col("max_us"),
+          (col("head_us") - col("max_us")).as("lag_us"),
+          (col("max_us") === col("head_us")).as("is_head"))
+    },
+
     // --- replica-divergence audit (cdc32): TableDiff over the CDC
     // --- materializations — a replica frozen at LSN 3000 (the point-in-
     // --- time state cdc10 serves) diffed against the live latest state.

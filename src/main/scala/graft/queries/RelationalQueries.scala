@@ -2570,6 +2570,44 @@ object RelationalQueries {
           nth_value(col("o_totalprice"), 2).over(w).as("second_price"),
           nth_value(col("o_totalprice"), 3).over(w).as("third_price"))
         .distinct()
+    },
+
+    // --- one-to-one reconciliation matching (q97): pair click events with
+    // --- purchase events of the same (user, value) EXACTLY once each —
+    // --- the payments-matching shape (a duplicate on one side must not
+    // --- absorb two partners). The standard row_number pairing: each side
+    // --- ranks its duplicates within the match key, the join adds rn to
+    // --- the key, leftovers on either side surface as unmatched. One
+    // --- keyed window per side + one equi-join; report one row. ----------
+    q("q97_one_to_one_match",
+      """WITH l AS (SELECT user_id, value,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id, value ORDER BY event_id) AS rn
+        |  FROM events WHERE event_type = 'click'),
+        |r AS (SELECT user_id, value,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id, value ORDER BY event_id) AS rn
+        |  FROM events WHERE event_type = 'purchase'),
+        |m AS (SELECT l.user_id FROM l JOIN r
+        |  ON l.user_id = r.user_id AND l.value = r.value AND l.rn = r.rn),
+        |c AS (SELECT (SELECT COUNT(*) FROM m) AS n_matched,
+        |  (SELECT COUNT(*) FROM l) AS nl, (SELECT COUNT(*) FROM r) AS nr)
+        |SELECT n_matched, nl - n_matched AS n_left_only,
+        |  nr - n_matched AS n_right_only FROM c""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+      def side(t: String) = ev.filter(col("event_type") === t)
+        .select(col("user_id"), col("value"),
+          row_number().over(Window.partitionBy(col("user_id"), col("value"))
+            .orderBy(col("event_id"))).as("rn"))
+      val l = side("click")
+      val r = side("purchase")
+      val m = l.join(r, Seq("user_id", "value", "rn"))
+        .agg(count(lit(1)).as("n_matched"))
+      val nl = l.agg(count(lit(1)).as("nl"))
+      val nr = r.agg(count(lit(1)).as("nr"))
+      m.crossJoin(nl).crossJoin(nr)
+        .select(col("n_matched"),
+          (col("nl") - col("n_matched")).as("n_left_only"),
+          (col("nr") - col("n_matched")).as("n_right_only"))
     }
   )
 
