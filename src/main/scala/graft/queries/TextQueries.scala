@@ -1156,6 +1156,35 @@ object TextQueries {
         .select(col("doc_id"), col("pos"), col("n_toks"), col("score"))
     },
 
+    // --- boilerplate n-gram top list (txt65): the most document-frequent
+    // --- 4-grams with df and occurrence counts — the discovery step that
+    // --- FEEDS txt38's line removal and txt28's maxDf guard (you have to
+    // --- find the template text before you can strip it). Grams reduce to
+    // --- md5 keys for the distinct-df count; the top-20 rank runs on the
+    // --- (already partial-agg'd) gram-count frame; ties (df DESC, gram). -
+    q("txt65_boilerplate_grams",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |g AS (SELECT doc_id, unnest(
+         |  [array_to_string(t[i:i+3], ' ') for i in generate_series(1, len(t)-3)]) AS gram
+         |  FROM t),
+         |c AS (SELECT gram, COUNT(*) AS n_occ,
+         |  COUNT(DISTINCT doc_id) AS df FROM g GROUP BY 1)
+         |SELECT gram, df, n_occ, CAST(rk AS BIGINT) AS rank FROM (
+         |  SELECT gram, df, n_occ,
+         |    ROW_NUMBER() OVER (ORDER BY df DESC, gram) AS rk FROM c) z
+         |WHERE rk <= 20""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val g = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextOps.shingles(TextOps.tokens(col("text")), 4)).as("gram"))
+      g.groupBy(col("gram"))
+        .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("df"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("df").desc, col("gram"))).cast("long"))
+        .filter(col("rank") <= 20)
+        .select(col("gram"), col("df"), col("n_occ"), col("rank"))
+    },
+
     // --- cross-source syndication report (txt64): near-duplicate pairs
     // --- that SPAN sources, counted per (source_a, source_b) — the
     // --- syndication/mirror detector (same content republished across

@@ -247,6 +247,53 @@ object VectorQueries {
         "vec_id", "embedding", k = 3)
     },
 
+    // --- vector-arithmetic analogy retrieval (vec30): the word2vec query
+    // --- shape — probe = v_a + v_b − v_c (exact integer arithmetic on the
+    // --- quantized vectors), nearest neighbors by cosine excluding the
+    // --- triple's own members. Composition point: the combined probe
+    // --- feeds ANY of the index searches at scale; the gate pins the
+    // --- arithmetic + exclusion + rank semantics against brute force. ----
+    q("vec30_analogy",
+      s"""WITH $quantSql,
+         |tr(a, b, c) AS (VALUES (0, 1, 2), (3, 4, 5), (6, 7, 8)),
+         |combo AS (SELECT tr.a, tr.b, tr.c,
+         |  [qa.qv[i] + qb.qv[i] - qc.qv[i] for i in generate_series(1, 64)] AS cv
+         |  FROM tr JOIN q qa ON qa.vec_id = tr.a
+         |  JOIN q qb ON qb.vec_id = tr.b JOIN q qc ON qc.vec_id = tr.c),
+         |scored AS (SELECT combo.a AS probe_a, n.vec_id AS neighbor_id,
+         |  CAST(CAST(list_sum([cv[i]*n.qv[i] for i in generate_series(1, 64)]) AS BIGINT) AS DOUBLE)
+         |    / (sqrt(CAST(CAST(list_sum([cv[i]*cv[i] for i in generate_series(1, 64)]) AS BIGINT) AS DOUBLE))
+         |       * sqrt(CAST(n.n2 AS DOUBLE))) AS sim
+         |  FROM combo CROSS JOIN n
+         |  WHERE n.vec_id NOT IN (combo.a, combo.b, combo.c))
+         |SELECT probe_a, neighbor_id, sim, rank FROM (
+         |  SELECT probe_a, neighbor_id, sim, ROW_NUMBER() OVER (
+         |    PARTITION BY probe_a ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM scored) t WHERE rank <= 3""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val q = Tables.embeddings(s, d)
+        .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+      val tr = Seq((0L, 1L, 2L), (3L, 4L, 5L), (6L, 7L, 8L)).toDF("a", "b", "c")
+      val combo = tr
+        .join(q.select(col("vec_id").as("a"), col("qv").as("_qa")), Seq("a"))
+        .join(q.select(col("vec_id").as("b"), col("qv").as("_qb")), Seq("b"))
+        .join(q.select(col("vec_id").as("c"), col("qv").as("_qc")), Seq("c"))
+        .select(col("a"), col("b"), col("c"),
+          zip_with(zip_with(col("_qa"), col("_qb"), (x, y) => x + y),
+            col("_qc"), (x, y) => x - y).as("cv"))
+      val scored = combo.crossJoin(
+          q.select(col("vec_id").as("neighbor_id"), col("qv")))
+        .filter(col("neighbor_id") =!= col("a") &&
+          col("neighbor_id") =!= col("b") && col("neighbor_id") =!= col("c"))
+        .select(col("a").as("probe_a"), col("neighbor_id"),
+          Similarity.cosineQ(col("cv"), col("qv")).as("sim"))
+      scored.withColumn("rank", row_number().over(
+          Window.partitionBy(col("probe_a"))
+            .orderBy(col("sim").desc, col("neighbor_id"))))
+        .filter(col("rank") <= 3)
+    },
+
     // --- multi-probe LSH (vec29): recall recovery WITHOUT more tables —
     // --- each probe also checks the buckets one hyperplane-bit away from
     // --- its own (the neighbors a borderline vector most likely fell
