@@ -438,6 +438,42 @@ object Multimodal {
         col("boundaries"))
   }
 
+  /** KEYFRAME SELECTION — one representative frame per scene (the FIRST
+    * frame of each [[sceneChanges]] run): the sampling step between shot
+    * detection and captioning/embedding, cutting per-video downstream
+    * cost from frames to scenes. Scene numbering is the cumulative count
+    * of boundaries before each frame (one lag + one running sum on the
+    * same video-keyed exchange); returns (doc_id, scene, keyframe_idx,
+    * n_frames) per scene.
+    */
+  def keyframes(blobs: DataFrame, frameBytes: Int = 64, threshold: Int = 3,
+      batchSize: Int = 64, codec: MediaCodec = StubCodec): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frames = frameSample(blobs, frameBytes, every = 1, batchSize, codec)
+    val frameBlobs = frames.toDF().select(
+      (col("doc_id") * 1000000L + col("frame_idx")).as("doc_id"),
+      lit("frame").as("format"), col("frame").as("blob"))
+    val ph = perceptualHash(frameBlobs, batchSize, codec).toDF()
+      .select(expr("doc_id div 1000000").as("vid"),
+        (col("doc_id") % 1000000L).as("idx"), col("ph_hi"), col("ph_lo"))
+    val w = Window.partitionBy(col("vid")).orderBy(col("idx"))
+    val dist = ph
+      .withColumn("_nhi", lead(col("ph_hi"), 1).over(w))
+      .withColumn("_nlo", lead(col("ph_lo"), 1).over(w))
+      .withColumn("_d",
+        bit_count(col("ph_hi").bitwiseXOR(col("_nhi"))) +
+          bit_count(col("ph_lo").bitwiseXOR(col("_nlo"))))
+    val scenes = dist
+      .withColumn("_pd", lag(col("_d"), 1).over(w))
+      .withColumn("scene", lit(1) + sum(
+        when(col("_pd") > threshold, 1L).otherwise(0L))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    scenes.groupBy(col("vid"), col("scene"))
+      .agg(min(col("idx")).as("keyframe_idx"), count(lit(1)).as("n_frames"))
+      .select(col("vid").as("doc_id"), col("scene"), col("keyframe_idx"),
+        col("n_frames"))
+  }
+
   /** STREAMING VISUAL DEDUP — exact-phash dedup pumped by a stream: each
     * micro-batch decodes its own blobs to perceptual hashes (the batched
     * mm06 path, stateless, so batch and stream share it unchanged) and

@@ -2608,6 +2608,21 @@ object RelationalQueries {
         .select(col("n_matched"),
           (col("nl") - col("n_matched")).as("n_left_only"),
           (col("nr") - col("n_matched")).as("n_right_only"))
+    },
+
+    // --- velocity / burst detection (q98): (user, hour) windows with ≥ 2
+    // --- events — the rate-limit / fraud-velocity primitive (N actions
+    // --- per key per window). ONE partial-agg'd groupBy on the composite
+    // --- key; the threshold filter drops the quiet majority before
+    // --- anything materializes. ------------------------------------------
+    q("q98_velocity_check",
+      """SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+        |  COUNT(*) AS n_events
+        |FROM events GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n_events"))
+        .filter(col("n_events") >= 2)
     }
   )
 

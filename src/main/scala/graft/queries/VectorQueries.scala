@@ -1496,6 +1496,59 @@ object VectorQueries {
         frameBytes = 64, threshold = 3)
     },
 
+    // --- keyframe selection (mm18): one representative frame per mm15
+    // --- scene (its FIRST frame) — the sampling step between shot
+    // --- detection and captioning/embedding that cuts downstream cost
+    // --- from frames to scenes. Scene numbering = cumulative boundary
+    // --- count before each frame (lag + running sum on the same
+    // --- video-keyed exchange). Same planted A,A,A,B,B,C structure. ------
+    q("mm18_keyframes",
+      """WITH base AS (SELECT doc_id, text FROM documents
+        |  WHERE strlen(text) = length(text) AND strlen(text) >= 192
+        |    AND doc_id % 5 = 0),
+        |a AS (SELECT doc_id, repeat(substr(text, 1, 64), 3)
+        |    || repeat(substr(text, 65, 64), 2)
+        |    || substr(text, 129, 64) AS text FROM base),
+        |f AS (SELECT doc_id,
+        |    unnest(generate_series(0, CAST((strlen(text)+63)//64 AS BIGINT)-1)) AS idx,
+        |    text FROM a),
+        |fr AS (SELECT doc_id, idx,
+        |    substr(text, CAST(idx*64 AS INT)+1, 64) AS fr FROM f),
+        |px AS (SELECT doc_id, idx,
+        |  [CAST(unicode(substr(fr, CAST((i*strlen(fr))//64 AS INT)+1, 1)) AS BIGINT)
+        |    for i in generate_series(0, 63)] AS px FROM fr),
+        |mn AS (SELECT doc_id, idx, px, CAST(list_sum(px)//64 AS BIGINT) AS mean FROM px),
+        |ph AS (SELECT doc_id, idx,
+        |  CAST(list_sum([CASE WHEN px[i+33] > mean THEN CAST(1 AS BIGINT) << i
+        |    ELSE CAST(0 AS BIGINT) END for i in generate_series(0, 31)]) AS BIGINT) AS ph_hi,
+        |  CAST(list_sum([CASE WHEN px[i+1] > mean THEN CAST(1 AS BIGINT) << i
+        |    ELSE CAST(0 AS BIGINT) END for i in generate_series(0, 31)]) AS BIGINT) AS ph_lo
+        |  FROM mn),
+        |dd AS (SELECT doc_id, idx,
+        |  bit_count(xor(ph_hi, lead(ph_hi) OVER w)) +
+        |  bit_count(xor(ph_lo, lead(ph_lo) OVER w)) AS d
+        |  FROM ph WINDOW w AS (PARTITION BY doc_id ORDER BY idx)),
+        |sc AS (SELECT doc_id, idx,
+        |  1 + CAST(SUM(CASE WHEN pd > 3 THEN 1 ELSE 0 END) OVER (
+        |    PARTITION BY doc_id ORDER BY idx ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS scene
+        |  FROM (SELECT doc_id, idx, lag(d) OVER (
+        |    PARTITION BY doc_id ORDER BY idx) AS pd FROM dd) z)
+        |SELECT doc_id, scene, MIN(idx) AS keyframe_idx,
+        |  COUNT(*) AS n_frames
+        |FROM sc GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val base = Tables.documents(s, d)
+        .filter(octet_length(col("text")) === length(col("text")) &&
+          octet_length(col("text")) >= 192 && col("doc_id") % 5 === 0)
+        .select(col("doc_id"),
+          concat(repeat(expr("substring(text, 1, 64)"), 3),
+            repeat(expr("substring(text, 65, 64)"), 2),
+            expr("substring(text, 129, 64)")).as("text"),
+          lit("vid").as("fmt"))
+      Multimodal.keyframes(Multimodal.withBlob(base, "text", "fmt"),
+        frameBytes = 64, threshold = 3)
+    },
+
     // --- audio fingerprint matching (mm14, the Shazam landmark shape):
     // --- consecutive-window zero-crossing pairs hash to compact landmarks;
     // --- a clip (hop-aligned excerpt of a track, planted at sample offset
