@@ -930,6 +930,34 @@ object CdcQueries {
         .select("user_id", "p_id", "c_id", "c_value")
     },
 
+    // --- state-size estimation (cdc36): per table, live keys × payload
+    // --- bytes — the capacity-planning number for the latest-state store
+    // --- (what a RocksDB provider must hold; the cdc01 compaction's
+    // --- working set). Exact integers: n_keys, total/avg payload bytes of
+    // --- the LIVE state only (deleted keys cost nothing). One compaction
+    // --- pass + one aggregation. -----------------------------------------
+    q("cdc36_state_size",
+      """WITH ranked AS (SELECT *, row_number() OVER (
+        |  PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events),
+        |live AS (SELECT user_id, event_type, value FROM ranked
+        |  WHERE rn = 1 AND event_type <> 'error')
+        |SELECT COUNT(*) AS n_keys,
+        |  CAST(SUM(strlen('{"event_type":"' || event_type || '"}')) AS BIGINT)
+        |    AS total_payload_bytes,
+        |  CAST(SUM(strlen('{"event_type":"' || event_type || '"}')) AS DOUBLE)
+        |    / COUNT(*) AS avg_payload_bytes
+        |FROM live""".stripMargin) { (s, d) =>
+      val env = ChangelogGen.fromEvents(s, d).toDF()
+      val live = LatestState.batch(env, Seq("table", "key"), Seq("lsn", "seq"))
+      val payload = concat(lit("{\"event_type\":\""),
+        get_json_object(col("after"), "$.event_type"), lit("\"}"))
+      live.select(octet_length(payload).as("_b"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(col("_b")).as("total_payload_bytes"),
+          (sum(col("_b")).cast("double") / count(lit(1)))
+            .as("avg_payload_bytes"))
+    },
+
     // --- watermark-lag report (cdc35): per event type, how far its newest
     // --- event trails the stream head — the monitoring view for watermark
     // --- stragglers: the GLOBAL watermark is the min of per-source maxes,

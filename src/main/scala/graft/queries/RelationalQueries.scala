@@ -2623,6 +2623,48 @@ object RelationalQueries {
         .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
         .agg(count(lit(1)).as("n_events"))
         .filter(col("n_events") >= 2)
+    },
+
+    // --- χ² independence statistic (q99): is order status associated with
+    // --- priority? The contingency-table test feature selection and A/B
+    // --- sanity checks run. Observed counts are exact integers; expected
+    // --- = row·col/total and each cell's (o−e)²/e are a handful of IEEE
+    // --- ops — identical on both engines. One groupBy for cells, tiny
+    // --- broadcast margins; dof = (r−1)(c−1) exact. ----------------------
+    q("q99_chi_square",
+      """WITH cell AS (SELECT o_orderstatus AS r, o_orderpriority AS c,
+        |  COUNT(*) AS o FROM orders GROUP BY 1, 2),
+        |rm AS (SELECT r, SUM(o) AS nr FROM cell GROUP BY 1),
+        |cm AS (SELECT c, SUM(o) AS nc FROM cell GROUP BY 1),
+        |tot AS (SELECT SUM(o) AS n FROM cell),
+        |x AS (SELECT cell.r, cell.c, cell.o,
+        |  CAST(rm.nr AS DOUBLE) * CAST(cm.nc AS DOUBLE) / CAST(tot.n AS DOUBLE) AS e
+        |  FROM cell JOIN rm USING (r) JOIN cm USING (c) CROSS JOIN tot)
+        |SELECT CAST(SUM(CAST((o - e) * (o - e) / e AS DECIMAL(18,10))) AS DOUBLE) AS chi2,
+        |  CAST(((SELECT COUNT(*) FROM rm) - 1) * ((SELECT COUNT(*) FROM cm) - 1) AS BIGINT) AS dof,
+        |  CAST((SELECT n FROM tot) AS BIGINT) AS n
+        |FROM x""".stripMargin) { (s, d) =>
+      val cell = Tables.orders(s, d)
+        .groupBy(col("o_orderstatus").as("r"), col("o_orderpriority").as("c"))
+        .agg(count(lit(1)).as("o"))
+      val rm = cell.groupBy(col("r")).agg(sum(col("o")).as("nr"))
+      val cm = cell.groupBy(col("c")).agg(sum(col("o")).as("nc"))
+      val tot = cell.agg(sum(col("o")).as("n"))
+      val nrm = rm.agg(count(lit(1)).as("_r"))
+      val ncm = cm.agg(count(lit(1)).as("_c"))
+      val x = cell.join(broadcast(rm), Seq("r")).join(broadcast(cm), Seq("c"))
+        .crossJoin(broadcast(tot))
+        .select(col("o"),
+          (col("nr").cast("double") * col("nc").cast("double")
+            / col("n").cast("double")).as("e"), col("n"))
+      x.agg(
+          sum(((col("o") - col("e")) * (col("o") - col("e")) / col("e"))
+            .cast(DecimalType(18, 10))).cast("double").as("chi2"),
+          min(col("n")).as("_n"))
+        .crossJoin(broadcast(nrm)).crossJoin(broadcast(ncm))
+        .select(col("chi2"),
+          ((col("_r") - 1) * (col("_c") - 1)).as("dof"),
+          col("_n").as("n"))
     }
   )
 
