@@ -1156,6 +1156,39 @@ object TextQueries {
         .select(col("doc_id"), col("pos"), col("n_toks"), col("score"))
     },
 
+    // --- curation funnel report (txt66): corpus volume surviving each
+    // --- stage — raw → exact-dedup (min-id per content hash) → blocklist-
+    // --- clean — as (stage, n_docs, n_tokens) rows: the shrinkage
+    // --- accounting every corpus build publishes (where did the tokens
+    // --- go?). Each stage is one CTE over the previous; all counts
+    // --- partial-agg'd. --------------------------------------------------
+    q("txt66_curation_funnel",
+      s"""WITH raw AS (SELECT doc_id, text, len($toksSql) AS nt FROM documents),
+         |keep1 AS (SELECT MIN(doc_id) AS doc_id FROM raw GROUP BY md5(text)),
+         |s1 AS (SELECT raw.* FROM raw JOIN keep1 USING (doc_id)),
+         |bl(phrase) AS (VALUES ('slow fast'), ('hash value table')),
+         |s2 AS (SELECT s1.* FROM s1 WHERE NOT EXISTS (
+         |  SELECT 1 FROM bl WHERE contains(' ' || s1.text || ' ',
+         |    ' ' || bl.phrase || ' ')))
+         |SELECT 'raw' AS stage, COUNT(*) AS n_docs,
+         |  CAST(SUM(nt) AS BIGINT) AS n_tokens FROM raw
+         |UNION ALL SELECT 'exact_dedup', COUNT(*), CAST(SUM(nt) AS BIGINT) FROM s1
+         |UNION ALL SELECT 'blocklist_clean', COUNT(*), CAST(SUM(nt) AS BIGINT) FROM s2""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val raw = Tables.documents(s, d).select(col("doc_id"), col("text"),
+        size(TextOps.tokens(col("text"))).cast("long").as("nt"))
+      val s1 = raw.groupBy(md5(col("text"))).agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id").join(raw, Seq("doc_id"))
+      val bl = Seq("slow fast", "hash value table").toDF("phrase")
+      val s2 = TextOps.blocklistFilter(s1, "doc_id", "text", bl, "phrase")
+        .filter(!col("blocked")).select("doc_id").join(s1, Seq("doc_id"))
+      def stage(name: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+          .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+      stage("raw", raw).unionByName(stage("exact_dedup", s1))
+        .unionByName(stage("blocklist_clean", s2))
+    },
+
     // --- boilerplate n-gram top list (txt65): the most document-frequent
     // --- 4-grams with df and occurrence counts — the discovery step that
     // --- FEEDS txt38's line removal and txt28's maxDf guard (you have to

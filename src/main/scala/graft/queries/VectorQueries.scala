@@ -247,6 +247,38 @@ object VectorQueries {
         "vec_id", "embedding", k = 3)
     },
 
+    // --- inter-class separation (vec31): pairwise cosine between LABEL
+    // --- centroids (integral per-dim means — the IvfIndex `div` mean
+    // --- discipline, engine-exact) — how separable the labeled embedding
+    // --- space is before anyone trains a classifier on it; near-parallel
+    // --- class centroids predict confusion. O(labels²) pairs over a tiny
+    // --- centroid relation. ----------------------------------------------
+    q("vec31_class_separation",
+      """WITH ex AS (SELECT label,
+        |  CAST(floor(CAST(x AS DOUBLE)*1024) AS BIGINT) AS qx, i
+        |  FROM (SELECT label, unnest(embedding) AS x,
+        |    unnest(generate_series(1, len(embedding))) AS i FROM embeddings) z),
+        |m AS (SELECT label, i, CAST(SUM(qx) // COUNT(*) AS BIGINT) AS m
+        |  FROM ex GROUP BY 1, 2),
+        |cv AS (SELECT label, list(m ORDER BY i) AS cv FROM m GROUP BY 1)
+        |SELECT a.label AS label_a, b.label AS label_b,
+        |  CAST(CAST(list_sum([a.cv[i]*b.cv[i] for i in generate_series(1, 64)]) AS BIGINT) AS DOUBLE)
+        |  / (sqrt(CAST(CAST(list_sum([a.cv[i]*a.cv[i] for i in generate_series(1, 64)]) AS BIGINT) AS DOUBLE))
+        |     * sqrt(CAST(CAST(list_sum([b.cv[i]*b.cv[i] for i in generate_series(1, 64)]) AS BIGINT) AS DOUBLE)))
+        |    AS centroid_cosine
+        |FROM cv a JOIN cv b ON a.label < b.label""".stripMargin) { (s, d) =>
+      val cent = Tables.embeddings(s, d)
+        .select(col("label"), posexplode(Similarity.quantize(col("embedding"))))
+        .groupBy(col("label"), col("pos"))
+        .agg(expr("sum(col) div count(*)").as("m"))
+        .groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("_p"))
+        .select(col("label"), expr("transform(_p, x -> x.m)").as("cv"))
+      cent.alias("a").join(cent.alias("b"), col("a.label") < col("b.label"))
+        .select(col("a.label").as("label_a"), col("b.label").as("label_b"),
+          Similarity.cosineQ(col("a.cv"), col("b.cv")).as("centroid_cosine"))
+    },
+
     // --- vector-arithmetic analogy retrieval (vec30): the word2vec query
     // --- shape — probe = v_a + v_b − v_c (exact integer arithmetic on the
     // --- quantized vectors), nearest neighbors by cosine excluding the
