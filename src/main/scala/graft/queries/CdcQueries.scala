@@ -930,6 +930,33 @@ object CdcQueries {
         .select("user_id", "p_id", "c_id", "c_value")
     },
 
+    // --- changelog gap detection (cdc37): holes in the LSN sequence — the
+    // --- replication-integrity check that catches silent drops before
+    // --- they become missing state. A slice of the changelog is removed
+    // --- (%97 ids) and the detector must name every hole: one lead()
+    // --- window over the lsn order, gap rows where the step exceeds 1;
+    // --- report (gap_after, gap_len) — the rows a monitoring system
+    // --- alerts on. The gate's global lsn window is the sf-bounded form;
+    // --- a production check shards by lsn RANGE (gaps are local to a
+    // --- range except at shard boundaries, which hand off one edge row).
+    // ---------------------------------------------------------------------
+    q("cdc37_gap_detection",
+      """WITH present AS (SELECT event_id AS lsn FROM events
+        |  WHERE event_id % 97 <> 0),
+        |g AS (SELECT lsn, lead(lsn) OVER (ORDER BY lsn) AS nxt FROM present)
+        |SELECT lsn AS gap_after, CAST(nxt - lsn - 1 AS BIGINT) AS gap_len
+        |FROM g WHERE nxt - lsn > 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val present = ChangelogGen.fromEvents(s, d).toDF()
+        .filter(col("lsn") % 97 =!= 0)
+        .select(col("lsn")).distinct()
+      present
+        .withColumn("nxt", lead(col("lsn"), 1).over(Window.orderBy(col("lsn"))))
+        .filter(col("nxt") - col("lsn") > 1)
+        .select(col("lsn").as("gap_after"),
+          (col("nxt") - col("lsn") - 1).as("gap_len"))
+    },
+
     // --- state-size estimation (cdc36): per table, live keys × payload
     // --- bytes — the capacity-planning number for the latest-state store
     // --- (what a RocksDB provider must hold; the cdc01 compaction's

@@ -1156,6 +1156,61 @@ object TextQueries {
         .select(col("doc_id"), col("pos"), col("n_toks"), col("score"))
     },
 
+    // --- classifier lift table (txt67): documents ranked by the trained
+    // --- quality score, cut into deciles (integer cross-multiplied — no
+    // --- ntile percent math), per-decile positive rate — the lift chart
+    // --- that shows WHERE the classifier's discrimination lives (txt60's
+    // --- confusion matrix is one threshold; this is all of them at once).
+    // --- Rank over the scored frame under a total (score DESC, id) order.
+    q("txt67_classifier_lift",
+      s"""WITH lab AS (
+         |  SELECT doc_id, text, TRUE AS pos FROM documents
+         |  UNION ALL SELECT doc_id + 500000, replace(text, ' ', ' zz '), FALSE
+         |  FROM documents),
+         |tok AS (SELECT pos, unnest($toksSql) AS tok FROM lab),
+         |hh AS (SELECT pos, CAST(${hex32Sql("'36:'||tok")} % 256 AS INT) AS h FROM tok),
+         |cnt AS (SELECT h, SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS n_pos,
+         |    SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS n_neg FROM hh GROUP BY h),
+         |tot AS (SELECT SUM(n_pos) AS np, SUM(n_neg) AS nn FROM cnt),
+         |w AS (SELECT gs.h,
+         |    CAST(COALESCE(c.n_pos, 0) + 1 AS DOUBLE) / CAST(np + 256 AS DOUBLE)
+         |    - CAST(COALESCE(c.n_neg, 0) + 1 AS DOUBLE) / CAST(nn + 256 AS DOUBLE) AS w
+         |  FROM generate_series(0, 255) gs(h) LEFT JOIN cnt c ON gs.h = c.h
+         |  CROSS JOIN tot),
+         |dt AS (SELECT doc_id, unnest($toksSql) AS tok FROM lab),
+         |sc AS (SELECT dt.doc_id,
+         |    CAST(SUM(CAST(w.w AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*) AS score
+         |  FROM dt JOIN w ON CAST(${hex32Sql("'36:'||dt.tok")} % 256 AS INT) = w.h
+         |  GROUP BY dt.doc_id),
+         |rk AS (SELECT lab.pos, sc.score,
+         |  ROW_NUMBER() OVER (ORDER BY sc.score DESC, lab.doc_id) AS r,
+         |  COUNT(*) OVER () AS n
+         |  FROM lab JOIN sc ON lab.doc_id = sc.doc_id)
+         |SELECT CAST((r - 1) * 10 // n AS BIGINT) AS decile,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |  CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*) AS pos_rate
+         |FROM rk GROUP BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val lab = docs.withColumn("pos", lit(true)).unionByName(
+        docs.select((col("doc_id") + 500000).as("doc_id"),
+          expr("replace(text, ' ', ' zz ')").as("text"))
+          .withColumn("pos", lit(false)))
+      val weights = TextOps.classifierTrain(lab, "pos", "text", dims = 256)
+      val rk = TextOps.classifierScore(lab, "doc_id", "text", weights,
+          dims = 256)
+        .join(lab.select(col("doc_id"), col("pos")), Seq("doc_id"))
+        .select(col("pos"), col("score"),
+          row_number().over(
+            Window.orderBy(col("score").desc, col("doc_id"))).as("r"),
+          count(lit(1)).over(Window.partitionBy()).as("n"))
+      rk.groupBy(expr("(r - 1) * 10 div n").cast("long").as("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"))
+        .withColumn("pos_rate", col("n_pos").cast("double") / col("n_docs"))
+    },
+
     // --- curation funnel report (txt66): corpus volume surviving each
     // --- stage — raw → exact-dedup (min-id per content hash) → blocklist-
     // --- clean — as (stage, n_docs, n_tokens) rows: the shrinkage
