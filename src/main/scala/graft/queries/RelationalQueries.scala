@@ -2665,6 +2665,32 @@ object RelationalQueries {
         .select(col("chi2"),
           ((col("_r") - 1) * (col("_c") - 1)).as("dof"),
           col("_n").as("n"))
+    },
+
+    // --- double-charge audit (q100): orders sharing (customer, day,
+    // --- exact total) — the duplicate-billing detector finance teams run
+    // --- nightly (a legitimate reorder rarely repeats to the cent on the
+    // --- same day). One composite-key groupBy, suspects only (HAVING >1),
+    // --- the min/max order keys name the pair to investigate. ------------
+    q("q100_double_charge",
+      """WITH o AS (SELECT * FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+        |    o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 131 = 0)
+        |SELECT o_custkey, CAST(o_orderdate AS DATE) AS day, o_totalprice,
+        |  COUNT(*) AS n_orders,
+        |  MIN(o_orderkey) AS first_key, MAX(o_orderkey) AS last_key
+        |FROM o GROUP BY 1, 2, 3 HAVING COUNT(*) > 1""".stripMargin) { (s, d) =>
+      val orders = Tables.orders(s, d)
+      val o = orders.unionByName(orders.filter(col("o_orderkey") % 131 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+      o.groupBy(col("o_custkey"), to_date(col("o_orderdate")).as("day"),
+          col("o_totalprice"))
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("o_orderkey")).as("first_key"),
+          max(col("o_orderkey")).as("last_key"))
+        .filter(col("n_orders") > 1)
     }
   )
 

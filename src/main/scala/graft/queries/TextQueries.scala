@@ -1156,6 +1156,32 @@ object TextQueries {
         .select(col("doc_id"), col("pos"), col("n_toks"), col("score"))
     },
 
+    // --- encoding-anomaly audit (txt68): per source, how much text is
+    // --- multi-byte (bytes ≠ chars) and the worst per-doc density — the
+    // --- mojibake / mis-declared-encoding detector an ingest runs before
+    // --- tokenization silently mangles a feed. Pure projection + one
+    // --- partial-agg'd rollup; density an IEEE divide of exact counts. ---
+    q("txt68_encoding_audit",
+      """WITH x AS (SELECT source,
+        |  CAST(strlen(text) AS BIGINT) AS nb, CAST(length(text) AS BIGINT) AS nc
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN nb <> nc THEN 1 ELSE 0 END) AS BIGINT) AS n_multibyte_docs,
+        |  CAST(SUM(nb - nc) AS BIGINT) AS extra_bytes,
+        |  CAST(MAX(CAST(nb - nc AS DOUBLE) / nb) AS DOUBLE) AS max_density
+        |FROM x GROUP BY 1""".stripMargin) { (s, d) =>
+      val x = Tables.documents(s, d).select(col("source"),
+        octet_length(col("text")).cast("long").as("nb"),
+        length(col("text")).cast("long").as("nc"))
+      x.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("nb") =!= col("nc"), 1L).otherwise(0L))
+            .as("n_multibyte_docs"),
+          sum(col("nb") - col("nc")).as("extra_bytes"),
+          max((col("nb") - col("nc")).cast("double") / col("nb"))
+            .as("max_density"))
+    },
+
     // --- classifier lift table (txt67): documents ranked by the trained
     // --- quality score, cut into deciles (integer cross-multiplied — no
     // --- ntile percent math), per-decile positive rate — the lift chart
