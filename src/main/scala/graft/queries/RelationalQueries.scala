@@ -2691,6 +2691,41 @@ object RelationalQueries {
           min(col("o_orderkey")).as("first_key"),
           max(col("o_orderkey")).as("last_key"))
         .filter(col("n_orders") > 1)
+    },
+
+    // --- inter-purchase intervals (q101): per customer the gaps between
+    // --- consecutive orders, rolled into the repeat-purchase distribution
+    // --- (n repeaters, mean and exact p50/p90 gap days) — the retention-
+    // --- depth metric behind "how often do customers come back". One
+    // --- customer-keyed lag window; the percentile runs on the O(gaps)
+    // --- frame; day arithmetic exact integers. ---------------------------
+    q("q101_purchase_intervals",
+      """WITH g AS (SELECT o_custkey,
+        |  CAST(CAST(o_orderdate AS DATE)
+        |    - CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate, o_orderkey) AS DATE) AS BIGINT) AS gap_days
+        |  FROM orders)
+        |SELECT COUNT(gap_days) AS n_gaps,
+        |  COUNT(DISTINCT CASE WHEN gap_days IS NOT NULL THEN o_custkey END)
+        |    AS n_repeat_customers,
+        |  CAST(SUM(gap_days) AS DOUBLE)/COUNT(gap_days) AS mean_gap_days,
+        |  quantile_cont(gap_days, 0.5) AS p50_gap_days,
+        |  quantile_cont(gap_days, 0.9) AS p90_gap_days
+        |FROM g""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val g = Tables.orders(s, d).select(col("o_custkey"),
+        datediff(to_date(col("o_orderdate")),
+          to_date(lag(col("o_orderdate"), 1).over(w))).cast("long")
+          .as("gap_days"))
+      g.agg(count(col("gap_days")).as("n_gaps"),
+        countDistinct(when(col("gap_days").isNotNull, col("o_custkey")))
+          .as("n_repeat_customers"),
+        (sum(col("gap_days")).cast("double") / count(col("gap_days")))
+          .as("mean_gap_days"),
+        expr("percentile(gap_days, 0.5)").as("p50_gap_days"),
+        expr("percentile(gap_days, 0.9)").as("p90_gap_days"))
     }
   )
 

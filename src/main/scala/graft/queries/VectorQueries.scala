@@ -247,6 +247,34 @@ object VectorQueries {
         "vec_id", "embedding", k = 3)
     },
 
+    // --- norm-distribution report (vec32): deciles of the exact quantized
+    // --- squared norm + zero/extreme counts — the embedding-QA gate that
+    // --- catches all-zero vectors (cosine-undefined) and magnitude
+    // --- outliers (an unnormalized batch slipped in) before they poison
+    // --- similarity math. One projection + one percentile aggregation
+    // --- (q30's portable interpolated quantile). --------------------------
+    q("vec32_norm_report",
+      """WITH n2 AS (SELECT CAST(list_sum([
+        |    CAST(floor(CAST(x AS DOUBLE)*1024) AS BIGINT)
+        |    * CAST(floor(CAST(x AS DOUBLE)*1024) AS BIGINT)
+        |    for x in embedding]) AS BIGINT) AS n2 FROM embeddings)
+        |SELECT COUNT(*) AS n_vectors,
+        |  CAST(SUM(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |  CAST(MIN(n2) AS BIGINT) AS min_n2, CAST(MAX(n2) AS BIGINT) AS max_n2,
+        |  quantile_cont(n2, 0.1) AS p10, quantile_cont(n2, 0.5) AS p50,
+        |  quantile_cont(n2, 0.9) AS p90
+        |FROM n2""".stripMargin) { (s, d) =>
+      val n2 = Tables.embeddings(s, d)
+        .select(Similarity.dotQ(Similarity.quantize(col("embedding")),
+          Similarity.quantize(col("embedding"))).as("n2"))
+      n2.agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("n2") === 0, 1L).otherwise(0L)).as("n_zero"),
+        min(col("n2")).as("min_n2"), max(col("n2")).as("max_n2"),
+        expr("percentile(n2, 0.1)").as("p10"),
+        expr("percentile(n2, 0.5)").as("p50"),
+        expr("percentile(n2, 0.9)").as("p90"))
+    },
+
     // --- inter-class separation (vec31): pairwise cosine between LABEL
     // --- centroids (integral per-dim means — the IvfIndex `div` mean
     // --- discipline, engine-exact) — how separable the labeled embedding
