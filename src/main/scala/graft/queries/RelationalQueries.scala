@@ -2726,6 +2726,51 @@ object RelationalQueries {
           .as("mean_gap_days"),
         expr("percentile(gap_days, 0.5)").as("p50_gap_days"),
         expr("percentile(gap_days, 0.9)").as("p90_gap_days"))
+    },
+
+    // --- market-basket association rules (q102): directed part→part rules
+    // --- over order baskets (1-in-10 part slice) with support, confidence
+    // --- and lift — the retail twin of txt52's token collocations, on
+    // --- BASKETS instead of documents. Pair counting is one order
+    // --- self-join bounded by basket width; item/basket counts broadcast;
+    // --- every metric an IEEE ratio of exact integers; min-support ≥ 3
+    // --- and lift ≥ 1.2 keep the report to real signal. -------------------
+    q("q102_basket_rules",
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem WHERE l_partkey % 10 = 0),
+        |nb AS (SELECT COUNT(DISTINCT o) AS n_baskets FROM li),
+        |ic AS (SELECT p, COUNT(*) AS n_p FROM li GROUP BY 1),
+        |pr AS (SELECT a.p AS ante, b.p AS cons, COUNT(*) AS n_pair
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p <> b.p
+        |  GROUP BY 1, 2)
+        |SELECT pr.ante, pr.cons, pr.n_pair,
+        |  CAST(pr.n_pair AS DOUBLE) / nb.n_baskets AS support,
+        |  CAST(pr.n_pair AS DOUBLE) / ia.n_p AS confidence,
+        |  CAST(pr.n_pair AS DOUBLE) * nb.n_baskets / (ia.n_p * ic2.n_p) AS lift
+        |FROM pr JOIN ic ia ON pr.ante = ia.p JOIN ic ic2 ON pr.cons = ic2.p
+        |CROSS JOIN nb
+        |WHERE pr.n_pair >= 3
+        |  AND CAST(pr.n_pair AS DOUBLE) * nb.n_baskets / (ia.n_p * ic2.n_p) >= 1.2""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d).filter(col("l_partkey") % 10 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val nb = li.agg(countDistinct(col("o")).as("n_baskets"))
+      val ic = li.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
+      val pr = li.alias("a").join(li.alias("b"),
+          col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
+        .groupBy(col("a.p").as("ante"), col("b.p").as("cons"))
+        .agg(count(lit(1)).as("n_pair"))
+      val lift = col("n_pair").cast("double") * col("n_baskets") /
+        (col("_na") * col("_nc"))
+      pr.join(broadcast(ic.select(col("p").as("ante"), col("n_p").as("_na"))),
+          Seq("ante"))
+        .join(broadcast(ic.select(col("p").as("cons"), col("n_p").as("_nc"))),
+          Seq("cons"))
+        .crossJoin(broadcast(nb))
+        .filter(col("n_pair") >= 3 && lift >= 1.2)
+        .select(col("ante"), col("cons"), col("n_pair"),
+          (col("n_pair").cast("double") / col("n_baskets")).as("support"),
+          (col("n_pair").cast("double") / col("_na")).as("confidence"),
+          lift.as("lift"))
     }
   )
 
