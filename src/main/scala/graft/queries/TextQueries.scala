@@ -870,6 +870,56 @@ object TextQueries {
         tokenBudget = 2000L, salt = 77)
     },
 
+    // --- mixture-achievement audit (txt69): did the sampled corpus HIT
+    // --- its target mixture? Per source: target tokens (budget·w capped
+    // --- at availability), achieved tokens from the txt26 sampler, and
+    // --- the achieved/target ratio — the validation report a mixture run
+    // --- ships (hash sampling only approximates fractions; this is where
+    // --- you see by how much). All counts exact; one ratio per source. ---
+    q("txt69_mixture_audit",
+      s"""WITH t AS (SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |w(source, w) AS (VALUES ('src0', CAST(0.5 AS DOUBLE)),
+         |  ('src1', CAST(0.2 AS DOUBLE)), ('src2', CAST(0.25 AS DOUBLE)),
+         |  ('src3', CAST(0.05 AS DOUBLE)), ('src4', CAST(1.0 AS DOUBLE))),
+         |tot AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS tok
+         |  FROM t GROUP BY 1),
+         |thr AS (SELECT w.source, w.w, tot.tok,
+         |  CAST(floor(least(CAST(1.0 AS DOUBLE), 2000.0 * w / CAST(tok AS DOUBLE))
+         |    * 4294967296.0) AS BIGINT) AS thr
+         |  FROM w JOIN tot USING (source)),
+         |got AS (SELECT t.source, CAST(SUM(t.n_tokens) AS BIGINT) AS achieved
+         |  FROM t JOIN thr ON t.source = thr.source
+         |  WHERE ${hex32Sql("'77:'||CAST(doc_id AS VARCHAR)")} < thr.thr
+         |  GROUP BY 1)
+         |SELECT thr.source,
+         |  CAST(LEAST(CAST(2000.0 * thr.w AS DOUBLE), CAST(thr.tok AS DOUBLE)) AS DOUBLE)
+         |    AS target_tokens,
+         |  COALESCE(got.achieved, 0) AS achieved_tokens,
+         |  CAST(COALESCE(got.achieved, 0) AS DOUBLE)
+         |    / LEAST(CAST(2000.0 * thr.w AS DOUBLE), CAST(thr.tok AS DOUBLE))
+         |    AS achievement
+         |FROM thr LEFT JOIN got ON thr.source = got.source""".stripMargin) { (s, d) =>
+      val weights = Map("src0" -> 0.5, "src1" -> 0.2, "src2" -> 0.25,
+        "src3" -> 0.05, "src4" -> 1.0)
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val t = docs.select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      val tot = t.groupBy(col("source")).agg(sum(col("n_tokens")).as("tok"))
+      val w = weights.toSeq.toDF("source", "w")
+      val sampled = TextOps.sampleMixture(docs, "doc_id", "source", "text",
+          weights = weights, tokenBudget = 2000L, salt = 77)
+        .groupBy(col("source")).agg(sum(col("n_tokens")).as("achieved"))
+      val target = least(lit(2000.0) * col("w"), col("tok").cast("double"))
+      w.join(tot, Seq("source"))
+        .join(sampled, Seq("source"), "left")
+        .select(col("source"), target.as("target_tokens"),
+          coalesce(col("achieved"), lit(0L)).as("achieved_tokens"),
+          (coalesce(col("achieved"), lit(0L)).cast("double") / target)
+            .as("achievement"))
+    },
+
     // --- composed layout pipeline (the txt15/cdc18 pattern for the new
     // --- operators): mixture-sample the corpus to a token budget, then
     // --- sequence-pack the SURVIVORS — the last two stages a pretraining
