@@ -2771,6 +2771,30 @@ object RelationalQueries {
           (col("n_pair").cast("double") / col("n_baskets")).as("support"),
           (col("n_pair").cast("double") / col("_na")).as("confidence"),
           lift.as("lift"))
+    },
+
+    // --- windowed debounce / throttle (q103): keep only the FIRST event
+    // --- per (user, type) per hour — the notification-throttling /
+    // --- event-debounce primitive (send at most one alert per key per
+    // --- window). One composite-key window ranked by the total (ts, id)
+    // --- order; everything else drops before materializing. The streaming
+    // --- twin is dropDuplicates on (key, window) — cdc16's machinery. ----
+    q("q103_debounce",
+      """SELECT user_id, event_type,
+        |  CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_id
+        |FROM (SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY user_id, event_type, date_trunc('hour', ts)
+        |    ORDER BY ts, event_id) AS rn FROM events) t
+        |WHERE rn = 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"), col("event_type"),
+          date_trunc("hour", col("ts")))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"),
+          date_trunc("hour", col("ts")).as("hour"), col("event_id"))
     }
   )
 

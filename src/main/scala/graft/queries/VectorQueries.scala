@@ -247,6 +247,63 @@ object VectorQueries {
         "vec_id", "embedding", k = 3)
     },
 
+    // --- metric-agreement diagnostic (vec33): per probe, how many of the
+    // --- exact cosine top-3 survive under squared-L2 ranking — the
+    // --- metric-choice sanity check (for normalized embeddings the two
+    // --- agree; a low overlap means magnitude carries signal and cosine
+    // --- silently discards it). Both rankings exact integers / integer
+    // --- ratios; overlap via one pair join. -------------------------------
+    q("vec33_metric_agreement",
+      s"""WITH $quantSql,
+         |cos AS (SELECT probe_id, neighbor_id FROM (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+         |      CAST(CAST(list_sum([p.qv[i]*c.qv[i] for i in generate_series(1, 64)]) AS BIGINT) AS DOUBLE)
+         |      / (sqrt(CAST(p.n2 AS DOUBLE))*sqrt(CAST(c.n2 AS DOUBLE))) DESC,
+         |      c.vec_id) AS rk
+         |  FROM n p, n c WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id) t
+         |  WHERE rk <= 3),
+         |l2 AS (SELECT probe_id, neighbor_id FROM (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+         |      CAST(list_sum([(p.qv[i]-c.qv[i])*(p.qv[i]-c.qv[i])
+         |        for i in generate_series(1, 64)]) AS BIGINT), c.vec_id) AS rk
+         |  FROM n p, n c WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id) t
+         |  WHERE rk <= 3)
+         |SELECT cos.probe_id, CAST(COUNT(l2.neighbor_id) AS BIGINT) AS n_shared
+         |FROM cos LEFT JOIN l2 ON cos.probe_id = l2.probe_id
+         |  AND cos.neighbor_id = l2.neighbor_id
+         |GROUP BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, d)
+      val q = emb.select(col("vec_id"),
+        Similarity.quantize(col("embedding")).as("qv"))
+      val probes = q.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("qv").as("pq"))
+      val pairs = probes.crossJoin(
+          q.select(col("vec_id").as("neighbor_id"), col("qv")))
+        .filter(col("neighbor_id") =!= col("probe_id"))
+      val cosTop = pairs
+        .select(col("probe_id"), col("neighbor_id"),
+          Similarity.cosineQ(col("pq"), col("qv")).as("sim"))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("probe_id"))
+          .orderBy(col("sim").desc, col("neighbor_id"))))
+        .filter(col("rk") <= 3).select("probe_id", "neighbor_id")
+      val l2Top = pairs
+        .select(col("probe_id"), col("neighbor_id"),
+          aggregate(zip_with(col("pq"), col("qv"), (x, y) => (x - y) * (x - y)),
+            lit(0L), (a, x) => a + x).as("d2"))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("probe_id"))
+          .orderBy(col("d2"), col("neighbor_id"))))
+        .filter(col("rk") <= 3)
+        .select(col("probe_id"), col("neighbor_id").as("_n2"))
+      cosTop.join(l2Top,
+          cosTop("probe_id") === l2Top("probe_id") &&
+            col("neighbor_id") === col("_n2"), "left")
+        .groupBy(cosTop("probe_id").as("probe_id"))
+        .agg(count(col("_n2")).as("n_shared"))
+    },
+
     // --- norm-distribution report (vec32): deciles of the exact quantized
     // --- squared norm + zero/extreme counts — the embedding-QA gate that
     // --- catches all-zero vectors (cosine-undefined) and magnitude
