@@ -2795,6 +2795,35 @@ object RelationalQueries {
         .filter(col("rn") === 1)
         .select(col("user_id"), col("event_type"),
           date_trunc("hour", col("ts")).as("hour"), col("event_id"))
+    },
+
+    // --- ROLLUP with GROUPING() labels (q104): revenue by (year, month)
+    // --- with each subtotal level NAMED via the grouping indicator — the
+    // --- piece q20's ROLLUP left implicit (a consumer can't tell a real
+    // --- NULL month from the year-subtotal row without GROUPING()). One
+    // --- Expand-based aggregation, labels pure projection. ---------------
+    q("q104_rollup_labeled",
+      """SELECT
+        |  CASE WHEN GROUPING(yr) = 1 THEN 'grand_total'
+        |       WHEN GROUPING(mon) = 1 THEN 'year_total' ELSE 'month' END AS level,
+        |  yr, mon,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
+        |FROM (SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        |  CAST(month(o_orderdate) AS INT) AS mon, o_totalprice FROM orders) t
+        |GROUP BY ROLLUP (yr, mon)""".stripMargin) { (s, d) =>
+      val t = Tables.orders(s, d).select(
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mon"), col("o_totalprice"))
+      t.rollup(col("yr"), col("mon"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast("double").as("revenue"), count(lit(1)).as("n"),
+          grouping(col("yr")).as("_gy"), grouping(col("mon")).as("_gm"))
+        .select(
+          when(col("_gy") === 1, "grand_total")
+            .when(col("_gm") === 1, "year_total")
+            .otherwise("month").as("level"),
+          col("yr"), col("mon"), col("revenue"), col("n"))
     }
   )
 

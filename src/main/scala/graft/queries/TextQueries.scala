@@ -870,6 +870,41 @@ object TextQueries {
         tokenBudget = 2000L, salt = 77)
     },
 
+    // --- per-source duplication rate (txt70): what fraction of each
+    // --- source's docs sit in ANY near-dup pair — the per-feed dirtiness
+    // --- scoreboard that decides where dedup effort goes (txt63 profiles
+    // --- degrees; this localizes them). Dup membership from the banded
+    // --- pairs; one distinct + one source rollup. -------------------------
+    q("txt70_source_dup_rate",
+      s"""WITH $corpusSql,
+         |$minhashSql,
+         |src AS (SELECT doc_id, source FROM documents
+         |  UNION ALL SELECT doc_id + 100000, source FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL SELECT doc_id + 200000, source FROM documents WHERE doc_id % 17 = 0),
+         |dup AS (SELECT DISTINCT d FROM (
+         |  SELECT a AS d FROM pairs UNION ALL SELECT b FROM pairs) z),
+         |pe AS (SELECT src.source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN dup.d IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+         |  FROM src LEFT JOIN dup ON src.doc_id = dup.d GROUP BY 1)
+         |SELECT source, n_docs, n_dup,
+         |  CAST(n_dup AS DOUBLE)/n_docs AS dup_rate
+         |FROM pe""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val srcMap = docs.select(col("doc_id"), col("source"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("source")))
+        .unionByName(docs.filter(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"), col("source")))
+      val pairs = Dedup.minhashCandidatePairs(corpus(s, d), "doc_id", "text")
+      val dup = pairs.select(col("a").as("d"))
+        .unionAll(pairs.select(col("b").as("d"))).distinct()
+      srcMap.join(dup, col("doc_id") === col("d"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("d").isNotNull, 1L).otherwise(0L)).as("n_dup"))
+        .withColumn("dup_rate", col("n_dup").cast("double") / col("n_docs"))
+    },
+
     // --- mixture-achievement audit (txt69): did the sampled corpus HIT
     // --- its target mixture? Per source: target tokens (budget·w capped
     // --- at availability), achieved tokens from the txt26 sampler, and
