@@ -930,6 +930,25 @@ object CdcQueries {
         .select("user_id", "p_id", "c_id", "c_value")
     },
 
+    // --- changelog op-mix report (cdc38): insert/update/delete shares —
+    // --- the churn profile that sizes everything downstream (tombstone
+    // --- share drives compaction win, insert share drives growth, update
+    // --- share drives IVM retraction volume). One hash agg + broadcast
+    // --- total. -----------------------------------------------------------
+    q("cdc38_op_mix",
+      """SELECT CASE event_type WHEN 'signup' THEN 'insert'
+        |  WHEN 'error' THEN 'delete' ELSE 'update' END AS op,
+        |  COUNT(*) AS n,
+        |  CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM events) AS share
+        |FROM events GROUP BY 1""".stripMargin) { (s, d) =>
+      val env = ChangelogGen.fromEvents(s, d).toDF()
+      val tot = env.agg(count(lit(1)).as("_t"))
+      env.groupBy(col("op")).agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(tot))
+        .select(col("op"), col("n"),
+          (col("n").cast("double") / col("_t")).as("share"))
+    },
+
     // --- changelog gap detection (cdc37): holes in the LSN sequence — the
     // --- replication-integrity check that catches silent drops before
     // --- they become missing state. A slice of the changelog is removed

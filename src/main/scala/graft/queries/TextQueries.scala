@@ -870,6 +870,36 @@ object TextQueries {
         tokenBudget = 2000L, salt = 77)
     },
 
+    // --- tokenizer fertility report (txt71): chars-per-symbol under the
+    // --- learned BPE vocabulary, per source — the tokenizer-efficiency
+    // --- metric (a source compressing poorly pays more context budget per
+    // --- character; domain-mismatched vocabularies show up here first).
+    // --- Rides txt34's encode counts rolled up per source; the oracle
+    // --- re-derives symbol counts from the unrolled-Lloyd... unrolled-BPE
+    // --- v8 vocab state. --------------------------------------------------
+    Q("txt71_fertility", (s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = TextOps.bpeTrain(docs.select("text"), "text", merges = 8)
+      TextOps.bpeEncode(docs, "doc_id", "text", merges)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(sum(col("n_chars")).as("n_chars"),
+          sum(col("n_symbols")).as("n_symbols"))
+        .withColumn("chars_per_symbol",
+          col("n_chars").cast("double") / col("n_symbols"))
+    }, Some(
+      s"""WITH ${bpeSql(8, "documents")},
+         |w0 AS (SELECT doc_id, unnest($toksSql) AS word FROM documents),
+         |j AS (SELECT w.doc_id, CAST(len(w.word) AS BIGINT) AS nc,
+         |  CAST(len(v.syms) AS BIGINT) AS ns
+         |  FROM w0 w JOIN v8 v USING (word)),
+         |d2 AS (SELECT documents.source, j.nc, j.ns
+         |  FROM j JOIN documents USING (doc_id))
+         |SELECT source, CAST(SUM(nc) AS BIGINT) AS n_chars,
+         |  CAST(SUM(ns) AS BIGINT) AS n_symbols,
+         |  CAST(SUM(nc) AS DOUBLE)/SUM(ns) AS chars_per_symbol
+         |FROM d2 GROUP BY 1""".stripMargin)),
+
     // --- per-source duplication rate (txt70): what fraction of each
     // --- source's docs sit in ANY near-dup pair — the per-feed dirtiness
     // --- scoreboard that decides where dedup effort goes (txt63 profiles
