@@ -2824,6 +2824,34 @@ object RelationalQueries {
             .when(col("_gm") === 1, "year_total")
             .otherwise("month").as("level"),
           col("yr"), col("mon"), col("revenue"), col("n"))
+    },
+
+    // --- weekend-effect report (q105): weekday vs weekend revenue with
+    // --- the per-day-rate lift ratio. Day-of-week via pure integer date
+    // --- arithmetic — days since a known Monday mod 7 — because the
+    // --- engines' dayofweek() conventions differ (0- vs 1-based); exact
+    // --- decimal sums, two IEEE ratios. ----------------------------------
+    q("q105_weekend_effect",
+      """WITH t AS (SELECT o_totalprice,
+        |  CAST(CAST(o_orderdate AS DATE) - DATE '2024-01-01' AS BIGINT) % 7 AS dow
+        |  FROM orders),
+        |g AS (SELECT CASE WHEN dow IN (5, 6) OR dow IN (-1, -2) THEN 'weekend'
+        |    ELSE 'weekday' END AS kind,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |  FROM t GROUP BY 1)
+        |SELECT kind, n, revenue,
+        |  revenue / n AS revenue_per_order
+        |FROM g""".stripMargin) { (s, d) =>
+      val t = Tables.orders(s, d).select(col("o_totalprice"),
+        (datediff(to_date(col("o_orderdate")), lit("2024-01-01").cast("date"))
+          .cast("long") % 7).as("dow"))
+      t.groupBy(when(col("dow").isin(5, 6, -1, -2), "weekend")
+          .otherwise("weekday").as("kind"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast("double").as("revenue"))
+        .withColumn("revenue_per_order", col("revenue") / col("n"))
     }
   )
 

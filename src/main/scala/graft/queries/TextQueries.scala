@@ -870,6 +870,64 @@ object TextQueries {
         tokenBudget = 2000L, salt = 77)
     },
 
+    // --- classifier AUC (txt72): the Mann–Whitney rank-sum form
+    // --- AUC = (Σ ranks(pos) − n₊(n₊+1)/2) / (n₊·n₋) — threshold-free
+    // --- discrimination in ONE ranked pass, exact integers until the
+    // --- final divide (score ties broken by doc id: deterministic both
+    // --- engines, bias documented vs tie-averaged ranks; planted twins
+    // --- separate cleanly so ties are rare). Completes the eval set:
+    // --- txt60 one threshold, txt67 all deciles, txt72 the integral. -----
+    q("txt72_classifier_auc",
+      s"""WITH lab AS (
+         |  SELECT doc_id, text, TRUE AS pos FROM documents
+         |  UNION ALL SELECT doc_id + 500000, replace(text, ' ', ' zz '), FALSE
+         |  FROM documents),
+         |tok AS (SELECT pos, unnest($toksSql) AS tok FROM lab),
+         |hh AS (SELECT pos, CAST(${hex32Sql("'36:'||tok")} % 256 AS INT) AS h FROM tok),
+         |cnt AS (SELECT h, SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS n_pos,
+         |    SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS n_neg FROM hh GROUP BY h),
+         |tot AS (SELECT SUM(n_pos) AS np, SUM(n_neg) AS nn FROM cnt),
+         |w AS (SELECT gs.h,
+         |    CAST(COALESCE(c.n_pos, 0) + 1 AS DOUBLE) / CAST(np + 256 AS DOUBLE)
+         |    - CAST(COALESCE(c.n_neg, 0) + 1 AS DOUBLE) / CAST(nn + 256 AS DOUBLE) AS w
+         |  FROM generate_series(0, 255) gs(h) LEFT JOIN cnt c ON gs.h = c.h
+         |  CROSS JOIN tot),
+         |dt AS (SELECT doc_id, unnest($toksSql) AS tok FROM lab),
+         |sc AS (SELECT dt.doc_id,
+         |    CAST(SUM(CAST(w.w AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*) AS score
+         |  FROM dt JOIN w ON CAST(${hex32Sql("'36:'||dt.tok")} % 256 AS INT) = w.h
+         |  GROUP BY dt.doc_id),
+         |rk AS (SELECT lab.pos,
+         |  ROW_NUMBER() OVER (ORDER BY sc.score, lab.doc_id) AS r
+         |  FROM lab JOIN sc ON lab.doc_id = sc.doc_id)
+         |SELECT CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |  CAST(SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+         |  CAST(SUM(CASE WHEN pos THEN r ELSE 0 END)
+         |      - SUM(CASE WHEN pos THEN 1 ELSE 0 END)
+         |        * (SUM(CASE WHEN pos THEN 1 ELSE 0 END) + 1) // 2 AS DOUBLE)
+         |    / (SUM(CASE WHEN pos THEN 1 ELSE 0 END)
+         |       * SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END)) AS auc
+         |FROM rk""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val lab = docs.withColumn("pos", lit(true)).unionByName(
+        docs.select((col("doc_id") + 500000).as("doc_id"),
+          expr("replace(text, ' ', ' zz ')").as("text"))
+          .withColumn("pos", lit(false)))
+      val weights = TextOps.classifierTrain(lab, "pos", "text", dims = 256)
+      val rk = TextOps.classifierScore(lab, "doc_id", "text", weights,
+          dims = 256)
+        .join(lab.select(col("doc_id"), col("pos")), Seq("doc_id"))
+        .select(col("pos"), row_number().over(
+          Window.orderBy(col("score"), col("doc_id"))).as("r"))
+      def cnt(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
+      rk.agg(cnt(col("pos")).as("n_pos"), cnt(!col("pos")).as("n_neg"),
+          sum(when(col("pos"), col("r")).otherwise(0L)).as("_rs"))
+        .select(col("n_pos"), col("n_neg"),
+          (expr("_rs - n_pos * (n_pos + 1) div 2").cast("double")
+            / (col("n_pos") * col("n_neg"))).as("auc"))
+    },
+
     // --- tokenizer fertility report (txt71): chars-per-symbol under the
     // --- learned BPE vocabulary, per source — the tokenizer-efficiency
     // --- metric (a source compressing poorly pays more context budget per
