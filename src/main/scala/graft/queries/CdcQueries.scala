@@ -930,6 +930,33 @@ object CdcQueries {
         .select("user_id", "p_id", "c_id", "c_value")
     },
 
+    // --- hot-key report (cdc39): the top-5 keys by version count with
+    // --- their share of the changelog — the skew detector for state and
+    // --- compaction (one hot key serializes a state partition and
+    // --- dominates the merge; salting/sharding decisions start here). One
+    // --- partial-agg'd count per key; the rank runs on the per-key frame;
+    // --- share an IEEE ratio. --------------------------------------------
+    q("cdc39_hot_keys",
+      """WITH pk AS (SELECT CAST(user_id AS VARCHAR) AS key, COUNT(*) AS n
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT SUM(n) AS t FROM pk)
+        |SELECT key, n, CAST(rk AS BIGINT) AS rank,
+        |  CAST(n AS DOUBLE) / CAST(t AS DOUBLE) AS share
+        |FROM (SELECT key, n, ROW_NUMBER() OVER (ORDER BY n DESC, key) AS rk
+        |  FROM pk) z, tot
+        |WHERE rk <= 5""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val env = ChangelogGen.fromEvents(s, d).toDF()
+      val pk = env.groupBy(col("key")).agg(count(lit(1)).as("n"))
+      val tot = pk.agg(sum(col("n")).as("t"))
+      pk.withColumn("rank", row_number().over(
+          Window.orderBy(col("n").desc, col("key"))).cast("long"))
+        .filter(col("rank") <= 5)
+        .crossJoin(broadcast(tot))
+        .select(col("key"), col("n"), col("rank"),
+          (col("n").cast("double") / col("t").cast("double")).as("share"))
+    },
+
     // --- changelog op-mix report (cdc38): insert/update/delete shares —
     // --- the churn profile that sizes everything downstream (tombstone
     // --- share drives compaction win, insert share drives growth, update

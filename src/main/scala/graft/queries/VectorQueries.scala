@@ -247,6 +247,41 @@ object VectorQueries {
         "vec_id", "embedding", k = 3)
     },
 
+    // --- embedding outlier audit (vec34): vectors whose distance to their
+    // --- own centroid exceeds 4× the cell's median distance — the
+    // --- anomalous-embedding detector (corrupt rows, wrong-model vectors)
+    // --- that per-dimension stats (vec26) and norms (vec32) both miss.
+    // --- Rides the stored IVF assignment; per-cell medians via the
+    // --- portable interpolated percentile; output per cell. --------------
+    q("vec34_outlier_audit",
+      s"""WITH $quantSql,
+         |c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, qv AS cv
+         |  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 16) s),
+         |${lloydSql(1, "c0", "q")},
+         |${lloydSql(2, "c1", "q")},
+         |${assignSql("idx", "neighbor_id", "q")},
+         |dd AS (SELECT idx.cell, ${l2Sql("q.qv", "c2.cv")} AS d2
+         |  FROM idx JOIN q ON q.vec_id = idx.neighbor_id
+         |  JOIN c2 ON c2.cell = idx.cell),
+         |md AS (SELECT cell, quantile_cont(d2, 0.5) AS med FROM dd GROUP BY 1)
+         |SELECT dd.cell, COUNT(*) AS n_vectors,
+         |  CAST(SUM(CASE WHEN dd.d2 > 4*md.med THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_outliers
+         |FROM dd JOIN md ON dd.cell = md.cell GROUP BY 1""".stripMargin) { (s, d) =>
+      val idx = graft.operators.IvfIndex.build(
+        Tables.embeddings(s, d), "vec_id", "embedding", nLists = 16, iters = 2)
+      val dd = idx.assigned.join(broadcast(idx.centroids), Seq("cell"))
+        .select(col("cell"),
+          graft.operators.IvfIndex.l2Q(col("cq"), col("cv")).as("d2"))
+      val md = dd.groupBy(col("cell"))
+        .agg(expr("percentile(d2, 0.5)").as("med"))
+      dd.join(broadcast(md), Seq("cell"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(when(col("d2") > lit(4) * col("med"), 1L).otherwise(0L))
+            .as("n_outliers"))
+    },
+
     // --- metric-agreement diagnostic (vec33): per probe, how many of the
     // --- exact cosine top-3 survive under squared-L2 ranking — the
     // --- metric-choice sanity check (for normalized embeddings the two
