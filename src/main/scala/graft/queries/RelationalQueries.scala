@@ -2852,6 +2852,32 @@ object RelationalQueries {
           sum(col("o_totalprice").cast(DecimalType(18, 2)))
             .cast("double").as("revenue"))
         .withColumn("revenue_per_order", col("revenue") / col("n"))
+    },
+
+    // --- new-vs-repeat revenue decomposition (q106): monthly revenue
+    // --- split by whether the order fell on its customer's FIRST order
+    // --- date — the acquisition/retention decomposition a finance review
+    // --- opens with. First-touch reduces each customer to one partial-
+    // --- agg'd min; one broadcast-joined class flag; exact decimal sums
+    // --- per (month, class). ---------------------------------------------
+    q("q106_new_repeat_revenue",
+      """WITH ft AS (SELECT o_custkey, MIN(o_orderdate) AS d0
+        |  FROM orders GROUP BY 1)
+        |SELECT CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP) AS month,
+        |  CASE WHEN o.o_orderdate = ft.d0 THEN 'new' ELSE 'repeat' END AS kind,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders o JOIN ft ON o.o_custkey = ft.o_custkey
+        |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      val ft = o.groupBy(col("o_custkey")).agg(min(col("o_orderdate")).as("d0"))
+      o.join(ft, Seq("o_custkey"))
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"),
+          when(col("o_orderdate") === col("d0"), "new")
+            .otherwise("repeat").as("kind"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast("double").as("revenue"))
     }
   )
 

@@ -870,6 +870,28 @@ object TextQueries {
         tokenBudget = 2000L, salt = 77)
     },
 
+    // --- token-length percentile table (txt73): p10/p50/p90 token lengths
+    // --- per source — the stats that size txt47's batching bands and
+    // --- txt25's packing sequence length before a run commits to them.
+    // --- One projection + one portable-percentile aggregation per source.
+    q("txt73_length_percentiles",
+      s"""WITH t AS (SELECT source, CAST(len($toksSql) AS BIGINT) AS n
+         |  FROM documents)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  quantile_cont(n, 0.1) AS p10, quantile_cont(n, 0.5) AS p50,
+         |  quantile_cont(n, 0.9) AS p90, CAST(MAX(n) AS BIGINT) AS max_len
+         |FROM t GROUP BY 1""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("percentile(n, 0.1)").as("p10"),
+          expr("percentile(n, 0.5)").as("p50"),
+          expr("percentile(n, 0.9)").as("p90"),
+          max(col("n")).as("max_len"))
+    },
+
     // --- classifier AUC (txt72): the Mann–Whitney rank-sum form
     // --- AUC = (Σ ranks(pos) − n₊(n₊+1)/2) / (n₊·n₋) — threshold-free
     // --- discrimination in ONE ranked pass, exact integers until the
