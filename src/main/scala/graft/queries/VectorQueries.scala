@@ -1648,6 +1648,38 @@ object VectorQueries {
         frameBytes = 64, threshold = 3)
     },
 
+    // --- decoded-dimension distribution (mm19): width/height/aspect
+    // --- buckets over the batched decode — the media-inventory QA that
+    // --- sizes resize targets and flags degenerate dimensions before a
+    // --- vision pipeline commits to a patch grid. Aspect bucketed by
+    // --- integer cross-multiplication (no float division of dims); one
+    // --- rollup after the decode. ----------------------------------------
+    q("mm19_dims_report",
+      """WITH raw AS (SELECT doc_id, CAST(strlen(text) AS INT) AS n_bytes,
+        |  CAST(list_sum(list_transform(regexp_split_to_array(text,''),
+        |    x -> CAST(unicode(x) AS BIGINT))) AS BIGINT) % 2147483647 AS checksum
+        |  FROM documents),
+        |dims AS (SELECT doc_id, CAST(n_bytes % 64 + 1 AS INT) AS w,
+        |  CAST(checksum % 64 + 1 AS INT) AS h FROM raw),
+        |b AS (SELECT CASE WHEN w * 10 > h * 15 THEN 'wide'
+        |    WHEN h * 10 > w * 15 THEN 'tall' ELSE 'square-ish' END AS aspect,
+        |  w, h FROM dims)
+        |SELECT aspect, COUNT(*) AS n,
+        |  CAST(MIN(w) AS INT) AS min_w, CAST(MAX(w) AS INT) AS max_w,
+        |  CAST(MIN(h) AS INT) AS min_h, CAST(MAX(h) AS INT) AS max_h
+        |FROM b GROUP BY 1""".stripMargin) { (s, d) =>
+      val metas = Multimodal.decodeBatched(
+        Multimodal.withBlob(Tables.documents(s, d), "text", "source")).toDF()
+      metas.select(col("width").as("w"), col("height").as("h"))
+        .groupBy(
+          when(col("w") * 10 > col("h") * 15, "wide")
+            .when(col("h") * 10 > col("w") * 15, "tall")
+            .otherwise("square-ish").as("aspect"))
+        .agg(count(lit(1)).as("n"),
+          min(col("w")).as("min_w"), max(col("w")).as("max_w"),
+          min(col("h")).as("min_h"), max(col("h")).as("max_h"))
+    },
+
     // --- keyframe selection (mm18): one representative frame per mm15
     // --- scene (its FIRST frame) — the sampling step between shot
     // --- detection and captioning/embedding that cuts downstream cost
