@@ -2878,6 +2878,38 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_orders"),
           sum(col("o_totalprice").cast(DecimalType(18, 2)))
             .cast("double").as("revenue"))
+    },
+
+    // --- fulfillment SLA percentiles (q107): days from order to LAST line
+    // --- shipment, per priority — the service-level report that tells
+    // --- whether 'URGENT' actually ships faster. Fact-to-fact join on the
+    // --- order key (both sides would bucket on it persisted — q53's
+    // --- layout); per-order max-ship partial-aggregates BEFORE the join
+    // --- back; exact integer day math, portable percentiles. -------------
+    q("q107_fulfillment_sla",
+      """WITH ls AS (SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS last_ship
+        |  FROM lineitem GROUP BY 1),
+        |f AS (SELECT o.o_orderpriority,
+        |  CAST(ls.last_ship - CAST(o.o_orderdate AS DATE) AS BIGINT) AS days
+        |  FROM orders o JOIN ls ON o.o_orderkey = ls.l_orderkey)
+        |SELECT o_orderpriority, COUNT(*) AS n,
+        |  quantile_cont(days, 0.5) AS p50_days,
+        |  quantile_cont(days, 0.9) AS p90_days,
+        |  CAST(MAX(days) AS BIGINT) AS max_days
+        |FROM f GROUP BY 1""".stripMargin) { (s, d) =>
+      val ls = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(max(to_date(col("l_shipdate"))).as("last_ship"))
+      Tables.orders(s, d)
+        .join(ls, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderpriority"),
+          datediff(col("last_ship"), to_date(col("o_orderdate")))
+            .cast("long").as("days"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          expr("percentile(days, 0.5)").as("p50_days"),
+          expr("percentile(days, 0.9)").as("p90_days"),
+          max(col("days")).as("max_days"))
     }
   )
 

@@ -1648,6 +1648,40 @@ object VectorQueries {
         frameBytes = 64, threshold = 3)
     },
 
+    // --- silence-ratio report (mm20): per clip, the share of audio
+    // --- windows below the energy gate — the "how much of this corpus is
+    // --- dead air" QA that decides whether VAD segmentation (mm09) pays
+    // --- for itself before transcription. mm05's window chain + one
+    // --- per-doc rollup; ratio an IEEE divide of exact counts. -----------
+    q("mm20_silence_ratio",
+      """WITH s AS (SELECT doc_id,
+        |    [CAST(unicode(substr(text, i, 1)) AS BIGINT) - 128
+        |     for i in generate_series(1, strlen(text))] AS c
+        |  FROM documents WHERE strlen(text) = length(text) AND strlen(text) > 0),
+        |j0 AS (SELECT doc_id, c,
+        |    unnest(generate_series(0, (len(c)-1)//32)) AS j FROM s),
+        |w AS (SELECT doc_id, j, c[CAST(j*32+1 AS INT) : CAST(j*32+64 AS INT)] AS win
+        |  FROM j0),
+        |f AS (SELECT doc_id, j,
+        |    CAST(list_sum([x*x for x in win]) AS BIGINT) AS energy FROM w)
+        |SELECT doc_id, COUNT(*) AS n_windows,
+        |  CAST(SUM(CASE WHEN energy < 40000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_silent,
+        |  CAST(SUM(CASE WHEN energy < 40000 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*) AS silence_ratio
+        |FROM f GROUP BY 1""".stripMargin) { (s, d) =>
+      val ascii = Tables.documents(s, d)
+        .filter(octet_length(col("text")) === length(col("text")) &&
+          octet_length(col("text")) > 0)
+      Multimodal.audioWindows(
+          Multimodal.withBlob(ascii, "text", "source"), win = 64, hop = 32)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_windows"),
+          sum(when(col("energy") < 40000L, 1L).otherwise(0L)).as("n_silent"))
+        .withColumn("silence_ratio",
+          col("n_silent").cast("double") / col("n_windows"))
+    },
+
     // --- decoded-dimension distribution (mm19): width/height/aspect
     // --- buckets over the batched decode — the media-inventory QA that
     // --- sizes resize targets and flags degenerate dimensions before a
