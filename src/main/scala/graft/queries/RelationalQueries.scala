@@ -2910,6 +2910,38 @@ object RelationalQueries {
           expr("percentile(days, 0.5)").as("p50_days"),
           expr("percentile(days, 0.9)").as("p90_days"),
           max(col("days")).as("max_days"))
+    },
+
+    // --- customer-value decile table (q108): customers ranked by total
+    // --- revenue, cut into deciles (integer cross-multiplied — the q85/
+    // --- txt67 discipline), per-decile customer count, revenue, and
+    // --- revenue share — the LTV concentration view ("the top decile is
+    // --- X% of revenue"). One decimal aggregation per customer; rank and
+    // --- cuts on the per-customer frame. ---------------------------------
+    q("q108_value_deciles",
+      """WITH rev AS (SELECT o_custkey,
+        |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS r FROM orders GROUP BY 1),
+        |rk AS (SELECT r,
+        |  ROW_NUMBER() OVER (ORDER BY r DESC, o_custkey) AS rn,
+        |  COUNT(*) OVER () AS n, SUM(r) OVER () AS tot FROM rev)
+        |SELECT CAST((rn - 1) * 10 // n AS BIGINT) AS decile,
+        |  COUNT(*) AS n_customers,
+        |  CAST(SUM(r) AS DOUBLE) AS revenue,
+        |  CAST(SUM(r) AS DOUBLE) / CAST(MIN(tot) AS DOUBLE) AS revenue_share
+        |FROM rk GROUP BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val rev = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("r"))
+      val rk = rev.select(col("r"),
+        row_number().over(Window.orderBy(col("r").desc, col("o_custkey")))
+          .as("rn"),
+        count(lit(1)).over(Window.partitionBy()).as("n"),
+        sum(col("r")).over(Window.partitionBy()).as("tot"))
+      rk.groupBy(expr("(rn - 1) * 10 div n").cast("long").as("decile"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("r")).cast("double").as("revenue"),
+          (sum(col("r")).cast("double") / min(col("tot")).cast("double"))
+            .as("revenue_share"))
     }
   )
 

@@ -870,6 +870,32 @@ object TextQueries {
         tokenBudget = 2000L, salt = 77)
     },
 
+    // --- stopword-profile drift (txt74): per source, percentiles of the
+    // --- per-doc stopword ratio — a source whose profile sits far from
+    // --- the corpus band is template-heavy or mis-languaged (the drift
+    // --- txt29's calibration then corrects per source). txt02's ratio as
+    // --- one projection; portable percentiles per source. -----------------
+    q("txt74_stopword_profile",
+      s"""WITH t AS (SELECT source,
+         |  CAST(len(list_filter($toksSql, x -> x = 'a' OR x = 'the')) AS DOUBLE)
+         |    / len($toksSql) AS ratio
+         |  FROM documents)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  quantile_cont(ratio, 0.1) AS p10, quantile_cont(ratio, 0.5) AS p50,
+         |  quantile_cont(ratio, 0.9) AS p90
+         |FROM t GROUP BY 1""".stripMargin) { (s, d) =>
+      val toks = TextOps.tokens(col("text"))
+      Tables.documents(s, d)
+        .select(col("source"),
+          (size(filter(toks, x => x === "a" || x === "the")).cast("double") /
+            size(toks)).as("ratio"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("percentile(ratio, 0.1)").as("p10"),
+          expr("percentile(ratio, 0.5)").as("p50"),
+          expr("percentile(ratio, 0.9)").as("p90"))
+    },
+
     // --- token-length percentile table (txt73): p10/p50/p90 token lengths
     // --- per source — the stats that size txt47's batching bands and
     // --- txt25's packing sequence length before a run commits to them.
