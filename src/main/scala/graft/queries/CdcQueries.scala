@@ -930,6 +930,27 @@ object CdcQueries {
         .select("user_id", "p_id", "c_id", "c_value")
     },
 
+    // --- duplicate-envelope audit (cdc40): the wire-duplication detector
+    // --- — the same (key, lsn, seq) position delivered more than once
+    // --- (an at-least-once transport hiccup BEFORE dedup absorbs it;
+    // --- monitoring wants the rate even when downstream state is safe).
+    // --- A 1-in-13 slice is re-delivered; the audit names exactly those
+    // --- positions. One composite-key count, suspects-only output. -------
+    q("cdc40_duplicate_envelopes",
+      """WITH env AS (SELECT CAST(user_id AS VARCHAR) AS key, event_id AS lsn
+        |  FROM events
+        |  UNION ALL SELECT CAST(user_id AS VARCHAR), event_id
+        |  FROM events WHERE event_id % 13 = 0)
+        |SELECT key, lsn, COUNT(*) AS n_deliveries
+        |FROM env GROUP BY 1, 2 HAVING COUNT(*) > 1""".stripMargin) { (s, d) =>
+      val env = ChangelogGen.fromEvents(s, d).toDF()
+        .select(col("key"), col("lsn"))
+      val redelivered = env.unionByName(env.filter(col("lsn") % 13 === 0))
+      redelivered.groupBy(col("key"), col("lsn"))
+        .agg(count(lit(1)).as("n_deliveries"))
+        .filter(col("n_deliveries") > 1)
+    },
+
     // --- hot-key report (cdc39): the top-5 keys by version count with
     // --- their share of the changelog — the skew detector for state and
     // --- compaction (one hot key serializes a state partition and

@@ -247,6 +247,46 @@ object VectorQueries {
         "vec_id", "embedding", k = 3)
     },
 
+    // --- probe-workload cell coverage (vec35): which IVF cells a probe
+    // --- workload actually touches (nProbe=4 per probe) and how hot each
+    // --- is — the cache/tiering planner's input (cold cells can live on
+    // --- object storage; hot ones pin in memory). Probes = the vec05
+    // --- workload; one broadcast assignment + one count per cell, empty
+    // --- cells kept at zero. ----------------------------------------------
+    q("vec35_probe_coverage",
+      s"""WITH $quantSql,
+         |c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, qv AS cv
+         |  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 16) s),
+         |${lloydSql(1, "c0", "q")},
+         |${lloydSql(2, "c1", "q")},
+         |${assignSql("pc", "probe_id", "n", " WHERE n.vec_id < 10", "rn <= 4")},
+         |pcnt AS (SELECT cell, COUNT(*) AS n_probes FROM pc GROUP BY 1)
+         |SELECT c2.cell, COALESCE(pcnt.n_probes, CAST(0 AS BIGINT)) AS n_probes,
+         |  COALESCE(pcnt.n_probes, 0) > 0 AS touched
+         |FROM c2 LEFT JOIN pcnt ON c2.cell = pcnt.cell""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val idx = graft.operators.IvfIndex.build(emb, "vec_id", "embedding",
+        nLists = 16, iters = 2)
+      val probes = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("id"),
+          graft.operators.Similarity.quantize(col("embedding")).as("qv"))
+      // nearest-4 cells per probe against the broadcast centroids — the
+      // same probe-assignment shape the search path uses
+      import org.apache.spark.sql.expressions.Window
+      val pc = probes.crossJoin(broadcast(idx.centroids))
+        .select(col("id"), col("cell"),
+          graft.operators.IvfIndex.l2Q(col("qv"), col("cv")).as("d2"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("id")).orderBy(col("d2"), col("cell"))))
+        .filter(col("rn") <= 4)
+      val pcnt = pc.groupBy(col("cell")).agg(count(lit(1)).as("n_probes"))
+      idx.centroids.select(col("cell"))
+        .join(pcnt, Seq("cell"), "left")
+        .select(col("cell"),
+          coalesce(col("n_probes"), lit(0L)).as("n_probes"),
+          (coalesce(col("n_probes"), lit(0L)) > 0).as("touched"))
+    },
+
     // --- embedding outlier audit (vec34): vectors whose distance to their
     // --- own centroid exceeds 4× the cell's median distance — the
     // --- anomalous-embedding detector (corrupt rows, wrong-model vectors)
