@@ -870,6 +870,54 @@ object TextQueries {
         tokenBudget = 2000L, salt = 77)
     },
 
+    // --- Spearman rank correlation (txt75): does doc LENGTH predict the
+    // --- stopword-quality signal? Pearson over exact integer RANKS (ties
+    // --- broken by doc id — total order, deterministic; bias vs averaged
+    // --- ranks documented) — q64's sufficient-statistics discipline with
+    // --- rank sums exact integers, two sqrt + one divide at the end. The
+    // --- corpus-diagnostic that tells whether a length filter double-
+    // --- counts a quality filter. ----------------------------------------
+    q("txt75_spearman",
+      s"""WITH t AS (SELECT doc_id,
+         |  CAST(len($toksSql) AS BIGINT) AS len,
+         |  CAST(len(list_filter($toksSql, x -> x = 'a' OR x = 'the')) AS DOUBLE)
+         |    / len($toksSql) AS ratio
+         |  FROM documents),
+         |r AS (SELECT
+         |  ROW_NUMBER() OVER (ORDER BY len, doc_id) AS rx,
+         |  ROW_NUMBER() OVER (ORDER BY ratio, doc_id) AS ry
+         |  FROM t),
+         |st AS (SELECT COUNT(*) AS n,
+         |  CAST(SUM(rx) AS BIGINT) AS sx, CAST(SUM(ry) AS BIGINT) AS sy,
+         |  CAST(SUM(rx*ry) AS BIGINT) AS sxy,
+         |  CAST(SUM(rx*rx) AS BIGINT) AS sxx, CAST(SUM(ry*ry) AS BIGINT) AS syy
+         |  FROM r)
+         |SELECT n,
+         |  CAST(n*sxy - sx*sy AS DOUBLE)
+         |    / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+         |       * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS spearman
+         |FROM st""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = TextOps.tokens(col("text"))
+      val t = Tables.documents(s, d).select(col("doc_id"),
+        size(toks).cast("long").as("len"),
+        (size(filter(toks, x => x === "a" || x === "the")).cast("double") /
+          size(toks)).as("ratio"))
+      val r = t.select(
+        row_number().over(Window.orderBy(col("len"), col("doc_id"))).as("rx"),
+        row_number().over(Window.orderBy(col("ratio"), col("doc_id"))).as("ry"))
+      val st = r.agg(count(lit(1)).as("n"),
+        sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+        sum(col("rx") * col("ry")).as("sxy"),
+        sum(col("rx") * col("rx")).as("sxx"),
+        sum(col("ry") * col("ry")).as("syy"))
+      st.select(col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+          .as("spearman"))
+    },
+
     // --- stopword-profile drift (txt74): per source, percentiles of the
     // --- per-doc stopword ratio — a source whose profile sits far from
     // --- the corpus band is template-heavy or mis-languaged (the drift
