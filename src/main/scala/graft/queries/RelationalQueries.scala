@@ -2942,6 +2942,41 @@ object RelationalQueries {
           sum(col("r")).cast("double").as("revenue"),
           (sum(col("r")).cast("double") / min(col("tot")).cast("double"))
             .as("revenue_share"))
+    },
+
+    // --- maximum drawdown (q109): the peak-to-trough statistic over the
+    // --- daily net-value series (value - 50 per event as the signed
+    // --- daily flow): cumulative sum, running maximum, drawdown = peak −
+    // --- cum, max over days — all exact decimals until reporting. One
+    // --- aggregation to the O(days) frame, two windows on it. -----------
+    q("q109_max_drawdown",
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+        |  SUM(CAST(value AS DECIMAL(18,4)) - 50) AS flow
+        |  FROM events GROUP BY 1),
+        |c AS (SELECT day, flow,
+        |  SUM(flow) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM daily),
+        |dd AS (SELECT day, cum,
+        |  MAX(cum) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS peak
+        |  FROM c)
+        |SELECT COUNT(*) AS n_days,
+        |  CAST(MAX(peak - cum) AS DOUBLE) AS max_drawdown,
+        |  CAST(MAX(peak) AS DOUBLE) AS max_peak,
+        |  CAST(MIN(cum) AS DOUBLE) AS min_cum
+        |FROM dd""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(col("value").cast(DecimalType(18, 4)) - 50).as("flow"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val dd = daily
+        .withColumn("cum", sum(col("flow")).over(w))
+        .withColumn("peak", max(col("cum")).over(w))
+      dd.agg(count(lit(1)).as("n_days"),
+        max(col("peak") - col("cum")).cast("double").as("max_drawdown"),
+        max(col("peak")).cast("double").as("max_peak"),
+        min(col("cum")).cast("double").as("min_cum"))
     }
   )
 
