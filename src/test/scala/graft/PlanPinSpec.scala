@@ -314,6 +314,18 @@ class PlanPinSpec extends AnyFunSuite {
       s"the fp join is the inverted index:\n$p")
   }
 
+  test("inventory invariant: every declared query publishes oracle SQL") {
+    // the repo's core claim is ALL gates hash-exact against DuckDB; a query
+    // added without an oracle would silently downgrade to a rows-only check
+    // in the driver's ledger — fail HERE instead
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    assert(qs == os,
+      s"missing oracles: ${(qs -- os).toSeq.sorted.mkString(", ")}; " +
+        s"orphan oracles: ${(os -- qs).toSeq.sorted.mkString(", ")}")
+    assert(qs.size >= 279, s"inventory shrank: ${qs.size}")
+  }
+
   test("partitioning invariance: rank/window-heavy gates identical at 5 vs 32 shuffle partitions") {
     // the failure mode this guards: a nondeterministic tie-break or a
     // partial-agg that isn't commutative shows up as different rows under a
