@@ -2977,6 +2977,27 @@ object RelationalQueries {
         max(col("peak") - col("cum")).cast("double").as("max_drawdown"),
         max(col("peak")).cast("double").as("max_peak"),
         min(col("cum")).cast("double").as("min_cum"))
+    },
+
+    // --- ties-inclusive top-k (q110): ALL parts tying into the 3 highest
+    // --- retail prices per brand — rank() ≤ k keeps every tying row where
+    // --- q11's row_number() arbitrarily breaks them (the semantics a "top
+    // --- 3 prices" business question usually means); output size is
+    // --- data-dependent by design. ---------------------------------------
+    q("q110_topk_with_ties",
+      """SELECT p_brand, p_partkey, p_retailprice,
+        |  CAST(rk AS BIGINT) AS price_rank
+        |FROM (SELECT *, RANK() OVER (PARTITION BY p_brand
+        |    ORDER BY p_retailprice DESC) AS rk FROM part) t
+        |WHERE rk <= 3""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      Tables.part(s, d)
+        .withColumn("price_rank", rank().over(
+          Window.partitionBy(col("p_brand"))
+            .orderBy(col("p_retailprice").desc)).cast("long"))
+        .filter(col("price_rank") <= 3)
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+          col("price_rank"))
     }
   )
 
