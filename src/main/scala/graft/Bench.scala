@@ -72,23 +72,45 @@ object Bench {
         -1.0
     }
 
-    // The driver captures a BOUNDED (~2,000-char) stdout tail; 101 full-name
-    // keys at 3 decimals is ~3.3 kB and arrived truncated (`parsed: null`) in
-    // BENCH r4 AND r5. Two defenses: (a) keys shrink to the unique gate
-    // prefix before the first '_' ("q46_auto_overlap_join" -> "q46") — ~1.4 kB
-    // total; (b) ms precision (sub-ms jitter is noise anyway). If two names
-    // ever shared a prefix the full names are kept for both (correct > short).
+    // The driver captures a BOUNDED (~2,000-char) stdout tail. A per-query
+    // map for 280+ gates cannot fit that window at any key compression
+    // (BENCH r4–r7 all arrived truncated, `parsed: null`). So: the stdout
+    // line is a SUMMARY guaranteed < 1,800 chars — total, per-family sums,
+    // the 10 slowest gates, cdc throughput — and the full per-query map is
+    // written to BENCH_DETAIL.json in the repo root (committed each round)
+    // for round-over-round per-query diffing.
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def prefix(name: String): String = name.takeWhile(_ != '_')
-    val prefixCounts = results.groupBy { case (k, _) => prefix(k) }
-      .map { case (p, g) => p -> g.size }
-    val qs = results.map { case (k, v) =>
-      val key = if (prefixCounts(prefix(k)) == 1) prefix(k) else k
-      "\"" + key + "\":" + fmt(v)
-    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
-      s""""cdc_events_per_sec":${cdcEps.toLong},"sf":"$sfDir"}""")
+    val nFailed = results.count(_._2 < 0)
+    // family = the gate prefix stripped of digits: q01->q, txt05->txt, vec10->vec
+    val families = results.groupBy { case (k, _) => prefix(k).replaceAll("[0-9]+$", "") }
+      .toSeq.sortBy(_._1)
+      .map { case (f, g) => "\"" + f + "\":" + fmt(g.map(_._2).filter(_ >= 0).sum) }
+      .mkString("{", ",", "}")
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + prefix(k) + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
+      s""""n_failed":$nFailed,"families":$families,"slowest":$slowest,""" +
+      s""""cdc_events_per_sec":${cdcEps.toLong},"sf":"$sfDir"}"""
+    require(line.length < 1800,
+      s"bench summary line is ${line.length} chars — exceeds the driver's " +
+      "2,000-char stdout capture window; shrink the summary, not the surface")
+    // full per-query detail → repo root, diffable against BASELINE.md
+    val detail = results.map { case (k, v) => "  \"" + k + "\": " + fmt(v) }
+      .mkString(
+        s"""{\n  "_total_sec": ${fmt(total)},\n  "_n_queries": ${results.size},\n""" +
+        s"""  "_cdc_events_per_sec": ${cdcEps.toLong},\n  "_sf": "$sfDir",\n""",
+        ",\n", "\n}\n")
+    try {
+      val out = java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json")
+      java.nio.file.Files.write(out, detail.getBytes("UTF-8"))
+    } catch { // detail file is best-effort; the stdout contract must survive
+      case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}")
+    }
+    println(line)
     spark.stop()
   }
 }

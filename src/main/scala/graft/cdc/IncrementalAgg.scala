@@ -172,11 +172,13 @@ object IncrementalAgg {
     * must cancel bit-exactly); cast at read time if doubles are wanted.
     */
   def foldStanding(spark: org.apache.spark.sql.SparkSession, dir: String,
-      deltas: DataFrame, numBuckets: Int = 64): Int = {
+      deltas: DataFrame, numBuckets: Int = 64,
+      batchId: Option[Long] = None): Int = {
     val dec = DecimalType(28, 4)
     val contrib = deltas.select(col("grp"),
       col("dn").as("n_live"), col("dv").cast(dec).as("sum_value"))
-    MaterializedTable.mergeBuckets(spark, dir, contrib, Seq("grp"), numBuckets) {
+    MaterializedTable.mergeBuckets(spark, dir, contrib, Seq("grp"), numBuckets,
+      batchId) {
       combined =>
         combined.groupBy(col("_bucket"), col("grp"))
           .agg(sum(col("n_live")).as("n_live"),
@@ -191,18 +193,20 @@ object IncrementalAgg {
     * no-op. (Replayed EVENTS are already silent — [[streamingDeltas]] emits
     * nothing for non-advancing replays; this closes the batch-level half.)
     *
-    * Honest scope: the marker is written AFTER the fold commits, so a crash
-    * in between re-folds on retry — a window only a transactional sink
-    * (Delta/Iceberg MERGE with txn ids) removes entirely; this is the
-    * documented swap-point (MaterializedTable scaladoc). Marker files are
-    * O(batches) empty files, prunable up to the checkpoint's committed id.
+    * Exactly-once: the batch id also rides into the standing table's
+    * manifest ([[MaterializedTable.mergeBuckets]]'s watermark), which
+    * commits in the SAME atomic rename as the data — so even a crash after
+    * the fold but before the marker write cannot double-fold on retry (the
+    * manifest guard catches it). The marker file is a read-free fast path;
+    * markers are O(batches) empty files, prunable up to the checkpoint's
+    * committed id.
     */
   def foldStandingBatch(spark: org.apache.spark.sql.SparkSession, dir: String,
       deltas: DataFrame, batchId: Long, numBuckets: Int = 64): Int = {
     val marker = new org.apache.hadoop.fs.Path(s"$dir/_applied/$batchId")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(marker)) return 0
-    val n = foldStanding(spark, dir, deltas, numBuckets)
+    val n = foldStanding(spark, dir, deltas, numBuckets, Some(batchId))
     fs.mkdirs(marker.getParent)
     fs.create(marker, true).close()
     n

@@ -200,14 +200,10 @@ object JoinView {
       struct(side.orderCols.map(col): _*).as("_o"): _*).limit(0)
 
   private def readLatestOr(spark: org.apache.spark.sql.SparkSession,
-      dir: String, batch: DataFrame, side: Side): DataFrame = {
-    val hPath = new org.apache.hadoop.fs.Path(dir)
-    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val has = fs.exists(hPath) &&
-      fs.listStatus(hPath).exists(_.getPath.getName.startsWith("_bucket="))
-    if (has) MaterializedTable.readState(spark, dir).drop("_bucket")
+      dir: String, batch: DataFrame, side: Side): DataFrame =
+    if (MaterializedTable.exists(spark, dir))
+      MaterializedTable.readState(spark, dir).drop("_bucket")
     else emptyLatest(batch, side)
-  }
 
   /** Merge one side's batch-final versions into its bucketed latest table:
     * newer-of per key inside the touched buckets only (stale incoming rows
@@ -242,47 +238,119 @@ object JoinView {
     *      dataflow — only touched buckets read/rewritten);
     *   4. ΔV = ΔA⋈B_old + A_new⋈ΔB, folded into the view table by
     *      grouped-sum combine; fully-retracted rows vanish (emptied
-    *      buckets deleted by the merge machinery).
+    *      buckets dropped from the view manifest).
     *
-    * Batch retries are DOUBLY safe: a re-fold under the same `batchId` is
-    * a marker-guarded no-op ([[IncrementalAgg.foldStandingBatch]]
-    * discipline), and a redelivery under a NEW id folds empty deltas (the
-    * advance guard) — both leave every table byte-stable.
+    * == Crash/retry protocol (a fold spans THREE tables) ==
+    *
+    * Each single-table mutation is already atomic (manifest swap), but the
+    * fold mutates latest_a, latest_b and view in sequence, and the deltas
+    * are a function of the PRE-advance states — a naive retry after a crash
+    * between the latest merges and the view merge would recompute deltas
+    * against the already-advanced latest tables, find nothing to do (the
+    * advance guard), and silently drop the batch's view contribution.
+    * So the fold is a staged two-phase apply:
+    *
+    *   1. STAGE: compute ΔA/ΔB and the delta-adjacent slice of live B_old
+    *      from the CURRENT states and persist them under
+    *      `_staged/<batchId>` before mutating anything; a `_COMPLETE` flag
+    *      commits the stage (a crash mid-staging recomputes — nothing has
+    *      advanced yet).
+    *   2. APPLY: merge both latest tables (newer-of — idempotent under
+    *      retry), then fold ΔV into the view with the batch id threaded
+    *      into the manifest guard — a retry that finds the view already at
+    *      this watermark is a no-op, so the sum-fold can never double-count.
+    *   3. MARK+CLEAN: the `_applied/<batchId>` marker is a fast-path
+    *      short-circuit only (correctness rests on the stage + manifest
+    *      watermark); the staged files are then deleted.
+    *
+    * A retry at ANY crash point therefore converges: before the stage flag
+    * it restarts from scratch; after it, the staged deltas replay the exact
+    * original apply (latest merges idempotent, view merge watermark-
+    * guarded). A redelivery under a NEW batch id folds empty deltas (the
+    * advance guard) — byte-stable either way.
     *
     * Returns the number of view buckets rewritten.
     */
   def foldPersisted(spark: org.apache.spark.sql.SparkSession, dir: String,
       batchA: DataFrame, batchB: DataFrame, a: Side, b: Side,
-      batchId: Long, numBuckets: Int = 64): Int = {
+      batchId: Long, numBuckets: Int = 64): Int =
+    foldPersistedInjected(spark, dir, batchA, batchB, a, b, batchId, numBuckets, "")
+
+  /** Crash-simulation seam for the recovery specs: `crashAt` ∈
+    * {"after_stage", "after_latest_merge", "after_view_merge"} aborts the
+    * fold at that point, modelling a process death between the protocol's
+    * phases. Production callers use [[foldPersisted]] (no injection).
+    */
+  private[cdc] final class InjectedCrash(at: String)
+    extends RuntimeException(s"injected crash at $at")
+
+  private[cdc] def foldPersistedInjected(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      batchA: DataFrame, batchB: DataFrame, a: Side, b: Side,
+      batchId: Long, numBuckets: Int, crashAt: String): Int = {
+    def maybeCrash(point: String): Unit =
+      if (crashAt == point) throw new InjectedCrash(point)
     val marker = new org.apache.hadoop.fs.Path(s"$dir/_applied/$batchId")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(marker)) return 0
-    val prevA = readLatestOr(spark, s"$dir/latest_a", batchA, a)
-    // prevB feeds the ΔA⋈B_old join AFTER the merges overwrite latest_b's
-    // files — materialize it now or the late join reads deleted parquet
-    val prevB = readLatestOr(spark, s"$dir/latest_b", batchB, b)
-      .localCheckpoint()
-    val dA = deltas(prevA, batchA, a).localCheckpoint()
-    val dB = deltas(prevB, batchB, b).localCheckpoint()
+    val stagedDir = s"$dir/_staged/$batchId"
+    val stagedFlag = new org.apache.hadoop.fs.Path(s"$stagedDir/_COMPLETE")
+    // staged reads use explicit schemas: a zero-row parquet write may emit
+    // no data files, and the schemas are derivable from the batch shapes
+    val deltaSchemaA = batchA.select(a.payloadCols.map(col): _*)
+      .withColumn("dn", lit(-1L)).schema
+    val deltaSchemaB = batchB.select(b.payloadCols.map(col): _*)
+      .withColumn("dn", lit(-1L)).schema
+    val bOldSchema = emptyLatest(batchB, b).schema
+    if (!fs.exists(stagedFlag)) {
+      // fresh attempt (or crash mid-staging — nothing has advanced yet):
+      // recompute from the CURRENT states and overwrite the stage wholesale
+      val stPath = new org.apache.hadoop.fs.Path(stagedDir)
+      if (fs.exists(stPath)) fs.delete(stPath, true)
+      val prevA = readLatestOr(spark, s"$dir/latest_a", batchA, a)
+      val prevB = readLatestOr(spark, s"$dir/latest_b", batchB, b)
+        .localCheckpoint()
+      val dA0 = deltas(prevA, batchA, a).localCheckpoint()
+      deltas(prevB, batchB, b).write.parquet(s"$stagedDir/db")
+      dA0.write.parquet(s"$stagedDir/da")
+      // only the ΔA-adjacent slice of live B_old is ever joined — staging
+      // the semi-join keeps the stage O(delta-adjacent), not O(|B|)
+      prevB.filter(col("_live"))
+        .join(dA0.select(col(a.joinCol).as("_jv")).distinct(),
+          col(b.joinCol) === col("_jv"), "left_semi")
+        .write.parquet(s"$stagedDir/b_old")
+      fs.create(stagedFlag, true).close()
+    }
+    maybeCrash("after_stage")
+    val dA = spark.read.schema(deltaSchemaA).parquet(s"$stagedDir/da")
+    val dB = spark.read.schema(deltaSchemaB).parquet(s"$stagedDir/db")
+    val bOldLive = spark.read.schema(bOldSchema).parquet(s"$stagedDir/b_old")
+    // newer-of merges are idempotent — safe to re-run on retry
     mergeLatest(spark, s"$dir/latest_a", batchA, a, numBuckets)
     mergeLatest(spark, s"$dir/latest_b", batchB, b, numBuckets)
+    maybeCrash("after_latest_merge")
     val viewCols = a.payloadCols ++ b.payloadCols
+    // A_new is retry-stable: the idempotent merge above makes the post-
+    // advance latest_a identical on every attempt of this batch
     val aNewLive = readLatestOr(spark, s"$dir/latest_a", batchA, a)
       .filter(col("_live"))
-    val bOldLive = prevB.filter(col("_live"))
     val dV = dA.join(bOldLive, dA(a.joinCol) === bOldLive(b.joinCol))
       .select(viewCols.map(col) :+ dA("dn").as("n"): _*)
       .unionByName(
         aNewLive.join(dB, aNewLive(a.joinCol) === dB(b.joinCol))
           .select(viewCols.map(col) :+ dB("dn").as("n"): _*))
+    // batchId threads into the view manifest: the watermark commits in the
+    // SAME atomic rename as the data, so a retried view fold is a no-op
     val touched = MaterializedTable.mergeBuckets(spark, s"$dir/view", dV,
-      Seq(a.joinCol), numBuckets) { combined =>
+      Seq(a.joinCol), numBuckets, Some(batchId)) { combined =>
         combined.groupBy((viewCols :+ "_bucket").map(col): _*)
           .agg(sum(col("n")).as("n"))
           .filter(col("n") > 0)
       }
+    maybeCrash("after_view_merge")
     fs.mkdirs(marker.getParent)
     fs.create(marker, true).close()
+    fs.delete(new org.apache.hadoop.fs.Path(stagedDir), true)
     touched
   }
 

@@ -7,20 +7,110 @@ import org.apache.spark.sql.functions._
   * SURVEY §7.4 answer to state growth: "prefer Delta-merge materialization
   * for 100 TB-scale tables, keyed state only for hot paths".
   *
-  * Layout: the state directory is hash-partitioned on the key into
-  * `_bucket=N` subdirectories. A merge then:
+  * == Storage protocol: versioned buckets + one atomically-swapped manifest ==
+  *
+  * Layout:
+  * {{{
+  *   dir/_graft_manifest.json        # THE commit point (atomic rename swap)
+  *   dir/v3/_bucket=7/part-….parquet # immutable once written
+  * }}}
+  *
+  * The manifest names the live file set: for every bucket, WHICH version
+  * directory currently holds it, plus the evolved schema and the last
+  * committed batch id. A merge:
   *   1. computes the buckets touched by the incoming changelog batch,
-  *   2. reads ONLY those buckets of existing state (partition pruning),
+  *   2. reads ONLY those buckets of existing state (manifest-directed,
+  *      path-level pruning — untouched buckets are never listed),
   *   3. compacts existing ∪ incoming per key,
-  *   4. rewrites only the touched buckets (dynamic partition overwrite).
+  *   4. writes the result to a NEW version directory (never overwrites
+  *      a live file),
+  *   5. commits by renaming a fully-written manifest over the old one —
+  *      ONE atomic filesystem operation flips every touched bucket at once.
+  *
+  * This is the transaction-log discipline of Delta/Iceberg without their
+  * jars, and the progress-only-on-full-ack rule of the reference's
+  * checkpointing (kafka/bottledwater.c:678–715 — the fsync LSN advances
+  * only after every output is acknowledged). Consequences:
+  *   - a reader NEVER sees a half-merged batch: until the manifest swap it
+  *     resolves the old file set, after it the new one;
+  *   - a crash anywhere before the swap leaves the committed snapshot
+  *     untouched (the partial version directory is unreferenced garbage,
+  *     deleted by the retry or [[vacuum]]);
+  *   - a retry of an already-committed batch id is a manifest-guarded
+  *     no-op (`lastBatchId` rides IN the manifest, so "data visible" and
+  *     "batch recorded" are the same atomic event — no marker-file window).
   *
   * At 100 TB with a well-sized bucket count, a micro-batch touching k keys
   * costs O(k/numBuckets · stateSize) IO — untouched buckets are never read
-  * or written. This is MERGE-INTO dataflow on a format without transaction
-  * logs; swap the writer for Delta/Iceberg MERGE when those jars exist and
-  * steps 1–3 stay identical.
+  * or written, and the manifest is O(numBuckets) metadata, not O(data).
+  * Single-writer discipline (one maintenance stream per table) is assumed,
+  * as in every log-structured table format without a locking service.
   */
 object MaterializedTable {
+
+  private val manifestFile = "_graft_manifest.json"
+
+  /** The live-file-set record. `buckets` maps bucket id → version directory
+    * holding its current files; `lastBatchId` is -1 until a batch-id-guarded
+    * merge commits.
+    */
+  private[cdc] final case class Manifest(
+      version: Long, lastBatchId: Long, schemaJson: String,
+      buckets: Map[Int, Long])
+
+  private def fsOf(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private[cdc] def readManifest(spark: SparkSession, dir: String): Option[Manifest] = {
+    val (fs, _) = fsOf(spark, dir)
+    val mPath = new org.apache.hadoop.fs.Path(dir, manifestFile)
+    if (!fs.exists(mPath)) return None
+    val in = fs.open(mPath)
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val buckets = scala.collection.mutable.Map.empty[Int, Long]
+    val it = root.get("buckets").properties().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      buckets(e.getKey.toInt) = e.getValue.asLong()
+    }
+    Some(Manifest(root.get("version").asLong(), root.get("lastBatchId").asLong(),
+      root.get("schema").toString, buckets.toMap))
+  }
+
+  /** Commit: write the manifest to a temp name, fsync-close, then
+    * FileContext.rename(OVERWRITE) into place — a true atomic replace on
+    * HDFS/local (plain FileSystem.rename won't overwrite; delete-then-rename
+    * opens a no-manifest window; rename throws instead of returning an
+    * ignorable boolean). Everything before this call is invisible to
+    * readers; everything after it is the new snapshot.
+    */
+  private[cdc] def writeManifest(spark: SparkSession, dir: String, m: Manifest): Unit = {
+    val (fs, hPath) = fsOf(spark, dir)
+    if (!fs.exists(hPath)) fs.mkdirs(hPath)
+    val json = {
+      val b = m.buckets.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+      s"""{"version":${m.version},"lastBatchId":${m.lastBatchId},""" +
+        s""""buckets":$b,"schema":${m.schemaJson}}"""
+    }
+    val primary = new org.apache.hadoop.fs.Path(dir, manifestFile)
+    val tmp = new org.apache.hadoop.fs.Path(dir, manifestFile + ".tmp")
+    val os = fs.create(tmp, true)
+    try os.write(json.getBytes("UTF-8")) finally os.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      primary.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, primary, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Does a committed state exist at `dir`? (Manifest presence — partial
+    * uncommitted version directories do NOT count, by design.)
+    */
+  private[cdc] def exists(spark: SparkSession, dir: String): Boolean =
+    readManifest(spark, dir).isDefined
 
   /** Stable bucket of the key columns (Spark murmur3 — internal layout only,
     * nothing external depends on it).
@@ -32,11 +122,13 @@ object MaterializedTable {
     *
     * @param updates  changelog rows (op/key/order columns, SURVEY envelope
     *                 or any keyed changelog)
+    * @param batchId  optional monotonic batch id; a retry of an id at or
+    *                 below the manifest's committed watermark is a no-op
     * @return the number of buckets rewritten
     */
   def merge(spark: SparkSession, dir: String, updates: DataFrame,
       keyCols: Seq[String], orderCols: Seq[String], opCol: String = "op",
-      numBuckets: Int = 64): Int = {
+      numBuckets: Int = 64, batchId: Option[Long] = None): Int = {
     // Schema evolution (below) applies to PAYLOAD columns only: a batch
     // missing a control column must fail here, not be null-backfilled — a
     // null op on a winning row would silently delete its key (null =!=
@@ -50,16 +142,44 @@ object MaterializedTable {
     // existing state re-enters compaction as the baseline: it must never
     // win against a genuinely newer incoming row, and vice versa — both
     // carry their original order columns, so plain compaction is correct.
-    mergeBuckets(spark, dir, updates, keyCols, numBuckets) { combined =>
+    mergeBuckets(spark, dir, updates, keyCols, numBuckets, batchId) { combined =>
       LatestState.batch(combined, keyCols, orderCols, opCol, keepDeleted = false)
     }
+  }
+
+  /** Read a subset of buckets through the manifest: group the wanted buckets
+    * by the version directory holding them, read each group with that
+    * version as `basePath` (partition inference recovers `_bucket`), and
+    * union by name with null-backfill — different versions may carry
+    * different (evolved) schemas. Path-level pruning: unwanted buckets are
+    * never even listed.
+    */
+  private def readBuckets(spark: SparkSession, dir: String, m: Manifest,
+      wanted: Seq[Int]): DataFrame = {
+    val live = m.buckets.filter { case (b, _) => wanted.contains(b) }
+    if (live.isEmpty) return emptyFromSchema(spark, m)
+    val byVersion = live.groupBy(_._2)
+    byVersion.toSeq.sortBy(_._1).map { case (v, bs) =>
+      val base = s"$dir/v$v"
+      val paths = bs.keys.toSeq.sorted.map(b => s"$base/_bucket=$b")
+      spark.read.option("mergeSchema", "true").option("basePath", base)
+        .parquet(paths: _*)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  private def emptyFromSchema(spark: SparkSession, m: Manifest): DataFrame = {
+    val schema = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
   /** The bucketed-merge dataflow shared by [[merge]] (latest-state
     * compaction) and [[IncrementalAgg.foldStanding]] (aggregate folding):
     * bucket the incoming rows on `bucketKeyCols`, read ONLY the touched
-    * buckets of existing state, apply `combine` to existing ∪ incoming, and
-    * rewrite the touched buckets. `combine` receives rows that still carry
+    * buckets of existing state, apply `combine` to existing ∪ incoming,
+    * write the result to a NEW version directory, and commit with one
+    * atomic manifest swap. `combine` receives rows that still carry
     * `_bucket` and must preserve it (grouping by the bucket's source key
     * keeps it functionally determined).
     *
@@ -69,19 +189,27 @@ object MaterializedTable {
     * not just the decoder): a NEW incoming column widens the state with old
     * rows null-backfilled; a DROPPED column keeps its historical values on
     * rows that still carry them (a newer incoming winner leaves it null).
+    *
+    * Crash safety: the write target `dir/v{N+1}` is provably unreferenced
+    * (manifest versions are monotonic), so a leftover from a crashed
+    * previous attempt is deleted wholesale before writing — a retry can
+    * never append into half-written garbage. A bucket whose keys all
+    * tombstoned simply drops out of the new manifest's bucket map (no
+    * explicit file deletes on the commit path). Superseded bucket
+    * directories are garbage-collected best-effort AFTER the swap.
     */
   private[cdc] def mergeBuckets(spark: SparkSession, dir: String,
-      updates: DataFrame, bucketKeyCols: Seq[String], numBuckets: Int)(
+      updates: DataFrame, bucketKeyCols: Seq[String], numBuckets: Int,
+      batchId: Option[Long] = None)(
       combine: DataFrame => DataFrame): Int = {
-    // Hadoop FS, not java.io.File: state dirs live on HDFS/S3 at scale, where
-    // a local-File exists() would silently report false and corrupt the merge.
-    val hPath = new org.apache.hadoop.fs.Path(dir)
-    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // "has state" = bucket directories present, not bare path existence: a
-    // pre-created empty directory (mkdir-then-merge is a common callsite
-    // shape) must take the first-write path, not a doomed read.
-    val exists = fs.exists(hPath) &&
-      fs.listStatus(hPath).exists(_.getPath.getName.startsWith("_bucket="))
+    val prior = readManifest(spark, dir)
+    // idempotent retry: the committed watermark rides in the manifest, so
+    // "data visible" and "batch recorded" are one atomic event. Batch ids
+    // are monotonic (foreachBatch contract); at-or-below-watermark = replay.
+    batchId.foreach { id =>
+      if (prior.exists(_.lastBatchId >= id)) return 0
+    }
+    val (fs, _) = fsOf(spark, dir)
     // persist: the updates plan feeds both the touched-bucket collect and the
     // combine/write — without this it would execute twice
     val incoming = updates.withColumn("_bucket", bucketCol(bucketKeyCols, numBuckets))
@@ -89,58 +217,91 @@ object MaterializedTable {
     try {
       val touched = incoming.select("_bucket").distinct()
         .collect().map(_.getInt(0)).sorted
-      val combined = if (exists) {
-        val existing = readState(spark, dir)
-          .filter(col("_bucket").isin(touched.map(Integer.valueOf).toSeq: _*))
-        existing.unionByName(incoming, allowMissingColumns = true)
-      } else incoming
+      val combined = prior match {
+        case Some(m) =>
+          readBuckets(spark, dir, m, touched.toIndexedSeq)
+            .unionByName(incoming, allowMissingColumns = true)
+        case None => incoming.toDF()
+      }
       val out = combine(combined)
         .localCheckpoint() // computed twice below (write + bucket list)
-      // partitionOverwriteMode as a per-write option, NOT a session conf
-      // mutation: a spark.conf.set would leak dynamic-overwrite semantics to
-      // concurrent writes on the same session (and the finally-restore could
-      // clobber a concurrent merge's setting).
-      out
-        .write.mode(if (exists) "overwrite" else "append")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("_bucket")
-        .parquet(dir)
-      // dynamic overwrite only replaces partitions PRESENT in the output: a
-      // touched bucket whose keys were all tombstoned (or whose groups all
-      // retracted to zero) writes zero rows and would silently keep its
-      // stale files — delete those explicitly.
+      val newV = prior.map(_.version + 1).getOrElse(1L)
+      val vDir = new org.apache.hadoop.fs.Path(s"$dir/v$newV")
+      // leftover from a crashed attempt at this same version: unreferenced
+      // by construction (manifest.version < newV bounds every live bucket)
+      if (fs.exists(vDir)) fs.delete(vDir, true)
+      out.write.mode("append").partitionBy("_bucket").parquet(vDir.toString)
       val written = out.select("_bucket").distinct()
         .collect().map(_.getInt(0)).toSet
-      for (b <- touched if !written.contains(b)) {
-        val p = new org.apache.hadoop.fs.Path(s"$dir/_bucket=$b")
-        if (fs.exists(p)) fs.delete(p, true)
-      }
-      // schema sidecar: an EMPTY state (first batch all tombstones, or every
-      // key later deleted) has no parquet footer to infer from — a
-      // partitioned write of zero rows emits no files at all — so the state
-      // schema rides in a `_`-prefixed file (invisible to parquet listing)
-      // and [[read]] reconstructs an empty relation from it. Rewritten on
-      // every merge so it always reflects the evolved (widened) schema.
-      // Written to a temp name, then renamed into place with
-      // FileContext.rename(OVERWRITE) — a true atomic replace on HDFS/local
-      // (plain FileSystem.rename won't overwrite, and delete-then-rename
-      // opens a window where a crash or concurrent reader sees NO sidecar
-      // at all; rename throws on failure instead of returning an ignorable
-      // boolean). [[readState]] additionally falls back to the .tmp file
-      // when the primary is absent, covering a crash between create and
-      // rename on a previous run.
-      val sidecar = new org.apache.hadoop.fs.Path(dir, schemaFile)
-      val sidecarTmp = new org.apache.hadoop.fs.Path(dir, schemaFile + ".tmp")
-      val os = fs.create(sidecarTmp, true)
-      try os.write(out.schema.json.getBytes("UTF-8")) finally os.close()
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        sidecar.toUri, spark.sparkContext.hadoopConfiguration)
-      fc.rename(sidecarTmp, sidecar,
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      val oldBuckets = prior.map(_.buckets).getOrElse(Map.empty)
+      val newBuckets = (oldBuckets -- touched) ++ written.map(_ -> newV)
+      val newWatermark = math.max(prior.map(_.lastBatchId).getOrElse(-1L),
+        batchId.getOrElse(-1L))
+      // COMMIT — everything above is invisible until this rename lands
+      writeManifest(spark, dir,
+        Manifest(newV, newWatermark, out.schema.json, newBuckets))
+      // post-commit GC of superseded bucket dirs (best-effort: a failure
+      // here leaves unreferenced files for vacuum(), never corruption)
+      try {
+        for (b <- touched; v <- oldBuckets.get(b)) {
+          val p = new org.apache.hadoop.fs.Path(s"$dir/v$v/_bucket=$b")
+          if (fs.exists(p)) fs.delete(p, true)
+        }
+        pruneEmptyVersionDirs(fs, dir, newV)
+      } catch { case _: java.io.IOException => () }
       touched.length
     } finally {
       incoming.unpersist()
     }
+  }
+
+  /** Drop version directories that no longer hold any bucket directory —
+    * but never the current version (its dir may legitimately be absent or
+    * empty after an all-tombstone merge, and deleting-then-recreating it
+    * would race the writer).
+    */
+  private def pruneEmptyVersionDirs(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, current: Long): Unit = {
+    val hPath = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(hPath)) return
+    for (st <- fs.listStatus(hPath)
+         if st.isDirectory && st.getPath.getName.startsWith("v")) {
+      val vn = scala.util.Try(st.getPath.getName.stripPrefix("v").toLong).toOption
+      if (vn.exists(_ != current) &&
+          !fs.listStatus(st.getPath).exists(_.getPath.getName.startsWith("_bucket=")))
+        fs.delete(st.getPath, true)
+    }
+  }
+
+  /** Delete every file the manifest does NOT reference: crashed partial
+    * version directories and GC stragglers. Safe under the single-writer
+    * assumption once in-flight readers of the prior snapshot have drained
+    * (the retention-window caveat of every lakehouse VACUUM). Returns the
+    * number of directories removed.
+    */
+  def vacuum(spark: SparkSession, dir: String): Int = {
+    val m = readManifest(spark, dir).getOrElse(return 0)
+    val (fs, hPath) = fsOf(spark, dir)
+    var removed = 0
+    for (st <- fs.listStatus(hPath)
+         if st.isDirectory && st.getPath.getName.startsWith("v")) {
+      val vn = scala.util.Try(st.getPath.getName.stripPrefix("v").toLong).toOption
+      vn.foreach { v =>
+        val liveHere = m.buckets.collect { case (b, bv) if bv == v => b }.toSet
+        if (liveHere.isEmpty && v != m.version) {
+          fs.delete(st.getPath, true); removed += 1
+        } else {
+          for (bSt <- fs.listStatus(st.getPath)
+               if bSt.getPath.getName.startsWith("_bucket=")) {
+            val b = bSt.getPath.getName.stripPrefix("_bucket=").toInt
+            if (!liveHere.contains(b)) {
+              fs.delete(bSt.getPath, true); removed += 1
+            }
+          }
+        }
+      }
+    }
+    removed
   }
 
   /** Bin-pack small files: rewrite every bucket whose parquet file count
@@ -157,69 +318,55 @@ object MaterializedTable {
     *
     * Shape: one job for all oversized buckets — `repartition(col(_bucket))`
     * hash-clusters each bucket wholly into one task, so the partitioned
-    * write emits exactly one file per bucket; dynamic partition overwrite
-    * replaces only the oversized buckets. IO is O(data in oversized
-    * buckets), the rewrite floor.
+    * write emits exactly one file per bucket; the same
+    * new-version + manifest-swap commit as a merge (readers of the old
+    * snapshot are undisturbed; a crash mid-compaction changes nothing).
     */
   def compact(spark: SparkSession, dir: String, maxFilesPerBucket: Int = 1): Int = {
     require(maxFilesPerBucket >= 1,
       s"maxFilesPerBucket must be >= 1, got $maxFilesPerBucket")
-    val hPath = new org.apache.hadoop.fs.Path(dir)
-    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(hPath)) return 0
-    val oversized = fs.listStatus(hPath).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("_bucket="))
-      .filter(st => fs.listStatus(st.getPath)
-        .count(_.getPath.getName.endsWith(".parquet")) > maxFilesPerBucket)
-      .map(_.getPath.getName.stripPrefix("_bucket=").toInt)
-      .sorted
+    val m = readManifest(spark, dir).getOrElse(return 0)
+    val (fs, _) = fsOf(spark, dir)
+    val oversized = m.buckets.toSeq.filter { case (b, v) =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/v$v/_bucket=$b")
+      fs.exists(p) && fs.listStatus(p)
+        .count(_.getPath.getName.endsWith(".parquet")) > maxFilesPerBucket
+    }.map(_._1).sorted
     if (oversized.isEmpty) return 0
-    readState(spark, dir)
-      .filter(col("_bucket").isin(oversized.map(Integer.valueOf): _*))
+    val out = readBuckets(spark, dir, m, oversized)
       .repartition(oversized.size, col("_bucket"))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("_bucket")
-      .parquet(dir)
+      .localCheckpoint()
+    val newV = m.version + 1
+    val vDir = new org.apache.hadoop.fs.Path(s"$dir/v$newV")
+    if (fs.exists(vDir)) fs.delete(vDir, true)
+    out.write.mode("append").partitionBy("_bucket").parquet(vDir.toString)
+    val newBuckets = m.buckets ++ oversized.map(_ -> newV)
+    writeManifest(spark, dir,
+      Manifest(newV, m.lastBatchId, out.schema.json, newBuckets))
+    try {
+      for (b <- oversized; v <- m.buckets.get(b)) {
+        val p = new org.apache.hadoop.fs.Path(s"$dir/v$v/_bucket=$b")
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      pruneEmptyVersionDirs(fs, dir, newV)
+    } catch { case _: java.io.IOException => () }
     oversized.size
   }
 
-  /** State-dir read with schema merging: after a widening merge, TOUCHED
-    * buckets carry the new schema while untouched buckets keep the old one —
-    * a plain parquet read would pin whichever file it sampled first and
-    * silently drop the new column from the other buckets.
+  /** Current state snapshot as the manifest names it (bucket column kept).
     *
-    * Scale note: mergeSchema reconciles footers, not data — O(files) metadata
-    * work, not a scan. On a no-evolution table it is a no-op.
+    * Scale note: mergeSchema reconciles footers, not data — O(files)
+    * metadata work, not a scan; on a no-evolution table it is a no-op.
+    * An empty state (first batch all tombstones, or every key later
+    * deleted) reconstructs a zero-row relation from the manifest schema —
+    * a partitioned write of zero rows emits no files at all.
     */
   private[cdc] def readState(spark: SparkSession, dir: String): DataFrame = {
-    val hPath = new org.apache.hadoop.fs.Path(dir)
-    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasBuckets = fs.exists(hPath) &&
-      fs.listStatus(hPath).exists(_.getPath.getName.startsWith("_bucket="))
-    if (hasBuckets) spark.read.option("mergeSchema", "true").parquet(dir)
-    else {
-      // a merged-but-currently-empty state (every key tombstoned) has no
-      // parquet to infer from; the sidecar schema written by every merge
-      // reconstructs the empty relation instead of UNABLE_TO_INFER_SCHEMA.
-      // Fall back to the .tmp file if the primary is missing — a crash
-      // between the sidecar create and its atomic rename leaves only the
-      // fully-written temp (merge always finishes the write before rename).
-      val primary = new org.apache.hadoop.fs.Path(dir, schemaFile)
-      val tmp = new org.apache.hadoop.fs.Path(dir, schemaFile + ".tmp")
-      val sf = if (fs.exists(primary)) primary else tmp
-      require(fs.exists(sf), s"no materialized state at $dir")
-      val in = fs.open(sf)
-      val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      val schema = org.apache.spark.sql.types.DataType.fromJson(json)
-        .asInstanceOf[org.apache.spark.sql.types.StructType]
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    }
+    val m = readManifest(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no materialized state at $dir"))
+    if (m.buckets.isEmpty) emptyFromSchema(spark, m)
+    else readBuckets(spark, dir, m, m.buckets.keys.toSeq)
   }
-
-  private val schemaFile = "_graft_schema.json"
 
   /** Current materialized state (bucket column dropped). */
   def read(spark: SparkSession, dir: String): DataFrame =

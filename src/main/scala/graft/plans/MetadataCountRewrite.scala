@@ -41,7 +41,10 @@ object MetadataCountRewrite extends Rule[LogicalPlan] {
     .getConfString("spark.graft.metaCount.enabled", "false").toBoolean
 
   private def isPlainCountStar(e: AggregateExpression): Boolean = e match {
-    case AggregateExpression(Count(Seq(Literal(_, _))), _, false, None, _) => true
+    // v != null: COUNT(NULL) counts non-null values (always 0) — it must
+    // NOT rewrite to the footer total. Only COUNT(*)/COUNT(1)-shaped
+    // non-null literals qualify.
+    case AggregateExpression(Count(Seq(Literal(v, _))), _, false, None, _) if v != null => true
     case _ => false
   }
 

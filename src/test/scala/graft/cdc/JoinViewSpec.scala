@@ -143,6 +143,41 @@ class JoinViewSpec extends AnyFunSuite {
       .agg(max($"n")).head().getLong(0) == 1L)
   }
 
+  test("persisted fold crash recovery: retry after ANY crash point converges, never double-counts") {
+    val a = aDf(aRows); val b = bDf(bRows)
+    val (a1, a2) = (a.filter($"lsn" <= 5), a.filter($"lsn" > 5))
+    val (b1, b2) = (b.filter($"lsn" <= 5), b.filter($"lsn" > 5))
+    val expect = direct(a, b)
+    for (crashAt <- Seq("after_stage", "after_latest_merge", "after_view_merge")) {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_jvc").toString
+      JoinView.foldPersisted(spark, dir, a1, b1, aSide, bSide, batchId = 0,
+        numBuckets = 8)
+      // process dies mid-fold of batch 1...
+      intercept[JoinView.InjectedCrash] {
+        JoinView.foldPersistedInjected(spark, dir, a2, b2, aSide, bSide,
+          batchId = 1, numBuckets = 8, crashAt)
+      }
+      // ...and the retry of the SAME batch id must land the batch exactly
+      // once. The dangerous case is after_latest_merge: the latest tables
+      // have advanced, so a naive retry would compute empty deltas and
+      // silently drop batch 1's view contribution; the staged deltas replay
+      // it. after_view_merge tests the opposite hazard (double-fold),
+      // caught by the view manifest's batch-id watermark.
+      JoinView.foldPersisted(spark, dir, a2, b2, aSide, bSide, batchId = 1,
+        numBuckets = 8)
+      val got = JoinView.readPersistedView(spark, dir)
+        .select($"user_id", $"user_value", $"segment_id", $"segment_value")
+        .as[(Long, Double, Long, Double)].collect().toSet
+      assert(got == expect, s"crashAt=$crashAt")
+      assert(JoinView.readPersistedView(spark, dir)
+        .agg(max($"n")).head().getLong(0) == 1L,
+        s"multiplicity corruption after crashAt=$crashAt")
+      // staged files are cleaned up once the batch commits
+      assert(!new java.io.File(s"$dir/_staged/1").exists(),
+        s"stage not cleaned after crashAt=$crashAt")
+    }
+  }
+
   test("streaming maintain: tagged union stream folds per trigger; redelivery silent") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext

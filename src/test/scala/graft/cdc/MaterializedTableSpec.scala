@@ -35,6 +35,19 @@ class MaterializedTableSpec extends AnyFunSuite {
     assert(got == Map("a" -> "A2", "c" -> "C1", "d" -> "D1")) // b tombstoned
   }
 
+  /** Every live bucket dir across all version dirs: name → file set. */
+  private def bucketDirs(dir: String): Map[String, Set[(String, Long)]] = {
+    val root = new java.io.File(dir)
+    val vs = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v"))
+    vs.flatMap { v =>
+      v.listFiles().filter(_.getName.startsWith("_bucket=")).map { b =>
+        s"${v.getName}/${b.getName}" ->
+          b.listFiles().map(x => (x.getName, x.lastModified())).toSet
+      }
+    }.toMap
+  }
+
   test("a bucket whose keys are all deleted is physically purged") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_mat2").toString + "/state"
@@ -45,7 +58,8 @@ class MaterializedTableSpec extends AnyFunSuite {
     MaterializedTable.merge(spark, dir,
       Seq(ev("delete", "x", 3, null), ev("delete", "y", 4, null)).toDF(),
       Seq("key"), Seq("lsn", "seq"), numBuckets = 1)
-    assert(!new java.io.File(s"$dir/_bucket=0").exists(),
+    assert(MaterializedTable.read(spark, dir).count() == 0)
+    assert(bucketDirs(dir).isEmpty,
       "stale bucket files must not survive an all-tombstone merge")
   }
 
@@ -105,22 +119,20 @@ class MaterializedTableSpec extends AnyFunSuite {
     MaterializedTable.merge(spark, dir,
       (0 until 64).map(i => ev("insert", s"k$i", i, s"v$i")).toDF(),
       Seq("key"), Seq("lsn", "seq"), numBuckets = 16)
-    val before = new java.io.File(dir).listFiles()
-      .filter(_.getName.startsWith("_bucket="))
-      .map(f => f.getName -> f.listFiles().map(x => (x.getName, x.lastModified())).toSet)
-      .toMap
-    Thread.sleep(1100) // mtime granularity
+    // untouched buckets keep their EXACT files (same version dir, same
+    // mtimes): versioned writes never rewrite a live file in place
+    def byBucket() = bucketDirs(dir).map { case (k, v) =>
+      k.split('/')(1) -> (k, v)
+    }
+    val before = byBucket()
     // touch exactly one key
     val n = MaterializedTable.merge(spark, dir,
       Seq(ev("update", "k0", 1000, "v0b")).toDF(),
       Seq("key"), Seq("lsn", "seq"), numBuckets = 16)
     assert(n == 1)
-    val after = new java.io.File(dir).listFiles()
-      .filter(_.getName.startsWith("_bucket="))
-      .map(f => f.getName -> f.listFiles().map(x => (x.getName, x.lastModified())).toSet)
-      .toMap
-    val changed = before.keys.filter(k => before(k) != after.getOrElse(k, Set.empty))
-    assert(changed.size == 1, s"exactly one bucket dir should change, got $changed")
+    val after = byBucket()
+    val changed = before.keys.filter(k => before(k) != after.getOrElse(k, null))
+    assert(changed.size == 1, s"exactly one bucket should change, got $changed")
   }
 
   test("compact bin-packs oversized buckets to one file and leaves the rest untouched") {
@@ -130,12 +142,15 @@ class MaterializedTableSpec extends AnyFunSuite {
     // rows of every bucket, so each bucket dir holds one file per task (the
     // tiny in-test merge would be AQE-coalesced to one task, so lay the same
     // layout down directly; bucket assignment matches merge's bucketCol)
-    (0 until 512).map(i => ev("insert", s"k$i", i, s"v$i")).toDF()
+    val frag = (0 until 512).map(i => ev("insert", s"k$i", i, s"v$i")).toDF()
       .withColumn("_bucket", pmod(hash(col("key")), lit(2)))
-      .repartition(8)
-      .write.partitionBy("_bucket").parquet(dir)
-    def files(b: Int) = new java.io.File(s"$dir/_bucket=$b").listFiles()
-      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified())).toSet
+    frag.repartition(8)
+      .write.partitionBy("_bucket").parquet(s"$dir/v1")
+    MaterializedTable.writeManifest(spark, dir, MaterializedTable.Manifest(
+      1L, -1L, frag.schema.json, Map(0 -> 1L, 1 -> 1L)))
+    def files(b: Int) = bucketDirs(dir).collect {
+      case (k, v) if k.endsWith(s"_bucket=$b") => v
+    }.flatten.filter(_._1.endsWith(".parquet")).toSet
     val before0 = files(0)
     val before1 = files(1)
     assert(before0.size > 3 && before1.size > 3,
@@ -196,22 +211,74 @@ class MaterializedTableSpec extends AnyFunSuite {
     assert(MaterializedTable.read(spark, dir).count() == 0)
   }
 
-  test("sidecar crash window: read falls back to the .tmp schema file") {
+  test("crash between bucket write and manifest swap: reader sees the OLD snapshot; retry converges") {
     import spark.implicits._
-    // a crash between the sidecar's create and its atomic rename leaves
-    // only the fully-written .tmp — the empty-read path must still work
-    val dir = java.nio.file.Files.createTempDirectory("mt_sc").toString + "/state"
-    MaterializedTable.merge(spark, dir,
-      Seq(ev("delete", "k0", 10, null)).toDF(),
+    val dir = java.nio.file.Files.createTempDirectory("mt_crash").toString + "/state"
+    val batch1 = Seq(ev("insert", "a", 1, "A1"), ev("insert", "b", 2, "B1"))
+    val batch2 = Seq(ev("update", "a", 3, "A2"), ev("insert", "c", 4, "C1"))
+    MaterializedTable.merge(spark, dir, batch1.toDF(),
       Seq("key"), Seq("lsn", "seq"), numBuckets = 4)
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val primary = new org.apache.hadoop.fs.Path(dir, "_graft_schema.json")
-    val tmp = new org.apache.hadoop.fs.Path(dir, "_graft_schema.json.tmp")
-    // simulate the crash state: .tmp written, rename never happened
-    assert(fs.rename(primary, tmp), "setup: move primary to .tmp")
-    val empty = MaterializedTable.read(spark, dir)
-    assert(empty.count() == 0)
-    assert(empty.columns.contains("key") && empty.columns.contains("after"))
+    def state() = MaterializedTable.read(spark, dir)
+      .select("key", "after").as[(String, String)].collect().toMap
+    val snap1 = state()
+    assert(snap1 == Map("a" -> "A1", "b" -> "B1"))
+
+    // simulate the crash point: the next merge's output version dir (v2)
+    // half-landed — bucket files written, manifest swap never happened.
+    // Planted by hand because in a real crash neither the swap nor the
+    // post-commit GC ran (the committed v1 files are all still live).
+    batch2.toDF()
+      .withColumn("_bucket", pmod(hash(col("key")), lit(4)))
+      .write.partitionBy("_bucket").parquet(s"$dir/v2")
+
+    // a reader at the crash point resolves the committed snapshot, not the
+    // half-landed files
+    assert(state() == snap1, "uncommitted version files must be invisible")
+
+    // the retry deletes the stale attempt's version dir and converges
+    MaterializedTable.merge(spark, dir, batch2.toDF(),
+      Seq("key"), Seq("lsn", "seq"), numBuckets = 4)
+    assert(state() == Map("a" -> "A2", "b" -> "B1", "c" -> "C1"))
+    // and the whole history replayed from scratch agrees (no double rows)
+    val full = LatestState.batch((batch1 ++ batch2).toDF(),
+      Seq("key"), Seq("lsn", "seq"))
+      .select("key", "after").as[(String, String)].collect().toMap
+    assert(state() == full)
+  }
+
+  test("batch-id watermark rides in the manifest: a retried id is a no-op") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mt_wm").toString + "/state"
+    MaterializedTable.merge(spark, dir, Seq(ev("insert", "a", 1, "A1")).toDF(),
+      Seq("key"), Seq("lsn", "seq"), numBuckets = 4, batchId = Some(0L))
+    // same id retried — even with DIFFERENT (conflicting) content, nothing moves
+    val n = MaterializedTable.merge(spark, dir,
+      Seq(ev("insert", "zz", 99, "SHOULD_NOT_LAND")).toDF(),
+      Seq("key"), Seq("lsn", "seq"), numBuckets = 4, batchId = Some(0L))
+    assert(n == 0)
+    val got = MaterializedTable.read(spark, dir)
+      .select("key", "after").as[(String, String)].collect().toMap
+    assert(got == Map("a" -> "A1"))
+    // the next id folds normally
+    MaterializedTable.merge(spark, dir, Seq(ev("insert", "b", 2, "B1")).toDF(),
+      Seq("key"), Seq("lsn", "seq"), numBuckets = 4, batchId = Some(1L))
+    assert(MaterializedTable.read(spark, dir).count() == 2)
+  }
+
+  test("vacuum removes crashed-attempt garbage, never live files") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mt_vac").toString + "/state"
+    MaterializedTable.merge(spark, dir, Seq(ev("insert", "a", 1, "A1")).toDF(),
+      Seq("key"), Seq("lsn", "seq"), numBuckets = 4)
+    // plant a crashed partial attempt: an unreferenced version dir
+    Seq(ev("insert", "junk", 9, "J")).toDF()
+      .withColumn("_bucket", lit(0))
+      .write.partitionBy("_bucket").parquet(s"$dir/v99")
+    assert(MaterializedTable.vacuum(spark, dir) >= 1)
+    assert(!new java.io.File(s"$dir/v99").exists(), "garbage version removed")
+    val got = MaterializedTable.read(spark, dir)
+      .select("key", "after").as[(String, String)].collect().toMap
+    assert(got == Map("a" -> "A1"), "live snapshot untouched by vacuum")
+    assert(MaterializedTable.vacuum(spark, dir) == 0, "second vacuum is a no-op")
   }
 }
