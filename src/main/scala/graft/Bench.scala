@@ -88,28 +88,41 @@ object Bench {
       .toSeq.sortBy(_._1)
       .map { case (f, g) => "\"" + f + "\":" + fmt(g.map(_._2).filter(_ >= 0).sum) }
       .mkString("{", ",", "}")
-    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
-      .map { case (k, v) => "\"" + prefix(k) + "\":" + fmt(v) }
+    val slowTen = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
+    // key by bare prefix for brevity, BUT keep the full gate name when two
+    // of the ten share a prefix — duplicate JSON keys would make parsers
+    // silently keep only one timing
+    val slowest = slowTen
+      .map { case (k, v) =>
+        val p = prefix(k)
+        val key = if (slowTen.count(e => prefix(e._1) == p) > 1) k else p
+        "\"" + key + "\":" + fmt(v)
+      }
       .mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
       s""""n_failed":$nFailed,"families":$families,"slowest":$slowest,""" +
       s""""cdc_events_per_sec":${cdcEps.toLong},"sf":"$sfDir"}"""
-    require(line.length < 1800,
-      s"bench summary line is ${line.length} chars — exceeds the driver's " +
-      "2,000-char stdout capture window; shrink the summary, not the surface")
-    // full per-query detail → repo root, diffable against BASELINE.md
+    // full per-query detail — written BEFORE the stdout length guard below,
+    // so an oversized summary can never discard the run's per-query record;
+    // path resolves against the launch directory (overridable) rather than
+    // a hardcoded checkout location
     val detail = results.map { case (k, v) => "  \"" + k + "\": " + fmt(v) }
       .mkString(
         s"""{\n  "_total_sec": ${fmt(total)},\n  "_n_queries": ${results.size},\n""" +
         s"""  "_cdc_events_per_sec": ${cdcEps.toLong},\n  "_sf": "$sfDir",\n""",
         ",\n", "\n}\n")
     try {
-      val out = java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json")
+      val out = java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_DETAIL_PATH",
+        new java.io.File(sys.props("user.dir"), "BENCH_DETAIL.json").getPath))
       java.nio.file.Files.write(out, detail.getBytes("UTF-8"))
     } catch { // detail file is best-effort; the stdout contract must survive
       case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}")
     }
+    require(line.length < 1800,
+      s"bench summary line is ${line.length} chars — exceeds the driver's " +
+      "2,000-char stdout capture window; shrink the summary, not the surface")
     println(line)
     spark.stop()
   }

@@ -34,15 +34,36 @@ object Tables {
     * TimestampType; session tz is pinned UTC so wall values are identical).
     * Handle both so the loader survives testdata regeneration.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = load(s, d, "events")
-    df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ =>
-        df.withColumn("ts", col("ts").cast("timestamp"))
+  def events(s: SparkSession, d: String): DataFrame =
+    withNanosProbe(s)(load(s, d, "events")) { df =>
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          (true, df.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+        case _ =>
+          (false, df.withColumn("ts", col("ts").cast("timestamp")))
+      }
     }
+
+  /** Probe a possibly-TIMESTAMP(NANOS) parquet source under
+    * `nanosAsLong=true`, then fix the session conf: if the data really IS
+    * nanos-encoded the conf must STAY set (every later job re-resolves it
+    * at read time, not just at schema inference), but for any other
+    * encoding the caller's prior value is restored — a loader must not
+    * permanently change how unrelated nanos parquet reads behave on a
+    * shared session. `decide` returns (isNanos, fixed frame).
+    */
+  private[graft] def withNanosProbe(s: SparkSession)(read: => DataFrame)(
+      decide: DataFrame => (Boolean, DataFrame)): DataFrame = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    val (isNanos, fixed) =
+      try decide(read)
+      catch { case e: Throwable =>
+        prev.fold(s.conf.unset(key))(s.conf.set(key, _)); throw e
+      }
+    if (!isNanos) prev.fold(s.conf.unset(key))(s.conf.set(key, _))
+    fixed
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -212,11 +212,16 @@ object JoinView {
     * prior state).
     */
   private def mergeLatest(spark: org.apache.spark.sql.SparkSession,
-      dir: String, batch: DataFrame, side: Side, numBuckets: Int): Int = {
+      dir: String, batch: DataFrame, side: Side, numBuckets: Int,
+      batchId: Option[Long] = None): Int = {
     val updates = lastVersions(batch, side).select(
       side.payloadCols.map(n => col(s"_p.$n").as(n)) :+
         col("_live") :+ col("_o"): _*)
-    MaterializedTable.mergeBuckets(spark, dir, updates, side.keyCols, numBuckets) {
+    // batchId threads into the latest-table manifests too — ONE watermark
+    // discipline across all three standing tables (the newer-of combine is
+    // idempotent anyway, so the guard only saves the retried IO)
+    MaterializedTable.mergeBuckets(spark, dir, updates, side.keyCols,
+      numBuckets, batchId) {
       combined =>
         val others = combined.columns.filterNot(side.keyCols.contains)
         combined.groupBy(side.keyCols.map(col): _*)
@@ -292,8 +297,14 @@ object JoinView {
       if (crashAt == point) throw new InjectedCrash(point)
     val marker = new org.apache.hadoop.fs.Path(s"$dir/_applied/$batchId")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(marker)) return 0
     val stagedDir = s"$dir/_staged/$batchId"
+    if (fs.exists(marker)) {
+      // finish the MARK+CLEAN phase if a crash between marker creation and
+      // staged-dir delete left the stage behind (idempotent; without this
+      // the fast-path would leak _staged/<batchId> forever)
+      fs.delete(new org.apache.hadoop.fs.Path(stagedDir), true)
+      return 0
+    }
     val stagedFlag = new org.apache.hadoop.fs.Path(s"$stagedDir/_COMPLETE")
     // staged reads use explicit schemas: a zero-row parquet write may emit
     // no data files, and the schemas are derivable from the batch shapes
@@ -325,9 +336,10 @@ object JoinView {
     val dA = spark.read.schema(deltaSchemaA).parquet(s"$stagedDir/da")
     val dB = spark.read.schema(deltaSchemaB).parquet(s"$stagedDir/db")
     val bOldLive = spark.read.schema(bOldSchema).parquet(s"$stagedDir/b_old")
-    // newer-of merges are idempotent — safe to re-run on retry
-    mergeLatest(spark, s"$dir/latest_a", batchA, a, numBuckets)
-    mergeLatest(spark, s"$dir/latest_b", batchB, b, numBuckets)
+    // newer-of merges are idempotent AND watermark-guarded — a retry that
+    // finds a latest table already at this batch id skips its IO entirely
+    mergeLatest(spark, s"$dir/latest_a", batchA, a, numBuckets, Some(batchId))
+    mergeLatest(spark, s"$dir/latest_b", batchB, b, numBuckets, Some(batchId))
     maybeCrash("after_latest_merge")
     val viewCols = a.payloadCols ++ b.payloadCols
     // A_new is retry-stable: the idempotent merge above makes the post-
@@ -358,6 +370,32 @@ object JoinView {
   def readPersistedView(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
     MaterializedTable.readState(spark, s"$dir/view").drop("_bucket")
+
+  /** GC for the whole persisted-fold layout: vacuums each standing table
+    * (crashed partial version dirs, GC stragglers — manifest-guarded, see
+    * [[MaterializedTable.vacuum]]) AND prunes `_staged/<batchId>` trees
+    * whose `_applied` marker exists — the only staged dirs provably done
+    * (a marker-less stage may be an in-flight attempt and is left alone;
+    * correctness never depends on this cleanup, only disk usage does).
+    * Returns the number of directories removed.
+    */
+  def vacuum(spark: org.apache.spark.sql.SparkSession, dir: String): Int = {
+    var removed = 0
+    for (t <- Seq("latest_a", "latest_b", "view"))
+      if (MaterializedTable.exists(spark, s"$dir/$t"))
+        removed += MaterializedTable.vacuum(spark, s"$dir/$t")
+    val stagedRoot = new org.apache.hadoop.fs.Path(s"$dir/_staged")
+    val fs = stagedRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(stagedRoot)) {
+      for (st <- fs.listStatus(stagedRoot) if st.isDirectory) {
+        val id = st.getPath.getName
+        if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_applied/$id"))) {
+          fs.delete(st.getPath, true); removed += 1
+        }
+      }
+    }
+    removed
+  }
 
   /** STREAMING maintenance: the production wiring — one unified changelog
     * stream (the CDC topic union, rows tagged with which table they belong

@@ -32,7 +32,12 @@ import org.apache.spark.sql.functions._
   * checkpointing (kafka/bottledwater.c:678–715 — the fsync LSN advances
   * only after every output is acknowledged). Consequences:
   *   - a reader NEVER sees a half-merged batch: until the manifest swap it
-  *     resolves the old file set, after it the new one;
+  *     resolves the old file set, after it the new one (a reader holding
+  *     the OLD file set is safe only until the post-commit GC below
+  *     deletes superseded buckets — lakehouse formats solve this with a
+  *     retention window; here the window is "until the writer's next GC",
+  *     sufficient under the single-writer + short-scan deployment this
+  *     library assumes, and extensible by deferring GC to [[vacuum]]);
   *   - a crash anywhere before the swap leaves the committed snapshot
   *     untouched (the partial version directory is unreferenced garbage,
   *     deleted by the retry or [[vacuum]]);
@@ -319,8 +324,13 @@ object MaterializedTable {
     * Shape: one job for all oversized buckets — `repartition(col(_bucket))`
     * hash-clusters each bucket wholly into one task, so the partitioned
     * write emits exactly one file per bucket; the same
-    * new-version + manifest-swap commit as a merge (readers of the old
-    * snapshot are undisturbed; a crash mid-compaction changes nothing).
+    * new-version + manifest-swap commit as a merge (a crash mid-compaction
+    * changes nothing). Reader caveat, same as every merge: a reader that
+    * resolved the OLD manifest stays consistent only until the writer's
+    * post-commit GC deletes the superseded bucket files — concurrent
+    * long scans over a table being actively rewritten need a retention
+    * discipline (defer GC to a scheduled [[vacuum]]) that this
+    * single-writer library deliberately leaves to the deployment.
     */
   def compact(spark: SparkSession, dir: String, maxFilesPerBucket: Int = 1): Int = {
     require(maxFilesPerBucket >= 1,

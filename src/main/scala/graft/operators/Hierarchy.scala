@@ -37,6 +37,11 @@ object Hierarchy {
     var frontier = e          // the dist = 2^r paths only
     var depth = 1L
     var done = false
+    // each round persists its frontier; checkpointing the closure truncates
+    // the union's lineage so the PREVIOUS round's cache can be released —
+    // without this the loop pins O(log depth) cached frontiers and an
+    // ever-deepening plan (the Dedup CC-loop discipline)
+    var prevCached: Option[DataFrame] = None
     while (!done) {
       // frontier ∘ closure: extend each longest jump by every known path
       // of its endpoint — yields all dists in (2^r, 2^(r+1)]
@@ -46,15 +51,18 @@ object Hierarchy {
           col("dist").as("d2")), Seq("mid"))
         .select(col("node"), col("anc"), (col("d1") + col("d2")).as("dist"))
       val extC = ext.persist()
-      if (extC.isEmpty) done = true
+      if (extC.isEmpty) { extC.unpersist(); done = true }
       else {
-        closure = closure.unionByName(extC)
+        closure = closure.unionByName(extC).localCheckpoint()
+        prevCached.foreach(_.unpersist())
+        prevCached = Some(extC)
         frontier = extC.filter(col("dist") === depth * 2)
         depth *= 2
         require(depth <= maxDepth,
           s"hierarchy deeper than $maxDepth — cycle in the parent relation?")
       }
     }
+    prevCached.foreach(_.unpersist()) // closure is checkpointed — safe
     closure
   }
 
@@ -110,6 +118,8 @@ object Hierarchy {
     var frontier = e
     var depth = 1L
     var done = false
+    // same cache/lineage discipline as [[ancestorClosure]]
+    var prevCached: Option[DataFrame] = None
     while (!done) {
       val ext = frontier
         .select(col("node"), col("anc").as("mid"), col("w").as("w1"),
@@ -119,15 +129,18 @@ object Hierarchy {
         .select(col("node"), col("anc"), (col("w1") * col("w2")).as("w"),
           (col("d1") + col("d2")).as("dist"))
       val extC = ext.persist()
-      if (extC.isEmpty) done = true
+      if (extC.isEmpty) { extC.unpersist(); done = true }
       else {
-        closure = closure.unionByName(extC)
+        closure = closure.unionByName(extC).localCheckpoint()
+        prevCached.foreach(_.unpersist())
+        prevCached = Some(extC)
         frontier = extC.filter(col("dist") === depth * 2)
         depth *= 2
         require(depth <= maxDepth,
           s"hierarchy deeper than $maxDepth — cycle in the parent relation?")
       }
     }
+    prevCached.foreach(_.unpersist())
     val reflexive = nodes.select(col(idCol).as("node"),
         col(idCol).as("anc"), lit(1L).as("w"), lit(0L).as("dist"))
       .unionByName(closure)

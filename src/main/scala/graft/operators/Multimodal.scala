@@ -489,8 +489,14 @@ object Multimodal {
     val spark = batch.sparkSession
     val h = perceptualHash(batch, codec = codec).toDF()
       .groupBy(col("ph_hi"), col("ph_lo")).agg(min(col("doc_id")).as("keep_id"))
-    val existing =
-      try Some(spark.read.parquet(tableDir)) catch { case _: Throwable => None }
+    val existing = {
+      // exists-check, not a catch-all: a transient read failure must
+      // surface — swallowing it would silently reset the standing keeper
+      // table to this batch alone
+      val p = new org.apache.hadoop.fs.Path(tableDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) Some(spark.read.parquet(tableDir)) else None
+    }
     val merged = existing match {
       case None => h
       case Some(e) => e.unionByName(h)

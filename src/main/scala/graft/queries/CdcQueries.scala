@@ -1114,6 +1114,172 @@ object CdcQueries {
             asOfLsn = asOf)
           .select(col("key").cast("long").as("user_id"), col("lsn"), col("op"))
       graft.operators.TableDiff.diff(state(Some(3000L)), state(None), "user_id")
+    },
+
+    // --- stream–stream AS-OF join (cdc42): q32's point-in-time enrichment
+    // --- with BOTH sides live — each streamed purchase picks the single
+    // --- newest preceding product view of its user inside a 24 h
+    // --- lookback (or nulls, watermark-proven, when none exists). Two
+    // --- chained watermark-bounded stateful operators (interval left-outer
+    // --- join → windowed argmax); state O(rate × lookback), never
+    // --- O(history). Sentinel rows push the final watermark past the tail
+    // --- (bounded-drive discipline of cdc28/31); micro-batching via
+    // --- maxFilesPerTrigger exercises cross-batch join state. Oracle =
+    // --- the batch restatement: LEFT JOIN candidates in the window,
+    // --- row_number argmax by (ts, lsn) DESC — the exact tie-break the
+    // --- struct-max encodes. ----------------------------------------------
+    q("cdc42_stream_asof_join",
+      """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |u AS (SELECT * FROM events WHERE event_type = 'view'),
+        |cand AS (SELECT p.user_id, p.event_id AS purchase_lsn,
+        |    u.event_id AS state_lsn, u.value AS state_value,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY u.ts DESC, u.event_id DESC) AS rn
+        |  FROM p LEFT JOIN u ON p.user_id = u.user_id
+        |   AND u.ts <= p.ts AND u.ts >= p.ts - INTERVAL 24 HOUR)
+        |SELECT user_id, purchase_lsn, state_lsn, state_value
+        |FROM cand WHERE rn = 1""".stripMargin) { (s, d) =>
+      import graft.streaming.StreamStreamJoin
+      val ev = StreamStreamJoin.eventsStreamWithSentinel(s,
+        s"$d/events.parquet", Seq("purchase", "view"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_lsn"),
+          col("ts").as("p_ts"))
+      val updates = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("state_lsn"),
+          col("value").as("state_value"), col("ts").as("u_ts"))
+      val joined = StreamStreamJoin.asOfJoin(purchases, updates, "user_id",
+        "p_ts", "u_ts", lookback = "24 HOURS", watermark = "0 seconds",
+        rightCols = Seq("state_lsn", "state_value"))
+      StreamStreamJoin.runToMemory(s, joined,
+          s"cdc42_${java.util.UUID.randomUUID().toString.take(8)}")
+        .filter(col("user_id") >= 0)
+        .select("user_id", "purchase_lsn", "state_lsn", "state_value")
+    },
+
+    // --- manifest-swap commit protocol (cdc41): the transactional-sink
+    // --- crash drill as an oracle-checked query. Three commit-ordered
+    // --- batches fold through MaterializedTable.merge with batch ids;
+    // --- between batches 2 and 3 a crash is SIMULATED by planting a
+    // --- torn half-written next-version directory (raw non-parquet bytes
+    // --- — anything that ever reads it throws, which is the proof that
+    // --- nothing does). Verdict-as-data against the literal-TRUE oracle:
+    // ---   isolation_ok — a reader during the crash window resolves
+    // ---     exactly the committed snapshot (multiset-equal both ways);
+    // ---   retry_noop  — an at-watermark replay of batch 2 with
+    // ---     CONFLICTING content (values negated) is a guarded no-op.
+    // --- Batch 3's merge then retries OVER the planted garbage (the
+    // --- crashed version dir is deleted wholesale before writing), and
+    // --- the final state must hash-match DuckDB's replay of the whole
+    // --- changelog — no lost batch, no double fold. The reference's
+    // --- progress-only-on-full-ack rule (kafka/bottledwater.c:678–715)
+    // --- as a driver gate. ------------------------------------------------
+    q("cdc41_commit_protocol",
+      """WITH ranked AS (SELECT *, row_number() OVER (
+        |  PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events)
+        |SELECT user_id, event_id AS last_lsn, value AS last_value,
+        |  TRUE AS isolation_ok, TRUE AS retry_noop
+        |FROM ranked WHERE rn = 1 AND event_type <> 'error'""".stripMargin) { (s, d) =>
+      val env = ChangelogGen.fromEvents(s, d).toDF()
+        .select(col("op"), col("key"), col("lsn"), col("seq"),
+          get_json_object(col("after"), "$.value").cast("double").as("value"))
+      // one bounded scalar to the driver — the LSN split points; the
+      // oracle is batching-independent
+      val mx = env.agg(max(col("lsn"))).head().getLong(0)
+      def slice(lo: Long, hi: Long) =
+        env.filter(col("lsn") >= lo && col("lsn") < hi)
+      val dir = java.nio.file.Files.createTempDirectory("cdc41").toString + "/t"
+      val keyCols = Seq("key"); val ordCols = Seq("lsn", "seq")
+      MaterializedTable.merge(s, dir, slice(0L, mx / 3), keyCols, ordCols,
+        batchId = Some(1L))
+      MaterializedTable.merge(s, dir, slice(mx / 3, 2 * mx / 3), keyCols,
+        ordCols, batchId = Some(2L))
+      val committed = MaterializedTable.read(s, dir)
+      // CRASH: a torn write of the next version directory (the state a
+      // process death mid-merge leaves behind — data files present,
+      // manifest never swapped)
+      val vmax = new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+        .map(_.getName.drop(1).toLong).max
+      val torn = new java.io.File(s"$dir/v${vmax + 1}/_bucket=0")
+      torn.mkdirs()
+      java.nio.file.Files.write(
+        torn.toPath.resolve("part-00000-torn.snappy.parquet"),
+        "TORN MID-WRITE".getBytes("UTF-8"))
+      val duringCrash = MaterializedTable.read(s, dir)
+      val isolationOk = duringCrash.exceptAll(committed).isEmpty &&
+        committed.exceptAll(duringCrash).isEmpty
+      // at-watermark replay with conflicting content: guarded no-op —
+      // the negated values must never reach state
+      val poisoned = slice(mx / 3, 2 * mx / 3)
+        .withColumn("value", col("value") * -999)
+      val retryNoop = MaterializedTable.merge(s, dir, poisoned, keyCols,
+        ordCols, batchId = Some(2L)) == 0
+      // batch 3 retries over the planted garbage and commits normally
+      MaterializedTable.merge(s, dir, slice(2 * mx / 3, mx + 1), keyCols,
+        ordCols, batchId = Some(3L))
+      MaterializedTable.read(s, dir)
+        .select(col("key").cast("long").as("user_id"),
+          col("lsn").as("last_lsn"), col("value").as("last_value"),
+          lit(isolationOk).as("isolation_ok"), lit(retryNoop).as("retry_noop"))
+    },
+
+    // --- vacuum safety (cdc43): GC of unreferenced files as an oracle-
+    // --- checked query. After two committed merges, plant BOTH garbage
+    // --- classes a crash can leave: a torn next-version directory and a
+    // --- stray bucket directory inside a LIVE version dir (a GC straggler
+    // --- whose bucket the manifest does not reference there). vacuum()
+    // --- must remove exactly that garbage — planted paths gone from the
+    // --- filesystem (junk_removed) — while the committed state reads
+    // --- multiset-identical before and after (state_intact), proving
+    // --- vacuum can never touch a manifest-referenced file. --------------
+    q("cdc43_vacuum_safety",
+      """WITH ranked AS (SELECT *, row_number() OVER (
+        |  PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events)
+        |SELECT user_id, event_id AS last_lsn, value AS last_value,
+        |  TRUE AS state_intact, TRUE AS junk_removed
+        |FROM ranked WHERE rn = 1 AND event_type <> 'error'""".stripMargin) { (s, d) =>
+      val env = ChangelogGen.fromEvents(s, d).toDF()
+        .select(col("op"), col("key"), col("lsn"), col("seq"),
+          get_json_object(col("after"), "$.value").cast("double").as("value"))
+      val mx = env.agg(max(col("lsn"))).head().getLong(0)
+      val dir = java.nio.file.Files.createTempDirectory("cdc43").toString + "/t"
+      val keyCols = Seq("key"); val ordCols = Seq("lsn", "seq")
+      MaterializedTable.merge(s, dir, env.filter(col("lsn") <= mx / 2),
+        keyCols, ordCols, batchId = Some(1L))
+      MaterializedTable.merge(s, dir, env.filter(col("lsn") > mx / 2),
+        keyCols, ordCols, batchId = Some(2L))
+      val before = MaterializedTable.read(s, dir).localCheckpoint()
+      // garbage class 1: torn next-version dir (crashed merge)
+      val vmax = new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+        .map(_.getName.drop(1).toLong).max
+      val torn = new java.io.File(s"$dir/v${vmax + 1}/_bucket=0")
+      torn.mkdirs()
+      java.nio.file.Files.write(
+        torn.toPath.resolve("part-00000-torn.snappy.parquet"),
+        "TORN MID-WRITE".getBytes("UTF-8"))
+      // garbage class 2: a stray bucket dir in the LIVE version dir that
+      // the manifest does not reference there (a failed post-commit GC
+      // would leave this shape in an OLD version dir; planting it in the
+      // newest dir additionally proves vacuum checks the manifest, not
+      // directory recency)
+      val stray = new java.io.File(s"$dir/v$vmax/_bucket=9999")
+      stray.mkdirs()
+      java.nio.file.Files.write(
+        stray.toPath.resolve("part-00000-stale.snappy.parquet"),
+        "GC STRAGGLER".getBytes("UTF-8"))
+      val removed = MaterializedTable.vacuum(s, dir)
+      val junkRemoved = removed >= 2 &&
+        !torn.getParentFile.exists() && !stray.exists()
+      val after = MaterializedTable.read(s, dir)
+      val stateIntact = after.exceptAll(before).isEmpty &&
+        before.exceptAll(after).isEmpty
+      after
+        .select(col("key").cast("long").as("user_id"),
+          col("lsn").as("last_lsn"), col("value").as("last_value"),
+          lit(stateIntact).as("state_intact"),
+          lit(junkRemoved).as("junk_removed"))
     }
   )
 }

@@ -49,8 +49,14 @@ object SketchStream {
     val spark = batch.sparkSession
     val b = batch.groupBy(col(groupCol))
       .agg(expr(s"hll_sketch_agg($valueCol)").as("sk"))
-    val existing =
-      try Some(spark.read.parquet(tableDir)) catch { case _: Throwable => None }
+    val existing = {
+      // exists-check, not a catch-all: a transient read failure must
+      // surface — swallowing it would silently reset the accumulated
+      // sketch state to this batch alone
+      val p = new org.apache.hadoop.fs.Path(tableDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) Some(spark.read.parquet(tableDir)) else None
+    }
     val merged = existing match {
       case None => b
       case Some(e) => e.unionByName(b).groupBy(col(groupCol))

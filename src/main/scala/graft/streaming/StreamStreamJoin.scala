@@ -75,6 +75,65 @@ object StreamStreamJoin {
       .drop(rKey)
   }
 
+  /** Watermarked stream–stream AS-OF join: each left row is enriched with
+    * the single NEWEST right row (by `rightTs`) of the same `key` whose
+    * event time falls in `[leftTs - lookback, leftTs]` — the production
+    * enrichment shape when the dimension ALSO streams (a purchases topic
+    * joined to the newest preceding profile-update, README.md:30–32's
+    * "combine it with other streams"), where [[intervalJoin]] would fan
+    * out one row per candidate and a stream–static as-of
+    * (CdcPipeline.enrichAsOf) would freeze the dimension.
+    *
+    * Composition — two chained stateful operators, both watermark-bounded:
+    *   1. [[intervalJoinLeftOuter]] emits every in-window candidate pair
+    *      (and, watermark-proven, a null row for match-less left rows);
+    *   2. a windowed per-left-row aggregation picks the argmax candidate:
+    *      `max(struct(rightTs, rightCols…))` — struct ordering compares
+    *      fields left-to-right, so ties on `rightTs` resolve to the row
+    *      greatest on `rightCols` IN THE GIVEN ORDER (callers put a unique
+    *      id, e.g. the LSN, first to make the winner deterministic), and
+    *      the all-null struct of a match-less row loses to any real
+    *      candidate (null sorts first) — exactly left-outer as-of.
+    *
+    * Scale: state is O(rate × lookback) in the join plus O(rate ×
+    * windowSize) in the aggregation — both evicted by the watermark, so
+    * the query runs forever. The aggregation groups by `window(leftTs)`
+    * PLUS every left column: the window makes the group watermark-
+    * evictable (append-mode emission when the watermark passes it), the
+    * left columns make the group one-left-row (left rows are unique in
+    * practice; duplicates would collapse, as in any group-by).
+    *
+    * Bounded-drive caveat as for the outer joins: the watermark must pass
+    * the tail (sentinel) before trailing rows emit.
+    *
+    * @param rightCols right payload columns to take from the winning row
+    *                  (also the tie-break order after `rightTs`)
+    * @param windowSize tumbling-window width for the argmax groups — any
+    *                  value is semantically equivalent; it only tunes how
+    *                  long groups wait for the watermark
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, lookback: String, watermark: String,
+      rightCols: Seq[String], windowSize: String = "24 hours"): DataFrame = {
+    val joined = intervalJoinLeftOuter(left, right, key, leftTs, rightTs,
+      lookback, watermark)
+    val leftCols = left.columns.toSeq
+    val best = struct((rightTs +: rightCols).map(col): _*)
+    // the aggregation's event-time column is the WINDOW; the grouped copy
+    // of leftTs must shed its watermark metadata or the output would carry
+    // two event-time columns (rejected by the streaming planner)
+    val plainTs = "_asof_lts"
+    joined
+      .withColumn(plainTs,
+        col(leftTs).as(plainTs, org.apache.spark.sql.types.Metadata.empty))
+      .groupBy(window(col(leftTs), windowSize).as("_w") +:
+        leftCols.map(c => if (c == leftTs) col(plainTs) else col(c)): _*)
+      .agg(max(best).as("_best"))
+      .select(leftCols.map(c =>
+        if (c == leftTs) col(plainTs).as(leftTs) else col(c)) ++
+        rightCols.map(c => col(s"_best.$c").as(c)): _*)
+  }
+
   private def intervalJoinTyped(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, lookback: String,
       watermark: String, joinType: String): DataFrame = {
@@ -155,20 +214,28 @@ object StreamStreamJoin {
       sentinelTypes: Seq[String], maxFilesPerTrigger: Int = 1): DataFrame = {
     val p = java.nio.file.Paths.get(path)
     val dir = java.nio.file.Files.createTempDirectory("evsentinel")
-    java.nio.file.Files.createSymbolicLink(dir.resolve(p.getFileName), p)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(path)
-    val plus30d = raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => // nanos-as-long encoding
-        col("_mts") + lit(30L * 86400L * 1000L * 1000L * 1000L)
-      case _ => col("_mts") + expr("INTERVAL 30 DAYS")
+    // bounded-drive scratch space: best-effort JVM-exit cleanup (the
+    // streaming query reads it for the whole drive, so it cannot be
+    // deleted any earlier; parents register before children so the
+    // reverse-order exit deletion empties the dir first)
+    dir.toFile.deleteOnExit()
+    val link = dir.resolve(p.getFileName)
+    java.nio.file.Files.createSymbolicLink(link, p)
+    link.toFile.deleteOnExit()
+    graft.Tables.withNanosProbe(spark)(spark.read.parquet(path)) { raw =>
+      val isNanos =
+        raw.schema("ts").dataType == org.apache.spark.sql.types.LongType
+      val plus30d =
+        if (isNanos) col("_mts") + lit(30L * 86400L * 1000L * 1000L * 1000L)
+        else col("_mts") + expr("INTERVAL 30 DAYS")
+      raw.agg(max(col("ts")).as("_mts"))
+        .select(explode(lit(sentinelTypes.toArray)).as("event_type"), col("_mts"))
+        .select(lit(-1L).as("event_id"), plus30d.as("ts"),
+          lit(-1L).as("user_id"), col("event_type"), lit(0.0).as("value"),
+          lit(null).cast("string").as("props"))
+        .coalesce(1).write.mode("append").parquet(dir.toString)
+      (isNanos, raw)
     }
-    raw.agg(max(col("ts")).as("_mts"))
-      .select(explode(lit(sentinelTypes.toArray)).as("event_type"), col("_mts"))
-      .select(lit(-1L).as("event_id"), plus30d.as("ts"), lit(-1L).as("user_id"),
-        col("event_type"), lit(0.0).as("value"),
-        lit(null).cast("string").as("props"))
-      .coalesce(1).write.mode("append").parquet(dir.toString)
     eventsStream(spark, dir.toString, maxFilesPerTrigger)
   }
 
@@ -178,14 +245,14 @@ object StreamStreamJoin {
     * whichever physical shape this testdata generation shipped.
     */
   def eventsStream(spark: SparkSession, path: String,
-      maxFilesPerTrigger: Int = 0): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = tableStream(spark, path, maxFilesPerTrigger)
-    df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ =>
-        df.withColumn("ts", col("ts").cast("timestamp"))
+      maxFilesPerTrigger: Int = 0): DataFrame =
+    graft.Tables.withNanosProbe(spark)(
+      tableStream(spark, path, maxFilesPerTrigger)) { df =>
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          (true, df.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+        case _ =>
+          (false, df.withColumn("ts", col("ts").cast("timestamp")))
+      }
     }
-  }
 }

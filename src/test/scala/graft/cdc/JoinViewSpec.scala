@@ -178,6 +178,51 @@ class JoinViewSpec extends AnyFunSuite {
     }
   }
 
+  test("vacuum after crash+retry removes only unreferenced files; stages prune safely") {
+    val a = aDf(aRows); val b = bDf(bRows)
+    val (a1, a2) = (a.filter($"lsn" <= 5), a.filter($"lsn" > 5))
+    val (b1, b2) = (b.filter($"lsn" <= 5), b.filter($"lsn" > 5))
+    val expect = direct(a, b)
+    def plantStage(dir: String, id: Long): java.io.File = {
+      val st = new java.io.File(s"$dir/_staged/$id")
+      st.mkdirs()
+      java.nio.file.Files.write(st.toPath.resolve("junk.parquet"),
+        "LEAKED STAGE".getBytes("UTF-8"))
+      st
+    }
+    for (crashAt <- Seq("after_stage", "after_latest_merge", "after_view_merge")) {
+      val dir = java.nio.file.Files.createTempDirectory("graft_jvv").toString
+      JoinView.foldPersisted(spark, dir, a1, b1, aSide, bSide, batchId = 0,
+        numBuckets = 8)
+      intercept[JoinView.InjectedCrash] {
+        JoinView.foldPersistedInjected(spark, dir, a2, b2, aSide, bSide,
+          batchId = 1, numBuckets = 8, crashAt)
+      }
+      JoinView.foldPersisted(spark, dir, a2, b2, aSide, bSide, batchId = 1,
+        numBuckets = 8)
+      // the MARK+CLEAN window leak: marker exists, staged dir left behind —
+      // vacuum must prune it (it is provably applied)
+      val leaked = plantStage(dir, 1)
+      // an UN-marked stage is an in-flight attempt: vacuum must leave it
+      val inflight = plantStage(dir, 99)
+      val removed = JoinView.vacuum(spark, dir)
+      assert(removed >= 1, s"crashAt=$crashAt removed=$removed")
+      assert(!leaked.exists(), s"marked stage must be pruned (crashAt=$crashAt)")
+      assert(inflight.exists(), s"marker-less stage must survive (crashAt=$crashAt)")
+      // vacuum can never change the view
+      val got = JoinView.readPersistedView(spark, dir)
+        .select($"user_id", $"user_value", $"segment_id", $"segment_value")
+        .as[(Long, Double, Long, Double)].collect().toSet
+      assert(got == expect, s"state changed by vacuum (crashAt=$crashAt)")
+      // the marker fast-path finishes MARK+CLEAN on its own too
+      plantStage(dir, 1)
+      assert(JoinView.foldPersisted(spark, dir, a2, b2, aSide, bSide,
+        batchId = 1, numBuckets = 8) == 0)
+      assert(!leaked.exists(),
+        s"fast-path retry must delete the leaked stage (crashAt=$crashAt)")
+    }
+  }
+
   test("streaming maintain: tagged union stream folds per trigger; redelivery silent") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -253,4 +253,49 @@ class RocksDBStateStoreSpec extends AnyFunSuite {
       assert(got == Map("a" -> 2L, "b" -> 1L)) // dups suppressed across batches
     } finally q.stop()
   }
+
+  test("stream-stream AS-OF join (cdc42 pipeline) on RocksDB ≡ batch argmax") {
+    // the cdc42 shape — interval left-outer join chained into a windowed
+    // argmax, TWO stateful operators sharing one RocksDB-backed query —
+    // must produce the identical result the default provider's gate pins
+    val s = rocksSession()
+    import s.implicits._
+    val d = "/root/testdata/sf0.001"
+    val ev = StreamStreamJoin.eventsStreamWithSentinel(s,
+      s"$d/events.parquet", Seq("purchase", "view"))
+    val sp = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val su = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("u_id"),
+        col("value").as("u_value"), col("ts").as("u_ts"))
+    val joined = StreamStreamJoin.asOfJoin(sp, su, "user_id", "p_ts", "u_ts",
+      "24 HOURS", "0 seconds", rightCols = Seq("u_id", "u_value"))
+    // sentinel filter must run AFTER materialization: pre-sink it would be
+    // pushed below the watermark node and the sentinel could never advance
+    // the watermark (the gates filter the memory table for the same reason)
+    val (streamedAll, metrics) = drive(s,
+      joined.select($"user_id", $"p_id", $"u_id", $"u_value"),
+      "rocks_asof", "append")
+    val streamed = streamedAll.filterNot(_.startsWith("[-1,"))
+    assert(metrics.exists(_.toLowerCase.contains("rocksdb")),
+      s"state must run through RocksDB, saw metrics: $metrics")
+
+    import org.apache.spark.sql.expressions.Window
+    val bev = graft.Tables.events(s, d)
+    val bp = bev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val bu = bev.filter(col("event_type") === "view")
+      .select(col("user_id").as("uu"), col("event_id").as("u_id"),
+        col("value").as("u_value"), col("ts").as("u_ts"))
+    val batch = bp.join(bu,
+        col("user_id") === col("uu") &&
+          col("u_ts") >= col("p_ts") - expr("INTERVAL 24 HOURS") &&
+          col("u_ts") <= col("p_ts"), "left_outer")
+      .withColumn("rn", row_number().over(Window.partitionBy(col("p_id"))
+        .orderBy(col("u_ts").desc_nulls_last, col("u_id").desc_nulls_last)))
+      .filter(col("rn") === 1)
+      .select($"user_id", $"p_id", $"u_id", $"u_value")
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
 }

@@ -462,4 +462,110 @@ class CdcPipelineSpec extends AnyFunSuite {
       assert(streamed.exists { case (k, _, st, _) => k == "k2" && st.isEmpty })
     } finally q.stop()
   }
+
+  test("events loaders do not leak nanosAsLong on non-nanos data") {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    val d = "/root/testdata/sf0.001"
+    try {
+      spark.conf.unset(key)
+      // unset leaves the key at its DEFAULT ("false"); the contract under
+      // test is that the loaders leave the observable value unchanged for
+      // non-nanos data (and set "true" exactly when the data IS nanos)
+      val baseline = spark.conf.getOption(key)
+      graft.Tables.events(spark, d)
+      val isNanos = spark.conf.getOption(key).contains("true")
+      if (isNanos) {
+        // nanos-encoded generation: the conf MUST stay set — every later
+        // job re-resolves it at read time
+        assert(spark.conf.get(key) == "true")
+      } else {
+        assert(spark.conf.getOption(key) == baseline,
+          "Tables.events must restore the session conf for non-nanos data")
+        StreamStreamJoin.eventsStream(spark, s"$d/events.parquet")
+        assert(spark.conf.getOption(key) == baseline,
+          "eventsStream must restore the session conf for non-nanos data")
+      }
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
+  test("stream-stream AS-OF join ≡ batch argmax, across micro-batches") {
+    val d = "/root/testdata/sf0.001"
+    val ev = StreamStreamJoin.eventsStreamWithSentinel(spark,
+      s"$d/events.parquet", Seq("purchase", "view"))
+    val sp = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val su = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("u_id"),
+        col("value").as("u_value"), col("ts").as("u_ts"))
+    val streamed = StreamStreamJoin.runToMemory(spark,
+        StreamStreamJoin.asOfJoin(sp, su, "user_id", "p_ts", "u_ts",
+          "24 HOURS", "0 seconds", rightCols = Seq("u_id", "u_value")),
+        s"asof_${java.util.UUID.randomUUID().toString.take(8)}")
+      .filter(col("user_id") >= 0)
+      .select("user_id", "p_id", "u_id", "u_value")
+
+    // batch twin: candidates in window, row_number argmax by (ts, id) DESC
+    import org.apache.spark.sql.expressions.Window
+    val bev = graft.Tables.events(spark, d)
+    val bp = bev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val bu = bev.filter(col("event_type") === "view")
+      .select(col("user_id").as("uu"), col("event_id").as("u_id"),
+        col("value").as("u_value"), col("ts").as("u_ts"))
+    val batch = bp.join(bu,
+        col("user_id") === col("uu") &&
+          col("u_ts") >= col("p_ts") - expr("INTERVAL 24 HOURS") &&
+          col("u_ts") <= col("p_ts"), "left_outer")
+      .withColumn("rn", row_number().over(Window.partitionBy(col("p_id"))
+        .orderBy(col("u_ts").desc_nulls_last, col("u_id").desc_nulls_last)))
+      .filter(col("rn") === 1)
+      .select("user_id", "p_id", "u_id", "u_value")
+    // one row per purchase; both matched and unmatched classes present
+    assert(batch.filter(col("u_id").isNull).count() > 0 &&
+      batch.filter(col("u_id").isNotNull).count() > 0,
+      "fixture must exercise both matched and match-less purchases")
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("stream-stream AS-OF join: deterministic tie-break and window pick") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val left = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val right = MemoryStream[(java.sql.Timestamp, Long, Long, Double)]
+    val t = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val l = left.toDF().toDF("p_ts", "user_id", "p_id")
+    val r = right.toDF().toDF("u_ts", "user_id", "u_id", "u_value")
+    val joined = StreamStreamJoin.asOfJoin(l, r, "user_id", "p_ts", "u_ts",
+      "1 HOUR", "0 seconds", rightCols = Seq("u_id", "u_value"),
+      windowSize = "1 hour")
+    val q = joined.writeStream.format("memory").queryName("asof_tie")
+      .outputMode("append").start()
+    try {
+      // user 1: two updates at the SAME ts → winner must be the greater id;
+      // user 2: newest-not-newer-than wins over an older one;
+      // user 3: only a LATER update exists → null enrichment
+      right.addData((t(5), 1L, 100L, 1.0), (t(5), 1L, 101L, 2.0),
+        (t(3), 2L, 200L, 3.0), (t(8), 2L, 201L, 4.0),
+        (t(30), 3L, 300L, 5.0))
+      left.addData((t(10), 1L, 1000L), (t(10), 2L, 2000L), (t(10), 3L, 3000L))
+      q.processAllAvailable()
+      // sentinels in a LATER batch, far past the argmax window end (01:00),
+      // push the watermark over both stateful operators' frontiers
+      val far = java.sql.Timestamp.valueOf("2024-01-01 03:00:00")
+      left.addData((far, -1L, -1L))
+      right.addData((far, -1L, -1L, 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("asof_tie").filter($"user_id" >= 0)
+        .select($"p_id", $"u_id", $"u_value")
+        .as[(Long, Option[Long], Option[Double])].collect()
+        .map { case (p, u, v) => p -> ((u, v)) }.toMap
+      assert(rows(1000L) == ((Some(101L), Some(2.0))),
+        s"same-ts tie must break to greater id, got ${rows.get(1000L)}")
+      assert(rows(2000L) == ((Some(201L), Some(4.0))))
+      assert(rows(3000L) == ((None, None)),
+        "a later-only update must not enrich (as-of looks backward)")
+    } finally q.stop()
+  }
 }
