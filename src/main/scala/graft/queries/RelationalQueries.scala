@@ -2998,7 +2998,61 @@ object RelationalQueries {
         .filter(col("price_rank") <= 3)
         .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
           col("price_rank"))
-    }
+    },
+
+    // --- automatic materialized-view matching (q111): q77's summary
+    // --- navigation performed BY THE OPTIMIZER — the query is written
+    // --- against the FACT table, and the conf-gated SummaryNavigationRewrite
+    // --- answers it from the registered (l_returnflag, l_linestatus)
+    // --- summary because the grouping is a subset and every aggregate is
+    // --- additive. Verdict-as-data: nav_used pins the plan (summary
+    // --- scanned, fact NOT scanned); bit_identical compares the rewritten
+    // --- result against the rule-off plan (decimal/integral arithmetic —
+    // --- exact by construction). Own session, q45's isolation discipline.
+    Q("q111_summary_nav_rule", (s, d) => {
+      import graft.plans.{SummaryDef, SummaryMeasure, SummaryNavigationRewrite, SummaryRegistry}
+      val s2 = s.newSession()
+      s2.experimental.extraOptimizations =
+        s2.experimental.extraOptimizations :+ SummaryNavigationRewrite
+      val factPath = s"$d/lineitem.parquet"
+      val sumDir = java.nio.file.Files
+        .createTempDirectory("q111sum").toString + "/t"
+      try {
+        SummaryRegistry.build(s2, SummaryDef(factPath, sumDir,
+          Seq("l_returnflag", "l_linestatus"),
+          Seq(SummaryMeasure("sum_qty", "sum", "l_quantity",
+              Some(DecimalType(18, 2))),
+            SummaryMeasure("n_rows", "count", ""))))
+        def query(sess: SparkSession) = sess.read.parquet(factPath)
+          .groupBy(col("l_returnflag"))
+          .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("sum_qty_d"),
+            count(lit(1)).as("n"))
+        s2.conf.set("spark.graft.summaryNav.enabled", "true")
+        val navved = query(s2)
+        val scans = navved.queryExecution.optimizedPlan.collect {
+          case org.apache.spark.sql.execution.datasources.LogicalRelation(
+              fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+              _, _, _, _) =>
+            fs.location.rootPaths.map(_.toString)
+        }.flatten
+        val navUsed = scans.exists(_.contains("q111sum")) &&
+          !scans.exists(_.contains("lineitem"))
+        // force the rewritten plan's execution WHILE the rule is on
+        val navRows = navved.localCheckpoint()
+        s2.conf.set("spark.graft.summaryNav.enabled", "false")
+        val off = query(s2)
+        val bitIdentical = navRows.exceptAll(off).isEmpty &&
+          off.exceptAll(navRows).isEmpty
+        navRows.select(col("l_returnflag"),
+          col("sum_qty_d").cast("double").as("sum_qty"), col("n"),
+          lit(navUsed).as("nav_used"),
+          lit(bitIdentical).as("bit_identical"))
+      } finally SummaryRegistry.unregister(factPath)
+    }, Some(
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n, TRUE AS nav_used, TRUE AS bit_identical
+        |FROM lineitem GROUP BY 1""".stripMargin))
   )
 
   /** DuckDB twin of Layout.hilbert2: one (rx/ry, rotate, accumulate) CTE
