@@ -11,11 +11,22 @@ import org.apache.spark.sql.functions._
   * ~N× its base time and anything super-linear stands out.
   *
   * Deterministic by construction (no randomness): replica i of a row is
-  * the row with `key + i·10⁹` on every key column; `documents.text` gets
-  * a per-replica suffix so near-dup/LSH operators see distinct content
-  * (otherwise the soak would measure duplicate-pileup semantics — every
-  * bucket 10× deep — instead of scan/shuffle scaling), while exact-dedup
-  * keys still collide WITHIN a replica exactly as in the base corpus.
+  * the row with `key + i·10⁹` on every key column. CONTENT columns are
+  * shifted too, because similarity operators key on content the way
+  * joins key on ids: with verbatim replicas the corpus genuinely
+  * contains 10× of every document/vector, the true similar-pair answer
+  * grows ~100×, and a similarity join correctly doing 100× the work
+  * reads as "super-linear" when it is actually output-linear (measured:
+  * txt46 59×, vec13 18× on a verbatim-replica corpus; both collapse to
+  * ~linear once cross-replica similarity is removed — PLANS.md). So:
+  *   - `documents.text` is letter-rotated per replica (Caesar by i):
+  *     token/shingle/prefix sets become disjoint across replicas while
+  *     WITHIN-replica structure (exact dups, near-dups, lengths,
+  *     token counts) is preserved bijectively;
+  *   - `embeddings.embedding` gets a per-replica deterministic
+  *     sign-flip pattern (dimension j negated when j % (i+1) == 0,
+  *     i > 0): norm-preserving, and cross-replica cosines collapse
+  *     toward 0 so LSH/IVF candidates stay within-replica.
   *
   * Usage: `runMain graft.SoakSynth <srcSfDir> <dstDir> <copies>`.
   */
@@ -38,14 +49,25 @@ object SoakSynth {
     "documents" -> Seq("doc_id"),
     "embeddings" -> Seq("vec_id"))
 
+  private val lower = "abcdefghijklmnopqrstuvwxyz"
+  private val upper = lower.toUpperCase
+
+  private def rot(s: String, i: Int) = s.drop(i % 26) + s.take(i % 26)
+
   private def replicate(base: DataFrame, table: String, copies: Int): DataFrame = {
     val shifted = (0 until copies).map { i =>
       val keyed = keyCols(table).foldLeft(base) { (df, k) =>
         df.withColumn(k, col(k) + lit(i.toLong * Shift))
       }
-      if (table == "documents" && i > 0)
-        keyed.withColumn("text", concat(col("text"), lit(s" r$i")))
-      else keyed
+      (table, i) match {
+        case ("documents", s) if s > 0 =>
+          keyed.withColumn("text", translate(col("text"),
+            lower + upper, rot(lower, i) + rot(upper, i)))
+        case ("embeddings", s) if s > 0 =>
+          keyed.withColumn("embedding", expr(
+            s"transform(embedding, (x, j) -> IF(j % ${i + 1} = 0, -x, x))"))
+        case _ => keyed
+      }
     }
     shifted.reduce(_.unionByName(_))
   }

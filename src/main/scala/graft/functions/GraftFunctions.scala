@@ -24,6 +24,10 @@ object GraftFunctions {
 
   def simhash(text: Column): Column = c(SimHashExpr(e(text)))
 
+  def dot_q(a: Column, b: Column): Column = c(DotQExpr(e(a), e(b)))
+
+  def l2_q(a: Column, b: Column): Column = c(L2QExpr(e(a), e(b)))
+
   def kafka_partition(key: Column, n: Column): Column =
     c(KafkaPartitionExpr(e(key), e(n)))
 

@@ -21,9 +21,13 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
-  /** Exact integer squared-L2 between two quantized vectors. */
+  /** Exact integer squared-L2 between two quantized vectors — native fused
+    * loop ([[graft.functions.L2QExpr]]); the Lloyd assign evaluates it
+    * |corpus| × nLists times per pass, where the per-element HOF lambda
+    * overhead used to dominate the whole index build.
+    */
   def l2Q(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+    graft.functions.GraftFunctions.l2_q(a, b)
 
   /** Train `nLists` centroids (quantized, integer components).
     *

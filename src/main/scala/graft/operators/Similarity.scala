@@ -27,9 +27,14 @@ object Similarity {
   def quantize(vec: Column): Column =
     transform(vec, x => floor(x.cast("double") * 1024).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors — a native fused
+    * loop ([[graft.functions.DotQExpr]]); same null/overflow semantics as
+    * the `aggregate(zip_with(·))` HOF form it replaced, ~order-of-magnitude
+    * faster per pair (the rerank/assign hot path evaluates it
+    * O(pairs · dims) times).
+    */
   def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.functions.GraftFunctions.dot_q(a, b)
 
   /** Quantized cosine similarity (double; deterministic). */
   def cosineQ(a: Column, b: Column): Column =

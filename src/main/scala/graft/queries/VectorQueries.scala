@@ -859,8 +859,15 @@ object VectorQueries {
         .unionByName(emb.filter(col("vec_id") % 5 === 0)
           .select((col("vec_id") + 40000).as("vec_id"),
             reverse(col("embedding")).as("embedding")))
+      // CONSTANT-CELL-SIZE policy (one bounded scalar): nLists scales with
+      // the corpus so probe cost stays O(|eval|·nProbe·cellSize) — a fixed
+      // cell count makes cells, and therefore every probe, grow linearly
+      // with the corpus (quadratic total; measured 18× at a 10× soak).
+      // ⌊N/32⌋ floors to the oracle's 16 cells at the sf0.01 gate scale.
+      val nTrain = emb.count()
       Similarity.semanticDecontaminate(emb, eval, "vec_id", "embedding",
-        threshold = 0.999, nLists = 16, nProbe = 3, iters = 2)
+        threshold = 0.999, nLists = math.max(16, (nTrain / 32).toInt),
+        nProbe = 3, iters = 2)
     },
 
     // --- multimodal: opaque binary column + batched executor-side decode ------
