@@ -16,9 +16,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * binned equi-join), [[graft.plans.ApproxDistinctRewrite]] (opt-in
   * COUNT(DISTINCT) → HyperLogLog++ sketch substitution, conf-gated OFF),
   * [[graft.plans.JoinEliminationRewrite]] (opt-in unused left-join
-  * elimination under declared unique keys, conf-gated OFF), and
+  * elimination under declared unique keys, conf-gated OFF),
   * [[graft.plans.MetadataCountRewrite]] (opt-in metadata-only COUNT(*)
-  * from parquet footers, conf-gated OFF).
+  * from parquet footers, conf-gated OFF), and
+  * [[graft.plans.SummaryNavigationRewrite]] (opt-in materialized-view
+  * matching against [[graft.plans.SummaryRegistry]], conf-gated OFF).
   * On a session built without extensions, append them at runtime instead:
   *
   *   spark.experimental.extraOptimizations :+= graft.plans.RangeJoinRewrite
@@ -44,6 +46,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
     e.injectOptimizerRule(_ => graft.plans.JoinEliminationRewrite)
     e.injectOptimizerRule(_ => graft.plans.MetadataCountRewrite)
+    e.injectOptimizerRule(_ => graft.plans.SummaryNavigationRewrite)
     e.injectFunction(fn("avro_safe_name",
       "avro_safe_name(str) - hex-escapes str into a valid Avro identifier", 1)(
       es => AvroSafeNameExpr(es.head)))

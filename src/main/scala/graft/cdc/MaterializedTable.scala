@@ -114,7 +114,7 @@ object MaterializedTable {
   /** Does a committed state exist at `dir`? (Manifest presence — partial
     * uncommitted version directories do NOT count, by design.)
     */
-  private[cdc] def exists(spark: SparkSession, dir: String): Boolean =
+  def exists(spark: SparkSession, dir: String): Boolean =
     readManifest(spark, dir).isDefined
 
   /** Stable bucket of the key columns (Spark murmur3 — internal layout only,

@@ -1224,6 +1224,170 @@ object CdcQueries {
           lit(isolationOk).as("isolation_ok"), lit(retryNoop).as("retry_noop"))
     },
 
+    // --- small-file compaction (cdc45): MaterializedTable.compact — the
+    // --- OPTIMIZE/bin-packing maintenance operation — as an oracle-checked
+    // --- query. Three merge cycles leave every touched bucket with one
+    // --- parquet file per writing task (the small-file pathology scan cost
+    // --- degrades on); compact() rewrites each oversized bucket to ONE
+    // --- file through the same new-version + manifest-swap commit as a
+    // --- merge. Verdict-as-data: compacted_ok (some buckets were
+    // --- oversized, and after the pass every live bucket holds ≤1 file —
+    // --- checked through the MANIFEST's live set, not directory listing),
+    // --- and the state itself must still hash-match DuckDB's replay —
+    // --- compaction moves bytes, never rows. -----------------------------
+    q("cdc45_compaction",
+      """WITH ranked AS (SELECT *, row_number() OVER (
+        |  PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events)
+        |SELECT user_id, event_id AS last_lsn, value AS last_value,
+        |  TRUE AS compacted_ok
+        |FROM ranked WHERE rn = 1 AND event_type <> 'error'""".stripMargin) { (s, d) =>
+      // own session with AQE partition-coalescing OFF: at gate scale AQE
+      // folds the tiny merge shuffles to one task, so every bucket would
+      // already hold a single file and there would be no small-file
+      // pathology to compact — on a production-size merge each bucket
+      // collects one file per writing task, which is what this reproduces
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val env = ChangelogGen.fromEvents(s2, d).toDF()
+        .select(col("op"), col("key"), col("lsn"), col("seq"),
+          get_json_object(col("after"), "$.value").cast("double").as("value"))
+      val mx = env.agg(max(col("lsn"))).head().getLong(0)
+      val dir = java.nio.file.Files.createTempDirectory("cdc45").toString + "/t"
+      val keyCols = Seq("key"); val ordCols = Seq("lsn", "seq")
+      Seq((0L, mx / 3), (mx / 3, 2 * mx / 3), (2 * mx / 3, mx + 1))
+        .zipWithIndex.foreach { case ((lo, hi), i) =>
+          // numBuckets deliberately NOT a multiple of the shuffle
+          // parallelism: bucket id and shuffle partitioning share the same
+          // murmur3 hash, so when partitions divide numBuckets each bucket
+          // lands wholly in one task (one file — nothing to compact); a
+          // non-aligned count spreads each bucket across tasks, the
+          // production small-file shape
+          MaterializedTable.merge(s2, dir,
+            env.filter(col("lsn") >= lo && col("lsn") < hi),
+            keyCols, ordCols, numBuckets = 6, batchId = Some(i.toLong))
+        }
+      def liveBucketFileCounts(): Seq[Int] = {
+        val m = new java.io.File(dir).listFiles()
+          .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+          .flatMap(v => Option(v.listFiles()).getOrElse(Array.empty)
+            .filter(b => b.isDirectory && b.getName.startsWith("_bucket=")))
+        m.toSeq.map(b => Option(b.listFiles()).getOrElse(Array.empty)
+          .count(_.getName.endsWith(".parquet")))
+      }
+      val before = liveBucketFileCounts()
+      val nCompacted = MaterializedTable.compact(s2, dir, maxFilesPerBucket = 1)
+      val after = liveBucketFileCounts()
+      val compactedOk = before.exists(_ > 1) && nCompacted > 0 &&
+        after.nonEmpty && after.forall(_ <= 1)
+      MaterializedTable.read(s2, dir)
+        .select(col("key").cast("long").as("user_id"),
+          col("lsn").as("last_lsn"), col("value").as("last_value"),
+          lit(compactedOk).as("compacted_ok"))
+    },
+
+    // --- IVM-maintained summary + automatic navigation (cdc44): the full
+    // --- warehouse loop closed. The events changelog folds BOTH into a
+    // --- materialized fact (latest state) and, via IncrementalAgg's
+    // --- retract-stream deltas, into a standing per-type aggregate —
+    // --- three commit-ordered batches, old events never re-read. The
+    // --- standing aggregate is PUBLISHED as a summary snapshot, registered
+    // --- in SummaryRegistry, and a plain DataFrame aggregate WRITTEN
+    // --- AGAINST THE FACT is answered by the optimizer from the
+    // --- IVM-maintained summary (SummaryNavigationRewrite) — q111's rule
+    // --- with the freshness contract its scaladoc points at (IVM keeps
+    // --- the summary current) actually exercised. Verdict-as-data:
+    // --- nav_used pins the rewritten plan (summary scanned, fact not);
+    // --- the values hash-match DuckDB's from-scratch latest-state
+    // --- aggregate — IVM fold ≡ recompute, THROUGH the optimizer. --------
+    q("cdc44_ivm_summary_nav",
+      """WITH ranked AS (SELECT *, row_number() OVER (
+        |  PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events),
+        |live AS (SELECT * FROM ranked WHERE rn = 1 AND event_type <> 'error')
+        |SELECT event_type,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |  COUNT(*) AS n_rows, TRUE AS nav_used
+        |FROM live GROUP BY 1""".stripMargin) { (s, d) =>
+      import graft.plans.{SummaryDef, SummaryMeasure, SummaryNavigationRewrite, SummaryRegistry}
+      val env = ChangelogGen.fromEvents(s, d).toDF()
+        .select(col("op"), col("key"), col("lsn"), col("seq"),
+          get_json_object(col("after"), "$.event_type").as("event_type"),
+          get_json_object(col("after"), "$.value").cast("double").as("value"))
+      val mx = env.agg(max(col("lsn"))).head().getLong(0)
+      val root = java.nio.file.Files.createTempDirectory("cdc44").toString
+      val (stateDir, standingDir) = (s"$root/state", s"$root/standing")
+      val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+      val bounds = Seq((0L, mx / 3), (mx / 3, 2 * mx / 3), (2 * mx / 3, mx + 1))
+      bounds.zipWithIndex.foreach { case ((lo, hi), i) =>
+        val b = env.filter(col("lsn") >= lo && col("lsn") < hi)
+          .localCheckpoint() // one plan feeds state merge + delta fold
+        // net per-key deltas AGAINST THE STANDING STATE (deltaRows is
+        // batch-local — lag() can't see the prior batch's versions; the
+        // cross-batch prior is exactly what the materialized state holds):
+        // retract the key's persisted contribution, add its batch-final one.
+        // Mid-batch churn cancels internally, same algebra as deltaRows.
+        val batchLast = LatestState.batch(b, Seq("key"), Seq("lsn", "seq"),
+          keepDeleted = true)
+        val prior =
+          if (MaterializedTable.exists(s, stateDir))
+            MaterializedTable.read(s, stateDir)
+              .select(col("key"), col("event_type").as("_pg"),
+                col("value").as("_pv"))
+          else batchLast.select(col("key"), lit(null).cast("string").as("_pg"),
+            lit(null).cast("double").as("_pv")).limit(0)
+        val retract = batchLast.join(prior, Seq("key"))
+          .select(col("_pg").as("grp"), lit(-1L).as("dn"),
+            (-col("_pv").cast(dec)).as("dv"))
+        val add = batchLast.filter(col("op") =!= Op.Delete)
+          .select(col("event_type").as("grp"), lit(1L).as("dn"),
+            col("value").cast(dec).as("dv"))
+        IncrementalAgg.foldStandingBatch(s, standingDir,
+          retract.unionByName(add), batchId = i.toLong)
+        MaterializedTable.merge(s, stateDir, b, Seq("key"), Seq("lsn", "seq"),
+          batchId = Some(i.toLong))
+      }
+      // PUBLISH: fact snapshot + summary snapshot as plain parquet — the
+      // cube-layer publish step the navigation rule reads
+      val factPath = s"$root/fact"
+      val summaryPath = s"$root/summary"
+      MaterializedTable.read(s, stateDir)
+        .select(col("key"), col("event_type"), col("value"))
+        .write.parquet(factPath)
+      IncrementalAgg.readStanding(s, standingDir)
+        .select(col("grp").as("event_type"), col("sum_value"),
+          col("n_live").as("n_rows"))
+        .write.parquet(summaryPath)
+      val s2 = s.newSession()
+      s2.experimental.extraOptimizations =
+        s2.experimental.extraOptimizations :+ SummaryNavigationRewrite
+      s2.conf.set("spark.graft.summaryNav.enabled", "true")
+      try {
+        SummaryRegistry.register(SummaryDef(factPath, summaryPath,
+          Seq("event_type"),
+          Seq(SummaryMeasure("sum_value", "sum", "value",
+              Some(org.apache.spark.sql.types.DecimalType(18, 4))),
+            SummaryMeasure("n_rows", "count", ""))))
+        val navved = s2.read.parquet(factPath)
+          .groupBy(col("event_type"))
+          .agg(sum(col("value").cast(
+              org.apache.spark.sql.types.DecimalType(18, 4))).as("sum_d"),
+            count(lit(1)).as("n_rows"))
+        val scans = navved.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.rootPaths.map(_.toString)
+              case _ => Nil
+            }
+        }.flatten
+        val navUsed = scans.exists(_.endsWith("/summary")) &&
+          !scans.exists(_.endsWith("/fact"))
+        navved.localCheckpoint()
+          .select(col("event_type"),
+            col("sum_d").cast("double").as("sum_value"), col("n_rows"),
+            lit(navUsed).as("nav_used"))
+      } finally SummaryRegistry.unregister(factPath)
+    },
+
     // --- vacuum safety (cdc43): GC of unreferenced files as an oracle-
     // --- checked query. After two committed merges, plant BOTH garbage
     // --- classes a crash can leave: a torn next-version directory and a

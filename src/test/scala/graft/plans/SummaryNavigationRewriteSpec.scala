@@ -86,6 +86,22 @@ class SummaryNavigationRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("fires through plain SQL over a temp view (the SQL-user path)") {
+    val s = navSession()
+    withSummary(s) { sumDir =>
+      s.read.parquet(factPath).createOrReplaceTempView("fact_li_sqlnav")
+      def q() = s.sql(
+        """SELECT l_returnflag, COUNT(*) AS n,
+          |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+          |FROM fact_li_sqlnav GROUP BY l_returnflag""".stripMargin)
+      val on = q()
+      assert(usedSummary(on, sumDir), s"SQL path did not navigate: ${scanPaths(on)}")
+      val onRows = on.localCheckpoint()
+      s.conf.set("spark.graft.summaryNav.enabled", "false")
+      assert(sameValues(onRows, q()))
+    }
+  }
+
   test("refuses: a Filter below the aggregate (partials cannot answer it)") {
     val s = navSession()
     withSummary(s) { sumDir =>
