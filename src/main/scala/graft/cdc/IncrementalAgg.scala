@@ -113,6 +113,43 @@ object IncrementalAgg {
       .select(col("d.grp").as("grp"), col("d.dn").as("dn"), col("d.dv").as("dv"))
   }
 
+  /** Net signed deltas of a micro-batch AGAINST a persisted prior state —
+    * the cross-batch form of [[deltaRows]] (whose lag() window can only see
+    * versions INSIDE the batch; the prior version of a key that last moved
+    * three batches ago lives in the materialized state, which is exactly
+    * what this consults): retract the key's persisted contribution, add its
+    * batch-final one. Mid-batch churn cancels internally (the batch
+    * compacts to its last version per key first), so the output is ≤2 rows
+    * per DISTINCT KEY in the batch — O(batch), never O(state).
+    *
+    * @param prior  live latest-state rows (one per key, payload columns
+    *               readable by `groupExpr`/`valueExpr`) — e.g.
+    *               [[MaterializedTable.read]] of the standing state. Only
+    *               the batch's keys are consulted (semi-join shape).
+    * Contract: fold batches in commit order and merge `batch` into the
+    * state AFTER computing its deltas; then
+    * `foldStanding(deltas(batch_i)) for all i` ≡ `sumCount(whole changelog)`
+    * (spec-pinned). The cdc44 gate runs this loop end-to-end.
+    */
+  def deltasAgainstState(prior: DataFrame, batch: DataFrame,
+      keyCols: Seq[String], orderCols: Seq[String],
+      groupExpr: Column, valueExpr: Column,
+      opCol: String = "op", scale: Int = 4): DataFrame = {
+    val dec = DecimalType(18, scale)
+    val last = LatestState.batch(batch, keyCols, orderCols, opCol,
+      keepDeleted = true)
+    // keys only from the batch side: the joined row's payload is PRIOR's,
+    // so groupExpr/valueExpr read the key's persisted version unambiguously
+    val retract = last.select(keyCols.map(col): _*)
+      .join(prior, keyCols)
+      .select(groupExpr.as("grp"), lit(-1L).as("dn"),
+        (-valueExpr.cast(dec)).as("dv"))
+    val add = last.filter(col(opCol) =!= Op.Delete)
+      .select(groupExpr.as("grp"), lit(1L).as("dn"),
+        valueExpr.cast(dec).as("dv"))
+    retract.unionByName(add)
+  }
+
   /** Streaming twin of [[deltaRows]]: per-key state holds the newest version
     * seen; each arriving event that ADVANCES (lsn, seq) emits its retract/add
     * deltas (Append mode — deltas are immutable facts, never updated). The

