@@ -415,7 +415,13 @@ object IvfIndex {
     */
   def balancedSample(index: Index, idCol: String, mPerCell: Int): DataFrame = {
     require(mPerCell >= 1, s"mPerCell must be ≥ 1: $mPerCell")
-    val salted = (col(idCol) * lit(2654435761L)) % lit(1000003L)
+    // id reduced mod 1000003 BEFORE the Knuth multiply: identical to
+    // (id*2654435761) mod 1000003 in unbounded arithmetic (mod-multiply
+    // compatibility) but overflow-free for ids beyond ~3.4e9, where the
+    // raw product exceeds Long range (found by the 10x key-shifted soak
+    // under ANSI overflow checking)
+    val salted =
+      ((col(idCol) % lit(1000003L)) * lit(2654435761L)) % lit(1000003L)
     index.assigned.select(col("neighbor_id").as(idCol), col("cell"))
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("cell")).orderBy(salted, col(idCol))))

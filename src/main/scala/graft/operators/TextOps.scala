@@ -677,7 +677,13 @@ object TextOps {
       s"bad bandWidth/batchSize: $bandWidth/$batchSize")
     import org.apache.spark.sql.expressions.Window
     val n = size_(tokens(col(textCol)))
-    val salted = (col(idCol) * lit(2654435761L)) % lit(1000003L)
+    // id reduced mod 1000003 BEFORE the Knuth multiply: identical to
+    // (id*2654435761) mod 1000003 in unbounded arithmetic (mod-multiply
+    // compatibility) but overflow-free for ids beyond ~3.4e9, where the
+    // raw product exceeds Long range (found by the 10x key-shifted soak
+    // under ANSI overflow checking)
+    val salted =
+      ((col(idCol) % lit(1000003L)) * lit(2654435761L)) % lit(1000003L)
     val banded = docs.select(col(idCol), n.as("n_tokens"))
       .filter(col("n_tokens") > 0)
       .withColumn("band", expr(s"n_tokens div $bandWidth"))
