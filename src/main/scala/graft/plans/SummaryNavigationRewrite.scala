@@ -35,6 +35,17 @@ final case class SummaryDef(factPath: String, summaryPath: String,
   * the tiny catalog every warehouse keeps next to its cube layer. Entries
   * are only consulted when `spark.graft.summaryNav.enabled` is set on the
   * consulting session, so registration alone never changes a plan.
+  *
+  * == Refresh discipline ==
+  * `register` is an atomic repoint (ConcurrentHashMap.put), so the
+  * freshness loop needs no further machinery: write the NEW summary
+  * snapshot to a fresh directory, then `register(d.copy(summaryPath =
+  * newDir))` — queries planned before the repoint keep reading the old
+  * files (leave them until in-flight readers drain, then delete), queries
+  * planned after read the new ones, and no reader ever sees a
+  * half-written snapshot. The cdc44 gate closes the producing half of the
+  * loop: an IVM standing aggregate ([[graft.cdc.IncrementalAgg]])
+  * publishes the snapshot the registry points at.
   */
 object SummaryRegistry {
   private val defs =
