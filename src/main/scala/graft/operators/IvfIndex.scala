@@ -51,7 +51,18 @@ object IvfIndex {
     * point for callers whose quantization is not the plain elementwise one
     * (PqIndex trains on unit-sphere-renormalized subspace slices).
     */
-  def trainQ(qIn: DataFrame, nLists: Int, iters: Int = 2): DataFrame = {
+  def trainQ(qIn: DataFrame, nLists: Int, iters: Int = 2): DataFrame =
+    trainQWith(qIn, nLists, iters)(assign)
+
+  /** [[trainQ]] with a pluggable per-iteration assignment — the seam that
+    * lets [[buildScaled]] run Lloyd itself through [[assignTwoLevel]]
+    * (approximate k-means, the standard large-nLists move: each iteration
+    * is O(corpus · 2√nLists) instead of O(corpus · nLists); centroids are
+    * a coarse quantizer, so a coarser assignment during training perturbs
+    * boundaries it was already free to draw differently).
+    */
+  private def trainQWith(qIn: DataFrame, nLists: Int, iters: Int)(
+      assignFn: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val spark0 = qIn.sparkSession
     import spark0.implicits._
     // cache the quantized training set across Lloyd passes (the k-means
@@ -74,7 +85,7 @@ object IvfIndex {
       seedLocal.zipWithIndex.map { case (v, i) => (i, v) }.toSeq)
       .toDF("cell", "cv")
     for (_ <- 1 to iters) {
-      val assigned = assign(q, centroids)
+      val assigned = assignFn(q, centroids)
       val means = assigned
         .select(col("cell"), posexplode(col("qv")))
         .groupBy(col("cell"), col("pos"))
@@ -103,6 +114,116 @@ object IvfIndex {
       .groupBy(col("id"))
       .agg(min_by(struct(col("cell"), col("qv")), struct(col("d2"), col("cell"))).as("s"))
       .select(col("id"), col("s.qv").as("qv"), col("s.cell").as("cell"))
+  }
+
+  /** TWO-LEVEL assignment — the FAISS-style coarse-within-coarse shape
+    * that removes [[assign]]'s O(corpus · nLists) cost when nLists itself
+    * scales with the corpus (the constant-cell-size policy): the nLists
+    * centroids are grouped into `superCount` SUPER-centroids (a tiny
+    * deterministic driver-side Lloyd over the nLists rows — bounded, no
+    * job), each vector first picks its nearest super-group
+    * (O(superCount) comparisons) and then the exact nearest centroid
+    * WITHIN that group (O(nLists/superCount) expected) — O(corpus ·
+    * 2·√nLists) total at superCount ≈ √nLists.
+    *
+    * APPROXIMATE by design: a vector whose true nearest centroid sits in
+    * a different super-group assigns to its best in-group centroid
+    * instead — the standard IVF trade (assignment was already a coarse
+    * quantization; this coarsens the boundary cases), deterministic and
+    * partition-invariant like everything else in the stack. Identical
+    * vectors still assign identically (it is a pure function of the
+    * vector), so verbatim-duplicate detection through the index is
+    * unaffected. `superCount = 1` degenerates to EXACT [[assign]]
+    * (spec-pinned bit-equality).
+    */
+  def assignTwoLevel(q: DataFrame, centroids: DataFrame,
+      superCount: Int): DataFrame = {
+    require(superCount >= 1, s"superCount must be ≥ 1: $superCount")
+    if (superCount == 1) return assign(q, centroids)
+    val spark0 = q.sparkSession
+    import spark0.implicits._
+    val local = centroids.select(col("cell").cast("int"), col("cv"))
+      .as[(Int, Seq[Long])].collect().sortBy(_._1).toSeq
+    val k = math.min(superCount, local.size)
+    // driver-side Lloyd over the nLists centroid rows (bounded, no job):
+    // seed from the k lowest cells, 2 rounds, floor-div integer means,
+    // empty super keeps its previous position — the trainQ rules in
+    // miniature, so the grouping is deterministic
+    def l2(a: Seq[Long], b: Seq[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    var supers: Vector[Seq[Long]] = local.take(k).map(_._2).toVector
+    var grouping: Map[Int, Int] = Map.empty
+    for (_ <- 1 to 2) {
+      grouping = local.map { case (cell, cv) =>
+        cell -> supers.zipWithIndex.minBy { case (sv, si) => (l2(cv, sv), si) }._2
+      }.toMap
+      supers = supers.zipWithIndex.map { case (prev, si) =>
+        val members = local.filter { case (cell, _) => grouping(cell) == si }
+        if (members.isEmpty) prev
+        else members.head._2.indices
+          .map(d => Math.floorDiv(members.map(_._2(d)).sum, members.size.toLong))
+      }
+    }
+    val superDf = spark0.createDataset(
+      supers.zipWithIndex.map { case (sv, si) => (si, sv) })
+      .toDF("_super", "scv")
+    val centWithSuper = spark0.createDataset(
+      local.map { case (cell, cv) => (cell, cv, grouping(cell)) })
+      .toDF("cell", "cv", "_super")
+    val stage1 = q.crossJoin(broadcast(superDf))
+      .select(col("id"), col("qv"), col("_super"),
+        l2Q(col("qv"), col("scv")).as("d2"))
+      .groupBy(col("id"))
+      .agg(min_by(struct(col("_super"), col("qv")),
+        struct(col("d2"), col("_super"))).as("s"))
+      .select(col("id"), col("s.qv").as("qv"), col("s._super").as("_super"))
+    stage1.join(broadcast(centWithSuper), Seq("_super"))
+      .select(col("id"), col("qv"), col("cell"),
+        l2Q(col("qv"), col("cv")).as("d2"))
+      .groupBy(col("id"))
+      .agg(min_by(struct(col("cell"), col("qv")),
+        struct(col("d2"), col("cell"))).as("s"))
+      .select(col("id"), col("s.qv").as("qv"), col("s.cell").as("cell"))
+  }
+
+  /** The SCALED build path — [[build]] for corpora where nLists grows with
+    * the data (constant-cell-size policy) and both full-corpus Lloyd and
+    * exact assignment would be O(corpus · nLists):
+    *   - centroids train on a bounded DETERMINISTIC sample
+    *     (`pmod(hash(id), stride) = 0`, stride = ⌈N / maxTrainRows⌉ — the
+    *     FAISS practice of training the coarse quantizer on a fraction),
+    *     so Lloyd is O(maxTrainRows · nLists) regardless of corpus size;
+    *   - the whole corpus then assigns through [[assignTwoLevel]]
+    *     (O(corpus · 2√nLists)).
+    * With `maxTrainRows ≥ N` and `superCount = 1` this is bit-identical
+    * to [[build]] (spec-pinned); the defaults engage the approximations
+    * only as the corpus outgrows them.
+    */
+  def buildScaled(corpus: DataFrame, idCol: String, vecCol: String,
+      nLists: Int, iters: Int = 2, maxTrainRows: Long = 100000,
+      superCount: Int = 0): Index = {
+    require(maxTrainRows >= nLists,
+      s"maxTrainRows=$maxTrainRows must be ≥ nLists=$nLists")
+    val q = corpus.select(col(idCol).as("id"),
+      Similarity.quantize(col(vecCol)).as("qv"))
+    val n = q.count() // one bounded scalar: the sampling stride needs N
+    val stride = math.max(1L, (n + maxTrainRows - 1) / maxTrainRows)
+    val trainSet =
+      if (stride <= 1L) q else q.filter(pmod(hash(col("id")), lit(stride)) === 0)
+    val sc =
+      if (superCount >= 1) superCount
+      else math.max(1, math.round(math.sqrt(nLists.toDouble)).toInt)
+    // Lloyd iterations themselves assign two-level — with nLists ∝ corpus
+    // the per-iteration exact assign would be the remaining quadratic term
+    val centroids = trainQWith(trainSet, nLists, iters)(
+      if (sc <= 1) assign else assignTwoLevel(_, _, sc))
+    val assigned = assignTwoLevel(q, centroids, sc)
+      .select(col("id").as("neighbor_id"), col("qv").as("cq"), col("cell"))
+      .withColumn("n2c", Similarity.dotQ(col("cq"), col("cq")))
+    Index(centroids, assigned)
   }
 
   /** A trained IVF index: the `nLists` centroids plus the corpus assigned to

@@ -864,10 +864,20 @@ object VectorQueries {
       // cell count makes cells, and therefore every probe, grow linearly
       // with the corpus (quadratic total; measured 18× at a 10× soak).
       // ⌊N/32⌋ floors to the oracle's 16 cells at the sf0.01 gate scale.
+      // Above the gate scales the EXACT build's O(N·nLists) Lloyd+assign
+      // becomes the next quadratic term, so the index switches to
+      // buildScaled (sample-trained centroids + two-level assignment,
+      // O(N·2√nLists)); the oracle-checked scales stay on the exact path.
       val nTrain = emb.count()
-      Similarity.semanticDecontaminate(emb, eval, "vec_id", "embedding",
-        threshold = 0.999, nLists = math.max(16, (nTrain / 32).toInt),
-        nProbe = 3, iters = 2)
+      val nLists = math.max(16, (nTrain / 32).toInt)
+      val idx =
+        if (nTrain <= 4000)
+          graft.operators.IvfIndex.build(emb, "vec_id", "embedding",
+            nLists, iters = 2)
+        else graft.operators.IvfIndex.buildScaled(emb, "vec_id", "embedding",
+          nLists, iters = 2)
+      Similarity.semanticDecontaminateIndexed(idx, eval, "vec_id",
+        "embedding", threshold = 0.999, nProbe = 3)
     },
 
     // --- multimodal: opaque binary column + batched executor-side decode ------
