@@ -119,6 +119,25 @@ object ScdHistory {
       .parquet(dir)
   }
 
+  /** Bounded drive of the streaming SCD2 path: run `closed` to completion
+    * (AvailableNow), folding each micro-batch's closed versions into the
+    * history table at `dir` via [[foldHistory]]. The full SCD2 table is then
+    * `readHistory(dir) ∪ openVersions(latest)` — closed versions from
+    * immutable append-only storage, open versions from the compacted present.
+    */
+  def foldToHistory(closed: Dataset[ClosedVersion], dir: String): Unit = {
+    val spark = closed.sparkSession
+    val ckpt = java.nio.file.Files.createTempDirectory("scd2fold").toString
+    val q = closed.toDF().writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        foldHistory(spark, dir, batch, id)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** The folded closed-version history (batch column dropped). An empty or
     * not-yet-written history reads as an empty [[ClosedVersion]] relation —
     * the first micro-batches of a fresh pipeline close nothing (every key is

@@ -1443,6 +1443,43 @@ object CdcQueries {
           col("lsn").as("last_lsn"), col("value").as("last_value"),
           lit(stateIntact).as("state_intact"),
           lit(junkRemoved).as("junk_removed"))
+    },
+
+    // --- streaming SCD2 maintenance (cdc46): cdc13's version history kept
+    // --- current BY A STREAM — the warehouse-load loop that never re-reads
+    // --- history. streamingClosedVersions emits each version AS IT CLOSES
+    // --- (Append mode: a closed interval is an immutable fact; per-key
+    // --- state = one open version, O(keys) not O(events)); foldHistory
+    // --- lands every micro-batch in its own `_batch=` partition so batch
+    // --- retries dynamically overwrite ONLY themselves. The served table is
+    // --- the closed history ∪ open versions from compacted latest state —
+    // --- exactly the storage split a warehouse wants (append-only cold,
+    // --- small hot). Oracle = cdc13's batch SCD2 SQL: the streaming fold
+    // --- must reconstruct the identical history, hash-exact. Cross-batch
+    // --- close/replay behavior is spec-pinned in HistorySpec. -------------
+    q("cdc46_streaming_scd2",
+      """WITH v AS (SELECT user_id, event_id, event_type, value,
+        |  lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS nxt
+        |  FROM events)
+        |SELECT user_id, event_id AS valid_from, nxt AS valid_to,
+        |  (nxt IS NULL) AS is_current, value AS version_value
+        |FROM v WHERE event_type <> 'error'""".stripMargin) { (s, d) =>
+      import graft.streaming.StreamStreamJoin
+      val histDir =
+        java.nio.file.Files.createTempDirectory("cdc46").toString + "/h"
+      val env = ChangelogGen.projectEvents(
+        StreamStreamJoin.eventsStream(s, s"$d/events.parquet"))
+      ScdHistory.foldToHistory(ScdHistory.streamingClosedVersions(env), histDir)
+      val open = ScdHistory.openVersions(
+        LatestState.batch(ChangelogGen.fromEvents(s, d).toDF(),
+          Seq("table", "key"), Seq("lsn", "seq")))
+      ScdHistory.readHistory(s, histDir).unionByName(open)
+        .select(col("key").cast("long").as("user_id"),
+          col("valid_from_lsn").as("valid_from"),
+          col("valid_to_lsn").as("valid_to"),
+          col("valid_to_lsn").isNull.as("is_current"),
+          get_json_object(col("after"), "$.value").cast("double")
+            .as("version_value"))
     }
   )
 }

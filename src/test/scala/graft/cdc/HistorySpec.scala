@@ -106,6 +106,25 @@ class HistorySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foldToHistory bounded drive over a file stream: closed ∪ open ≡ batch") {
+    val root = java.nio.file.Files.createTempDirectory("scd2drive").toString
+    val src = root + "/src"
+    changelog.toDF().coalesce(1).write.parquet(src)
+    val stream = spark.readStream.schema(changelog.toDF().schema)
+      .parquet(src).as[CdcEvent]
+    val histDir = root + "/hist"
+    ScdHistory.foldToHistory(ScdHistory.streamingClosedVersions(stream), histDir)
+    val open = ScdHistory.openVersions(
+      LatestState.batch(changelog.toDF(), Seq("table", "key"), Seq("lsn", "seq")))
+    val got = ScdHistory.readHistory(spark, histDir).unionByName(open)
+      .select($"key", $"valid_from_lsn", $"valid_to_lsn")
+      .as[(String, Long, Option[Long])].collect().toSet
+    val want = ScdHistory.batch(changelog.toDF(), Seq("table", "key"), Seq("lsn", "seq"))
+      .select($"key", $"lsn", $"valid_to.lsn")
+      .as[(String, Long, Option[Long])].collect().toSet
+    assert(got == want)
+  }
+
   test("streamingClosedVersions emits exactly the batch operator's closed intervals") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
