@@ -28,10 +28,24 @@ object AsOfJoin {
 
   /** @param payload right columns to carry (renamed as given, so callers
     *                 disambiguate against left column names)
+    * @param strict   true ⇒ right must be strictly before (after, when
+    *                 `forward`) the left row; default includes ties
+    * @param forward  false (default) = classic backward as-of (most recent
+    *                 right at-or-before left); true = FORWARD as-of (the
+    *                 "reaction" join: earliest right at-or-after left) —
+    *                 the same one-exchange union-window plan running on the
+    *                 reversed time order
+    * @param fresh    optional tolerance predicate over (leftTs, matchedTs):
+    *                 when it rejects, the match is nulled out (max-staleness
+    *                 as-of). Sound under the window formulation because the
+    *                 carried match is the EXTREME candidate — if the nearest
+    *                 right row fails the bound, every other candidate fails
+    *                 it too, so nulling ≡ restricting the join itself
     */
   def asOf(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       leftTs: String, rightTs: String, payload: Map[String, String],
-      strict: Boolean = false): DataFrame = {
+      strict: Boolean = false, forward: Boolean = false,
+      fresh: Option[(Column, Column) => Column] = None): DataFrame = {
     // the two time columns order ONE union'd column — they must already share
     // a type; an implicit widening cast here could silently truncate
     // (double→long would collapse 10.2 and 10.9 into the same instant and
@@ -47,7 +61,10 @@ object AsOfJoin {
       keyCols.map(col) ++ Seq(
         col(rightTs).as("_ts"),
         lit(0).as("_side"),
-        struct(payload.map { case (c, n) => col(c).as(n) }.toSeq: _*).as("_payload"),
+        // the matched row's own ts rides IN the payload so the freshness
+        // bound can compare it against the left ts after the window
+        struct((payload.map { case (c, n) => col(c).as(n) }.toSeq :+
+          col(rightTs).as("_match_ts")): _*).as("_payload"),
         lit(null).cast(org.apache.spark.sql.types.StructType(
           left.schema.fields)).as("_left")): _*)
     val leftTagged = left.select(
@@ -59,15 +76,24 @@ object AsOfJoin {
 
     // strict <: left sorts before a same-ts right row, hiding it
     val sideOrder = if (strict) -col("_side") else col("_side")
+    // forward as-of = the same scan over the REVERSED time order: "last
+    // right at-or-before" becomes "first right at-or-after"
+    val tsOrder = if (forward) col("_ts").desc else col("_ts").asc
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("_ts"), sideOrder)
+      .orderBy(tsOrder, sideOrder)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    val keepMatch = fresh match {
+      case None => col("_asof").isNotNull
+      case Some(f) => col("_asof").isNotNull &&
+        f(col("_ts"), col("_asof._match_ts"))
+    }
     rightTagged.unionByName(leftTagged)
       .withColumn("_asof", last(col("_payload"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
       .select(leftCols.map(c => col(s"_left.$c").as(c)) ++
-        outNames.map(n => col(s"_asof.$n").as(n)): _*)
+        outNames.map(n =>
+          when(keepMatch, col(s"_asof.$n")).as(n)): _*)
   }
 }
 

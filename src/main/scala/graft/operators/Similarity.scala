@@ -89,6 +89,50 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** RANGE (radius) search: every corpus vector whose quantized cosine with
+    * the probe is ≥ minCosNum/minCosDen — the other half of the ANN API
+    * surface: top-k answers "the closest k", radius answers "everything at
+    * least this similar", the dedup/recall-sweep shape where the NUMBER of
+    * qualifying neighbors is the unknown being measured.
+    *
+    * The threshold is evaluated in EXACT integer arithmetic by
+    * cross-multiplication — cos ≥ n/d ⇔ dot ≥ 0 ∧ d²·dot² ≥ n²·n2p·n2c —
+    * so result-set membership never depends on float rounding; the reported
+    * `sim` double is one IEEE division, identical on every engine.
+    * Overflow bound: |q_i| ≤ 2^10 for unit-ish inputs, so at ≤128 dims
+    * dot² < 2^54 and n2p·n2c < 2^54; keep n, d ≤ 10 and every term stays
+    * under 2^61.
+    *
+    * Scale shape: the brute pair join is the exactness baseline (norms are
+    * precomputed per SIDE, so each pair pays exactly one fused-loop dot
+    * product — [[graft.functions.DotQExpr]]). At corpus scale the same
+    * integer predicate composes unchanged with the IVF cell join
+    * ([[semanticDedupIndexed]]'s layout): radius search inside probed cells,
+    * trading the completeness guarantee for cell-pruned IO exactly as
+    * indexed top-k does.
+    */
+  def radiusSearch(probes: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, minCosNum: Long, minCosDen: Long): DataFrame = {
+    require(minCosNum >= 0 && minCosDen > 0 && minCosNum <= 10 && minCosDen <= 10,
+      "threshold must be a small non-negative rational (overflow bound)")
+    val p = probes
+      .select(col(idCol).as("probe_id"), quantize(col(vecCol)).as("pq"))
+      .withColumn("n2p", dotQ(col("pq"), col("pq")))
+    val c = corpus
+      .select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cq"))
+      .withColumn("n2c", dotQ(col("cq"), col("cq")))
+    p.crossJoin(c)
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("dot", dotQ(col("pq"), col("cq")))
+      .filter(col("dot") >= 0 &&
+        col("dot") * col("dot") * lit(minCosDen * minCosDen) >=
+          lit(minCosNum * minCosNum) * col("n2p") * col("n2c"))
+      .select(col("probe_id"), col("neighbor_id"),
+        (col("dot").cast("double") /
+          (sqrt(col("n2p").cast("double")) * sqrt(col("n2c").cast("double"))))
+          .as("sim"))
+  }
+
   /** Default hyperplane count. Buckets ≈ 2^planes: pick ~log2(corpus /
     * desired-candidates) — 4 bits ⇒ ~corpus/16 candidates per probe. More
     * planes = finer buckets = faster but lower recall (multi-probe or

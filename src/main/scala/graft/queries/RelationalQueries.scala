@@ -581,12 +581,15 @@ object RelationalQueries {
       """SELECT p.user_id, p.event_id AS purchase_lsn,
         |  u.event_id AS state_lsn, u.value AS state_value
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'update') u
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') u
         |  ON p.user_id = u.user_id AND u.event_id <= p.event_id""".stripMargin) { (s, d) =>
+      // right side = 'view' events: this testdata generation's type set is
+      // {signup, view, click, purchase, error} — an earlier 'update' choice
+      // matched nothing, making the gate trivially all-null
       val ev = Tables.events(s, d)
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id"))
-      val updates = ev.filter(col("event_type") === "update")
+      val updates = ev.filter(col("event_type") === "view")
         .select(col("user_id"), col("event_id"), col("value"))
       graft.operators.AsOfJoin.asOf(purchases, updates, Seq("user_id"),
           "event_id", "event_id",
@@ -3052,7 +3055,71 @@ object RelationalQueries {
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  COUNT(*) AS n, TRUE AS nav_used, TRUE AS bit_identical
-        |FROM lineitem GROUP BY 1""".stripMargin))
+        |FROM lineitem GROUP BY 1""".stripMargin)),
+
+    // --- AS-OF with max staleness (q112): the enrichment contract real
+    // --- pipelines run — a match older than the tolerance is WORSE than no
+    // --- match (a price quote from last week must not price today's
+    // --- trade). Same one-exchange union-window plan as q32; the bound is
+    // --- applied to the carried extreme candidate, which is sound because
+    // --- if the NEWEST prior right row is stale, all of them are. Oracle
+    // --- restates it as the left-join argmax with a post-filter. ----------
+    q("q112_asof_tolerance",
+      """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |u AS (SELECT * FROM events WHERE event_type = 'view'),
+        |cand AS (SELECT p.user_id, p.event_id AS purchase_lsn,
+        |    u.event_id AS matched_lsn, u.value AS matched_value,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY u.event_id DESC) AS rn
+        |  FROM p LEFT JOIN u
+        |    ON p.user_id = u.user_id AND u.event_id <= p.event_id)
+        |SELECT user_id, purchase_lsn,
+        |  CASE WHEN purchase_lsn - matched_lsn <= 500 THEN matched_lsn END
+        |    AS state_lsn,
+        |  CASE WHEN purchase_lsn - matched_lsn <= 500 THEN matched_value END
+        |    AS state_value
+        |FROM cand WHERE rn = 1""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id"), col("value"))
+      graft.operators.AsOfJoin.asOf(purchases, views, Seq("user_id"),
+          "event_id", "event_id",
+          Map("event_id" -> "state_lsn", "value" -> "state_value"),
+          fresh = Some((l, r) => l - r <= lit(500L)))
+        .select(col("user_id"), col("event_id").as("purchase_lsn"),
+          col("state_lsn"), col("state_value"))
+    },
+
+    // --- FORWARD as-of (q113): the "reaction" join — each purchase picks
+    // --- the user's EARLIEST view at-or-after it (what did they look at
+    // --- next). Same machinery as q32 scanning the reversed time order;
+    // --- still one exchange, each row shipped once. Oracle = the argmin
+    // --- restatement. -----------------------------------------------------
+    q("q113_asof_forward",
+      """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |u AS (SELECT * FROM events WHERE event_type = 'view'),
+        |cand AS (SELECT p.user_id, p.event_id AS purchase_lsn,
+        |    u.event_id AS next_lsn, u.value AS next_value,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY u.event_id ASC) AS rn
+        |  FROM p LEFT JOIN u
+        |    ON p.user_id = u.user_id AND u.event_id >= p.event_id)
+        |SELECT user_id, purchase_lsn, next_lsn, next_value
+        |FROM cand WHERE rn = 1""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id"), col("value"))
+      graft.operators.AsOfJoin.asOf(purchases, views, Seq("user_id"),
+          "event_id", "event_id",
+          Map("event_id" -> "next_lsn", "value" -> "next_value"),
+          forward = true)
+        .select(col("user_id"), col("event_id").as("purchase_lsn"),
+          col("next_lsn"), col("next_value"))
+    }
   )
 
   /** DuckDB twin of Layout.hilbert2: one (rx/ry, rotate, accumulate) CTE

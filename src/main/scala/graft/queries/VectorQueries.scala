@@ -1964,6 +1964,28 @@ object VectorQueries {
         .filter(col("image_id") === col("probe_id"))
         .select(col("probe_id"), col("rnk").cast("long").as("own_rank"),
           (col("rnk") <= 10).as("hit_at_10"))
+    },
+
+    // --- RANGE (radius) search (vec36): every neighbor with quantized
+    // --- cosine ≥ 0.3 — the "everything at least this similar" half of the
+    // --- ANN surface, where the number of qualifying neighbors is the
+    // --- unknown (dedup sweeps, recall calibration). The threshold is
+    // --- exact-integer by cross-multiplication (dot ≥ 0 ∧ 100·dot² ≥
+    // --- 9·n2p·n2c), so set membership can never flake on float rounding;
+    // --- the reported sim is one IEEE division. Norms precomputed per side
+    // --- — each pair pays exactly one fused-loop dot product. -------------
+    q("vec36_radius_search",
+      s"""WITH $quantSql,
+         |pairs AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |  CAST(list_sum([p.qv[i]*c.qv[i] for i in generate_series(1, len(p.qv))]) AS BIGINT) AS dot,
+         |  p.n2 AS n2p, c.n2 AS n2c
+         |  FROM n p, n c WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id)
+         |SELECT probe_id, neighbor_id,
+         |  CAST(dot AS DOUBLE)/(sqrt(CAST(n2p AS DOUBLE))*sqrt(CAST(n2c AS DOUBLE))) AS sim
+         |FROM pairs WHERE dot >= 0 AND 100*dot*dot >= 9*n2p*n2c""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.radiusSearch(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", minCosNum = 3, minCosDen = 10)
     }
   )
 }

@@ -263,6 +263,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall > 0.2, s"ANN recall@3 = $recall") // single-table LSH, 8 bits
   }
 
+  test("radiusSearch: exact boundary membership; ≡ threshold filter over all pairs") {
+    import spark.implicits._
+    // handcrafted 2-dim floats whose quantized values are exactly the named
+    // integers (k/1024 is a binary fraction — floor(k/1024·1024) = k)
+    def v(x: Int, y: Int) = Array(x / 1024f, y / 1024f)
+    val probes = Seq((100L, v(3, 4))).toDF("vec_id", "embedding")
+    val corpus = Seq((100L, v(3, 4)), (1L, v(1, 0)), (2L, v(1, 1)),
+      (3L, v(4, -3)), (4L, v(-1, 0))).toDF("vec_id", "embedding")
+    val got = Similarity.radiusSearch(probes, corpus, "vec_id", "embedding",
+        minCosNum = 3, minCosDen = 5)
+      .select("neighbor_id").as[Long].collect().toSet
+    // cos((3,4),(1,0)) = 3/5 EXACTLY — ≥ keeps the boundary pair;
+    // (1,1) → 7/√50 > 3/5 kept; (4,−3) → 0 dropped; (−1,0) negative dot
+    // dropped; the probe's own id excluded
+    assert(got == Set(1L, 2L))
+    // real corpus: the radius set is exactly the threshold filter over all
+    // pairs (no boundary pair exists in this data, so the double compare
+    // against knnBrute's sims is decisive)
+    val emb = graft.Tables.embeddings(spark, dir)
+    val p10 = emb.filter(col("vec_id") < 10)
+    val rs = Similarity.radiusSearch(p10, emb, "vec_id", "embedding", 3, 10)
+      .select("probe_id", "neighbor_id", "sim")
+      .as[(Long, Long, Double)].collect().toSet
+    val all = Similarity.knnBrute(p10, emb, "vec_id", "embedding", 1000000)
+      .select("probe_id", "neighbor_id", "sim")
+      .as[(Long, Long, Double)].collect()
+    assert(rs == all.filter(_._3 >= 0.3).toSet)
+    assert(rs.nonEmpty)
+  }
+
   test("embedding near-dup pairs: planted copies found at threshold 0.999") {
     import spark.implicits._
     val emb = graft.Tables.embeddings(spark, dir).select("vec_id", "embedding")

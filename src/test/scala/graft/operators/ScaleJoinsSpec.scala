@@ -77,11 +77,50 @@ class ScaleJoinsSpec extends AnyFunSuite {
     }
   }
 
+  test("as-of join: forward direction and staleness tolerance") {
+    import spark.implicits._
+    val left = Seq((7L, 10L, "p1"), (7L, 20L, "p2"), (8L, 15L, "q1"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((7L, 10L, 1.0), (7L, 12L, 2.0), (7L, 3L, 0.5),
+      (7L, 100L, 9.0)).toDF("k", "rts", "v")
+    // forward: EARLIEST right ≥ left; same-ts tie visible (non-strict)
+    val fwd = AsOfJoin.asOf(left, right, Seq("k"), "ts", "rts",
+        Map("rts" -> "nxt_ts", "v" -> "nxt_v"), forward = true)
+      .select("k", "ts", "nxt_ts", "nxt_v")
+      .as[(Long, Long, Option[Long], Option[Double])].collect().toSet
+    assert(fwd == Set(
+      (7L, 10L, Some(10L), Some(1.0)),   // tie visible
+      (7L, 20L, Some(100L), Some(9.0)),  // next at-or-after 20 is 100
+      (8L, 15L, None, None)))            // key with no right rows
+    // forward + strict: the same-ts right row is hidden
+    val fwdStrict = AsOfJoin.asOf(left, right, Seq("k"), "ts", "rts",
+        Map("rts" -> "nxt_ts"), strict = true, forward = true)
+      .filter(col("ts") === 10).select("nxt_ts").as[Option[Long]].collect()
+    assert(fwdStrict.toSeq == Seq(Some(12L)))
+    // staleness tolerance: the carried match is nulled when too old — the
+    // LEFT ROW is kept (enrichment never drops facts)
+    val tol = AsOfJoin.asOf(left, right, Seq("k"), "ts", "rts",
+        Map("rts" -> "asof_ts", "v" -> "asof_v"),
+        fresh = Some((l, r) => l - r <= lit(5L)))
+      .select("k", "ts", "asof_ts", "asof_v")
+      .as[(Long, Long, Option[Long], Option[Double])].collect().toSet
+    assert(tol == Set(
+      (7L, 10L, Some(10L), Some(1.0)),   // staleness 0 ≤ 5
+      (7L, 20L, None, None),             // nearest (12) is 8 stale → nulled
+      (8L, 15L, None, None)))
+    // forward + tolerance compose (bound on how far AHEAD the match may be)
+    val fwdTol = AsOfJoin.asOf(left, right, Seq("k"), "ts", "rts",
+        Map("rts" -> "nxt_ts"), forward = true,
+        fresh = Some((l, r) => r - l <= lit(5L)))
+      .select("k", "ts", "nxt_ts").as[(Long, Long, Option[Long])].collect().toSet
+    assert(fwdTol == Set((7L, 10L, Some(10L)), (7L, 20L, None), (8L, 15L, None)))
+  }
+
   test("as-of join agrees with the naive theta-join + argmax formulation") {
     val ev = graft.Tables.events(spark, dir)
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id"))
-    val updates = ev.filter(col("event_type") === "update")
+    val updates = ev.filter(col("event_type") === "view")
       .select(col("user_id"), col("event_id"), col("value"))
     val fast = AsOfJoin.asOf(purchases, updates, Seq("user_id"), "event_id", "event_id",
         Map("event_id" -> "state_lsn", "value" -> "state_value"))
