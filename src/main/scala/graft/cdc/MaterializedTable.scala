@@ -75,6 +75,10 @@ object MaterializedTable {
     val in = fs.open(mPath)
     val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
+    Some(parseManifest(json))
+  }
+
+  private def parseManifest(json: String): Manifest = {
     val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
     val buckets = scala.collection.mutable.Map.empty[Int, Long]
     val it = root.get("buckets").properties().iterator()
@@ -82,8 +86,8 @@ object MaterializedTable {
       val e = it.next()
       buckets(e.getKey.toInt) = e.getValue.asLong()
     }
-    Some(Manifest(root.get("version").asLong(), root.get("lastBatchId").asLong(),
-      root.get("schema").toString, buckets.toMap))
+    Manifest(root.get("version").asLong(), root.get("lastBatchId").asLong(),
+      root.get("schema").toString, buckets.toMap)
   }
 
   /** Commit: write the manifest to a temp name, fsync-close, then
@@ -92,6 +96,14 @@ object MaterializedTable {
     * opens a no-manifest window; rename throws instead of returning an
     * ignorable boolean). Everything before this call is invisible to
     * readers; everything after it is the new snapshot.
+    *
+    * An immutable per-version copy `_graft_manifest.v{N}.json` lands BEFORE
+    * the primary swap — it is the snapshot record [[readVersion]] resolves
+    * (the Delta/Iceberg log entry analog, O(numBuckets) metadata per
+    * commit). Writing it first keeps the failure shape clean: a crash
+    * between the copy and the swap leaves a versioned manifest ABOVE the
+    * committed version — refused by readVersion's `v ≤ current` guard and
+    * swept by [[vacuum]] — never a committed version without its record.
     */
   private[cdc] def writeManifest(spark: SparkSession, dir: String, m: Manifest): Unit = {
     val (fs, hPath) = fsOf(spark, dir)
@@ -102,13 +114,88 @@ object MaterializedTable {
       s"""{"version":${m.version},"lastBatchId":${m.lastBatchId},""" +
         s""""buckets":$b,"schema":${m.schemaJson}}"""
     }
+    val bytes = json.getBytes("UTF-8")
+    val versioned = new org.apache.hadoop.fs.Path(dir, versionedManifestFile(m.version))
+    val vs = fs.create(versioned, true)
+    try vs.write(bytes) finally vs.close()
     val primary = new org.apache.hadoop.fs.Path(dir, manifestFile)
     val tmp = new org.apache.hadoop.fs.Path(dir, manifestFile + ".tmp")
     val os = fs.create(tmp, true)
-    try os.write(json.getBytes("UTF-8")) finally os.close()
+    try os.write(bytes) finally os.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       primary.toUri, spark.sparkContext.hadoopConfiguration)
     fc.rename(tmp, primary, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  private def versionedManifestFile(v: Long) = s"_graft_manifest.v$v.json"
+  private val VersionedManifestRe = """_graft_manifest\.v(\d+)\.json""".r
+
+  /** How many trailing versions stay fully materialized (readable via
+    * [[readVersion]]) — `spark.graft.materialized.retainVersions`. At the
+    * default 0, superseded bucket files are garbage-collected eagerly right
+    * after each commit (the original single-writer behavior). Any positive
+    * value defers that GC entirely to [[vacuum]], which then keeps every
+    * file referenced by the last `retain` versions — the lakehouse
+    * time-travel/retention discipline, and the escape hatch for concurrent
+    * long scans named in the class scaladoc.
+    */
+  private def retainVersions(spark: SparkSession): Int =
+    spark.conf.get("spark.graft.materialized.retainVersions", "0").toInt
+
+  /** Committed versions whose snapshot record is still present, ascending.
+    * (Versions above the primary manifest's are uncommitted crash leftovers
+    * and are not listed.)
+    */
+  def listVersions(spark: SparkSession, dir: String): Seq[Long] = {
+    val cur = readManifest(spark, dir).map(_.version).getOrElse(return Nil)
+    val (fs, hPath) = fsOf(spark, dir)
+    fs.listStatus(hPath).toSeq.flatMap(st => st.getPath.getName match {
+      case VersionedManifestRe(v) => Some(v.toLong)
+      case _ => None
+    }).filter(_ <= cur).sorted
+  }
+
+  /** TIME TRAVEL: the table as of committed version `v` — resolved through
+    * that version's immutable manifest, so the read is the exact snapshot
+    * the writer committed (not a best-effort directory reconstruction).
+    * Requires the snapshot's files to still be materialized: run with
+    * `spark.graft.materialized.retainVersions > 0` so post-commit GC defers
+    * to [[vacuum]]'s retention horizon. Fails loudly (never partially) when
+    * the version is uncommitted, unrecorded, or already vacuumed.
+    */
+  def readVersion(spark: SparkSession, dir: String, v: Long): DataFrame = {
+    val cur = readManifest(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no materialized state at $dir"))
+    require(v <= cur.version,
+      s"version $v is not committed (current is ${cur.version})")
+    val m =
+      if (v == cur.version) cur
+      else {
+        val (fs, _) = fsOf(spark, dir)
+        val p = new org.apache.hadoop.fs.Path(dir, versionedManifestFile(v))
+        if (!fs.exists(p))
+          throw new IllegalStateException(
+            s"version $v of $dir has no snapshot record — written before " +
+              "versioned manifests or pruned by vacuum()")
+        val in = fs.open(p)
+        val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        parseManifest(json)
+      }
+    // fail loudly if any referenced bucket was GC'd from under the snapshot
+    val (fs, _) = fsOf(spark, dir)
+    val gone = m.buckets.toSeq.sortBy(_._1).collectFirst {
+      case (b, bv) if !fs.exists(
+        new org.apache.hadoop.fs.Path(s"$dir/v$bv/_bucket=$b")) => (b, bv)
+    }
+    gone.foreach { case (b, bv) =>
+      throw new IllegalStateException(
+        s"version $v of $dir is no longer fully materialized (bucket $b@" +
+          s"v$bv was garbage-collected) — set " +
+          "spark.graft.materialized.retainVersions and defer GC to vacuum()")
+    }
+    (if (m.buckets.isEmpty) emptyFromSchema(spark, m)
+     else readBuckets(spark, dir, m, m.buckets.keys.toSeq)).drop("_bucket")
   }
 
   /** Does a committed state exist at `dir`? (Manifest presence — partial
@@ -246,8 +333,10 @@ object MaterializedTable {
       writeManifest(spark, dir,
         Manifest(newV, newWatermark, out.schema.json, newBuckets))
       // post-commit GC of superseded bucket dirs (best-effort: a failure
-      // here leaves unreferenced files for vacuum(), never corruption)
-      try {
+      // here leaves unreferenced files for vacuum(), never corruption).
+      // With a retention window configured, GC defers ENTIRELY to vacuum()
+      // so the last retainVersions snapshots stay readVersion-able.
+      if (retainVersions(spark) <= 0) try {
         for (b <- touched; v <- oldBuckets.get(b)) {
           val p = new org.apache.hadoop.fs.Path(s"$dir/v$v/_bucket=$b")
           if (fs.exists(p)) fs.delete(p, true)
@@ -278,21 +367,47 @@ object MaterializedTable {
     }
   }
 
-  /** Delete every file the manifest does NOT reference: crashed partial
-    * version directories and GC stragglers. Safe under the single-writer
-    * assumption once in-flight readers of the prior snapshot have drained
-    * (the retention-window caveat of every lakehouse VACUUM). Returns the
-    * number of directories removed.
+  /** Delete every file NO RETAINED manifest references: crashed partial
+    * version directories, GC stragglers, superseded buckets past the
+    * retention horizon, and stale/uncommitted snapshot records. Retained =
+    * the primary manifest plus the versioned manifests of the last
+    * `spark.graft.materialized.retainVersions` commits (at the default 0,
+    * only the current snapshot — the original behavior). Safe under the
+    * single-writer assumption once in-flight readers of pruned snapshots
+    * have drained (the retention-window caveat of every lakehouse VACUUM).
+    * Returns the number of files/directories removed.
     */
   def vacuum(spark: SparkSession, dir: String): Int = {
     val m = readManifest(spark, dir).getOrElse(return 0)
     val (fs, hPath) = fsOf(spark, dir)
+    val retain = retainVersions(spark)
+    val horizon = m.version - retain // versions > horizon stay materialized
     var removed = 0
+    // snapshot records: prune uncommitted leftovers (v > current — a crash
+    // between the versioned write and the primary swap) and records at or
+    // below the retention horizon (their files may be about to go)
+    val retained = scala.collection.mutable.ArrayBuffer(m)
+    for (st <- fs.listStatus(hPath)) st.getPath.getName match {
+      case VersionedManifestRe(vs) =>
+        val v = vs.toLong
+        if ((v > m.version || v <= horizon) && v != m.version) {
+          fs.delete(st.getPath, true); removed += 1
+        } else if (v < m.version) {
+          val in = fs.open(st.getPath)
+          val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          retained += parseManifest(json)
+        }
+      case _ => ()
+    }
+    // a file is live iff some retained manifest references its (bucket,
+    // version) pair
+    val liveRefs = retained.flatMap(_.buckets.map { case (b, v) => (b, v) }).toSet
     for (st <- fs.listStatus(hPath)
          if st.isDirectory && st.getPath.getName.startsWith("v")) {
       val vn = scala.util.Try(st.getPath.getName.stripPrefix("v").toLong).toOption
       vn.foreach { v =>
-        val liveHere = m.buckets.collect { case (b, bv) if bv == v => b }.toSet
+        val liveHere = liveRefs.collect { case (b, bv) if bv == v => b }
         if (liveHere.isEmpty && v != m.version) {
           fs.delete(st.getPath, true); removed += 1
         } else {
@@ -325,12 +440,12 @@ object MaterializedTable {
     * hash-clusters each bucket wholly into one task, so the partitioned
     * write emits exactly one file per bucket; the same
     * new-version + manifest-swap commit as a merge (a crash mid-compaction
-    * changes nothing). Reader caveat, same as every merge: a reader that
-    * resolved the OLD manifest stays consistent only until the writer's
-    * post-commit GC deletes the superseded bucket files — concurrent
-    * long scans over a table being actively rewritten need a retention
-    * discipline (defer GC to a scheduled [[vacuum]]) that this
-    * single-writer library deliberately leaves to the deployment.
+    * changes nothing). Reader caveat, same as every merge: at the default
+    * `retainVersions = 0` a reader that resolved the OLD manifest stays
+    * consistent only until the writer's post-commit GC deletes the
+    * superseded bucket files — concurrent long scans (and [[readVersion]]
+    * time travel) need `spark.graft.materialized.retainVersions > 0`, which
+    * defers all GC to [[vacuum]]'s retention horizon.
     */
   def compact(spark: SparkSession, dir: String, maxFilesPerBucket: Int = 1): Int = {
     require(maxFilesPerBucket >= 1,
@@ -353,7 +468,7 @@ object MaterializedTable {
     val newBuckets = m.buckets ++ oversized.map(_ -> newV)
     writeManifest(spark, dir,
       Manifest(newV, m.lastBatchId, out.schema.json, newBuckets))
-    try {
+    if (retainVersions(spark) <= 0) try {
       for (b <- oversized; v <- m.buckets.get(b)) {
         val p = new org.apache.hadoop.fs.Path(s"$dir/v$v/_bucket=$b")
         if (fs.exists(p)) fs.delete(p, true)

@@ -1480,6 +1480,64 @@ object CdcQueries {
           col("valid_to_lsn").isNull.as("is_current"),
           get_json_object(col("after"), "$.value").cast("double")
             .as("version_value"))
+    },
+
+    // --- snapshot time travel (cdc47): the manifest protocol's versioned
+    // --- records as a query surface. Three commit-ordered merges under a
+    // --- retention window (retainVersions=8 ⇒ post-commit GC defers to
+    // --- vacuum); the OUTPUT is readVersion(v2) — the table exactly as the
+    // --- second commit left it, which must hash-match DuckDB's replay of
+    // --- the changelog TRUNCATED at the same static cutoff. Verdict-as-
+    // --- data: current_ok (the v3 read still multiset-equals a fresh full
+    // --- replay — time travel cannot disturb the present), versions_ok
+    // --- (listVersions sees exactly the three commits), vacuum_ok (a
+    // --- retention-respecting vacuum() removed nothing a retained
+    // --- snapshot references — v2 reads back identically after it). ------
+    q("cdc47_time_travel",
+      """WITH ranked AS (SELECT *, row_number() OVER (
+        |  PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events
+        |  WHERE event_id < (SELECT 2*MAX(event_id)//3 FROM events))
+        |SELECT user_id, event_id AS last_lsn, value AS last_value,
+        |  TRUE AS current_ok, TRUE AS versions_ok, TRUE AS vacuum_ok
+        |FROM ranked WHERE rn = 1 AND event_type <> 'error'""".stripMargin) { (s, d) =>
+      val s2 = s.newSession()
+      s2.conf.set("spark.graft.materialized.retainVersions", "8")
+      val env = ChangelogGen.fromEvents(s2, d).toDF()
+        .select(col("op"), col("key"), col("lsn"), col("seq"),
+          get_json_object(col("after"), "$.value").cast("double").as("value"))
+      // lsn = event_id: raw parquet max, no JSON projection for one scalar
+      val mx = Tables.events(s, d).agg(max(col("event_id"))).head().getLong(0)
+      val dir = java.nio.file.Files.createTempDirectory("cdc47").toString + "/t"
+      val keyCols = Seq("key"); val ordCols = Seq("lsn", "seq")
+      Seq((0L, mx / 3), (mx / 3, 2 * mx / 3), (2 * mx / 3, mx + 1))
+        .zipWithIndex.foreach { case ((lo, hi), i) =>
+          MaterializedTable.merge(s2, dir,
+            env.filter(col("lsn") >= lo && col("lsn") < hi),
+            keyCols, ordCols, batchId = Some(i.toLong))
+        }
+      val versionsOk =
+        MaterializedTable.listVersions(s2, dir) == Seq(1L, 2L, 3L)
+      // the present is undisturbed: current read ≡ fresh full replay
+      val replayed = LatestState.batch(env, keyCols, ordCols)
+        .select(col("key"), col("lsn"), col("value"))
+      val current = MaterializedTable.read(s2, dir)
+        .select(col("key"), col("lsn"), col("value"))
+      val currentOk = current.exceptAll(replayed).isEmpty &&
+        replayed.exceptAll(current).isEmpty
+      def travel() = MaterializedTable.readVersion(s2, dir, 2L)
+        .select(col("key"), col("lsn"), col("value")).localCheckpoint()
+      val atV2 = travel()
+      // a retention-respecting vacuum removes nothing a retained snapshot
+      // needs — v2 must read back multiset-identical afterwards
+      MaterializedTable.vacuum(s2, dir)
+      val afterVac = travel()
+      val vacuumOk = afterVac.exceptAll(atV2).isEmpty &&
+        atV2.exceptAll(afterVac).isEmpty
+      afterVac
+        .select(col("key").cast("long").as("user_id"),
+          col("lsn").as("last_lsn"), col("value").as("last_value"),
+          lit(currentOk).as("current_ok"), lit(versionsOk).as("versions_ok"),
+          lit(vacuumOk).as("vacuum_ok"))
     }
   )
 }

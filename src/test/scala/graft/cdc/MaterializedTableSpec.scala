@@ -281,4 +281,48 @@ class MaterializedTableSpec extends AnyFunSuite {
     assert(got == Map("a" -> "A1"), "live snapshot untouched by vacuum")
     assert(MaterializedTable.vacuum(spark, dir) == 0, "second vacuum is a no-op")
   }
+
+  test("time travel: readVersion reconstructs retained snapshots; vacuum honors the horizon") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.materialized.retainVersions", "2")
+    import s2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mt_tt").toString + "/state"
+    val b1 = Seq(ev("insert", "a", 1, "A1"), ev("insert", "b", 2, "B1"))
+    val b2 = Seq(ev("update", "a", 3, "A2"), ev("delete", "b", 4, null))
+    val b3 = Seq(ev("insert", "c", 5, "C1"))
+    Seq(b1, b2, b3).zipWithIndex.foreach { case (b, i) =>
+      MaterializedTable.merge(s2, dir, b.toDF(), Seq("key"), Seq("lsn", "seq"),
+        numBuckets = 1, batchId = Some(i.toLong))
+    }
+    def stateAt(v: Long) = MaterializedTable.readVersion(s2, dir, v)
+      .select("key", "after").as[(String, String)].collect().toMap
+    def replay(bs: Seq[CdcEvent]*) =
+      LatestState.batch(bs.flatten.toDF(), Seq("key"), Seq("lsn", "seq"))
+        .select("key", "after").as[(String, String)].collect().toMap
+    assert(MaterializedTable.listVersions(s2, dir) == Seq(1L, 2L, 3L))
+    assert(stateAt(1) == replay(b1))
+    assert(stateAt(2) == replay(b1, b2))         // delete visible at v2
+    assert(stateAt(3) == replay(b1, b2, b3))     // current via its record
+    // uncommitted versions are refused outright
+    intercept[IllegalArgumentException] {
+      MaterializedTable.readVersion(s2, dir, 99)
+    }
+    // vacuum at retain=2: horizon = 1 — v1's snapshot falls away, v2/v3 stay
+    MaterializedTable.vacuum(s2, dir)
+    assert(MaterializedTable.listVersions(s2, dir) == Seq(2L, 3L))
+    assert(stateAt(2) == replay(b1, b2), "retained snapshot survives vacuum")
+    intercept[IllegalStateException] {
+      MaterializedTable.readVersion(s2, dir, 1)
+    }
+    // default retain=0 (the shared session): eager post-commit GC — an old
+    // version's files are gone immediately and readVersion fails LOUDLY
+    val dir0 = java.nio.file.Files.createTempDirectory("mt_tt0").toString + "/state"
+    MaterializedTable.merge(spark, dir0,
+      spark.createDataFrame(b1), Seq("key"), Seq("lsn", "seq"), numBuckets = 1)
+    MaterializedTable.merge(spark, dir0,
+      spark.createDataFrame(b2), Seq("key"), Seq("lsn", "seq"), numBuckets = 1)
+    intercept[IllegalStateException] {
+      MaterializedTable.readVersion(spark, dir0, 1)
+    }
+  }
 }
