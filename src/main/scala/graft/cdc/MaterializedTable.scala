@@ -478,6 +478,44 @@ object MaterializedTable {
     oversized.size
   }
 
+  /** CHANGE FEED between two committed versions — the snapshot-diff CDC
+    * operator (Delta's change-data-feed shape, and how pipelines bootstrap
+    * CDC when no WAL exists): one row per key whose state differs between
+    * `fromV` and `toV`, op-typed `insert`/`update`/`delete` with the full
+    * before/after payloads (`before_<c>` / `after_<c>` per non-key column).
+    * Unchanged keys are filtered BEFORE the output materializes, so the
+    * feed is O(divergence), not O(table).
+    *
+    * Scale shape: ONE full-outer hash join on the key columns — the same
+    * exchange both snapshots would already be bucketed on in a persisted
+    * deployment; payload comparison is a null-safe struct equality inside
+    * the join's projection. Requires both versions retained
+    * (`spark.graft.materialized.retainVersions`).
+    */
+  def changeFeed(spark: SparkSession, dir: String, fromV: Long, toV: Long,
+      keyCols: Seq[String]): DataFrame = {
+    require(fromV < toV, s"fromV ($fromV) must precede toV ($toV)")
+    val before = readVersion(spark, dir, fromV)
+    val after = readVersion(spark, dir, toV)
+    val payload = before.columns.filterNot(keyCols.contains)
+      .intersect(after.columns).toSeq
+    val a = before.select(
+      (keyCols.map(col) :+ struct(payload.map(col): _*).as("_b") :+
+        lit(1).as("_inA")): _*)
+    val b = after.select(
+      (keyCols.map(col) :+ struct(payload.map(col): _*).as("_a") :+
+        lit(1).as("_inB")): _*)
+    a.join(b, keyCols, "full_outer")
+      .withColumn("op",
+        when(col("_inA").isNull, lit(Op.Insert))
+          .when(col("_inB").isNull, lit(Op.Delete))
+          .when(!(col("_b") <=> col("_a")), lit(Op.Update)))
+      .filter(col("op").isNotNull) // unchanged keys leave the feed here
+      .select(keyCols.map(col) ++ Seq(col("op")) ++
+        payload.map(c => col(s"_b.$c").as(s"before_$c")) ++
+        payload.map(c => col(s"_a.$c").as(s"after_$c")): _*)
+  }
+
   /** Current state snapshot as the manifest names it (bucket column kept).
     *
     * Scale note: mergeSchema reconciles footers, not data — O(files)

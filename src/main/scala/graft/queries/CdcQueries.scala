@@ -1538,6 +1538,56 @@ object CdcQueries {
           col("lsn").as("last_lsn"), col("value").as("last_value"),
           lit(currentOk).as("current_ok"), lit(versionsOk).as("versions_ok"),
           lit(vacuumOk).as("vacuum_ok"))
+    },
+
+    // --- change feed from storage versions (cdc48): the snapshot-diff CDC
+    // --- operator — one op-typed row (insert/update/delete, full
+    // --- before/after payload) per key whose state differs between two
+    // --- committed versions. The inverse of merge: where cdc41 folds a
+    // --- changelog INTO versioned state, this recovers a changelog FROM
+    // --- the versions — how pipelines bootstrap CDC when no WAL exists,
+    // --- and what an audit reads instead of two full snapshots (output is
+    // --- O(divergence), one full-outer key join). Oracle restates it as
+    // --- the diff of the two truncated replays. lsn is unique per event,
+    // --- so comparing (lsn, value) ≡ comparing the full stored payload. --
+    q("cdc48_change_feed",
+      """WITH s2 AS (SELECT user_id, event_id, value FROM (
+        |    SELECT user_id, event_id, value, event_type,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_id < (SELECT 2*MAX(event_id)//3 FROM events)) t
+        |  WHERE rn = 1 AND event_type <> 'error'),
+        |s3 AS (SELECT user_id, event_id, value FROM (
+        |    SELECT user_id, event_id, value, event_type,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |    FROM events) t
+        |  WHERE rn = 1 AND event_type <> 'error'),
+        |j AS (SELECT COALESCE(s2.user_id, s3.user_id) AS user_id,
+        |  CASE WHEN s2.user_id IS NULL THEN 'insert'
+        |       WHEN s3.user_id IS NULL THEN 'delete'
+        |       WHEN s2.event_id IS DISTINCT FROM s3.event_id
+        |         OR s2.value IS DISTINCT FROM s3.value THEN 'update' END AS op,
+        |  s2.event_id AS before_lsn, s2.value AS before_value,
+        |  s3.event_id AS after_lsn, s3.value AS after_value
+        |  FROM s2 FULL JOIN s3 ON s2.user_id = s3.user_id)
+        |SELECT * FROM j WHERE op IS NOT NULL""".stripMargin) { (s, d) =>
+      val s2 = s.newSession()
+      s2.conf.set("spark.graft.materialized.retainVersions", "8")
+      val env = ChangelogGen.fromEvents(s2, d).toDF()
+        .select(col("op"), col("key"), col("lsn"), col("seq"),
+          get_json_object(col("after"), "$.value").cast("double").as("value"))
+      // lsn = event_id: raw parquet max, no JSON projection for one scalar
+      val mx = Tables.events(s, d).agg(max(col("event_id"))).head().getLong(0)
+      val dir = java.nio.file.Files.createTempDirectory("cdc48").toString + "/t"
+      Seq((0L, mx / 3), (mx / 3, 2 * mx / 3), (2 * mx / 3, mx + 1))
+        .zipWithIndex.foreach { case ((lo, hi), i) =>
+          MaterializedTable.merge(s2, dir,
+            env.filter(col("lsn") >= lo && col("lsn") < hi),
+            Seq("key"), Seq("lsn", "seq"), batchId = Some(i.toLong))
+        }
+      MaterializedTable.changeFeed(s2, dir, fromV = 2L, toV = 3L, Seq("key"))
+        .select(col("key").cast("long").as("user_id"), col("op"),
+          col("before_lsn"), col("before_value"),
+          col("after_lsn"), col("after_value"))
     }
   )
 }

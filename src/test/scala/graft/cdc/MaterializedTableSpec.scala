@@ -307,6 +307,25 @@ class MaterializedTableSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       MaterializedTable.readVersion(s2, dir, 99)
     }
+    // change feed between versions: op-typed diff, O(divergence) output
+    // (column names: the stored payload col is 'after', so the feed emits
+    // before_after / after_after)
+    def feed(f: Long, t: Long) =
+      MaterializedTable.changeFeed(s2, dir, f, t, Seq("key"))
+        .select("key", "op", "before_after", "after_after")
+        .as[(String, String, Option[String], Option[String])].collect().toSet
+    assert(feed(1, 2) == Set(
+      ("a", "update", Some("A1"), Some("A2")),
+      ("b", "delete", Some("B1"), None)))
+    assert(feed(2, 3) == Set(("c", "insert", None, Some("C1"))),
+      "unchanged keys stay out of the feed")
+    assert(feed(1, 3) == Set(
+      ("a", "update", Some("A1"), Some("A2")),
+      ("b", "delete", Some("B1"), None),
+      ("c", "insert", None, Some("C1"))))
+    intercept[IllegalArgumentException] {
+      MaterializedTable.changeFeed(s2, dir, 3, 3, Seq("key"))
+    }
     // vacuum at retain=2: horizon = 1 — v1's snapshot falls away, v2/v3 stay
     MaterializedTable.vacuum(s2, dir)
     assert(MaterializedTable.listVersions(s2, dir) == Seq(2L, 3L))
@@ -314,6 +333,7 @@ class MaterializedTableSpec extends AnyFunSuite {
     intercept[IllegalStateException] {
       MaterializedTable.readVersion(s2, dir, 1)
     }
+
     // default retain=0 (the shared session): eager post-commit GC — an old
     // version's files are gone immediately and readVersion fails LOUDLY
     val dir0 = java.nio.file.Files.createTempDirectory("mt_tt0").toString + "/state"
