@@ -1588,6 +1588,39 @@ object CdcQueries {
         .select(col("key").cast("long").as("user_id"), col("op"),
           col("before_lsn"), col("before_value"),
           col("after_lsn"), col("after_value"))
+    },
+
+    // --- streaming inactivity expiry (cdc49): per-key EVENT-TIME TIMERS
+    // --- through Spark 4's transformWithState arbitrary-state API — the
+    // --- one primitive flatMapGroupsWithState cannot express. A key quiet
+    // --- for 2h emits exactly one expiry record (session-end/offline-alert
+    // --- semantics, the streaming complement of q35's batch sessionize):
+    // --- mid-stream gaps emit on the next event's arrival when the timer
+    // --- has not fired, tail gaps from the timer once the sentinel pushes
+    // --- the watermark past them; an `emitted` flag in state makes the two
+    // --- paths emit-once regardless of watermark timing, and replays are
+    // --- silent. RocksDB state store (required by the API — and the 100 TB
+    // --- configuration anyway) on an isolated session. Oracle restates the
+    // --- semantics as the lead() gap scan. --------------------------------
+    q("cdc49_stream_expiry",
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t_us,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS nxt
+        |  FROM events)
+        |SELECT user_id, event_id AS last_lsn,
+        |  t_us//1000 + 7200000 AS expired_at_ms
+        |FROM e WHERE nxt IS NULL OR nxt - t_us > 7200000000""".stripMargin) { (s, d) =>
+      import graft.streaming.{InactivityExpiry, StreamStreamJoin}
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val ev = StreamStreamJoin.eventsStreamWithSentinel(s2,
+        s"$d/events.parquet", Seq("click"))
+      val expiries = InactivityExpiry.expiries(ev, gapMs = 7200000L)
+      StreamStreamJoin.runToMemory(s2, expiries.toDF(),
+          s"cdc49_${java.util.UUID.randomUUID().toString.take(8)}")
+        .filter(col("user_id") >= 0)
+        .select("user_id", "last_lsn", "expired_at_ms")
     }
   )
 }

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-batch semantics of the transformWithState inactivity-expiry
+  * operator — the interleavings the gate's single-real-batch drive cannot
+  * reach: timer-path emission between batches, the emitted-flag dedup when
+  * an advancing event lands AFTER its predecessor's timer already fired,
+  * and at-least-once replay silence.
+  */
+class InactivityExpirySpec extends AnyFunSuite {
+  // transformWithState requires the RocksDB provider; isolate it on a new
+  // session so the shared suite session keeps the default store
+  private lazy val spark = {
+    val s = SparkTestSession.spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s
+  }
+
+  private val H = 3600L // seconds
+  private val t0 = 1_000_000_000L // seconds epoch
+  private def row(u: Long, lsn: Long, tSec: Long) =
+    ExpiryRow(u, lsn, tSec * 1000000L, new java.sql.Timestamp(tSec * 1000L))
+  private def e(u: Long, lsn: Long, tSec: Long) = // expected expiry: t + 2h
+    ExpiryEvent(u, lsn, tSec * 1000L + 2 * H * 1000L)
+
+  test("cross-batch gaps: inline + timer paths emit once each; replays silent") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[ExpiryRow]
+    val ckpt = java.nio.file.Files.createTempDirectory("exp_tws").toString
+    val q = InactivityExpiry.expiriesTyped(
+        input.toDS().withWatermark("ts", "0 seconds"), gapMs = 2 * H * 1000L)
+      .toDF()
+      .writeStream.format("memory").queryName("exp_tws").outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      // b1 — u1 carries an INTRA-batch 3h gap (inline emit); u3's single
+      // event arms a timer the advancing watermark (t0+3h) will fire
+      input.addData(row(1, 1, t0), row(1, 2, t0 + 3 * H), row(3, 31, t0))
+      q.processAllAvailable()
+      // b2 — u1/u2 advance (u1's pending 5h timer races its own next event:
+      // the inline path wins, exactly one emit; the in-batch duplicate of
+      // u1's row is non-advancing and silent); u3 advances AFTER its timer
+      // fired — the emitted flag must suppress a duplicate. u3's event sits
+      // strictly above b1's watermark (t0+3h): transformWithState drops
+      // late rows outright, so an at-or-below-watermark event never reaches
+      // the processor (spec'd implicitly by b3 below).
+      input.addData(row(1, 3, t0 + 10 * H), row(1, 3, t0 + 10 * H),
+        row(2, 9, t0 + 10 * H), row(3, 32, t0 + 4 * H))
+      q.processAllAvailable()
+      // b3 — full at-least-once replay of everything so far: silent
+      input.addData(row(1, 1, t0), row(1, 2, t0 + 3 * H), row(3, 31, t0),
+        row(1, 3, t0 + 10 * H), row(2, 9, t0 + 10 * H), row(3, 32, t0 + 4 * H))
+      q.processAllAvailable()
+      // b4 — far-future watermark push fires every tail timer (u99's own
+      // expiry sits past the final watermark and never fires)
+      input.addData(row(99, 0, t0 + 1000 * H))
+      q.processAllAvailable()
+      val got = spark.table("exp_tws").as[ExpiryEvent].collect()
+        .filter(_.user_id < 99).toSeq
+      val want = Seq(
+        e(1, 1, t0), e(1, 2, t0 + 3 * H), e(1, 3, t0 + 10 * H),
+        e(2, 9, t0 + 10 * H),
+        e(3, 31, t0), e(3, 32, t0 + 4 * H))
+      assert(got.sortBy(x => (x.user_id, x.last_lsn)) ==
+        want.sortBy(x => (x.user_id, x.last_lsn)))
+      // exactly once each — no duplicate from the timer/inline race or the
+      // replay batch
+      assert(got.size == got.distinct.size)
+    } finally q.stop()
+  }
+}
