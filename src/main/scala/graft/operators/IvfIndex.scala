@@ -388,16 +388,8 @@ object IvfIndex {
     */
   def searchIndex(probes: DataFrame, index: Index, idCol: String, vecCol: String,
       k: Int, nProbe: Int = 3): DataFrame = {
-    val pq = probes.select(col(idCol).as("probe_id"),
-      Similarity.quantize(col(vecCol)).as("pq"))
-      .withColumn("n2p", Similarity.dotQ(col("pq"), col("pq")))
-    val probeCells = pq.crossJoin(broadcast(index.centroids))
-      .select(col("probe_id"), col("cell"), l2Q(col("pq"), col("cv")).as("d2"))
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy(col("probe_id")).orderBy(col("d2"), col("cell"))))
-      .filter(col("_rn") <= nProbe)
-      .select("probe_id", "cell")
-    val scored = probeCells
+    val pq = quantizedProbes(probes, idCol, vecCol)
+    val scored = probeCells(pq, index, nProbe)
       .join(index.assigned, Seq("cell"))
       .join(pq, Seq("probe_id"))
       .filter(col("probe_id") =!= col("neighbor_id"))
@@ -406,6 +398,54 @@ object IvfIndex {
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  private def quantizedProbes(probes: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    probes.select(col(idCol).as("probe_id"),
+      Similarity.quantize(col(vecCol)).as("pq"))
+      .withColumn("n2p", Similarity.dotQ(col("pq"), col("pq")))
+
+  /** The probe→nProbe-nearest-cells assignment shared by every indexed
+    * search path: one broadcast of the (≤nLists)-row centroid set, exact
+    * integer L2, ties → lowest cell.
+    */
+  private def probeCells(pq: DataFrame, index: Index, nProbe: Int): DataFrame =
+    pq.crossJoin(broadcast(index.centroids))
+      .select(col("probe_id"), col("cell"), l2Q(col("pq"), col("cv")).as("d2"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("probe_id")).orderBy(col("d2"), col("cell"))))
+      .filter(col("_rn") <= nProbe)
+      .select("probe_id", "cell")
+
+  /** RADIUS search through the index — [[Similarity.radiusSearch]]'s
+    * exact-integer threshold restricted to each probe's `nProbe` nearest
+    * cells: the scale path for "everything at least this similar", paying
+    * Σ|probed cell| per probe instead of the corpus. Every neighbor lives
+    * in exactly ONE cell, so no dedup stage is needed; at `nProbe =
+    * nLists` the result EQUALS the exact radius search (spec-pinned), and
+    * below it the result is a deterministic subset — the standard IVF
+    * recall-for-IO trade, here with set membership still decided by the
+    * same integer cross-multiplication (never float rounding).
+    */
+  def radiusSearchIndex(probes: DataFrame, index: Index, idCol: String,
+      vecCol: String, minCosNum: Long, minCosDen: Long,
+      nProbe: Int = 3): DataFrame = {
+    require(minCosNum >= 0 && minCosDen > 0 && minCosNum <= 10 && minCosDen <= 10,
+      "threshold must be a small non-negative rational (overflow bound)")
+    val pq = quantizedProbes(probes, idCol, vecCol)
+    probeCells(pq, index, nProbe)
+      .join(index.assigned, Seq("cell"))
+      .join(pq, Seq("probe_id"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("dot", Similarity.dotQ(col("pq"), col("cq")))
+      .filter(col("dot") >= 0 &&
+        col("dot") * col("dot") * lit(minCosDen * minCosDen) >=
+          lit(minCosNum * minCosNum) * col("n2p") * col("n2c"))
+      .select(col("probe_id"), col("neighbor_id"),
+        (col("dot").cast("double") /
+          (sqrt(col("n2p").cast("double")) * sqrt(col("n2c").cast("double"))))
+          .as("sim"))
   }
 
   /** Index health stats — the monitoring half of the frozen-quantizer

@@ -1986,6 +1986,39 @@ object VectorQueries {
       val emb = Tables.embeddings(s, d)
       Similarity.radiusSearch(emb.filter(col("vec_id") < 10), emb,
         "vec_id", "embedding", minCosNum = 3, minCosDen = 10)
+    },
+
+    // --- IVF-pruned radius search (vec37): vec36's threshold restricted to
+    // --- each probe's 4 nearest cells — the scale path, paying
+    // --- Σ|probed cell| per probe instead of the corpus. Neighbors live in
+    // --- exactly one cell (no dedup stage); membership still decided by
+    // --- the exact integer cross-multiplication. The oracle replays the
+    // --- full deterministic pipeline: seeded Lloyd training, assignment,
+    // --- probe-cell selection, in-cell radius filter. ---------------------
+    q("vec37_radius_indexed",
+      s"""WITH $quantSql,
+         |c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, qv AS cv
+         |  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 16) s),
+         |${lloydSql(1, "c0", "q")},
+         |${lloydSql(2, "c1", "q")},
+         |${assignSql("idx", "neighbor_id", "q")},
+         |${assignSql("pc", "probe_id", "n", " WHERE n.vec_id < 10", "rn <= 4")},
+         |scored AS (SELECT pc.probe_id, idx.neighbor_id,
+         |  CAST(list_sum([p.qv[i]*c.qv[i] for i in generate_series(1, len(p.qv))]) AS BIGINT) AS dot,
+         |  p.n2 AS n2p, c.n2 AS n2c
+         |  FROM pc JOIN idx ON pc.cell = idx.cell
+         |  JOIN n p ON p.vec_id = pc.probe_id
+         |  JOIN n c ON c.vec_id = idx.neighbor_id
+         |  WHERE idx.neighbor_id <> pc.probe_id)
+         |SELECT probe_id, neighbor_id,
+         |  CAST(dot AS DOUBLE)/(sqrt(CAST(n2p AS DOUBLE))*sqrt(CAST(n2c AS DOUBLE))) AS sim
+         |FROM scored WHERE dot >= 0 AND 100*dot*dot >= 9*n2p*n2c""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val idx = graft.operators.IvfIndex.build(emb, "vec_id", "embedding",
+        nLists = 16, iters = 2)
+      graft.operators.IvfIndex.radiusSearchIndex(
+        emb.filter(col("vec_id") < 10), idx, "vec_id", "embedding",
+        minCosNum = 3, minCosDen = 10, nProbe = 4)
     }
   )
 }

@@ -291,6 +291,19 @@ class SimilaritySpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect()
     assert(rs == all.filter(_._3 >= 0.3).toSet)
     assert(rs.nonEmpty)
+    // indexed radius: subset of the exact set with identical sims; probing
+    // EVERY cell recovers the exact result (completeness at nProbe=nLists)
+    val idx = IvfIndex.build(emb, "vec_id", "embedding", nLists = 16, iters = 2)
+    val pruned = IvfIndex.radiusSearchIndex(p10, idx, "vec_id", "embedding",
+        3, 10, nProbe = 4)
+      .select("probe_id", "neighbor_id", "sim")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pruned.subsetOf(rs), "pruned radius results must be exact pairs")
+    val full = IvfIndex.radiusSearchIndex(p10, idx, "vec_id", "embedding",
+        3, 10, nProbe = 16)
+      .select("probe_id", "neighbor_id", "sim")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(full == rs, "probing all cells must recover the exact radius set")
   }
 
   test("embedding near-dup pairs: planted copies found at threshold 0.999") {
