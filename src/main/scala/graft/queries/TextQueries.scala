@@ -2521,6 +2521,47 @@ object TextQueries {
         .select(col("doc_id"),
           coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
           coalesce(col("n_backoff"), lit(0L)).as("n_backoff"), col("score"))
+    },
+
+    // --- persisted inverted index + phrase search (txt76): the retrieval
+    // --- artifact of a curation stack — build-once positional postings
+    // --- partitioned by token bucket, query-time reads pruned to the
+    // --- query tokens' buckets (literal isin → static partition pruning;
+    // --- bucket ids computed through Catalyst's own murmur3 so index and
+    // --- query can never disagree). An occurrence = consecutive
+    // --- positions; search = rarest-list-bounded equi-joins on
+    // --- (doc, base), never a text scan. Three phrases incl. the
+    // --- repeated-token edge ('a a' — each slot filters the same list
+    // --- under its own shift). Oracle replays tokenize + adjacency. ------
+    q("txt76_inverted_index",
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |p AS (SELECT doc_id, unnest(t) AS token,
+        |    unnest(generate_series(1, len(t))) AS pos FROM toks),
+        |m AS (
+        |  SELECT 'table hash' AS phrase, a.doc_id, a.pos FROM p a
+        |    JOIN p b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |    WHERE a.token = 'table' AND b.token = 'hash'
+        |  UNION ALL
+        |  SELECT 'slow hash batch', a.doc_id, a.pos FROM p a
+        |    JOIN p b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |    JOIN p c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+        |    WHERE a.token = 'slow' AND b.token = 'hash' AND c.token = 'batch'
+        |  UNION ALL
+        |  SELECT 'a a', a.doc_id, a.pos FROM p a
+        |    JOIN p b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |    WHERE a.token = 'a' AND b.token = 'a')
+        |SELECT phrase, doc_id, COUNT(*) AS n_matches
+        |FROM m GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      import graft.operators.InvertedIndex
+      val dir = java.nio.file.Files.createTempDirectory("txt76").toString + "/ix"
+      InvertedIndex.save(Tables.documents(s, d), "doc_id", "text", dir)
+      val idx = InvertedIndex.load(s, dir)
+      Seq("table hash", "slow hash batch", "a a")
+        .map(p => idx.searchPhrase(p).withColumn("phrase", lit(p)))
+        .reduce(_.unionByName(_))
+        .select(col("phrase"), col("doc_id"), col("n_matches"))
     }
   )
 }

@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class InvertedIndexSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val dir = "/root/testdata/sf0.001"
+
+  /** Straight-line truth: sliding window over the whitespace token list. */
+  private def bruteCount(tokens: Array[String], q: Array[String]): Int =
+    (0 to tokens.length - q.length)
+      .count(i => q.indices.forall(j => tokens(i + j) == q(j)))
+
+  test("phrase search ≡ sliding-window scan; save/load round-trip; bucket pruning") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, dir)
+    val ixDir = java.nio.file.Files.createTempDirectory("ix_spec").toString + "/ix"
+    InvertedIndex.save(docs, "doc_id", "text", ixDir, nBuckets = 8)
+    val idx = InvertedIndex.load(spark, ixDir)
+    assert(idx.nBuckets == 8, "artifact must be self-describing")
+
+    val corpus = docs.select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(" ").filter(_.nonEmpty) }.toMap
+    for (phrase <- Seq("table hash", "a a", "slow hash batch", "nosuchtoken q")) {
+      val q = phrase.split(" ")
+      val got = idx.searchPhrase(phrase)
+        .as[(Long, Long)].collect().toMap
+      val want = corpus.view.mapValues(t => bruteCount(t, q).toLong)
+        .filter(_._2 > 0).toMap
+      assert(got == want, s"phrase '$phrase'")
+    }
+
+    // loaded search ≡ in-memory postings (the artifact changes nothing)
+    val mem = InvertedIndex.phraseMatches(
+        InvertedIndex.postings(docs, "doc_id", "text"), Seq("table", "hash"))
+      .as[(Long, Long)].collect().toSet
+    val loaded = idx.searchPhrase("table hash").as[(Long, Long)].collect().toSet
+    assert(mem == loaded)
+
+    // the literal bucket isin must reach the postings scan as a PARTITION
+    // filter — the pruning contract of the stored layout
+    val plan = idx.searchPhrase("table hash").queryExecution.executedPlan
+    val inner = plan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    val scans = inner.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("postings")) => f
+    }
+    assert(scans.nonEmpty)
+    assert(scans.forall(_.partitionFilters.exists(_.toString.contains("tbucket"))),
+      "query-token bucket filter must prune the postings partitions")
+  }
+
+  test("repeated-token adjacency on a handcrafted doc") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a a b a a"), (2L, "b a b"), (3L, ""))
+      .toDF("doc_id", "text")
+    def run(p: String) = InvertedIndex.phraseMatches(
+        InvertedIndex.postings(docs, "doc_id", "text"),
+        p.split(" ").toSeq)
+      .as[(Long, Long)].collect().toMap
+    assert(run("a a") == Map(1L -> 3L))     // bases 0,1 and 4 — overlap counts
+    assert(run("a a a") == Map(1L -> 1L))
+    assert(run("a b") == Map(1L -> 1L, 2L -> 1L))
+    assert(run("b a b") == Map(2L -> 1L))
+    assert(run("c") == Map.empty)
+  }
+}
