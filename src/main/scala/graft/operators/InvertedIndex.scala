@@ -52,6 +52,12 @@ object InvertedIndex {
       .withColumn("tbucket", pmod(hash(col("token")), lit(nBuckets)))
       .repartition(col("tbucket"))
       .write.mode("overwrite").partitionBy("tbucket").parquet(s"$dir/postings")
+    // per-doc token lengths (BM25's length normalization): O(docs) rows,
+    // zero-token docs kept — they are part of N and the average
+    docs.select(col(idCol).as("doc_id"),
+        size(filter(split(col(textCol), " "), t => t =!= "")).cast("long")
+          .as("dlen"))
+      .write.mode("overwrite").parquet(s"$dir/doclen")
     Seq(nBuckets).toDF("n_buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
@@ -77,6 +83,59 @@ object InvertedIndex {
       val qtoks = phrase.split(" ").filter(_.nonEmpty).toSeq
       require(qtoks.nonEmpty, "empty phrase")
       InvertedIndex.phraseMatches(postingsFor(qtoks), qtoks)
+    }
+
+    private[operators] def docLens: DataFrame =
+      spark.read.parquet(s"$dir/doclen")
+
+    /** BM25-ranked bag-of-words retrieval (k1 = 1.2, b = 0.75) — top-`k`
+      * docs by (score DESC, doc_id). Engine-portable determinism, the
+      * txt11 discipline extended to BM25's length normalization:
+      *
+      *   - idf is the ln-free rational (N − df + ½)/(df + ½), and the
+      *     whole per-term score is ONE IEEE division of two EXACTLY
+      *     computed integers —
+      *     num = (2N − 2df + 1) · 44 · tf · total,
+      *     den = (2df + 1) · (20·tf·total + 6·total + 18·dlen·N)
+      *     (the k1/b constants cleared to integers: ×20·total) — so the
+      *     per-term double is bit-identical on every engine. Magnitude
+      *     bound: num < 2^63 up to ~10^8 corpus tokens × 10^5 docs;
+      *     beyond that lift num/den to DECIMAL(38,0) (still exact).
+      *   - the per-doc sum left-folds the term scores in TOKEN ORDER
+      *     (`aggregate(array_sort(collect_list(…)))`), because a plain
+      *     double SUM is order-dependent; adding absent terms as +0.0 is
+      *     an IEEE identity, so any engine summing the same ordered terms
+      *     gets the same double.
+      *
+      * Scale shape: per-term work is bounded by the query tokens' posting
+      * lists (the same pruned read as phrase search); the corpus-level
+      * (N, total) pair is one broadcast row; the final top-k windows over
+      * candidate docs only (≤ Σ df(token)), never the corpus.
+      */
+    def searchRanked(query: String, k: Int): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val qtoks = query.split(" ").filter(_.nonEmpty).distinct.toSeq
+      require(qtoks.nonEmpty, "empty query")
+      val tf = postingsFor(qtoks)
+        .groupBy(col("token"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val stats = docLens.agg(count(lit(1)).as("n"),
+        sum(col("dlen")).as("total"))
+      val term = tf.join(df, Seq("token")).join(docLens, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .withColumn("s",
+          ((lit(2L) * col("n") - lit(2L) * col("df") + lit(1L)) *
+            lit(44L) * col("tf") * col("total")).cast("double") /
+          ((lit(2L) * col("df") + lit(1L)) *
+            (lit(20L) * col("tf") * col("total") + lit(6L) * col("total") +
+              lit(18L) * col("dlen") * col("n"))).cast("double"))
+      term.groupBy(col("doc_id"))
+        .agg(aggregate(
+          array_sort(collect_list(struct(col("token"), col("s")))),
+          lit(0.0), (acc, x) => acc + x.getField("s")).as("score"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))))
+        .filter(col("rank") <= k)
     }
   }
 

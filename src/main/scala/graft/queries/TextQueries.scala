@@ -2562,6 +2562,46 @@ object TextQueries {
         .map(p => idx.searchPhrase(p).withColumn("phrase", lit(p)))
         .reduce(_.unionByName(_))
         .select(col("phrase"), col("doc_id"), col("n_matches"))
+    },
+
+    // --- BM25 ranked retrieval over the inverted index (txt77): top-10
+    // --- docs for a 3-term query. Determinism discipline (txt11's ln-free
+    // --- idf extended to BM25): each per-term score is ONE IEEE division
+    // --- of exactly computed integers (k1=1.2/b=0.75 cleared to integers
+    // --- by x20·total), and the per-doc sum left-folds term scores in
+    // --- TOKEN ORDER — the oracle restates the same fold as alphabetical
+    // --- chained adds (absent terms +0.0, an IEEE identity), so the
+    // --- ranking doubles are bit-identical across engines. --------------
+    q("txt77_bm25_search",
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |p AS (SELECT doc_id, unnest(t) AS token,
+        |    unnest(generate_series(1, len(t))) AS pos FROM toks),
+        |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dlen FROM toks),
+        |st AS (SELECT COUNT(*) AS n, CAST(SUM(dlen) AS BIGINT) AS total FROM dl),
+        |tf AS (SELECT token, doc_id, COUNT(*) AS tf FROM p
+        |  WHERE token IN ('hash', 'scan', 'table') GROUP BY 1, 2),
+        |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        |term AS (SELECT tf.doc_id, tf.token,
+        |    CAST((2*n - 2*df + 1)*44*tf*total AS DOUBLE) /
+        |    CAST((2*df + 1)*(20*tf*total + 6*total + 18*dlen*n) AS DOUBLE) AS s
+        |  FROM tf JOIN df USING (token)
+        |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st),
+        |sc AS (SELECT doc_id,
+        |    COALESCE(MAX(CASE WHEN token = 'hash' THEN s END), 0)
+        |  + COALESCE(MAX(CASE WHEN token = 'scan' THEN s END), 0)
+        |  + COALESCE(MAX(CASE WHEN token = 'table' THEN s END), 0) AS score
+        |  FROM term GROUP BY 1)
+        |SELECT doc_id, score, rank FROM (
+        |  SELECT doc_id, score,
+        |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc) r
+        |WHERE rank <= 10""".stripMargin) { (s, d) =>
+      import graft.operators.InvertedIndex
+      val dir = java.nio.file.Files.createTempDirectory("txt77").toString + "/ix"
+      InvertedIndex.save(Tables.documents(s, d), "doc_id", "text", dir)
+      InvertedIndex.load(s, dir).searchRanked("table hash scan", k = 10)
+        .select(col("doc_id"), col("score"), col("rank"))
     }
   )
 }

@@ -56,6 +56,42 @@ class InvertedIndexSpec extends AnyFunSuite {
       "query-token bucket filter must prune the postings partitions")
   }
 
+  test("BM25 ranking ≡ straight-line scoring; fold order is token order") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, dir)
+    val ixDir = java.nio.file.Files.createTempDirectory("ix_bm25").toString + "/ix"
+    InvertedIndex.save(docs, "doc_id", "text", ixDir)
+    val got = InvertedIndex.load(spark, ixDir)
+      .searchRanked("table hash scan", k = 10)
+      .select("doc_id", "score", "rank")
+      .as[(Long, Double, Int)].collect().toSeq.sortBy(_._3)
+
+    // straight-line truth: exact integer num/den per term, one double
+    // divide, left-fold in sorted-token order
+    val corpus = docs.select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(" ").filter(_.nonEmpty) }
+    val n = corpus.length.toLong
+    val total = corpus.map(_._2.length.toLong).sum
+    val q = Seq("hash", "scan", "table") // sorted
+    val dfm = q.map(t => t -> corpus.count(_._2.contains(t)).toLong).toMap
+    val want = corpus.flatMap { case (id, toks) =>
+      val terms = q.flatMap { t =>
+        val tf = toks.count(_ == t).toLong
+        if (tf == 0) None
+        else {
+          val num = (2 * n - 2 * dfm(t) + 1) * 44 * tf * total
+          val den = (2 * dfm(t) + 1) *
+            (20 * tf * total + 6 * total + 18 * toks.length.toLong * n)
+          Some(num.toDouble / den.toDouble)
+        }
+      }
+      if (terms.isEmpty) None
+      else Some(id -> terms.foldLeft(0.0)(_ + _))
+    }.sortBy { case (id, s) => (-s, id) }.take(10)
+    assert(got.map(r => (r._1, r._2)) == want.toSeq,
+      "scores and order must match the straight-line fold bit-for-bit")
+  }
+
   test("repeated-token adjacency on a handcrafted doc") {
     import spark.implicits._
     val docs = Seq((1L, "a a a b a a"), (2L, "b a b"), (3L, ""))
