@@ -68,14 +68,89 @@ object InvertedIndex {
       * through Catalyst's own murmur3 (a LocalTableScan job — no file
       * read), then a literal `tbucket IN (...)` partition filter.
       */
+    private def deletedPath = s"$dir/deleted"
+
+    private def deletedIds: Option[DataFrame] = {
+      val p = new org.apache.hadoop.fs.Path(deletedPath)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) Some(spark.read.parquet(deletedPath)) else None
+    }
+
+    /** Anti-join a relation carrying `doc_id` against the tombstone set —
+      * the deleted-docs filter every read path applies (Lucene's
+      * deleted-bitmap shape: the set is tiny relative to the index, so
+      * the anti-join broadcasts; physical removal is [[compactDeletes]]).
+      */
+    private def minusDeleted(df: DataFrame): DataFrame = deletedIds match {
+      case None => df
+      case Some(ids) => df.join(broadcast(ids), Seq("doc_id"), "left_anti")
+    }
+
     private[operators] def postingsFor(tokens: Seq[String]): DataFrame = {
       import spark.implicits._
       val buckets = tokens.distinct.toDF("token")
         .select(pmod(hash(col("token")), lit(nBuckets)).as("b"))
         .distinct().collect().map(_.getInt(0)).toSeq
-      spark.read.parquet(s"$dir/postings")
+      minusDeleted(spark.read.parquet(s"$dir/postings")
         .filter(col("tbucket").isin(buckets: _*))
-        .filter(col("token").isin(tokens.distinct: _*))
+        .filter(col("token").isin(tokens.distinct: _*)))
+    }
+
+    /** Incrementally index new documents — postings and lengths APPEND
+      * into the existing bucket layout (same murmur3/bucket count, so
+      * query-time pruning sees old and new postings uniformly); nothing
+      * existing is read or rewritten, the IVF-append discipline. Contract:
+      * appended doc ids must be fresh (not present, not tombstoned) — an
+      * inverted index has no per-doc version, so "update" is
+      * remove + compact + append.
+      */
+    def appendDocs(docs: DataFrame, idCol: String, textCol: String): Unit = {
+      InvertedIndex.postings(docs, idCol, textCol)
+        .withColumn("tbucket", pmod(hash(col("token")), lit(nBuckets)))
+        .repartition(col("tbucket"))
+        .write.mode("append").partitionBy("tbucket").parquet(s"$dir/postings")
+      docs.select(col(idCol).as("doc_id"),
+          size(filter(split(col(textCol), " "), t => t =!= "")).cast("long")
+            .as("dlen"))
+        .write.mode("append").parquet(s"$dir/doclen")
+    }
+
+    /** Delete documents by TOMBSTONE (the Lucene deleted-docs shape): a
+      * doc's tokens hash into nearly every bucket, so physical removal
+      * would rewrite the whole index per delete — instead the id set
+      * appends to a side table that every read anti-joins (broadcast;
+      * O(deleted) rows). BM25's N/total shrink immediately because the
+      * doc-length read applies the same filter. Reclaim space with
+      * [[compactDeletes]] once the set has grown.
+      */
+    def removeDocs(ids: DataFrame, idCol: String): Unit =
+      ids.select(col(idCol).cast("long").as("doc_id")).distinct()
+        .write.mode("append").parquet(deletedPath)
+
+    /** Physically drop tombstoned postings: one full rewrite (the honest
+      * cost — same as any log-structured compaction), staged to a fresh
+      * directory and swapped in, then the tombstone set cleared. Returns
+      * the number of deleted doc ids reclaimed.
+      */
+    def compactDeletes(): Long = {
+      val ids = deletedIds.getOrElse(return 0L)
+      val n = ids.count()
+      if (n == 0) return 0L
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def rewrite(sub: String, part: Option[String]): Unit = {
+        val clean = minusDeleted(spark.read.parquet(s"$dir/$sub"))
+          .localCheckpoint() // sever lineage before overwriting the source
+        val w = clean.write.mode("overwrite")
+        part.fold(w)(p => w.partitionBy(p)).parquet(s"$dir/$sub.tmp")
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$sub"), true)
+        fs.rename(new org.apache.hadoop.fs.Path(s"$dir/$sub.tmp"),
+          new org.apache.hadoop.fs.Path(s"$dir/$sub"))
+      }
+      rewrite("postings", Some("tbucket"))
+      rewrite("doclen", None)
+      fs.delete(new org.apache.hadoop.fs.Path(deletedPath), true)
+      n
     }
 
     /** Documents containing `phrase` verbatim, with occurrence counts. */
@@ -86,7 +161,7 @@ object InvertedIndex {
     }
 
     private[operators] def docLens: DataFrame =
-      spark.read.parquet(s"$dir/doclen")
+      minusDeleted(spark.read.parquet(s"$dir/doclen"))
 
     /** BM25-ranked bag-of-words retrieval (k1 = 1.2, b = 0.75) — top-`k`
       * docs by (score DESC, doc_id). Engine-portable determinism, the

@@ -2602,6 +2602,45 @@ object TextQueries {
       InvertedIndex.save(Tables.documents(s, d), "doc_id", "text", dir)
       InvertedIndex.load(s, dir).searchRanked("table hash scan", k = 10)
         .select(col("doc_id"), col("score"), col("rank"))
+    },
+
+    // --- inverted-index incremental maintenance (txt78): the artifact
+    // --- lifecycle — build on the even half, APPEND the odd half (new
+    // --- postings land in the same bucket layout, nothing existing
+    // --- rewritten), tombstone-DELETE the doc_id % 7 = 0 slice (the
+    // --- Lucene deleted-docs shape: a doc's tokens hash into nearly
+    // --- every bucket, so physical per-delete rewrites are a
+    // --- non-starter; reads anti-join the tiny id set), then
+    // --- compactDeletes() physically reclaims and the same search must
+    // --- read back identically (compact_ok verdict). Oracle = the
+    // --- phrase adjacency over the equivalent final corpus. -------------
+    q("txt78_index_maintenance",
+      """WITH src AS (SELECT * FROM documents WHERE doc_id % 7 <> 0),
+        |toks AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM src),
+        |p AS (SELECT doc_id, unnest(t) AS token,
+        |    unnest(generate_series(1, len(t))) AS pos FROM toks),
+        |m AS (SELECT a.doc_id, a.pos FROM p a
+        |  JOIN p b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  WHERE a.token = 'table' AND b.token = 'hash')
+        |SELECT doc_id, COUNT(*) AS n_matches, TRUE AS compact_ok
+        |FROM m GROUP BY 1""".stripMargin) { (s, d) =>
+      import graft.operators.InvertedIndex
+      val docs = Tables.documents(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("txt78").toString + "/ix"
+      InvertedIndex.save(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", dir)
+      val idx = InvertedIndex.load(s, dir)
+      idx.appendDocs(docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      idx.removeDocs(docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id")), "doc_id")
+      val tombstoned = idx.searchPhrase("table hash").localCheckpoint()
+      idx.compactDeletes()
+      val compacted = idx.searchPhrase("table hash").localCheckpoint()
+      val compactOk = compacted.exceptAll(tombstoned).isEmpty &&
+        tombstoned.exceptAll(compacted).isEmpty
+      compacted.withColumn("compact_ok", lit(compactOk))
     }
   )
 }

@@ -92,6 +92,31 @@ class InvertedIndexSpec extends AnyFunSuite {
       "scores and order must match the straight-line fold bit-for-bit")
   }
 
+  test("append + tombstone delete + compact ≡ building on the final corpus") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, dir)
+    val ixDir = java.nio.file.Files.createTempDirectory("ix_maint").toString + "/ix"
+    InvertedIndex.save(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", ixDir)
+    val idx = InvertedIndex.load(spark, ixDir)
+    idx.appendDocs(docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+    idx.removeDocs(docs.filter(col("doc_id") % 7 === 0).select("doc_id"), "doc_id")
+    // reference: an index built directly on the surviving corpus
+    val refDir = java.nio.file.Files.createTempDirectory("ix_ref").toString + "/ix"
+    InvertedIndex.save(docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text", refDir)
+    val ref = InvertedIndex.load(spark, refDir)
+    def res(i: InvertedIndex.Index) = (
+      i.searchPhrase("table hash").as[(Long, Long)].collect().toSet,
+      i.searchRanked("table hash scan", 10)
+        .as[(Long, Double, Int)].collect().toSet)
+    val before = res(idx)
+    assert(before == res(ref),
+      "tombstoned reads (incl. BM25's N/total) must equal the rebuilt index")
+    // physical reclaim changes nothing visible and empties the tombstones
+    assert(idx.compactDeletes() > 0)
+    assert(res(idx) == before)
+    assert(idx.compactDeletes() == 0, "second compact is a no-op")
+  }
+
   test("repeated-token adjacency on a handcrafted doc") {
     import spark.implicits._
     val docs = Seq((1L, "a a a b a a"), (2L, "b a b"), (3L, ""))
