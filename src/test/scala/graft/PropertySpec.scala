@@ -153,6 +153,45 @@ class PropertySpec extends AnyFunSuite {
     check("AsOfJoin", 12)(prop)
   }
 
+  test("AsOfJoin forward/tolerance modes equal the straight-line scan") {
+    import spark.implicits._
+    import graft.operators.AsOfJoin
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions.lit
+    val leftGen = Gen.chooseNum(1, 20).flatMap(n => Gen.listOfN(n, for {
+      k <- Gen.chooseNum(0, 3)
+      ts <- Gen.chooseNum(0L, 50L)
+    } yield (k.toLong, ts)))
+    val rightGen = Gen.chooseNum(1, 20).flatMap(n => Gen.listOfN(n, for {
+      k <- Gen.chooseNum(0, 3)
+      ts <- Gen.chooseNum(0L, 50L)
+    } yield (k.toLong, ts)).map(_.distinct
+      .groupBy(identity).keys.toList.zipWithIndex
+      .map { case ((k, ts), i) => (k, ts, i.toDouble) }))
+    val prop = Prop.forAll(leftGen, rightGen, Gen.oneOf(false, true),
+      Gen.option(Gen.chooseNum(0L, 30L))) { (ls, rs, fwd, tol) =>
+      val left = ls.zipWithIndex.map { case ((k, ts), i) => (k, ts, i.toLong) }
+        .toDF("k", "ts", "lid")
+      val right = rs.toDF("k", "rts", "v")
+      val fresh = tol.map(t => (l: Column, r: Column) =>
+        (if (fwd) r - l else l - r) <= lit(t))
+      val got = AsOfJoin.asOf(left, right, Seq("k"), "ts", "rts",
+          Map("v" -> "asof_v"), strict = false, forward = fwd, fresh = fresh)
+        .select($"lid", $"asof_v").as[(Long, Option[Double])].collect().toMap
+      val want = ls.zipWithIndex.map { case ((k, ts), i) =>
+        val visible = rs.filter(r => r._1 == k &&
+          (if (fwd) r._2 >= ts else r._2 <= ts))
+        val best = if (visible.isEmpty) None
+          else Some(if (fwd) visible.minBy(_._2) else visible.maxBy(_._2))
+        val kept = best.filter(b =>
+          tol.forall(t => (if (fwd) b._2 - ts else ts - b._2) <= t))
+        i.toLong -> kept.map(_._3)
+      }.toMap
+      got == want
+    }
+    check("AsOfJoinModes", 12)(prop)
+  }
+
   // ------------------------------------------------------- interval overlap
 
   test("intervalOverlap equals the naive theta join for random intervals and widths") {

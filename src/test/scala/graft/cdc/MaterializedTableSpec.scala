@@ -282,6 +282,35 @@ class MaterializedTableSpec extends AnyFunSuite {
     assert(MaterializedTable.vacuum(spark, dir) == 0, "second vacuum is a no-op")
   }
 
+  test("time travel across schema evolution: each version reads with ITS schema") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.materialized.retainVersions", "4")
+    import s2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mt_ttevo").toString + "/state"
+    val b1 = Seq(("insert", "k1", 1L, 0L, "A1")).toDF("op", "key", "lsn", "seq", "a")
+    // batch 2 ADDS column b (sink-side widening)
+    val b2 = Seq(("insert", "k2", 2L, 0L, "A2", "B2"))
+      .toDF("op", "key", "lsn", "seq", "a", "b")
+    MaterializedTable.merge(s2, dir, b1, Seq("key"), Seq("lsn", "seq"),
+      numBuckets = 1, batchId = Some(0L))
+    MaterializedTable.merge(s2, dir, b2, Seq("key"), Seq("lsn", "seq"),
+      numBuckets = 1, batchId = Some(1L))
+    // v1 predates the widening: its snapshot has NO column b
+    val v1 = MaterializedTable.readVersion(s2, dir, 1L)
+    assert(!v1.columns.contains("b"))
+    assert(v1.select("key", "a").as[(String, String)].collect().toSet ==
+      Set(("k1", "A1")))
+    // v2 carries the widened schema with the old row null-backfilled
+    val v2 = MaterializedTable.readVersion(s2, dir, 2L)
+    assert(v2.select("key", "a", "b").as[(String, String, Option[String])]
+      .collect().toSet ==
+      Set(("k1", "A1", None), ("k2", "A2", Some("B2"))))
+    // changeFeed across the widening: the new column participates
+    val feed = MaterializedTable.changeFeed(s2, dir, 1L, 2L, Seq("key"))
+    assert(feed.select("key", "op").as[(String, String)].collect().toSet ==
+      Set(("k2", "insert")))
+  }
+
   test("time travel: readVersion reconstructs retained snapshots; vacuum honors the horizon") {
     val s2 = spark.newSession()
     s2.conf.set("spark.graft.materialized.retainVersions", "2")
