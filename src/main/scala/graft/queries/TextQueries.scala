@@ -2641,6 +2641,73 @@ object TextQueries {
       val compactOk = compacted.exceptAll(tombstoned).isEmpty &&
         tombstoned.exceptAll(compacted).isEmpty
       compacted.withColumn("compact_ok", lit(compactOk))
+    },
+
+    // --- streaming index maintenance from a document changelog (txt79):
+    // --- the text twin of the vector index's CDC loop, on the LUCENE
+    // --- SEGMENT MODEL — each micro-batch writes its alive docs' postings
+    // --- as segment seg=<batchId> (sub-partitioned by token bucket) plus
+    // --- segment-scoped tombstones for every touched doc; a posting is
+    // --- live iff no NEWER tombstone for its doc exists, so updates kill
+    // --- old versions, deletes leave only the tombstone, and replays are
+    // --- idempotent BY LAYOUT (dynamic overwrite of the batch's own
+    // --- partitions). Drive: 3 commit-ordered changelog files (insert
+    // --- all → update %3 with reversed text → delete %5) through a real
+    // --- file stream; both an original-text phrase and a reversed-text
+    // --- phrase must resolve against the FINAL corpus only. -------------
+    q("txt79_streaming_index",
+      """WITH src AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN reverse(text) ELSE text END AS text
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |toks AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS t FROM src),
+        |p AS (SELECT doc_id, unnest(t) AS token,
+        |    unnest(generate_series(1, len(t))) AS pos FROM toks),
+        |m AS (
+        |  SELECT 'table hash' AS phrase, a.doc_id, a.pos FROM p a
+        |    JOIN p b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |    WHERE a.token = 'table' AND b.token = 'hash'
+        |  UNION ALL
+        |  SELECT 'hsah elbat', a.doc_id, a.pos FROM p a
+        |    JOIN p b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |    WHERE a.token = 'hsah' AND b.token = 'elbat')
+        |SELECT phrase, doc_id, COUNT(*) AS n_matches
+        |FROM m GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      import graft.streaming.InvertedIndexStream
+      val docs = Tables.documents(s, d)
+      val src = java.nio.file.Files.createTempDirectory("txt79src").toString
+      def writeBatch(df: org.apache.spark.sql.DataFrame, i: Int): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory(s"txt79b$i").toString
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(src, s"b$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        // commit order = file mtime order (what the file source sorts on
+        // under maxFilesPerTrigger) — staggered explicitly
+        dst.setLastModified(1000000000000L + i * 600000L); ()
+      }
+      writeBatch(docs.select(lit("insert").as("op"), col("doc_id"),
+        col("doc_id").as("lsn"), col("text")), 0)
+      writeBatch(docs.filter(col("doc_id") % 3 === 0)
+        .select(lit("update").as("op"), col("doc_id"),
+          (col("doc_id") + 1000000000L).as("lsn"),
+          reverse(col("text")).as("text")), 1)
+      writeBatch(docs.filter(col("doc_id") % 5 === 0)
+        .select(lit("delete").as("op"), col("doc_id"),
+          (col("doc_id") + 2000000000L).as("lsn"),
+          lit(null).cast("string").as("text")), 2)
+      val dir = java.nio.file.Files.createTempDirectory("txt79ix").toString + "/ix"
+      val stream = s.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "op STRING, doc_id BIGINT, lsn BIGINT, text STRING"))
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      InvertedIndexStream.maintain(stream, dir)
+      Seq("table hash", "hsah elbat")
+        .map(p => InvertedIndexStream.searchPhrase(s, dir, p)
+          .withColumn("phrase", lit(p)))
+        .reduce(_.unionByName(_))
+        .select(col("phrase"), col("doc_id"), col("n_matches"))
     }
   )
 }

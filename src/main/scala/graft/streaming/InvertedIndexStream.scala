@@ -1,0 +1,102 @@
+package graft.streaming
+
+import graft.operators.InvertedIndex
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** STREAMING INVERTED-INDEX MAINTENANCE from a document changelog — the
+  * text twin of [[VectorIndexStream]] (same loop: a CDC feed keeps a saved
+  * search artifact current), built on the LUCENE SEGMENT MODEL re-expressed
+  * as dataflow, because an inverted index cannot do in-place updates at
+  * scale (a doc's tokens hash into nearly every posting bucket):
+  *
+  *   - each micro-batch compacts to its latest event per doc and writes
+  *     the alive docs' postings as segment `seg=<batchId>` (sub-partitioned
+  *     by token bucket, so query-time bucket pruning still applies);
+  *   - EVERY touched doc (update or delete) writes a tombstone row
+  *     (doc_id, seg=<batchId>): a posting in segment s for doc d is live
+  *     iff no tombstone (d, a) with a > s exists — a batch's own append
+  *     outlives its own tombstone, an older version dies, a delete leaves
+  *     only the tombstone. Resurrection works: a later insert writes a
+  *     newer segment no existing tombstone can reach.
+  *
+  * Replay/crash safety is STRUCTURAL: both writes are dynamic-partition
+  * overwrites of exactly the batch's own `seg=` partitions, so a
+  * foreachBatch retry rewrites the same bytes (no markers needed — the
+  * SketchStream/foldHistory discipline, here by partition layout).
+  *
+  * Scale shape: per batch, IO is O(batch) postings written + zero reads of
+  * existing segments (append-only); query-time pays one broadcast
+  * anti-join against the tombstone set on top of the usual pruned posting
+  * read. Production systems fold old segments together in the background —
+  * that is [[InvertedIndex.Index.compactDeletes]]'s rewrite shape applied
+  * per segment group, deliberately out of scope here.
+  */
+object InvertedIndexStream {
+
+  /** Drive `changelog` (op, doc_id, lsn, text) to completion
+    * (AvailableNow), folding each micro-batch into the segmented index at
+    * `dir`.
+    */
+  def maintain(changelog: DataFrame, dir: String, nBuckets: Int = 8): Unit = {
+    val ckpt = java.nio.file.Files.createTempDirectory("ixstream").toString
+    val q = changelog.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        foldBatch(batch, dir, id, nBuckets)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** One segment fold (exposed for the replay-idempotence spec). */
+  def foldBatch(batch: DataFrame, dir: String, batchId: Long,
+      nBuckets: Int): Unit = {
+    val spark = batch.sparkSession
+    val latest = batch.groupBy(col("doc_id"))
+      .agg(max_by(struct(col("op"), col("text")), col("lsn")).as("w"))
+      .select(col("doc_id"), col("w.op").as("op"), col("w.text").as("text"))
+      .localCheckpoint() // feeds two writes; don't recompute the compaction
+    val alive = latest.filter(col("op") =!= "delete")
+    def dyn(df: DataFrame) = df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+    dyn(InvertedIndex.postings(alive, "doc_id", "text")
+        .withColumn("tbucket", pmod(hash(col("token")), lit(nBuckets)))
+        .withColumn("seg", lit(batchId))
+        .repartition(col("tbucket")))
+      .partitionBy("seg", "tbucket").parquet(s"$dir/segments")
+    dyn(latest.select(col("doc_id")).withColumn("seg", lit(batchId)))
+      .partitionBy("seg").parquet(s"$dir/tombs")
+    // self-describing artifact (the save()/load() meta discipline)
+    import spark.implicits._
+    Seq(nBuckets).toDF("n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Phrase search over the maintained index: pruned posting read (same
+    * literal-isin bucket pruning as the batch index), segment-scoped
+    * tombstone anti-join, then the shared adjacency core.
+    */
+  def searchPhrase(spark: SparkSession, dir: String, phrase: String): DataFrame = {
+    import spark.implicits._
+    val qtoks = phrase.split(" ").filter(_.nonEmpty).toSeq
+    require(qtoks.nonEmpty, "empty phrase")
+    val nBuckets = spark.read.parquet(s"$dir/meta").head().getInt(0)
+    val buckets = qtoks.distinct.toDF("token")
+      .select(pmod(hash(col("token")), lit(nBuckets)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val p = spark.read.parquet(s"$dir/segments")
+      .filter(col("tbucket").isin(buckets: _*))
+      .filter(col("token").isin(qtoks.distinct: _*))
+    val tombs = spark.read.parquet(s"$dir/tombs")
+      .select(col("doc_id"), col("seg").as("t_seg"))
+    // no broadcast hint: the tombstone set scales with churn (the r3
+    // broadcast-audit rule — AQE still broadcasts it while it measures
+    // small, and degrades to a hash anti-join when it doesn't)
+    val live = p.join(tombs,
+        p("doc_id") === tombs("doc_id") && col("t_seg") > p("seg"), "left_anti")
+    InvertedIndex.phraseMatches(live, qtoks)
+  }
+}

@@ -117,6 +117,33 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(idx.compactDeletes() == 0, "second compact is a no-op")
   }
 
+  test("segmented stream index: update/delete/resurrect semantics; replay idempotent") {
+    import spark.implicits._
+    import graft.streaming.InvertedIndexStream
+    val ixDir = java.nio.file.Files.createTempDirectory("ix_seg").toString + "/ix"
+    def batch(rows: (String, Long, Long, String)*) =
+      rows.toSeq.toDF("op", "doc_id", "lsn", "text")
+    val b0 = batch(("insert", 1L, 1L, "x y"), ("insert", 2L, 2L, "x z"))
+    val b1 = batch(("update", 1L, 10L, "y y"), ("delete", 2L, 11L, null))
+    val b2 = batch(("insert", 2L, 20L, "x y")) // resurrect after delete
+    InvertedIndexStream.foldBatch(b0, ixDir, 0L, nBuckets = 4)
+    InvertedIndexStream.foldBatch(b1, ixDir, 1L, nBuckets = 4)
+    InvertedIndexStream.foldBatch(b2, ixDir, 2L, nBuckets = 4)
+    def res(p: String) = InvertedIndexStream.searchPhrase(spark, ixDir, p)
+      .as[(Long, Long)].collect().toMap
+    def all() = (res("x"), res("y"), res("z"), res("x y"))
+    val want = (
+      Map(2L -> 1L),             // doc1's x died with its update
+      Map(1L -> 2L, 2L -> 1L),   // updated doc1 has y twice; resurrected doc2 once
+      Map.empty[Long, Long],     // z existed only in the deleted version
+      Map(2L -> 1L))             // adjacency spans only the live version
+    assert(all() == want)
+    // foreachBatch replay: re-folding a batch rewrites its own partitions —
+    // results identical, nothing double-counted
+    InvertedIndexStream.foldBatch(b1, ixDir, 1L, nBuckets = 4)
+    assert(all() == want)
+  }
+
   test("repeated-token adjacency on a handcrafted doc") {
     import spark.implicits._
     val docs = Seq((1L, "a a a b a a"), (2L, "b a b"), (3L, ""))
