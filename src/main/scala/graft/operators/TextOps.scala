@@ -391,6 +391,21 @@ object TextOps {
       textCol: String, seqLen: Int, nBuckets: Int = 256)
       : org.apache.spark.sql.DataFrame = {
     require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    import org.apache.spark.sql.functions.{col, expr, when}
+    globalTokenOffsets(docs, idCol, textCol, nBuckets)
+      .select(col(idCol), col("n_tokens"), col("start_tok"),
+        when(col("n_tokens") > 0, expr(s"start_tok div $seqLen")).as("seq_first"),
+        when(col("n_tokens") > 0,
+          expr(s"(start_tok + n_tokens - 1) div $seqLen")).as("seq_last"))
+  }
+
+  /** Global token offset per document in `idCol` order — the two-level
+    * prefix sum shared by [[packSequences]] and [[systematicSample]]:
+    * order-aligned range buckets, per-bucket windows, O(nBuckets) driver
+    * prefix broadcast back — never a single-partition global window.
+    */
+  def globalTokenOffsets(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, nBuckets: Int = 256): org.apache.spark.sql.DataFrame = {
     require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
     import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
@@ -418,10 +433,37 @@ object TextOps {
       .join(broadcast(baseDf), Seq("_b"))
       .select(col(idCol), $"n_tokens",
         ($"_base" + coalesce(sum($"n_tokens").over(w), lit(0L))).as("start_tok"))
-      .select(col(idCol), $"n_tokens", $"start_tok",
-        when($"n_tokens" > 0, expr(s"start_tok div $seqLen")).as("seq_first"),
-        when($"n_tokens" > 0,
-          expr(s"(start_tok + n_tokens - 1) div $seqLen")).as("seq_last"))
+  }
+
+  /** SYSTEMATIC PPS (probability-proportional-to-size) document sampling
+    * by token weight — the deterministic answer to "sample documents
+    * proportional to their token count" that needs NO randomness and NO
+    * libm (weighted reservoir/A-ES sampling needs u^(1/w) — a pow whose
+    * rounding differs across engines): lay every document's tokens on the
+    * global [0, total) axis in id order, drop a boundary every `step`
+    * tokens, and pick each document that contains a boundary —
+    * `n_picks = (start+w) div step − start div step`, all exact integer
+    * arithmetic. Selection probability is exactly w/step for w < step;
+    * heavier documents collect proportionally many picks (use n_picks as
+    * the epoch repeat factor). Expected sample size = total/step.
+    *
+    * Determinism/ordering: the axis order is `idCol` — reproducible on any
+    * cluster; for a pseudo-random systematic order, feed a salted-hash id
+    * (the [[splitBucket]] discipline) as `idCol`. Scale shape: the only
+    * non-projection work is [[globalTokenOffsets]]'s two-level prefix sum
+    * (no single-partition window, no global sort).
+    */
+  def systematicSample(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, step: Long, nBuckets: Int = 256)
+      : org.apache.spark.sql.DataFrame = {
+    require(step > 0, s"step must be positive: $step")
+    import org.apache.spark.sql.functions.{col, expr}
+    globalTokenOffsets(docs, idCol, textCol, nBuckets)
+      .withColumn("n_picks",
+        expr(s"(start_tok + n_tokens) div $step") -
+          expr(s"start_tok div $step"))
+      .filter(col("n_picks") > 0)
+      .select(col(idCol), col("n_tokens"), col("start_tok"), col("n_picks"))
   }
 
   /** Hash-feature salt for the trained quality classifier (shared with the

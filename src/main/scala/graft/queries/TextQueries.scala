@@ -2708,6 +2708,33 @@ object TextQueries {
           .withColumn("phrase", lit(p)))
         .reduce(_.unionByName(_))
         .select(col("phrase"), col("doc_id"), col("n_matches"))
+    },
+
+    // --- systematic PPS sampling (txt80): documents sampled with
+    // --- probability exactly proportional to token weight, with NO
+    // --- randomness and NO libm — weighted reservoir/A-ES needs u^(1/w),
+    // --- a pow whose rounding drifts across engines; instead tokens lie
+    // --- on the global axis in id order (the txt25 two-level prefix sum —
+    // --- no single-partition window), a boundary falls every `step`
+    // --- tokens, and a doc is picked per boundary it contains
+    // --- (n_picks = (start+w) div step − start div step, exact integers;
+    // --- heavy docs collect proportionally many picks — the epoch repeat
+    // --- factor). Oracle = the global-cumsum restatement. ----------------
+    q("txt80_systematic_sample",
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS BIGINT) AS w
+        |  FROM documents),
+        |c AS (SELECT doc_id, w,
+        |    COALESCE(CAST(SUM(w) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |      0) AS start
+        |  FROM t)
+        |SELECT doc_id, w AS n_tokens, start AS start_tok,
+        |  (start + w) // 1000 - start // 1000 AS n_picks
+        |FROM c WHERE (start + w) // 1000 - start // 1000 > 0""".stripMargin) { (s, d) =>
+      graft.operators.TextOps.systematicSample(
+        Tables.documents(s, d), "doc_id", "text", step = 1000L)
     }
   )
 }

@@ -151,6 +151,42 @@ class TextPipelineSpec extends AnyFunSuite {
       s"src0 should sample strictly partially: $gotSrc0 of $allSrc0")
   }
 
+  test("systematicSample: every boundary assigned exactly once; PPS invariants") {
+    import spark.implicits._
+    // exact-boundary starts, a heavy doc (w > step), zero-weight docs
+    val docs = Seq(
+      (1L, "a b c d e"),                        // [0,5)  — boundary 5 ∈ (0,5]
+      (2L, ""),                                 // zero weight: never picked
+      (3L, "f g h"),                            // [5,8)
+      (4L, "i j k l m n o p q r s t"),          // [8,20) — heavy: 2 boundaries
+      (5L, "u v")).toDF("doc_id", "text")       // [20,22)
+    val got = TextOps.systematicSample(docs, "doc_id", "text", step = 5L,
+        nBuckets = 3)
+      .select("doc_id", "n_picks").as[(Long, Long)].collect().toMap
+    // boundaries at 5,10,15,20 land in (start, start+w] of docs 1,4,4,4
+    assert(got == Map(1L -> 1L, 4L -> 3L))
+    // invariant on the real corpus: Σ n_picks == total div step (each
+    // boundary in (0, total] picked exactly once), zero-weight docs absent,
+    // and ≡ the straight-line cumulative scan
+    val real = graft.Tables.documents(spark, dir)
+    val total = real.select(size(TextOps.tokens($"text")).cast("long"))
+      .as[Long].collect().sum
+    val sample = TextOps.systematicSample(real, "doc_id", "text", 1000L)
+      .select("doc_id", "n_tokens", "start_tok", "n_picks")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(sample.map(_._4).sum == total / 1000L)
+    assert(sample.forall(_._2 > 0))
+    val straight = real.select($"doc_id", size(TextOps.tokens($"text"))
+        .cast("long").as("w")).as[(Long, Long)].collect().sortBy(_._1)
+      .foldLeft((0L, List.empty[(Long, Long, Long, Long)])) {
+        case ((start, acc), (id, w)) =>
+          val picks = (start + w) / 1000L - start / 1000L
+          (start + w,
+            if (picks > 0) (id, w, start, picks) :: acc else acc)
+      }._2.toSet
+    assert(sample.toSet == straight)
+  }
+
   test("packSequences ≡ naive global window; invariant under bucket count") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
