@@ -3057,6 +3057,34 @@ object RelationalQueries {
         |  COUNT(*) AS n, TRUE AS nav_used, TRUE AS bit_identical
         |FROM lineitem GROUP BY 1""".stripMargin)),
 
+    // --- recursive CTE through the SQL SURFACE (q114): Spark 4 executes
+    // --- WITH RECURSIVE natively (UnionLoopExec) — the LITERAL SAME ANSI
+    // --- text runs on both engines (the q43 LATERAL discipline), walking
+    // --- the supplier heap tree to per-node (depth, root) — the query
+    // --- q51 answers with the path-doubling operator, now answered by the
+    // --- engine's own recursion. Portable-division form ((x − x%2)/2 is
+    // --- exact in doubles) since Spark spells integer division div and
+    // --- DuckDB //. Own session: recursion limit conf + the temp view
+    // --- must not leak into siblings. ------------------------------------
+    {
+      val recursiveSql =
+        """WITH RECURSIVE walk(node, anc, dist) AS (
+          |  SELECT s_suppkey, s_suppkey, CAST(0 AS BIGINT) FROM supplier
+          |  UNION ALL
+          |  SELECT w.node, CAST((w.anc - 1 - ((w.anc - 1) % 2)) / 2 AS BIGINT),
+          |    w.dist + 1
+          |  FROM walk w WHERE w.anc >= 1)
+          |SELECT node, depth, root, n_anc FROM (
+          |  SELECT node, dist AS depth, anc AS root, COUNT(*) OVER (PARTITION BY node) AS n_anc,
+          |    ROW_NUMBER() OVER (PARTITION BY node ORDER BY dist DESC) AS rn
+          |  FROM walk) t WHERE rn = 1""".stripMargin
+      q("q114_recursive_cte", recursiveSql) { (s, d) =>
+        val s2 = s.newSession()
+        Tables.supplier(s2, d).createOrReplaceTempView("supplier")
+        s2.sql(recursiveSql)
+      }
+    },
+
     // --- AS-OF with max staleness (q112): the enrichment contract real
     // --- pipelines run — a match older than the tolerance is WORSE than no
     // --- match (a price quote from last week must not price today's

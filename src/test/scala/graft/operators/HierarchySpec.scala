@@ -64,6 +64,36 @@ class HierarchySpec extends AnyFunSuite {
     assert(got(4L) == ((4L, 2L, 0L, 1L, 8.0)))
   }
 
+  test("native WITH RECURSIVE (UnionLoop) ≡ the path-doubling operator") {
+    import spark.implicits._
+    val s2 = spark.newSession()
+    val sup = graft.Tables.supplier(s2, "/root/testdata/sf0.001")
+    sup.createOrReplaceTempView("supplier")
+    val df = s2.sql(
+      """WITH RECURSIVE walk(node, anc, dist) AS (
+        |  SELECT s_suppkey, s_suppkey, CAST(0 AS BIGINT) FROM supplier
+        |  UNION ALL
+        |  SELECT w.node, CAST((w.anc - 1 - ((w.anc - 1) % 2)) / 2 AS BIGINT),
+        |    w.dist + 1
+        |  FROM walk w WHERE w.anc >= 1)
+        |SELECT node, depth, root FROM (
+        |  SELECT node, dist AS depth, anc AS root,
+        |    ROW_NUMBER() OVER (PARTITION BY node ORDER BY dist DESC) AS rn
+        |  FROM walk) t WHERE rn = 1""".stripMargin)
+    // the engine's own recursion must actually be in the plan
+    assert(df.queryExecution.executedPlan.toString.contains("UnionLoop"),
+      "WITH RECURSIVE must plan as the native UnionLoop execution")
+    val native = df.as[(Long, Long, Long)].collect().toSet
+    val edges = sup.filter(col("s_suppkey") >= 1)
+      .select(col("s_suppkey").as("child"),
+        expr("(s_suppkey - 1) div 2").cast("long").as("parent"))
+    val doubling = Hierarchy.rollup(sup, edges, "s_suppkey", "s_acctbal",
+        "child", "parent")
+      .select("node", "depth", "root").as[(Long, Long, Long)].collect().toSet
+    assert(native == doubling,
+      "native recursion and path doubling must agree on depth/root")
+  }
+
   test("rollup: an isolated root (no edges at all) rolls up itself") {
     import spark.implicits._
     val nodes = Seq((7L, 3.0)).toDF("id", "bal")
