@@ -3085,6 +3085,31 @@ object RelationalQueries {
       }
     },
 
+    // --- VARIANT semi-structured path (q115): Spark 4's Variant type —
+    // --- parse_json once, then typed variant_get extraction (the modern
+    // --- replacement for per-path get_json_object re-parsing; the binary
+    // --- variant encoding is parsed once per row and every path read is
+    // --- a cheap traversal). Integer-exact rollup per type; a missing
+    // --- path reads NULL (pinned as a count). Oracle = DuckDB's JSON
+    // --- extraction of the same paths. -----------------------------------
+    q("q115_variant_json",
+      """SELECT event_type,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |  CAST(SUM(CASE WHEN json_extract_string(props, '$.absent') IS NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_absent_null
+        |FROM events GROUP BY 1""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          expr("variant_get(parse_json(props), '$.k', 'long')").as("k"),
+          expr("variant_get(parse_json(props), '$.absent', 'long')").as("a"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"),
+          sum(when(col("k") > 50, 1L).otherwise(0L)).as("n_high"),
+          sum(when(col("a").isNull, 1L).otherwise(0L)).as("n_absent_null"))
+    },
+
     // --- AS-OF with max staleness (q112): the enrichment contract real
     // --- pipelines run — a match older than the tolerance is WORSE than no
     // --- match (a price quote from last week must not price today's
