@@ -1621,6 +1621,49 @@ object CdcQueries {
           s"cdc49_${java.util.UUID.randomUUID().toString.take(8)}")
         .filter(col("user_id") >= 0)
         .select("user_id", "last_lsn", "expired_at_ms")
+    },
+
+    // --- stream-stream AS-OF with max staleness (cdc50): cdc42's
+    // --- enrichment under q112's freshness contract — a view older than
+    // --- 1h is WORSE than no view, so the carried argmax is nulled past
+    // --- the bound (a stateless projection after the windowed argmax —
+    // --- no new streaming state; sound because the carried candidate is
+    // --- the newest). Completes the as-of matrix: batch
+    // --- backward/forward/tolerance (q32/q112/q113) × streaming
+    // --- backward/tolerance (cdc42/cdc50). Oracle = the batch argmax
+    // --- with the CASE bound. --------------------------------------------
+    q("cdc50_stream_asof_tolerance",
+      """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |u AS (SELECT * FROM events WHERE event_type = 'view'),
+        |cand AS (SELECT p.user_id, p.event_id AS purchase_lsn, p.ts AS p_ts,
+        |    u.event_id AS matched_lsn, u.value AS matched_value, u.ts AS u_ts,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY u.ts DESC, u.event_id DESC) AS rn
+        |  FROM p LEFT JOIN u ON p.user_id = u.user_id
+        |   AND u.ts <= p.ts AND u.ts >= p.ts - INTERVAL 24 HOUR)
+        |SELECT user_id, purchase_lsn,
+        |  CASE WHEN u_ts >= p_ts - INTERVAL 1 HOUR THEN matched_lsn END
+        |    AS state_lsn,
+        |  CASE WHEN u_ts >= p_ts - INTERVAL 1 HOUR THEN matched_value END
+        |    AS state_value
+        |FROM cand WHERE rn = 1""".stripMargin) { (s, d) =>
+      import graft.streaming.StreamStreamJoin
+      val ev = StreamStreamJoin.eventsStreamWithSentinel(s,
+        s"$d/events.parquet", Seq("purchase", "view"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_lsn"),
+          col("ts").as("p_ts"))
+      val updates = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("state_lsn"),
+          col("value").as("state_value"), col("ts").as("u_ts"))
+      val joined = StreamStreamJoin.asOfJoin(purchases, updates, "user_id",
+        "p_ts", "u_ts", lookback = "24 HOURS", watermark = "0 seconds",
+        rightCols = Seq("state_lsn", "state_value"),
+        maxStaleness = Some("1 HOUR"))
+      StreamStreamJoin.runToMemory(s, joined,
+          s"cdc50_${java.util.UUID.randomUUID().toString.take(8)}")
+        .filter(col("user_id") >= 0)
+        .select("user_id", "purchase_lsn", "state_lsn", "state_value")
     }
   )
 }

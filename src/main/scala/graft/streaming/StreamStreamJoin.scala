@@ -112,9 +112,19 @@ object StreamStreamJoin {
     *                  value is semantically equivalent; it only tunes how
     *                  long groups wait for the watermark
     */
+  /** @param maxStaleness optional tolerance (an INTERVAL string, e.g.
+    *                      "1 HOUR"): the carried match is nulled when older
+    *                      than the bound relative to the left event — sound
+    *                      for the same reason as the batch operator's
+    *                      `fresh` mode (the argmax carries the NEWEST
+    *                      candidate; if it is stale, all are). Applied as a
+    *                      stateless projection AFTER the windowed argmax,
+    *                      so the streaming plan gains no state.
+    */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, lookback: String, watermark: String,
-      rightCols: Seq[String], windowSize: String = "24 hours"): DataFrame = {
+      rightCols: Seq[String], windowSize: String = "24 hours",
+      maxStaleness: Option[String] = None): DataFrame = {
     val joined = intervalJoinLeftOuter(left, right, key, leftTs, rightTs,
       lookback, watermark)
     val leftCols = left.columns.toSeq
@@ -123,6 +133,12 @@ object StreamStreamJoin {
     // of leftTs must shed its watermark metadata or the output would carry
     // two event-time columns (rejected by the streaming planner)
     val plainTs = "_asof_lts"
+    // null struct (no match) makes the condition null → when() yields null
+    val keep = maxStaleness match {
+      case None => lit(true)
+      case Some(tol) =>
+        col(s"_best.$rightTs") >= col(plainTs) - expr(s"INTERVAL $tol")
+    }
     joined
       .withColumn(plainTs,
         col(leftTs).as(plainTs, org.apache.spark.sql.types.Metadata.empty))
@@ -131,7 +147,7 @@ object StreamStreamJoin {
       .agg(max(best).as("_best"))
       .select(leftCols.map(c =>
         if (c == leftTs) col(plainTs).as(leftTs) else col(c)) ++
-        rightCols.map(c => col(s"_best.$c").as(c)): _*)
+        rightCols.map(c => when(keep, col(s"_best.$c")).as(c)): _*)
   }
 
   private def intervalJoinTyped(left: DataFrame, right: DataFrame, key: String,
