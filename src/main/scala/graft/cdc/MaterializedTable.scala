@@ -163,7 +163,11 @@ object MaterializedTable {
     * to [[vacuum]]'s retention horizon. Fails loudly (never partially) when
     * the version is uncommitted, unrecorded, or already vacuumed.
     */
-  def readVersion(spark: SparkSession, dir: String, v: Long): DataFrame = {
+  /** Resolve committed version `v`'s manifest and verify its snapshot is
+    * still fully materialized — shared by [[readVersion]] and [[restore]].
+    */
+  private def manifestAt(spark: SparkSession, dir: String, v: Long)
+      : Manifest = {
     val cur = readManifest(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no materialized state at $dir"))
     require(v <= cur.version,
@@ -194,8 +198,31 @@ object MaterializedTable {
           s"v$bv was garbage-collected) — set " +
           "spark.graft.materialized.retainVersions and defer GC to vacuum()")
     }
+    m
+  }
+
+  def readVersion(spark: SparkSession, dir: String, v: Long): DataFrame = {
+    val m = manifestAt(spark, dir, v)
     (if (m.buckets.isEmpty) emptyFromSchema(spark, m)
      else readBuckets(spark, dir, m, m.buckets.keys.toSeq)).drop("_bucket")
+  }
+
+  /** RESTORE (rollback): commit a NEW version whose content IS committed
+    * version `v` — Delta's RESTORE shape, metadata-only: the new manifest
+    * simply re-references v's bucket files, no data moves or copies.
+    * Requires v still materialized (retention). The batch-id watermark is
+    * PRESERVED, deliberately: batch ids are monotonic, and a rollback must
+    * not silently re-open the replay window — re-applying post-v batches
+    * is an explicit act with fresh ids. Returns the new version number.
+    */
+  def restore(spark: SparkSession, dir: String, v: Long): Long = {
+    val cur = readManifest(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no materialized state at $dir"))
+    val m = manifestAt(spark, dir, v)
+    val newV = cur.version + 1
+    writeManifest(spark, dir,
+      Manifest(newV, cur.lastBatchId, m.schemaJson, m.buckets))
+    newV
   }
 
   /** Does a committed state exist at `dir`? (Manifest presence — partial

@@ -1664,6 +1664,76 @@ object CdcQueries {
           s"cdc50_${java.util.UUID.randomUUID().toString.take(8)}")
         .filter(col("user_id") >= 0)
         .select("user_id", "purchase_lsn", "state_lsn", "state_value")
+    },
+
+    // --- RESTORE / rollback-to-version (cdc51): the lakehouse triad's
+    // --- third piece (time travel cdc47, change feed cdc48, now Delta's
+    // --- RESTORE shape): after three commits, restore(v2) commits a NEW
+    // --- version that simply re-references v2's bucket files —
+    // --- METADATA-ONLY, pinned by the data-file set being byte-identical
+    // --- across the restore (metadata_only verdict). The batch watermark
+    // --- survives the rollback (a restore must not silently re-open the
+    // --- replay window — the stale-id retry is a no-op, watermark_ok),
+    // --- and re-applying the rolled-back batch with a FRESH id converges
+    // --- to the full replay (reapply_ok). Output = the restored state,
+    // --- hash-matched against the truncated replay. ----------------------
+    q("cdc51_restore",
+      """WITH ranked AS (SELECT *, row_number() OVER (
+        |  PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events
+        |  WHERE event_id < (SELECT 2*MAX(event_id)//3 FROM events))
+        |SELECT user_id, event_id AS last_lsn, value AS last_value,
+        |  TRUE AS metadata_only, TRUE AS watermark_ok, TRUE AS reapply_ok
+        |FROM ranked WHERE rn = 1 AND event_type <> 'error'""".stripMargin) { (s, d) =>
+      val s2 = s.newSession()
+      s2.conf.set("spark.graft.materialized.retainVersions", "8")
+      val env = ChangelogGen.fromEvents(s2, d).toDF()
+        .select(col("op"), col("key"), col("lsn"), col("seq"),
+          get_json_object(col("after"), "$.value").cast("double").as("value"))
+      // lsn = event_id: raw parquet max, no JSON projection for one scalar
+      val mx = Tables.events(s, d).agg(max(col("event_id"))).head().getLong(0)
+      val dir = java.nio.file.Files.createTempDirectory("cdc51").toString + "/t"
+      def slice(lo: Long, hi: Long) =
+        env.filter(col("lsn") >= lo && col("lsn") < hi)
+      Seq((0L, mx / 3), (mx / 3, 2 * mx / 3), (2 * mx / 3, mx + 1))
+        .zipWithIndex.foreach { case ((lo, hi), i) =>
+          MaterializedTable.merge(s2, dir, slice(lo, hi),
+            Seq("key"), Seq("lsn", "seq"), batchId = Some(i.toLong))
+        }
+      def dataFiles(): Set[String] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty)
+            .toSeq.flatMap(walk)
+          else Seq(f)
+        walk(new java.io.File(dir))
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => s"${f.getPath}:${f.length}:${f.lastModified}").toSet
+      }
+      val filesBefore = dataFiles()
+      val rv = MaterializedTable.restore(s2, dir, 2L)
+      val metadataOnly = dataFiles() == filesBefore
+      // the watermark survives: a stale-id retry of the rolled-back batch
+      // (with conflicting content) must stay a no-op
+      val poisoned = slice(2 * mx / 3, mx + 1)
+        .withColumn("value", col("value") * -999)
+      val watermarkOk = MaterializedTable.merge(s2, dir, poisoned,
+        Seq("key"), Seq("lsn", "seq"), batchId = Some(2L)) == 0
+      val restored = MaterializedTable.readVersion(s2, dir, rv)
+        .select(col("key"), col("lsn"), col("value")).localCheckpoint()
+      // explicit re-apply with a FRESH id converges back to the full replay
+      MaterializedTable.merge(s2, dir, slice(2 * mx / 3, mx + 1),
+        Seq("key"), Seq("lsn", "seq"), batchId = Some(3L))
+      val replayedAll = LatestState.batch(env, Seq("key"), Seq("lsn", "seq"))
+        .select(col("key"), col("lsn"), col("value"))
+      val current = MaterializedTable.read(s2, dir)
+        .select(col("key"), col("lsn"), col("value"))
+      val reapplyOk = current.exceptAll(replayedAll).isEmpty &&
+        replayedAll.exceptAll(current).isEmpty
+      restored
+        .select(col("key").cast("long").as("user_id"),
+          col("lsn").as("last_lsn"), col("value").as("last_value"),
+          lit(metadataOnly).as("metadata_only"),
+          lit(watermarkOk).as("watermark_ok"),
+          lit(reapplyOk).as("reapply_ok"))
     }
   )
 }

@@ -282,6 +282,38 @@ class MaterializedTableSpec extends AnyFunSuite {
     assert(MaterializedTable.vacuum(spark, dir) == 0, "second vacuum is a no-op")
   }
 
+  test("restore: metadata-only rollback; later merges continue on top") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.materialized.retainVersions", "4")
+    import s2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mt_restore").toString + "/state"
+    val b1 = Seq(ev("insert", "a", 1, "A1"))
+    val b2 = Seq(ev("update", "a", 2, "A2"), ev("insert", "b", 3, "B1"))
+    Seq(b1, b2).zipWithIndex.foreach { case (b, i) =>
+      MaterializedTable.merge(s2, dir, b.toDF(), Seq("key"), Seq("lsn", "seq"),
+        numBuckets = 1, batchId = Some(i.toLong))
+    }
+    def state() = MaterializedTable.read(s2, dir)
+      .select("key", "after").as[(String, String)].collect().toMap
+    val rv = MaterializedTable.restore(s2, dir, 1L)
+    assert(rv == 3L)
+    assert(state() == Map("a" -> "A1"), "rolled back to v1's content")
+    assert(MaterializedTable.listVersions(s2, dir).contains(rv))
+    // the restore commit is itself a travel point; the pre-restore state
+    // remains reachable
+    assert(MaterializedTable.readVersion(s2, dir, 2L)
+      .select("key", "after").as[(String, String)].collect().toMap ==
+      Map("a" -> "A2", "b" -> "B1"))
+    // a later merge with a FRESH id continues from the restored state
+    MaterializedTable.merge(s2, dir, Seq(ev("insert", "c", 9, "C1")).toDF(),
+      Seq("key"), Seq("lsn", "seq"), numBuckets = 1, batchId = Some(2L))
+    assert(state() == Map("a" -> "A1", "c" -> "C1"))
+    // a stale-id retry stays a no-op across the rollback (watermark kept)
+    assert(MaterializedTable.merge(s2, dir,
+      Seq(ev("insert", "x", 99, "X")).toDF(), Seq("key"), Seq("lsn", "seq"),
+      numBuckets = 1, batchId = Some(1L)) == 0)
+  }
+
   test("time travel across schema evolution: each version reads with ITS schema") {
     val s2 = spark.newSession()
     s2.conf.set("spark.graft.materialized.retainVersions", "4")
