@@ -1734,6 +1734,34 @@ object CdcQueries {
           lit(metadataOnly).as("metadata_only"),
           lit(watermarkOk).as("watermark_ok"),
           lit(reapplyOk).as("reapply_ok"))
+    },
+
+    // --- streaming per-key rate limiting (cdc52): admit at most 3 events
+    // --- per user per DAY window, drop the rest — the throttle /
+    // --- anti-abuse primitive (q103's debounce generalized to a quota)
+    // --- executed by the state store. Second transformWithState operator,
+    // --- exercising the API surface cdc49 doesn't: MAP STATE (per-open-
+    // --- window admission counts — a key straddles several windows) and
+    // --- TimeMode.None (no timers, no watermark — quotas need only
+    // --- arrival order); a per-key lsn high-water mark keeps replays
+    // --- silent so a redelivered event can never steal a slot. RocksDB
+    // --- provider (API-required) on an isolated session. Oracle = the
+    // --- windowed row_number restatement. --------------------------------
+    q("cdc52_stream_rate_limit",
+      """WITH r AS (SELECT user_id, event_id, row_number() OVER (
+        |  PARTITION BY user_id, date_trunc('day', ts)
+        |  ORDER BY ts, event_id) AS slot FROM events)
+        |SELECT user_id, event_id AS lsn, CAST(slot AS BIGINT) AS slot
+        |FROM r WHERE slot <= 3""".stripMargin) { (s, d) =>
+      import graft.streaming.{RateLimit, StreamStreamJoin}
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val ev = StreamStreamJoin.eventsStream(s2, s"$d/events.parquet")
+      val admitted = RateLimit.throttle(ev, windowMs = 86400000L, limit = 3)
+      StreamStreamJoin.runToMemory(s2, admitted.toDF(),
+          s"cdc52_${java.util.UUID.randomUUID().toString.take(8)}")
+        .select("user_id", "lsn", "slot")
     }
   )
 }

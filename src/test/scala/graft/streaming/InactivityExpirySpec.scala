@@ -10,6 +10,45 @@ import org.scalatest.funsuite.AnyFunSuite
   * an advancing event lands AFTER its predecessor's timer already fired,
   * and at-least-once replay silence.
   */
+class RateLimitSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = SparkTestSession.spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s
+  }
+
+  private def r(u: Long, lsn: Long, tUs: Long) = ThrottleIn(u, lsn, tUs)
+
+  test("quota persists across batches; replays silent; windows independent") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[ThrottleIn]
+    val ckpt = java.nio.file.Files.createTempDirectory("rl_tws").toString
+    val q = RateLimit.throttleTyped(input.toDS(), windowMs = 1000L, limit = 2)
+      .toDF()
+      .writeStream.format("memory").queryName("rl_tws").outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      // b1 — u1: three events in window [0,1000): only 2 admitted, in
+      // (ts, lsn) order despite unsorted arrival
+      input.addData(r(1, 3, 500_000), r(1, 1, 100_000), r(1, 2, 300_000))
+      q.processAllAvailable()
+      // b2 — the window's quota is FULL from b1 (state persisted): a new
+      // event in it is rejected; the next window admits fresh; a full
+      // replay of b1 is silent (high-water mark)
+      input.addData(r(1, 4, 700_000), r(1, 5, 1_200_000),
+        r(1, 3, 500_000), r(1, 1, 100_000))
+      q.processAllAvailable()
+      val got = spark.table("rl_tws").as[Admitted].collect().toSet
+      assert(got == Set(Admitted(1, 1, 1), Admitted(1, 2, 2),
+        Admitted(1, 5, 1)))
+    } finally q.stop()
+  }
+}
+
 class InactivityExpirySpec extends AnyFunSuite {
   // transformWithState requires the RocksDB provider; isolate it on a new
   // session so the shared suite session keeps the default store
