@@ -1762,6 +1762,36 @@ object CdcQueries {
       StreamStreamJoin.runToMemory(s2, admitted.toDF(),
           s"cdc52_${java.util.UUID.randomUUID().toString.take(8)}")
         .select("user_id", "lsn", "slot")
+    },
+
+    // --- streaming consecutive-failure alerts (cdc53): emit once when a
+    // --- user's run of consecutive error events REACHES 3, carrying every
+    // --- lsn in the streak (the evidence an incident ticket ships);
+    // --- longer runs stay silent past the alert, any non-error resets.
+    // --- The MATCH_RECOGNIZE "A{3}" sequence pattern live in the state
+    // --- store — q86's batch conformance rules as a stream. Third
+    // --- transformWithState operator, completing the state-type coverage
+    // --- (cdc49 ValueState+timers, cdc52 MapState, here LIST STATE — the
+    // --- recent-K payload a counter could fire on but not CARRY).
+    // --- Oracle = the lag-chain restatement with the streak-start guard. -
+    q("cdc53_stream_error_streak",
+      """WITH o AS (SELECT user_id, event_id, event_type,
+        |    lag(event_type, 1) OVER w AS p1, lag(event_type, 2) OVER w AS p2,
+        |    lag(event_type, 3) OVER w AS p3,
+        |    lag(event_id, 2) OVER w AS l1, lag(event_id, 1) OVER w AS l2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, l1 AS lsn1, l2 AS lsn2, event_id AS lsn3
+        |FROM o WHERE event_type = 'error' AND p1 = 'error' AND p2 = 'error'
+        |  AND (p3 IS NULL OR p3 <> 'error')""".stripMargin) { (s, d) =>
+      import graft.streaming.{ErrorStreak, StreamStreamJoin}
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val ev = StreamStreamJoin.eventsStream(s2, s"$d/events.parquet")
+      StreamStreamJoin.runToMemory(s2, ErrorStreak.streaks(ev).toDF(),
+          s"cdc53_${java.util.UUID.randomUUID().toString.take(8)}")
+        .select("user_id", "lsn1", "lsn2", "lsn3")
     }
   )
 }

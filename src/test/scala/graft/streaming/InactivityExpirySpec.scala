@@ -49,6 +49,53 @@ class RateLimitSpec extends AnyFunSuite {
   }
 }
 
+class ErrorStreakSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = SparkTestSession.spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s
+  }
+  private def r(u: Long, lsn: Long, err: Boolean) =
+    StreakIn(u, lsn, lsn * 1000, err)
+
+  test("streak spans batches; one alert per maximal run; reset; replay silent") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[StreakIn]
+    val ckpt = java.nio.file.Files.createTempDirectory("es_tws").toString
+    val q = ErrorStreak.streaksTyped(input.toDS(), threshold = 3)
+      .toDF()
+      .writeStream.format("memory").queryName("es_tws").outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      // b1 — u1: two errors (streak in-flight, state carries it); u2: a
+      // run broken mid-batch never alerts
+      input.addData(r(1, 1, true), r(1, 2, true),
+        r(2, 1, true), r(2, 2, false), r(2, 3, true))
+      q.processAllAvailable()
+      // b2 — u1's third consecutive error arrives IN A LATER BATCH (the
+      // cross-batch list state); the 4th and 5th stay silent (one alert
+      // per maximal run); u2 completes a fresh run
+      input.addData(r(1, 3, true), r(1, 4, true), r(1, 5, true),
+        r(2, 4, true), r(2, 5, true))
+      q.processAllAvailable()
+      // b3 — full replay of b1 (silent); a reset then a NEW completed run
+      // alerts again
+      input.addData(r(1, 1, true), r(1, 2, true),
+        r(1, 6, false), r(1, 7, true), r(1, 8, true), r(1, 9, true))
+      q.processAllAvailable()
+      val got = spark.table("es_tws").as[StreakAlert].collect().toSet
+      assert(got == Set(
+        StreakAlert(1, 1, 2, 3),   // spans b1→b2
+        StreakAlert(2, 3, 4, 5),   // run restarted after the mid-b1 break
+        StreakAlert(1, 7, 8, 9)))  // new run after the reset
+    } finally q.stop()
+  }
+}
+
 class InactivityExpirySpec extends AnyFunSuite {
   // transformWithState requires the RocksDB provider; isolate it on a new
   // session so the shared suite session keeps the default store
