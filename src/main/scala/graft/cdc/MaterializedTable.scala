@@ -55,13 +55,34 @@ object MaterializedTable {
 
   private val manifestFile = "_graft_manifest.json"
 
+  /** Per-column summary of one bucket's content: min/max in a lossless
+    * STRING transport (cast back to the column's type on use; TimestampType
+    * travels as unix micros so no session-timezone round-trip is involved)
+    * plus the null count. `min`/`max` are None when every value is null.
+    */
+  private[cdc] final case class ColStat(
+      min: Option[String], max: Option[String], nulls: Long)
+
+  /** One bucket's statistics: exact row count, plus [[ColStat]] per declared
+    * stats column. Stats describe CONTENT, not files — they survive
+    * [[compact]] (which moves bytes, never rows) and ride along on
+    * [[restore]].
+    */
+  private[cdc] final case class BucketStats(rows: Long, cols: Map[String, ColStat])
+
   /** The live-file-set record. `buckets` maps bucket id → version directory
     * holding its current files; `lastBatchId` is -1 until a batch-id-guarded
-    * merge commits.
+    * merge commits. `numBuckets`/`bucketCols` pin the hash layout (-1/Nil on
+    * manifests written before they were recorded) — they make point lookups
+    * self-describing and reject a layout-corrupting numBuckets change.
+    * `stats` carries per-bucket [[BucketStats]] for data skipping and
+    * metadata-only aggregates (absent per bucket ⇒ reads stay conservative).
     */
   private[cdc] final case class Manifest(
       version: Long, lastBatchId: Long, schemaJson: String,
-      buckets: Map[Int, Long])
+      buckets: Map[Int, Long],
+      numBuckets: Int = -1, bucketCols: Seq[String] = Nil,
+      stats: Map[Int, BucketStats] = Map.empty)
 
   private def fsOf(spark: SparkSession, dir: String) = {
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -86,8 +107,36 @@ object MaterializedTable {
       val e = it.next()
       buckets(e.getKey.toInt) = e.getValue.asLong()
     }
+    // layout + stats fields are OPTIONAL — manifests written before they
+    // existed parse to the conservative defaults (no lookup, no skipping)
+    val nb = Option(root.get("numBuckets")).map(_.asInt()).getOrElse(-1)
+    val bc = Option(root.get("bucketCols")).map { arr =>
+      (0 until arr.size()).map(i => arr.get(i).asText()).toSeq
+    }.getOrElse(Nil)
+    val stats = Option(root.get("stats")).map { sn =>
+      val out = scala.collection.mutable.Map.empty[Int, BucketStats]
+      val bit = sn.properties().iterator()
+      while (bit.hasNext) {
+        val be = bit.next()
+        val cols = scala.collection.mutable.Map.empty[String, ColStat]
+        val cn = be.getValue.get("cols")
+        if (cn != null) {
+          val cit = cn.properties().iterator()
+          while (cit.hasNext) {
+            val ce = cit.next()
+            cols(ce.getKey) = ColStat(
+              Option(ce.getValue.get("min")).map(_.asText()),
+              Option(ce.getValue.get("max")).map(_.asText()),
+              Option(ce.getValue.get("nulls")).map(_.asLong()).getOrElse(0L))
+          }
+        }
+        out(be.getKey.toInt) =
+          BucketStats(be.getValue.get("rows").asLong(), cols.toMap)
+      }
+      out.toMap
+    }.getOrElse(Map.empty[Int, BucketStats])
     Manifest(root.get("version").asLong(), root.get("lastBatchId").asLong(),
-      root.get("schema").toString, buckets.toMap)
+      root.get("schema").toString, buckets.toMap, nb, bc, stats)
   }
 
   /** Commit: write the manifest to a temp name, fsync-close, then
@@ -111,7 +160,27 @@ object MaterializedTable {
     val json = {
       val b = m.buckets.toSeq.sortBy(_._1)
         .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+      // stats min/max are arbitrary user strings — serialize that subtree
+      // (and bucketCols) through Jackson so escaping is never hand-rolled
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val bcNode = om.createArrayNode()
+      m.bucketCols.foreach(bcNode.add)
+      val statsNode = om.createObjectNode()
+      for ((bk, bs) <- m.stats.toSeq.sortBy(_._1)) {
+        val bn = statsNode.putObject(bk.toString)
+        bn.put("rows", bs.rows)
+        val cn = bn.putObject("cols")
+        for ((c, cs) <- bs.cols.toSeq.sortBy(_._1)) {
+          val n = cn.putObject(c)
+          cs.min.foreach(n.put("min", _))
+          cs.max.foreach(n.put("max", _))
+          n.put("nulls", cs.nulls)
+        }
+      }
       s"""{"version":${m.version},"lastBatchId":${m.lastBatchId},""" +
+        s""""numBuckets":${m.numBuckets},""" +
+        s""""bucketCols":${om.writeValueAsString(bcNode)},""" +
+        s""""stats":${om.writeValueAsString(statsNode)},""" +
         s""""buckets":$b,"schema":${m.schemaJson}}"""
     }
     val bytes = json.getBytes("UTF-8")
@@ -221,7 +290,8 @@ object MaterializedTable {
     val m = manifestAt(spark, dir, v)
     val newV = cur.version + 1
     writeManifest(spark, dir,
-      Manifest(newV, cur.lastBatchId, m.schemaJson, m.buckets))
+      Manifest(newV, cur.lastBatchId, m.schemaJson, m.buckets,
+        m.numBuckets, m.bucketCols, m.stats))
     newV
   }
 
@@ -247,7 +317,8 @@ object MaterializedTable {
     */
   def merge(spark: SparkSession, dir: String, updates: DataFrame,
       keyCols: Seq[String], orderCols: Seq[String], opCol: String = "op",
-      numBuckets: Int = 64, batchId: Option[Long] = None): Int = {
+      numBuckets: Int = 64, batchId: Option[Long] = None,
+      statsCols: Seq[String] = Nil): Int = {
     // Schema evolution (below) applies to PAYLOAD columns only: a batch
     // missing a control column must fail here, not be null-backfilled — a
     // null op on a winning row would silently delete its key (null =!=
@@ -261,7 +332,8 @@ object MaterializedTable {
     // existing state re-enters compaction as the baseline: it must never
     // win against a genuinely newer incoming row, and vice versa — both
     // carry their original order columns, so plain compaction is correct.
-    mergeBuckets(spark, dir, updates, keyCols, numBuckets, batchId) { combined =>
+    mergeBuckets(spark, dir, updates, keyCols, numBuckets, batchId,
+      statsCols) { combined =>
       LatestState.batch(combined, keyCols, orderCols, opCol, keepDeleted = false)
     }
   }
@@ -319,9 +391,17 @@ object MaterializedTable {
     */
   private[cdc] def mergeBuckets(spark: SparkSession, dir: String,
       updates: DataFrame, bucketKeyCols: Seq[String], numBuckets: Int,
-      batchId: Option[Long] = None)(
+      batchId: Option[Long] = None, statsCols: Seq[String] = Nil)(
       combine: DataFrame => DataFrame): Int = {
     val prior = readManifest(spark, dir)
+    // a different numBuckets re-assigns every key's bucket — merging under
+    // it would scatter state across two incompatible layouts. Old manifests
+    // (numBuckets unrecorded ⇒ -1) stay permissive.
+    prior.filter(_.numBuckets > 0).foreach { m =>
+      require(m.numBuckets == numBuckets,
+        s"numBuckets $numBuckets does not match the table's committed " +
+          s"layout (${m.numBuckets}) — changing it requires a full rewrite")
+    }
     // idempotent retry: the committed watermark rides in the manifest, so
     // "data visible" and "batch recorded" are one atomic event. Batch ids
     // are monotonic (foreachBatch contract); at-or-below-watermark = replay.
@@ -350,15 +430,25 @@ object MaterializedTable {
       // by construction (manifest.version < newV bounds every live bucket)
       if (fs.exists(vDir)) fs.delete(vDir, true)
       out.write.mode("append").partitionBy("_bucket").parquet(vDir.toString)
-      val written = out.select("_bucket").distinct()
-        .collect().map(_.getInt(0)).toSet
+      // ONE grouped pass over the checkpointed result yields both the
+      // written-bucket set (what the old select-distinct collected) and the
+      // per-bucket statistics — same shuffle shape, O(numBuckets) rows to
+      // the driver, no extra job
+      val writtenStats = bucketStats(out, statsCols)
+      val written = writtenStats.keySet
       val oldBuckets = prior.map(_.buckets).getOrElse(Map.empty)
       val newBuckets = (oldBuckets -- touched) ++ written.map(_ -> newV)
+      // stats follow the bucket map: touched buckets get this merge's fresh
+      // numbers (or drop out with the bucket), untouched carry forward —
+      // their files did not change, so neither did their content summary
+      val oldStats = prior.map(_.stats).getOrElse(Map.empty)
+      val newStats = (oldStats -- touched) ++ writtenStats
       val newWatermark = math.max(prior.map(_.lastBatchId).getOrElse(-1L),
         batchId.getOrElse(-1L))
       // COMMIT — everything above is invisible until this rename lands
       writeManifest(spark, dir,
-        Manifest(newV, newWatermark, out.schema.json, newBuckets))
+        Manifest(newV, newWatermark, out.schema.json, newBuckets,
+          numBuckets, bucketKeyCols, newStats))
       // post-commit GC of superseded bucket dirs (best-effort: a failure
       // here leaves unreferenced files for vacuum(), never corruption).
       // With a retention window configured, GC defers ENTIRELY to vacuum()
@@ -493,8 +583,11 @@ object MaterializedTable {
     if (fs.exists(vDir)) fs.delete(vDir, true)
     out.write.mode("append").partitionBy("_bucket").parquet(vDir.toString)
     val newBuckets = m.buckets ++ oversized.map(_ -> newV)
+    // stats describe content, and compaction moves bytes, never rows —
+    // every bucket's summary carries forward unchanged
     writeManifest(spark, dir,
-      Manifest(newV, m.lastBatchId, out.schema.json, newBuckets))
+      Manifest(newV, m.lastBatchId, out.schema.json, newBuckets,
+        m.numBuckets, m.bucketCols, m.stats))
     if (retainVersions(spark) <= 0) try {
       for (b <- oversized; v <- m.buckets.get(b)) {
         val p = new org.apache.hadoop.fs.Path(s"$dir/v$v/_bucket=$b")
@@ -541,6 +634,428 @@ object MaterializedTable {
       .select(keyCols.map(col) ++ Seq(col("op")) ++
         payload.map(c => col(s"_b.$c").as(s"before_$c")) ++
         payload.map(c => col(s"_a.$c").as(s"after_$c")): _*)
+  }
+
+  // === Manifest statistics: data skipping, point lookups, metadata-only
+  // === aggregates =========================================================
+  //
+  // The Delta/Iceberg data-skipping discipline on this layout: every merge
+  // records, per bucket, the exact row count plus min/max/null-count for the
+  // caller's declared `statsCols` — computed in the SAME grouped pass that
+  // already collected the written-bucket set, so statistics are free at
+  // write time and O(numBuckets · statsCols) manifest metadata. Three reads
+  // cash them in:
+  //   - [[lookup]]      — hash-partition pruning: a point read touches
+  //                       exactly ONE bucket, O(1/numBuckets) of the data;
+  //   - [[readPruned]]  — min/max skipping: buckets whose recorded range
+  //                       cannot satisfy a conjunct are never LISTED, and
+  //                       the full predicate still applies after the read,
+  //                       so pruning can only ever remove IO, not rows;
+  //   - [[statsSummary]]— metadata-only COUNT/MIN/MAX over the whole table,
+  //                       zero data files opened.
+  // Honest scale note: buckets are hash-partitioned on the key columns, so
+  // an arbitrary payload column's per-bucket range converges to the global
+  // range as buckets fill — range skipping pays off on small/medium tables,
+  // sparse buckets, and predicates correlated with the key hash, while
+  // point lookups and metadata aggregates pay off at EVERY size. All three
+  // stay correct with partial or absent stats (conservative keep).
+
+  private def statsSupported(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | StringType | BooleanType | DateType | TimestampType |
+           TimestampNTZType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+  }
+
+  /** Lossless string transport of a min/max value: TimestampType travels as
+    * unix micros (session-timezone-free); every other supported type uses
+    * Spark's own round-tripping string cast.
+    */
+  private def toTransport(c: org.apache.spark.sql.Column,
+      dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column =
+    dt match {
+      case org.apache.spark.sql.types.TimestampType =>
+        unix_micros(c).cast("string")
+      case _ => c.cast("string")
+    }
+
+  /** Transport string → the column type's INTERNAL value. */
+  private def fromTransport(s: String,
+      dt: org.apache.spark.sql.types.DataType, zone: String): Any =
+    dt match {
+      case org.apache.spark.sql.types.TimestampType => s.toLong
+      case _ =>
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            org.apache.spark.unsafe.types.UTF8String.fromString(s),
+            org.apache.spark.sql.types.StringType), dt, Some(zone)).eval()
+    }
+
+  /** Total order on a supported type's internal values — matches Spark's
+    * own sort semantics (NaN greatest, UTF8 binary string order).
+    */
+  private def cmp(dt: org.apache.spark.sql.types.DataType,
+      a: Any, b: Any): Int = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+           TimestampType | TimestampNTZType =>
+        java.lang.Long.compare(a.asInstanceOf[Number].longValue,
+          b.asInstanceOf[Number].longValue)
+      case FloatType =>
+        java.lang.Float.compare(a.asInstanceOf[Float], b.asInstanceOf[Float])
+      case DoubleType =>
+        java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
+      case _: DecimalType =>
+        a.asInstanceOf[Decimal].compare(b.asInstanceOf[Decimal])
+      case StringType =>
+        a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+          .compareTo(b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+      case BooleanType =>
+        java.lang.Boolean.compare(a.asInstanceOf[Boolean], b.asInstanceOf[Boolean])
+      case _ => 0
+    }
+  }
+
+  /** One grouped pass over the merge result: per bucket, the row count plus
+    * min/max (string transport) and null count for each requested column
+    * that exists in `out` with a supported type. Also serves as the
+    * written-bucket enumeration.
+    */
+  private def bucketStats(out: DataFrame,
+      statsCols: Seq[String]): Map[Int, BucketStats] = {
+    val present = statsCols.distinct
+      .filter(out.columns.contains)
+      .filter(c => statsSupported(out.schema(c).dataType))
+    val aggs: Seq[org.apache.spark.sql.Column] =
+      count(lit(1)).as("_rows") +: present.flatMap { c =>
+        val dt = out.schema(c).dataType
+        Seq(toTransport(min(col(c)), dt).as(s"_min_$c"),
+          toTransport(max(col(c)), dt).as(s"_max_$c"),
+          count(when(col(c).isNull, lit(1))).as(s"_nulls_$c"))
+      }
+    out.groupBy("_bucket").agg(aggs.head, aggs.tail: _*).collect().map { r =>
+      val cols = present.map { c =>
+        c -> ColStat(
+          Option(r.getAs[String](s"_min_$c")),
+          Option(r.getAs[String](s"_max_$c")),
+          r.getAs[Long](s"_nulls_$c"))
+      }.toMap
+      r.getAs[Int]("_bucket") -> BucketStats(r.getAs[Long]("_rows"), cols)
+    }.toMap
+  }
+
+  /** A recognized skipping conjunct: `col <op> literal` (either orientation,
+    * normalized to attribute-on-the-left).
+    */
+  private final case class Bound(colName: String, op: String, lit: Any,
+      litDt: org.apache.spark.sql.types.DataType)
+
+  private def boundsOf(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[Bound] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    // attribute possibly under coercion casts (analysis inserts them for
+    // cross-type comparisons); the cast is monotonic for the numeric pairs
+    // bucketPossible accepts, so the bound transfers to the raw column
+    def attrName(x: Expression): Option[String] = x match {
+      case a: AttributeReference => Some(a.name)
+      case c: Cast => attrName(c.child)
+      case _ => None
+    }
+    def side(attr: Expression, l: Expression, op: String): Option[Bound] =
+      attrName(attr).flatMap { n =>
+        scala.util.Try {
+          if (l.foldable) Some(Bound(n, op, l.eval(), l.dataType)) else None
+        }.toOption.flatten
+      }
+    e match {
+      case And(l, r) => boundsOf(l) ++ boundsOf(r)
+      case b: BinaryComparison =>
+        val op = b match {
+          case _: EqualTo => "="
+          case _: LessThan => "<"
+          case _: LessThanOrEqual => "<="
+          case _: GreaterThan => ">"
+          case _: GreaterThanOrEqual => ">="
+          case _ => return Nil
+        }
+        val flip = Map("<" -> ">", "<=" -> ">=", ">" -> "<", ">=" -> "<=",
+          "=" -> "=")
+        (side(b.left, b.right, op) orElse side(b.right, b.left, flip(op))).toSeq
+      case _ => Nil // OR / IS NULL / functions — no skipping contribution
+    }
+  }
+
+  /** Resolve the user's predicate against the manifest schema (a zero-row
+    * relation) so names bind and coercion casts materialize, then harvest
+    * recognized bounds from the analyzed filter condition. Analysis failure
+    * (unknown column, etc.) yields no bounds — the read stays full and the
+    * real filter reports the error.
+    */
+  private def analyzedBounds(spark: SparkSession, m: Manifest,
+      predicate: org.apache.spark.sql.Column): Seq[Bound] =
+    scala.util.Try {
+      emptyFromSchema(spark, m).filter(predicate).queryExecution.analyzed
+        .collect {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.condition
+        }.headOption.map(boundsOf).getOrElse(Nil)
+    }.getOrElse(Nil)
+
+  private def isNumeric(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+  }
+
+  /** Exact decimal view of a numeric internal value — None for NaN/±Inf
+    * (callers then keep the bucket conservatively).
+    */
+  private def toBig(v: Any,
+      dt: org.apache.spark.sql.types.DataType): Option[java.math.BigDecimal] = {
+    import org.apache.spark.sql.types._
+    scala.util.Try(dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        java.math.BigDecimal.valueOf(v.asInstanceOf[Number].longValue)
+      case FloatType => new java.math.BigDecimal(v.asInstanceOf[Float].toDouble)
+      case DoubleType => new java.math.BigDecimal(v.asInstanceOf[Double])
+      case _: DecimalType => v.asInstanceOf[Decimal].toJavaBigDecimal
+    }).toOption
+  }
+
+  /** Can bucket `b` possibly hold a row satisfying every recognized bound?
+    * Conservative in every uncertain direction: missing stats, unknown
+    * column, unsupported type, or an uncastable literal all KEEP the
+    * bucket. An all-null column skips on any comparison bound (comparisons
+    * are null-rejecting).
+    */
+  private def bucketPossible(m: Manifest,
+      schema: org.apache.spark.sql.types.StructType, zone: String,
+      b: Int, bs: Seq[Bound]): Boolean = {
+    val stat = m.stats.get(b) match {
+      case None => return true
+      case Some(s) => s
+    }
+    def possible(bd: Bound): Boolean = {
+      val f = schema.find(_.name == bd.colName) match {
+        case None => return true
+        case Some(f) => f
+      }
+      if (!statsSupported(f.dataType)) return true
+      val cs = stat.cols.get(bd.colName) match {
+        case None => return true
+        case Some(c) => c
+      }
+      if (cs.min.isEmpty || cs.max.isEmpty) return false
+      if (bd.lit == null) return true
+      val mn = fromTransport(cs.min.get, f.dataType, zone)
+      val mx = fromTransport(cs.max.get, f.dataType, zone)
+      if (mn == null || mx == null) return true
+      // compare min/max against the literal in an EXACT common domain:
+      // same type → the type's own order; numeric vs numeric → BigDecimal
+      // (never a truncating cast — `bigint_col < 450.5` must not round the
+      // bound to 450); anything else → conservative keep
+      val rel: Option[(Int, Int)] =
+        if (bd.litDt == f.dataType)
+          Some((cmp(f.dataType, mn, bd.lit), cmp(f.dataType, mx, bd.lit)))
+        else if (isNumeric(bd.litDt) && isNumeric(f.dataType))
+          for {
+            l <- toBig(bd.lit, bd.litDt)
+            a <- toBig(mn, f.dataType)
+            b <- toBig(mx, f.dataType)
+          } yield (a.compareTo(l), b.compareTo(l))
+        else None
+      rel match {
+        case None => true
+        case Some((cMin, cMax)) => bd.op match {
+          case "=" => cMin <= 0 && cMax >= 0
+          case "<" => cMin < 0
+          case "<=" => cMin <= 0
+          case ">" => cMax > 0
+          case ">=" => cMax >= 0
+          case _ => true
+        }
+      }
+    }
+    bs.forall(possible)
+  }
+
+  /** The buckets a stats-pruned read of `predicate` would scan — the
+    * introspection face of [[readPruned]] (specs and gates pin skipping
+    * behavior through it; it never reads data files).
+    */
+  def matchingBuckets(spark: SparkSession, dir: String,
+      predicate: org.apache.spark.sql.Column): Seq[Int] = {
+    val m = readManifest(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no materialized state at $dir"))
+    val schema = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val zone = spark.sessionState.conf.sessionLocalTimeZone
+    val bs = analyzedBounds(spark, m, predicate)
+    m.buckets.keys.toSeq.sorted
+      .filter(b => bucketPossible(m, schema, zone, b, bs))
+  }
+
+  /** Stats-pruned read: buckets whose recorded min/max cannot satisfy the
+    * predicate's recognized conjuncts (`col <op> literal` under AND) are
+    * never listed; the FULL predicate then applies as a normal filter, so
+    * the result is identical to `read(...).filter(predicate)` on every
+    * input — skipping removes IO, never rows.
+    */
+  def readPruned(spark: SparkSession, dir: String,
+      predicate: org.apache.spark.sql.Column): DataFrame = {
+    val m = readManifest(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no materialized state at $dir"))
+    val keep = matchingBuckets(spark, dir, predicate)
+    val base = if (keep.isEmpty) emptyFromSchema(spark, m)
+      else readBuckets(spark, dir, m, keep)
+    base.filter(predicate).drop("_bucket")
+  }
+
+  /** POINT LOOKUP: read the state of one key by touching exactly the bucket
+    * it hashes to — O(1/numBuckets) of the table, the serving-path read.
+    * `key` pairs positionally with the manifest's recorded `bucketCols`;
+    * values are cast to the stored column types BEFORE hashing (murmur3 is
+    * type-sensitive). Requires a manifest that records its layout (any
+    * manifest written since numBuckets/bucketCols landed).
+    */
+  def lookup(spark: SparkSession, dir: String, key: Seq[Any]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, Murmur3Hash}
+    val m = readManifest(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no materialized state at $dir"))
+    require(m.numBuckets > 0 && m.bucketCols.nonEmpty,
+      s"manifest at $dir predates layout recording — re-merge once to " +
+        "record numBuckets/bucketCols, then lookup works")
+    require(key.length == m.bucketCols.length,
+      s"key arity ${key.length} != bucket columns ${m.bucketCols.mkString(",")}")
+    val schema = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val zone = spark.sessionState.conf.sessionLocalTimeZone
+    val lits = m.bucketCols.zip(key).map { case (c, v) =>
+      val dt = schema(c).dataType
+      val l = Literal(v)
+      if (l.dataType == dt) l else Literal(Cast(l, dt, Some(zone)).eval(), dt)
+    }
+    // same murmur3 + seed as functions.hash — the layout's bucket function
+    val h = new Murmur3Hash(lits).eval(null).asInstanceOf[Int]
+    val b = ((h % m.numBuckets) + m.numBuckets) % m.numBuckets
+    val base = if (!m.buckets.contains(b)) emptyFromSchema(spark, m)
+      else readBuckets(spark, dir, m, Seq(b))
+    m.bucketCols.zip(lits).foldLeft(base) { case (df, (c, l)) =>
+      df.filter(col(c) === org.apache.spark.sql.GraftShims.column(l))
+    }.drop("_bucket")
+  }
+
+  /** SET LOOKUP: a bucket-granular SUPERSET of the state rows matching any
+    * probe key — the dimension-read half of a stream-enrichment join (the
+    * enriching equi-join then filters exactly). Probe keys are
+    * bucketed with the layout's own hash (cast to the stored key types
+    * first — murmur3 is type-sensitive), the distinct touched buckets
+    * come to the driver (BOUNDED: ≤ numBuckets ids, never O(probe)), and
+    * only those buckets are listed/read. A micro-batch touching k keys
+    * reads O(k/numBuckets) of a 100 TB table instead of all of it.
+    * Null probe keys match nothing (equi-join semantics) and contribute
+    * no buckets. `probeKeyCols` pairs positionally with the manifest's
+    * recorded `bucketCols`.
+    */
+  def readMatching(spark: SparkSession, dir: String, probe: DataFrame,
+      probeKeyCols: Seq[String]): DataFrame = {
+    val m = readManifest(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no materialized state at $dir"))
+    require(m.numBuckets > 0 && m.bucketCols.nonEmpty,
+      s"manifest at $dir predates layout recording — re-merge once to " +
+        "record numBuckets/bucketCols, then readMatching works")
+    require(probeKeyCols.length == m.bucketCols.length,
+      s"probe arity ${probeKeyCols.length} != bucket columns " +
+        m.bucketCols.mkString(","))
+    val schema = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val typedKeys = probeKeyCols.zip(m.bucketCols).map { case (p, c) =>
+      col(p).cast(schema(c).dataType)
+    }
+    val touched = probe
+      .filter(typedKeys.map(_.isNotNull).reduce(_ && _))
+      .select(pmod(hash(typedKeys: _*), lit(m.numBuckets)).as("_b"))
+      .distinct().collect().map(_.getInt(0)).toIndexedSeq.sorted
+    val wanted = touched.filter(m.buckets.contains)
+    (if (wanted.isEmpty) emptyFromSchema(spark, m)
+     else readBuckets(spark, dir, m, wanted)).drop("_bucket")
+  }
+
+  /** The table's recorded key columns + current schema — the public face
+    * enrichment operators need to build a typed equi-join against the
+    * layout (see [[graft.streaming.LookupEnrich]]).
+    */
+  def keyLayout(spark: SparkSession, dir: String)
+      : (Seq[String], org.apache.spark.sql.types.StructType) = {
+    val m = readManifest(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no materialized state at $dir"))
+    require(m.bucketCols.nonEmpty,
+      s"manifest at $dir predates layout recording — re-merge once")
+    (m.bucketCols, org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
+  /** METADATA-ONLY aggregate: total rows plus, for every column with
+    * complete stats coverage (present in EVERY non-empty bucket's stats),
+    * the global min/max/null-count — folded from the manifest on the
+    * driver, zero data files opened. One row; min/max typed back to the
+    * column's own type. Columns with partial coverage (schema evolution,
+    * statsCols changes) are omitted rather than answered wrong.
+    */
+  def statsSummary(spark: SparkSession, dir: String): DataFrame = {
+    val m = readManifest(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no materialized state at $dir"))
+    val schema = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val zone = spark.sessionState.conf.sessionLocalTimeZone
+    val live = m.buckets.keys.toSeq.sorted
+    val stats = live.flatMap(m.stats.get)
+    val totalRows =
+      if (live.forall(m.stats.contains)) Some(stats.map(_.rows).sum) else None
+    val covered = stats.flatMap(_.cols.keys).distinct.sorted
+      .filter(c => stats.forall(_.cols.contains(c)))
+      .filter(c => schema.exists(_.name == c))
+    val fold = covered.map { c =>
+      val dt = schema.find(_.name == c).get.dataType
+      val cs = stats.map(_.cols(c))
+      // pick argmin/argmax by INTERNAL comparison, but keep the TRANSPORT
+      // string — the literal rebuild below goes through the same cast every
+      // read path uses, so Date/NTZ/Decimal round-trip exactly
+      def pick(vals: Seq[String], wantMin: Boolean): Option[String] =
+        vals.map(s => s -> fromTransport(s, dt, zone)) match {
+          case Seq() => None
+          case pairs => Some(pairs.reduce { (a, b) =>
+            val c0 = cmp(dt, a._2, b._2)
+            if ((wantMin && c0 <= 0) || (!wantMin && c0 >= 0)) a else b
+          }._1)
+        }
+      (c, dt, pick(cs.flatMap(_.min), wantMin = true),
+        pick(cs.flatMap(_.max), wantMin = false), cs.map(_.nulls).sum)
+    }
+    // one literal row, typed through the same transport casts
+    val cols =
+      totalRows.map(lit(_)).getOrElse(lit(null)).cast("long").as("rows") +:
+        fold.flatMap { case (c, dt, mn, mx, nulls) =>
+          def typed(v: Option[String]): org.apache.spark.sql.Column = dt match {
+            case org.apache.spark.sql.types.TimestampType =>
+              v.map(s => timestamp_micros(lit(s.toLong)))
+                .getOrElse(lit(null).cast(dt))
+            case _ =>
+              v.map(s => lit(s).cast(dt)).getOrElse(lit(null).cast(dt))
+          }
+          Seq(typed(mn).as(s"min_$c"), typed(mx).as(s"max_$c"),
+            lit(nulls).as(s"nulls_$c"))
+        }
+    spark.range(1).select(cols: _*)
   }
 
   /** Current state snapshot as the manifest names it (bucket column kept).

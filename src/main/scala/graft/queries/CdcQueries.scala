@@ -1792,6 +1792,113 @@ object CdcQueries {
       StreamStreamJoin.runToMemory(s2, ErrorStreak.streaks(ev).toDF(),
           s"cdc53_${java.util.UUID.randomUUID().toString.take(8)}")
         .select("user_id", "lsn1", "lsn2", "lsn3")
+    },
+
+    // --- manifest statistics (cdc54): the Delta-style data-skipping layer
+    // --- as an oracle-checked query. Two commit-ordered batches merge with
+    // --- declared statsCols; then three reads cash the stats in:
+    // ---   summary_ok — statsSummary (METADATA-ONLY: rows + min/max/nulls
+    // ---     folded from the manifest, zero data files opened) equals the
+    // ---     recomputed aggregates over the full state;
+    // ---   pruned_ok — readPruned on a value range is multiset-identical
+    // ---     to read().filter (skipping removes IO, never rows);
+    // ---   skip_ok — an impossible bound lists ZERO buckets
+    // ---     (matchingBuckets pins the skip, the read returns nothing).
+    // --- The served rows themselves come through lookup(): per-key point
+    // --- reads that touch exactly ONE bucket each — O(1/numBuckets) of
+    // --- the table, the serving-path read (torn-bucket isolation proof in
+    // --- MaterializedStatsSpec). Hash-matched against DuckDB's replay. ----
+    q("cdc54_stats_skipping",
+      """WITH ranked AS (SELECT *, row_number() OVER (
+        |  PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events)
+        |SELECT user_id, event_id AS last_lsn, value AS last_value,
+        |  TRUE AS summary_ok, TRUE AS pruned_ok, TRUE AS skip_ok
+        |FROM ranked WHERE rn = 1 AND event_type <> 'error'
+        |  AND user_id IN (1, 2, 3, 4, 5)""".stripMargin) { (s, d) =>
+      val env = ChangelogGen.fromEvents(s, d).toDF()
+        .select(col("op"), col("key"), col("lsn"), col("seq"),
+          get_json_object(col("after"), "$.value").cast("double").as("value"))
+      // lsn = event_id: raw parquet max, no JSON projection for one scalar
+      val mx = Tables.events(s, d).agg(max(col("event_id"))).head().getLong(0)
+      val dir = java.nio.file.Files.createTempDirectory("cdc54").toString + "/t"
+      val keyCols = Seq("key"); val ordCols = Seq("lsn", "seq")
+      Seq((0L, mx / 2, 1L), (mx / 2, mx + 1, 2L)).foreach { case (lo, hi, id) =>
+        MaterializedTable.merge(s, dir,
+          env.filter(col("lsn") >= lo && col("lsn") < hi), keyCols, ordCols,
+          batchId = Some(id), statsCols = Seq("value", "lsn"))
+      }
+      val state = MaterializedTable.read(s, dir)
+      // metadata-only summary vs recomputed truth
+      val sm = MaterializedTable.statsSummary(s, dir).head()
+      val truth = state.agg(count(lit(1)), min(col("value")), max(col("value")),
+        count(when(col("value").isNull, lit(1))), min(col("lsn")),
+        max(col("lsn"))).head()
+      val summaryOk = sm.getAs[Long]("rows") == truth.getLong(0) &&
+        sm.getAs[Double]("min_value") == truth.getDouble(1) &&
+        sm.getAs[Double]("max_value") == truth.getDouble(2) &&
+        sm.getAs[Long]("nulls_value") == truth.getLong(3) &&
+        sm.getAs[Long]("min_lsn") == truth.getLong(4) &&
+        sm.getAs[Long]("max_lsn") == truth.getLong(5)
+      // range-pruned read ≡ full read + filter, multiset both ways
+      val p = col("value") >= 100.0 && col("value") <= 400.0
+      val pruned = MaterializedTable.readPruned(s, dir, p)
+      val full = state.filter(p)
+      val prunedOk = pruned.exceptAll(full).isEmpty &&
+        full.exceptAll(pruned).isEmpty
+      // impossible bound: zero buckets listed, nothing read
+      val impossible = col("lsn") > lit(mx + 1000000L)
+      val skipOk =
+        MaterializedTable.matchingBuckets(s, dir, impossible).isEmpty &&
+          MaterializedTable.readPruned(s, dir, impossible).isEmpty
+      // serving path: five point lookups, one bucket each
+      (1 to 5).map(k => MaterializedTable.lookup(s, dir, Seq(k.toString)))
+        .reduce(_.unionByName(_))
+        .select(col("key").cast("long").as("user_id"),
+          col("lsn").as("last_lsn"), col("value").as("last_value"),
+          lit(summaryOk).as("summary_ok"), lit(prunedOk).as("pruned_ok"),
+          lit(skipOk).as("skip_ok"))
+    },
+
+    // --- streaming lookup enrichment (cdc55): the serving-path stream
+    // --- join. The events changelog folds into a MaterializedTable
+    // --- dimension; the raw events then stream AGAIN as the fact side
+    // --- (3 staged files → 3 micro-batches) and each micro-batch is
+    // --- enriched via LookupEnrich: the dimension read is PRUNED to the
+    // --- buckets the batch's keys hash to (readMatching — O(k/numBuckets
+    // --- · dimSize) IO per trigger, the KTable lookup-join shape, vs
+    // --- re-reading or re-broadcasting the full dimension every trigger).
+    // --- Results land idempotently in _batch partitions; the rollup must
+    // --- hash-match DuckDB's batch join of events against latest state —
+    // --- streaming enrichment ≡ batch join when the dimension is quiesced,
+    // --- which is exactly the bounded-drive contract. ---------------------
+    q("cdc55_stream_enrich",
+      """WITH ranked AS (SELECT *, row_number() OVER (
+        |  PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events),
+        |live AS (SELECT user_id, value AS dim_value
+        |  FROM ranked WHERE rn = 1 AND event_type <> 'error')
+        |SELECT e.user_id, COUNT(*) AS n_ev, MAX(l.dim_value) AS dim_value
+        |FROM events e JOIN live l ON e.user_id = l.user_id
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      import graft.streaming.LookupEnrich
+      val env = ChangelogGen.fromEvents(s, d).toDF()
+        .select(col("op"), col("key"), col("lsn"), col("seq"),
+          get_json_object(col("after"), "$.value").cast("double").as("value"))
+      val root = java.nio.file.Files.createTempDirectory("cdc55").toString
+      val (dimDir, probeDir, outDir) =
+        (s"$root/dim", s"$root/probe", s"$root/out")
+      MaterializedTable.merge(s, dimDir, env, Seq("key"), Seq("lsn", "seq"),
+        batchId = Some(1L))
+      // fact side: the same events re-staged as 3 files → 3 micro-batches
+      Tables.events(s, d).select(col("event_id"), col("user_id"))
+        .repartitionByRange(3, col("event_id"))
+        .write.parquet(probeDir)
+      val schema = s.read.parquet(probeDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(probeDir)
+      LookupEnrich.enrichToDir(stream, dimDir, outDir, Seq("user_id"))
+      LookupEnrich.readEnriched(s, outDir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_ev"), max(col("value")).as("dim_value"))
     }
   )
 }

@@ -1,0 +1,257 @@
+package graft.cdc
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Manifest statistics: data skipping, point lookups, metadata-only
+  * aggregates (MaterializedTable's Delta-style stats layer).
+  */
+class MaterializedStatsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def tmp(tag: String) =
+    java.nio.file.Files.createTempDirectory(tag).toString + "/state"
+
+  /** 8 keys with well-separated values: per-bucket value ranges stay
+    * narrow at numBuckets=4, so range predicates genuinely skip.
+    */
+  private def seed(dir: String, statsCols: Seq[String] = Seq("v", "s")): Unit = {
+    import spark.implicits._
+    val b1 = (1 to 8).map(i => ("insert", s"k$i", i.toLong, 0L, i * 100L, s"s$i"))
+      .toDF("op", "key", "lsn", "seq", "v", "s")
+    MaterializedTable.merge(spark, dir, b1, Seq("key"), Seq("lsn", "seq"),
+      numBuckets = 4, batchId = Some(1L), statsCols = statsCols)
+  }
+
+  test("stats recorded per bucket; untouched buckets carry forward; rows exact") {
+    import spark.implicits._
+    val dir = tmp("graft_stats1")
+    seed(dir)
+    val m1 = MaterializedTable.readManifest(spark, dir).get
+    assert(m1.numBuckets == 4 && m1.bucketCols == Seq("key"))
+    assert(m1.stats.keySet == m1.buckets.keySet)
+    assert(m1.stats.values.map(_.rows).sum == 8)
+    // every bucket carries v + s stats with zero nulls
+    assert(m1.stats.values.forall(b =>
+      b.cols.keySet == Set("v", "s") && b.cols.values.forall(_.nulls == 0)))
+
+    // touch ONE key: its bucket gets fresh stats, the others carry forward
+    val b2 = Seq(("update", "k1", 9L, 0L, 9999L, "zz"))
+      .toDF("op", "key", "lsn", "seq", "v", "s")
+    MaterializedTable.merge(spark, dir, b2, Seq("key"), Seq("lsn", "seq"),
+      numBuckets = 4, batchId = Some(2L), statsCols = Seq("v", "s"))
+    val m2 = MaterializedTable.readManifest(spark, dir).get
+    assert(m2.stats.values.map(_.rows).sum == 8)
+    val touched = m2.buckets.filter(_._2 == m2.version).keySet
+    for (b <- m2.stats.keySet if !touched.contains(b))
+      assert(m2.stats(b) == m1.stats(b), s"untouched bucket $b stats changed")
+    val maxV = m2.stats.values.flatMap(_.cols("v").max).map(_.toLong).max
+    assert(maxV == 9999L)
+  }
+
+  test("readPruned ≡ read().filter on every predicate; skipping pinned via matchingBuckets") {
+    val dir = tmp("graft_stats2")
+    seed(dir)
+    val all = MaterializedTable.matchingBuckets(spark, dir, lit(true)).toSet
+    assert(all.size == MaterializedTable.readManifest(spark, dir).get.buckets.size)
+
+    val preds = Seq(
+      col("v") >= 100L && col("v") <= 250L,
+      col("v") === 300L,
+      col("v") > 10000L,                       // impossible — all skipped
+      col("s") === "s5",
+      col("v") >= 100L || col("s") === "s7",   // OR — unrecognized, keep all
+      col("v") < lit(450.5))                   // cross-type literal
+    for (p <- preds) {
+      val pruned = MaterializedTable.readPruned(spark, dir, p)
+        .orderBy("key").collect().toSeq
+      val full = MaterializedTable.read(spark, dir).filter(p)
+        .orderBy("key").collect().toSeq
+      assert(pruned == full, s"pruned read diverged for $p")
+    }
+    // pins: impossible range lists ZERO buckets; narrow range a PROPER subset
+    assert(MaterializedTable.matchingBuckets(spark, dir, col("v") > 10000L).isEmpty)
+    val narrow = MaterializedTable.matchingBuckets(spark, dir, col("v") === 300L).toSet
+    assert(narrow.nonEmpty && narrow.size < all.size,
+      s"narrow equality should skip some of $all, kept $narrow")
+    // OR keeps everything (no skipping contribution — conservative)
+    assert(MaterializedTable.matchingBuckets(spark, dir,
+      col("v") >= 100L || col("s") === "s7").toSet == all)
+  }
+
+  test("lookup touches exactly one bucket (others may be garbage) and casts key types") {
+    val dir = tmp("graft_stats3")
+    seed(dir)
+    val m = MaterializedTable.readManifest(spark, dir).get
+    // find k3's bucket, then REPLACE every other bucket's files with torn
+    // bytes — if lookup listed any of them, the read would throw
+    val rows = MaterializedTable.read(spark, dir).collect()
+    assert(rows.length == 8)
+    val lk = MaterializedTable.lookup(spark, dir, Seq("k3"))
+    assert(lk.select("v").collect().map(_.getLong(0)).toSeq == Seq(300L))
+    val k3Bucket = m.buckets.keys.find { b =>
+      !MaterializedTable.lookup(spark, dir, Seq("k3")).isEmpty &&
+        {
+          // recompute via the same hash the layout uses
+          val h = new org.apache.spark.sql.catalyst.expressions.Murmur3Hash(Seq(
+            org.apache.spark.sql.catalyst.expressions.Literal(
+              org.apache.spark.unsafe.types.UTF8String.fromString("k3"),
+              org.apache.spark.sql.types.StringType))).eval(null).asInstanceOf[Int]
+          ((h % 4) + 4) % 4 == b
+        }
+    }.get
+    for ((b, v) <- m.buckets if b != k3Bucket) {
+      val d = new java.io.File(s"$dir/v$v/_bucket=$b")
+      for (f <- Option(d.listFiles()).getOrElse(Array.empty))
+        java.nio.file.Files.write(f.toPath, "TORN".getBytes("UTF-8"))
+    }
+    val again = MaterializedTable.lookup(spark, dir, Seq("k3"))
+      .select("v").collect().map(_.getLong(0)).toSeq
+    assert(again == Seq(300L), "lookup must not touch any other bucket")
+    // absent-key behavior (empty result) is covered on an intact table in
+    // the key-cast test below; here every other bucket is garbage by design
+  }
+
+  test("lookup casts external key values to the stored column type before hashing") {
+    import spark.implicits._
+    val dir = tmp("graft_stats4")
+    val b1 = (1 to 6).map(i => ("insert", i.toLong, i.toLong, 0L, s"p$i"))
+      .toDF("op", "id", "lsn", "seq", "payload")
+    MaterializedTable.merge(spark, dir, b1, Seq("id"), Seq("lsn", "seq"),
+      numBuckets = 4, statsCols = Nil)
+    // Int key against a LONG column: murmur3(int) ≠ murmur3(long), so this
+    // only works if lookup casts before hashing
+    val got = MaterializedTable.lookup(spark, dir, Seq(5))
+      .select("payload").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("p5"))
+    assert(MaterializedTable.lookup(spark, dir, Seq(99L)).isEmpty)
+  }
+
+  test("statsSummary is metadata-only and exact, including nulls and deletes") {
+    import spark.implicits._
+    val dir = tmp("graft_stats5")
+    val b1 = Seq(
+      ("insert", "a", 1L, 0L, Some(10L)), ("insert", "b", 2L, 0L, None),
+      ("insert", "c", 3L, 0L, Some(30L)), ("insert", "d", 4L, 0L, Some(40L)))
+      .toDF("op", "key", "lsn", "seq", "v")
+    MaterializedTable.merge(spark, dir, b1, Seq("key"), Seq("lsn", "seq"),
+      numBuckets = 2, batchId = Some(1L), statsCols = Seq("v"))
+    val b2 = Seq(("delete", "d", 5L, 0L, Option.empty[Long]))
+      .toDF("op", "key", "lsn", "seq", "v")
+    MaterializedTable.merge(spark, dir, b2, Seq("key"), Seq("lsn", "seq"),
+      numBuckets = 2, batchId = Some(2L), statsCols = Seq("v"))
+
+    val s = MaterializedTable.statsSummary(spark, dir).collect()(0)
+    assert(s.getAs[Long]("rows") == 3)
+    assert(s.getAs[Long]("min_v") == 10L && s.getAs[Long]("max_v") == 30L)
+    assert(s.getAs[Long]("nulls_v") == 1)
+    // torn-proof: statsSummary must not open data files at all
+    val m = MaterializedTable.readManifest(spark, dir).get
+    for ((b, v) <- m.buckets) {
+      val d = new java.io.File(s"$dir/v$v/_bucket=$b")
+      for (f <- Option(d.listFiles()).getOrElse(Array.empty))
+        java.nio.file.Files.write(f.toPath, "TORN".getBytes("UTF-8"))
+    }
+    val s2 = MaterializedTable.statsSummary(spark, dir).collect()(0)
+    assert(s2.getAs[Long]("rows") == 3 && s2.getAs[Long]("max_v") == 30L)
+  }
+
+  test("stats survive compact() and ride along on restore()") {
+    import spark.implicits._
+    val dir = tmp("graft_stats6")
+    spark.conf.set("spark.graft.materialized.retainVersions", "5")
+    try {
+      seed(dir)
+      val before = MaterializedTable.statsSummary(spark, dir).collect()(0).toSeq
+      MaterializedTable.compact(spark, dir, maxFilesPerBucket = 1)
+      assert(MaterializedTable.statsSummary(spark, dir).collect()(0).toSeq == before)
+      val narrowBefore =
+        MaterializedTable.matchingBuckets(spark, dir, col("v") === 300L)
+      // a content-changing merge, then rollback: stats must match v1 again
+      val b2 = Seq(("update", "k2", 20L, 0L, 123456L, "zz"))
+        .toDF("op", "key", "lsn", "seq", "v", "s")
+      MaterializedTable.merge(spark, dir, b2, Seq("key"), Seq("lsn", "seq"),
+        numBuckets = 4, batchId = Some(2L), statsCols = Seq("v", "s"))
+      assert(MaterializedTable.statsSummary(spark, dir)
+        .collect()(0).getAs[Long]("max_v") == 123456L)
+      val v = MaterializedTable.listVersions(spark, dir).init.last
+      MaterializedTable.restore(spark, dir, v)
+      assert(MaterializedTable.statsSummary(spark, dir).collect()(0).toSeq == before)
+      assert(MaterializedTable.matchingBuckets(spark, dir, col("v") === 300L)
+        == narrowBefore)
+    } finally spark.conf.unset("spark.graft.materialized.retainVersions")
+  }
+
+  test("schema evolution keeps skipping conservative and summary honest") {
+    import spark.implicits._
+    val dir = tmp("graft_stats7")
+    seed(dir, statsCols = Seq("v"))
+    // batch 2 adds column w and touches one key: only its bucket has w stats
+    val b2 = Seq(("update", "k1", 9L, 0L, 100L, "s1", 7L))
+      .toDF("op", "key", "lsn", "seq", "v", "s", "w")
+    MaterializedTable.merge(spark, dir, b2, Seq("key"), Seq("lsn", "seq"),
+      numBuckets = 4, batchId = Some(2L), statsCols = Seq("v", "w"))
+    // a w-predicate can only skip buckets that HAVE w stats — never a
+    // carried-forward one (whose rows all have w null, but stats are absent)
+    val kept = MaterializedTable.matchingBuckets(spark, dir, col("w") === -1L)
+    val m = MaterializedTable.readManifest(spark, dir).get
+    val withW = m.stats.filter(_._2.cols.contains("w")).keySet
+    assert((m.buckets.keySet -- withW).subsetOf(kept.toSet),
+      "buckets without w stats must be kept conservatively")
+    assert((withW -- kept.toSet).nonEmpty, "w-stats buckets should skip -1")
+    // summary: w has partial coverage → omitted, never answered wrong
+    val s = MaterializedTable.statsSummary(spark, dir)
+    assert(!s.columns.contains("min_w") && s.columns.contains("min_v"))
+    // pruned read still exact under evolution
+    val p = col("w") === 7L
+    assert(MaterializedTable.readPruned(spark, dir, p).collect().toSeq ==
+      MaterializedTable.read(spark, dir).filter(p).collect().toSeq)
+  }
+
+  test("string stats with quotes/newlines round-trip the manifest json") {
+    import spark.implicits._
+    val dir = tmp("graft_stats8")
+    val nasty = "a\"b\\c\nd"
+    val b1 = Seq(("insert", "k1", 1L, 0L, nasty), ("insert", "k2", 2L, 0L, "zzz"))
+      .toDF("op", "key", "lsn", "seq", "s")
+    MaterializedTable.merge(spark, dir, b1, Seq("key"), Seq("lsn", "seq"),
+      numBuckets = 1, statsCols = Seq("s"))
+    val m = MaterializedTable.readManifest(spark, dir).get
+    assert(m.stats(m.buckets.keys.head).cols("s").min.contains(nasty))
+    val s = MaterializedTable.statsSummary(spark, dir).collect()(0)
+    assert(s.getAs[String]("min_s") == nasty && s.getAs[String]("max_s") == "zzz")
+  }
+
+  test("timestamp stats travel as unix micros and prune correctly") {
+    import spark.implicits._
+    val dir = tmp("graft_stats9")
+    val ts = (i: Int) => java.sql.Timestamp.valueOf(s"2024-01-0$i 10:30:00.123456")
+    val b1 = (1 to 4).map(i => ("insert", s"k$i", i.toLong, 0L, ts(i)))
+      .toDF("op", "key", "lsn", "seq", "t")
+    MaterializedTable.merge(spark, dir, b1, Seq("key"), Seq("lsn", "seq"),
+      numBuckets = 2, statsCols = Seq("t"))
+    val s = MaterializedTable.statsSummary(spark, dir).collect()(0)
+    assert(s.getAs[java.sql.Timestamp]("min_t") == ts(1))
+    assert(s.getAs[java.sql.Timestamp]("max_t") == ts(4))
+    val p = col("t") > lit(ts(4))
+    assert(MaterializedTable.matchingBuckets(spark, dir, p).isEmpty)
+    assert(MaterializedTable.readPruned(spark, dir, p).isEmpty)
+    val p2 = col("t") >= lit(ts(2))
+    assert(MaterializedTable.readPruned(spark, dir, p2).count() ==
+      MaterializedTable.read(spark, dir).filter(p2).count())
+  }
+
+  test("a layout-corrupting numBuckets change is rejected") {
+    import spark.implicits._
+    val dir = tmp("graft_stats10")
+    seed(dir)
+    val b2 = Seq(("insert", "k9", 10L, 0L, 900L, "s9"))
+      .toDF("op", "key", "lsn", "seq", "v", "s")
+    val e = intercept[IllegalArgumentException] {
+      MaterializedTable.merge(spark, dir, b2, Seq("key"), Seq("lsn", "seq"),
+        numBuckets = 8, batchId = Some(2L))
+    }
+    assert(e.getMessage.contains("numBuckets"))
+  }
+}
