@@ -745,4 +745,75 @@ object Similarity {
           .orderBy(col("sim").desc, col("neighbor_id"))))
       .filter(col("rank") <= k)
   }
+
+  /** MMR diversified top-k, SINGLE-EXCHANGE variant — same greedy
+    * semantics as [[mmrRerank]] (λ = 1/2 exact halving, lowest-id
+    * tie-break; equivalence spec-pinned), different execution contract:
+    * [[mmrRerank]] composes k dataflow rounds (one window argmax + one
+    * equi-join per pick — fine for the k≈3 "top of the page" shape, but
+    * the plan grows linearly in k), while this variant re-ranks each
+    * probe's candidate set INSIDE one flatMapGroups pass — ONE shuffle
+    * total for ANY k, the right shape for the training-data sampling /
+    * RAG-context k of 10–50.
+    *
+    * The per-probe working set is O(candidates²) integer arithmetic BY
+    * CONTRACT (candidates is a re-rank budget, typically ≤ 100), fully
+    * parallel across probes, no driver round-trip. Candidate generation
+    * stays the DISTRIBUTED top-N cosine search — brute here for
+    * exactness; IVF/PQ searches honor the same (probe_id, cand_id, sim)
+    * contract and swap in unchanged at corpus scale.
+    *
+    * Determinism: scores are functions of quantized integer dot products
+    * through correctly-rounded sqrt/divide and exact 0.5· halvings —
+    * bit-identical across engines, so the gate hash-compares the doubles
+    * (first pick's score is λ·rel over the empty selected set; ties break
+    * on the lower candidate id, matching
+    * `ROW_NUMBER() OVER (ORDER BY score DESC, cand_id)`).
+    */
+  def mmrTopK(probes: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, candidates: Int, k: Int): DataFrame = {
+    val spark = probes.sparkSession
+    import spark.implicits._
+    val cand = knnBrute(probes, corpus, idCol, vecCol, candidates)
+      .select(col("probe_id").cast("long"),
+        col("neighbor_id").cast("long").as("cand_id"), col("sim").as("rel"))
+    val qc = corpus.select(col(idCol).cast("long").as("cand_id"),
+      quantize(col(vecCol)).as("qv"))
+    cand.join(qc, "cand_id")
+      .select(col("probe_id"), col("cand_id"), col("rel"), col("qv"))
+      .as[(Long, Long, Double, Array[Long])]
+      .groupByKey(_._1)
+      .flatMapGroups { (pid, it) =>
+        // ascending id order + strict > comparisons = lowest-id tie-break
+        val cs = it.map { case (_, id, rel, qv) => (id, rel, qv) }
+          .toArray.sortBy(_._1)
+        val n2 = cs.map(c => c._3.map(x => x * x).sum)
+        def cos(i: Int, j: Int): Double = {
+          val a = cs(i)._3; val b = cs(j)._3
+          var d = 0L; var t = 0
+          while (t < a.length) { d += a(t) * b(t); t += 1 }
+          d.toDouble / (math.sqrt(n2(i).toDouble) * math.sqrt(n2(j).toDouble))
+        }
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Int, Long, Double)]
+        while (selected.length < math.min(k, cs.length)) {
+          var bestIdx = -1; var bestScore = Double.NegativeInfinity
+          for (i <- cs.indices if !selected.contains(i)) {
+            val score =
+              if (selected.isEmpty) 0.5 * cs(i)._2
+              else {
+                var maxS = Double.NegativeInfinity
+                for (j <- selected) { val s = cos(i, j); if (s > maxS) maxS = s }
+                0.5 * cs(i)._2 - 0.5 * maxS
+              }
+            if (score > bestScore) { bestScore = score; bestIdx = i }
+          }
+          selected += bestIdx
+          out += ((pid, selected.length, cs(bestIdx)._1, bestScore))
+        }
+        out.iterator
+      }
+      .toDF("probe_id", "rank", "cand_id", "score")
+  }
 }

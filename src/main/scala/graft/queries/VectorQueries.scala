@@ -22,6 +22,51 @@ object VectorQueries {
        |n AS (SELECT vec_id, qv, CAST(list_sum([x*x for x in qv]) AS BIGINT) AS n2 FROM q)""".stripMargin
   private val quantSql = quantSqlFrom("embeddings")
 
+  /** DuckDB twin of Similarity.mmrTopK: brute top-`nCand` candidates per
+    * probe, pairwise candidate similarities, then the greedy MMR loop as
+    * k−1 unrolled CTE stages over an accumulating selected set.
+    */
+  private def mmrSql(nProbes: Int, nCand: Int, k: Int): String = {
+    def dotSql(a: String, b: String) =
+      s"CAST(list_sum([$a[i]*$b[i] for i in generate_series(1, len($a))]) AS BIGINT)"
+    def cosSql(a: String, b: String, n2a: String, n2b: String) =
+      s"CAST(${dotSql(a, b)} AS DOUBLE)/(sqrt(CAST($n2a AS DOUBLE))*sqrt(CAST($n2b AS DOUBLE)))"
+    val stages = (2 to k).map { t =>
+      s"""pick$t AS (SELECT r.probe_id, r.cand_id,
+         |  0.5*r.rel - 0.5*MAX(p.s) AS score
+         |  FROM cand r JOIN acc${t - 1} sl ON sl.probe_id = r.probe_id
+         |  JOIN pair p ON p.probe_id = r.probe_id AND p.i = r.cand_id
+         |    AND p.j = sl.cand_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM acc${t - 1} x
+         |    WHERE x.probe_id = r.probe_id AND x.cand_id = r.cand_id)
+         |  GROUP BY r.probe_id, r.cand_id, r.rel),
+         |sel$t AS (SELECT probe_id, $t AS rank, cand_id, score FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+         |    ORDER BY score DESC, cand_id) AS rn FROM pick$t) WHERE rn = 1),
+         |acc$t AS (SELECT * FROM acc${t - 1} UNION ALL SELECT * FROM sel$t)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $quantSql,
+       |scored AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+       |  ${cosSql("p.qv", "c.qv", "p.n2", "c.n2")} AS rel
+       |  FROM n p, n c WHERE p.vec_id < $nProbes AND c.vec_id <> p.vec_id),
+       |cand AS (SELECT probe_id, cand_id, rel FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+       |    ORDER BY rel DESC, cand_id) AS rnk FROM scored) WHERE rnk <= $nCand),
+       |pair AS (SELECT a.probe_id, a.cand_id AS i, b.cand_id AS j,
+       |  ${cosSql("na.qv", "nb.qv", "na.n2", "nb.n2")} AS s
+       |  FROM cand a JOIN cand b
+       |    ON a.probe_id = b.probe_id AND a.cand_id <> b.cand_id
+       |  JOIN n na ON na.vec_id = a.cand_id
+       |  JOIN n nb ON nb.vec_id = b.cand_id),
+       |sel1 AS (SELECT probe_id, 1 AS rank, cand_id, 0.5*rel AS score FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+       |    ORDER BY rel DESC, cand_id) AS rn FROM cand) WHERE rn = 1),
+       |acc1 AS (SELECT * FROM sel1),
+       |$stages
+       |SELECT probe_id, rank, cand_id, score FROM acc$k""".stripMargin
+  }
+
   /** DuckDB twin of IvfIndex.l2Q: exact integer squared-L2 of two lists. */
   private def l2Sql(v: String, c: String) =
     s"CAST(list_sum([($v[i]-$c[i])*($v[i]-$c[i]) for i in generate_series(1, len($v))]) AS BIGINT)"
@@ -2019,6 +2064,23 @@ object VectorQueries {
       graft.operators.IvfIndex.radiusSearchIndex(
         emb.filter(col("vec_id") < 10), idx, "vec_id", "embedding",
         minCosNum = 3, minCosDen = 10, nProbe = 4)
+    },
+
+    // --- MMR diversified retrieval, single-exchange variant (vec38):
+    // --- vec20's greedy semantics at the LARGE-k execution shape — one
+    // --- flatMapGroups re-rank per probe (ONE shuffle for any k) instead
+    // --- of vec20's k chained window+join rounds; k=5 over 16 candidates
+    // --- here vs vec20's 3-of-8 (equivalence spec-pinned). Scores are
+    // --- hash-compared as DOUBLES (λ = 1/2 is an exact IEEE halving over
+    // --- quantized integer dots). The oracle re-derives the greedy loop
+    // --- as k−1 UNROLLED CTE stages (the txt33/vec05 discipline): each
+    // --- stage excludes the selected set, scores every remaining
+    // --- candidate 0.5·rel − 0.5·MAX(sim to selected), and picks by
+    // --- (score DESC, cand_id) — the operator's strict-> tie-break. ------
+    q("vec38_mmr_rerank", mmrSql(nProbes = 8, nCand = 16, k = 5)) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      graft.operators.Similarity.mmrTopK(emb.filter(col("vec_id") < 8), emb,
+        "vec_id", "embedding", candidates = 16, k = 5)
     }
   )
 }

@@ -58,6 +58,40 @@ class RankDiversitySpec extends AnyFunSuite {
     assert(mmr.size == 3 && mmr.toSet.size == 3)
   }
 
+  test("mmrTopK (single-exchange) ≡ mmrRerank picks on every (k, candidates)") {
+    // deterministic synthetic corpus: 24 vectors on a seeded integer lattice
+    val corpus = (0 until 24).map { i =>
+      (i.toLong, Array(
+        ((i * 37 + 11) % 19 - 9).toFloat / 9f,
+        ((i * 53 + 7) % 17 - 8).toFloat / 8f,
+        ((i * 71 + 3) % 13 - 6).toFloat / 6f))
+    }.toDF("vec_id", "embedding")
+    val probes = corpus.filter($"vec_id" < 4L)
+    for ((k, c) <- Seq((3, 8), (5, 16), (8, 8))) {
+      val a = Similarity.mmrRerank(probes, corpus, "vec_id", "embedding",
+          k = k, candidates = c)
+        .select($"probe_id", $"pick", $"neighbor_id")
+        .as[(Long, Int, Long)].collect().toSet
+      val b = Similarity.mmrTopK(probes, corpus, "vec_id", "embedding",
+          candidates = c, k = k)
+        .select($"probe_id", $"rank", $"cand_id")
+        .as[(Long, Int, Long)].collect().toSet
+      assert(a == b, s"variants diverged at k=$k candidates=$c")
+    }
+  }
+
+  test("mmrTopK truncates when candidates run out; scores non-increasing is NOT assumed") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val probe = corpus.filter($"vec_id" === 1L)
+    // only 2 candidates exist (probe excluded); k=5 truncates to 2 ranks
+    val got = Similarity.mmrTopK(probe, corpus, "vec_id", "embedding",
+        candidates = 5, k = 5)
+      .select($"rank", $"cand_id").as[(Int, Long)].collect().sorted
+    assert(got.map(_._1).toSeq == Seq(1, 2) && got.map(_._2).toSet == Set(2L, 3L))
+  }
+
   test("recallAtK: identity = 1.0, disjoint = 0, partial counts exactly; missed probes anchored") {
     val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L), (2L, 22L))
       .toDF("probe_id", "neighbor_id")
