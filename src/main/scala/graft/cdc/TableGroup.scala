@@ -1,0 +1,154 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** ATOMIC MULTI-TABLE COMMIT: a consistent cross-table snapshot protocol
+  * over [[MaterializedTable]]s — the serving-side answer to the reference's
+  * transaction bracketing (frame assembly emits BEGIN/…/COMMIT batches
+  * whose rows span several tables; a consumer must see all of a
+  * transaction's tables advance together or none — kafka/bottledwater.c's
+  * progress-only-on-full-ack discipline lifted from one topic to a group).
+  *
+  * == Protocol ==
+  *
+  * {{{
+  *   rootDir/_graft_group.json   # THE group commit point (atomic rename)
+  *   rootDir/<table>/…           # each member a MaterializedTable
+  * }}}
+  *
+  * A group commit merges every member table (each merge is itself
+  * batch-id-guarded and atomic), then swaps ONE root manifest recording
+  * {table → committed version} plus the group batch watermark. Group
+  * readers resolve exclusively through the root: [[read]] serves table T
+  * at the root-pinned version via [[MaterializedTable.readVersion]].
+  *
+  * Crash anywhere between the first member merge and the root swap leaves
+  * group readers on the PREVIOUS root — a fully consistent older snapshot
+  * (member tables may individually be ahead; that is invisible through the
+  * group face). A retry of the same batch id re-runs only the member
+  * merges that did not land (each is independently watermark-guarded) and
+  * then swaps the root — convergence without double folds. A retry at or
+  * below the ROOT watermark is a whole-group no-op.
+  *
+  * Version retention: the root may lag a member table by one commit (the
+  * crash window), and group readers need the root-pinned versions to stay
+  * materialized — so group commits REQUIRE
+  * `spark.graft.materialized.retainVersions ≥ 2` (current + one lag;
+  * per-table GC then defers to [[MaterializedTable.vacuum]], whose
+  * retention horizon covers the lag). Single-writer per group, as
+  * everywhere in this storage layer.
+  *
+  * Scale: the root manifest is O(tables) JSON — commit cost is the member
+  * merges themselves (each O(touched buckets)); the group adds exactly one
+  * driver-side rename.
+  */
+object TableGroup {
+
+  private val rootFile = "_graft_group.json"
+
+  /** One member table's batch: name, changelog rows, and its key columns
+    * (order columns are shared group-wide — one changelog clock).
+    */
+  final case class TableBatch(name: String, rows: DataFrame, keyCols: Seq[String])
+
+  private[graft] final case class GroupManifest(
+      lastBatchId: Long, tables: Map[String, Long])
+
+  private def fsOf(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private[graft] def readRoot(spark: SparkSession, rootDir: String)
+      : Option[GroupManifest] = {
+    val (fs, _) = fsOf(spark, rootDir)
+    val p = new org.apache.hadoop.fs.Path(rootDir, rootFile)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val tables = scala.collection.mutable.Map.empty[String, Long]
+    val it = root.get("tables").properties().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      tables(e.getKey) = e.getValue.asLong()
+    }
+    Some(GroupManifest(root.get("lastBatchId").asLong(), tables.toMap))
+  }
+
+  private def writeRoot(spark: SparkSession, rootDir: String,
+      g: GroupManifest): Unit = {
+    val (fs, hPath) = fsOf(spark, rootDir)
+    if (!fs.exists(hPath)) fs.mkdirs(hPath)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.createObjectNode()
+    node.put("lastBatchId", g.lastBatchId)
+    val tn = node.putObject("tables")
+    g.tables.toSeq.sortBy(_._1).foreach { case (t, v) => tn.put(t, v) }
+    val bytes = om.writeValueAsString(node).getBytes("UTF-8")
+    val primary = new org.apache.hadoop.fs.Path(rootDir, rootFile)
+    val tmp = new org.apache.hadoop.fs.Path(rootDir, rootFile + ".tmp")
+    val os = fs.create(tmp, true)
+    try os.write(bytes) finally os.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      primary.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, primary, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Commit one transaction's batches across all member tables, atomically
+    * from the group reader's perspective. Returns the number of member
+    * merges that actually folded rows (0 = whole-group replay no-op).
+    */
+  def commit(spark: SparkSession, rootDir: String, batches: Seq[TableBatch],
+      orderCols: Seq[String], batchId: Long, opCol: String = "op",
+      numBuckets: Int = 64, statsCols: Seq[String] = Nil): Int = {
+    val retain = spark.conf
+      .get("spark.graft.materialized.retainVersions", "0").toInt
+    require(retain >= 2,
+      "group commits need spark.graft.materialized.retainVersions >= 2 " +
+        "(current + one crash-lag commit) so root-pinned snapshots survive " +
+        "per-table GC until vacuum()")
+    require(batches.map(_.name).distinct.size == batches.size,
+      "duplicate table names in one group commit")
+    val prior = readRoot(spark, rootDir)
+    if (prior.exists(_.lastBatchId >= batchId)) return 0
+    // deterministic member order; each merge is itself batch-id-guarded, so
+    // a crashed group retry re-runs ONLY the members that did not land
+    var folded = 0
+    val versions = batches.sortBy(_.name).map { tb =>
+      val dir = s"$rootDir/${tb.name}"
+      val n = MaterializedTable.merge(spark, dir, tb.rows, tb.keyCols,
+        orderCols, opCol, numBuckets, batchId = Some(batchId), statsCols)
+      if (n > 0) folded += 1
+      tb.name -> MaterializedTable.readManifest(spark, dir).map(_.version)
+        .getOrElse(throw new IllegalStateException(
+          s"member ${tb.name} has no manifest after merge"))
+    }
+    // tables absent from this batch keep their previously pinned version —
+    // a transaction does not have to touch every member
+    val carried = prior.map(_.tables).getOrElse(Map.empty) -- versions.map(_._1)
+    // THE group commit point
+    writeRoot(spark, rootDir, GroupManifest(batchId, carried ++ versions))
+    folded
+  }
+
+  /** Member table `table` AT THE GROUP-COMMITTED SNAPSHOT — never a version
+    * the root has not pinned, regardless of how far the member's own
+    * manifest has advanced (the crash window's partial progress is
+    * invisible here).
+    */
+  def read(spark: SparkSession, rootDir: String, table: String): DataFrame = {
+    val g = readRoot(spark, rootDir).getOrElse(
+      throw new IllegalArgumentException(s"no group commit at $rootDir"))
+    val v = g.tables.getOrElse(table,
+      throw new IllegalArgumentException(
+        s"table $table is not a member of the group at $rootDir " +
+          s"(members: ${g.tables.keys.toSeq.sorted.mkString(", ")})"))
+    MaterializedTable.readVersion(spark, s"$rootDir/$table", v)
+  }
+
+  /** Member names in the current group commit. */
+  def tables(spark: SparkSession, rootDir: String): Seq[String] =
+    readRoot(spark, rootDir).map(_.tables.keys.toSeq.sorted).getOrElse(Nil)
+}

@@ -1899,6 +1899,154 @@ object CdcQueries {
       LookupEnrich.readEnriched(s, outDir)
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_ev"), max(col("value")).as("dim_value"))
+    },
+
+    // --- atomic multi-table commit (cdc56): the reference's transaction
+    // --- bracketing (BEGIN/…/COMMIT spanning several tables,
+    // --- kafka/bottledwater.c:678–715's all-or-nothing consumer view)
+    // --- lifted to the serving side. The changelog folds into TWO member
+    // --- tables (by_user latest state; by_type latest per (user,type),
+    // --- upserts only — deletes carry no after-image to key on) through
+    // --- TableGroup.commit: member merges + ONE root-manifest swap.
+    // --- Crash drill: member by_user lands batch 2 DIRECTLY (root never
+    // --- swaps — the mid-transaction crash); verdict-as-data:
+    // ---   isolation_ok — the group read still serves the batch-1
+    // ---     snapshot (multiset both ways) WHILE the member's own face
+    // ---     is provably ahead (divergence asserted);
+    // ---   retry_noop — a whole-group replay of batch 1 with poisoned
+    // ---     content (negated values, alien type) folds nothing.
+    // --- The group retry of batch 2 then re-runs ONLY the missing member
+    // --- and swaps the root; final cross-table join hash-matches DuckDB's
+    // --- replay — no lost member, no double fold, group-consistent. ------
+    q("cdc56_group_commit",
+      """WITH ranked AS (SELECT *, row_number() OVER (
+        |  PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events),
+        |live AS (SELECT user_id, event_id AS last_lsn, value AS last_value
+        |  FROM ranked WHERE rn = 1 AND event_type <> 'error'),
+        |btypes AS (SELECT user_id, COUNT(DISTINCT event_type) AS n_types
+        |  FROM events WHERE event_type <> 'error' GROUP BY 1)
+        |SELECT l.user_id, l.last_lsn, l.last_value, b.n_types,
+        |  TRUE AS isolation_ok, TRUE AS retry_noop
+        |FROM live l JOIN btypes b ON l.user_id = b.user_id""".stripMargin) { (s, d) =>
+      val s2 = s.newSession()
+      s2.conf.set("spark.graft.materialized.retainVersions", "4")
+      val env = ChangelogGen.fromEvents(s2, d).toDF()
+        .select(col("op"), col("key"), col("lsn"), col("seq"),
+          get_json_object(col("after"), "$.event_type").as("typ"),
+          get_json_object(col("after"), "$.value").cast("double").as("value"))
+      val mx = Tables.events(s, d).agg(max(col("event_id"))).head().getLong(0)
+      val root = java.nio.file.Files.createTempDirectory("cdc56").toString + "/g"
+      val ord = Seq("lsn", "seq")
+      def uSlice(lo: Long, hi: Long) =
+        env.filter(col("lsn") >= lo && col("lsn") < hi)
+          .select("op", "key", "lsn", "seq", "value")
+      def tSlice(lo: Long, hi: Long) =
+        env.filter(col("lsn") >= lo && col("lsn") < hi &&
+            col("op") =!= graft.cdc.Op.Delete)
+          .select("op", "key", "typ", "lsn", "seq")
+      def group(lo: Long, hi: Long) = Seq(
+        TableGroup.TableBatch("by_user", uSlice(lo, hi), Seq("key")),
+        TableGroup.TableBatch("by_type", tSlice(lo, hi), Seq("key", "typ")))
+      TableGroup.commit(s2, root, group(0L, mx / 2), ord, batchId = 1L)
+      val pre = TableGroup.read(s2, root, "by_user")
+      // CRASH: one member lands batch 2, the root never swaps
+      MaterializedTable.merge(s2, s"$root/by_user", uSlice(mx / 2, mx + 1),
+        Seq("key"), ord, batchId = Some(2L))
+      val during = TableGroup.read(s2, root, "by_user")
+      val memberFace = MaterializedTable.read(s2, s"$root/by_user")
+      val isolationOk = during.exceptAll(pre).isEmpty &&
+        pre.exceptAll(during).isEmpty &&
+        !memberFace.exceptAll(during).isEmpty // member provably ahead
+      // whole-group poisoned replay of batch 1: folds nothing
+      val poisoned = Seq(
+        TableGroup.TableBatch("by_user",
+          uSlice(0L, mx / 2).withColumn("value", col("value") * -999),
+          Seq("key")),
+        TableGroup.TableBatch("by_type",
+          tSlice(0L, mx / 2).withColumn("typ", lit("POISON")),
+          Seq("key", "typ")))
+      val retryNoop =
+        TableGroup.commit(s2, root, poisoned, ord, batchId = 1L) == 0
+      // the proper group retry re-runs only the missing member, swaps root
+      TableGroup.commit(s2, root, group(mx / 2, mx + 1), ord, batchId = 2L)
+      val u = TableGroup.read(s2, root, "by_user")
+      val t = TableGroup.read(s2, root, "by_type")
+        .groupBy("key").agg(count(lit(1)).as("n_types"))
+      u.join(t, "key")
+        .select(col("key").cast("long").as("user_id"),
+          col("lsn").as("last_lsn"), col("value").as("last_value"),
+          col("n_types"),
+          lit(isolationOk).as("isolation_ok"), lit(retryNoop).as("retry_noop"))
+    },
+
+    // --- streaming transactional multi-table sink (cdc57): cdc56's group
+    // --- commit DRIVEN FROM A LIVE STREAM — every micro-batch of the
+    // --- changelog (3 staged files → 3 batches) lands across both member
+    // --- tables as one TableGroup commit, batch id = foreachBatch id, so
+    // --- Structured Streaming's at-least-once redelivery becomes a
+    // --- convergent retry (members that landed no-op, the root swaps
+    // --- once). Drill on top: the WHOLE stream replays from a fresh
+    // --- checkpoint with poisoned payloads — every group commit is a
+    // --- root-watermark no-op; replay_silent pins state multiset-equality
+    // --- across the replay. Final cross-table join hash-matches DuckDB's
+    // --- batch replay: stream-of-transactions ≡ one big fold. ------------
+    q("cdc57_stream_group_commit",
+      """WITH ranked AS (SELECT *, row_number() OVER (
+        |  PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events),
+        |live AS (SELECT user_id, event_id AS last_lsn, value AS last_value
+        |  FROM ranked WHERE rn = 1 AND event_type <> 'error'),
+        |btypes AS (SELECT user_id, COUNT(DISTINCT event_type) AS n_types
+        |  FROM events WHERE event_type <> 'error' GROUP BY 1)
+        |SELECT l.user_id, l.last_lsn, l.last_value, b.n_types,
+        |  TRUE AS replay_silent
+        |FROM live l JOIN btypes b ON l.user_id = b.user_id""".stripMargin) { (s, d) =>
+      import graft.streaming.GroupCommitStream
+      val s2 = s.newSession()
+      s2.conf.set("spark.graft.materialized.retainVersions", "4")
+      val env = ChangelogGen.fromEvents(s2, d).toDF()
+        .select(col("op"), col("key"), col("lsn"), col("seq"),
+          get_json_object(col("after"), "$.event_type").as("typ"),
+          get_json_object(col("after"), "$.value").cast("double").as("value"))
+      val dir = java.nio.file.Files.createTempDirectory("cdc57").toString
+      val (root, src, psrc) = (s"$dir/g", s"$dir/src", s"$dir/poison")
+      // three SEQUENTIALLY-written lsn slices: the file source orders new
+      // files by modification time, so batches arrive in changelog order —
+      // the ordered-source contract every CDC transport provides (an
+      // out-of-order source would need tombstone retention in the member
+      // fold; see LatestState's streaming TTL)
+      val mx = Tables.events(s, d).agg(max(col("event_id"))).head().getLong(0)
+      Seq((0L, mx / 3), (mx / 3, 2 * mx / 3), (2 * mx / 3, mx + 1))
+        .zipWithIndex.foreach { case ((lo, hi), i) =>
+          env.filter(col("lsn") >= lo && col("lsn") < hi)
+            .coalesce(1).write.parquet(s"$src/f$i")
+        }
+      val schema = s2.read.parquet(s"$src/f0").schema
+      def members(b: org.apache.spark.sql.DataFrame) = Seq(
+        TableGroup.TableBatch("by_user",
+          b.select("op", "key", "lsn", "seq", "value"), Seq("key")),
+        TableGroup.TableBatch("by_type",
+          b.filter(col("op") =!= graft.cdc.Op.Delete)
+            .select("op", "key", "typ", "lsn", "seq"), Seq("key", "typ")))
+      def drive(path: String): Unit = GroupCommitStream.run(
+        s2.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(path), root, members, Seq("lsn", "seq"))
+      drive(s"$src/f*")
+      val before = TableGroup.read(s2, root, "by_user")
+      // fresh-checkpoint poisoned replay: batch ids restart at 0 — staged
+      // as ONE file so the replay is a single batch id 0, at or below ANY
+      // committed root watermark regardless of how the first drive batched
+      env.withColumn("value", col("value") * -999)
+        .coalesce(1).write.parquet(psrc)
+      drive(psrc)
+      val after = TableGroup.read(s2, root, "by_user")
+      val replaySilent = after.exceptAll(before).isEmpty &&
+        before.exceptAll(after).isEmpty
+      val t = TableGroup.read(s2, root, "by_type")
+        .groupBy("key").agg(count(lit(1)).as("n_types"))
+      TableGroup.read(s2, root, "by_user").join(t, "key")
+        .select(col("key").cast("long").as("user_id"),
+          col("lsn").as("last_lsn"), col("value").as("last_value"),
+          col("n_types"), lit(replaySilent).as("replay_silent"))
     }
   )
 }

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import graft.cdc.TableGroup
+
+/** Streaming transactional multi-table sink: every micro-batch of a
+  * changelog stream lands across ALL member tables as ONE
+  * [[graft.cdc.TableGroup]] commit — the end-to-end shape of the
+  * reference's consumer contract (a transaction's rows span tables; a
+  * reader sees them advance together or not at all), driven from a live
+  * stream.
+  *
+  * The group batch id IS the foreachBatch id: Structured Streaming
+  * replays a failed batch with the SAME id, and TableGroup's root
+  * watermark plus per-member merge guards turn the replay into a
+  * convergent retry — members that landed no-op, missing members land,
+  * the root swaps once. Exactly-once table state over an at-least-once
+  * sink callback, with cross-table atomicity on top (the cdc41/cdc56
+  * disciplines composed).
+  *
+  * `members` maps the incoming batch to each member's changelog rows
+  * (filter/project per table — e.g. route upserts by entity, split
+  * columns); it runs INSIDE foreachBatch on the bounded batch frame.
+  *
+  * ORDERED-SOURCE CONTRACT: member folds drop tombstones once applied
+  * (latest-state semantics), so batches must arrive in changelog order —
+  * what every CDC transport (WAL, Kafka partition, the file source's
+  * mtime ordering) provides. A source that can deliver an older batch
+  * AFTER a newer one needs tombstone retention in the member fold
+  * instead (see [[graft.cdc.LatestState]]'s streaming TTL tombstones).
+  */
+object GroupCommitStream {
+
+  def run(changelog: DataFrame, rootDir: String,
+      members: DataFrame => Seq[TableGroup.TableBatch],
+      orderCols: Seq[String], numBuckets: Int = 64): Unit = {
+    val spark = changelog.sparkSession
+    val ckpt = java.nio.file.Files.createTempDirectory("grpstream").toString
+    val q = changelog.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        // one cross-table transaction per micro-batch; the batch frame is
+        // re-used by every member projection, so materialize it once
+        val pinned = batch.localCheckpoint()
+        try {
+          TableGroup.commit(spark, rootDir, members(pinned), orderCols,
+            batchId = id, numBuckets = numBuckets)
+          ()
+        } finally pinned.unpersist()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -1,0 +1,127 @@
+package graft.cdc
+
+import graft.SparkTestSession
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Atomic multi-table commit (TableGroup): cross-table snapshot isolation,
+  * crash-retry convergence, whole-group replay no-ops.
+  */
+class TableGroupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def tmp() =
+    java.nio.file.Files.createTempDirectory("graft_grp").toString + "/g"
+
+  private def withRetain[A](n: Int)(f: => A): A = {
+    spark.conf.set("spark.graft.materialized.retainVersions", n.toString)
+    try f finally spark.conf.unset("spark.graft.materialized.retainVersions")
+  }
+
+  import spark.implicits._
+
+  private def users(rows: (String, String, Long, Long)*): DataFrame =
+    rows.toSeq.toDF("op", "key", "lsn", "v") // v = payload
+      .withColumn("seq", org.apache.spark.sql.functions.lit(0L))
+
+  private def batches(u: DataFrame, t: DataFrame) = Seq(
+    TableGroup.TableBatch("by_user", u, Seq("key")),
+    TableGroup.TableBatch("by_type", t, Seq("key", "typ")))
+
+  private def types(rows: (String, String, String, Long)*): DataFrame =
+    rows.toSeq.toDF("op", "key", "typ", "lsn")
+      .withColumn("seq", org.apache.spark.sql.functions.lit(0L))
+
+  private def snap(root: String, t: String): Set[Seq[Any]] =
+    TableGroup.read(spark, root, t).collect().map(_.toSeq.toSet.toSeq).toSet
+
+  test("group reads serve the committed snapshot; crash window invisible; retry converges") {
+    withRetain(4) {
+      val root = tmp()
+      val ord = Seq("lsn", "seq")
+      // batch 1
+      TableGroup.commit(spark, root,
+        batches(users(("insert", "a", 1L, 10L), ("insert", "b", 2L, 20L)),
+          types(("insert", "a", "x", 1L), ("insert", "b", "y", 2L))),
+        ord, batchId = 1L, numBuckets = 4)
+      val u1 = snap(root, "by_user"); val t1 = snap(root, "by_type")
+      assert(TableGroup.tables(spark, root) == Seq("by_type", "by_user"))
+
+      // CRASH: member by_user lands batch 2 directly; root never swaps
+      MaterializedTable.merge(spark, s"$root/by_user",
+        users(("update", "a", 3L, 111L)), Seq("key"), ord, numBuckets = 4,
+        batchId = Some(2L))
+      assert(snap(root, "by_user") == u1,
+        "group read must stay on the committed snapshot through the crash window")
+      assert(snap(root, "by_type") == t1)
+      // member's own face HAS advanced — the group face hides it
+      assert(MaterializedTable.read(spark, s"$root/by_user")
+        .filter($"key" === "a").select("v").as[Long].head() == 111L)
+
+      // retry of the full group batch 2: by_user's merge is a guarded
+      // no-op, by_type lands, root swaps — convergence, no double fold
+      val folded = TableGroup.commit(spark, root,
+        batches(users(("update", "a", 3L, 111L)),
+          types(("insert", "a", "z", 3L))),
+        ord, batchId = 2L, numBuckets = 4)
+      assert(folded == 1, s"only by_type should fold on retry, folded=$folded")
+      assert(TableGroup.read(spark, root, "by_user")
+        .filter($"key" === "a").select("v").as[Long].head() == 111L)
+      assert(TableGroup.read(spark, root, "by_type").count() == 3)
+    }
+  }
+
+  test("whole-group replay with poisoned content is a no-op") {
+    withRetain(4) {
+      val root = tmp()
+      val ord = Seq("lsn", "seq")
+      TableGroup.commit(spark, root,
+        batches(users(("insert", "a", 1L, 10L)),
+          types(("insert", "a", "x", 1L))), ord, batchId = 1L, numBuckets = 2)
+      val u1 = snap(root, "by_user"); val t1 = snap(root, "by_type")
+      val n = TableGroup.commit(spark, root,
+        batches(users(("update", "a", 1L, -999L)),
+          types(("insert", "a", "POISON", 1L))), ord, batchId = 1L,
+        numBuckets = 2)
+      assert(n == 0)
+      assert(snap(root, "by_user") == u1 && snap(root, "by_type") == t1)
+    }
+  }
+
+  test("a transaction need not touch every member; untouched tables keep their pin") {
+    withRetain(4) {
+      val root = tmp()
+      val ord = Seq("lsn", "seq")
+      TableGroup.commit(spark, root,
+        batches(users(("insert", "a", 1L, 10L)),
+          types(("insert", "a", "x", 1L))), ord, batchId = 1L, numBuckets = 2)
+      val t1 = snap(root, "by_type")
+      TableGroup.commit(spark, root,
+        Seq(TableGroup.TableBatch("by_user",
+          users(("update", "a", 2L, 20L)), Seq("key"))),
+        ord, batchId = 2L, numBuckets = 2)
+      assert(snap(root, "by_type") == t1, "untouched member must stay pinned")
+      assert(TableGroup.read(spark, root, "by_user")
+        .select("v").as[Long].head() == 20L)
+    }
+  }
+
+  test("retention guard and non-member reads fail loudly") {
+    val root = tmp()
+    val e = intercept[IllegalArgumentException] {
+      TableGroup.commit(spark, root,
+        batches(users(("insert", "a", 1L, 1L)), types(("insert", "a", "x", 1L))),
+        Seq("lsn", "seq"), batchId = 1L)
+    }
+    assert(e.getMessage.contains("retainVersions"))
+    withRetain(4) {
+      TableGroup.commit(spark, root,
+        batches(users(("insert", "a", 1L, 1L)), types(("insert", "a", "x", 1L))),
+        Seq("lsn", "seq"), batchId = 1L, numBuckets = 2)
+      val e2 = intercept[IllegalArgumentException] {
+        TableGroup.read(spark, root, "nope")
+      }
+      assert(e2.getMessage.contains("not a member"))
+    }
+  }
+}
