@@ -113,9 +113,13 @@ object Bench {
         s"""  "_cdc_events_per_sec": ${cdcEps.toLong},\n  "_sf": "$sfDir",\n""",
         ",\n", "\n}\n")
     try {
+      // a FILTERED run (prefix args) writes a side file — it must never
+      // clobber the full-surface record the driver and the soak math read
+      val name =
+        if (args.isEmpty) "BENCH_DETAIL.json" else "BENCH_DETAIL.partial.json"
       val out = java.nio.file.Paths.get(sys.env.getOrElse(
         "SPARK_GRAFT_DETAIL_PATH",
-        new java.io.File(sys.props("user.dir"), "BENCH_DETAIL.json").getPath))
+        new java.io.File(sys.props("user.dir"), name).getPath))
       java.nio.file.Files.write(out, detail.getBytes("UTF-8"))
     } catch { // detail file is best-effort; the stdout contract must survive
       case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}")

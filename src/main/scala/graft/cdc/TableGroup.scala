@@ -151,4 +151,27 @@ object TableGroup {
   /** Member names in the current group commit. */
   def tables(spark: SparkSession, rootDir: String): Seq[String] =
     readRoot(spark, rootDir).map(_.tables.keys.toSeq.sorted).getOrElse(Nil)
+
+  /** Group-safe GC: [[MaterializedTable.vacuum]] on every member, after
+    * proving the retention horizon cannot prune a ROOT-PINNED snapshot —
+    * vacuuming a member below its pin would break every group reader, so
+    * that is a refusal, not a warning. Returns files/dirs removed.
+    */
+  def vacuum(spark: SparkSession, rootDir: String): Int = {
+    val g = readRoot(spark, rootDir).getOrElse(return 0)
+    val retain = spark.conf
+      .get("spark.graft.materialized.retainVersions", "0").toInt
+    g.tables.toSeq.sortBy(_._1).map { case (t, pinned) =>
+      val dir = s"$rootDir/$t"
+      val cur = readManifestVersion(spark, dir)
+      require(pinned > cur - retain,
+        s"vacuum would prune $t@v$pinned (root-pinned; member at v$cur, " +
+          s"retainVersions=$retain) — raise the retention window first")
+      MaterializedTable.vacuum(spark, dir)
+    }.sum
+  }
+
+  private def readManifestVersion(spark: SparkSession, dir: String): Long =
+    MaterializedTable.readManifest(spark, dir).map(_.version).getOrElse(
+      throw new IllegalStateException(s"group member without manifest: $dir"))
 }

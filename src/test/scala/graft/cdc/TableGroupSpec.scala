@@ -106,6 +106,31 @@ class TableGroupSpec extends AnyFunSuite {
     }
   }
 
+  test("group vacuum prunes garbage but refuses to prune a root-pinned snapshot") {
+    withRetain(4) {
+      val root = tmp()
+      val ord = Seq("lsn", "seq")
+      TableGroup.commit(spark, root,
+        batches(users(("insert", "a", 1L, 10L)), types(("insert", "a", "x", 1L))),
+        ord, batchId = 1L, numBuckets = 2)
+      // crash lag: member ahead of the root pin
+      MaterializedTable.merge(spark, s"$root/by_user",
+        users(("update", "a", 2L, 20L)), Seq("key"), ord, numBuckets = 2,
+        batchId = Some(2L))
+      val u1 = snap(root, "by_user")
+      TableGroup.vacuum(spark, root) // retention 4 covers the 1-commit lag
+      assert(snap(root, "by_user") == u1, "pinned snapshot must survive vacuum")
+      // a too-tight retention would prune the pin → refusal, nothing touched
+      spark.conf.set("spark.graft.materialized.retainVersions", "0")
+      val e = intercept[IllegalArgumentException] {
+        TableGroup.vacuum(spark, root)
+      }
+      assert(e.getMessage.contains("root-pinned"))
+      spark.conf.set("spark.graft.materialized.retainVersions", "4")
+      assert(snap(root, "by_user") == u1)
+    }
+  }
+
   test("retention guard and non-member reads fail loudly") {
     val root = tmp()
     val e = intercept[IllegalArgumentException] {
