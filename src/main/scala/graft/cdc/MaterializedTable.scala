@@ -564,19 +564,36 @@ object MaterializedTable {
     * time travel) need `spark.graft.materialized.retainVersions > 0`, which
     * defers all GC to [[vacuum]]'s retention horizon.
     */
-  def compact(spark: SparkSession, dir: String, maxFilesPerBucket: Int = 1): Int = {
+  /** @param sortCols CLUSTERED compaction: rewrite each bucket's rows
+    *   sorted by these columns (lexicographic; for 2-D range workloads
+    *   sort by a materialized [[graft.operators.Layout.morton2]] key
+    *   instead). Hash bucketing scatters payload ranges across buckets —
+    *   manifest-level stats (cdc54) cannot prune them — but WITHIN a file,
+    *   sorted rows give parquet row-group min/max the same skipping power:
+    *   a range predicate pushed to the scan reads only the row groups
+    *   whose stats overlap (the OPTIMIZE ZORDER BY discipline). When
+    *   non-empty, ALL manifest-live buckets are rewritten (clustering is
+    *   the point, not just bin-packing).
+    */
+  def compact(spark: SparkSession, dir: String, maxFilesPerBucket: Int = 1,
+      sortCols: Seq[String] = Nil): Int = {
     require(maxFilesPerBucket >= 1,
       s"maxFilesPerBucket must be >= 1, got $maxFilesPerBucket")
     val m = readManifest(spark, dir).getOrElse(return 0)
     val (fs, _) = fsOf(spark, dir)
-    val oversized = m.buckets.toSeq.filter { case (b, v) =>
-      val p = new org.apache.hadoop.fs.Path(s"$dir/v$v/_bucket=$b")
-      fs.exists(p) && fs.listStatus(p)
-        .count(_.getPath.getName.endsWith(".parquet")) > maxFilesPerBucket
-    }.map(_._1).sorted
+    val oversized =
+      if (sortCols.nonEmpty) m.buckets.keys.toSeq.sorted
+      else m.buckets.toSeq.filter { case (b, v) =>
+        val p = new org.apache.hadoop.fs.Path(s"$dir/v$v/_bucket=$b")
+        fs.exists(p) && fs.listStatus(p)
+          .count(_.getPath.getName.endsWith(".parquet")) > maxFilesPerBucket
+      }.map(_._1).sorted
     if (oversized.isEmpty) return 0
-    val out = readBuckets(spark, dir, m, oversized)
+    val repartitioned = readBuckets(spark, dir, m, oversized)
       .repartition(oversized.size, col("_bucket"))
+    val out = (if (sortCols.isEmpty) repartitioned
+      else repartitioned.sortWithinPartitions(
+        (col("_bucket") +: sortCols.map(col)): _*))
       .localCheckpoint()
     val newV = m.version + 1
     val vDir = new org.apache.hadoop.fs.Path(s"$dir/v$newV")
@@ -988,6 +1005,52 @@ object MaterializedTable {
     val wanted = touched.filter(m.buckets.contains)
     (if (wanted.isEmpty) emptyFromSchema(spark, m)
      else readBuckets(spark, dir, m, wanted)).drop("_bucket")
+  }
+
+  /** LAYOUT EVOLUTION: rewrite the whole table under a new bucket count —
+    * the explicit full-rewrite the merge-time numBuckets guard points at
+    * (a table outgrowing its bucket count is the one layout decision hash
+    * bucketing cannot absorb incrementally: every key re-hashes). One job:
+    * read the live state (path-pruned), re-bucket, write a complete new
+    * version, swap the manifest — the same crash discipline as a merge (a
+    * death before the swap leaves the old layout fully live). The batch
+    * watermark is PRESERVED: replays of already-folded batches stay
+    * no-ops across the layout change. Stats are recomputed for the new
+    * buckets (same grouped pass a merge pays). Returns the new version.
+    *
+    * Cost is honest: O(table) read + shuffle + write — schedule it like
+    * any OPTIMIZE. Readers holding the old manifest keep the old files
+    * until GC (retention rules unchanged).
+    */
+  def rebucket(spark: SparkSession, dir: String, newNumBuckets: Int,
+      statsCols: Seq[String] = Nil): Long = {
+    require(newNumBuckets > 0, s"numBuckets must be positive: $newNumBuckets")
+    val m = readManifest(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no materialized state at $dir"))
+    require(m.bucketCols.nonEmpty,
+      s"manifest at $dir predates layout recording — re-merge once")
+    val (fs, _) = fsOf(spark, dir)
+    val state = readState(spark, dir).drop("_bucket")
+    val out = state
+      .withColumn("_bucket", bucketCol(m.bucketCols, newNumBuckets))
+      .localCheckpoint() // feeds the write AND the stats pass
+    val newV = m.version + 1
+    val vDir = new org.apache.hadoop.fs.Path(s"$dir/v$newV")
+    if (fs.exists(vDir)) fs.delete(vDir, true)
+    out.write.mode("append").partitionBy("_bucket").parquet(vDir.toString)
+    val writtenStats = bucketStats(out, statsCols)
+    writeManifest(spark, dir,
+      Manifest(newV, m.lastBatchId, out.schema.json,
+        writtenStats.keys.map(_ -> newV).toMap,
+        newNumBuckets, m.bucketCols, writtenStats))
+    if (retainVersions(spark) <= 0) try {
+      for ((b, v) <- m.buckets) {
+        val p = new org.apache.hadoop.fs.Path(s"$dir/v$v/_bucket=$b")
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      pruneEmptyVersionDirs(fs, dir, newV)
+    } catch { case _: java.io.IOException => () }
+    newV
   }
 
   /** The table's recorded key columns + current schema — the public face

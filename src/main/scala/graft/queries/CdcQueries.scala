@@ -1934,6 +1934,7 @@ object CdcQueries {
         .select(col("op"), col("key"), col("lsn"), col("seq"),
           get_json_object(col("after"), "$.event_type").as("typ"),
           get_json_object(col("after"), "$.value").cast("double").as("value"))
+        .localCheckpoint() // feeds ~7 slice scans below — pay the JSON once
       val mx = Tables.events(s, d).agg(max(col("event_id"))).head().getLong(0)
       val root = java.nio.file.Files.createTempDirectory("cdc56").toString + "/g"
       val ord = Seq("lsn", "seq")
@@ -2007,6 +2008,7 @@ object CdcQueries {
         .select(col("op"), col("key"), col("lsn"), col("seq"),
           get_json_object(col("after"), "$.event_type").as("typ"),
           get_json_object(col("after"), "$.value").cast("double").as("value"))
+        .localCheckpoint() // feeds 4 staged writes below — pay the JSON once
       val dir = java.nio.file.Files.createTempDirectory("cdc57").toString
       val (root, src, psrc) = (s"$dir/g", s"$dir/src", s"$dir/poison")
       // three SEQUENTIALLY-written lsn slices: the file source orders new
@@ -2047,6 +2049,110 @@ object CdcQueries {
         .select(col("key").cast("long").as("user_id"),
           col("lsn").as("last_lsn"), col("value").as("last_value"),
           col("n_types"), lit(replaySilent).as("replay_silent"))
+    },
+
+    // --- clustered compaction (cdc58): OPTIMIZE ZORDER BY's discipline on
+    // --- the bucket layout. Hash bucketing scatters payload ranges across
+    // --- buckets, so cdc54's manifest-level min/max cannot prune a range
+    // --- predicate — but WITHIN a file, sorted rows give parquet
+    // --- row-group statistics the same skipping power: compact(sortCols)
+    // --- rewrites every live bucket ONE-file, value-ordered, through the
+    // --- same new-version + manifest-swap commit (stats carry — content
+    // --- unchanged). Verdict-as-data: clustered_ok walks every live
+    // --- bucket file (O(numBuckets) tiny reads) and pins rows
+    // --- non-decreasing in the cluster column; the state itself must
+    // --- still hash-match DuckDB's replay — clustering moves bytes,
+    // --- never rows. -----------------------------------------------------
+    q("cdc58_clustered_compact",
+      """WITH ranked AS (SELECT *, row_number() OVER (
+        |  PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events)
+        |SELECT user_id, event_id AS last_lsn, value AS last_value,
+        |  TRUE AS clustered_ok
+        |FROM ranked WHERE rn = 1 AND event_type <> 'error'""".stripMargin) { (s, d) =>
+      val env = ChangelogGen.fromEvents(s, d).toDF()
+        .select(col("op"), col("key"), col("lsn"), col("seq"),
+          get_json_object(col("after"), "$.value").cast("double").as("value"))
+      val mx = Tables.events(s, d).agg(max(col("event_id"))).head().getLong(0)
+      val dir = java.nio.file.Files.createTempDirectory("cdc58").toString + "/t"
+      val keyCols = Seq("key"); val ordCols = Seq("lsn", "seq")
+      Seq((0L, mx / 2, 1L), (mx / 2, mx + 1, 2L)).foreach { case (lo, hi, id) =>
+        MaterializedTable.merge(s, dir,
+          env.filter(col("lsn") >= lo && col("lsn") < hi), keyCols, ordCols,
+          numBuckets = 8, batchId = Some(id))
+      }
+      val n = MaterializedTable.compact(s, dir, sortCols = Seq("value"))
+      // pin: within every live bucket file, value is non-decreasing (nulls,
+      // which Spark sorts first, may only lead)
+      val liveBucketDirs = new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+        .flatMap(v => Option(v.listFiles()).getOrElse(Array.empty))
+        .filter(b => b.isDirectory && b.getName.startsWith("_bucket="))
+      val clusteredOk = n > 0 && liveBucketDirs.nonEmpty &&
+        liveBucketDirs.forall { bd =>
+          val vals = s.read.parquet(bd.toString).select("value")
+            .collect().map(r => Option(r.get(0)).map(_.asInstanceOf[Double]))
+          val body = vals.dropWhile(_.isEmpty)
+          body.forall(_.isDefined) &&
+            body.flatten.sliding(2).forall(p => p.length < 2 || p(0) <= p(1))
+        }
+      MaterializedTable.read(s, dir)
+        .select(col("key").cast("long").as("user_id"),
+          col("lsn").as("last_lsn"), col("value").as("last_value"),
+          lit(clusteredOk).as("clustered_ok"))
+    },
+
+    // --- layout evolution / re-bucketing (cdc59): the explicit full
+    // --- rewrite the merge-time numBuckets guard points at — a table
+    // --- outgrowing its bucket count re-hashes every key, the one layout
+    // --- change hash bucketing cannot absorb incrementally. Fold half the
+    // --- changelog at 8 buckets, REBUCKET to 16 (one read → shuffle →
+    // --- complete new version → manifest swap; old layout fully live
+    // --- until the swap), fold the second half at 16. Verdict-as-data:
+    // --- rebucket_ok pins content multiset-equality across the rewrite,
+    // --- a post-rebucket point lookup under the NEW hash, the stale
+    // --- batch-watermark replay staying a no-op across the layout change,
+    // --- and the old bucket count being rejected. Final state
+    // --- hash-matches DuckDB's replay — layout changed, rows never. -----
+    q("cdc59_rebucket",
+      """WITH ranked AS (SELECT *, row_number() OVER (
+        |  PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events)
+        |SELECT user_id, event_id AS last_lsn, value AS last_value,
+        |  TRUE AS rebucket_ok
+        |FROM ranked WHERE rn = 1 AND event_type <> 'error'""".stripMargin) { (s, d) =>
+      val env = ChangelogGen.fromEvents(s, d).toDF()
+        .select(col("op"), col("key"), col("lsn"), col("seq"),
+          get_json_object(col("after"), "$.value").cast("double").as("value"))
+      val mx = Tables.events(s, d).agg(max(col("event_id"))).head().getLong(0)
+      val dir = java.nio.file.Files.createTempDirectory("cdc59").toString + "/t"
+      val keyCols = Seq("key"); val ordCols = Seq("lsn", "seq")
+      def slice(lo: Long, hi: Long) =
+        env.filter(col("lsn") >= lo && col("lsn") < hi)
+      MaterializedTable.merge(s, dir, slice(0L, mx / 2), keyCols, ordCols,
+        numBuckets = 8, batchId = Some(1L))
+      // materialize the pre-rewrite snapshot — rebucket's post-commit GC
+      // deletes the old layout's files (retention default 0)
+      val before = MaterializedTable.read(s, dir).localCheckpoint()
+      MaterializedTable.rebucket(s, dir, 16)
+      val after = MaterializedTable.read(s, dir)
+      val contentOk = after.exceptAll(before).isEmpty &&
+        before.exceptAll(after).isEmpty
+      // a live key for the new-layout lookup: the smallest key in state
+      val probeKey = after.agg(min(col("key").cast("long"))).head().getLong(0)
+      val lookupOk = MaterializedTable.lookup(s, dir, Seq(probeKey.toString))
+        .count() == 1
+      val replayNoop = MaterializedTable.merge(s, dir,
+        slice(0L, mx / 2).withColumn("value", col("value") * -999),
+        keyCols, ordCols, numBuckets = 16, batchId = Some(1L)) == 0
+      val oldCountRejected = scala.util.Try(
+        MaterializedTable.merge(s, dir, slice(mx / 2, mx + 1), keyCols,
+          ordCols, numBuckets = 8, batchId = Some(2L))).isFailure
+      MaterializedTable.merge(s, dir, slice(mx / 2, mx + 1), keyCols,
+        ordCols, numBuckets = 16, batchId = Some(2L))
+      MaterializedTable.read(s, dir)
+        .select(col("key").cast("long").as("user_id"),
+          col("lsn").as("last_lsn"), col("value").as("last_value"),
+          lit(contentOk && lookupOk && replayNoop && oldCountRejected)
+            .as("rebucket_ok"))
     }
   )
 }

@@ -2735,6 +2735,55 @@ object TextQueries {
         |FROM c WHERE (start + w) // 1000 - start // 1000 > 0""".stripMargin) { (s, d) =>
       graft.operators.TextOps.systematicSample(
         Tables.documents(s, d), "doc_id", "text", step = 1000L)
+    },
+
+    // --- cross-source token-distribution drift (txt81): the training-mix
+    // --- drift detector — L1 distance between two sources' unigram
+    // --- distributions plus the top-20 divergence-driving tokens. All in
+    // --- EXACT INTEGERS by cross-multiplication: per-token contribution
+    // --- |ca·Nb − cb·Na| needs no division (Σ ≤ 2·Na·Nb — far inside
+    // --- BIGINT at any realistic corpus), and the single L1 scalar is one
+    // --- IEEE divide at the end — engine-identical. Corpus scan is one
+    // --- partial-agg'd token count; everything after runs on the
+    // --- VOCABULARY-bounded frame (the txt29/q63 tiny-frame discipline);
+    // --- top-20 via global TakeOrdered (contrib DESC, token — total
+    // --- order), never a corpus sort. DuckDB HUGEINT sums pinned back to
+    // --- BIGINT per the txt45 rule. --------------------------------------
+    q("txt81_source_drift",
+      """WITH t AS (SELECT source, unnest(list_filter(string_split(text, ' '),
+        |    x -> x <> '')) AS tok
+        |  FROM documents WHERE source IN ('src0', 'src1')),
+        |c AS (SELECT tok,
+        |    CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM t GROUP BY 1),
+        |n AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+        |    CAST(SUM(cb) AS BIGINT) AS nb FROM c),
+        |d AS (SELECT tok, ca, cb,
+        |    CAST(abs(ca*nb - cb*na) AS BIGINT) AS contrib FROM c, n),
+        |l AS (SELECT CAST(CAST(SUM(contrib) AS BIGINT) AS DOUBLE) /
+        |    (CAST(n.na AS DOUBLE) * CAST(n.nb AS DOUBLE)) AS drift_l1
+        |  FROM d, n GROUP BY n.na, n.nb)
+        |SELECT tok, ca, cb, contrib, (SELECT drift_l1 FROM l) AS drift_l1
+        |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY contrib DESC, tok) AS rk
+        |  FROM d) WHERE rk <= 20""".stripMargin) { (s, d) =>
+      import graft.operators.TextOps
+      val toks = Tables.documents(s, d)
+        .filter(col("source").isin("src0", "src1"))
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+      val c = toks.groupBy("tok").agg(
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("source") === "src1", 1L).otherwise(0L)).as("cb"))
+      val withN = c.crossJoin(broadcast(
+        c.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))))
+      val d0 = withN.withColumn("contrib",
+        abs(col("ca") * col("nb") - col("cb") * col("na")))
+      val tot = d0.agg((sum(col("contrib")).cast("double") /
+        (max(col("na")).cast("double") * max(col("nb")).cast("double")))
+        .as("drift_l1"))
+      d0.orderBy(col("contrib").desc, col("tok")).limit(20)
+        .select("tok", "ca", "cb", "contrib")
+        .crossJoin(broadcast(tot))
     }
   )
 }

@@ -242,6 +242,78 @@ class MaterializedStatsSpec extends AnyFunSuite {
       MaterializedTable.read(spark, dir).filter(p2).count())
   }
 
+  test("clustered compact: rows identical, files value-ordered, stats carried") {
+    import spark.implicits._
+    val dir = tmp("graft_stats11")
+    // interleaved values across two merges so pre-compact files are unsorted
+    val b1 = Seq(("insert", "k1", 1L, 0L, 500L), ("insert", "k2", 2L, 0L, 100L),
+      ("insert", "k3", 3L, 0L, 900L)).toDF("op", "key", "lsn", "seq", "v")
+    val b2 = Seq(("insert", "k4", 4L, 0L, 300L), ("insert", "k5", 5L, 0L, 700L))
+      .toDF("op", "key", "lsn", "seq", "v")
+    MaterializedTable.merge(spark, dir, b1, Seq("key"), Seq("lsn", "seq"),
+      numBuckets = 2, batchId = Some(1L), statsCols = Seq("v"))
+    MaterializedTable.merge(spark, dir, b2, Seq("key"), Seq("lsn", "seq"),
+      numBuckets = 2, batchId = Some(2L), statsCols = Seq("v"))
+    val before = MaterializedTable.read(spark, dir)
+      .select("key", "v").as[(String, Long)].collect().toSet
+    val summaryBefore = MaterializedTable.statsSummary(spark, dir)
+      .collect()(0).toSeq
+    val n = MaterializedTable.compact(spark, dir, sortCols = Seq("v"))
+    assert(n == MaterializedTable.readManifest(spark, dir).get.buckets.size,
+      "clustered compact rewrites every live bucket")
+    assert(MaterializedTable.read(spark, dir)
+      .select("key", "v").as[(String, Long)].collect().toSet == before)
+    assert(MaterializedTable.statsSummary(spark, dir).collect()(0).toSeq
+      == summaryBefore, "stats describe content and content did not change")
+    val bucketDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .flatMap(v => Option(v.listFiles()).getOrElse(Array.empty))
+      .filter(_.getName.startsWith("_bucket="))
+    assert(bucketDirs.nonEmpty)
+    for (bd <- bucketDirs) {
+      val vs = spark.read.parquet(bd.toString).select("v")
+        .as[Long].collect().toSeq
+      assert(vs == vs.sorted, s"bucket ${bd.getName} not value-ordered: $vs")
+    }
+  }
+
+  test("rebucket: full layout rewrite preserves content, watermark, lookups, stats") {
+    import spark.implicits._
+    val dir = tmp("graft_stats12")
+    seed(dir)
+    val before = MaterializedTable.read(spark, dir)
+      .select("key", "v").as[(String, Long)].collect().toSet
+    val summaryBefore = MaterializedTable.statsSummary(spark, dir)
+      .collect()(0).toSeq
+    val v = MaterializedTable.rebucket(spark, dir, 8, statsCols = Seq("v", "s"))
+    val m = MaterializedTable.readManifest(spark, dir).get
+    assert(m.version == v && m.numBuckets == 8 && m.bucketCols == Seq("key"))
+    assert(m.buckets.values.forall(_ == v), "every bucket lives in the new version")
+    assert(MaterializedTable.read(spark, dir)
+      .select("key", "v").as[(String, Long)].collect().toSet == before)
+    assert(MaterializedTable.statsSummary(spark, dir).collect()(0).toSeq
+      == summaryBefore)
+    // lookups hash under the NEW layout
+    assert(MaterializedTable.lookup(spark, dir, Seq("k3"))
+      .select("v").as[Long].collect().toSeq == Seq(300L))
+    // watermark preserved across the rewrite: batch-1 replay stays a no-op
+    val poison = Seq(("update", "k1", 1L, 0L, -1L, "zz"))
+      .toDF("op", "key", "lsn", "seq", "v", "s")
+    assert(MaterializedTable.merge(spark, dir, poison, Seq("key"),
+      Seq("lsn", "seq"), numBuckets = 8, batchId = Some(1L)) == 0)
+    // merges must now use the new count; the old one is rejected
+    val b2 = Seq(("insert", "k9", 10L, 0L, 950L, "s9"))
+      .toDF("op", "key", "lsn", "seq", "v", "s")
+    intercept[IllegalArgumentException] {
+      MaterializedTable.merge(spark, dir, b2, Seq("key"), Seq("lsn", "seq"),
+        numBuckets = 4, batchId = Some(2L))
+    }
+    MaterializedTable.merge(spark, dir, b2, Seq("key"), Seq("lsn", "seq"),
+      numBuckets = 8, batchId = Some(2L))
+    assert(MaterializedTable.lookup(spark, dir, Seq("k9"))
+      .select("v").as[Long].collect().toSeq == Seq(950L))
+  }
+
   test("a layout-corrupting numBuckets change is rejected") {
     import spark.implicits._
     val dir = tmp("graft_stats10")
