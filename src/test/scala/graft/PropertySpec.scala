@@ -669,4 +669,66 @@ class PropertySpec extends AnyFunSuite {
     }
     check("TableDiff.applyPatch", 80)(prop)
   }
+
+  // ------------------------------------------------- stats-pruned reads
+
+  test("readPruned ≡ read().filter for arbitrary comparison predicates (skipping never drops rows)") {
+    import spark.implicits._
+    import graft.cdc.MaterializedTable
+    // one fixture table: long/double/string payloads incl. nulls and
+    // boundary-hostile values; stats on every payload column
+    val dir = java.nio.file.Files.createTempDirectory("graft_prop_stats")
+      .toString + "/t"
+    val rows = (1 to 40).map { i =>
+      ("insert", s"k$i", i.toLong, 0L,
+        if (i % 7 == 0) None else Some(i * 10L),
+        if (i % 5 == 0) None else Some(i * 1.5 - 20.0),
+        s"s${(i * 13) % 40}")
+    }
+    MaterializedTable.merge(spark, dir,
+      rows.toDF("op", "key", "lsn", "seq", "v", "w", "s"),
+      Seq("key"), Seq("lsn", "seq"), numBuckets = 8,
+      statsCols = Seq("v", "w", "s"))
+    val full = MaterializedTable.read(spark, dir).cache()
+    full.count()
+
+    type Cmp = (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+      org.apache.spark.sql.Column
+    val colGen = Gen.oneOf("v", "w", "s")
+    val opGen = Gen.oneOf[Cmp](
+      (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) => a === b,
+      (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) => a < b,
+      (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) => a <= b,
+      (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) => a > b,
+      (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) => a >= b)
+    // literals cross-typed WITHIN the column's comparable family (a string
+    // literal against a numeric column makes the predicate itself throw
+    // under ANSI casts — on both the pruned and the reference path alike)
+    def litFor(c: String): Gen[Any] = c match {
+      case "s" => Gen.oneOf((0 to 45).map(i => s"s$i"))
+      case _ => Gen.oneOf(
+        Gen.chooseNum(-50L, 450L), Gen.chooseNum(-45.5, 61.7),
+        Gen.const(100L), Gen.const(0.5))
+    }
+    val predGen: Gen[org.apache.spark.sql.Column] = for {
+      c1 <- colGen; o1 <- opGen; l1 <- litFor(c1)
+      conj <- Gen.oneOf(0, 1, 2)
+      c2 <- colGen; o2 <- opGen; l2 <- litFor(c2)
+    } yield {
+      def one(c: String, o: Cmp, l: Any) = o(col(c), lit(l))
+      conj match {
+        case 0 => one(c1, o1, l1)
+        case 1 => one(c1, o1, l1) && one(c2, o2, l2)
+        case 2 => one(c1, o1, l1) || one(c2, o2, l2)
+      }
+    }
+    val prop = Prop.forAll(predGen) { p =>
+      val pruned = graft.cdc.MaterializedTable.readPruned(spark, dir, p)
+        .select("key").as[String].collect().sorted.toList
+      val want = full.filter(p).select("key").as[String]
+        .collect().sorted.toList
+      pruned == want
+    }
+    check("readPruned", 60)(prop)
+  }
 }
