@@ -84,8 +84,15 @@ object CdcPipeline {
     * `public.users` → `public_2e_users` and cannot collide with a table
     * literally named `public_users`.
     */
+  /** @param statsCols columns to record per-bucket min/max/null statistics
+    *   for in each table's manifest (MaterializedTable's data-skipping
+    *   layer: metadata-only aggregates, pruned range reads, point lookups).
+    *   Free at write time — the stats ride the grouped pass every merge
+    *   already pays. Columns absent from a table are skipped per table.
+    */
   def writeLatestState(compacted: Dataset[CdcEvent], outDir: String,
-      checkpointDir: String): DataStreamWriter[org.apache.spark.sql.Row] = {
+      checkpointDir: String,
+      statsCols: Seq[String] = Seq("lsn")): DataStreamWriter[org.apache.spark.sql.Row] = {
     // CUMULATIVE relid-collision check: the foreachBatch closure lives on the
     // driver for the query's lifetime and batches run sequentially, so this
     // set accumulates every table ever seen — a collision between tables
@@ -106,7 +113,8 @@ object CdcPipeline {
           for (t <- tables) {
             val safe = graft.functions.AvroSafeName.sanitize(t)
             MaterializedTable.merge(batch.sparkSession, s"$outDir/$safe",
-              batch.filter(col("table") === t), Seq("table", "key"), Seq("lsn", "seq"))
+              batch.filter(col("table") === t), Seq("table", "key"),
+              Seq("lsn", "seq"), statsCols = statsCols)
           }
         } finally batch.unpersist()
       }

@@ -116,6 +116,11 @@ class CdcPipelineSpec extends AnyFunSuite {
       .select("key", "after").as[(String, String)].collect().toMap
     assert(state.keySet == Set("""{"id":1}""", """{"id":3}"""))
     assert(state("""{"id":1}""").contains("ada2"))
+    // the sink records lsn stats by default: the table's replication
+    // high-water is a METADATA-ONLY read (no data files opened)
+    val sm = graft.cdc.MaterializedTable
+      .statsSummary(spark, s"$out/public_2e_users").collect()(0)
+    assert(sm.getAs[Long]("rows") == 2 && sm.getAs[Long]("max_lsn") == 12L)
   }
 
   test("cross-batch relid collision fails the sink, not silently misroutes") {
