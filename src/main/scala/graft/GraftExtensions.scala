@@ -18,7 +18,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * [[graft.plans.JoinEliminationRewrite]] (opt-in unused left-join
   * elimination under declared unique keys, conf-gated OFF),
   * [[graft.plans.MetadataCountRewrite]] (opt-in metadata-only COUNT(*)
-  * from parquet footers, conf-gated OFF), and
+  * from parquet footers, conf-gated OFF),
+  * [[graft.plans.MetadataMinMaxRewrite]] (opt-in metadata-only MIN/MAX
+  * from parquet column-chunk statistics, conf-gated OFF), and
   * [[graft.plans.SummaryNavigationRewrite]] (opt-in materialized-view
   * matching against [[graft.plans.SummaryRegistry]], conf-gated OFF).
   * On a session built without extensions, append them at runtime instead:
@@ -46,6 +48,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
     e.injectOptimizerRule(_ => graft.plans.JoinEliminationRewrite)
     e.injectOptimizerRule(_ => graft.plans.MetadataCountRewrite)
+    e.injectOptimizerRule(_ => graft.plans.MetadataMinMaxRewrite)
     e.injectOptimizerRule(_ => graft.plans.SummaryNavigationRewrite)
     e.injectFunction(fn("avro_safe_name",
       "avro_safe_name(str) - hex-escapes str into a valid Avro identifier", 1)(

@@ -50,8 +50,9 @@ object MetadataCountRewrite extends Rule[LogicalPlan] {
 
   /** The bare-parquet-scan check: LogicalRelation(parquet), possibly under
     * a Project that reads only attributes (column pruning's leftovers).
+    * Shared with [[MetadataMinMaxRewrite]].
     */
-  private def bareParquetScan(plan: LogicalPlan): Option[HadoopFsRelation] =
+  private[plans] def bareParquetScan(plan: LogicalPlan): Option[HadoopFsRelation] =
     plan match {
       case LogicalRelation(fs: HadoopFsRelation, _, _, false, _)
           if fs.fileFormat.isInstanceOf[ParquetFileFormat] => Some(fs)

@@ -3110,6 +3110,44 @@ object RelationalQueries {
           sum(when(col("a").isNull, 1L).otherwise(0L)).as("n_absent_null"))
     },
 
+    // --- metadata-only MIN/MAX (q116): optimizer rule #6
+    // --- (MetadataMinMaxRewrite) — the companion to q76's footer COUNT.
+    // --- An unfiltered MIN/MAX/COUNT over a bare parquet scan folds the
+    // --- column-chunk statistics every footer already carries: O(files)
+    // --- KBs at plan time instead of a table scan (the `describe table`
+    // --- fast path). Verdict-as-data: ok pins BOTH that the rewrite fired
+    // --- (LocalRelation in the optimized plan, no scan) AND that a
+    // --- filtered variant stood down (footer stats are wrong under
+    // --- predicates); values must hash-match DuckDB's real aggregation —
+    // --- bit-identity is the rule's contract, incl. unsigned-lexicographic
+    // --- string order ≡ UTF8String byte order. ---------------------------
+    q("q116_metadata_minmax",
+      """SELECT COUNT(*) AS n_rows,
+        |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+        |  MIN(o_orderstatus) AS min_status, MAX(o_orderstatus) AS max_status,
+        |  MIN(o_orderpriority) AS min_prio, MAX(o_orderpriority) AS max_prio,
+        |  TRUE AS ok
+        |FROM orders""".stripMargin) { (s, d) =>
+      val s2 = s.newSession()
+      s2.experimental.extraOptimizations =
+        s2.experimental.extraOptimizations :+ graft.plans.MetadataMinMaxRewrite
+      s2.conf.set("spark.graft.metaMinMax.enabled", "true")
+      def fired(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.optimizedPlan.collectFirst {
+          case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+        }.nonEmpty
+      val agg = Tables.orders(s2, d).agg(count(lit(1)).as("n_rows"),
+        min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"),
+        min(col("o_orderstatus")).as("min_status"),
+        max(col("o_orderstatus")).as("max_status"),
+        min(col("o_orderpriority")).as("min_prio"),
+        max(col("o_orderpriority")).as("max_prio"))
+      val stoodDown = !fired(Tables.orders(s2, d)
+        .filter(col("o_orderkey") % 2 === 0)
+        .agg(min(col("o_orderkey")).as("m")))
+      agg.withColumn("ok", lit(fired(agg) && stoodDown))
+    },
+
     // --- AS-OF with max staleness (q112): the enrichment contract real
     // --- pipelines run — a match older than the tolerance is WORSE than no
     // --- match (a price quote from last week must not price today's
