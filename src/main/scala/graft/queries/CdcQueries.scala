@@ -2153,6 +2153,43 @@ object CdcQueries {
           col("lsn").as("last_lsn"), col("value").as("last_value"),
           lit(contentOk && lookupOk && replayNoop && oldCountRejected)
             .as("rebucket_ok"))
+    },
+
+    // --- the "graft" data source (cdc60): the storage layer as a
+    // --- first-class Spark format — spark.read.format("graft").load(dir)
+    // --- gives plain DataFrame/SQL consumers the manifest's bucket
+    // --- skipping via V1 filter pushdown (PrunedFilteredScan →
+    // --- readPruned), no library API in sight. Correctness is
+    // --- double-guarded (all filters also declared unhandled, so Spark
+    // --- re-evaluates the originals above the scan). Verdict-as-data:
+    // --- pushdown_ok pins PushedFilters in the physical plan AND an
+    // --- impossible bound answering empty (the all-torn total-skip proof
+    // --- lives in GraftTableSourceSpec); the filtered rollup must
+    // --- hash-match DuckDB's replay with the same WHERE. ------------------
+    q("cdc60_datasource",
+      """WITH ranked AS (SELECT *, row_number() OVER (
+        |  PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events),
+        |live AS (SELECT user_id, value FROM ranked
+        |  WHERE rn = 1 AND event_type <> 'error')
+        |SELECT COUNT(*) AS n_mid,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_mid,
+        |  TRUE AS pushdown_ok
+        |FROM live WHERE value >= 100 AND value <= 400""".stripMargin) { (s, d) =>
+      val env = ChangelogGen.fromEvents(s, d).toDF()
+        .select(col("op"), col("key"), col("lsn"), col("seq"),
+          get_json_object(col("after"), "$.value").cast("double").as("value"))
+      val dir = java.nio.file.Files.createTempDirectory("cdc60").toString + "/t"
+      MaterializedTable.merge(s, dir, env, Seq("key"), Seq("lsn", "seq"),
+        batchId = Some(1L), statsCols = Seq("value", "lsn"))
+      val df = s.read.format("graft").load(dir)
+      val filt = df.filter(col("value") >= 100.0 && col("value") <= 400.0)
+      val pushed = filt.queryExecution.executedPlan.toString
+        .contains("PushedFilters")
+      val skips = df.filter(col("lsn") > lit(Long.MaxValue - 1)).count() == 0
+      filt.agg(count(lit(1)).as("n_mid"),
+          graft.queries.Qutil.dsum(col("value")).as("sum_mid"))
+        .select(col("n_mid"), col("sum_mid"),
+          lit(pushed && skips).as("pushdown_ok"))
     }
   )
 }
