@@ -89,14 +89,41 @@ object MaterializedTable {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
+  /** Read the primary manifest, TOLERATING the sub-atomic window of the
+    * commit swap: on a local/checksummed filesystem the rename's sidecar
+    * moves separately, so a reader racing a writer can transiently see a
+    * missing manifest or a checksum mismatch (the continuous-poll shape of
+    * [[graft.sources.GraftCdfSource]] hits this within seconds). Bounded
+    * retry — and ONLY when a versioned snapshot record proves a writer has
+    * ever committed here; a genuinely fresh directory returns None at
+    * once. After the retry budget the underlying error propagates (a
+    * persistent checksum failure is corruption, not a race).
+    */
   private[cdc] def readManifest(spark: SparkSession, dir: String): Option[Manifest] = {
-    val (fs, _) = fsOf(spark, dir)
+    val (fs, hPath) = fsOf(spark, dir)
     val mPath = new org.apache.hadoop.fs.Path(dir, manifestFile)
-    if (!fs.exists(mPath)) return None
-    val in = fs.open(mPath)
-    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    Some(parseManifest(json))
+    def everCommitted: Boolean =
+      fs.exists(hPath) && fs.listStatus(hPath).exists(
+        st => VersionedManifestRe.findFirstIn(st.getPath.getName).isDefined)
+    val maxAttempts = 40 // x 50 ms = a 2 s window, far above a rename
+    var attempt = 0
+    while (true) {
+      try {
+        if (fs.exists(mPath)) {
+          val in = fs.open(mPath)
+          val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          return Some(parseManifest(json))
+        }
+        if (!everCommitted || attempt >= maxAttempts) return None
+      } catch {
+        case e: java.io.IOException => // checksum / torn-read race
+          if (attempt >= maxAttempts) throw e
+      }
+      attempt += 1
+      Thread.sleep(50)
+    }
+    None // unreachable
   }
 
   private def parseManifest(json: String): Manifest = {

@@ -2190,6 +2190,90 @@ object CdcQueries {
           graft.queries.Qutil.dsum(col("value")).as("sum_mid"))
         .select(col("n_mid"), col("sum_mid"),
           lit(pushed && skips).as("pushdown_ok"))
+    },
+
+    // --- streaming change feed (cdc61): the materialized table's change
+    // --- feed as a Structured Streaming SOURCE
+    // --- (spark.readStream.format("graft-cdf") — Delta's streaming CDF
+    // --- shape): offsets ARE committed versions; each micro-batch is the
+    // --- snapshot diff between the last-processed and newest version —
+    // --- op-typed rows with full before/after payloads, NET change per
+    // --- key per batch (the keep-a-replica-converged consumer contract).
+    // --- No backfill: the feed starts at the version current at query
+    // --- start. Drill: v1 committed before the stream starts (emits
+    // --- nothing), then two commits drained one at a time → the feed is
+    // --- exactly diff(v1→v2) ∪ diff(v2→v3); the per-op rollup must
+    // --- hash-match DuckDB's independent three-snapshot double diff.
+    // --- (Building this source surfaced a real reader race: a continuous
+    // --- getOffset poll vs the manifest rename's sub-atomic local-FS
+    // --- window — readManifest now retries bounded, see its scaladoc.) ---
+    q("cdc61_change_feed_stream",
+      """WITH r1 AS (SELECT user_id, event_id AS lsn, value, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_id < (SELECT MAX(event_id) // 3 FROM events)),
+        |s1 AS (SELECT user_id, lsn, value FROM r1
+        |  WHERE rn = 1 AND event_type <> 'error'),
+        |r2 AS (SELECT user_id, event_id AS lsn, value, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events
+        |  WHERE event_id < (SELECT 2 * (MAX(event_id) // 3) FROM events)),
+        |s2 AS (SELECT user_id, lsn, value FROM r2
+        |  WHERE rn = 1 AND event_type <> 'error'),
+        |r3 AS (SELECT user_id, event_id AS lsn, value, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events),
+        |s3 AS (SELECT user_id, lsn, value FROM r3
+        |  WHERE rn = 1 AND event_type <> 'error'),
+        |d12 AS (SELECT
+        |    CASE WHEN a.user_id IS NULL THEN 'insert'
+        |         WHEN b.user_id IS NULL THEN 'delete'
+        |         WHEN a.lsn IS DISTINCT FROM b.lsn
+        |           OR a.value IS DISTINCT FROM b.value THEN 'update' END AS op,
+        |    a.value AS before_value, b.value AS after_value
+        |  FROM s1 a FULL OUTER JOIN s2 b ON a.user_id = b.user_id),
+        |d23 AS (SELECT
+        |    CASE WHEN a.user_id IS NULL THEN 'insert'
+        |         WHEN b.user_id IS NULL THEN 'delete'
+        |         WHEN a.lsn IS DISTINCT FROM b.lsn
+        |           OR a.value IS DISTINCT FROM b.value THEN 'update' END AS op,
+        |    a.value AS before_value, b.value AS after_value
+        |  FROM s2 a FULL OUTER JOIN s3 b ON a.user_id = b.user_id),
+        |f AS (SELECT * FROM d12 WHERE op IS NOT NULL
+        |  UNION ALL SELECT * FROM d23 WHERE op IS NOT NULL)
+        |SELECT op, COUNT(*) AS n,
+        |  CAST(SUM(CAST(before_value AS DECIMAL(18,4))) AS DOUBLE) AS sum_before,
+        |  CAST(SUM(CAST(after_value AS DECIMAL(18,4))) AS DOUBLE) AS sum_after
+        |FROM f GROUP BY 1""".stripMargin) { (s, d) =>
+      val s2 = s.newSession()
+      s2.conf.set("spark.graft.materialized.retainVersions", "6")
+      val env = ChangelogGen.fromEvents(s2, d).toDF()
+        .select(col("op"), col("key"), col("lsn"), col("seq"),
+          get_json_object(col("after"), "$.value").cast("double").as("value"))
+        .localCheckpoint()
+      val mx = Tables.events(s, d).agg(max(col("event_id"))).head().getLong(0)
+      val dir = java.nio.file.Files.createTempDirectory("cdc61").toString + "/t"
+      val (c1, c2) = (mx / 3, 2 * (mx / 3))
+      def slice(lo: Long, hi: Long) =
+        env.filter(col("lsn") >= lo && col("lsn") < hi)
+      def fold(lo: Long, hi: Long, id: Long) =
+        MaterializedTable.merge(s2, dir, slice(lo, hi), Seq("key"),
+          Seq("lsn", "seq"), batchId = Some(id))
+      fold(0L, c1, 1L) // v1 exists BEFORE the stream starts — no backfill
+      val sink = s"cdc61_${java.util.UUID.randomUUID().toString.take(8)}"
+      val q = s2.readStream.format("graft-cdf").load(dir)
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("cdc61ck").toString)
+        .start()
+      try {
+        q.processAllAvailable()
+        fold(c1, c2, 2L); q.processAllAvailable() // batch = diff(v1→v2)
+        fold(c2, mx + 1, 3L); q.processAllAvailable() // batch = diff(v2→v3)
+      } finally q.stop()
+      s2.table(sink).groupBy(col("op"))
+        .agg(count(lit(1)).as("n"),
+          graft.queries.Qutil.dsum(col("before_value")).as("sum_before"),
+          graft.queries.Qutil.dsum(col("after_value")).as("sum_after"))
     }
   )
 }

@@ -1,0 +1,116 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import graft.cdc.MaterializedTable
+
+/** `spark.readStream.format("graft-cdf").load(dir)` — the materialized
+  * table's CHANGE FEED as a Structured Streaming source (Delta's
+  * streaming change-data-feed shape on this storage layer): offsets ARE
+  * committed versions, and each micro-batch is
+  * [[MaterializedTable.changeFeed]] between the last-processed version
+  * and the newest committed one — op-typed insert/update/delete rows with
+  * full before/after payloads.
+  *
+  * Semantics — SNAPSHOT-DIFF at batch granularity: a batch spanning
+  * several commits emits each key's NET change across the window (a key
+  * updated then reverted inside one window emits nothing), which is the
+  * self-healing CDC contract of a diff-based feed — downstream state
+  * converges to the table regardless of how the stream was batched.
+  * Feeds that must see every intermediate version subscribe upstream
+  * (the changelog itself); this source serves the "keep a replica
+  * converged" consumer.
+  *
+  * No backfill: the source starts at the version current when the query
+  * starts (bootstrap = read the table once, then follow the feed).
+  * Retention: the last-processed version must stay materialized between
+  * micro-batches — run the writer with
+  * `spark.graft.materialized.retainVersions` covering the expected lag
+  * (the same window [[graft.cdc.TableGroup]] requires).
+  */
+class GraftChangeFeedSource extends StreamSourceProvider with DataSourceRegister {
+  override def shortName(): String = "graft-cdf"
+
+  private def dirOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-cdf needs a path: spark.readStream.format(\"graft-cdf\").load(dir)"))
+
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String])
+      : (String, StructType) =
+    (shortName(), GraftChangeFeedSource.cdfSchema(ctx, dirOf(parameters)))
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new GraftCdfSource(ctx, dirOf(parameters))
+}
+
+object GraftChangeFeedSource {
+  /** keys ++ op ++ before_<payload> ++ after_<payload>, fixed at query
+    * start (mid-stream schema evolution fails loudly at the projection,
+    * never silently reshapes a running feed).
+    */
+  private[sources] def cdfSchema(ctx: SQLContext, dir: String): StructType = {
+    val (keys, full) = MaterializedTable.keyLayout(ctx.sparkSession, dir)
+    val payload = full.filterNot(f =>
+      keys.contains(f.name) || f.name == "_bucket")
+    StructType(
+      keys.map(k => full(full.fieldIndex(k))) ++
+        Seq(StructField("op", StringType)) ++
+        payload.map(f => f.copy(name = s"before_${f.name}")) ++
+        payload.map(f => f.copy(name = s"after_${f.name}")))
+  }
+}
+
+class GraftCdfSource(ctx: SQLContext, dir: String) extends Source {
+  private val spark = ctx.sparkSession
+  private val keys = MaterializedTable.keyLayout(spark, dir)._1
+
+  override val schema: StructType = GraftChangeFeedSource.cdfSchema(ctx, dir)
+
+  /** No backfill: the feed begins at the version committed when the query
+    * starts.
+    */
+  private val startVersion: Long = currentVersion
+
+  private def currentVersion: Long =
+    MaterializedTable.listVersions(spark, dir).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no materialized state at $dir"))
+
+  private def longOf(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case s: SerializedOffset => s.json.trim.toLong
+    case other => other.json.trim.toLong
+  }
+
+  /** Always the newest committed version — the ENGINE diffs it against its
+    * checkpointed offset (a restarted source instance re-derives
+    * startVersion as "now", so gating here would silently swallow every
+    * commit that landed while the query was down). No-backfill lives in
+    * [[getBatch]]'s None case instead: the very first batch of a fresh
+    * query diffs startVersion→current, i.e. nothing.
+    */
+  override def getOffset: Option[Offset] = Some(LongOffset(currentVersion))
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val from = start.map(longOf).getOrElse(startVersion)
+    val to = longOf(end)
+    val batch =
+      if (from >= to)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else MaterializedTable.changeFeed(spark, dir, from, to, keys)
+    // pin the creation-time column set/order; a mid-stream schema change
+    // that drops a column fails HERE, loudly
+    org.apache.spark.sql.GraftShims.asStreamingDataFrame(
+      batch.select(schema.fieldNames.toIndexedSeq.map(col): _*))
+  }
+
+  override def stop(): Unit = ()
+}

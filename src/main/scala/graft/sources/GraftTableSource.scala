@@ -28,13 +28,89 @@ import graft.cdc.MaterializedTable
   * (`readVersion` / `TableGroup.read`) — they name a version, which a
   * bare path cannot.
   */
-class GraftTableSource extends RelationProvider with DataSourceRegister {
+class GraftTableSource extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
   override def shortName(): String = "graft"
-  override def createRelation(ctx: SQLContext,
-      parameters: Map[String, String]): BaseRelation = {
-    val dir = parameters.getOrElse("path",
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
       throw new IllegalArgumentException(
         "graft source needs a path: spark.read.format(\"graft\").load(dir)"))
+
+  override def createRelation(ctx: SQLContext,
+      parameters: Map[String, String]): BaseRelation =
+    new GraftTableRelation(ctx, pathOf(parameters))
+
+  /** WRITE face — `df.write.format("graft").option("keys", "k1,k2")
+    * .mode(...).save(dir)`: the DataFrame lands as an UPSERT batch through
+    * the same merge/commit protocol every other writer uses.
+    *
+    * Options:
+    *   - `keys` (required on a first write): comma-separated key columns;
+    *     later writes inherit the committed layout and REJECT a mismatch.
+    *   - `opCol`: a column carrying insert/update/delete ops (absent ⇒
+    *     every row is an upsert).
+    *   - `orderCols`: columns ordering row versions (absent ⇒ a synthetic
+    *     per-write sequence: each save() beats everything already
+    *     committed — last-writer-wins at WRITE granularity, the plain
+    *     "save a DataFrame" semantics).
+    *   - `numBuckets` (default 64), `statsCols` (comma-separated).
+    *
+    * SaveMode: Overwrite replaces the table (fresh layout allowed);
+    * Append merges; ErrorIfExists/Ignore follow manifest existence.
+    */
+  override def createRelation(ctx: SQLContext, mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.Dataset[Row]): BaseRelation = {
+    val spark = ctx.sparkSession
+    val dir = pathOf(parameters)
+    val exists = MaterializedTable.exists(spark, dir)
+    import org.apache.spark.sql.SaveMode._
+    if (exists && mode == ErrorIfExists)
+      throw new IllegalStateException(s"graft table already exists at $dir")
+    if (exists && mode == Ignore) return new GraftTableRelation(ctx, dir)
+    if (exists && mode == Overwrite) {
+      val (fs, p) = {
+        val hp = new org.apache.hadoop.fs.Path(dir)
+        (hp.getFileSystem(spark.sparkContext.hadoopConfiguration), hp)
+      }
+      fs.delete(p, true)
+    }
+    val fresh = !MaterializedTable.exists(spark, dir)
+    val keys = parameters.get("keys").map(_.split(",").map(_.trim).toSeq)
+      .getOrElse {
+        if (fresh) throw new IllegalArgumentException(
+          "first write needs .option(\"keys\", \"k1,k2\")")
+        else MaterializedTable.keyLayout(spark, dir)._1
+      }
+    if (!fresh) {
+      val committed = MaterializedTable.keyLayout(spark, dir)._1
+      require(keys == committed,
+        s"keys ${keys.mkString(",")} do not match the table's committed " +
+          s"layout (${committed.mkString(",")})")
+    }
+    val numBuckets = parameters.get("numBuckets").map(_.toInt).getOrElse(64)
+    val statsCols = parameters.get("statsCols")
+      .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
+    val opCol = parameters.get("opCol")
+    val orderCols = parameters.get("orderCols")
+      .map(_.split(",").map(_.trim).toSeq)
+    // synthetic write sequence when no order columns are given: strictly
+    // above every committed version, so this save()'s rows beat prior
+    // state — last-writer-wins at WRITE granularity
+    val (base, ord) = orderCols match {
+      case Some(oc) => (data, oc)
+      case None =>
+        val v = MaterializedTable.listVersions(spark, dir)
+          .lastOption.getOrElse(0L) + 1L
+        (data.withColumn("_graft_seq", lit(v)), Seq("_graft_seq"))
+    }
+    val (df, op) = opCol match {
+      case Some(c) => (base, c)
+      case None => (base.withColumn("_graft_op", lit("insert")), "_graft_op")
+    }
+    MaterializedTable.merge(spark, dir, df, keys, ord, op,
+      numBuckets, batchId = None, statsCols = statsCols)
     new GraftTableRelation(ctx, dir)
   }
 }

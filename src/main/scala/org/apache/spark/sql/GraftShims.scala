@@ -11,4 +11,17 @@ object GraftShims {
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
   def sessionState(s: SparkSession): internal.SessionState =
     s.asInstanceOf[classic.SparkSession].sessionState
+
+  /** A batch result re-tagged as a STREAMING DataFrame — what a V1
+    * streaming `Source.getBatch` must return (MicroBatchExecution asserts
+    * isStreaming; every built-in V1 source uses the same private
+    * `internalCreateDataFrame(…, isStreaming = true)` this bridges to).
+    * The input plan is evaluated eagerly to an InternalRow RDD first.
+    */
+  def asStreamingDataFrame(df: DataFrame): DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(
+      df.asInstanceOf[classic.Dataset[Row]].queryExecution.toRdd,
+      df.schema, isStreaming = true)
+  }
 }

@@ -1,0 +1,150 @@
+package graft.sources
+
+import graft.SparkTestSession
+import graft.cdc.MaterializedTable
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The graft-cdf streaming source: versions as offsets, change feed as
+  * micro-batches.
+  */
+class GraftChangeFeedSourceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def withRetain[A](n: Int)(f: => A): A = {
+    spark.conf.set("spark.graft.materialized.retainVersions", n.toString)
+    try f finally spark.conf.unset("spark.graft.materialized.retainVersions")
+  }
+
+  private def mergeBatch(dir: String, id: Long,
+      rows: (String, String, Long, Long)*): Unit =
+    MaterializedTable.merge(spark, dir,
+      rows.toSeq.toDF("op", "key", "lsn", "v")
+        .withColumn("seq", lit(0L)),
+      Seq("key"), Seq("lsn", "seq"), numBuckets = 4, batchId = Some(id),
+      statsCols = Nil)
+
+  test("no backfill; per-commit drives emit exactly the per-version diffs; replays drain silent") {
+    withRetain(6) {
+      val dir = java.nio.file.Files.createTempDirectory("gcdf1").toString + "/t"
+      mergeBatch(dir, 1L, ("insert", "a", 1L, 10L), ("insert", "b", 2L, 20L))
+
+      val sink = s"gcdf_${java.util.UUID.randomUUID().toString.take(8)}"
+      val q = spark.readStream.format("graft-cdf").load(dir)
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("gcdf_ck").toString)
+        .start()
+      try {
+        q.processAllAvailable()
+        // v1 existed at start — NO backfill
+        assert(spark.table(sink).count() == 0)
+
+        // commit v2, drain: its diff arrives
+        mergeBatch(dir, 2L, ("update", "a", 3L, 11L), ("insert", "c", 4L, 30L))
+        q.processAllAvailable()
+        val afterV2 = spark.table(sink)
+          .select("key", "op", "before_v", "after_v")
+          .as[(String, String, Option[Long], Option[Long])].collect().toSet
+        assert(afterV2 == Set(
+          ("a", "update", Some(10L), Some(11L)),
+          ("c", "insert", None, Some(30L))))
+
+        // commit v3 with a delete, drain
+        mergeBatch(dir, 3L, ("delete", "b", 5L, 0L))
+        q.processAllAvailable()
+        val v3 = spark.table(sink).filter(col("op") === "delete")
+          .select("key", "before_v", "after_v")
+          .as[(String, Option[Long], Option[Long])].collect().toSet
+        assert(v3 == Set(("b", Some(20L), None)))
+
+        // nothing new: drain again, no extra rows
+        val n = spark.table(sink).count()
+        q.processAllAvailable()
+        assert(spark.table(sink).count() == n)
+      } finally q.stop()
+    }
+  }
+
+  test("a restart batch spanning several commits emits the NET per-key change") {
+    withRetain(10) {
+      val dir = java.nio.file.Files.createTempDirectory("gcdf2").toString + "/t"
+      val ckpt = java.nio.file.Files.createTempDirectory("gcdf_ck2").toString
+      mergeBatch(dir, 1L, ("insert", "a", 1L, 10L), ("insert", "b", 2L, 20L))
+      val first = scala.collection.mutable.ArrayBuffer
+        .empty[(String, String, Option[Long], Option[Long])]
+      val q1 = spark.readStream.format("graft-cdf").load(dir)
+        .writeStream.foreachBatch {
+          (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            first ++= b.select("key", "op", "before_v", "after_v")
+              .as[(String, String, Option[Long], Option[Long])].collect()
+            ()
+        }
+        .option("checkpointLocation", ckpt).start()
+      try {
+        q1.processAllAvailable()
+        mergeBatch(dir, 2L, ("update", "a", 3L, 999L), ("update", "b", 4L, 21L))
+        q1.processAllAvailable() // commits offset v2
+      } finally q1.stop()
+      assert(first.size == 2)
+
+      // THREE commits land while the query is DOWN: the restart drains them
+      // as ONE batch whose rows are each key's NET change — b's 22 and 23
+      // never emit; a's v reverts to 10 (its lsn payload still advances, so
+      // a emits an update whose v happens to round-trip)
+      mergeBatch(dir, 3L, ("update", "a", 5L, 10L), ("update", "b", 6L, 22L))
+      mergeBatch(dir, 4L, ("update", "b", 7L, 23L))
+      mergeBatch(dir, 5L, ("update", "b", 8L, 24L))
+      // the memory sink cannot recover a checkpoint — restart into
+      // foreachBatch, accumulating on the driver
+      val got = scala.collection.mutable.ArrayBuffer
+        .empty[(String, String, Option[Long], Option[Long])]
+      val q2 = spark.readStream.format("graft-cdf").load(dir)
+        .writeStream.foreachBatch {
+          (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            got ++= b.select("key", "op", "before_v", "after_v")
+              .as[(String, String, Option[Long], Option[Long])].collect()
+            ()
+        }
+        .option("checkpointLocation", ckpt).start()
+      try q2.processAllAvailable() finally q2.stop()
+      assert(got.toSet == Set(
+        ("a", "update", Some(999L), Some(10L)),
+        ("b", "update", Some(21L), Some(24L))), s"got $got")
+    }
+  }
+
+  test("restart from checkpoint resumes at the committed offset (no re-emission)") {
+    withRetain(8) {
+      val dir = java.nio.file.Files.createTempDirectory("gcdf3").toString + "/t"
+      val ckpt = java.nio.file.Files.createTempDirectory("gcdf_ck3").toString
+      mergeBatch(dir, 1L, ("insert", "a", 1L, 10L))
+      def run(into: scala.collection.mutable.ArrayBuffer[Option[Long]])(
+          body: org.apache.spark.sql.streaming.StreamingQuery => Unit): Unit = {
+        val q = spark.readStream.format("graft-cdf").load(dir)
+          .writeStream.foreachBatch {
+            (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              into ++= b.select("after_v").as[Option[Long]].collect()
+              ()
+          }
+          .option("checkpointLocation", ckpt).start()
+        try body(q) finally q.stop()
+      }
+      val first = scala.collection.mutable.ArrayBuffer.empty[Option[Long]]
+      run(first) { q =>
+        q.processAllAvailable()
+        mergeBatch(dir, 2L, ("update", "a", 2L, 11L))
+        q.processAllAvailable()
+      }
+      assert(first.toSeq == Seq(Some(11L)))
+      // restart with the SAME checkpoint after one more commit: only the
+      // new diff arrives
+      mergeBatch(dir, 3L, ("update", "a", 3L, 12L))
+      val second = scala.collection.mutable.ArrayBuffer.empty[Option[Long]]
+      run(second)(_.processAllAvailable())
+      assert(second.toSeq == Seq(Some(12L)),
+        s"expected only v2→v3's diff, got $second")
+    }
+  }
+}

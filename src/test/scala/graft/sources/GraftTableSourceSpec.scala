@@ -62,6 +62,62 @@ class GraftTableSourceSpec extends AnyFunSuite {
       .select("key").as[String].collect().toSet == Set("k1", "k2"))
   }
 
+  test("write face: save modes, last-writer-wins appends, op routing, layout guard") {
+    val dir = java.nio.file.Files.createTempDirectory("gsrc5").toString + "/t"
+    // first write requires keys
+    intercept[IllegalArgumentException] {
+      Seq(("a", 1L)).toDF("k", "v").write.format("graft").save(dir)
+    }
+    Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
+      .write.format("graft").option("keys", "k").save(dir)
+    // append without order columns: the later save wins per key
+    Seq(("a", 10L), ("c", 3L)).toDF("k", "v")
+      .write.format("graft").option("keys", "k")
+      .mode("append").save(dir)
+    def state() = spark.read.format("graft").load(dir)
+      .select("k", "v").as[(String, Long)].collect().toMap
+    assert(state() == Map("a" -> 10L, "b" -> 2L, "c" -> 3L))
+    // op routing: deletes through the write face
+    Seq(("delete", "b", 0L)).toDF("o", "k", "v")
+      .write.format("graft").option("keys", "k").option("opCol", "o")
+      .mode("append").save(dir)
+    assert(state() == Map("a" -> 10L, "c" -> 3L))
+    // errorifexists / ignore
+    intercept[IllegalStateException] {
+      Seq(("z", 0L)).toDF("k", "v").write.format("graft")
+        .option("keys", "k").mode("errorifexists").save(dir)
+    }
+    Seq(("z", 0L)).toDF("k", "v").write.format("graft")
+      .option("keys", "k").mode("ignore").save(dir)
+    assert(!state().contains("z"))
+    // layout guard: different keys rejected on an existing table
+    intercept[IllegalArgumentException] {
+      Seq(("a", 1L)).toDF("k", "v").write.format("graft")
+        .option("keys", "v").mode("append").save(dir)
+    }
+    // overwrite replaces wholesale (fresh layout allowed)
+    Seq((7L, "x")).toDF("id", "s").write.format("graft")
+      .option("keys", "id").mode("overwrite").save(dir)
+    assert(spark.read.format("graft").load(dir)
+      .select("id", "s").as[(Long, String)].collect().toSeq == Seq((7L, "x")))
+  }
+
+  test("write face: explicit order columns rank row versions within and across writes") {
+    val dir = java.nio.file.Files.createTempDirectory("gsrc6").toString + "/t"
+    Seq(("a", 5L, 100L), ("a", 9L, 900L), ("a", 7L, 700L))
+      .toDF("k", "ts", "v")
+      .write.format("graft").option("keys", "k").option("orderCols", "ts")
+      .save(dir)
+    def va() = spark.read.format("graft").load(dir)
+      .filter(col("k") === "a").select("v").as[Long].head()
+    assert(va() == 900L) // newest ts wins within the write
+    // an append with an OLDER ts must NOT win
+    Seq(("a", 6L, 600L)).toDF("k", "ts", "v")
+      .write.format("graft").option("keys", "k").option("orderCols", "ts")
+      .mode("append").save(dir)
+    assert(va() == 900L)
+  }
+
   test("plain SQL over a temp view gets the same skipping") {
     val dir = java.nio.file.Files.createTempDirectory("gsrc4").toString + "/t"
     seed(dir)
