@@ -731,4 +731,63 @@ class PropertySpec extends AnyFunSuite {
     }
     check("readPruned", 60)(prop)
   }
+
+  // ------------------------------------------------ change-feed convergence
+
+  test("changeFeed is self-healing: applying diff(from→to) onto snapshot(from) rebuilds snapshot(to)") {
+    import spark.implicits._
+    import graft.cdc.MaterializedTable
+    spark.conf.set("spark.graft.materialized.retainVersions", "20")
+    try {
+      // randomized changelog split into randomized commit batches — ONE
+      // table build per trial keeps Spark-job count sane at 40 trials
+      val evGen = for {
+        n <- Gen.chooseNum(4, 24)
+        ops <- Gen.listOfN(n, Gen.oneOf("insert", "update", "delete"))
+        keys <- Gen.listOfN(n, Gen.chooseNum(0, 6))
+        vals <- Gen.listOfN(n, Gen.chooseNum(-50L, 50L))
+        cut1 <- Gen.chooseNum(1, n - 1)
+        cut2 <- Gen.chooseNum(1, n - 1)
+      } yield (ops.lazyZip(keys).lazyZip(vals).toList.zipWithIndex.map {
+        case ((op, k, v), i) => (op, s"k$k", (i + 1).toLong, 0L, v)
+      }, math.min(cut1, cut2), math.max(cut1, cut2))
+      val prop = Prop.forAll(evGen) { case (rows, cut1, cut2) =>
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_prop_cdf").toString + "/t"
+        val slices = Seq(rows.take(cut1), rows.slice(cut1, cut2),
+          rows.drop(cut2)).filter(_.nonEmpty)
+        slices.zipWithIndex.foreach { case (sl, i) =>
+          MaterializedTable.merge(spark,
+            dir, sl.toDF("op", "key", "lsn", "seq", "v"),
+            Seq("key"), Seq("lsn", "seq"), numBuckets = 2,
+            batchId = Some(i + 1L))
+        }
+        val versions = MaterializedTable.listVersions(spark, dir)
+        versions.combinations(2).forall { case Seq(from, to) =>
+          val feed = MaterializedTable
+            .changeFeed(spark, dir, from, to, Seq("key"))
+            .select("key", "op", "after_op", "after_lsn", "after_seq", "after_v")
+            .as[(String, String, Option[String], Option[Long], Option[Long], Option[Long])]
+            .collect()
+          val base = MaterializedTable.readVersion(spark, dir, from)
+            .select("key", "op", "lsn", "seq", "v")
+            .as[(String, String, Long, Long, Long)].collect()
+            .map(r => r._1 -> r).toMap
+          // apply: delete removes, insert/update replace with the after row
+          val rebuilt = feed.foldLeft(base) {
+            case (st, (k, "delete", _, _, _, _)) => st - k
+            case (st, (k, _, Some(op), Some(lsn), Some(seq), Some(v))) =>
+              st + (k -> ((k, op, lsn, seq, v)))
+            case (st, _) => st
+          }
+          val want = MaterializedTable.readVersion(spark, dir, to)
+            .select("key", "op", "lsn", "seq", "v")
+            .as[(String, String, Long, Long, Long)].collect()
+            .map(r => r._1 -> r).toMap
+          rebuilt == want
+        }
+      }
+      check("changeFeed convergence", 15)(prop)
+    } finally spark.conf.unset("spark.graft.materialized.retainVersions")
+  }
 }
