@@ -184,11 +184,11 @@ object InvertedIndex {
       *
       * Scale shape: per-term work is bounded by the query tokens' posting
       * lists (the same pruned read as phrase search); the corpus-level
-      * (N, total) pair is one broadcast row; the final top-k windows over
-      * candidate docs only (≤ Σ df(token)), never the corpus.
+      * (N, total) pair is one broadcast row; the final top-k is a
+      * TakeOrderedAndProject over candidate docs only (≤ Σ df(token)),
+      * never the corpus, and never a single-partition window.
       */
     def searchRanked(query: String, k: Int): DataFrame = {
-      import org.apache.spark.sql.expressions.Window
       val qtoks = query.split(" ").filter(_.nonEmpty).distinct.toSeq
       require(qtoks.nonEmpty, "empty query")
       val tf = postingsFor(qtoks)
@@ -204,13 +204,18 @@ object InvertedIndex {
           ((lit(2L) * col("df") + lit(1L)) *
             (lit(20L) * col("tf") * col("total") + lit(6L) * col("total") +
               lit(18L) * col("dlen") * col("n"))).cast("double"))
-      term.groupBy(col("doc_id"))
+      // top-k via orderBy+limit (TakeOrderedAndProject: per-partition heaps,
+      // driver merge of k·partitions rows), THEN rank the ≤k survivors with
+      // GlobalRank's bucket-partitioned window — the candidate frame
+      // (≤ Σ df(token)) never moves to a single partition
+      val scored = term.groupBy(col("doc_id"))
         .agg(aggregate(
           array_sort(collect_list(struct(col("token"), col("s")))),
           lit(0.0), (acc, x) => acc + x.getField("s")).as("score"))
-        .withColumn("rank", row_number().over(
-          Window.orderBy(col("score").desc, col("doc_id"))))
-        .filter(col("rank") <= k)
+        .orderBy(col("score").desc, col("doc_id")).limit(k)
+      GlobalRank.rowNumber(scored,
+          Seq(col("score").desc, col("doc_id")), "rank", nBuckets = 4)
+        .withColumn("rank", col("rank").cast("int"))
     }
   }
 

@@ -966,13 +966,17 @@ object CdcQueries {
         |FROM (SELECT key, n, ROW_NUMBER() OVER (ORDER BY n DESC, key) AS rk
         |  FROM pk) z, tot
         |WHERE rk <= 5""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       val env = ChangelogGen.fromEvents(s, d).toDF()
       val pk = env.groupBy(col("key")).agg(count(lit(1)).as("n"))
       val tot = pk.agg(sum(col("n")).as("t"))
-      pk.withColumn("rank", row_number().over(
-          Window.orderBy(col("n").desc, col("key"))).cast("long"))
-        .filter(col("rank") <= 5)
+      // orderBy+limit plans TakeOrderedAndProject (per-partition top-5 heaps,
+      // driver merge of 5·partitions rows) — never a global rank window over
+      // the O(keys) frame; GlobalRank then ranks the ≤5-row result with a
+      // bucket-partitioned window (no single-partition move is planned)
+      graft.operators.GlobalRank.rowNumber(
+          pk.orderBy(col("n").desc, col("key")).limit(5),
+          Seq(col("n").desc, col("key")), "rank", nBuckets = 4)
+        .withColumn("rank", col("rank").cast("long"))
         .crossJoin(broadcast(tot))
         .select(col("key"), col("n"), col("rank"),
           (col("n").cast("double") / col("t").cast("double")).as("share"))
@@ -1003,9 +1007,10 @@ object CdcQueries {
     // --- (%97 ids) and the detector must name every hole: one lead()
     // --- window over the lsn order, gap rows where the step exceeds 1;
     // --- report (gap_after, gap_len) — the rows a monitoring system
-    // --- alerts on. The gate's global lsn window is the sf-bounded form;
-    // --- a production check shards by lsn RANGE (gaps are local to a
-    // --- range except at shard boundaries, which hand off one edge row).
+    // --- alerts on. The detector shards by lsn RANGE (gaps are local to a
+    // --- range except at shard boundaries, which hand off one edge row) —
+    // --- GlobalRank.lead1; the oracle's global window is the sf-bounded
+    // --- reference formulation of the same answer.
     // ---------------------------------------------------------------------
     q("cdc37_gap_detection",
       """WITH present AS (SELECT event_id AS lsn FROM events
@@ -1013,12 +1018,14 @@ object CdcQueries {
         |g AS (SELECT lsn, lead(lsn) OVER (ORDER BY lsn) AS nxt FROM present)
         |SELECT lsn AS gap_after, CAST(nxt - lsn - 1 AS BIGINT) AS gap_len
         |FROM g WHERE nxt - lsn > 1""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       val present = ChangelogGen.fromEvents(s, d).toDF()
         .filter(col("lsn") % 97 =!= 0)
         .select(col("lsn")).distinct()
-      present
-        .withColumn("nxt", lead(col("lsn"), 1).over(Window.orderBy(col("lsn"))))
+      // sharded sequence audit: lead() within lsn-range buckets + one
+      // boundary handoff row per bucket (GlobalRank.lead1) — gaps are local
+      // to a range except at shard edges, so the global-order window (all
+      // distinct lsns through one task) is never planned
+      graft.operators.GlobalRank.lead1(present, "lsn", "nxt")
         .filter(col("nxt") - col("lsn") > 1)
         .select(col("lsn").as("gap_after"),
           (col("nxt") - col("lsn") - 1).as("gap_len"))
@@ -2029,9 +2036,14 @@ object CdcQueries {
         TableGroup.TableBatch("by_type",
           b.filter(col("op") =!= graft.cdc.Op.Delete)
             .select("op", "key", "typ", "lsn", "seq"), Seq("key", "typ")))
-      def drive(path: String): Unit = GroupCommitStream.run(
-        s2.readStream.schema(schema).option("maxFilesPerTrigger", "1")
-          .parquet(path), root, members, Seq("lsn", "seq"))
+      // the default checkpoint (under root) is the RESUME path; the poison
+      // replay below needs an EXPLICIT fresh checkpoint — batch ids restart
+      // at 0 — to drill the root-watermark no-op
+      def drive(path: String, ckpt: Option[String] = None): Unit =
+        GroupCommitStream.run(
+          s2.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+            .parquet(path), root, members, Seq("lsn", "seq"),
+          checkpointLocation = ckpt)
       drive(s"$src/f*")
       val before = TableGroup.read(s2, root, "by_user")
       // fresh-checkpoint poisoned replay: batch ids restart at 0 — staged
@@ -2039,7 +2051,7 @@ object CdcQueries {
       // committed root watermark regardless of how the first drive batched
       env.withColumn("value", col("value") * -999)
         .coalesce(1).write.parquet(psrc)
-      drive(psrc)
+      drive(psrc, Some(s"$dir/ckpt_poison"))
       val after = TableGroup.read(s2, root, "by_user")
       val replaySilent = after.exceptAll(before).isEmpty &&
         before.exceptAll(after).isEmpty

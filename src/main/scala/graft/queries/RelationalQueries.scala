@@ -2000,12 +2000,13 @@ object RelationalQueries {
       val c = r.groupBy(col("bin")).agg(
         sum(when(col("s") === "O", 1L).otherwise(0L)).as("c1"),
         sum(when(col("s") === "F", 1L).otherwise(0L)).as("c2"))
-      val ord = Window.orderBy(col("bin"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val all = Window.partitionBy()
-      val cum = c.select(col("bin"),
-        sum(col("c1")).over(ord).as("k1"), sum(col("c2")).over(ord).as("k2"),
-        sum(col("c1")).over(all).as("n1"), sum(col("c2")).over(all).as("n2"))
+      // both CDFs via GlobalRank's two-level prefix sum (bucket-local
+      // windows over the 20-bin frame); the grand totals come free from the
+      // same bucket-totals passes — no empty-partition window anywhere
+      val cum = graft.operators.GlobalRank.cumSum(
+        graft.operators.GlobalRank.cumSum(c, Seq(col("bin")), col("c1"), "k1",
+          nBuckets = 4, totalCol = Some("n1")),
+        Seq(col("bin")), col("c2"), "k2", nBuckets = 4, totalCol = Some("n2"))
       cum.agg(
         max(abs(col("k1") * col("n2") - col("k2") * col("n1"))).as("ks_num"),
         min(col("n1")).as("n1"), min(col("n2")).as("n2"))
@@ -2086,10 +2087,13 @@ object RelationalQueries {
         .agg(concat_ws(">", expr(
           "transform(array_sort(collect_list(struct(t_us, event_id, event_type))), p -> p.event_type)"))
           .as("journey"))
-      j.groupBy(col("journey")).agg(count(lit(1)).as("n_sessions"))
-        .withColumn("rank", row_number().over(
-          Window.orderBy(col("n_sessions").desc, col("journey"))).cast("long"))
-        .filter(col("rank") <= 5)
+      // top-5 via TakeOrderedAndProject over the O(distinct journeys) frame,
+      // then rank the 5 survivors bucket-partitioned (GlobalRank) — never a
+      // global rank window
+      graft.operators.GlobalRank.rowNumber(
+        j.groupBy(col("journey")).agg(count(lit(1)).as("n_sessions"))
+          .orderBy(col("n_sessions").desc, col("journey")).limit(5),
+        Seq(col("n_sessions").desc, col("journey")), "rank", nBuckets = 4)
     },
 
     // --- interval union / coverage (q82): each event opens a 30-minute
@@ -2208,14 +2212,15 @@ object RelationalQueries {
         |SELECT abc, COUNT(*) AS n_customers,
         |  CAST(SUM(r) AS DOUBLE) AS revenue
         |FROM cls GROUP BY 1""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       val rev = Tables.orders(s, d).groupBy(col("o_custkey"))
         .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("r"))
-      val ord = Window.orderBy(col("r").desc, col("o_custkey"))
-      val rk = rev
-        .withColumn("cum", sum(col("r")).over(
-          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("tot", sum(col("r")).over(Window.partitionBy()))
+      // global cumulative revenue via the two-level prefix sum (GlobalRank):
+      // exact decimal arithmetic end-to-end, never a single-partition window
+      // over the per-customer frame (15 M rows at sf100); tot is the grand
+      // total literal from the same bucket-totals pass
+      val rk = graft.operators.GlobalRank.cumSum(rev,
+        Seq(col("r").desc, col("o_custkey")), col("r"), "cum",
+        totalCol = Some("tot"))
       rk.select(col("o_custkey"), col("r"),
           when(col("cum") * 100 <= col("tot") * 80, "A")
             .when(col("cum") * 100 <= col("tot") * 95, "B")
@@ -2280,15 +2285,18 @@ object RelationalQueries {
         |  CAST(rev - lag(rev) OVER (ORDER BY week) AS DOUBLE)
         |    / CAST(lag(rev) OVER (ORDER BY week) AS DOUBLE) AS wow_pct
         |FROM wk""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       val wk = Tables.orders(s, d)
         .groupBy(date_trunc("week", col("o_orderdate")).as("week"))
         .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
-      val prev = lag(col("rev"), 1).over(Window.orderBy(col("week")))
-      wk.select(col("week"), col("rev").cast("double").as("revenue"),
-        (col("rev") - prev).cast("double").as("wow_delta"),
-        ((col("rev") - prev).cast("double") / prev.cast("double"))
-          .as("wow_pct"))
+      // lag via GlobalRank.lag1 (bucket-local lag + one handoff row per
+      // bucket) — the week frame is calendar-bounded, but the uniform
+      // two-level form keeps every ordered window off the single-partition
+      // path
+      graft.operators.GlobalRank.lag1(wk, "week", col("rev"), "_prev")
+        .select(col("week"), col("rev").cast("double").as("revenue"),
+          (col("rev") - col("_prev")).cast("double").as("wow_delta"),
+          ((col("rev") - col("_prev")).cast("double")
+            / col("_prev").cast("double")).as("wow_pct"))
     },
 
     // --- skyline / Pareto frontier (q88): parts not DOMINATED on (price ↓
@@ -2308,14 +2316,16 @@ object RelationalQueries {
         |  SELECT 1 FROM part q
         |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
         |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       val parts = Tables.part(s, d)
         .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
       val pairs = parts.select(col("p_retailprice"), col("p_size")).distinct()
-      val rmax = max(col("p_size")).over(
-        Window.orderBy(col("p_retailprice"), col("p_size").desc)
-          .rowsBetween(Window.unboundedPreceding, -1))
-      val frontier = pairs.withColumn("_rm", rmax)
+      // exclusive running max over the O(distinct pairs) frame via
+      // GlobalRank.cumMax (per-bucket running max + driver prefix-max of
+      // O(nBuckets) bucket maxima) — the frontier sweep never
+      // single-partitions the pair frame
+      val frontier = graft.operators.GlobalRank.cumMax(pairs,
+          Seq(col("p_retailprice"), col("p_size").desc), col("p_size"), "_rm",
+          exclusive = true)
         .filter(col("_rm").isNull || col("_rm") < col("p_size"))
         .select(col("p_retailprice"), col("p_size"))
       parts.join(frontier, Seq("p_retailprice", "p_size"))
@@ -2540,13 +2550,13 @@ object RelationalQueries {
         |  CAST(SUM(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
         |    AS BIGINT) AS cumulative_users
         |FROM nd""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       val nd = Tables.events(s, d)
         .groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("day"))
         .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
-      nd.withColumn("cumulative_users",
-        sum(col("new_users")).over(Window.orderBy(col("day"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // running total via GlobalRank's two-level prefix sum — bucket-local
+      // windows over the day frame, no single-partition move
+      graft.operators.GlobalRank.cumSum(nd, Seq(col("day")),
+        col("new_users"), "cumulative_users", nBuckets = 8)
     },
 
     // --- first/nth_value window surface (q96): per status, the top price
@@ -2932,14 +2942,17 @@ object RelationalQueries {
         |  CAST(SUM(r) AS DOUBLE) AS revenue,
         |  CAST(SUM(r) AS DOUBLE) / CAST(MIN(tot) AS DOUBLE) AS revenue_share
         |FROM rk GROUP BY 1""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       val rev = Tables.orders(s, d).groupBy(col("o_custkey"))
         .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("r"))
-      val rk = rev.select(col("r"),
-        row_number().over(Window.orderBy(col("r").desc, col("o_custkey")))
-          .as("rn"),
-        count(lit(1)).over(Window.partitionBy()).as("n"),
-        sum(col("r")).over(Window.partitionBy()).as("tot"))
+      // global descending rank + count via GlobalRank (bucket-local windows,
+      // O(nBuckets) driver prefix); the grand total is a partial-agg'd
+      // scalar broadcast — replaces THREE single-partition windows (rn, n,
+      // tot) over the per-customer frame (15 M rows at sf100)
+      val tot = rev.agg(sum(col("r")).as("tot"))
+      val rk = graft.operators.GlobalRank.rowNumber(rev,
+          Seq(col("r").desc, col("o_custkey")), "rn", countCol = Some("n"))
+        .crossJoin(broadcast(tot))
+        .select(col("r"), col("rn"), col("n"), col("tot"))
       rk.groupBy(expr("(rn - 1) * 10 div n").cast("long").as("decile"))
         .agg(count(lit(1)).as("n_customers"),
           sum(col("r")).cast("double").as("revenue"),
@@ -2967,15 +2980,15 @@ object RelationalQueries {
         |  CAST(MAX(peak) AS DOUBLE) AS max_peak,
         |  CAST(MIN(cum) AS DOUBLE) AS min_cum
         |FROM dd""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       val daily = Tables.events(s, d)
         .groupBy(to_date(col("ts")).as("day"))
         .agg(sum(col("value").cast(DecimalType(18, 4)) - 50).as("flow"))
-      val w = Window.orderBy(col("day"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val dd = daily
-        .withColumn("cum", sum(col("flow")).over(w))
-        .withColumn("peak", max(col("cum")).over(w))
+      // cumulative flow, then running peak OF the cumulative — both via
+      // GlobalRank two-level passes (exact decimal, bucket-local windows)
+      val dd = graft.operators.GlobalRank.cumMax(
+        graft.operators.GlobalRank.cumSum(daily, Seq(col("day")),
+          col("flow"), "cum", nBuckets = 8),
+        Seq(col("day")), col("cum"), "peak", nBuckets = 8)
       dd.agg(count(lit(1)).as("n_days"),
         max(col("peak") - col("cum")).cast("double").as("max_drawdown"),
         max(col("peak")).cast("double").as("max_peak"),
@@ -3115,12 +3128,15 @@ object RelationalQueries {
     // --- An unfiltered MIN/MAX/COUNT over a bare parquet scan folds the
     // --- column-chunk statistics every footer already carries: O(files)
     // --- KBs at plan time instead of a table scan (the `describe table`
-    // --- fast path). Verdict-as-data: ok pins BOTH that the rewrite fired
-    // --- (LocalRelation in the optimized plan, no scan) AND that a
-    // --- filtered variant stood down (footer stats are wrong under
-    // --- predicates); values must hash-match DuckDB's real aggregation —
-    // --- bit-identity is the rule's contract, incl. unsigned-lexicographic
-    // --- string order ≡ UTF8String byte order. ---------------------------
+    // --- fast path). Verdict-as-data: ok pins that the INT64 rewrite fired
+    // --- (LocalRelation in the optimized plan, no scan), that a filtered
+    // --- variant stood down (footer stats are wrong under predicates), and
+    // --- that STRING extremes stand down (writers may truncate binary
+    // --- min/max — parquet.statistics.truncate.length — with no exactness
+    // --- flag, so a footer string can be a bound absent from the data);
+    // --- string values in the report come from a real scan. Values must
+    // --- hash-match DuckDB's real aggregation — bit-identity is the
+    // --- rule's contract. ------------------------------------------------
     q("q116_metadata_minmax",
       """SELECT COUNT(*) AS n_rows,
         |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
@@ -3142,10 +3158,16 @@ object RelationalQueries {
         max(col("o_orderstatus")).as("max_status"),
         min(col("o_orderpriority")).as("min_prio"),
         max(col("o_orderpriority")).as("max_prio"))
-      val stoodDown = !fired(Tables.orders(s2, d)
+      val numericFired = fired(Tables.orders(s2, d).agg(
+        count(lit(1)).as("n_rows"),
+        min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key")))
+      val stringStoodDown = !fired(Tables.orders(s2, d)
+        .agg(min(col("o_orderstatus")).as("m")))
+      val filterStoodDown = !fired(Tables.orders(s2, d)
         .filter(col("o_orderkey") % 2 === 0)
         .agg(min(col("o_orderkey")).as("m")))
-      agg.withColumn("ok", lit(fired(agg) && stoodDown))
+      agg.withColumn("ok",
+        lit(numericFired && stringStoodDown && filterStoodDown))
     },
 
     // --- AS-OF with max staleness (q112): the enrichment contract real

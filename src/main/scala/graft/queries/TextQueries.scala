@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.GraftFunctions
-import graft.operators.{Dedup, TextOps}
+import graft.operators.{Dedup, GlobalRank, TextOps}
 import graft.queries.Qutil.dsum
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -897,15 +897,17 @@ object TextQueries {
          |    / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
          |       * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS spearman
          |FROM st""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       val toks = TextOps.tokens(col("text"))
       val t = Tables.documents(s, d).select(col("doc_id"),
         size(toks).cast("long").as("len"),
         (size(filter(toks, x => x === "a" || x === "the")).cast("double") /
           size(toks)).as("ratio"))
-      val r = t.select(
-        row_number().over(Window.orderBy(col("len"), col("doc_id"))).as("rx"),
-        row_number().over(Window.orderBy(col("ratio"), col("doc_id"))).as("ry"))
+      // both ranks via the two-level global row_number (GlobalRank) — the
+      // naive form is TWO single-partition windows over all documents
+      val r = GlobalRank.rowNumber(
+          GlobalRank.rowNumber(t, Seq(col("len"), col("doc_id")), "rx"),
+          Seq(col("ratio"), col("doc_id")), "ry")
+        .select(col("rx"), col("ry"))
       val st = r.agg(count(lit(1)).as("n"),
         sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
         sum(col("rx") * col("ry")).as("sxy"),
@@ -1004,18 +1006,19 @@ object TextQueries {
          |    / (SUM(CASE WHEN pos THEN 1 ELSE 0 END)
          |       * SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END)) AS auc
          |FROM rk""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d).select("doc_id", "text")
       val lab = docs.withColumn("pos", lit(true)).unionByName(
         docs.select((col("doc_id") + 500000).as("doc_id"),
           expr("replace(text, ' ', ' zz ')").as("text"))
           .withColumn("pos", lit(false)))
       val weights = TextOps.classifierTrain(lab, "pos", "text", dims = 256)
-      val rk = TextOps.classifierScore(lab, "doc_id", "text", weights,
-          dims = 256)
-        .join(lab.select(col("doc_id"), col("pos")), Seq("doc_id"))
-        .select(col("pos"), row_number().over(
-          Window.orderBy(col("score"), col("doc_id"))).as("r"))
+      // rank-sum over ALL scored docs via the two-level global row_number
+      // (never a single-partition window over the corpus)
+      val rk = GlobalRank.rowNumber(
+          TextOps.classifierScore(lab, "doc_id", "text", weights, dims = 256)
+            .join(lab.select(col("doc_id"), col("pos")), Seq("doc_id")),
+          Seq(col("score"), col("doc_id")), "r")
+        .select(col("pos"), col("r"))
       def cnt(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
       rk.agg(cnt(col("pos")).as("n_pos"), cnt(!col("pos")).as("n_neg"),
           sum(when(col("pos"), col("r")).otherwise(0L)).as("_rs"))
@@ -1486,20 +1489,20 @@ object TextQueries {
          |  CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
          |  CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*) AS pos_rate
          |FROM rk GROUP BY 1""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d).select("doc_id", "text")
       val lab = docs.withColumn("pos", lit(true)).unionByName(
         docs.select((col("doc_id") + 500000).as("doc_id"),
           expr("replace(text, ' ', ' zz ')").as("text"))
           .withColumn("pos", lit(false)))
       val weights = TextOps.classifierTrain(lab, "pos", "text", dims = 256)
-      val rk = TextOps.classifierScore(lab, "doc_id", "text", weights,
-          dims = 256)
-        .join(lab.select(col("doc_id"), col("pos")), Seq("doc_id"))
-        .select(col("pos"), col("score"),
-          row_number().over(
-            Window.orderBy(col("score").desc, col("doc_id"))).as("r"),
-          count(lit(1)).over(Window.partitionBy()).as("n"))
+      // descending global rank + total count via GlobalRank — the count
+      // literal comes free from the same bucket-totals pass, replacing the
+      // count(*) OVER () global window
+      val rk = GlobalRank.rowNumber(
+          TextOps.classifierScore(lab, "doc_id", "text", weights, dims = 256)
+            .join(lab.select(col("doc_id"), col("pos")), Seq("doc_id")),
+          Seq(col("score").desc, col("doc_id")), "r", countCol = Some("n"))
+        .select(col("pos"), col("score"), col("r"), col("n"))
       rk.groupBy(expr("(r - 1) * 10 div n").cast("long").as("decile"))
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"))
@@ -1556,15 +1559,16 @@ object TextQueries {
          |  SELECT gram, df, n_occ,
          |    ROW_NUMBER() OVER (ORDER BY df DESC, gram) AS rk FROM c) z
          |WHERE rk <= 20""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       val g = Tables.documents(s, d)
         .select(col("doc_id"),
           explode(TextOps.shingles(TextOps.tokens(col("text")), 4)).as("gram"))
-      g.groupBy(col("gram"))
-        .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("df"))
-        .withColumn("rank", row_number().over(
-          Window.orderBy(col("df").desc, col("gram"))).cast("long"))
-        .filter(col("rank") <= 20)
+      // top-20 via TakeOrderedAndProject over the O(distinct grams) frame,
+      // then rank the 20 survivors bucket-partitioned (GlobalRank)
+      GlobalRank.rowNumber(
+          g.groupBy(col("gram"))
+            .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("df"))
+            .orderBy(col("df").desc, col("gram")).limit(20),
+          Seq(col("df").desc, col("gram")), "rank", nBuckets = 4)
         .select(col("gram"), col("df"), col("n_occ"), col("rank"))
     },
 
@@ -2303,15 +2307,14 @@ object TextQueries {
         |FROM r, tot, generate_series(1, 9) d(decile)
         |WHERE cum * 10 >= d.decile * tot.tot
         |GROUP BY 1""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       val counts = Tables.documents(s, d)
         .select(explode(TextOps.tokens(col("text"))).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("n"))
-      val ord = Window.orderBy(col("n").desc, col("tok"))
-      val ranked = counts
-        .withColumn("rk", row_number().over(ord))
-        .withColumn("cum", sum(col("n")).over(
-          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // global rank + cumulative mass over the O(token types) frame via two
+      // GlobalRank two-level passes — never a single-partition window
+      val ranked = GlobalRank.cumSum(
+        GlobalRank.rowNumber(counts, Seq(col("n").desc, col("tok")), "rk"),
+        Seq(col("n").desc, col("tok")), col("n"), "cum")
       val tot = counts.agg(sum(col("n")).as("tot"))
       ranked.crossJoin(broadcast(tot))
         .select(explode(sequence(lit(1), lit(9))).as("decile"),

@@ -326,6 +326,35 @@ class PlanPinSpec extends AnyFunSuite {
     assert(qs.size >= 279, s"inventory shrank: ${qs.size}")
   }
 
+  test("no gate windows a data-proportional frame through a single partition") {
+    // every global rank/cumsum/lead/lag in the gate surface rides
+    // GlobalRank's two-level prefix decomposition (bucket-partitioned
+    // windows + O(nBuckets) driver prefix) or TakeOrderedAndProject — a
+    // WindowExec with an empty partitionSpec ("No Partition Defined…
+    // Moving all data to a single partition") is a 100×-scale regression.
+    // These are the 16 gates rewritten off that path; any new SinglePartition
+    // exchange feeding a Window in them fails here.
+    val rewritten = Seq(
+      "txt75_spearman", "txt72_classifier_auc", "txt67_classifier_lift",
+      "q85_abc_analysis", "q108_value_deciles", "cdc39_hot_keys",
+      "cdc37_gap_detection", "q79_ks_drift", "q81_session_journeys",
+      "q87_wow_change", "q88_skyline", "q95_cumulative_audience",
+      "q109_max_drawdown", "txt54_vocab_coverage", "txt65_boilerplate_grams",
+      "txt77_bm25_search")
+    // precise check: a logical Window with an EMPTY partitionSpec is what
+    // plans the single-partition WindowExec (scalar-aggregate SinglePartition
+    // exchanges — one row per partition — are fine and expected)
+    for (name <- rewritten) {
+      val lp = SparkEntry.queries(name)(spark, dir).queryExecution.optimizedPlan
+      val bad = lp.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty,
+        s"$name windows a frame with no partition spec:\n${bad.mkString("\n")}")
+    }
+  }
+
   test("partitioning invariance: rank/window-heavy gates identical at 5 vs 32 shuffle partitions") {
     // the failure mode this guards: a nondeterministic tie-break or a
     // partial-agg that isn't commutative shows up as different rows under a

@@ -1,0 +1,139 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GlobalRank ≡ the single-partition window formulation, for every helper
+  * and across bucket counts (1, 3, 8, 64 — including buckets ≫ rows, so
+  * empty buckets and one-row buckets are exercised). The equivalence must
+  * hold for ANY nBuckets because only order-alignment of the range buckets
+  * is assumed; a boundary-placement dependence would show up here first.
+  */
+class GlobalRankSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // skewed values with duplicates (ties broken by id), plus a null value
+  private def df: DataFrame = {
+    val rows = (1L to 97L).map { i =>
+      (i, (i * 37 % 11).toDouble, if (i % 13 == 0) null
+        else java.math.BigDecimal.valueOf(i * 7 % 29).setScale(2))
+    }
+    rows.toDF("id", "v", "dec")
+  }
+
+  private val buckets = Seq(1, 3, 8, 64)
+
+  test("rowNumber matches row_number() over a total order, any nBuckets") {
+    val expect = df.select($"id",
+        row_number().over(Window.orderBy($"v".desc, $"id")).cast("long").as("rn"))
+      .orderBy($"id").collect().toSeq
+    for (b <- buckets) {
+      val got = GlobalRank.rowNumber(df, Seq($"v".desc, $"id"), "rn", b)
+        .select($"id", $"rn").orderBy($"id").collect().toSeq
+      assert(got == expect, s"nBuckets=$b")
+    }
+  }
+
+  test("rowNumber countCol is the exact row count literal") {
+    val out = GlobalRank.rowNumber(df, Seq($"id"), "rn", 8, Some("n"))
+    assert(out.select($"n").distinct().as[Long].collect().toSeq == Seq(97L))
+  }
+
+  test("cumSum matches SUM OVER ROWS UNBOUNDED PRECEDING — long, double, decimal") {
+    val w = Window.orderBy($"v".desc, $"id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    for (b <- buckets) {
+      // decimal (with nulls: sum skips them, bases coalesce them to zero)
+      val eDec = df.select($"id", sum($"dec").over(w).as("c"))
+        .orderBy($"id").collect().toSeq
+      val gDec = GlobalRank.cumSum(df, Seq($"v".desc, $"id"), $"dec", "c", b)
+        .select($"id", $"c").orderBy($"id").collect().toSeq
+      assert(gDec == eDec, s"decimal nBuckets=$b")
+      // long
+      val eL = df.select($"id", sum($"id").over(w).as("c"))
+        .orderBy($"id").collect().toSeq
+      val gL = GlobalRank.cumSum(df, Seq($"v".desc, $"id"), $"id", "c", b)
+        .select($"id", $"c").orderBy($"id").collect().toSeq
+      assert(gL == eL, s"long nBuckets=$b")
+    }
+  }
+
+  test("cumSum totalCol equals the grand total, type-stable") {
+    val out = GlobalRank.cumSum(df, Seq($"id"), $"dec", "c", 8, Some("tot"))
+    val direct = df.agg(sum($"dec")).collect()(0).getDecimal(0)
+    val tots = out.select($"tot").distinct().collect().map(_.getDecimal(0))
+    assert(tots.length == 1 && tots(0).compareTo(direct) == 0)
+    assert(out.schema("tot").dataType == out.schema("c").dataType)
+  }
+
+  test("cumMax matches MAX OVER — inclusive and exclusive, across types") {
+    val ord = Seq($"v".desc, $"id")
+    val wIn = Window.orderBy($"v".desc, $"id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wEx = Window.orderBy($"v".desc, $"id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    for (b <- buckets) {
+      val eIn = df.select($"id", max($"dec").over(wIn).as("m"))
+        .orderBy($"id").collect().toSeq
+      val gIn = GlobalRank.cumMax(df, ord, $"dec", "m", b)
+        .select($"id", $"m").orderBy($"id").collect().toSeq
+      assert(gIn == eIn, s"inclusive nBuckets=$b")
+      val eEx = df.select($"id", max($"id").over(wEx).as("m"))
+        .orderBy($"id").collect().toSeq
+      val gEx = GlobalRank.cumMax(df, ord, $"id", "m", b, exclusive = true)
+        .select($"id", $"m").orderBy($"id").collect().toSeq
+      assert(gEx == eEx, s"exclusive nBuckets=$b")
+    }
+  }
+
+  test("lead1 matches lead(col,1) incl. the cross-bucket handoff rows") {
+    val sparse = df.filter($"id" % 7 =!= 0).select($"id")
+    val expect = sparse
+      .select($"id", lead($"id", 1).over(Window.orderBy($"id")).as("nxt"))
+      .orderBy($"id").collect().toSeq
+    for (b <- buckets) {
+      val got = GlobalRank.lead1(sparse, "id", "nxt", b)
+        .select($"id", $"nxt").orderBy($"id").collect().toSeq
+      assert(got == expect, s"nBuckets=$b")
+    }
+  }
+
+  test("lag1 matches lag(value,1) incl. the cross-bucket handoff rows") {
+    val base = df.select($"id", ($"id" * 3).as("val"))
+    val expect = base
+      .select($"id", lag($"val", 1).over(Window.orderBy($"id")).as("p"))
+      .orderBy($"id").collect().toSeq
+    for (b <- buckets) {
+      val got = GlobalRank.lag1(base, "id", $"val", "p", b)
+        .select($"id", $"p").orderBy($"id").collect().toSeq
+      assert(got == expect, s"nBuckets=$b")
+    }
+  }
+
+  test("empty frame: all helpers return empty, no failure") {
+    val e = df.filter($"id" < 0)
+    assert(GlobalRank.rowNumber(e, Seq($"id"), "rn").count() == 0)
+    assert(GlobalRank.cumSum(e, Seq($"id"), $"id", "c").count() == 0)
+    assert(GlobalRank.cumMax(e, Seq($"id"), $"id", "m").count() == 0)
+    assert(GlobalRank.lead1(e.select($"id"), "id", "n").count() == 0)
+    assert(GlobalRank.lag1(e, "id", $"id", "p").count() == 0)
+  }
+
+  test("plans stay bucket-partitioned: no SinglePartition exchange") {
+    for (out <- Seq(
+        GlobalRank.rowNumber(df, Seq($"v".desc, $"id"), "rn", 8),
+        GlobalRank.cumSum(df, Seq($"id"), $"dec", "c", 8),
+        GlobalRank.cumMax(df, Seq($"id"), $"id", "m", 8),
+        GlobalRank.lead1(df.select($"id"), "id", "nxt", 8),
+        GlobalRank.lag1(df, "id", $"id", "p", 8))) {
+      val p = out.queryExecution.executedPlan.toString
+      assert(!p.contains("SinglePartition"), p)
+      assert(p.contains("Window"), "two-level form still uses a bucket window")
+    }
+  }
+}
