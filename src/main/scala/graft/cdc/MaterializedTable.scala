@@ -661,13 +661,29 @@ object MaterializedTable {
     require(fromV < toV, s"fromV ($fromV) must precede toV ($toV)")
     val before = readVersion(spark, dir, fromV)
     val after = readVersion(spark, dir, toV)
-    val payload = before.columns.filterNot(keyCols.contains)
-      .intersect(after.columns).toSeq
+    // payload = the UNION of both snapshots' columns, so the feed stays
+    // correct across schema evolution inside the window: a column ADDED
+    // between fromV and toV reads as null on the before side (and a key
+    // whose only change is gaining a value in it is correctly an update —
+    // an intersection would silently classify it unchanged); a column
+    // DROPPED from the incoming batches reads null on the after side.
+    // Types resolve from whichever snapshot carries the column.
+    val beforeCols = before.columns.filterNot(keyCols.contains).toSeq
+    val afterCols = after.columns.filterNot(keyCols.contains).toSeq
+    val payload = beforeCols ++ afterCols.filterNot(beforeCols.contains)
+    def payloadStruct(df: DataFrame, as: String) = {
+      val have = df.columns.toSet
+      struct(payload.map(c =>
+        if (have.contains(c)) col(c)
+        else lit(null).cast(
+          (if (beforeCols.contains(c)) before else after).schema(c).dataType)
+          .as(c)): _*).as(as)
+    }
     val a = before.select(
-      (keyCols.map(col) :+ struct(payload.map(col): _*).as("_b") :+
+      (keyCols.map(col) :+ payloadStruct(before, "_b") :+
         lit(1).as("_inA")): _*)
     val b = after.select(
-      (keyCols.map(col) :+ struct(payload.map(col): _*).as("_a") :+
+      (keyCols.map(col) :+ payloadStruct(after, "_a") :+
         lit(1).as("_inB")): _*)
     a.join(b, keyCols, "full_outer")
       .withColumn("op",
@@ -1094,6 +1110,12 @@ object MaterializedTable {
       .asInstanceOf[org.apache.spark.sql.types.StructType])
   }
 
+  /** The committed bucket count, for writers that must match the layout
+    * (absent or pre-layout manifests answer None).
+    */
+  def numBucketsOf(spark: SparkSession, dir: String): Option[Int] =
+    readManifest(spark, dir).map(_.numBuckets).filter(_ > 0)
+
   /** METADATA-ONLY aggregate: total rows plus, for every column with
     * complete stats coverage (present in EVERY non-empty bucket's stats),
     * the global min/max/null-count — folded from the manifest on the
@@ -1109,11 +1131,17 @@ object MaterializedTable {
     val zone = spark.sessionState.conf.sessionLocalTimeZone
     val live = m.buckets.keys.toSeq.sorted
     val stats = live.flatMap(m.stats.get)
-    val totalRows =
-      if (live.forall(m.stats.contains)) Some(stats.map(_.rows).sum) else None
-    val covered = stats.flatMap(_.cols.keys).distinct.sorted
-      .filter(c => stats.forall(_.cols.contains(c)))
-      .filter(c => schema.exists(_.name == c))
+    // full coverage means EVERY live bucket has a stats entry — a bucket
+    // with no BucketStats at all (manifest written before stats landed)
+    // must disqualify column extremes exactly as it does totalRows;
+    // checking only buckets that HAVE stats would answer min/max wrong
+    val fullCoverage = live.forall(m.stats.contains)
+    val totalRows = if (fullCoverage) Some(stats.map(_.rows).sum) else None
+    val covered =
+      if (!fullCoverage) Nil
+      else stats.flatMap(_.cols.keys).distinct.sorted
+        .filter(c => stats.forall(_.cols.contains(c)))
+        .filter(c => schema.exists(_.name == c))
     val fold = covered.map { c =>
       val dt = schema.find(_.name == c).get.dataType
       val cs = stats.map(_.cols(c))

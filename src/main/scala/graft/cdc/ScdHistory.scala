@@ -125,9 +125,13 @@ object ScdHistory {
     * `readHistory(dir) ∪ openVersions(latest)` — closed versions from
     * immutable append-only storage, open versions from the compacted present.
     */
-  def foldToHistory(closed: Dataset[ClosedVersion], dir: String): Unit = {
+  def foldToHistory(closed: Dataset[ClosedVersion], dir: String,
+      checkpointLocation: Option[String] = None): Unit = {
     val spark = closed.sparkSession
-    val ckpt = java.nio.file.Files.createTempDirectory("scd2fold").toString
+    // deterministic checkpoint under the history dir: batch ids stay
+    // monotonic across invocations (a fresh temp checkpoint would restart
+    // at _batch=0 and dynamically overwrite prior closed versions)
+    val ckpt = checkpointLocation.getOrElse(s"$dir/_graft_checkpoint")
     val q = closed.toDF().writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         foldHistory(spark, dir, batch, id)

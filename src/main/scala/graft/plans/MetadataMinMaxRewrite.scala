@@ -28,13 +28,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *     `MIN(col)` / `MAX(col)` (no DISTINCT/FILTER), with at least one
   *     MIN/MAX (pure counts belong to [[MetadataCountRewrite]]);
   *   - directly over a bare parquet scan (any Filter disables it);
-  *   - column types where parquet footer order provably equals Spark's:
-  *     INT32/INT64 (signed, = Int/Long/Date), BINARY-UTF8 (parquet-mr
-  *     already drops legacy wrong-order binary stats, and its unsigned
-  *     lexicographic order IS UTF8String's byte order). Float/double
-  *     stand down — NaN-polluted legacy stats are undetectable; decimals,
-  *     timestamps, and nested paths stand down; PARTITION columns stand
-  *     down (they are not in footers);
+  *   - column types where parquet footer values are provably EXACT, not
+  *     just ordering-valid: INT32/INT64 (signed, = Int/Long/Date).
+  *     BINARY-UTF8 stands down — writers may TRUNCATE binary min/max
+  *     (parquet-mr's parquet.statistics.truncate.length, Arrow) and the
+  *     Statistics struct carries no exactness flag, so a footer string can
+  *     be a bound that never occurs in the data (fine for pruning, wrong
+  *     for answering MIN/MAX verbatim). Float/double stand down —
+  *     NaN-polluted legacy stats are undetectable; decimals, timestamps,
+  *     and nested paths stand down; PARTITION columns stand down (they
+  *     are not in footers);
   *   - every row group must carry usable statistics: min/max present, or
   *     a null count proving the chunk is entirely null. Any chunk with
   *     absent/invalid stats disables the rewrite (never guess).
@@ -55,7 +58,7 @@ object MetadataMinMaxRewrite extends Rule[LogicalPlan] {
       extends Spec
 
   private def supported(dt: DataType): Boolean = dt match {
-    case IntegerType | LongType | StringType | DateType => true
+    case IntegerType | LongType | DateType => true
     case _ => false
   }
 

@@ -29,7 +29,9 @@ import graft.cdc.MaterializedTable
   * bare path cannot.
   */
 class GraftTableSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider
+    with DataSourceRegister {
   override def shortName(): String = "graft"
 
   private def pathOf(parameters: Map[String, String]): String =
@@ -40,6 +42,29 @@ class GraftTableSource extends RelationProvider
   override def createRelation(ctx: SQLContext,
       parameters: Map[String, String]): BaseRelation =
     new GraftTableRelation(ctx, pathOf(parameters))
+
+  /** STREAMING write face — `df.writeStream.format("graft")
+    * .option("keys", "k1,k2").option("checkpointLocation", …).start(dir)`:
+    * every micro-batch lands as one exactly-once merge, no foreachBatch
+    * plumbing. The foreachBatch id IS the merge watermark (batch-id-
+    * guarded), so an at-least-once sink callback converges — the
+    * GroupCommitStream discipline as a declared sink.
+    *
+    * Options: `keys` (required on a first write; later writes inherit and
+    * REJECT a mismatch), `opCol` (absent ⇒ every row upserts), `orderCols`
+    * (absent ⇒ the BATCH id orders versions: later micro-batches beat
+    * earlier ones, last-writer-wins at batch granularity — replay-stable
+    * because a replayed batch re-derives the same sequence), `numBuckets`,
+    * `statsCols`.
+    */
+  override def createSink(ctx: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(partitionColumns.isEmpty,
+      "graft sink buckets by key columns; partitionBy is not supported")
+    new GraftStreamSink(ctx, pathOf(parameters), parameters)
+  }
 
   /** WRITE face — `df.write.format("graft").option("keys", "k1,k2")
     * .mode(...).save(dir)`: the DataFrame lands as an UPSERT batch through
@@ -69,6 +94,34 @@ class GraftTableSource extends RelationProvider
     if (exists && mode == ErrorIfExists)
       throw new IllegalStateException(s"graft table already exists at $dir")
     if (exists && mode == Ignore) return new GraftTableRelation(ctx, dir)
+    // resolve + validate EVERY option BEFORE any destructive action: an
+    // Overwrite without .option("keys") inherits the committed layout, and
+    // a bad option (missing keys on a fresh dir, malformed numBuckets,
+    // Append layout mismatch) must throw while the committed table is
+    // still intact — never after the delete
+    val committedKeys =
+      if (exists) Some(MaterializedTable.keyLayout(spark, dir)._1) else None
+    val keys = parameters.get("keys").map(_.split(",").map(_.trim).toSeq)
+      .orElse(committedKeys)
+      .getOrElse(throw new IllegalArgumentException(
+        "first write needs .option(\"keys\", \"k1,k2\")"))
+    if (exists && mode != Overwrite) {
+      // Append must match the committed layout; Overwrite may re-layout
+      require(keys == committedKeys.get,
+        s"keys ${keys.mkString(",")} do not match the table's committed " +
+          s"layout (${committedKeys.get.mkString(",")})")
+    }
+    // absent numBuckets inherits the committed layout on Append (merge
+    // rejects a mismatch); Overwrite re-layouts, so it defaults fresh
+    val numBuckets = parameters.get("numBuckets").map(_.toInt)
+      .orElse(if (exists && mode != Overwrite)
+        MaterializedTable.numBucketsOf(spark, dir) else None)
+      .getOrElse(64)
+    val statsCols = parameters.get("statsCols")
+      .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
+    val opCol = parameters.get("opCol")
+    val orderCols = parameters.get("orderCols")
+      .map(_.split(",").map(_.trim).toSeq)
     if (exists && mode == Overwrite) {
       val (fs, p) = {
         val hp = new org.apache.hadoop.fs.Path(dir)
@@ -76,25 +129,6 @@ class GraftTableSource extends RelationProvider
       }
       fs.delete(p, true)
     }
-    val fresh = !MaterializedTable.exists(spark, dir)
-    val keys = parameters.get("keys").map(_.split(",").map(_.trim).toSeq)
-      .getOrElse {
-        if (fresh) throw new IllegalArgumentException(
-          "first write needs .option(\"keys\", \"k1,k2\")")
-        else MaterializedTable.keyLayout(spark, dir)._1
-      }
-    if (!fresh) {
-      val committed = MaterializedTable.keyLayout(spark, dir)._1
-      require(keys == committed,
-        s"keys ${keys.mkString(",")} do not match the table's committed " +
-          s"layout (${committed.mkString(",")})")
-    }
-    val numBuckets = parameters.get("numBuckets").map(_.toInt).getOrElse(64)
-    val statsCols = parameters.get("statsCols")
-      .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
-    val opCol = parameters.get("opCol")
-    val orderCols = parameters.get("orderCols")
-      .map(_.split(",").map(_.trim).toSeq)
     // synthetic write sequence when no order columns are given: strictly
     // above every committed version, so this save()'s rows beat prior
     // state — last-writer-wins at WRITE granularity
@@ -158,5 +192,63 @@ class GraftTableRelation(ctx: SQLContext, dir: String)
       if (requiredColumns.isEmpty) base.select()
       else base.select(requiredColumns.map(col).toIndexedSeq: _*)
     projected.rdd
+  }
+}
+
+/** V1 streaming sink: each micro-batch is one [[MaterializedTable.merge]]
+  * with the batch id as the exactly-once watermark. First write resolves
+  * layout exactly like the batch write face (keys required, later batches
+  * inherit + validate).
+  */
+class GraftStreamSink(ctx: SQLContext, dir: String,
+    parameters: Map[String, String])
+    extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def addBatch(batchId: Long,
+      data: org.apache.spark.sql.DataFrame): Unit = {
+    val spark = ctx.sparkSession
+    // a streaming-tagged frame cannot feed batch writers directly; rebind
+    // the rows under a batch frame (the standard V1 sink move — the rows
+    // are already computed for this micro-batch)
+    val batch = org.apache.spark.sql.GraftShims.asBatchDataFrame(data)
+    val exists = MaterializedTable.exists(spark, dir)
+    val keys = parameters.get("keys").map(_.split(",").map(_.trim).toSeq)
+      .getOrElse {
+        if (!exists) throw new IllegalArgumentException(
+          "first write needs .option(\"keys\", \"k1,k2\")")
+        else MaterializedTable.keyLayout(spark, dir)._1
+      }
+    if (exists) {
+      val committed = MaterializedTable.keyLayout(spark, dir)._1
+      require(keys == committed,
+        s"keys ${keys.mkString(",")} do not match the table's committed " +
+          s"layout (${committed.mkString(",")})")
+    }
+    // absent numBuckets inherits the committed layout (merge rejects a
+    // mismatch, so a defaulted 64 would break every non-64 table on resume)
+    val numBuckets = parameters.get("numBuckets").map(_.toInt)
+      .orElse(if (exists) MaterializedTable.numBucketsOf(spark, dir) else None)
+      .getOrElse(64)
+    val statsCols = parameters.get("statsCols")
+      .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
+    val opCol = parameters.get("opCol")
+    val orderCols = parameters.get("orderCols")
+      .map(_.split(",").map(_.trim).toSeq)
+    // no order columns ⇒ the batch id orders versions: later micro-batches
+    // beat earlier ones, and a REPLAYED batch re-derives the same sequence
+    // (deterministic under the at-least-once callback; the merge watermark
+    // makes it a no-op anyway)
+    val (base, ord) = orderCols match {
+      case Some(oc) => (batch, oc)
+      case None => (batch.withColumn("_graft_seq", lit(batchId)),
+        Seq("_graft_seq"))
+    }
+    val (df, op) = opCol match {
+      case Some(c) => (base, c)
+      case None => (base.withColumn("_graft_op", lit("insert")), "_graft_op")
+    }
+    MaterializedTable.merge(spark, dir, df, keys, ord, op, numBuckets,
+      batchId = Some(batchId), statsCols = statsCols)
+    ()
   }
 }

@@ -31,11 +31,20 @@ import graft.cdc.TableGroup
   */
 object GroupCommitStream {
 
+  /** `checkpointLocation` defaults to a deterministic path UNDER the group
+    * root (underscore-prefixed, invisible to readers), so a second run()
+    * on the same rootDir resumes with MONOTONIC batch ids: a fresh temp
+    * checkpoint would restart ids at 0 and TableGroup's persisted root
+    * watermark (`lastBatchId >= batchId`) would silently swallow the early
+    * batches — data dropped with no error. Callers wanting isolation pass
+    * their own path.
+    */
   def run(changelog: DataFrame, rootDir: String,
       members: DataFrame => Seq[TableGroup.TableBatch],
-      orderCols: Seq[String], numBuckets: Int = 64): Unit = {
+      orderCols: Seq[String], numBuckets: Int = 64,
+      checkpointLocation: Option[String] = None): Unit = {
     val spark = changelog.sparkSession
-    val ckpt = java.nio.file.Files.createTempDirectory("grpstream").toString
+    val ckpt = checkpointLocation.getOrElse(s"$rootDir/_graft_checkpoint")
     val q = changelog.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         // one cross-table transaction per micro-batch; the batch frame is

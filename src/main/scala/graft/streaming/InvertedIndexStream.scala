@@ -38,9 +38,15 @@ object InvertedIndexStream {
   /** Drive `changelog` (op, doc_id, lsn, text) to completion
     * (AvailableNow), folding each micro-batch into the segmented index at
     * `dir`.
+    *
+    * The checkpoint defaults to a deterministic path UNDER `dir` so a
+    * second maintain() resumes with monotonic batch ids — a fresh temp
+    * checkpoint would restart ids at 0 and dynamically overwrite the prior
+    * run's `seg=0` partitions (silent segment loss).
     */
-  def maintain(changelog: DataFrame, dir: String, nBuckets: Int = 8): Unit = {
-    val ckpt = java.nio.file.Files.createTempDirectory("ixstream").toString
+  def maintain(changelog: DataFrame, dir: String, nBuckets: Int = 8,
+      checkpointLocation: Option[String] = None): Unit = {
+    val ckpt = checkpointLocation.getOrElse(s"$dir/_graft_checkpoint")
     val q = changelog.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         foldBatch(batch, dir, id, nBuckets)
@@ -69,6 +75,14 @@ object InvertedIndexStream {
       .partitionBy("seg", "tbucket").parquet(s"$dir/segments")
     dyn(latest.select(col("doc_id")).withColumn("seg", lit(batchId)))
       .partitionBy("seg").parquet(s"$dir/tombs")
+    // per-doc token lengths ride the same segment/tombstone lifecycle —
+    // BM25's length normalization reads O(live docs), never re-derives
+    // lengths from an O(postings) segment scan
+    dyn(alive.select(col("doc_id"),
+        size(filter(split(col("text"), " "), t => t =!= "")).cast("long")
+          .as("dlen"))
+        .withColumn("seg", lit(batchId)))
+      .partitionBy("seg").parquet(s"$dir/doclens")
     // self-describing artifact (the save()/load() meta discipline)
     import spark.implicits._
     Seq(nBuckets).toDF("n_buckets")
@@ -80,23 +94,56 @@ object InvertedIndexStream {
     * tombstone anti-join, then the shared adjacency core.
     */
   def searchPhrase(spark: SparkSession, dir: String, phrase: String): DataFrame = {
-    import spark.implicits._
     val qtoks = phrase.split(" ").filter(_.nonEmpty).toSeq
     require(qtoks.nonEmpty, "empty phrase")
+    InvertedIndex.phraseMatches(livePostings(spark, dir, qtoks), qtoks)
+  }
+
+  /** BM25-ranked retrieval over the maintained index — the batch index's
+    * searchRanked THROUGH segments + tombstones: pruned live posting slice
+    * and live doc lengths both resolve via the segment-scoped tombstone
+    * anti-join, then the shared integer-exact scoring core ranks top-`k`.
+    * The reference names a search index as CDC's first consumer
+    * (README.md:30-32); this is that consumer's query face staying
+    * correct under churn.
+    */
+  def searchRanked(spark: SparkSession, dir: String, query: String,
+      k: Int): DataFrame = {
+    val qtoks = query.split(" ").filter(_.nonEmpty).distinct.toSeq
+    require(qtoks.nonEmpty, "empty query")
+    val docLens = minusTombstoned(spark, dir,
+      spark.read.parquet(s"$dir/doclens"))
+      .select(col("doc_id"), col("dlen"))
+    InvertedIndex.bm25TopK(livePostings(spark, dir, qtoks), docLens, k)
+  }
+
+  /** Pruned live posting slice for `qtoks`: literal-isin bucket pruning
+    * (same Catalyst murmur3 as the build), then the tombstone anti-join.
+    */
+  private def livePostings(spark: SparkSession, dir: String,
+      qtoks: Seq[String]): DataFrame = {
+    import spark.implicits._
     val nBuckets = spark.read.parquet(s"$dir/meta").head().getInt(0)
     val buckets = qtoks.distinct.toDF("token")
       .select(pmod(hash(col("token")), lit(nBuckets)).as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val p = spark.read.parquet(s"$dir/segments")
+    minusTombstoned(spark, dir, spark.read.parquet(s"$dir/segments")
       .filter(col("tbucket").isin(buckets: _*))
-      .filter(col("token").isin(qtoks.distinct: _*))
+      .filter(col("token").isin(qtoks.distinct: _*)))
+  }
+
+  /** A segment row is live iff no tombstone (same doc, NEWER segment)
+    * exists — a batch's own append outlives its own tombstone.
+    */
+  private def minusTombstoned(spark: SparkSession, dir: String,
+      segRows: DataFrame): DataFrame = {
     val tombs = spark.read.parquet(s"$dir/tombs")
       .select(col("doc_id"), col("seg").as("t_seg"))
     // no broadcast hint: the tombstone set scales with churn (the r3
     // broadcast-audit rule — AQE still broadcasts it while it measures
     // small, and degrades to a hash anti-join when it doesn't)
-    val live = p.join(tombs,
-        p("doc_id") === tombs("doc_id") && col("t_seg") > p("seg"), "left_anti")
-    InvertedIndex.phraseMatches(live, qtoks)
+    segRows.join(tombs,
+      segRows("doc_id") === tombs("doc_id") && col("t_seg") > segRows("seg"),
+      "left_anti")
   }
 }

@@ -52,9 +52,13 @@ object LookupEnrich {
     * idempotently under `outDir/_batch=<id>`.
     */
   def enrichToDir(probe: DataFrame, dimDir: String, outDir: String,
-      probeKeyCols: Seq[String]): Unit = {
+      probeKeyCols: Seq[String],
+      checkpointLocation: Option[String] = None): Unit = {
     val spark = probe.sparkSession
-    val ckpt = java.nio.file.Files.createTempDirectory("lkenrich").toString
+    // deterministic checkpoint under the output dir: batch ids stay
+    // monotonic across invocations, so a second run can never dynamically
+    // overwrite a prior run's _batch=0 partition with fresh ids
+    val ckpt = checkpointLocation.getOrElse(s"$outDir/_graft_checkpoint")
     val q = probe.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         enrichBatch(spark, dimDir, batch, probeKeyCols)

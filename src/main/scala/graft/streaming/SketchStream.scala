@@ -28,8 +28,13 @@ object SketchStream {
     * HLL sketches of `valueCol` into `tableDir`.
     */
   def foldSketches(stream: DataFrame, groupCol: String, valueCol: String,
-      tableDir: String): Unit = {
-    val ckpt = java.nio.file.Files.createTempDirectory("sketchfold").toString
+      tableDir: String, checkpointLocation: Option[String] = None): Unit = {
+    // sketch union is replay-idempotent, so a fresh checkpoint is CORRECT
+    // here — but a deterministic one means a second run() folds only NEW
+    // files instead of re-reading the whole source. SIBLING of tableDir
+    // (like the .tmp swap dir), never inside: foldOnce overwrites the
+    // standing dir wholesale each batch
+    val ckpt = checkpointLocation.getOrElse(s"$tableDir._graft_checkpoint")
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         foldOnce(batch, groupCol, valueCol, tableDir)

@@ -157,6 +157,26 @@ class MaterializedStatsSpec extends AnyFunSuite {
     assert(s2.getAs[Long]("rows") == 3 && s2.getAs[Long]("max_v") == 30L)
   }
 
+  test("statsSummary omits ALL column stats when any live bucket lacks a stats entry") {
+    val dir = tmp("graft_stats_guard")
+    seed(dir)
+    val before = MaterializedTable.statsSummary(spark, dir).collect()(0)
+    assert(before.getAs[Long]("rows") == 8 && !before.isNullAt(
+      before.fieldIndex("min_v")))
+    // simulate a manifest written before a bucket's stats landed: drop ONE
+    // live bucket's entire BucketStats. Column extremes computed over the
+    // remaining buckets would be WRONG (the dropped bucket may hold the
+    // true min/max) — the guard must omit them, exactly like totalRows.
+    val m = MaterializedTable.readManifest(spark, dir).get
+    val victim = m.buckets.keys.head
+    MaterializedTable.writeManifest(spark, dir,
+      m.copy(version = m.version + 1, stats = m.stats - victim))
+    val after = MaterializedTable.statsSummary(spark, dir)
+    assert(after.columns.toSeq == Seq("rows"),
+      s"partial coverage must omit column stats: ${after.columns.mkString(",")}")
+    assert(after.collect()(0).isNullAt(0), "rows unknown under partial stats")
+  }
+
   test("stats survive compact() and ride along on restore()") {
     import spark.implicits._
     val dir = tmp("graft_stats6")

@@ -102,6 +102,34 @@ class GraftTableSourceSpec extends AnyFunSuite {
       .select("id", "s").as[(Long, String)].collect().toSeq == Seq((7L, "x")))
   }
 
+  test("overwrite validates BEFORE destroying: bad options leave the table intact; keys inherit") {
+    val dir = java.nio.file.Files.createTempDirectory("gsrc7").toString + "/t"
+    Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
+      .write.format("graft").option("keys", "k").save(dir)
+    def state() = spark.read.format("graft").load(dir)
+      .select("k", "v").as[(String, Long)].collect().toMap
+    // malformed numBuckets must throw while the committed table still reads
+    intercept[NumberFormatException] {
+      Seq(("x", 9L)).toDF("k", "v").write.format("graft")
+        .option("keys", "k").option("numBuckets", "not-a-number")
+        .mode("overwrite").save(dir)
+    }
+    assert(state() == Map("a" -> 1L, "b" -> 2L),
+      "failed option validation must not destroy the committed table")
+    // overwrite WITHOUT .option('keys') inherits the committed layout
+    Seq(("c", 3L)).toDF("k", "v")
+      .write.format("graft").mode("overwrite").save(dir)
+    assert(state() == Map("c" -> 3L))
+    assert(MaterializedTable.keyLayout(spark, dir)._1 == Seq("k"))
+    // a FRESH dir still requires keys, and nothing is left behind on failure
+    val fresh = java.nio.file.Files.createTempDirectory("gsrc8").toString + "/t"
+    intercept[IllegalArgumentException] {
+      Seq(("a", 1L)).toDF("k", "v").write.format("graft")
+        .mode("overwrite").save(fresh)
+    }
+    assert(!MaterializedTable.exists(spark, fresh))
+  }
+
   test("write face: explicit order columns rank row versions within and across writes") {
     val dir = java.nio.file.Files.createTempDirectory("gsrc6").toString + "/t"
     Seq(("a", 5L, 100L), ("a", 9L, 900L), ("a", 7L, 700L))
@@ -116,6 +144,56 @@ class GraftTableSourceSpec extends AnyFunSuite {
       .write.format("graft").option("keys", "k").option("orderCols", "ts")
       .mode("append").save(dir)
     assert(va() == 900L)
+  }
+
+  test("writeStream.format('graft'): per-batch exactly-once merges; restart resumes; replay no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("gsink").toString
+    val (tbl, src, ck) = (s"$dir/t", s"$dir/src", s"$dir/ck")
+    def stage(i: Int, rows: (String, String, Long, Long)*): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"gsinkb$i").toString
+      rows.toSeq.toDF("op", "k", "lsn", "v").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(src, s"b$i.parquet")
+      new java.io.File(src).mkdirs()
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + i * 60000L); ()
+    }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "op STRING, k STRING, lsn BIGINT, v BIGINT")
+    def drive(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .writeStream.format("graft")
+        .option("keys", "k").option("opCol", "op")
+        .option("orderCols", "lsn").option("numBuckets", "2")
+        .option("checkpointLocation", ck)
+        .start(tbl)
+      try q.processAllAvailable() finally q.stop()
+    }
+    stage(0, ("insert", "a", 1L, 10L), ("insert", "b", 2L, 20L))
+    stage(1, ("update", "a", 3L, 11L), ("delete", "b", 4L, 0L))
+    drive()
+    def state() = spark.read.format("graft").load(tbl)
+      .select("k", "v").as[(String, Long)].collect().toMap
+    assert(state() == Map("a" -> 11L))
+    // restart with NEW files: the deterministic checkpoint resumes with
+    // monotonic ids — new data lands, nothing re-folds
+    stage(2, ("insert", "c", 5L, 30L))
+    drive()
+    assert(state() == Map("a" -> 11L, "c" -> 30L))
+    // replay from a FRESH checkpoint with poisoned payloads: every batch id
+    // is at-or-below the merge watermark — whole drive is a no-op
+    val q2 = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .writeStream.format("graft")
+      .option("keys", "k").option("opCol", "op").option("orderCols", "lsn")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("gsinkck2").toString)
+      .start(tbl)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(state() == Map("a" -> 11L, "c" -> 30L))
   }
 
   test("plain SQL over a temp view gets the same skipping") {

@@ -49,9 +49,11 @@ class GroupCommitStreamSpec extends AnyFunSuite {
       assert(t == Set(("a", "x"), ("b", "y"), ("c", "z"))) // upsert-only member
       assert(TableGroup.readRoot(spark, root).get.lastBatchId >= 2)
 
-      // REPLAY: the same stream from a FRESH checkpoint (batch ids restart
-      // at 0) with poisoned payloads — every group commit is a watermark
-      // no-op, state multiset-unchanged
+      // REPLAY: the same stream from an EXPLICIT fresh checkpoint (batch
+      // ids restart at 0) with poisoned payloads — every group commit is a
+      // watermark no-op, state multiset-unchanged. (The DEFAULT checkpoint
+      // now lives under the root and would resume, not replay — see the
+      // monotonic-resume test below.)
       val before = TableGroup.read(spark, root, "by_user").collect().toSeq
       val poisonedDir = s"$dir/poison"
       stage(poisonedDir, Seq(("update", "a", 1L, -999L, "P")), 0)
@@ -59,7 +61,8 @@ class GroupCommitStreamSpec extends AnyFunSuite {
       val pStream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$poisonedDir/f*")
       GroupCommitStream.run(pStream, root, members, Seq("lsn", "seq"),
-        numBuckets = 4)
+        numBuckets = 4, checkpointLocation = Some(
+          java.nio.file.Files.createTempDirectory("gcs1fresh").toString))
       val after = TableGroup.read(spark, root, "by_user").collect().toSeq
       assert(before.toSet == after.toSet && before.size == after.size,
         "fresh-checkpoint replay must fold nothing")
