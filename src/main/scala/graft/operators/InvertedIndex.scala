@@ -191,32 +191,44 @@ object InvertedIndex {
     def searchRanked(query: String, k: Int): DataFrame = {
       val qtoks = query.split(" ").filter(_.nonEmpty).distinct.toSeq
       require(qtoks.nonEmpty, "empty query")
-      val tf = postingsFor(qtoks)
-        .groupBy(col("token"), col("doc_id")).agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-      val stats = docLens.agg(count(lit(1)).as("n"),
-        sum(col("dlen")).as("total"))
-      val term = tf.join(df, Seq("token")).join(docLens, Seq("doc_id"))
-        .crossJoin(broadcast(stats))
-        .withColumn("s",
-          ((lit(2L) * col("n") - lit(2L) * col("df") + lit(1L)) *
-            lit(44L) * col("tf") * col("total")).cast("double") /
-          ((lit(2L) * col("df") + lit(1L)) *
-            (lit(20L) * col("tf") * col("total") + lit(6L) * col("total") +
-              lit(18L) * col("dlen") * col("n"))).cast("double"))
-      // top-k via orderBy+limit (TakeOrderedAndProject: per-partition heaps,
-      // driver merge of k·partitions rows), THEN rank the ≤k survivors with
-      // GlobalRank's bucket-partitioned window — the candidate frame
-      // (≤ Σ df(token)) never moves to a single partition
-      val scored = term.groupBy(col("doc_id"))
-        .agg(aggregate(
-          array_sort(collect_list(struct(col("token"), col("s")))),
-          lit(0.0), (acc, x) => acc + x.getField("s")).as("score"))
-        .orderBy(col("score").desc, col("doc_id")).limit(k)
-      GlobalRank.rowNumber(scored,
-          Seq(col("score").desc, col("doc_id")), "rank", nBuckets = 4)
-        .withColumn("rank", col("rank").cast("int"))
+      bm25TopK(postingsFor(qtoks), docLens, k)
     }
+  }
+
+  /** Shared BM25 core over ANY live posting slice + doc-length relation —
+    * the batch index and the streaming segment index (which derives both
+    * inputs through its tombstone anti-join) rank through the SAME plan.
+    * `queryPostings` must already be restricted to the query's tokens and
+    * to live docs; `docLens` is the full live (doc_id, dlen) relation.
+    * Output: top-`k` (doc_id, score, rank) by (score DESC, doc_id).
+    */
+  private[graft] def bm25TopK(queryPostings: DataFrame, docLens: DataFrame,
+      k: Int): DataFrame = {
+    val tf = queryPostings
+      .groupBy(col("token"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val stats = docLens.agg(count(lit(1)).as("n"),
+      sum(col("dlen")).as("total"))
+    val term = tf.join(df, Seq("token")).join(docLens, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("s",
+        ((lit(2L) * col("n") - lit(2L) * col("df") + lit(1L)) *
+          lit(44L) * col("tf") * col("total")).cast("double") /
+        ((lit(2L) * col("df") + lit(1L)) *
+          (lit(20L) * col("tf") * col("total") + lit(6L) * col("total") +
+            lit(18L) * col("dlen") * col("n"))).cast("double"))
+    // top-k via orderBy+limit (TakeOrderedAndProject: per-partition heaps,
+    // driver merge of k·partitions rows), THEN rank the ≤k survivors with
+    // GlobalRank's bucket-partitioned window — the candidate frame
+    // (≤ Σ df(token)) never moves to a single partition
+    val scored = term.groupBy(col("doc_id"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("token"), col("s")))),
+        lit(0.0), (acc, x) => acc + x.getField("s")).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+    GlobalRank.rowNumber(scored,
+        Seq(col("score").desc, col("doc_id")), "rank", nBuckets = 4)
+      .withColumn("rank", col("rank").cast("int"))
   }
 
   def load(spark: SparkSession, dir: String): Index = {

@@ -24,4 +24,17 @@ object GraftShims {
       df.asInstanceOf[classic.Dataset[Row]].queryExecution.toRdd,
       df.schema, isStreaming = true)
   }
+
+  /** The inverse: a streaming-tagged micro-batch frame (what a V1
+    * `Sink.addBatch` receives) re-bound as a BATCH DataFrame, so batch
+    * writers can consume it. Rows are copied out of the unsafe buffers the
+    * streaming plan reuses.
+    */
+  def asBatchDataFrame(df: DataFrame): DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(
+      df.asInstanceOf[classic.Dataset[Row]].queryExecution.toRdd
+        .map(_.copy()),
+      df.schema, isStreaming = false)
+  }
 }

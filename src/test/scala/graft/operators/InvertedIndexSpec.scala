@@ -144,6 +144,43 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(all() == want)
   }
 
+  test("stream searchRanked through segments+tombstones ≡ batch index on the churned corpus") {
+    import spark.implicits._
+    import graft.streaming.InvertedIndexStream
+    val docs = graft.Tables.documents(spark, dir)
+    val ixDir = java.nio.file.Files.createTempDirectory("ix_segrk").toString + "/ix"
+    // churn: insert all → update %3 reversed → delete %5 (txt82's drive)
+    InvertedIndexStream.foldBatch(
+      docs.select(lit("insert").as("op"), col("doc_id"),
+        col("doc_id").as("lsn"), col("text")), ixDir, 0L, nBuckets = 4)
+    InvertedIndexStream.foldBatch(
+      docs.filter(col("doc_id") % 3 === 0)
+        .select(lit("update").as("op"), col("doc_id"),
+          (col("doc_id") + 1000000L).as("lsn"), reverse(col("text")).as("text")),
+      ixDir, 1L, nBuckets = 4)
+    InvertedIndexStream.foldBatch(
+      docs.filter(col("doc_id") % 5 === 0)
+        .select(lit("delete").as("op"), col("doc_id"),
+          (col("doc_id") + 2000000L).as("lsn"),
+          lit(null).cast("string").as("text")), ixDir, 2L, nBuckets = 4)
+    // reference: a batch index built directly on the final corpus — the
+    // segment view must match it bit-for-bit, INCLUDING the corpus-level
+    // N/total normalization (live doclens, not all-ever doclens)
+    val refDir = java.nio.file.Files.createTempDirectory("ix_segrkref").toString + "/ix"
+    InvertedIndex.save(
+      docs.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, reverse(col("text")))
+            .otherwise(col("text")).as("text")),
+      "doc_id", "text", refDir)
+    val got = InvertedIndexStream.searchRanked(spark, ixDir, "table hash scan", 10)
+      .as[(Long, Double, Int)].collect().toSet
+    val want = InvertedIndex.load(spark, refDir)
+      .searchRanked("table hash scan", 10)
+      .as[(Long, Double, Int)].collect().toSet
+    assert(got == want)
+  }
+
   test("repeated-token adjacency on a handcrafted doc") {
     import spark.implicits._
     val docs = Seq((1L, "a a a b a a"), (2L, "b a b"), (3L, ""))
