@@ -64,9 +64,31 @@ object TableGroup {
     val (fs, _) = fsOf(spark, rootDir)
     val p = new org.apache.hadoop.fs.Path(rootDir, rootFile)
     if (!fs.exists(p)) return None
-    val in = fs.open(p)
-    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    // the root swap renames the data file and (on checksummed filesystems,
+    // e.g. Hadoop's LocalFs) its crc sidecar as TWO renames — a reader
+    // polling between them (the graft-group-cdf source's getOffset) sees
+    // new bytes under the old checksum. The data rename itself is atomic,
+    // so content is never torn — retry through the sidecar window, rethrow
+    // if it persists (real corruption must surface)
+    def readOnce(): String = {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
+    }
+    val json = {
+      var attempt = 0
+      var out: Option[String] = None
+      while (out.isEmpty) {
+        try out = Some(readOnce())
+        catch {
+          case e: org.apache.hadoop.fs.ChecksumException =>
+            attempt += 1
+            if (attempt > 5) throw e
+            Thread.sleep(50L * attempt)
+        }
+      }
+      out.get
+    }
     val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
     val tables = scala.collection.mutable.Map.empty[String, Long]
     val it = root.get("tables").properties().iterator()

@@ -1,0 +1,151 @@
+package graft.sources
+
+import graft.SparkTestSession
+import graft.cdc.TableGroup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The graft-group-cdf streaming source: root manifests as offsets,
+  * cross-table-consistent change batches.
+  */
+class GraftGroupChangeFeedSourceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def withRetain[A](n: Int)(f: => A): A = {
+    spark.conf.set("spark.graft.materialized.retainVersions", n.toString)
+    try f finally spark.conf.unset("spark.graft.materialized.retainVersions")
+  }
+
+  private def rows(rs: (String, String, Long, Long)*): DataFrame =
+    rs.toSeq.toDF("op", "key", "lsn", "v").withColumn("seq", lit(0L))
+
+  private def commit(root: String, id: Long, a: DataFrame, b: DataFrame,
+      extra: Seq[TableGroup.TableBatch] = Nil): Unit = {
+    TableGroup.commit(spark, root,
+      Seq(TableGroup.TableBatch("ta", a, Seq("key")),
+        TableGroup.TableBatch("tb", b, Seq("key"))) ++ extra,
+      Seq("lsn", "seq"), batchId = id, numBuckets = 2)
+    ()
+  }
+
+  /** Drive the source with a foreachBatch collector so per-micro-batch
+    * boundaries stay observable (the consistency property lives at batch
+    * granularity, which a memory sink erases).
+    */
+  private def collector(root: String, ckpt: String,
+      out: scala.collection.mutable.Map[Long, Seq[(String, String, String)]])
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("graft-group-cdf").load(root)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        out.synchronized {
+          out(id) = batch.select("table", "op", "key")
+            .as[(String, String, String)].collect().toSeq
+        }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+
+  test("batches are cross-table consistent per root commit; no backfill; restart resumes") {
+    withRetain(6) {
+      val dir = java.nio.file.Files.createTempDirectory("ggcdf1").toString
+      val root = s"$dir/g"
+      val ckpt = s"$dir/ck"
+      commit(root, 1L, rows(("insert", "a", 1L, 10L)),
+        rows(("insert", "x", 1L, 100L)))
+      val got = scala.collection.mutable.Map
+        .empty[Long, Seq[(String, String, String)]]
+      val q = collector(root, ckpt, got)
+      try {
+        q.processAllAvailable()
+        assert(got.values.flatten.isEmpty, "v1 existed at start — no backfill")
+        // one group commit touching BOTH members → ONE batch carrying both
+        commit(root, 2L,
+          rows(("update", "a", 2L, 11L), ("insert", "b", 3L, 20L)),
+          rows(("delete", "x", 2L, 0L)))
+        q.processAllAvailable()
+        val batch2 = got.values.filter(_.nonEmpty).toSeq
+        assert(batch2.size == 1, s"one root commit → one non-empty batch: $got")
+        assert(batch2.head.toSet == Set(
+          ("ta", "update", """{"key":"a"}"""),
+          ("ta", "insert", """{"key":"b"}"""),
+          ("tb", "delete", """{"key":"x"}""")),
+          "both members' changes must land in the SAME batch (root granularity)")
+      } finally q.stop()
+      // restart from the checkpoint: only the NEXT root commit arrives
+      got.clear()
+      val q2 = collector(root, ckpt, got)
+      try {
+        q2.processAllAvailable()
+        assert(got.values.flatten.isEmpty, "nothing re-delivered on restart")
+        commit(root, 3L, rows(("delete", "b", 4L, 0L)),
+          rows(("insert", "y", 4L, 200L)))
+        q2.processAllAvailable()
+        assert(got.values.flatten.toSet == Set(
+          ("ta", "delete", """{"key":"b"}"""),
+          ("tb", "insert", """{"key":"y"}""")))
+      } finally q2.stop()
+    }
+  }
+
+  test("a member joining mid-stream bootstraps as its full snapshot of inserts") {
+    withRetain(6) {
+      val dir = java.nio.file.Files.createTempDirectory("ggcdf2").toString
+      val root = s"$dir/g"
+      commit(root, 1L, rows(("insert", "a", 1L, 10L)),
+        rows(("insert", "x", 1L, 100L)))
+      val got = scala.collection.mutable.Map
+        .empty[Long, Seq[(String, String, String)]]
+      val q = collector(root, s"$dir/ck", got)
+      try {
+        q.processAllAvailable()
+        commit(root, 2L, rows(("insert", "b", 2L, 20L)),
+          rows(("insert", "y", 2L, 200L)),
+          extra = Seq(TableGroup.TableBatch("tc",
+            rows(("insert", "m", 2L, 1L), ("insert", "n", 2L, 2L)),
+            Seq("key"))))
+        q.processAllAvailable()
+        val all = got.values.flatten.toSet
+        assert(all.filter(_._1 == "tc") == Set(
+          ("tc", "insert", """{"key":"m"}"""),
+          ("tc", "insert", """{"key":"n"}""")),
+          "new member's whole state arrives as inserts in the joining batch")
+        assert(all.filter(_._1 == "ta") == Set(("ta", "insert", """{"key":"b"}""")))
+      } finally q.stop()
+    }
+  }
+
+  test("envelope payloads: before/after JSON with insert/delete one-sidedness") {
+    withRetain(6) {
+      val dir = java.nio.file.Files.createTempDirectory("ggcdf3").toString
+      val root = s"$dir/g"
+      commit(root, 1L, rows(("insert", "a", 1L, 10L)), rows())
+      val sink = s"ggcdf_${java.util.UUID.randomUUID().toString.take(8)}"
+      val q = spark.readStream.format("graft-group-cdf").load(root)
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", s"$dir/ck").start()
+      try {
+        q.processAllAvailable()
+        commit(root, 2L,
+          rows(("update", "a", 2L, 11L), ("insert", "b", 3L, 20L)), rows())
+        q.processAllAvailable()
+        commit(root, 3L, rows(("delete", "a", 4L, 0L)), rows())
+        q.processAllAvailable()
+        val t = spark.table(sink)
+          .select(col("key"), col("op"),
+            get_json_object(col("before"), "$.v").cast("long").as("bv"),
+            get_json_object(col("after"), "$.v").cast("long").as("av"))
+          .as[(String, String, Option[Long], Option[Long])].collect().toSet
+        // drained per commit: update carries both sides, insert after-only,
+        // delete before-only — the one-sided envelope contract
+        assert(t == Set(
+          ("""{"key":"a"}""", "update", Some(10L), Some(11L)),
+          ("""{"key":"b"}""", "insert", None, Some(20L)),
+          ("""{"key":"a"}""", "delete", Some(11L), None)))
+      } finally q.stop()
+    }
+  }
+}
