@@ -1018,17 +1018,14 @@ object CdcQueries {
         |g AS (SELECT lsn, lead(lsn) OVER (ORDER BY lsn) AS nxt FROM present)
         |SELECT lsn AS gap_after, CAST(nxt - lsn - 1 AS BIGINT) AS gap_len
         |FROM g WHERE nxt - lsn > 1""".stripMargin) { (s, d) =>
-      val present = ChangelogGen.fromEvents(s, d).toDF()
-        .filter(col("lsn") % 97 =!= 0)
-        .select(col("lsn")).distinct()
-      // sharded sequence audit: lead() within lsn-range buckets + one
-      // boundary handoff row per bucket (GlobalRank.lead1) — gaps are local
-      // to a range except at shard edges, so the global-order window (all
-      // distinct lsns through one task) is never planned
-      graft.operators.GlobalRank.lead1(present, "lsn", "nxt")
-        .filter(col("nxt") - col("lsn") > 1)
-        .select(col("lsn").as("gap_after"),
-          (col("nxt") - col("lsn") - 1).as("gap_len"))
+      // sharded sequence audit (SequenceAudit.gaps → GlobalRank.lead1):
+      // lead() within lsn-range buckets + one boundary handoff row per
+      // bucket — gaps are local to a range except at shard edges, so the
+      // global-order window (all distinct lsns through one task) is never
+      // planned
+      graft.operators.SequenceAudit.gaps(
+        ChangelogGen.fromEvents(s, d).toDF().filter(col("lsn") % 97 =!= 0),
+        "lsn")
     },
 
     // --- state-size estimation (cdc36): per table, live keys × payload
@@ -2286,6 +2283,194 @@ object CdcQueries {
         .agg(count(lit(1)).as("n"),
           graft.queries.Qutil.dsum(col("before_value")).as("sum_before"),
           graft.queries.Qutil.dsum(col("after_value")).as("sum_after"))
+    },
+
+    // --- GROUP change feed (cdc62): cdc61's streaming CDF lifted to the
+    // --- TableGroup — the reference's transaction bracketing
+    // --- (kafka/bottledwater.c:678-715) surfaced to streaming consumers:
+    // --- each micro-batch diffs ROOT-PINNED snapshots, so a subscriber
+    // --- sees by_user and by_type advance TOGETHER per group commit,
+    // --- never one member mid-transaction. Drive: bootstrap commit before
+    // --- the stream starts (no backfill), then two group commits observed
+    // --- as per-root-version batches; the heterogeneous-member envelope
+    // --- (table, op, key/before/after JSON) aggregates per (table, op)
+    // --- and hash-matches DuckDB's per-member snapshot double-diff. ------
+    q("cdc62_group_change_feed",
+      """WITH c AS (SELECT MAX(event_id) // 3 AS c1,
+        |    2 * (MAX(event_id) // 3) AS c2 FROM events),
+        |u1 AS (SELECT user_id, event_id AS lsn, value, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events, c WHERE event_id < c1),
+        |us1 AS (SELECT user_id, lsn, value FROM u1
+        |  WHERE rn = 1 AND event_type <> 'error'),
+        |u2 AS (SELECT user_id, event_id AS lsn, value, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events, c WHERE event_id < c2),
+        |us2 AS (SELECT user_id, lsn, value FROM u2
+        |  WHERE rn = 1 AND event_type <> 'error'),
+        |u3 AS (SELECT user_id, event_id AS lsn, value, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events),
+        |us3 AS (SELECT user_id, lsn, value FROM u3
+        |  WHERE rn = 1 AND event_type <> 'error'),
+        |ud12 AS (SELECT
+        |    CASE WHEN a.user_id IS NULL THEN 'insert'
+        |         WHEN b.user_id IS NULL THEN 'delete'
+        |         WHEN a.lsn IS DISTINCT FROM b.lsn
+        |           OR a.value IS DISTINCT FROM b.value THEN 'update' END AS op,
+        |    a.value AS bv, b.value AS av
+        |  FROM us1 a FULL OUTER JOIN us2 b ON a.user_id = b.user_id),
+        |ud23 AS (SELECT
+        |    CASE WHEN a.user_id IS NULL THEN 'insert'
+        |         WHEN b.user_id IS NULL THEN 'delete'
+        |         WHEN a.lsn IS DISTINCT FROM b.lsn
+        |           OR a.value IS DISTINCT FROM b.value THEN 'update' END AS op,
+        |    a.value AS bv, b.value AS av
+        |  FROM us2 a FULL OUTER JOIN us3 b ON a.user_id = b.user_id),
+        |t1 AS (SELECT user_id, event_type, MAX(event_id) AS lsn FROM events, c
+        |  WHERE event_type <> 'error' AND event_id < c1 GROUP BY 1, 2),
+        |t2 AS (SELECT user_id, event_type, MAX(event_id) AS lsn FROM events, c
+        |  WHERE event_type <> 'error' AND event_id < c2 GROUP BY 1, 2),
+        |t3 AS (SELECT user_id, event_type, MAX(event_id) AS lsn FROM events
+        |  WHERE event_type <> 'error' GROUP BY 1, 2),
+        |td12 AS (SELECT
+        |    CASE WHEN a.user_id IS NULL THEN 'insert'
+        |         WHEN a.lsn IS DISTINCT FROM b.lsn THEN 'update' END AS op
+        |  FROM t1 a FULL OUTER JOIN t2 b
+        |    ON a.user_id = b.user_id AND a.event_type = b.event_type),
+        |td23 AS (SELECT
+        |    CASE WHEN a.user_id IS NULL THEN 'insert'
+        |         WHEN a.lsn IS DISTINCT FROM b.lsn THEN 'update' END AS op
+        |  FROM t2 a FULL OUTER JOIN t3 b
+        |    ON a.user_id = b.user_id AND a.event_type = b.event_type)
+        |SELECT 'by_user' AS tbl, op, COUNT(*) AS n,
+        |  CAST(SUM(CAST(bv AS DECIMAL(18,4))) AS DOUBLE) AS sum_before,
+        |  CAST(SUM(CAST(av AS DECIMAL(18,4))) AS DOUBLE) AS sum_after
+        |FROM (SELECT * FROM ud12 UNION ALL SELECT * FROM ud23)
+        |WHERE op IS NOT NULL GROUP BY 1, 2
+        |UNION ALL
+        |SELECT 'by_type', op, COUNT(*),
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        |FROM (SELECT * FROM td12 UNION ALL SELECT * FROM td23)
+        |WHERE op IS NOT NULL GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val s2 = s.newSession()
+      s2.conf.set("spark.graft.materialized.retainVersions", "6")
+      val env = ChangelogGen.fromEvents(s2, d).toDF()
+        .select(col("op"), col("key"), col("lsn"), col("seq"),
+          get_json_object(col("after"), "$.event_type").as("typ"),
+          get_json_object(col("after"), "$.value").cast("double").as("value"))
+        .localCheckpoint()
+      val mx = Tables.events(s, d).agg(max(col("event_id"))).head().getLong(0)
+      val (c1, c2) = (mx / 3, 2 * (mx / 3))
+      val root = java.nio.file.Files.createTempDirectory("cdc62").toString + "/g"
+      def members(b: org.apache.spark.sql.DataFrame) = Seq(
+        TableGroup.TableBatch("by_user",
+          b.select("op", "key", "lsn", "seq", "value"), Seq("key")),
+        TableGroup.TableBatch("by_type",
+          b.filter(col("op") =!= graft.cdc.Op.Delete)
+            .select("op", "key", "typ", "lsn", "seq"), Seq("key", "typ")))
+      def commit(lo: Long, hi: Long, id: Long): Unit = {
+        TableGroup.commit(s2, root,
+          members(env.filter(col("lsn") >= lo && col("lsn") < hi)),
+          Seq("lsn", "seq"), batchId = id, numBuckets = 8)
+        ()
+      }
+      commit(0L, c1, 1L) // bootstrap commit BEFORE the stream — no backfill
+      val sink = s"cdc62_${java.util.UUID.randomUUID().toString.take(8)}"
+      val q = s2.readStream.format("graft-group-cdf").load(root)
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("cdc62ck").toString)
+        .start()
+      try {
+        q.processAllAvailable()
+        commit(c1, c2, 2L); q.processAllAvailable() // batch = root v1→v2
+        commit(c2, mx + 1, 3L); q.processAllAvailable() // batch = root v2→v3
+      } finally q.stop()
+      s2.table(sink)
+        .groupBy(col("table").as("tbl"), col("op"))
+        .agg(count(lit(1)).as("n"),
+          graft.queries.Qutil.dsum(
+            get_json_object(col("before"), "$.value").cast("double"))
+            .as("sum_before"),
+          graft.queries.Qutil.dsum(
+            get_json_object(col("after"), "$.value").cast("double"))
+            .as("sum_after"))
+    },
+
+    // --- schema evolution through storage + CDF (cdc63): ALTER TABLE ADD
+    // --- COLUMN mid-stream (the reference's DDL churn,
+    // --- spec/functional/topic_spec.rb:232-274) flowing snapshot → merge
+    // --- → change-feed read. Slice 1 commits WITHOUT event_type; slice 2
+    // --- commits WITH it: the widened snapshot null-backfills untouched
+    // --- keys (snap_typ_null), and the v1→v2 feed exposes the new column
+    // --- with a NULL before side on every row (the union-payload
+    // --- contract — an intersection feed would hide the column). Report
+    // --- per op: row count, one-sided-null pins, value sums; snapshot
+    // --- scalars ride every row via a broadcast cross join. --------------
+    q("cdc63_schema_evolution",
+      """WITH c AS (SELECT MAX(event_id) // 2 AS c1 FROM events),
+        |r1 AS (SELECT user_id, event_id AS lsn, value, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events, c WHERE event_id < c1),
+        |s1 AS (SELECT user_id, lsn, value FROM r1
+        |  WHERE rn = 1 AND event_type <> 'error'),
+        |r2 AS (SELECT user_id, event_id AS lsn, value, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events),
+        |s2 AS (SELECT user_id, lsn, value,
+        |    CASE WHEN lsn >= (SELECT c1 FROM c) THEN event_type END AS typ
+        |  FROM r2 WHERE rn = 1 AND event_type <> 'error'),
+        |snap AS (SELECT COUNT(*) AS snap_rows,
+        |    CAST(SUM(CASE WHEN typ IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS snap_typ_null FROM s2),
+        |f AS (SELECT
+        |    CASE WHEN a.user_id IS NULL THEN 'insert'
+        |         WHEN b.user_id IS NULL THEN 'delete'
+        |         WHEN a.lsn IS DISTINCT FROM b.lsn
+        |           OR a.value IS DISTINCT FROM b.value
+        |           OR b.typ IS NOT NULL THEN 'update' END AS op,
+        |    a.value AS bv, b.value AS av, b.typ AS after_typ
+        |  FROM s1 a FULL OUTER JOIN s2 b ON a.user_id = b.user_id)
+        |SELECT op, COUNT(*) AS n,
+        |  COUNT(*) AS n_before_typ_null,
+        |  CAST(SUM(CASE WHEN after_typ IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_after_typ,
+        |  CAST(SUM(CAST(av AS DECIMAL(18,4))) AS DOUBLE) AS sum_after,
+        |  snap_rows, snap_typ_null
+        |FROM f, snap WHERE op IS NOT NULL
+        |GROUP BY 1, snap_rows, snap_typ_null""".stripMargin) { (s, d) =>
+      val s2 = s.newSession()
+      s2.conf.set("spark.graft.materialized.retainVersions", "4")
+      val env = ChangelogGen.fromEvents(s2, d).toDF()
+        .select(col("op"), col("key"), col("lsn"), col("seq"),
+          get_json_object(col("after"), "$.event_type").as("typ"),
+          get_json_object(col("after"), "$.value").cast("double").as("value"))
+        .localCheckpoint()
+      val mx = Tables.events(s, d).agg(max(col("event_id"))).head().getLong(0)
+      val c1 = mx / 2
+      val dir = java.nio.file.Files.createTempDirectory("cdc63").toString + "/t"
+      // slice 1: the PRE-evolution schema (no typ column at all)
+      MaterializedTable.merge(s2, dir,
+        env.filter(col("lsn") < c1).select("op", "key", "lsn", "seq", "value"),
+        Seq("key"), Seq("lsn", "seq"), numBuckets = 8, batchId = Some(1L))
+      // slice 2: ALTER TABLE ADD COLUMN typ — the widened batch
+      MaterializedTable.merge(s2, dir,
+        env.filter(col("lsn") >= c1)
+          .select("op", "key", "lsn", "seq", "value", "typ"),
+        Seq("key"), Seq("lsn", "seq"), numBuckets = 8, batchId = Some(2L))
+      val snap = MaterializedTable.read(s2, dir).agg(
+        count(lit(1)).as("snap_rows"),
+        sum(when(col("typ").isNull, 1L).otherwise(0L)).as("snap_typ_null"))
+      MaterializedTable.changeFeed(s2, dir, 1L, 2L, Seq("key"))
+        .groupBy(col("op"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("before_typ").isNull, 1L).otherwise(0L))
+            .as("n_before_typ_null"),
+          sum(when(col("after_typ").isNotNull, 1L).otherwise(0L))
+            .as("n_after_typ"),
+          graft.queries.Qutil.dsum(col("after_value")).as("sum_after"))
+        .crossJoin(broadcast(snap))
     }
   )
 }

@@ -1269,18 +1269,11 @@ object RelationalQueries {
         |SELECT t.event_type, d.day, COALESCE(a.n, 0) AS n
         |FROM types t CROSS JOIN days d
         |LEFT JOIN actual a ON a.event_type = t.event_type AND a.day = d.day""".stripMargin) { (s, d) =>
-      val sparse = Tables.events(s, d).filter(col("event_id") % 97 === 0)
-      val span = sparse.agg(min(to_date(col("ts"))).as("d0"),
-        max(to_date(col("ts"))).as("d1"))
-      val days = span.select(explode(sequence(col("d0"), col("d1"),
-        expr("interval 1 day"))).as("day"))
-      val types = sparse.select(col("event_type")).distinct()
-      val actual = sparse.groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("n"))
-      types.crossJoin(days)
-        .join(actual, Seq("event_type", "day"), "left")
-        .select(col("event_type"), col("day"),
-          coalesce(col("n"), lit(0L)).as("n"))
+      // the calendar spine as the reusable SequenceAudit.dailyCounts:
+      // O(days) spine from a 1-row span aggregate, zero-filled left join
+      graft.operators.SequenceAudit.dailyCounts(
+        Tables.events(s, d).filter(col("event_id") % 97 === 0),
+        Seq("event_type"), col("ts"))
     },
 
     // --- referential-integrity audit (q59): the data-quality report a

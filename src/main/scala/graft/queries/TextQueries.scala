@@ -2713,6 +2713,76 @@ object TextQueries {
         .select(col("phrase"), col("doc_id"), col("n_matches"))
     },
 
+    // --- BM25 over the STREAMING-maintained index (txt82): txt79's
+    // --- segment/tombstone lifecycle under the RANKED query face — the
+    // --- search-index consumer the reference names as CDC's first use
+    // --- case must answer relevance queries, not just phrase lookups,
+    // --- and must answer them from the CHURNED state (inserts → updates
+    // --- reverse %3 → deletes %5). Same drive as txt79; the ranked
+    // --- search resolves tf/df AND doc-length normalization through the
+    // --- segment-scoped tombstone anti-join (doclens ride the same
+    // --- seg= lifecycle as postings — O(live docs) read, never an
+    // --- O(postings) re-derivation). Oracle = txt77's integer-exact BM25
+    // --- formula over the equivalent final corpus. -----------------------
+    q("txt82_bm25_stream",
+      """WITH src AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN reverse(text) ELSE text END AS text
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |toks AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS t FROM src),
+        |p AS (SELECT doc_id, unnest(t) AS token,
+        |    unnest(generate_series(1, len(t))) AS pos FROM toks),
+        |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dlen FROM toks),
+        |st AS (SELECT COUNT(*) AS n, CAST(SUM(dlen) AS BIGINT) AS total FROM dl),
+        |tf AS (SELECT token, doc_id, COUNT(*) AS tf FROM p
+        |  WHERE token IN ('hash', 'scan', 'table') GROUP BY 1, 2),
+        |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        |term AS (SELECT tf.doc_id, tf.token,
+        |    CAST((2*n - 2*df + 1)*44*tf*total AS DOUBLE) /
+        |    CAST((2*df + 1)*(20*tf*total + 6*total + 18*dlen*n) AS DOUBLE) AS s
+        |  FROM tf JOIN df USING (token)
+        |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st),
+        |sc AS (SELECT doc_id,
+        |    COALESCE(MAX(CASE WHEN token = 'hash' THEN s END), 0)
+        |  + COALESCE(MAX(CASE WHEN token = 'scan' THEN s END), 0)
+        |  + COALESCE(MAX(CASE WHEN token = 'table' THEN s END), 0) AS score
+        |  FROM term GROUP BY 1)
+        |SELECT doc_id, score, rank FROM (
+        |  SELECT doc_id, score,
+        |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc) r
+        |WHERE rank <= 10""".stripMargin) { (s, d) =>
+      import graft.streaming.InvertedIndexStream
+      val docs = Tables.documents(s, d)
+      val src = java.nio.file.Files.createTempDirectory("txt82src").toString
+      def writeBatch(df: org.apache.spark.sql.DataFrame, i: Int): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory(s"txt82b$i").toString
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(src, s"b$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(1000000000000L + i * 600000L); ()
+      }
+      writeBatch(docs.select(lit("insert").as("op"), col("doc_id"),
+        col("doc_id").as("lsn"), col("text")), 0)
+      writeBatch(docs.filter(col("doc_id") % 3 === 0)
+        .select(lit("update").as("op"), col("doc_id"),
+          (col("doc_id") + 1000000000L).as("lsn"),
+          reverse(col("text")).as("text")), 1)
+      writeBatch(docs.filter(col("doc_id") % 5 === 0)
+        .select(lit("delete").as("op"), col("doc_id"),
+          (col("doc_id") + 2000000000L).as("lsn"),
+          lit(null).cast("string").as("text")), 2)
+      val dir = java.nio.file.Files.createTempDirectory("txt82ix").toString + "/ix"
+      val stream = s.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "op STRING, doc_id BIGINT, lsn BIGINT, text STRING"))
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      InvertedIndexStream.maintain(stream, dir)
+      InvertedIndexStream.searchRanked(s, dir, "table hash scan", k = 10)
+        .select(col("doc_id"), col("score"), col("rank"))
+    },
+
     // --- systematic PPS sampling (txt80): documents sampled with
     // --- probability exactly proportional to token weight, with NO
     // --- randomness and NO libm — weighted reservoir/A-ES needs u^(1/w),

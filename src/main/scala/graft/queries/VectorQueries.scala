@@ -416,11 +416,15 @@ object VectorQueries {
         .withColumn("rk", row_number().over(Window.partitionBy(col("probe_id"))
           .orderBy(col("d2"), col("neighbor_id"))))
         .filter(col("rk") <= 3)
-        .select(col("probe_id"), col("neighbor_id").as("_n2"))
+        // alias BOTH join columns: l2Top descends from the same `pairs`
+        // plan as cosTop, so an unaliased probe_id carries the identical
+        // attribute id and the join condition logs the trivially-true
+        // warning (bench-linted to stay at zero)
+        .select(col("probe_id").as("_p2"), col("neighbor_id").as("_n2"))
       cosTop.join(l2Top,
-          cosTop("probe_id") === l2Top("probe_id") &&
-            col("neighbor_id") === col("_n2"), "left")
-        .groupBy(cosTop("probe_id").as("probe_id"))
+          col("probe_id") === col("_p2") && col("neighbor_id") === col("_n2"),
+          "left")
+        .groupBy(col("probe_id"))
         .agg(count(col("_n2")).as("n_shared"))
     },
 

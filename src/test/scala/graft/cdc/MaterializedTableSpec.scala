@@ -337,10 +337,38 @@ class MaterializedTableSpec extends AnyFunSuite {
     assert(v2.select("key", "a", "b").as[(String, String, Option[String])]
       .collect().toSet ==
       Set(("k1", "A1", None), ("k2", "A2", Some("B2"))))
-    // changeFeed across the widening: the new column participates
+    // changeFeed across the widening: the new column participates — the
+    // payload is the UNION of both snapshots' columns (an intersection
+    // would silently drop b from the feed), before side null-backfilled
     val feed = MaterializedTable.changeFeed(s2, dir, 1L, 2L, Seq("key"))
-    assert(feed.select("key", "op").as[(String, String)].collect().toSet ==
-      Set(("k2", "insert")))
+    assert(feed.columns.contains("before_b") && feed.columns.contains("after_b"))
+    assert(feed.select("key", "op", "before_b", "after_b")
+      .as[(String, String, Option[String], Option[String])].collect().toSet ==
+      Set(("k2", "insert", None, Some("B2"))))
+  }
+
+  test("incompatible payload type change is REJECTED; the committed table stays intact") {
+    val s2 = spark.newSession()
+    import s2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mt_badevo").toString + "/state"
+    val b1 = Seq(("insert", "k1", 1L, 0L, 1.5))
+      .toDF("op", "key", "lsn", "seq", "v")
+    MaterializedTable.merge(s2, dir, b1, Seq("key"), Seq("lsn", "seq"),
+      numBuckets = 1, batchId = Some(0L))
+    // same payload name, irreconcilable type (double vs array<double>):
+    // union resolution must throw BEFORE anything is written
+    val b2 = Seq(("insert", "k2", 2L, 0L, Seq(1.0, 2.0)))
+      .toDF("op", "key", "lsn", "seq", "v")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      MaterializedTable.merge(s2, dir, b2, Seq("key"), Seq("lsn", "seq"),
+        numBuckets = 1, batchId = Some(1L))
+    }
+    val m = MaterializedTable.readManifest(s2, dir).get
+    assert(m.version == 1L && m.lastBatchId == 0L,
+      "a rejected evolution must not advance the manifest")
+    assert(MaterializedTable.read(s2, dir)
+      .select("key", "v").as[(String, Double)].collect().toSeq ==
+      Seq(("k1", 1.5)))
   }
 
   test("time travel: readVersion reconstructs retained snapshots; vacuum honors the horizon") {
