@@ -30,6 +30,35 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // BENCH-TAIL LINT: count the warnings that are 100×-scale smells —
+    // a single-partition window (WindowExec) or a self-derived trivially-
+    // true join predicate. The count rides the summary JSON (lint_warns),
+    // so a regression is loud in the round-over-round diff instead of
+    // scrolling past in the log tail.
+    val lintWarns = new java.util.concurrent.atomic.AtomicLong(0L)
+    try {
+      import org.apache.logging.log4j.{Level, LogManager}
+      import org.apache.logging.log4j.core.LoggerContext
+      import org.apache.logging.log4j.core.appender.AbstractAppender
+      import org.apache.logging.log4j.core.config.Property
+      val appender = new AbstractAppender(
+          "graft-bench-lint", null, null, true, Property.EMPTY_ARRAY) {
+        override def append(e: org.apache.logging.log4j.core.LogEvent): Unit = {
+          val m = e.getMessage.getFormattedMessage
+          if (m.contains("No Partition Defined for Window operation") ||
+              m.contains("trivially true equals predicate"))
+            lintWarns.incrementAndGet()
+        }
+      }
+      appender.start()
+      val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+      ctx.getConfiguration.getRootLogger.addAppender(appender, Level.WARN, null)
+      ctx.updateLoggers()
+    } catch { // lint is best-effort; the bench contract must survive
+      case e: Throwable =>
+        System.err.println(s"[bench] lint appender failed: ${e.getMessage}")
+    }
+
     // warm-up: parquet reader + the changelog-derivation path, so JVM/codegen
     // init isn't billed to whichever query runs first (alphabetically cdc01,
     // which otherwise pays ~1.5 s of first-execution codegen for the
@@ -102,7 +131,8 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
       s""""n_failed":$nFailed,"families":$families,"slowest":$slowest,""" +
-      s""""cdc_events_per_sec":${cdcEps.toLong},"sf":"$sfDir"}"""
+      s""""cdc_events_per_sec":${cdcEps.toLong},""" +
+      s""""lint_warns":${lintWarns.get},"sf":"$sfDir"}"""
     // full per-query detail — written BEFORE the stdout length guard below,
     // so an oversized summary can never discard the run's per-query record;
     // path resolves against the launch directory (overridable) rather than

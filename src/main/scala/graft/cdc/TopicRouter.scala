@@ -17,7 +17,10 @@ object TopicRouter {
   def topicCol(prefix: String, schemaName: Column, tableName: Column): Column = {
     val safeSchema = GraftFunctions.avro_safe_name(schemaName)
     val safeTable = GraftFunctions.avro_safe_name(tableName)
-    val core = when(schemaName === "public" || schemaName.isNull, safeTable)
+    // isin, not ===: callers routinely pass lit("public") and a
+    // literal==literal equals construction logs Spark's trivially-true
+    // warning (same null semantics — single-element In ≡ EqualTo)
+    val core = when(schemaName.isin("public") || schemaName.isNull, safeTable)
       .otherwise(concat(safeSchema, lit("."), safeTable))
     if (prefix == null || prefix.isEmpty) core else concat(lit(prefix + "."), core)
   }

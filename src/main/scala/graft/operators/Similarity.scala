@@ -616,8 +616,16 @@ object Similarity {
         .select(col("probe_id"), lit(i).as("pick"), col("neighbor_id"), col("sim"))
       picks = if (picks == null) pick else picks.unionByName(pick)
       if (i < k) {
-        val pickN = pick.select(col("probe_id"), col("neighbor_id").as("_picked"))
-        remaining = remaining.join(pickN, Seq("probe_id"))
+        // alias the self-derived key: pickN's probe_id carries the SAME
+        // attribute id as remaining's (both descend from withQ), and a
+        // usingColumns join on identical ids logs Spark's trivially-true-
+        // predicate warning — which would mask a real accidental cross join
+        // if it ever became routine in the bench tail
+        val pickN = pick.select(col("probe_id").as("_pick_pid"),
+          col("neighbor_id").as("_picked"))
+        remaining = remaining
+          .join(pickN, col("probe_id") === col("_pick_pid"))
+          .drop("_pick_pid")
           .filter(col("neighbor_id") =!= col("_picked"))
           .join(pairs.withColumnRenamed("probe_id", "_pp"),
             col("_pp") === col("probe_id") && col("na") === col("neighbor_id") &&
