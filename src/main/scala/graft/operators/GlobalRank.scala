@@ -149,6 +149,37 @@ object GlobalRank {
     totalCol.fold(run)(c => run.withColumn(c, lit(grand).cast(dt)))
   }
 
+  /** Global `ntile(n)` in `order` (a total order, same contract as
+    * [[rowNumber]]): SQL-standard tiling — the first `rows mod n` tiles
+    * get one extra row — computed from the two-level rank and the grand
+    * count, never a single-partition window. Output column is LONG.
+    */
+  def ntile(df: DataFrame, order: Seq[Column], n: Int, out: String,
+      nBuckets: Int = 64): DataFrame = {
+    require(n > 0, s"ntile count must be positive: $n")
+    // SQL ntile with count c: base = c div n, rem = c mod n; tiles 1..rem
+    // hold base+1 rows. Invert: rank r ≤ rem·(base+1) ⇒ tile = ceil(r /
+    // (base+1)), else tile = rem + ceil((r − rem·(base+1)) / base) — all
+    // exact integer arithmetic on the rank column.
+    GlobalRank.rowNumber(df, order, "_grk_rn", nBuckets, Some("_grk_n"))
+      .withColumn(out, {
+        val r = col("_grk_rn")
+        val baseL = expr(s"_grk_n div $n")
+        val rem = expr(s"_grk_n % $n")
+        val cut = rem * (baseL + 1L)
+        // integer `div` throughout; the else-branch divisor is clamped (it
+        // is only reached when base ≥ 1, but ANSI mode must never see a
+        // constructible division by zero)
+        when(r <= cut,
+            expr(s"(_grk_rn - 1) div (_grk_n div $n + 1) + 1"))
+          .otherwise(rem +
+            expr(s"(_grk_rn - (_grk_n % $n) * (_grk_n div $n + 1) - 1) " +
+              s"div greatest(_grk_n div $n, 1L) + 1"))
+          .cast("long")
+      })
+      .drop("_grk_rn", "_grk_n")
+  }
+
   /** Exclusive prefix MAX over per-bucket (bucketId, max) rows in bucket
     * order — `null` base for the first bucket (no identity for max). Boxed
     * Comparable covers Int/Long/Double/Decimal/Date uniformly.

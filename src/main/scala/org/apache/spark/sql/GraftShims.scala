@@ -32,9 +32,33 @@ object GraftShims {
     */
   def asBatchDataFrame(df: DataFrame): DataFrame = {
     val cs = df.sparkSession.asInstanceOf[classic.SparkSession]
-    cs.internalCreateDataFrame(
-      df.asInstanceOf[classic.Dataset[Row]].queryExecution.toRdd
-        .map(_.copy()),
-      df.schema, isStreaming = false)
+    // two streaming-tag shapes arrive here: a LogicalRDD(isStreaming=true)
+    // (a Source.getBatch result — its rows are already materialized, only
+    // the tag differs, and executing it through a batch QueryExecution
+    // trips UnsupportedOperationChecker, so strip the tag in-plan), and a
+    // micro-batch scan over a streaming-tagged file relation (a
+    // Sink.addBatch input — tolerated by toRdd). Strip the first, then
+    // rebind rows under a plain batch frame.
+    import org.apache.spark.sql.execution.LogicalRDD
+    val logical = df.queryExecution.logical
+    val hasStreamingRdd = logical.exists {
+      case l: LogicalRDD => l.isStreaming
+      case _ => false
+    }
+    val rdd =
+      if (hasStreamingRdd) {
+        val plan = logical.transform {
+          case l: LogicalRDD if l.isStreaming =>
+            l.copy(isStreaming = false)(cs, None, None)
+        }
+        classic.Dataset.ofRows(cs, plan).queryExecution.toRdd
+      } else {
+        // a Sink.addBatch input: its QueryExecution was built by the
+        // ENGINE (IncrementalExecution) — reuse it; a rebuilt batch one
+        // would re-run the checker against the streaming-tagged relation
+        df.asInstanceOf[classic.Dataset[Row]].queryExecution.toRdd
+      }
+    cs.internalCreateDataFrame(rdd.map(_.copy()), df.schema,
+      isStreaming = false)
   }
 }

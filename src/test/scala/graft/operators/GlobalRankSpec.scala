@@ -115,6 +115,18 @@ class GlobalRankSpec extends AnyFunSuite {
     }
   }
 
+  test("ntile matches ntile() across tile counts, ties, and non-dividing sizes") {
+    for (b <- Seq(1, 8); n <- Seq(1, 2, 3, 7, 10, 97, 150)) {
+      val expect = df.select($"id",
+          org.apache.spark.sql.functions.ntile(n)
+            .over(Window.orderBy($"v".desc, $"id")).cast("long").as("t"))
+        .orderBy($"id").collect().toSeq
+      val got = GlobalRank.ntile(df, Seq($"v".desc, $"id"), n, "t", b)
+        .select($"id", $"t").orderBy($"id").collect().toSeq
+      assert(got == expect, s"n=$n nBuckets=$b")
+    }
+  }
+
   test("empty frame: all helpers return empty, no failure") {
     val e = df.filter($"id" < 0)
     assert(GlobalRank.rowNumber(e, Seq($"id"), "rn").count() == 0)

@@ -118,6 +118,63 @@ class GraftGroupChangeFeedSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("add-column evolution flows through the GROUP feed: new column one-sided in the JSON envelope") {
+    withRetain(6) {
+      val dir = java.nio.file.Files.createTempDirectory("ggcdf4").toString
+      val root = s"$dir/g"
+      commit(root, 1L, rows(("insert", "a", 1L, 10L)), rows())
+      val sink = s"ggcdf_${java.util.UUID.randomUUID().toString.take(8)}"
+      val q = spark.readStream.format("graft-group-cdf").load(root)
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", s"$dir/ck").start()
+      try {
+        q.processAllAvailable()
+        // the widened batch: member ta gains column w mid-stream
+        val widened = Seq(("update", "a", 2L, 11L, "W1"), ("insert", "b", 3L, 20L, "W2"))
+          .toDF("op", "key", "lsn", "v", "w").withColumn("seq", lit(0L))
+        TableGroup.commit(spark, root,
+          Seq(TableGroup.TableBatch("ta", widened, Seq("key")),
+            TableGroup.TableBatch("tb", rows(), Seq("key"))),
+          Seq("lsn", "seq"), batchId = 2L, numBuckets = 2)
+        q.processAllAvailable()
+        val t = spark.table(sink)
+          .select(col("key"), col("op"),
+            get_json_object(col("before"), "$.w").as("bw"),
+            get_json_object(col("after"), "$.w").as("aw"))
+          .as[(String, String, Option[String], Option[String])].collect().toSet
+        // a's before predates the widening (w null → omitted from the
+        // JSON); both afters carry the new column — the union-payload
+        // contract surviving the envelope encoding
+        assert(t == Set(
+          ("""{"key":"a"}""", "update", None, Some("W1")),
+          ("""{"key":"b"}""", "insert", None, Some("W2"))))
+      } finally q.stop()
+    }
+  }
+
+  test("a start offset pruned past retention fails LOUDLY, never silently emits a wrong diff") {
+    withRetain(6) {
+      val dir = java.nio.file.Files.createTempDirectory("ggcdf5").toString
+      val root = s"$dir/g"
+      commit(root, 1L, rows(("insert", "a", 1L, 10L)), rows())
+      commit(root, 2L, rows(("update", "a", 2L, 11L)), rows())
+      val src = new GraftGroupCdfSource(spark.sqlContext, root)
+      // simulate a subscriber lagging past the retention horizon: its
+      // checkpointed start version's manifest is gone (vacuum). The diff
+      // must THROW when forced — answering from a different snapshot
+      // would silently corrupt the replica.
+      assert(new java.io.File(s"$root/ta/_graft_manifest.v1.json").delete())
+      val stale = org.apache.spark.sql.execution.streaming.runtime
+        .SerializedOffset("""{"lastBatchId":1,"tables":{"ta":1,"tb":1}}""")
+      val end = org.apache.spark.sql.execution.streaming.runtime
+        .SerializedOffset("""{"lastBatchId":2,"tables":{"ta":2,"tb":2}}""")
+      intercept[Exception] {
+        org.apache.spark.sql.GraftShims.asBatchDataFrame(
+          src.getBatch(Some(stale), end)).collect()
+      }
+    }
+  }
+
   test("envelope payloads: before/after JSON with insert/delete one-sidedness") {
     withRetain(6) {
       val dir = java.nio.file.Files.createTempDirectory("ggcdf3").toString
