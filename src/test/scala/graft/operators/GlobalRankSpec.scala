@@ -127,6 +127,32 @@ class GlobalRankSpec extends AnyFunSuite {
     }
   }
 
+  test("null ORDER values: bucket placement agrees with the window's null ordering") {
+    // range partitioning and WindowExec must place nulls identically
+    // (both derive SortOrder from the same columns — asc nulls first,
+    // desc nulls last); a disagreement would mis-base every bucket
+    val rows = (1L to 60L).map(i =>
+      (i, if (i % 5 == 0) null else java.lang.Double.valueOf((i * 13 % 7).toDouble)))
+    val ndf = rows.toDF("id", "nv")
+    for (b <- buckets; desc <- Seq(false, true)) {
+      val ord = if (desc) Seq($"nv".desc, $"id") else Seq($"nv", $"id")
+      val w = Window.orderBy(ord: _*)
+      val expectRn = ndf.select($"id",
+          row_number().over(w).cast("long").as("rn"))
+        .orderBy($"id").collect().toSeq
+      val gotRn = GlobalRank.rowNumber(ndf, ord, "rn", b)
+        .select($"id", $"rn").orderBy($"id").collect().toSeq
+      assert(gotRn == expectRn, s"rowNumber nulls desc=$desc nBuckets=$b")
+      val expectC = ndf.select($"id", sum($"id").over(
+          Window.orderBy(ord: _*).rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)).as("c"))
+        .orderBy($"id").collect().toSeq
+      val gotC = GlobalRank.cumSum(ndf, ord, $"id", "c", b)
+        .select($"id", $"c").orderBy($"id").collect().toSeq
+      assert(gotC == expectC, s"cumSum nulls desc=$desc nBuckets=$b")
+    }
+  }
+
   test("empty frame: all helpers return empty, no failure") {
     val e = df.filter($"id" < 0)
     assert(GlobalRank.rowNumber(e, Seq($"id"), "rn").count() == 0)
