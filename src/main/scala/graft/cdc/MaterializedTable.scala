@@ -1116,6 +1116,60 @@ object MaterializedTable {
   def numBucketsOf(spark: SparkSession, dir: String): Option[Int] =
     readManifest(spark, dir).map(_.numBuckets).filter(_ > 0)
 
+  /** DESCRIBE HISTORY analog: one row per RETAINED committed version —
+    * (version, batch watermark, live bucket count, exact row count when
+    * that version's stats coverage is complete else null, commit
+    * timestamp from the versioned manifest's mtime). Metadata-only:
+    * O(retained versions) manifest JSON reads, zero data files opened.
+    * Vacuumed versions are absent by construction (their manifests are
+    * pruned with their files).
+    */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("last_batch_id", LongType, nullable = false),
+      StructField("n_buckets", IntegerType, nullable = false),
+      StructField("n_rows", LongType, nullable = true),
+      StructField("commit_ts", TimestampType, nullable = false)))
+    val cur = readManifest(spark, dir).map(_.version).getOrElse(
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+    val (fs, hPath) = fsOf(spark, dir)
+    val rows = fs.listStatus(hPath).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case VersionedManifestRe(vs) if vs.toLong <= cur =>
+          val in = fs.open(st.getPath)
+          val m = parseManifest(
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close())
+          val live = m.buckets.keys.toSeq
+          val nRows =
+            if (live.forall(m.stats.contains))
+              java.lang.Long.valueOf(live.flatMap(m.stats.get).map(_.rows).sum)
+            else null
+          Some(org.apache.spark.sql.Row(m.version, m.lastBatchId,
+            m.buckets.size, nRows,
+            new java.sql.Timestamp(st.getModificationTime)))
+        case _ => None
+      }
+    }.sortBy(_.getLong(0))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** One-call operational upkeep (the OPTIMIZE+VACUUM maintenance job a
+    * real deployment schedules): compact any bucket above
+    * `maxFilesPerBucket` (clustered when `sortCols` given), then vacuum
+    * past the retention horizon. Returns (buckets compacted, manifest/file
+    * items vacuumed).
+    */
+  def maintain(spark: SparkSession, dir: String, maxFilesPerBucket: Int = 4,
+      sortCols: Seq[String] = Nil): (Int, Int) = {
+    val compacted = compact(spark, dir, maxFilesPerBucket, sortCols)
+    val vacuumed = vacuum(spark, dir)
+    (compacted, vacuumed)
+  }
+
   /** METADATA-ONLY aggregate: total rows plus, for every column with
     * complete stats coverage (present in EVERY non-empty bucket's stats),
     * the global min/max/null-count — folded from the manifest on the

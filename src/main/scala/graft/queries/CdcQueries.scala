@@ -2471,6 +2471,67 @@ object CdcQueries {
             .as("n_after_typ"),
           graft.queries.Qutil.dsum(col("after_value")).as("sum_after"))
         .crossJoin(broadcast(snap))
+    },
+
+    // --- declared streaming sink (cdc64): writeStream.format("graft") —
+    // --- the storage layer as a first-class Structured Streaming SINK
+    // --- (no foreachBatch plumbing): every micro-batch lands as one
+    // --- batch-id-guarded merge, exactly-once over the at-least-once
+    // --- callback. Drive: two slices through drive #1, a third staged
+    // --- AFTER it, drive #2 on the SAME checkpoint — the deterministic
+    // --- checkpoint resumes with monotonic batch ids (nothing re-folds,
+    // --- the new slice lands). Final state = the latest-state fold over
+    // --- ALL events, hash-matched in DuckDB. -----------------------------
+    q("cdc64_stream_sink",
+      """WITH r AS (SELECT user_id, event_id AS lsn, value, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events),
+        |live AS (SELECT user_id, lsn, value FROM r
+        |  WHERE rn = 1 AND event_type <> 'error')
+        |SELECT COUNT(*) AS n_keys,
+        |  CAST(MAX(lsn) AS BIGINT) AS max_lsn,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM live""".stripMargin) { (s, d) =>
+      val s2 = s.newSession()
+      val env = ChangelogGen.fromEvents(s2, d).toDF()
+        .select(col("op"), col("key"), col("lsn"), col("seq"),
+          get_json_object(col("after"), "$.value").cast("double").as("value"))
+        .localCheckpoint()
+      val mx = Tables.events(s, d).agg(max(col("event_id"))).head().getLong(0)
+      val (c1, c2) = (mx / 3, 2 * (mx / 3))
+      val dir = java.nio.file.Files.createTempDirectory("cdc64").toString
+      val (tbl, src, ck) = (s"$dir/t", s"$dir/src", s"$dir/ck")
+      def stage(lo: Long, hi: Long, i: Int): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory(s"cdc64b$i").toString
+        env.filter(col("lsn") >= lo && col("lsn") < hi)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        new java.io.File(src).mkdirs()
+        val dst = new java.io.File(src, s"b$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(1700000000000L + i * 60000L); ()
+      }
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "op STRING, key STRING, lsn BIGINT, seq BIGINT, value DOUBLE")
+      def drive(): Unit = {
+        val q = s2.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+          .writeStream.format("graft")
+          .option("keys", "key").option("opCol", "op")
+          .option("orderCols", "lsn,seq").option("numBuckets", "8")
+          .option("checkpointLocation", ck)
+          .start(tbl)
+        try q.processAllAvailable() finally q.stop()
+      }
+      stage(0L, c1, 0); stage(c1, c2, 1)
+      drive() // slices 1–2
+      stage(c2, mx + 1, 2)
+      drive() // RESTART on the same checkpoint: only slice 3 folds
+      s2.read.format("graft").load(tbl)
+        .agg(count(lit(1)).as("n_keys"),
+          max(col("lsn")).as("max_lsn"),
+          graft.queries.Qutil.dsum(col("value")).as("sum_value"))
     }
   )
 }

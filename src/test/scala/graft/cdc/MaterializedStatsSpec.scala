@@ -157,6 +157,38 @@ class MaterializedStatsSpec extends AnyFunSuite {
     assert(s2.getAs[Long]("rows") == 3 && s2.getAs[Long]("max_v") == 30L)
   }
 
+  test("history lists retained versions with exact rows; maintain = compact + vacuum") {
+    import spark.implicits._
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.materialized.retainVersions", "2")
+    val dir = tmp("graft_hist")
+    def mergeN(id: Long, rows: (String, String, Long, Long)*): Unit =
+      MaterializedTable.merge(s2, dir,
+        rows.toSeq.toDF("op", "key", "lsn", "v").withColumn("seq", lit(0L)),
+        Seq("key"), Seq("lsn", "seq"), numBuckets = 2, batchId = Some(id),
+        statsCols = Seq("v"))
+    mergeN(1L, ("insert", "a", 1L, 10L), ("insert", "b", 2L, 20L))
+    mergeN(2L, ("update", "a", 3L, 11L))
+    mergeN(3L, ("delete", "b", 4L, 0L), ("insert", "c", 5L, 30L))
+    val h = MaterializedTable.history(s2, dir)
+      .select("version", "last_batch_id", "n_rows")
+      .as[(Long, Long, Option[Long])].collect().toSeq.sortBy(_._1)
+    assert(h.map(x => (x._1, x._2)) == Seq((1L, 1L), (2L, 2L), (3L, 3L)))
+    assert(h.map(_._3) == Seq(Some(2L), Some(2L), Some(2L)))
+    // maintain: compaction rewrites multi-file buckets, vacuum prunes past
+    // the horizon — history then shows only retained versions
+    val (c, v) = MaterializedTable.maintain(s2, dir, maxFilesPerBucket = 1)
+    assert(c >= 0 && v >= 0)
+    val after = MaterializedTable.history(s2, dir)
+      .select("version").as[Long].collect().toSeq.sorted
+    val cur = MaterializedTable.readManifest(s2, dir).get.version
+    assert(after.last == cur && after.forall(_ > cur - 2),
+      s"history must list exactly the retained window: $after (cur $cur)")
+    // state unharmed by maintenance
+    assert(MaterializedTable.read(s2, dir).select("key", "v")
+      .as[(String, Long)].collect().toMap == Map("a" -> 11L, "c" -> 30L))
+  }
+
   test("statsSummary omits ALL column stats when any live bucket lacks a stats entry") {
     val dir = tmp("graft_stats_guard")
     seed(dir)
