@@ -149,6 +149,45 @@ object GlobalRank {
     totalCol.fold(run)(c => run.withColumn(c, lit(grand).cast(dt)))
   }
 
+  /** Global `rank()` in `order` — ties allowed (gaps after tie runs, SQL
+    * semantics). Correct under the same decomposition because a RANGE
+    * partitioner is a function of the full order key: rows EQUAL on every
+    * order column land in the same bucket, so a tie run never spans a
+    * bucket boundary and `base rows + local rank` is the global rank.
+    */
+  def rank(df: DataFrame, order: Seq[Column], out: String,
+      nBuckets: Int = 64): DataFrame = {
+    val parts = bucketed(df, order, nBuckets)
+    val totals = parts.groupBy(col(B)).agg(count(lit(1)).as("_t"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1): Any))
+    val (bases, _) = exclusivePrefix(totals, LongType)
+    val w = Window.partitionBy(col(B)).orderBy(order: _*)
+    withBase(parts, bases, LongType, "_grk_base")
+      .withColumn(out, coalesce(col("_grk_base"), lit(0L)) +
+        org.apache.spark.sql.functions.rank().over(w).cast("long"))
+      .drop(B, "_grk_base")
+  }
+
+  /** Global `dense_rank()` in `order` — the base is the count of DISTINCT
+    * order keys in preceding buckets (ties never span buckets, see
+    * [[rank]]), so `distinct base + local dense_rank` is exact.
+    */
+  def denseRank(df: DataFrame, order: Seq[Column], out: String,
+      nBuckets: Int = 64): DataFrame = {
+    val parts = bucketed(df, order, nBuckets)
+    // strip sort direction: countDistinct needs the value expressions
+    val keyExprs = order.map(org.apache.spark.sql.GraftShims.sortChild)
+    val totals = parts.groupBy(col(B))
+      .agg(countDistinct(keyExprs.head, keyExprs.tail: _*).as("_t"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1): Any))
+    val (bases, _) = exclusivePrefix(totals, LongType)
+    val w = Window.partitionBy(col(B)).orderBy(order: _*)
+    withBase(parts, bases, LongType, "_grk_base")
+      .withColumn(out, coalesce(col("_grk_base"), lit(0L)) +
+        dense_rank().over(w).cast("long"))
+      .drop(B, "_grk_base")
+  }
+
   /** Global `ntile(n)` in `order` (a total order, same contract as
     * [[rowNumber]]): SQL-standard tiling — the first `rows mod n` tiles
     * get one extra row — computed from the two-level rank and the grand

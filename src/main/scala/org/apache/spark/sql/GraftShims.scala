@@ -12,6 +12,16 @@ object GraftShims {
   def sessionState(s: SparkSession): internal.SessionState =
     s.asInstanceOf[classic.SparkSession].sessionState
 
+  /** The VALUE expression under a sort column (`col("v").desc` → `v`);
+    * a non-sort column passes through — for callers that need to
+    * aggregate over an ordering's key expressions.
+    */
+  def sortChild(c: Column): Column = expression(c) match {
+    case so: org.apache.spark.sql.catalyst.expressions.SortOrder =>
+      column(so.child)
+    case e => column(e)
+  }
+
   /** A batch result re-tagged as a STREAMING DataFrame — what a V1
     * streaming `Source.getBatch` must return (MicroBatchExecution asserts
     * isStreaming; every built-in V1 source uses the same private

@@ -115,6 +115,25 @@ class GlobalRankSpec extends AnyFunSuite {
     }
   }
 
+  test("rank/denseRank match the window forms under ties (tie runs never span buckets)") {
+    // order by v ONLY — heavy ties (11 distinct values over 97 rows), so
+    // tie runs and their gaps are the whole test
+    for (b <- buckets) {
+      val eR = df.select($"id", org.apache.spark.sql.functions.rank()
+          .over(Window.orderBy($"v")).cast("long").as("r"))
+        .orderBy($"id").collect().toSeq
+      val gR = GlobalRank.rank(df, Seq($"v"), "r", b)
+        .select($"id", $"r").orderBy($"id").collect().toSeq
+      assert(gR == eR, s"rank nBuckets=$b")
+      val eD = df.select($"id", dense_rank()
+          .over(Window.orderBy($"v".desc)).cast("long").as("d"))
+        .orderBy($"id").collect().toSeq
+      val gD = GlobalRank.denseRank(df, Seq($"v".desc), "d", b)
+        .select($"id", $"d").orderBy($"id").collect().toSeq
+      assert(gD == eD, s"denseRank nBuckets=$b")
+    }
+  }
+
   test("ntile matches ntile() across tile counts, ties, and non-dividing sizes") {
     for (b <- Seq(1, 8); n <- Seq(1, 2, 3, 7, 10, 97, 150)) {
       val expect = df.select($"id",
