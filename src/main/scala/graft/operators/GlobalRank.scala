@@ -72,7 +72,10 @@ object GlobalRank {
       (bases, acc.map(x => x: Any).orNull)
     }
     dt match {
-      case LongType | IntegerType =>
+      // LongType only, deliberately: Spark's sum() widens int→long, and a
+      // boxed-Long base under an IntegerType schema would be a runtime
+      // mismatch — an unexpected type must fail loudly below instead
+      case LongType =>
         scan[java.lang.Long]((a, v) =>
           (if (a == null) 0L else a.longValue) + v.asInstanceOf[Number].longValue)
       case DoubleType =>

@@ -56,6 +56,16 @@ class GraftTableSource extends RelationProvider
     * earlier ones, last-writer-wins at batch granularity — replay-stable
     * because a replayed batch re-derives the same sequence), `numBuckets`,
     * `statsCols`.
+    *
+    * CHECKPOINT CONTRACT: exactly-once holds for ONE checkpoint lineage.
+    * Pointing a FRESH checkpoint at an existing table restarts batch ids
+    * at 0, which the merge watermark treats as replay — every batch at or
+    * below the committed watermark is a deliberate no-op (that is what
+    * makes whole-stream replays safe). To feed an existing table with
+    * genuinely new data, keep the original checkpoint (ids stay
+    * monotonic); a fresh checkpoint belongs with a fresh table. The
+    * batch write face (`df.write.format("graft").mode("append")`) is the
+    * unguarded path for out-of-band corrections.
     */
   override def createSink(ctx: SQLContext, parameters: Map[String, String],
       partitionColumns: Seq[String],
