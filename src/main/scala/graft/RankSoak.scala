@@ -44,10 +44,15 @@ object RankSoak {
           col("v"))
     val n = ev.count() // also warms the parquet reader
 
-    // checksum = exact-decimal sum of cum × a position weight (order-proof:
-    // every row's cum is position-determined, decimals add exactly)
+    // checksum = exact-decimal sum of (cum mod p) × a position weight.
+    // event_id is the (unique) order key, so weighting each cum by
+    // event_id mod q makes the sum position-sensitive: two divergent cum
+    // assignments that merely permute values across rows (e.g. across
+    // near-ties) no longer collide. Decimals add/multiply exactly.
     def checksum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("c") % lit(997)).as("s")).head().getDecimal(0)
+      df.agg(sum((col("c") % lit(997)) *
+        (pmod(col("event_id"), lit(1009L)) + lit(1L))).as("s"))
+        .head().getDecimal(0)
 
     def timed[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime(); val a = f

@@ -178,10 +178,13 @@ object GlobalRank {
   def denseRank(df: DataFrame, order: Seq[Column], out: String,
       nBuckets: Int = 64): DataFrame = {
     val parts = bucketed(df, order, nBuckets)
-    // strip sort direction: countDistinct needs the value expressions
+    // strip sort direction: countDistinct needs the value expressions.
+    // Wrap them in a struct: countDistinct skips NULL inputs, but
+    // dense_rank() treats the null key group as a distinct key — a struct
+    // is non-null even when every field is null, so null groups count.
     val keyExprs = order.map(org.apache.spark.sql.GraftShims.sortChild)
     val totals = parts.groupBy(col(B))
-      .agg(countDistinct(keyExprs.head, keyExprs.tail: _*).as("_t"))
+      .agg(countDistinct(struct(keyExprs: _*)).as("_t"))
       .collect().map(r => r.getInt(0) -> (r.getLong(1): Any))
     val (bases, _) = exclusivePrefix(totals, LongType)
     val w = Window.partitionBy(col(B)).orderBy(order: _*)

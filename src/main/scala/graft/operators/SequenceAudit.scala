@@ -38,6 +38,12 @@ object SequenceAudit {
     * (distinct key tuple × day in [min day, max day]) cell, zero when no
     * event landed. `tsCol` is any timestamp/date expression. Output:
     * keyCols ++ (day DATE, n LONG).
+    *
+    * Null handling: NULL key tuples are first-class — the fill join is
+    * null-safe (`<=>`), so a null key's counts land in its cells rather
+    * than zeroing out. Rows whose `tsCol` is NULL have no calendar day and
+    * are excluded from both the span and the counts (a null day is not a
+    * cell a monitor can alert on).
     */
   def dailyCounts(df: DataFrame, keyCols: Seq[String], tsCol: Column)
       : DataFrame = {
@@ -48,11 +54,17 @@ object SequenceAudit {
     val days = span.select(explode(
       sequence(col("_d0"), col("_d1"), expr("interval 1 day"))).as("day"))
     val keys = withDay.select(keyCols.map(col): _*).distinct()
-    val actual = withDay.groupBy((keyCols :+ "day").map(col): _*)
+    val actual = withDay.filter(col("day").isNotNull)
+      .groupBy((keyCols :+ "day").map(col): _*)
       .agg(count(lit(1)).as("_n"))
-    keys.crossJoin(days)
-      .join(actual, keyCols :+ "day", "left")
-      .select((keyCols.map(col) :+ col("day") :+
-        coalesce(col("_n"), lit(0L)).as("n")): _*)
+    val spine = keys.crossJoin(days).as("_s")
+    val a = actual.as("_a")
+    // null-safe on the keys so null-keyed rows keep their counts; day is
+    // plain equality (the spine never holds a null day)
+    val cond = keyCols.map(c => col(s"_s.$c") <=> col(s"_a.$c"))
+      .reduce(_ && _) && col("_s.day") === col("_a.day")
+    spine.join(a, cond, "left")
+      .select((keyCols.map(c => col(s"_s.$c")) :+ col("_s.day").as("day") :+
+        coalesce(col("_a._n"), lit(0L)).as("n")): _*)
   }
 }

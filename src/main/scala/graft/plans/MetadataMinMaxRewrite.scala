@@ -7,8 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, Lo
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.HadoopFsRelation
 import org.apache.spark.sql.internal.SQLConf
-import org.apache.spark.sql.types.{DataType, DateType, IntegerType, LongType, StringType}
-import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.types.{DataType, DateType, IntegerType, LongType}
 
 /** Catalyst optimizer rule (the repo's SIXTH): METADATA-ONLY MIN/MAX —
   * the companion to [[MetadataCountRewrite]]. An unfiltered
@@ -127,21 +126,22 @@ object MetadataMinMaxRewrite extends Rule[LogicalPlan] {
     Some((rows, acc.toMap))
   }
 
+  // exactly the `supported` types — an unexpected type must fail loudly
+  // here rather than survive on a dead branch (StringType deliberately
+  // absent: the rule stands down on strings, see `supported`)
   private def internalOf(v: Any, dt: DataType): Any = dt match {
     case IntegerType | DateType => v.asInstanceOf[Number].intValue
     case LongType => v.asInstanceOf[Number].longValue
-    case StringType =>
-      UTF8String.fromBytes(v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)
-    case _ => v
+    case other => throw new IllegalStateException(
+      s"MetadataMinMaxRewrite: unsupported type $other reached internalOf")
   }
 
   private def cmp(dt: DataType, a: Any, b: Any): Int = dt match {
     case IntegerType | DateType =>
       java.lang.Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
     case LongType => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
-    case StringType =>
-      a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
-    case _ => 0
+    case other => throw new IllegalStateException(
+      s"MetadataMinMaxRewrite: unsupported type $other reached cmp")
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan =

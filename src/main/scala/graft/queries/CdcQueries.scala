@@ -2532,6 +2532,228 @@ object CdcQueries {
         .agg(count(lit(1)).as("n_keys"),
           max(col("lsn")).as("max_lsn"),
           graft.queries.Qutil.dsum(col("value")).as("sum_value"))
+    },
+
+    // --- DESCRIBE HISTORY + OPTIMIZE/VACUUM (cdc65): the table-maintenance
+    // --- operations face as an oracle gate. Three batch-id'd merges build
+    // --- a 3-version table under a retention window (retainVersions=2),
+    // --- with the cdc45 small-file shape (non-aligned bucket count + AQE
+    // --- coalescing off, so buckets hold one file per writing task);
+    // --- history() is captured BEFORE and AFTER maintain() (= compact +
+    // --- vacuum). The version ledger (version, last_batch_id, n_buckets,
+    // --- n_rows) is fully deterministic — n_rows per version is the live
+    // --- key count at that merge's changelog cut, which DuckDB recomputes
+    // --- from events; commit_ts is wall-clock and deliberately excluded.
+    // --- After maintain: compact added v4 (same batch watermark, same
+    // --- rows), vacuum pruned v1/v2 past the retention horizon, so the
+    // --- ledger shrinks to {v3, v4}. maintained_ok pins: some buckets WERE
+    // --- oversized (nCompacted>0), old versions WERE pruned (nVacuumed>0),
+    // --- every compacted bucket landed as ONE file, and the state is
+    // --- byte-identical across the whole maintenance pass (OPTIMIZE moves
+    // --- bytes, never rows). Reference analog: the partition-stability and
+    // --- replay-bookkeeping assertions of spec/functional. ----------------
+    q("cdc65_history_maintain",
+      """WITH c AS (SELECT MAX(event_id) // 3 AS c1,
+        |    2 * (MAX(event_id) // 3) AS c2, MAX(event_id) + 1 AS c3
+        |  FROM events),
+        |n1 AS (SELECT COUNT(*) AS n FROM (
+        |    SELECT user_id, event_type, row_number() OVER (
+        |      PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |    FROM events, c WHERE event_id < c1)
+        |  WHERE rn = 1 AND event_type <> 'error'),
+        |n2 AS (SELECT COUNT(*) AS n FROM (
+        |    SELECT user_id, event_type, row_number() OVER (
+        |      PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |    FROM events, c WHERE event_id < c2)
+        |  WHERE rn = 1 AND event_type <> 'error'),
+        |n3 AS (SELECT COUNT(*) AS n FROM (
+        |    SELECT user_id, event_type, row_number() OVER (
+        |      PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |    FROM events)
+        |  WHERE rn = 1 AND event_type <> 'error')
+        |SELECT 'before' AS phase, CAST(1 AS BIGINT) AS version,
+        |  CAST(1 AS BIGINT) AS last_batch_id, CAST(6 AS INTEGER) AS n_buckets,
+        |  (SELECT CAST(n AS BIGINT) FROM n1) AS n_rows, TRUE AS maintained_ok
+        |UNION ALL SELECT 'before', 2, 2, 6, (SELECT n FROM n2), TRUE
+        |UNION ALL SELECT 'before', 3, 3, 6, (SELECT n FROM n3), TRUE
+        |UNION ALL SELECT 'after', 3, 3, 6, (SELECT n FROM n3), TRUE
+        |UNION ALL SELECT 'after', 4, 3, 6, (SELECT n FROM n3), TRUE""".stripMargin) { (s, d) =>
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      s2.conf.set("spark.graft.materialized.retainVersions", "2")
+      val env = ChangelogGen.fromEvents(s2, d).toDF()
+        .select(col("op"), col("key"), col("lsn"), col("seq"),
+          get_json_object(col("after"), "$.value").cast("double").as("value"))
+      // lsn = event_id: raw parquet max, no JSON projection for one scalar
+      val mx = Tables.events(s, d).agg(max(col("event_id"))).head().getLong(0)
+      val (cu1, cu2) = (mx / 3, 2 * (mx / 3))
+      val dir = java.nio.file.Files.createTempDirectory("cdc65").toString + "/t"
+      Seq((0L, cu1, 1L), (cu1, cu2, 2L), (cu2, mx + 1, 3L)).foreach {
+        case (lo, hi, id) =>
+          MaterializedTable.merge(s2, dir,
+            env.filter(col("lsn") >= lo && col("lsn") < hi),
+            Seq("key"), Seq("lsn", "seq"), numBuckets = 6, batchId = Some(id))
+      }
+      // pin state + ledger BEFORE maintenance: vacuum deletes the very
+      // files a lazy plan would read (localCheckpoint snapshots them)
+      val stateBefore = MaterializedTable.read(s2, dir).localCheckpoint()
+      val histBefore = MaterializedTable.history(s2, dir)
+        .select(lit("before").as("phase"), col("version"),
+          col("last_batch_id"), col("n_buckets"), col("n_rows"))
+        .localCheckpoint()
+      val (nCompacted, nVacuumed) =
+        MaterializedTable.maintain(s2, dir, maxFilesPerBucket = 1)
+      val stateAfter = MaterializedTable.read(s2, dir)
+      // post-OPTIMIZE file shape: every bucket compact rewrote (they all
+      // land in the new head version dir) holds exactly ONE parquet file
+      val v4 = new java.io.File(s"$dir/v4")
+      val v4Counts = Option(v4.listFiles()).getOrElse(Array.empty)
+        .filter(b => b.isDirectory && b.getName.startsWith("_bucket="))
+        .map(b => Option(b.listFiles()).getOrElse(Array.empty)
+          .count(_.getName.endsWith(".parquet"))).toSeq
+      val stateEq = stateAfter.exceptAll(stateBefore).isEmpty &&
+        stateBefore.exceptAll(stateAfter).isEmpty
+      val ok = nCompacted > 0 && nVacuumed > 0 &&
+        v4Counts.nonEmpty && v4Counts.forall(_ == 1) && stateEq
+      val histAfter = MaterializedTable.history(s2, dir)
+        .select(lit("after").as("phase"), col("version"),
+          col("last_batch_id"), col("n_buckets"), col("n_rows"))
+      histBefore.unionByName(histAfter).withColumn("maintained_ok", lit(ok))
+    },
+
+    // --- FLAGSHIP CAPSTONE (cdc66): the reference's whole lifecycle
+    // --- (README.md:38-59 — consistent snapshot, then transactional
+    // --- streaming into downstream consumers that maintain replicas) as
+    // --- ONE gate. Source side: two heterogeneous members fold the events
+    // --- changelog through atomic TableGroup root commits. Subscriber
+    // --- side: bootstrap each replica from the member SNAPSHOT (the
+    // --- snapshot→stream coordination contract), then follow
+    // --- `graft-group-cdf` through foreachBatch, re-merging each JSON
+    // --- envelope window into replica MaterializedTables keyed by the
+    // --- FEED's batch sequence (blsn) — the downstream replica clock is
+    // --- commit order, exactly the reference's consumer discipline; merge
+    // --- batch-id guards make crash replays no-ops. The drive RESTARTS
+    // --- mid-stream: the subscriber stops, a group commit lands while it
+    // --- is down, and the restarted query catches up from its checkpoint.
+    // --- replica_eq pins member-wise multiset equality replica ≡ source
+    // --- latest-state; the reported aggregates are computed FROM THE
+    // --- REPLICAS and hash-matched against DuckDB's from-scratch replay —
+    // --- the strongest end-to-end correctness statement the repo makes. --
+    q("cdc66_group_replica_capstone",
+      """WITH r AS (SELECT user_id, event_id AS lsn, value, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events),
+        |live AS (SELECT user_id, lsn, value FROM r
+        |  WHERE rn = 1 AND event_type <> 'error'),
+        |bytype AS (SELECT user_id, event_type, MAX(event_id) AS lsn
+        |  FROM events WHERE event_type <> 'error' GROUP BY 1, 2)
+        |SELECT 'by_user' AS tbl, COUNT(*) AS n_rows,
+        |  CAST(MAX(lsn) AS BIGINT) AS max_lsn,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |  TRUE AS replica_eq
+        |FROM live
+        |UNION ALL
+        |SELECT 'by_type', COUNT(*), CAST(MAX(lsn) AS BIGINT),
+        |  CAST(NULL AS DOUBLE), TRUE
+        |FROM bytype""".stripMargin) { (s, d) =>
+      val s2 = s.newSession()
+      s2.conf.set("spark.graft.materialized.retainVersions", "6")
+      val env = ChangelogGen.fromEvents(s2, d).toDF()
+        .select(col("op"), col("key"), col("lsn"), col("seq"),
+          get_json_object(col("after"), "$.event_type").as("typ"),
+          get_json_object(col("after"), "$.value").cast("double").as("value"))
+        .localCheckpoint()
+      val mx = Tables.events(s, d).agg(max(col("event_id"))).head().getLong(0)
+      val (c1, c2) = (mx / 3, 2 * (mx / 3))
+      val root = java.nio.file.Files.createTempDirectory("cdc66").toString + "/g"
+      val rep = java.nio.file.Files.createTempDirectory("cdc66rep").toString
+      val (repU, repT) = (s"$rep/by_user", s"$rep/by_type")
+      val ck = java.nio.file.Files.createTempDirectory("cdc66ck").toString
+      def members(b: org.apache.spark.sql.DataFrame) = Seq(
+        TableGroup.TableBatch("by_user",
+          b.select("op", "key", "lsn", "seq", "value"), Seq("key")),
+        TableGroup.TableBatch("by_type",
+          b.filter(col("op") =!= graft.cdc.Op.Delete)
+            .select("op", "key", "typ", "lsn", "seq"), Seq("key", "typ")))
+      def commit(lo: Long, hi: Long, id: Long): Unit = {
+        TableGroup.commit(s2, root,
+          members(env.filter(col("lsn") >= lo && col("lsn") < hi)),
+          Seq("lsn", "seq"), batchId = id, numBuckets = 8)
+        ()
+      }
+      commit(0L, c1, 1L) // the consistent snapshot, before any subscriber
+      // subscriber bootstrap: replicas start as the members' snapshots
+      // (read BEFORE the stream starts — the read-once-then-follow
+      // contract); replica clock blsn=-1 predates every feed batch id
+      MaterializedTable.merge(s2, repU,
+        TableGroup.read(s2, root, "by_user")
+          .select(lit(graft.cdc.Op.Insert).as("op"), col("key"),
+            lit(-1L).as("blsn"), lit(0L).as("bseq"),
+            col("lsn"), col("seq"), col("value")),
+        Seq("key"), Seq("blsn", "bseq"), numBuckets = 8)
+      MaterializedTable.merge(s2, repT,
+        TableGroup.read(s2, root, "by_type")
+          .select(lit(graft.cdc.Op.Insert).as("op"), col("key"), col("typ"),
+            lit(-1L).as("blsn"), lit(0L).as("bseq"), col("lsn"), col("seq")),
+        Seq("key", "typ"), Seq("blsn", "bseq"), numBuckets = 8)
+      // the subscriber: each micro-batch is one (or, after catch-up,
+      // several) group-commit window(s); within a batch a key appears at
+      // most once per member, so the feed batch id is a valid order clock
+      val fold: (org.apache.spark.sql.DataFrame, Long) => Unit = (b, bid) => {
+        val batch = b.localCheckpoint() // feeds two merges — plan once
+        MaterializedTable.merge(s2, repU,
+          batch.filter(col("table") === "by_user").select(
+            col("op"), get_json_object(col("key"), "$.key").as("key"),
+            lit(bid).as("blsn"), lit(0L).as("bseq"),
+            get_json_object(col("after"), "$.lsn").cast("long").as("lsn"),
+            get_json_object(col("after"), "$.seq").cast("long").as("seq"),
+            get_json_object(col("after"), "$.value").cast("double").as("value")),
+          Seq("key"), Seq("blsn", "bseq"), numBuckets = 8, batchId = Some(bid))
+        MaterializedTable.merge(s2, repT,
+          batch.filter(col("table") === "by_type").select(
+            col("op"), get_json_object(col("key"), "$.key").as("key"),
+            get_json_object(col("key"), "$.typ").as("typ"),
+            lit(bid).as("blsn"), lit(0L).as("bseq"),
+            get_json_object(col("after"), "$.lsn").cast("long").as("lsn"),
+            get_json_object(col("after"), "$.seq").cast("long").as("seq")),
+          Seq("key", "typ"), Seq("blsn", "bseq"), numBuckets = 8,
+          batchId = Some(bid))
+        ()
+      }
+      def drive(f: => Unit): Unit = {
+        val q = s2.readStream.format("graft-group-cdf").load(root)
+          .writeStream.foreachBatch(fold)
+          .option("checkpointLocation", ck).start()
+        try { q.processAllAvailable(); f; q.processAllAvailable() }
+        finally q.stop()
+      }
+      drive { commit(c1, c2, 2L) } // live commit observed by the stream...
+      commit(c2, mx + 1, 3L) // ...lands while the subscriber is DOWN
+      drive { () } // RESTART: catch-up from the checkpointed root offset
+      val srcU = TableGroup.read(s2, root, "by_user")
+        .select("key", "lsn", "seq", "value")
+      val repUState = MaterializedTable.read(s2, repU)
+        .select("key", "lsn", "seq", "value").localCheckpoint()
+      val srcT = TableGroup.read(s2, root, "by_type")
+        .select("key", "typ", "lsn", "seq")
+      val repTState = MaterializedTable.read(s2, repT)
+        .select("key", "typ", "lsn", "seq").localCheckpoint()
+      val eq = repUState.exceptAll(srcU).isEmpty &&
+        srcU.exceptAll(repUState).isEmpty &&
+        repTState.exceptAll(srcT).isEmpty &&
+        srcT.exceptAll(repTState).isEmpty
+      // report FROM the replicas: the hashes prove the replica content,
+      // replica_eq pins member-wise equality with the source group
+      repUState.agg(count(lit(1)).as("n_rows"), max(col("lsn")).as("max_lsn"),
+          graft.queries.Qutil.dsum(col("value")).as("sum_value"))
+        .select(lit("by_user").as("tbl"), col("n_rows"), col("max_lsn"),
+          col("sum_value"), lit(eq).as("replica_eq"))
+        .unionByName(
+          repTState.agg(count(lit(1)).as("n_rows"),
+              max(col("lsn")).as("max_lsn"))
+            .select(lit("by_type").as("tbl"), col("n_rows"), col("max_lsn"),
+              lit(null).cast("double").as("sum_value"),
+              lit(eq).as("replica_eq")))
     }
   )
 }

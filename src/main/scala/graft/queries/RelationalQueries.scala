@@ -3225,6 +3225,47 @@ object RelationalQueries {
           forward = true)
         .select(col("user_id"), col("event_id").as("purchase_lsn"),
           col("next_lsn"), col("next_value"))
+    },
+
+    // --- global RANK + DENSE_RANK at scale (q117): the leaderboard shape
+    // --- with heavy planted ties — part.p_size has ~50 distinct values
+    // --- over the whole table, so every rank is a tie run and every
+    // --- dense rank exercises the distinct-key base. Both ride
+    // --- GlobalRank's two-level range-bucket decomposition (ties never
+    // --- span buckets: the RangePartitioner is a function of the full
+    // --- order key), never a single-partition window. Row-level output:
+    // --- each of the N rows' (rank, dense_rank) must hash-match DuckDB's
+    // --- window verbatim. ------------------------------------------------
+    q("q117_global_rank_leaderboard",
+      """SELECT p_partkey, p_size,
+        |  RANK() OVER (ORDER BY p_size) AS rk,
+        |  DENSE_RANK() OVER (ORDER BY p_size) AS dr
+        |FROM part""".stripMargin) { (s, d) =>
+      val part = Tables.part(s, d).select(col("p_partkey"), col("p_size"))
+      graft.operators.GlobalRank.rank(
+          graft.operators.GlobalRank.denseRank(part, Seq(col("p_size")), "dr"),
+          Seq(col("p_size")), "rk")
+        .select(col("p_partkey"), col("p_size"), col("rk"), col("dr"))
+    },
+
+    // --- global NTILE at scale (q118): the quartile report — every order
+    // --- tiled 1..4 by (o_totalprice, o_orderkey) through GlobalRank's
+    // --- rank-arithmetic ntile (SQL tiling: the first `rows mod n` tiles
+    // --- get the extra row), then the per-tile population and exact
+    // --- revenue mass. Tile membership is fully load-bearing in the sums:
+    // --- one row in the wrong tile moves two sum_price cells. -------------
+    q("q118_ntile_quartiles",
+      """WITH t AS (SELECT o_totalprice,
+        |    NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS tile
+        |  FROM orders)
+        |SELECT tile, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM t GROUP BY tile""".stripMargin) { (s, d) =>
+      val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+      graft.operators.GlobalRank.ntile(orders,
+          Seq(col("o_totalprice"), col("o_orderkey")), 4, "tile")
+        .groupBy(col("tile"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
     }
   )
 

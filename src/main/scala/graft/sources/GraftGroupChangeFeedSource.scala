@@ -147,7 +147,15 @@ class GraftGroupCdfSource(ctx: SQLContext, rootDir: String) extends Source {
       val dir = s"$rootDir/$t"
       val keys = MaterializedTable.keyLayout(spark, dir)._1
       from.tables.get(t) match {
-        case Some(fromV) if fromV >= toV => None // member did not move
+        case Some(fromV) if fromV == toV => None // member did not move
+        case Some(fromV) if fromV > toV =>
+          // an offset can only regress if the root was rolled back or the
+          // query was repointed at a different group — a broken feed, and
+          // silently emitting nothing would hide it (changeFeed itself
+          // requires fromV < toV for the same reason)
+          throw new IllegalStateException(
+            s"graft-group-cdf: member '$t' offset regressed ($fromV -> $toV); " +
+              "the group root moved backwards — rolled-back root or wrong group dir")
         case Some(fromV) =>
           Some(envelope(t, keys,
             MaterializedTable.changeFeed(spark, dir, fromV, toV, keys)))

@@ -16,10 +16,16 @@ object GraftShims {
     * a non-sort column passes through — for callers that need to
     * aggregate over an ordering's key expressions.
     */
-  def sortChild(c: Column): Column = expression(c) match {
-    case so: org.apache.spark.sql.catalyst.expressions.SortOrder =>
-      column(so.child)
-    case e => column(e)
+  def sortChild(c: Column): Column = c.node match {
+    // a plain `col.desc` Column carries an internal.SortOrder ColumnNode;
+    // `expression` wraps it LAZILY (ColumnNodeExpression), so the node
+    // must be matched first — the catalyst match alone never fires
+    case so: org.apache.spark.sql.internal.SortOrder => Column(so.child)
+    case _ => expression(c) match {
+      case so: org.apache.spark.sql.catalyst.expressions.SortOrder =>
+        column(so.child)
+      case e => column(e)
+    }
   }
 
   /** A batch result re-tagged as a STREAMING DataFrame — what a V1

@@ -169,6 +169,20 @@ class GlobalRankSpec extends AnyFunSuite {
       val gotC = GlobalRank.cumSum(ndf, ord, $"id", "c", b)
         .select($"id", $"c").orderBy($"id").collect().toSeq
       assert(gotC == expectC, s"cumSum nulls desc=$desc nBuckets=$b")
+      // rank/denseRank: order by nv ALONE so the null group is a real tie
+      // run — dense_rank counts it as one distinct key; the per-bucket
+      // base must too (countDistinct over a bare column would skip it and
+      // every bucket after the null-holding one would rank too low)
+      val nvOrd = if (desc) Seq($"nv".desc) else Seq($"nv")
+      val expectDr = ndf.select($"id",
+          dense_rank().over(Window.orderBy(nvOrd: _*)).cast("long").as("dr"),
+          org.apache.spark.sql.functions.rank()
+            .over(Window.orderBy(nvOrd: _*)).cast("long").as("rk"))
+        .orderBy($"id").collect().toSeq
+      val gotDr = GlobalRank.rank(
+          GlobalRank.denseRank(ndf, nvOrd, "dr", b), nvOrd, "rk", b)
+        .select($"id", $"dr", $"rk").orderBy($"id").collect().toSeq
+      assert(gotDr == expectDr, s"rank/denseRank nulls desc=$desc nBuckets=$b")
     }
   }
 
