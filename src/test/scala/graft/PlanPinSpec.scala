@@ -340,7 +340,9 @@ class PlanPinSpec extends AnyFunSuite {
       "cdc37_gap_detection", "q79_ks_drift", "q81_session_journeys",
       "q87_wow_change", "q88_skyline", "q95_cumulative_audience",
       "q109_max_drawdown", "txt54_vocab_coverage", "txt65_boilerplate_grams",
-      "txt77_bm25_search")
+      "txt77_bm25_search",
+      // GlobalRank-native from birth — pinned so they stay that way
+      "q117_global_rank_leaderboard", "q118_ntile_quartiles")
     // precise check: a logical Window with an EMPTY partitionSpec is what
     // plans the single-partition WindowExec (scalar-aggregate SinglePartition
     // exchanges — one row per partition — are fine and expected)
