@@ -85,6 +85,13 @@ object TableGroup {
             attempt += 1
             if (attempt > 5) throw e
             Thread.sleep(50L * attempt)
+          case _: java.io.FileNotFoundException =>
+            // the exists() above raced the swap's absent window (delete +
+            // rename are two steps on LocalFs): the root vanished between
+            // exists and open. Same condition as !exists — report None and
+            // let pollers fall back to their last-seen root (found live by
+            // the TableGroupSpec race soak, not just by inspection)
+            return None
         }
       }
       out.get

@@ -149,4 +149,78 @@ class TableGroupSpec extends AnyFunSuite {
       assert(e2.getMessage.contains("not a member"))
     }
   }
+
+  test("race soak: concurrent root polling across 100+ rapid commits — no checksum escapes, offsets monotonic") {
+    // The two local-FS swap races (new-bytes-under-old-crc, brief
+    // destination-absent window) were found by inspection and fixed with
+    // bounded retry + last-seen fallback (TableGroup.readRoot,
+    // GraftGroupCdfSource.currentRoot). This pins them under stress:
+    // readers hammer the root from multiple threads through M rapid
+    // commits; any ChecksumException / transient-absent escape fails the
+    // thread, and every thread's observed (lastBatchId, member versions)
+    // sequence must be non-decreasing and reach the final commit.
+    withRetain(2) {
+      val root = tmp()
+      def one(id: Long): Unit = {
+        TableGroup.commit(spark, root, Seq(TableGroup.TableBatch("t",
+            users(("insert", s"k${id % 7}", id, id)), Seq("key"))),
+          Seq("lsn", "seq"), batchId = id, numBuckets = 1)
+        ()
+      }
+      one(1L)
+      val src = new graft.sources.GraftGroupCdfSource(spark.sqlContext, root)
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val polls = new java.util.concurrent.atomic.AtomicLong(0L)
+      val finals = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val batchIdRe = """"lastBatchId":(-?\d+)""".r
+      def reader(viaSource: Boolean): Thread = new Thread(() => {
+        try {
+          var lastB = -1L
+          var lastV = -1L
+          while (!stop.get()) {
+            // raw readRoot may report None mid-swap (the documented
+            // absent-window contract) — a poller keeps its last-seen root,
+            // exactly the GraftGroupCdfSource stance; getOffset does this
+            // internally and must never surface a gap
+            val obs =
+              if (viaSource) {
+                val json = src.getOffset.get.json
+                Some((batchIdRe.findFirstMatchIn(json).get.group(1).toLong,
+                  """"t":(\d+)""".r.findFirstMatchIn(json)
+                    .map(_.group(1).toLong).getOrElse(-1L)))
+              } else TableGroup.readRoot(spark, root)
+                .map(g => (g.lastBatchId, g.tables.getOrElse("t", -1L)))
+            obs.foreach { case (b, v) =>
+              assert(b >= lastB, s"lastBatchId regressed: $lastB -> $b")
+              assert(v >= lastV, s"member version regressed: $lastV -> $v")
+              lastB = b; lastV = v
+            }
+            polls.incrementAndGet()
+          }
+          finals.add(lastB)
+        } catch { case t: Throwable => failure.compareAndSet(null, t) }
+      })
+      val readers = Seq(reader(false), reader(false), reader(false),
+        reader(false), reader(true), reader(true))
+      readers.foreach(_.start())
+      val cycles = 110L
+      (2L to cycles).foreach(one)
+      // let every reader observe the final root before stopping
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      Thread.sleep(200L)
+      stop.set(true)
+      readers.foreach(_.join(math.max(1L,
+        (deadline - System.nanoTime()) / 1000000)))
+      assert(failure.get() == null,
+        s"reader thread failed: ${Option(failure.get()).map(_.toString)}")
+      assert(polls.get() > 500L, s"readers barely ran: ${polls.get()} polls")
+      assert(TableGroup.readRoot(spark, root).get.lastBatchId == cycles)
+      // every reader got at least past the first commit; most reach the tail
+      val fin = finals.toArray(Array.empty[java.lang.Long]).map(_.longValue)
+      assert(fin.length == readers.length)
+      assert(fin.forall(_ >= 1L) && fin.max == cycles,
+        s"final observations: ${fin.mkString(",")}")
+    }
+  }
 }
