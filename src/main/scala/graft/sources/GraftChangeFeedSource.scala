@@ -48,7 +48,7 @@ class GraftChangeFeedSource extends StreamSourceProvider with DataSourceRegister
   override def createSource(ctx: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
-    new GraftCdfSource(ctx, dirOf(parameters))
+    new GraftCdfSource(ctx, dirOf(parameters), metadataPath)
 }
 
 object GraftChangeFeedSource {
@@ -68,16 +68,21 @@ object GraftChangeFeedSource {
   }
 }
 
-class GraftCdfSource(ctx: SQLContext, dir: String) extends Source {
+class GraftCdfSource(ctx: SQLContext, dir: String,
+    metadataPath: String = "") extends Source {
   private val spark = ctx.sparkSession
   private val keys = MaterializedTable.keyLayout(spark, dir)._1
 
   override val schema: StructType = GraftChangeFeedSource.cdfSchema(ctx, dir)
 
   /** No backfill: the feed begins at the version committed when the query
-    * starts.
+    * starts — persisted with the checkpoint so a restarted instance
+    * re-running batch 0 diffs against the ORIGINAL start, not "now"
+    * (a newer re-derived start would silently swallow the first window
+    * via the from >= to guard below).
     */
-  private val startVersion: Long = currentVersion
+  private val startVersion: Long =
+    StartOffsetLog.resolve(spark, metadataPath, currentVersion.toString).toLong
 
   private def currentVersion: Long =
     MaterializedTable.listVersions(spark, dir).lastOption.getOrElse(

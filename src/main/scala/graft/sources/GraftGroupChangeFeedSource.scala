@@ -61,7 +61,7 @@ class GraftGroupChangeFeedSource extends StreamSourceProvider
   override def createSource(ctx: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
-    new GraftGroupCdfSource(ctx, dirOf(parameters))
+    new GraftGroupCdfSource(ctx, dirOf(parameters), metadataPath)
 }
 
 object GraftGroupChangeFeedSource {
@@ -71,7 +71,8 @@ object GraftGroupChangeFeedSource {
     StructField("after", StringType)))
 }
 
-class GraftGroupCdfSource(ctx: SQLContext, rootDir: String) extends Source {
+class GraftGroupCdfSource(ctx: SQLContext, rootDir: String,
+    metadataPath: String = "") extends Source {
   private val spark = ctx.sparkSession
 
   override val schema: StructType = GraftGroupChangeFeedSource.envelopeSchema
@@ -127,9 +128,13 @@ class GraftGroupCdfSource(ctx: SQLContext, rootDir: String) extends Source {
 
   /** No backfill: the feed begins at the root commit current at query
     * start (same stance as graft-cdf — restarted instances re-derive from
-    * the CHECKPOINTED offset, see getOffset's doc there).
+    * the CHECKPOINTED offset, see getOffset's doc there). Persisted under
+    * the stream's metadata dir so a restarted instance RE-RUNNING batch 0
+    * reproduces the original empty start — a re-derived "now" start would
+    * read as an offset regression against batch 0's logged end offset.
     */
-  private val startRoot: TableGroup.GroupManifest = currentRoot
+  private val startRoot: TableGroup.GroupManifest =
+    parse(StartOffsetLog.resolve(spark, metadataPath, canonical(currentRoot)))
 
   private def manifestOf(o: Offset): TableGroup.GroupManifest = o match {
     case s: SerializedOffset => parse(s.json)

@@ -175,6 +175,74 @@ class GraftGroupChangeFeedSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("lagging subscriber across a writer vacuum: in-retention catch-up is the exact net diff; past-retention resume fails LOUDLY") {
+    // Part A — subscriber pauses 3 commits, writer vacuums, retention
+    // covers the lag: the resumed stream delivers ONE catch-up batch that
+    // is the NET v1→v4 diff (intermediate states collapsed), bit-correct.
+    withRetain(6) {
+      val dir = java.nio.file.Files.createTempDirectory("ggcdf6").toString
+      val root = s"$dir/g"
+      commit(root, 1L, rows(("insert", "a", 1L, 10L)), rows())
+      val got = scala.collection.mutable.Map
+        .empty[Long, Seq[(String, String, String)]]
+      val q = collector(root, s"$dir/ck", got)
+      try q.processAllAvailable() finally q.stop() // subscriber goes DOWN
+      got.clear()
+      commit(root, 2L, rows(("update", "a", 2L, 11L)), rows())
+      commit(root, 3L, rows(("insert", "b", 3L, 20L)), rows())
+      commit(root, 4L, rows(("delete", "a", 4L, 0L),
+        ("update", "b", 4L, 21L)), rows())
+      TableGroup.vacuum(spark, root) // retention covers the lag — no-op risk
+      val q2 = collector(root, s"$dir/ck", got)
+      try {
+        q2.processAllAvailable()
+        val nonEmpty = got.filter(_._2.nonEmpty)
+        assert(nonEmpty.size == 1,
+          s"catch-up arrives as ONE collapsed batch: $got")
+        // net of (update a, insert b, delete a, update b): a deleted, b at 21
+        assert(nonEmpty.values.head.toSet == Set(
+          ("ta", "delete", """{"key":"a"}"""),
+          ("ta", "insert", """{"key":"b"}""")))
+        // the collapsed insert must carry the FINAL payload, not v3's
+        val src = new GraftGroupCdfSource(spark.sqlContext, root)
+        val o = (v: Long) => org.apache.spark.sql.execution.streaming.runtime
+          .SerializedOffset(s"""{"lastBatchId":$v,"tables":{"ta":$v,"tb":$v}}""")
+        val net = org.apache.spark.sql.GraftShims.asBatchDataFrame(
+            src.getBatch(Some(o(1L)), o(4L)))
+          .filter(col("op") === "insert")
+          .select(get_json_object(col("after"), "$.v").cast("long"))
+          .as[Long].collect().toSeq
+        assert(net == Seq(21L), "collapsed insert carries the final payload")
+      } finally q2.stop()
+    }
+    // Part B — the lag EXCEEDS retention and the writer vacuums the start
+    // version away: the resumed stream must throw, and deliver NOTHING —
+    // a silent wrong diff is the one forbidden outcome.
+    withRetain(2) {
+      val dir = java.nio.file.Files.createTempDirectory("ggcdf7").toString
+      val root = s"$dir/g"
+      commit(root, 1L, rows(("insert", "a", 1L, 10L)), rows())
+      val got = scala.collection.mutable.Map
+        .empty[Long, Seq[(String, String, String)]]
+      val q = collector(root, s"$dir/ck", got)
+      try q.processAllAvailable() finally q.stop() // down...
+      got.clear()
+      (2L to 5L).foreach(i =>
+        commit(root, i, rows(("update", "a", i, 10L + i)), rows()))
+      TableGroup.vacuum(spark, root) // ...and the lag outruns retention
+      assert(!new java.io.File(s"$root/ta/_graft_manifest.v1.json").exists(),
+        "drill premise: the subscriber's start version IS pruned")
+      val q2 = collector(root, s"$dir/ck", got)
+      try {
+        intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q2.processAllAvailable()
+        }
+        assert(got.values.flatten.isEmpty,
+          s"no envelope may be delivered from a pruned-past start: $got")
+      } finally q2.stop()
+    }
+  }
+
   test("envelope payloads: before/after JSON with insert/delete one-sidedness") {
     withRetain(6) {
       val dir = java.nio.file.Files.createTempDirectory("ggcdf3").toString
