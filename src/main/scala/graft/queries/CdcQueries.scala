@@ -2091,19 +2091,25 @@ object CdcQueries {
       }
       val n = MaterializedTable.compact(s, dir, sortCols = Seq("value"))
       // pin: within every live bucket file, value is non-decreasing (nulls,
-      // which Spark sorts first, may only lead)
+      // which Spark sorts first, may only lead). DISTRIBUTED audit: the
+      // parquet _metadata column gives each row's (file, in-file index) —
+      // stable across scan splits — so the order proof is one per-file
+      // window over all buckets at once, never a per-bucket driver collect
       val liveBucketDirs = new java.io.File(dir).listFiles()
         .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
         .flatMap(v => Option(v.listFiles()).getOrElse(Array.empty))
         .filter(b => b.isDirectory && b.getName.startsWith("_bucket="))
-      val clusteredOk = n > 0 && liveBucketDirs.nonEmpty &&
-        liveBucketDirs.forall { bd =>
-          val vals = s.read.parquet(bd.toString).select("value")
-            .collect().map(r => Option(r.get(0)).map(_.asInstanceOf[Double]))
-          val body = vals.dropWhile(_.isEmpty)
-          body.forall(_.isDefined) &&
-            body.flatten.sliding(2).forall(p => p.length < 2 || p(0) <= p(1))
-        }
+      val clusteredOk = n > 0 && liveBucketDirs.nonEmpty && {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("_f")).orderBy(col("_i"))
+        s.read.parquet(liveBucketDirs.map(_.toString).toIndexedSeq: _*)
+          .select(col("value"), col("_metadata.file_path").as("_f"),
+            col("_metadata.row_index").as("_i"))
+          .withColumn("_prev", lag(col("value"), 1).over(w))
+          .filter(col("_prev").isNotNull &&
+            (col("value").isNull || col("value") < col("_prev")))
+          .isEmpty
+      }
       MaterializedTable.read(s, dir)
         .select(col("key").cast("long").as("user_id"),
           col("lsn").as("last_lsn"), col("value").as("last_value"),

@@ -43,9 +43,30 @@ object GroupCommitStream {
       members: DataFrame => Seq[TableGroup.TableBatch],
       orderCols: Seq[String], numBuckets: Int = 64,
       checkpointLocation: Option[String] = None): Unit = {
+    val q = start(changelog, rootDir, members, orderCols, numBuckets,
+      checkpointLocation,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.awaitTermination()
+  }
+
+  /** The LONG-RUNNING face: same exactly-once group-commit fold, but the
+    * query is returned still running under a continuous processing-time
+    * trigger (default: fire as fast as batches arrive) instead of
+    * draining-and-terminating — the production deployment shape, where the
+    * caller owns lifecycle (`awaitTermination` / `stop` / monitoring).
+    * [[run]] is this with `Trigger.AvailableNow` + await, for drains,
+    * backfills, and gates.
+    */
+  def start(changelog: DataFrame, rootDir: String,
+      members: DataFrame => Seq[TableGroup.TableBatch],
+      orderCols: Seq[String], numBuckets: Int = 64,
+      checkpointLocation: Option[String] = None,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = changelog.sparkSession
     val ckpt = checkpointLocation.getOrElse(s"$rootDir/_graft_checkpoint")
-    val q = changelog.writeStream
+    changelog.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         // one cross-table transaction per micro-batch; the batch frame is
         // re-used by every member projection, so materialize it once
@@ -57,8 +78,7 @@ object GroupCommitStream {
         } finally pinned.unpersist()
       }
       .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
-    q.awaitTermination()
   }
 }

@@ -89,4 +89,41 @@ class GroupCommitStreamSpec extends AnyFunSuite {
         assert(MaterializedTable.listVersions(spark, s"$root/$t").max == v)
     }
   }
+
+  test("continuous face: start() keeps running, folds arriving files live, and resumes monotonic after stop") {
+    withRetain(4) {
+      val dir = java.nio.file.Files.createTempDirectory("gcs3").toString
+      val root = s"$dir/g"; val src = s"$dir/src"
+      stage(src, Seq(("insert", "a", 1L, 10L, "x")), 0)
+      val schema = spark.read.parquet(s"$src/f0").schema
+      def stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$src/f*")
+      val q = GroupCommitStream.start(stream, root, members, Seq("lsn", "seq"),
+        numBuckets = 2)
+      try {
+        q.processAllAvailable()
+        assert(TableGroup.read(spark, root, "by_user").count() == 1L)
+        // files landing while the query is LIVE fold without re-starting
+        stage(src, Seq(("insert", "b", 2L, 20L, "y"),
+          ("update", "a", 3L, 11L, "x")), 1)
+        q.processAllAvailable()
+        assert(TableGroup.read(spark, root, "by_user")
+          .select("key", "v").as[(String, Long)].collect().toMap ==
+          Map("a" -> 11L, "b" -> 20L))
+      } finally q.stop()
+      val watermark = TableGroup.readRoot(spark, root).get.lastBatchId
+      // second start() on the same root: the default under-root checkpoint
+      // resumes with MONOTONIC batch ids — new data folds, none swallowed
+      stage(src, Seq(("delete", "b", 4L, 0L, "y")), 2)
+      val q2 = GroupCommitStream.start(stream, root, members, Seq("lsn", "seq"),
+        numBuckets = 2)
+      try {
+        q2.processAllAvailable()
+        assert(TableGroup.read(spark, root, "by_user")
+          .select("key", "v").as[(String, Long)].collect().toMap ==
+          Map("a" -> 11L))
+        assert(TableGroup.readRoot(spark, root).get.lastBatchId > watermark)
+      } finally q2.stop()
+    }
+  }
 }
