@@ -106,8 +106,17 @@ class GraftCdfSource(ctx: SQLContext, dir: String,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(longOf).getOrElse(startVersion)
     val to = longOf(end)
+    // With the start offset checkpoint-persisted, from > to can only mean a
+    // genuinely broken feed (table rolled back / pointed at the wrong dir) —
+    // same loud contract as GraftGroupCdfSource.getBatch. from == to stays
+    // the empty no-op (fresh query's first batch, engine replays).
+    if (from > to) {
+      throw new IllegalStateException(
+        s"graft-cdf offset regression at $dir: batch start v$from > end v$to" +
+          " — table rolled back or source repointed; refusing to emit")
+    }
     val batch =
-      if (from >= to)
+      if (from == to)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else MaterializedTable.changeFeed(spark, dir, from, to, keys)

@@ -147,6 +147,17 @@ class GraftGroupCdfSource(ctx: SQLContext, rootDir: String,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(manifestOf).getOrElse(startRoot)
     val to = manifestOf(end)
+    // A member present at the window start but absent from its end root
+    // means the group shrank mid-feed (member dropped / root replaced) —
+    // the same broken-feed class as a rolled-back offset, and silently
+    // dropping the member from the diff would hide it with no deletes.
+    val vanished = from.tables.keySet -- to.tables.keySet
+    if (vanished.nonEmpty) {
+      throw new IllegalStateException(
+        s"graft-group-cdf: member(s) ${vanished.toSeq.sorted.mkString(", ")} " +
+          "present in the batch-start root but absent from its end root — " +
+          "group membership shrank mid-feed (dropped member or replaced root)")
+    }
     // per-member key layouts resolve lazily (a member can join mid-stream)
     val frames = to.tables.toSeq.sortBy(_._1).flatMap { case (t, toV) =>
       val dir = s"$rootDir/$t"

@@ -40,7 +40,17 @@ private[sources] object StartOffsetLog {
     val tmp = new Path(metadataPath, ".graft-start-offset.tmp")
     val out = fs.create(tmp, true)
     try out.write(v.getBytes("UTF-8")) finally out.close()
-    fs.rename(tmp, p)
+    // rename signals failure by returning false (e.g. the empty-file
+    // recompute path leaves a destination in place on FSes that refuse
+    // rename-with-overwrite). A silently unpersisted start offset is the
+    // exact regression this class exists to prevent — fail loud.
+    if (fs.exists(p) && !fs.delete(p, false)) {
+      throw new IllegalStateException(s"StartOffsetLog: cannot replace $p")
+    }
+    if (!fs.rename(tmp, p) && !fs.exists(p)) {
+      throw new IllegalStateException(
+        s"StartOffsetLog: failed to persist start offset at $p")
+    }
     v
   }
 }

@@ -172,6 +172,7 @@ class TableGroupSpec extends AnyFunSuite {
       val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
       val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
       val polls = new java.util.concurrent.atomic.AtomicLong(0L)
+      val maxSeen = new java.util.concurrent.atomic.AtomicLong(-1L)
       val finals = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
       val batchIdRe = """"lastBatchId":(-?\d+)""".r
       def reader(viaSource: Boolean): Thread = new Thread(() => {
@@ -195,6 +196,7 @@ class TableGroupSpec extends AnyFunSuite {
               assert(b >= lastB, s"lastBatchId regressed: $lastB -> $b")
               assert(v >= lastV, s"member version regressed: $lastV -> $v")
               lastB = b; lastV = v
+              maxSeen.getAndUpdate(m => math.max(m, b))
             }
             polls.incrementAndGet()
           }
@@ -206,9 +208,12 @@ class TableGroupSpec extends AnyFunSuite {
       readers.foreach(_.start())
       val cycles = 110L
       (2L to cycles).foreach(one)
-      // let every reader observe the final root before stopping
+      // poll until some reader has actually observed the final commit (a
+      // fixed sleep is flaky on a loaded machine — all six readers could be
+      // mid-retry/descheduled), bounded by the same 10 s deadline
       val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
-      Thread.sleep(200L)
+      while (maxSeen.get() < cycles && failure.get() == null &&
+          System.nanoTime() < deadline) Thread.sleep(20L)
       stop.set(true)
       readers.foreach(_.join(math.max(1L,
         (deadline - System.nanoTime()) / 1000000)))

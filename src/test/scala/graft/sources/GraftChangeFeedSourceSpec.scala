@@ -147,4 +147,21 @@ class GraftChangeFeedSourceSpec extends AnyFunSuite {
         s"expected only v2→v3's diff, got $second")
     }
   }
+
+  test("an offset regression (batch start > end) fails LOUDLY — a rolled-back table or repointed source, never a silent empty batch") {
+    withRetain(4) {
+      val dir = java.nio.file.Files.createTempDirectory("gcdf4").toString + "/t"
+      mergeBatch(dir, 1L, ("insert", "a", 1L, 10L))
+      mergeBatch(dir, 2L, ("update", "a", 2L, 11L))
+      val src = new GraftCdfSource(spark.sqlContext, dir, "")
+      import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+      // from == to stays the empty no-op (fresh query's replayed batch 0)
+      assert(org.apache.spark.sql.GraftShims.asBatchDataFrame(
+        src.getBatch(Some(LongOffset(2L)), LongOffset(2L))).isEmpty)
+      val e = intercept[IllegalStateException] {
+        src.getBatch(Some(LongOffset(2L)), LongOffset(1L))
+      }
+      assert(e.getMessage.contains("offset regression"), e.getMessage)
+    }
+  }
 }

@@ -273,4 +273,25 @@ class GraftGroupChangeFeedSourceSpec extends AnyFunSuite {
       } finally q.stop()
     }
   }
+
+  test("a member present at the window start but absent from its end root fails LOUDLY — shrunk group, never a silent drop") {
+    withRetain(4) {
+      val dir = java.nio.file.Files.createTempDirectory("ggcdf4").toString
+      val root = s"$dir/g"
+      commit(root, 1L, rows(("insert", "a", 1L, 10L)),
+        rows(("insert", "x", 1L, 100L)))
+      commit(root, 2L, rows(("update", "a", 2L, 11L)), rows())
+      val src = new GraftGroupCdfSource(spark.sqlContext, root)
+      import org.apache.spark.sql.execution.streaming.runtime.SerializedOffset
+      val to = src.getOffset.get.json
+      // a from-offset claiming a member the end root no longer has
+      val from = to.replaceFirst("""\{"ta"""", """{"gone":1,"ta"""")
+        .replaceFirst(""""lastBatchId":2""", """"lastBatchId":1""")
+      val e = intercept[IllegalStateException] {
+        src.getBatch(Some(SerializedOffset(from)), SerializedOffset(to))
+      }
+      assert(e.getMessage.contains("gone") &&
+        e.getMessage.contains("absent from its end root"), e.getMessage)
+    }
+  }
 }
