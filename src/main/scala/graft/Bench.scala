@@ -73,10 +73,19 @@ object Bench {
       else SparkEntry.queries.filter { case (n, _) => args.exists(n.startsWith) }
     // a failed query reports duration -1 (a silently-tiny duration would make
     // a REGRESSION look like a speedup in the round-over-round comparison)
+    // Per-gate phase breakdown (BenchPhase snapshot-diff): a future bench
+    // outlier on a one-time-build gate shows WHICH phase (train/save/load)
+    // absorbed the time instead of earning a filtered re-run.
+    val gatePhases = scala.collection.mutable.LinkedHashMap
+      .empty[String, Map[String, Double]]
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val ph0 = BenchPhase.snapshot()
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()
+        val d = BenchPhase.snapshot().map { case (k, v) =>
+          k -> (v - ph0.getOrElse(k, 0.0)) }.filter(_._2 > 0.0005)
+        if (d.nonEmpty) gatePhases(name) = d
         name -> (System.nanoTime() - t0) / 1e9
       } catch {
         case e: Throwable =>
@@ -137,10 +146,18 @@ object Bench {
     // so an oversized summary can never discard the run's per-query record;
     // path resolves against the launch directory (overridable) rather than
     // a hardcoded checkout location
+    val phasesJson =
+      if (gatePhases.isEmpty) ""
+      else gatePhases.map { case (g, m) =>
+        "    \"" + g + "\": {" + m.toSeq.sortBy(_._1)
+          .map { case (p, v) => "\"" + p + "\": " + fmt(v) }
+          .mkString(", ") + "}"
+      }.mkString("  \"_phases\": {\n", ",\n", "\n  },\n")
     val detail = results.map { case (k, v) => "  \"" + k + "\": " + fmt(v) }
       .mkString(
         s"""{\n  "_total_sec": ${fmt(total)},\n  "_n_queries": ${results.size},\n""" +
-        s"""  "_cdc_events_per_sec": ${cdcEps.toLong},\n  "_sf": "$sfDir",\n""",
+        s"""  "_cdc_events_per_sec": ${cdcEps.toLong},\n  "_sf": "$sfDir",\n""" +
+        phasesJson,
         ",\n", "\n}\n")
     try {
       // a FILTERED run (prefix args) writes a side file — it must never

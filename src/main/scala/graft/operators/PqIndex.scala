@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.BenchPhase
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -45,15 +46,75 @@ import org.apache.spark.sql.functions._
   */
 object PqIndex {
 
+  /** Process-local memos of trained artifacts, keyed by an EXPLICIT
+    * caller-supplied corpus identity (opt-in — callers that do not pass a
+    * `memoKey` always retrain). Training is deterministic (seeding,
+    * integral means, tie-breaks — the vec05 contract), so for a given
+    * corpus + params the codebooks are a pure value and sharing them is
+    * semantically invisible; the drive's four PQ gates (vec10/11/12/15)
+    * quantize the SAME corpus with the SAME params and were paying the
+    * m-way Lloyd training four times (plus two coarse quantizers). The
+    * cached value is the COLLECTED rows (m·k ≤ 512 tiny rows — they are
+    * broadcast at every use anyway), so a memo hit is also
+    * session/lineage-free. Keys are explicit strings, not plan
+    * fingerprints: a plan-derived key risks silently serving stale
+    * codebooks when a path is rewritten under the same plan shape.
+    */
+  private val pqMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(Int, Int, Seq[Long])]]
+  private val coarseMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(Int, Seq[Long])]]
+
   /** Train per-subspace codebooks: `(s INT, cell INT, cv ARRAY<LONG>)`,
-    * `m`·`k` rows — [[IvfIndex.trainQ]]'s Lloyd run once per subspace over
+    * `m`·`k` rows. With a `memoKey`, a repeat call for the same
+    * (key, cols, params) returns the memoized codebooks (see [[pqMemo]]).
+    */
+  def train(corpus: DataFrame, idCol: String, vecCol: String, m: Int = 16,
+      k: Int = 32, iters: Int = 2, memoKey: Option[String] = None)
+      : DataFrame = memoKey match {
+    case None => trainImpl(corpus, idCol, vecCol, m, k, iters)
+    case Some(key0) =>
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      val key = s"pq:$key0:$idCol:$vecCol:m=$m:k=$k:i=$iters"
+      val rows = pqMemo.computeIfAbsent(key, _ => {
+        BenchPhase.count("pq_train_memo_miss")
+        trainImpl(corpus, idCol, vecCol, m, k, iters)
+          .select(col("s"), col("cell"), col("cv"))
+          .as[(Int, Int, Seq[Long])].collect()
+      })
+      BenchPhase.count("pq_train_memo_call")
+      spark.createDataset(rows.toSeq).toDF("s", "cell", "cv")
+  }
+
+  /** The coarse IVF quantizer over unit-sphere vectors, memoized like
+    * [[train]] (vec12 and vec15 train the identical quantizer).
+    */
+  private def coarseQ(qn: DataFrame, nLists: Int, iters: Int,
+      memoKey: Option[String]): DataFrame = memoKey match {
+    case None =>
+      BenchPhase.time("pq_coarse_train")(IvfIndex.trainQ(qn, nLists, iters))
+    case Some(key0) =>
+      val spark = qn.sparkSession
+      import spark.implicits._
+      val key = s"coarse:$key0:nLists=$nLists:i=$iters"
+      val rows = coarseMemo.computeIfAbsent(key, _ => {
+        BenchPhase.count("pq_coarse_memo_miss")
+        BenchPhase.time("pq_coarse_train")(IvfIndex.trainQ(qn, nLists, iters))
+          .select(col("cell"), col("cv")).as[(Int, Seq[Long])].collect()
+      })
+      BenchPhase.count("pq_coarse_memo_call")
+      spark.createDataset(rows.toSeq).toDF("cell", "cv")
+  }
+
+  /** Training body: [[IvfIndex.trainQ]]'s Lloyd run once per subspace over
     * the unit-sphere slices of [[subVectors]] (spherical PQ: see there).
     * The m sub-trainings are independent, so they run as concurrent Spark
     * jobs (trainQ materializes its ≤k centroids eagerly) — wall-clock is
     * one training, not m.
     */
-  def train(corpus: DataFrame, idCol: String, vecCol: String, m: Int = 16,
-      k: Int = 32, iters: Int = 2): DataFrame = {
+  private def trainImpl(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, iters: Int): DataFrame = BenchPhase.time("pq_train") {
     import scala.concurrent.{Await, Future, blocking}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -139,7 +200,7 @@ object PqIndex {
       * task counts would write metadata-toxic slivers). Codebooks are
       * `m`·`k` rows — one file.
       */
-    def save(dir: String): Unit = {
+    def save(dir: String): Unit = BenchPhase.time("pq_save") {
       codebooks.coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
       codes.repartition(col("id"))
         .write.mode("overwrite").parquet(s"$dir/codes")
@@ -151,8 +212,8 @@ object PqIndex {
     * the corpus; a built index pays both exactly once.
     */
   def build(corpus: DataFrame, idCol: String, vecCol: String, m: Int = 16,
-      k: Int = 32, iters: Int = 2): Index = {
-    val books = train(corpus, idCol, vecCol, m, k, iters)
+      k: Int = 32, iters: Int = 2, memoKey: Option[String] = None): Index = {
+    val books = train(corpus, idCol, vecCol, m, k, iters, memoKey)
     Index(books, encode(corpus, idCol, vecCol, books, m), m)
   }
 
@@ -161,12 +222,13 @@ object PqIndex {
     * `load(save(build(…)))` returns the same rows as over the in-memory
     * index (pinned in spec).
     */
-  def load(spark: org.apache.spark.sql.SparkSession, dir: String): Index = {
-    val books = spark.read.parquet(s"$dir/codebooks")
-      .select(col("s").cast("int"), col("cell").cast("int"), col("cv"))
-    val codes = spark.read.parquet(s"$dir/codes")
-    Index(books, codes, books.agg(max(col("s"))).head().getInt(0) + 1)
-  }
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): Index =
+    BenchPhase.time("pq_load") {
+      val books = spark.read.parquet(s"$dir/codebooks")
+        .select(col("s").cast("int"), col("cell").cast("int"), col("cv"))
+      val codes = spark.read.parquet(s"$dir/codes")
+      Index(books, codes, books.agg(max(col("s"))).head().getInt(0) + 1)
+    }
 
   /** Compress NEW vectors against FROZEN codebooks and append — the PQ twin
     * of [[IvfIndex.append]]: the m Lloyd trainings never re-run; an arriving
@@ -210,8 +272,8 @@ object PqIndex {
     */
   def searchAdc(probes: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, m: Int = 16, nCodes: Int = 32, iters: Int = 2,
-      rerankN: Int = 32): DataFrame = {
-    val books = train(corpus, idCol, vecCol, m, nCodes, iters)
+      rerankN: Int = 32, memoKey: Option[String] = None): DataFrame = {
+    val books = train(corpus, idCol, vecCol, m, nCodes, iters, memoKey)
     rerank(adcDistances(probes, corpus, idCol, vecCol, books, m),
       probes, corpus, idCol, vecCol, k, rerankN)
   }
@@ -235,10 +297,10 @@ object PqIndex {
   def searchIvf(probes: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, nLists: Int = 16, nProbe: Int = 4,
       m: Int = 16, nCodes: Int = 32, iters: Int = 2,
-      rerankN: Int = 32): DataFrame = {
+      rerankN: Int = 32, memoKey: Option[String] = None): DataFrame = {
     val qn = normalized(corpus, idCol, vecCol)
-    val coarse = IvfIndex.trainQ(qn.select(col("id"), col("qn").as("qv")),
-      nLists, iters)
+    val coarse = coarseQ(qn.select(col("id"), col("qn").as("qv")),
+      nLists, iters, memoKey)
     val cells = IvfIndex.assign(
       qn.select(col("id"), col("qn").as("qv")), coarse)
       .select(col("id").as("neighbor_id"), col("cell"))
@@ -253,7 +315,7 @@ object PqIndex {
     val cand0 = probeCells.join(cells, Seq("cell"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .select("probe_id", "neighbor_id")
-    val books = train(corpus, idCol, vecCol, m, nCodes, iters)
+    val books = train(corpus, idCol, vecCol, m, nCodes, iters, memoKey)
     val dtab = subVectors(probes, idCol, vecCol, m)
       .join(broadcast(books), Seq("s"))
       .select(col("id").as("probe_id"), col("s"), col("cell").as("code"),
@@ -294,7 +356,7 @@ object PqIndex {
       * The repartition-by-cell aligns write tasks with partition dirs —
       * without it every task writes a sliver of every cell.
       */
-    def save(dir: String): Unit = {
+    def save(dir: String): Unit = BenchPhase.time("ivfpq_save") {
       coarse.coalesce(1).write.mode("overwrite").parquet(s"$dir/coarse")
       codebooks.coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
       codes.repartition(col("cell"))
@@ -310,14 +372,14 @@ object PqIndex {
     */
   def buildIvf(corpus: DataFrame, idCol: String, vecCol: String,
       nLists: Int = 16, m: Int = 16, nCodes: Int = 32,
-      iters: Int = 2): IvfPq = {
+      iters: Int = 2, memoKey: Option[String] = None): IvfPq = {
     val qn = normalized(corpus, idCol, vecCol)
-    val coarse = IvfIndex.trainQ(qn.select(col("id"), col("qn").as("qv")),
-      nLists, iters)
+    val coarse = coarseQ(qn.select(col("id"), col("qn").as("qv")),
+      nLists, iters, memoKey)
     val cells = IvfIndex.assign(
       qn.select(col("id"), col("qn").as("qv")), coarse)
       .select(col("id"), col("cell"))
-    val books = train(corpus, idCol, vecCol, m, nCodes, iters)
+    val books = train(corpus, idCol, vecCol, m, nCodes, iters, memoKey)
     val codes = encode(corpus, idCol, vecCol, books, m)
       .join(cells, Seq("id"))
       .select(col("id").as("neighbor_id"), col("cell"), col("codes"))
@@ -328,14 +390,15 @@ object PqIndex {
     * search over `loadIvf(save(buildIvf(…)))` reproduces the inline
     * [[searchIvf]] results bit-for-bit (spec + vec15 gate).
     */
-  def loadIvf(spark: org.apache.spark.sql.SparkSession, dir: String): IvfPq = {
-    val books = spark.read.parquet(s"$dir/codebooks")
-      .select(col("s").cast("int"), col("cell").cast("int"), col("cv"))
-    // partition-column inference can widen `cell`; pin the written schema
-    val codes = spark.read.parquet(s"$dir/codes")
-      .select(col("neighbor_id"), col("cell").cast("int"), col("codes"))
-    IvfPq(spark.read.parquet(s"$dir/coarse"), books, codes,
-      books.agg(max(col("s"))).head().getInt(0) + 1)
+  def loadIvf(spark: org.apache.spark.sql.SparkSession, dir: String): IvfPq =
+    BenchPhase.time("ivfpq_load") {
+      val books = spark.read.parquet(s"$dir/codebooks")
+        .select(col("s").cast("int"), col("cell").cast("int"), col("cv"))
+      // partition-column inference can widen `cell`; pin the written schema
+      val codes = spark.read.parquet(s"$dir/codes")
+        .select(col("neighbor_id"), col("cell").cast("int"), col("codes"))
+      IvfPq(spark.read.parquet(s"$dir/coarse"), books, codes,
+        books.agg(max(col("s"))).head().getInt(0) + 1)
   }
 
   /** [[IvfIndex.appendSaved]]'s IVF-PQ twin: encode a new batch against the

@@ -226,6 +226,29 @@ class PqIndexSpec extends AnyFunSuite {
       "remove must restore the base corpus codes exactly")
   }
 
+  test("memoKey: memoized codebooks are bit-identical to a fresh training; distinct keys never share") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("s"), col("cell"), col("cv"))
+        .as[(Int, Int, Seq[Long])].collect().sortBy(r => (r._1, r._2)).toSeq
+    val key = "pqmemo-spec-" + java.util.UUID.randomUUID().toString
+    val fresh = rows(PqIndex.train(emb, "vec_id", "embedding", m = 4, k = 8))
+    val first = rows(PqIndex.train(emb, "vec_id", "embedding", m = 4, k = 8,
+      memoKey = Some(key)))
+    val hit = rows(PqIndex.train(emb, "vec_id", "embedding", m = 4, k = 8,
+      memoKey = Some(key)))
+    assert(first == fresh, "a memo MISS must train exactly as the unkeyed path")
+    assert(hit == fresh, "a memo HIT must reproduce the training bit-for-bit")
+    // a different corpus under a different key must not collide
+    val other = rows(PqIndex.train(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", m = 4, k = 8, memoKey = Some(key + ":even")))
+    assert(other != fresh, "distinct keys memoize distinct trainings")
+    // params are part of the key: same memoKey, different k, no collision
+    val k16 = rows(PqIndex.train(emb, "vec_id", "embedding", m = 4, k = 16,
+      memoKey = Some(key)))
+    assert(k16.map(_._2).max > 8 - 1, "k=16 under the same memoKey retrains")
+  }
+
   test("plan: ADC search joins are hashed — no cartesian over vectors") {
     val plan = PqIndex.searchAdc(emb.filter(col("vec_id") < 10), emb,
       "vec_id", "embedding", k = 3).queryExecution.executedPlan.toString
