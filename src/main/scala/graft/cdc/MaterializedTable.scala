@@ -48,10 +48,54 @@ import org.apache.spark.sql.functions._
   * At 100 TB with a well-sized bucket count, a micro-batch touching k keys
   * costs O(k/numBuckets · stateSize) IO — untouched buckets are never read
   * or written, and the manifest is O(numBuckets) metadata, not O(data).
-  * Single-writer discipline (one maintenance stream per table) is assumed,
-  * as in every log-structured table format without a locking service.
+  *
+  * == Multi-writer: optimistic concurrency ==
+  *
+  * One writer per table is still the intended deployment (the reference's
+  * slot single-ownership: one replication slot = one producer,
+  * client/replication.c:45–93) — but the faces this layer exposes
+  * (`format("graft")` writes, the streaming sink, [[maintain]] jobs) make
+  * CONCURRENT committers reachable, and a silent last-rename-wins there
+  * orphans the loser's version. So every commit is a compare-and-swap, the
+  * Delta/Iceberg discipline: data is staged under a unique `_stage_*`
+  * directory, the commit CLAIMS its target version by creating the
+  * versioned manifest record exclusively (create-no-overwrite — atomic on
+  * HDFS-like filesystems, exists-check-then-create on LocalFs), and only
+  * the claim holder renames its staging directory into place and swaps the
+  * primary manifest. A commit that loses the claim — or whose head moved
+  * under it — throws [[ConcurrentCommitException]] after deleting its
+  * staging; it never lands twice and never corrupts the winner. Retry is
+  * the caller's policy, and batch-id-guarded retries converge (a replay of
+  * a landed batch is a no-op). A claim whose writer crashed before the
+  * primary swap surfaces — after `spark.graft.occ.claimGraceMs` (default
+  * 2000) of the head not moving — as [[StaleCommitClaimException]];
+  * recovery is the explicit [[recover]] (stop writers first), NEVER an
+  * in-line lease steal, and the publish-time claim-token fence turns even
+  * a misused recover() into a loud abort instead of a lost commit.
   */
 object MaterializedTable {
+
+  /** An optimistic commit lost its race: another writer committed the same
+    * target version (or moved the head) between this writer's manifest read
+    * and its claim. Nothing was published; staged files were deleted.
+    * Re-reading state and retrying is safe — batch-id-guarded merges
+    * converge (an already-landed batch replays as a no-op).
+    */
+  final class ConcurrentCommitException(msg: String)
+    extends java.util.ConcurrentModificationException(msg)
+
+  /** A commit claim exists for the next version but the head has not moved
+    * through the whole grace window: a writer CRASHED between its claim and
+    * its publish (or is pathologically stalled). NOT retryable — retrying
+    * hits the same dead claim forever. Recovery is an explicit operator
+    * action: stop all writers, run [[recover]], resume. Deliberately a
+    * different type from [[ConcurrentCommitException]]: auto-retry loops
+    * must not spin on it, and auto-BREAKING the claim in-line would be an
+    * unfenced lease steal — a merely-slow live writer would wake up and
+    * publish over the breaker's commit.
+    */
+  final class StaleCommitClaimException(msg: String)
+    extends IllegalStateException(msg)
 
   private val manifestFile = "_graft_manifest.json"
 
@@ -182,9 +226,15 @@ object MaterializedTable {
     * swept by [[vacuum]] — never a committed version without its record.
     */
   private[cdc] def writeManifest(spark: SparkSession, dir: String, m: Manifest): Unit = {
-    val (fs, hPath) = fsOf(spark, dir)
-    if (!fs.exists(hPath)) fs.mkdirs(hPath)
-    val json = {
+    val token = claimVersion(spark, dir, m)
+    if (!claimStillHeld(spark, dir, m, token))
+      throw new ConcurrentCommitException(
+        s"claim for v${m.version} at $dir was recovered away mid-commit — " +
+          "nothing published; retry")
+    publishPrimary(spark, dir, m)
+  }
+
+  private def manifestJson(m: Manifest, writer: Option[String] = None): String = {
       val b = m.buckets.toSeq.sortBy(_._1)
         .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
       // stats min/max are arbitrary user strings — serialize that subtree
@@ -205,15 +255,134 @@ object MaterializedTable {
         }
       }
       s"""{"version":${m.version},"lastBatchId":${m.lastBatchId},""" +
+        writer.map(w => s""""writer":"$w",""").getOrElse("") +
         s""""numBuckets":${m.numBuckets},""" +
         s""""bucketCols":${om.writeValueAsString(bcNode)},""" +
         s""""stats":${om.writeValueAsString(statsNode)},""" +
         s""""buckets":$b,"schema":${m.schemaJson}}"""
+  }
+
+  private def claimGraceMs(spark: SparkSession): Long =
+    spark.conf.get("spark.graft.occ.claimGraceMs", "2000").toLong
+
+  /** Atomic create-no-overwrite. The Hadoop FileSystem API's
+    * `create(p, overwrite = false)` is an exists-check-then-create on
+    * LocalFs — two racing writers BOTH succeed (observed live in the
+    * two-writer spec: both claimed v1 of a fresh table). For file:// the
+    * claim therefore goes through `File.createNewFile()` (POSIX
+    * O_CREAT|O_EXCL — atomic); content is written after the claim is won,
+    * into a file only the winner owns. On HDFS-like filesystems
+    * `create(false)` is atomic server-side and is used directly.
+    */
+  private[cdc] def tryExclusiveCreate(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, bytes: Array[Byte]): Boolean = {
+    val scheme = p.toUri.getScheme
+    if (scheme == null || scheme == "file") {
+      val f = new java.io.File(p.toUri.getPath)
+      Option(f.getParentFile).foreach(_.mkdirs())
+      val won = try f.createNewFile() catch { case _: java.io.IOException => false }
+      if (won) {
+        val os = new java.io.FileOutputStream(f)
+        try os.write(bytes) finally os.close()
+      }
+      won
+    } else {
+      try {
+        val os = fs.create(p, false)
+        try os.write(bytes) finally os.close()
+        true
+      } catch {
+        case e: java.io.IOException => if (fs.exists(p)) false else throw e
+      }
     }
-    val bytes = json.getBytes("UTF-8")
-    val versioned = new org.apache.hadoop.fs.Path(dir, versionedManifestFile(m.version))
-    val vs = fs.create(versioned, true)
-    try vs.write(bytes) finally vs.close()
+  }
+
+  /** The commit CAS: CLAIM version `m.version` by creating its versioned
+    * manifest record exclusively ([[tryExclusiveCreate]]). Exactly one
+    * writer per target version can succeed — the one that does owns
+    * `v{version}` (the staging rename and the primary swap). A failed
+    * claim means a concurrent writer took the version (throw retryable
+    * [[ConcurrentCommitException]] once the head confirms it moved) or a
+    * crashed writer left its claim behind (head never moves through the
+    * grace window — throw [[StaleCommitClaimException]]; recovery is the
+    * explicit [[recover]], never an in-line lease steal).
+    *
+    * Returns the claim's unique writer token; [[commitStaged]] re-checks
+    * it immediately before publishing (the fence against a [[recover]]
+    * run against live writers re-assigning the version).
+    */
+  private def claimVersion(spark: SparkSession, dir: String, m: Manifest): String = {
+    val (fs, hPath) = fsOf(spark, dir)
+    if (!fs.exists(hPath)) fs.mkdirs(hPath)
+    val p = new org.apache.hadoop.fs.Path(dir, versionedManifestFile(m.version))
+    val token = java.util.UUID.randomUUID().toString
+    // the claim record IS the versioned manifest (parse ignores the extra
+    // writer field), so a committed version needs no second write
+    val bytes = manifestJson(m, Some(token)).getBytes("UTF-8")
+    if (!tryExclusiveCreate(fs, p, bytes)) {
+      // a LIVE racer publishes its primary within ms of claiming; a CRASHED
+      // writer's head never reaches the claimed version. Poll through the
+      // grace window to tell them apart.
+      val deadline = System.nanoTime() + claimGraceMs(spark) * 1000000L
+      while (System.nanoTime() < deadline) {
+        val head = readManifest(spark, dir).map(_.version).getOrElse(0L)
+        if (head >= m.version)
+          throw new ConcurrentCommitException(
+            s"commit of v${m.version} at $dir lost to a concurrent writer " +
+              s"(head is v$head) — re-read state and retry")
+        Thread.sleep(25L)
+      }
+      throw new StaleCommitClaimException(
+        s"claim for v${m.version} at $dir exists but the head has not " +
+          s"reached it within ${claimGraceMs(spark)} ms — a writer crashed " +
+          "between claim and publish; stop writers and run " +
+          "MaterializedTable.recover(dir)")
+    }
+    // The claim guarantees no one else can publish m.version — but the head
+    // must also still be the version this commit was computed AGAINST
+    // (guards a restore/rebucket landing between the manifest read and the
+    // claim). Skipped for v1: a fresh table has no head to verify.
+    if (m.version > 1) {
+      val head = readManifest(spark, dir).map(_.version).getOrElse(0L)
+      if (head != m.version - 1) {
+        fs.delete(p, false)
+        throw new ConcurrentCommitException(
+          s"commit of v${m.version} at $dir computed against v${m.version - 1} " +
+            s"but the head is v$head — re-read state and retry")
+      }
+    }
+    token
+  }
+
+  /** Clear a crashed writer's commit debris: versioned-manifest claims
+    * ABOVE the head (a claim whose publish never happened) and staging
+    * directories. An explicit operator action — MUST NOT run while writers
+    * are live (it would re-open their claimed versions; the publish-time
+    * token fence turns that mistake into a loud abort rather than a lost
+    * commit, but the recovery contract is still stop-writers-first).
+    * Returns the number of entries removed.
+    */
+  def recover(spark: SparkSession, dir: String): Int = {
+    val (fs, hPath) = fsOf(spark, dir)
+    if (!fs.exists(hPath)) return 0
+    val head = readManifest(spark, dir).map(_.version).getOrElse(0L)
+    var removed = 0
+    for (st <- fs.listStatus(hPath)) st.getPath.getName match {
+      case VersionedManifestRe(vs) if vs.toLong > head =>
+        fs.delete(st.getPath, true); removed += 1
+      case n if n.startsWith("_stage_") =>
+        fs.delete(st.getPath, true); removed += 1
+      case _ => ()
+    }
+    removed
+  }
+
+  /** The publish half of a commit: atomically swap the primary manifest.
+    * Only call holding the [[claimVersion]] claim for `m.version`.
+    */
+  private def publishPrimary(spark: SparkSession, dir: String, m: Manifest): Unit = {
+    val (fs, _) = fsOf(spark, dir)
+    val bytes = manifestJson(m).getBytes("UTF-8")
     val primary = new org.apache.hadoop.fs.Path(dir, manifestFile)
     val tmp = new org.apache.hadoop.fs.Path(dir, manifestFile + ".tmp")
     val os = fs.create(tmp, true)
@@ -221,6 +390,61 @@ object MaterializedTable {
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       primary.toUri, spark.sparkContext.hadoopConfiguration)
     fc.rename(tmp, primary, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** The fence: is the claim for `m.version` still OURS? A [[recover]] run
+    * against live writers (operator error) deletes live claims and lets a
+    * new writer re-take the version — the re-check immediately before
+    * publishing turns that into a loud abort instead of two writers
+    * publishing the same version.
+    */
+  private def claimStillHeld(spark: SparkSession, dir: String,
+      m: Manifest, token: String): Boolean = {
+    val (fs, _) = fsOf(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(dir, versionedManifestFile(m.version))
+    try {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      s.contains(token)
+    } catch { case _: java.io.IOException => false }
+  }
+
+  /** Unique staging path for one commit attempt at `v` — leading `_` keeps
+    * readers from globbing it; the uuid keeps concurrent attempts from
+    * EVER sharing a directory (two writers appending into one
+    * deterministic `v{N}` — or deleting it under each other — was the
+    * silent-corruption shape OCC exists to prevent).
+    */
+  private def stagePath(dir: String, v: Long) = new org.apache.hadoop.fs.Path(
+    dir, s"_stage_v${v}_${java.util.UUID.randomUUID().toString.take(8)}")
+
+  /** Finish a staged data commit: CAS-claim `m.version`, move the staging
+    * dir into place as `dir/v{version}`, publish the primary. On a lost
+    * claim the staging is deleted and [[ConcurrentCommitException]]
+    * propagates — nothing half-lands.
+    */
+  private def commitStaged(spark: SparkSession, dir: String,
+      stage: org.apache.hadoop.fs.Path, m: Manifest): Unit = {
+    val (fs, _) = fsOf(spark, dir)
+    val token =
+      try claimVersion(spark, dir, m)
+      catch { case e: Throwable => fs.delete(stage, true); throw e }
+    // the claim owns v{version}: a leftover dir here is a crashed attempt's
+    // (unreferenced by construction — the committed manifest's version
+    // bounds every live bucket)
+    val vDir = new org.apache.hadoop.fs.Path(s"$dir/v${m.version}")
+    if (fs.exists(vDir)) fs.delete(vDir, true)
+    if (!fs.rename(stage, vDir) && !fs.exists(vDir))
+      throw new IllegalStateException(
+        s"failed to move staged commit $stage into place at $vDir")
+    if (!claimStillHeld(spark, dir, m, token)) {
+      fs.delete(vDir, true)
+      throw new ConcurrentCommitException(
+        s"claim for v${m.version} at $dir was recovered away mid-commit " +
+          "(recover() ran against live writers) — nothing published; retry")
+    }
+    publishPrimary(spark, dir, m)
   }
 
   private def versionedManifestFile(v: Long) = s"_graft_manifest.v$v.json"
@@ -452,11 +676,9 @@ object MaterializedTable {
       val out = combine(combined)
         .localCheckpoint() // computed twice below (write + bucket list)
       val newV = prior.map(_.version + 1).getOrElse(1L)
-      val vDir = new org.apache.hadoop.fs.Path(s"$dir/v$newV")
-      // leftover from a crashed attempt at this same version: unreferenced
-      // by construction (manifest.version < newV bounds every live bucket)
-      if (fs.exists(vDir)) fs.delete(vDir, true)
-      out.write.mode("append").partitionBy("_bucket").parquet(vDir.toString)
+      // stage under a unique dir; the CAS commit below renames it into place
+      val stage = stagePath(dir, newV)
+      out.write.mode("append").partitionBy("_bucket").parquet(stage.toString)
       // ONE grouped pass over the checkpointed result yields both the
       // written-bucket set (what the old select-distinct collected) and the
       // per-bucket statistics — same shuffle shape, O(numBuckets) rows to
@@ -472,8 +694,9 @@ object MaterializedTable {
       val newStats = (oldStats -- touched) ++ writtenStats
       val newWatermark = math.max(prior.map(_.lastBatchId).getOrElse(-1L),
         batchId.getOrElse(-1L))
-      // COMMIT — everything above is invisible until this rename lands
-      writeManifest(spark, dir,
+      // COMMIT — CAS claim + staging rename + primary swap; a concurrent
+      // winner makes this throw ConcurrentCommitException (staging deleted)
+      commitStaged(spark, dir, stage,
         Manifest(newV, newWatermark, out.schema.json, newBuckets,
           numBuckets, bucketKeyCols, newStats))
       // post-commit GC of superseded bucket dirs (best-effort: a failure
@@ -543,6 +766,15 @@ object MaterializedTable {
           retained += parseManifest(json)
         }
       case _ => ()
+    }
+    // crashed commit attempts leak their unique `_stage_*` dirs (a LOST
+    // claim deletes its own staging; a crash cannot). Age-guarded so a
+    // concurrently-staging live writer is never swept.
+    val stageCutoff = System.currentTimeMillis() - 60L * 60 * 1000
+    for (st <- fs.listStatus(hPath)
+         if st.isDirectory && st.getPath.getName.startsWith("_stage_")
+           && st.getModificationTime < stageCutoff) {
+      fs.delete(st.getPath, true); removed += 1
     }
     // a file is live iff some retained manifest references its (bucket,
     // version) pair
@@ -623,13 +855,12 @@ object MaterializedTable {
         (col("_bucket") +: sortCols.map(col)): _*))
       .localCheckpoint()
     val newV = m.version + 1
-    val vDir = new org.apache.hadoop.fs.Path(s"$dir/v$newV")
-    if (fs.exists(vDir)) fs.delete(vDir, true)
-    out.write.mode("append").partitionBy("_bucket").parquet(vDir.toString)
+    val stage = stagePath(dir, newV)
+    out.write.mode("append").partitionBy("_bucket").parquet(stage.toString)
     val newBuckets = m.buckets ++ oversized.map(_ -> newV)
     // stats describe content, and compaction moves bytes, never rows —
     // every bucket's summary carries forward unchanged
-    writeManifest(spark, dir,
+    commitStaged(spark, dir, stage,
       Manifest(newV, m.lastBatchId, out.schema.json, newBuckets,
         m.numBuckets, m.bucketCols, m.stats))
     if (retainVersions(spark) <= 0) try {
@@ -1078,11 +1309,10 @@ object MaterializedTable {
       .withColumn("_bucket", bucketCol(m.bucketCols, newNumBuckets))
       .localCheckpoint() // feeds the write AND the stats pass
     val newV = m.version + 1
-    val vDir = new org.apache.hadoop.fs.Path(s"$dir/v$newV")
-    if (fs.exists(vDir)) fs.delete(vDir, true)
-    out.write.mode("append").partitionBy("_bucket").parquet(vDir.toString)
+    val stage = stagePath(dir, newV)
+    out.write.mode("append").partitionBy("_bucket").parquet(stage.toString)
     val writtenStats = bucketStats(out, statsCols)
-    writeManifest(spark, dir,
+    commitStaged(spark, dir, stage,
       Manifest(newV, m.lastBatchId, out.schema.json,
         writtenStats.keys.map(_ -> newV).toMap,
         newNumBuckets, m.bucketCols, writtenStats))
@@ -1115,6 +1345,24 @@ object MaterializedTable {
     */
   def numBucketsOf(spark: SparkSession, dir: String): Option[Int] =
     readManifest(spark, dir).map(_.numBuckets).filter(_ > 0)
+
+  /** Parquet file count per LIVE bucket of the committed snapshot, resolved
+    * THROUGH the manifest (bucket → its owning version dir) — the audit
+    * face OPTIMIZE/maintain gates read, so a storage-layout rename can
+    * never silently turn their file-shape check vacuous (the cdc65 gate
+    * used to walk `v4/_bucket=*` with hardcoded names). O(numBuckets)
+    * driver-side listStatus, metadata-only.
+    */
+  def filesPerBucket(spark: SparkSession, dir: String): Map[Int, Int] = {
+    val m = readManifest(spark, dir).getOrElse(return Map.empty)
+    val (fs, _) = fsOf(spark, dir)
+    m.buckets.map { case (b, v) =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/v$v/_bucket=$b")
+      b -> (if (fs.exists(p))
+        fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+      else 0)
+    }
+  }
 
   /** DESCRIBE HISTORY analog: one row per RETAINED committed version —
     * (version, batch watermark, live bucket count, exact row count when

@@ -35,8 +35,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * materialized — so group commits REQUIRE
   * `spark.graft.materialized.retainVersions ≥ 2` (current + one lag;
   * per-table GC then defers to [[MaterializedTable.vacuum]], whose
-  * retention horizon covers the lag). Single-writer per group, as
-  * everywhere in this storage layer.
+  * retention horizon covers the lag). One writer per group is the intended
+  * deployment (the reference's one-slot-one-producer rule), but since r12
+  * it is ENFORCED, not assumed: member merges are optimistic-concurrency
+  * commits and the root swap is a locked compare-and-swap on the
+  * watermark, so concurrent writers either serialize cleanly or fail
+  * loudly ([[MaterializedTable.ConcurrentCommitException]]) — never a
+  * silent lost commit or a root regression.
   *
   * Scale: the root manifest is O(tables) JSON — commit cost is the member
   * merges themselves (each O(touched buckets)); the group adds exactly one
@@ -154,12 +159,65 @@ object TableGroup {
         .getOrElse(throw new IllegalStateException(
           s"member ${tb.name} has no manifest after merge"))
     }
-    // tables absent from this batch keep their previously pinned version —
-    // a transaction does not have to touch every member
-    val carried = prior.map(_.tables).getOrElse(Map.empty) -- versions.map(_._1)
-    // THE group commit point
-    writeRoot(spark, rootDir, GroupManifest(batchId, carried ++ versions))
-    folded
+    // THE group commit point. Root swaps serialize through a short claim
+    // lock, and the watermark re-check inside it makes the swap a
+    // compare-and-swap on lastBatchId: a slower DUPLICATE writer (same or
+    // lower batch id) re-reads the newer root and no-ops instead of
+    // overwriting it with an OLDER root — the multi-writer analog of the
+    // reference's one-slot-one-producer rule (client/replication.c:45-93),
+    // made safe instead of assumed. Member-table merges are individually
+    // OCC-guarded (MaterializedTable.ConcurrentCommitException), so two
+    // writers can never corrupt a member either.
+    withRootLock(spark, rootDir) {
+      val now = readRoot(spark, rootDir)
+      if (now.exists(_.lastBatchId >= batchId)) 0
+      else {
+        // tables absent from this batch keep their pinned version from the
+        // FRESHEST root — a concurrent commit of a disjoint member set must
+        // not be un-pinned by this swap
+        val carried = now.map(_.tables).getOrElse(Map.empty) -- versions.map(_._1)
+        writeRoot(spark, rootDir, GroupManifest(batchId, carried ++ versions))
+        folded
+      }
+    }
+  }
+
+  /** Serialize root swaps: atomic exclusive-create of a lock file
+    * ([[MaterializedTable.tryExclusiveCreate]]) around the
+    * read-check-rename critical section (held for milliseconds — one JSON
+    * read + one rename). A lock held through the WHOLE wait window means
+    * its holder crashed mid-swap; that surfaces as
+    * [[MaterializedTable.StaleCommitClaimException]] and recovery is the
+    * explicit [[recover]] — never an in-line lock break, which would be an
+    * unfenced lease steal against a merely-slow live holder.
+    */
+  private def withRootLock[A](spark: SparkSession, rootDir: String)(f: => A): A = {
+    val (fs, hPath) = fsOf(spark, rootDir)
+    if (!fs.exists(hPath)) fs.mkdirs(hPath)
+    val lock = new org.apache.hadoop.fs.Path(rootDir, "_graft_group.lock")
+    val graceMs = spark.conf.get("spark.graft.occ.claimGraceMs", "2000").toLong
+    val token = java.util.UUID.randomUUID().toString.getBytes("UTF-8")
+    val waitMs = 5L * graceMs
+    val deadline = System.nanoTime() + waitMs * 1000000L
+    while (!MaterializedTable.tryExclusiveCreate(fs, lock, token)) {
+      if (System.nanoTime() > deadline)
+        throw new MaterializedTable.StaleCommitClaimException(
+          s"group root lock at $rootDir stayed held through the whole " +
+            s"$waitMs ms wait — its holder crashed mid-swap; stop writers " +
+            "and run TableGroup.recover(rootDir)")
+      Thread.sleep(20L)
+    }
+    try f finally fs.delete(lock, false)
+  }
+
+  /** Clear a crashed group writer's debris: the root lock. Member-table
+    * claims recover via [[MaterializedTable.recover]] per member. An
+    * explicit operator action — stop all group writers first.
+    */
+  def recover(spark: SparkSession, rootDir: String): Int = {
+    val (fs, _) = fsOf(spark, rootDir)
+    val lock = new org.apache.hadoop.fs.Path(rootDir, "_graft_group.lock")
+    if (fs.exists(lock) && fs.delete(lock, false)) 1 else 0
   }
 
   /** Member table `table` AT THE GROUP-COMMITTED SNAPSHOT — never a version

@@ -2610,17 +2610,13 @@ object CdcQueries {
       val (nCompacted, nVacuumed) =
         MaterializedTable.maintain(s2, dir, maxFilesPerBucket = 1)
       val stateAfter = MaterializedTable.read(s2, dir)
-      // post-OPTIMIZE file shape: every bucket compact rewrote (they all
-      // land in the new head version dir) holds exactly ONE parquet file
-      val v4 = new java.io.File(s"$dir/v4")
-      val v4Counts = Option(v4.listFiles()).getOrElse(Array.empty)
-        .filter(b => b.isDirectory && b.getName.startsWith("_bucket="))
-        .map(b => Option(b.listFiles()).getOrElse(Array.empty)
-          .count(_.getName.endsWith(".parquet"))).toSeq
+      // post-OPTIMIZE file shape through the MANIFEST (never a hardcoded
+      // layout walk): after bin-packing, every live bucket is one file
+      val fpb = MaterializedTable.filesPerBucket(s2, dir)
       val stateEq = stateAfter.exceptAll(stateBefore).isEmpty &&
         stateBefore.exceptAll(stateAfter).isEmpty
       val ok = nCompacted > 0 && nVacuumed > 0 &&
-        v4Counts.nonEmpty && v4Counts.forall(_ == 1) && stateEq
+        fpb.nonEmpty && fpb.values.forall(_ == 1) && stateEq
       val histAfter = MaterializedTable.history(s2, dir)
         .select(lit("after").as("phase"), col("version"),
           col("last_batch_id"), col("n_buckets"), col("n_rows"))
@@ -2760,6 +2756,68 @@ object CdcQueries {
             .select(lit("by_type").as("tbl"), col("n_rows"), col("max_lsn"),
               lit(null).cast("double").as("sum_value"),
               lit(eq).as("replica_eq")))
+    },
+
+    // --- MULTI-WRITER OCC (cdc67): a maintenance job races a live writer
+    // --- on ONE table — the gap Delta/Iceberg close with optimistic
+    // --- concurrency and the reference sidesteps by slot single-ownership
+    // --- (client/replication.c:45-93). Every commit is a CAS (exclusive
+    // --- versioned-manifest claim + staged rename + primary swap); a lost
+    // --- race throws ConcurrentCommitException and the loser retries
+    // --- against fresh state. The drive: seed merge, then a CONCURRENT
+    // --- clustered-OPTIMIZE thread (2 compactions) against 2 more writer
+    // --- merges, both sides absorbing conflicts via the documented retry.
+    // --- Deterministic despite the race: the final value per key is the
+    // --- last batch's (latest-state by lsn), compaction moves bytes never
+    // --- rows, and EXACTLY 5 commits land (serialized_ok pins the version
+    // --- ledger 1..5 — a lost or double commit breaks it). ----------------
+    q("cdc67_concurrent_commit",
+      """SELECT CAST(n_nationkey AS BIGINT) AS key,
+        |  CAST(n_nationkey * 10 + 3 AS BIGINT) AS v,
+        |  TRUE AS serialized_ok
+        |FROM nation""".stripMargin) { (s, d) =>
+      val s2 = s.newSession()
+      s2.conf.set("spark.graft.materialized.retainVersions", "2")
+      val dir = java.nio.file.Files.createTempDirectory("cdc67").toString + "/t"
+      def batch(k: Int) = Tables.nation(s2, d)
+        .select(col("n_nationkey").cast("long").as("key"))
+        .withColumn("op", lit("insert"))
+        .withColumn("lsn", lit(k.toLong))
+        .withColumn("seq", lit(0L))
+        .withColumn("v", col("key") * 10 + k)
+      def withOccRetry[A](op: => A): A = {
+        while (true) {
+          try return op
+          catch { case _: MaterializedTable.ConcurrentCommitException => () }
+        }
+        throw new IllegalStateException("unreachable")
+      }
+      def mergeOne(k: Int): Unit = withOccRetry {
+        MaterializedTable.merge(s2, dir, batch(k), Seq("key"),
+          Seq("lsn", "seq"), numBuckets = 4)
+        ()
+      }
+      mergeOne(1) // seed: the compactor needs a committed layout to race
+      val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val maint = new Thread(() => {
+        try {
+          for (_ <- 1 to 2) withOccRetry {
+            MaterializedTable.compact(s2, dir, maxFilesPerBucket = 1,
+              sortCols = Seq("key"))
+          }
+        } catch { case t: Throwable => failure.compareAndSet(null, t) }
+      })
+      maint.start()
+      try { mergeOne(2); mergeOne(3) } finally maint.join(300000)
+      failure.get() match {
+        case null => ()
+        case t => throw new IllegalStateException(
+          s"concurrent maintenance failed non-optimistically: $t", t)
+      }
+      // exactly 5 serialized commits: seed + 2 merges + 2 compactions
+      val ok = MaterializedTable.listVersions(s2, dir) == (1L to 5L)
+      MaterializedTable.read(s2, dir)
+        .select(col("key"), col("v"), lit(ok).as("serialized_ok"))
     }
   )
 }

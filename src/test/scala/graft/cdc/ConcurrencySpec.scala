@@ -1,0 +1,243 @@
+package graft.cdc
+
+import graft.SparkTestSession
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Optimistic concurrency on the commit path: two writers racing one
+  * MaterializedTable (merge×merge, compact×merge) and one TableGroup root
+  * must each land exactly once or throw ConcurrentCommitException — never
+  * a silent lost commit, an orphaned version, or a root regression. Plus
+  * the crashed-writer recovery paths (stale claim break, stale root lock
+  * break).
+  */
+class ConcurrencySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
+
+  private def withRetain[A](n: Int)(f: => A): A = {
+    spark.conf.set("spark.graft.materialized.retainVersions", n.toString)
+    try f finally spark.conf.unset("spark.graft.materialized.retainVersions")
+  }
+
+  private def rows(rs: (String, String, Long, Long)*): DataFrame =
+    rs.toSeq.toDF("op", "key", "lsn", "v")
+      .withColumn("seq", lit(0L))
+
+  /** Retry `op` through lost optimistic commits — the documented caller
+    * policy. Returns the number of conflicts absorbed.
+    */
+  private def withOccRetry[A](op: => A): (A, Int) = {
+    var conflicts = 0
+    while (true) {
+      try return (op, conflicts)
+      catch {
+        case _: MaterializedTable.ConcurrentCommitException => conflicts += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  test("two writers merging one table: every batch lands exactly once or throws; no silent loss") {
+    withRetain(2) {
+      val dir = tmp("occ_mm")
+      val conflicts = new java.util.concurrent.atomic.AtomicInteger(0)
+      val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val perWriter = 12
+      def writer(w: Int): Thread = new Thread(() => {
+        try {
+          for (k <- 1 to perWriter) {
+            // unique key per (writer, batch): a double-landed commit shows
+            // as a duplicate key, a lost one as a missing key
+            val (_, c) = withOccRetry {
+              MaterializedTable.merge(spark, dir,
+                rows(("insert", s"w$w-$k", k.toLong, w * 1000L + k)),
+                Seq("key"), Seq("lsn", "seq"), numBuckets = 4)
+            }
+            conflicts.addAndGet(c)
+          }
+        } catch { case t: Throwable => failure.compareAndSet(null, t) }
+      })
+      val ws = Seq(writer(1), writer(2))
+      ws.foreach(_.start()); ws.foreach(_.join(300000))
+      assert(failure.get() == null,
+        s"writer failed with a non-OCC error: ${Option(failure.get())}")
+      val keys = MaterializedTable.read(spark, dir)
+        .select("key").as[String].collect().toSeq
+      assert(keys.size == keys.distinct.size, "a commit landed twice")
+      assert(keys.toSet ==
+        (for (w <- 1 to 2; k <- 1 to perWriter) yield s"w$w-$k").toSet,
+        "a commit was silently lost")
+      // the manifest is a consistent serial history: every version claimed
+      // exactly once, head = number of landed commits
+      val versions = MaterializedTable.listVersions(spark, dir)
+      assert(versions == (1L to (2L * perWriter)),
+        s"expected ${2 * perWriter} serialized commits, got $versions")
+      // sanity: this machine actually raced them at least once most runs —
+      // but scheduling can serialize; only log, never flake
+      info(s"conflicts absorbed: ${conflicts.get()}")
+    }
+  }
+
+  test("maintenance races a writer: compact vs merge both land-or-throw; state never corrupts") {
+    withRetain(2) {
+      val dir = tmp("occ_cm")
+      // seed state with several files per bucket so compaction has work
+      for (b <- 1 to 3)
+        MaterializedTable.merge(spark, dir,
+          rows((1 to 8).map(i => ("insert", s"seed-$b-$i", b.toLong, i.toLong)): _*),
+          Seq("key"), Seq("lsn", "seq"), numBuckets = 2)
+      val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val conflicts = new java.util.concurrent.atomic.AtomicInteger(0)
+      val nMaint = 5
+      val nMerge = 6
+      // BOUNDED on both sides — an open-ended maintenance loop against a
+      // retrying writer on one tiny shared table churns for minutes (each
+      // lost race re-stages a full Spark job); the race is just as real
+      // with each side committing a fixed count concurrently.
+      val compactor = new Thread(() => {
+        try {
+          for (_ <- 1 to nMaint) {
+            // clustered compact: rewrites every bucket, so the drill always
+            // has real maintenance work to race against the writer (plain
+            // bin-packing finds nothing here — AQE coalesces these tiny
+            // merges to one file per bucket already)
+            val (n, c) = withOccRetry {
+              MaterializedTable.compact(spark, dir, maxFilesPerBucket = 1,
+                sortCols = Seq("key"))
+            }
+            assert(n > 0, "clustered compact must always have work")
+            conflicts.addAndGet(c)
+          }
+        } catch { case t: Throwable => failure.compareAndSet(null, t) }
+      })
+      compactor.start()
+      try {
+        for (k <- 1 to nMerge) {
+          val (_, c) = withOccRetry {
+            MaterializedTable.merge(spark, dir,
+              rows(("insert", s"m-$k", 100L + k, k.toLong),
+                ("update", s"seed-1-1", 200L + k, 9000L + k)),
+              Seq("key"), Seq("lsn", "seq"), numBuckets = 2)
+          }
+          conflicts.addAndGet(c)
+        }
+      } finally compactor.join(300000)
+      assert(failure.get() == null,
+        s"compactor failed with a non-OCC error: ${Option(failure.get())}")
+      val state = MaterializedTable.read(spark, dir)
+      assert(state.count() == 3 * 8 + nMerge)
+      // the contended key holds the LAST writer update — compaction moved
+      // bytes but never resurrected an older row
+      assert(state.filter($"key" === "seed-1-1").select("v")
+        .as[Long].head() == 9000L + nMerge)
+      assert(state.select("key").distinct().count() == 3 * 8 + nMerge)
+      // every commit landed exactly once: 3 seeds + merges + compactions,
+      // each as its own serialized version
+      assert(MaterializedTable.listVersions(spark, dir) ==
+        (1L to (3L + nMerge + nMaint)), "a commit was lost or double-landed")
+      info(s"conflicts absorbed: ${conflicts.get()}")
+    }
+  }
+
+  test("a crashed writer's claim surfaces as StaleCommitClaim (never silently stolen); recover() clears it") {
+    withRetain(2) {
+      spark.conf.set("spark.graft.occ.claimGraceMs", "300")
+      try {
+        val dir = tmp("occ_stale")
+        MaterializedTable.merge(spark, dir, rows(("insert", "a", 1L, 1L)),
+          Seq("key"), Seq("lsn", "seq"), numBuckets = 2)
+        // simulate a writer that died between claim and publish: plant a
+        // versioned manifest ABOVE the head with no data and no primary swap
+        val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val claim = new org.apache.hadoop.fs.Path(dir, "_graft_manifest.v2.json")
+        val os = fs.create(claim, false)
+        try os.write("{}".getBytes("UTF-8")) finally os.close()
+        // the head never moves: after the grace window this is diagnosed as
+        // a CRASHED writer — a distinct, non-retryable error (an in-line
+        // break would be an unfenced lease steal against a slow live writer)
+        val t0 = System.nanoTime()
+        val e = intercept[MaterializedTable.StaleCommitClaimException] {
+          MaterializedTable.merge(spark, dir, rows(("insert", "b", 2L, 2L)),
+            Seq("key"), Seq("lsn", "seq"), numBuckets = 2)
+        }
+        val waited = (System.nanoTime() - t0) / 1e6
+        assert(waited >= 250.0, f"must wait out the grace window ($waited%.0f ms)")
+        assert(e.getMessage.contains("recover"), e.getMessage)
+        // the documented recovery: stop writers, recover, retry
+        assert(MaterializedTable.recover(spark, dir) >= 1)
+        MaterializedTable.merge(spark, dir, rows(("insert", "b", 2L, 2L)),
+          Seq("key"), Seq("lsn", "seq"), numBuckets = 2)
+        assert(MaterializedTable.read(spark, dir).count() == 2)
+        assert(MaterializedTable.listVersions(spark, dir) == Seq(1L, 2L))
+      } finally spark.conf.unset("spark.graft.occ.claimGraceMs")
+    }
+  }
+
+  test("duplicate group producers: every batch folds exactly once; the root never regresses") {
+    withRetain(3) {
+      val root = tmp("occ_grp")
+      val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val nBatches = 8
+      // failover shape: BOTH producers submit EVERY batch id — the
+      // watermark CAS inside the root lock makes the second a no-op
+      def producer(): Thread = new Thread(() => {
+        try {
+          for (id <- 1 to nBatches) {
+            withOccRetry {
+              TableGroup.commit(spark, root,
+                Seq(TableGroup.TableBatch("t",
+                  rows(("insert", s"k$id", id.toLong, id.toLong)), Seq("key"))),
+                Seq("lsn", "seq"), batchId = id.toLong, numBuckets = 2)
+            }
+            ()
+          }
+        } catch { case t: Throwable => failure.compareAndSet(null, t) }
+      })
+      val ps = Seq(producer(), producer())
+      ps.foreach(_.start()); ps.foreach(_.join(300000))
+      assert(failure.get() == null,
+        s"producer failed with a non-OCC error: ${Option(failure.get())}")
+      val g = TableGroup.readRoot(spark, root).get
+      assert(g.lastBatchId == nBatches.toLong, "root watermark regressed or stalled")
+      val st = TableGroup.read(spark, root, "t")
+      assert(st.count() == nBatches.toLong, "a duplicate fold doubled a batch")
+      assert(st.select("key").as[String].collect().toSet ==
+        (1 to nBatches).map(i => s"k$i").toSet, "a batch was lost")
+    }
+  }
+
+  test("a crashed root-lock holder surfaces as StaleCommitClaim; recover() clears it") {
+    withRetain(3) {
+      spark.conf.set("spark.graft.occ.claimGraceMs", "100")
+      try {
+        val root = tmp("occ_lock")
+        TableGroup.commit(spark, root,
+          Seq(TableGroup.TableBatch("t", rows(("insert", "a", 1L, 1L)),
+            Seq("key"))), Seq("lsn", "seq"), batchId = 1L, numBuckets = 2)
+        val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val lock = new org.apache.hadoop.fs.Path(root, "_graft_group.lock")
+        val os = fs.create(lock, false)
+        try os.write("dead".getBytes("UTF-8")) finally os.close()
+        val e = intercept[MaterializedTable.StaleCommitClaimException] {
+          TableGroup.commit(spark, root,
+            Seq(TableGroup.TableBatch("t", rows(("insert", "b", 2L, 2L)),
+              Seq("key"))), Seq("lsn", "seq"), batchId = 2L, numBuckets = 2)
+        }
+        assert(e.getMessage.contains("recover"), e.getMessage)
+        assert(TableGroup.recover(spark, root) == 1)
+        TableGroup.commit(spark, root,
+          Seq(TableGroup.TableBatch("t", rows(("insert", "b", 2L, 2L)),
+            Seq("key"))), Seq("lsn", "seq"), batchId = 2L, numBuckets = 2)
+        assert(TableGroup.readRoot(spark, root).get.lastBatchId == 2L)
+        assert(!fs.exists(lock), "the lock must be released after the commit")
+      } finally spark.conf.unset("spark.graft.occ.claimGraceMs")
+    }
+  }
+}

@@ -434,4 +434,26 @@ class MaterializedTableSpec extends AnyFunSuite {
       MaterializedTable.readVersion(spark, dir0, 1)
     }
   }
+
+  test("filesPerBucket resolves through the manifest; compaction drives it to one file per bucket") {
+    import spark.implicits._
+    val s2 = spark.newSession()
+    // keep the write multi-file: no AQE partition coalescing
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("mt_fpb").toString + "/t"
+    val rows = (1 to 64).map(i => ev("insert", s"k$i", i.toLong, s"v$i"))
+    MaterializedTable.merge(s2, dir,
+      rows.toDF().repartition(8, col("key")),
+      Seq("key"), Seq("lsn", "seq"), numBuckets = 2)
+    val before = MaterializedTable.filesPerBucket(s2, dir)
+    assert(before.keySet == Set(0, 1), s"live buckets via the manifest: $before")
+    assert(before.values.sum >= 2, s"multi-file before compaction: $before")
+    assert(before.values.max > 1, s"an oversized bucket exists: $before")
+    MaterializedTable.compact(s2, dir, maxFilesPerBucket = 1)
+    val after = MaterializedTable.filesPerBucket(s2, dir)
+    assert(after == Map(0 -> 1, 1 -> 1), s"one file per bucket after OPTIMIZE: $after")
+    // content survived the move
+    assert(MaterializedTable.read(s2, dir).count() == 64)
+  }
 }
