@@ -274,6 +274,49 @@ class GraftGroupChangeFeedSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("writer crash mid-transaction WHILE a subscriber is live: the torn state is never observed; the retry delivers the full window once") {
+    // cdc56's crash (some member merges landed, root never swapped)
+    // composed with cdc66's live subscription — the one interleaving of
+    // the flagship loop no gate drives: the subscriber must stay silent
+    // through the torn window (a member table individually ahead is
+    // invisible through the group face) and then receive the retried
+    // transaction as ONE cross-table-consistent batch, exactly once.
+    withRetain(6) {
+      val dir = java.nio.file.Files.createTempDirectory("ggcdf5").toString
+      val root = s"$dir/g"
+      commit(root, 1L, rows(("insert", "a", 1L, 10L)),
+        rows(("insert", "x", 1L, 100L)))
+      val got = scala.collection.mutable.Map
+        .empty[Long, Seq[(String, String, String)]]
+      val q = collector(root, s"$dir/ck", got)
+      try {
+        q.processAllAvailable()
+        assert(got.values.flatten.isEmpty, "no backfill")
+        // CRASH: transaction 2 lands on member ta only — the root never
+        // swaps (TableGroup.commit died between member merges)
+        graft.cdc.MaterializedTable.merge(spark, s"$root/ta",
+          rows(("update", "a", 2L, 11L)), Seq("key"), Seq("lsn", "seq"),
+          numBuckets = 2, batchId = Some(2L))
+        q.processAllAvailable()
+        assert(got.values.flatten.isEmpty,
+          "the subscriber must NEVER observe the torn mid-transaction state")
+        // WRITER RETRY of the same transaction: ta's merge replays as a
+        // batch-id-guarded no-op, tb's folds, the root swaps
+        commit(root, 2L, rows(("update", "a", 2L, 11L)),
+          rows(("insert", "y", 2L, 200L)))
+        q.processAllAvailable()
+        val windows = got.values.filter(_.nonEmpty).toSeq
+        assert(windows.size == 1,
+          s"the retried transaction arrives as exactly ONE batch: $got")
+        assert(windows.head.toSet == Set(
+          ("ta", "update", """{"key":"a"}"""),
+          ("tb", "insert", """{"key":"y"}""")),
+          "the batch carries BOTH members' changes — including the member " +
+            "that landed before the crash — exactly once")
+      } finally q.stop()
+    }
+  }
+
   test("a member present at the window start but absent from its end root fails LOUDLY — shrunk group, never a silent drop") {
     withRetain(4) {
       val dir = java.nio.file.Files.createTempDirectory("ggcdf4").toString

@@ -126,4 +126,60 @@ class GroupCommitStreamSpec extends AnyFunSuite {
       } finally q2.stop()
     }
   }
+
+  test("continuous face under load: 20+ rapid group commits while readers poll — monotonic pins, no torn observation") {
+    withRetain(4) {
+      val dir = java.nio.file.Files.createTempDirectory("gcs4").toString
+      val root = s"$dir/g"; val src = s"$dir/src"
+      stage(src, Seq(("insert", "k0", 0L, 0L, "x")), 0)
+      val schema = spark.read.parquet(s"$src/f0").schema
+      def stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$src/f*")
+      val nCommits = 24
+      val stopFlag = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val maxSeen = new java.util.concurrent.atomic.AtomicLong(-1L)
+      // the poller asserts the live invariants: root watermark and every
+      // member pin only ever move FORWARD (a torn/partial observation
+      // would show as a regression or a watermark/pin mismatch window)
+      val poller = new Thread(() => {
+        try {
+          var (lastB, lastU, lastT) = (-1L, -1L, -1L)
+          while (!stopFlag.get()) {
+            TableGroup.readRoot(spark, root).foreach { g =>
+              assert(g.lastBatchId >= lastB,
+                s"root watermark regressed: $lastB -> ${g.lastBatchId}")
+              val u = g.tables.getOrElse("by_user", -1L)
+              val t = g.tables.getOrElse("by_type", -1L)
+              assert(u >= lastU && t >= lastT,
+                s"member pin regressed: u $lastU->$u, t $lastT->$t")
+              lastB = g.lastBatchId; lastU = u; lastT = t
+              maxSeen.getAndUpdate(m => math.max(m, g.lastBatchId))
+            }
+          }
+        } catch { case th: Throwable => failure.compareAndSet(null, th) }
+      })
+      val q = GroupCommitStream.start(stream, root, members, Seq("lsn", "seq"),
+        numBuckets = 2)
+      poller.start()
+      try {
+        // sequential single-file writes: mtime order = changelog order (the
+        // ordered-source contract); the LIVE query picks each up unprompted
+        for (k <- 1 to nCommits)
+          stage(src, Seq(("insert", s"k$k", k.toLong, k * 10L, "x")), k)
+        val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
+        while (maxSeen.get() < nCommits && failure.get() == null &&
+            System.nanoTime() < deadline) Thread.sleep(50L)
+      } finally {
+        stopFlag.set(true); poller.join(10000); q.stop()
+      }
+      assert(failure.get() == null, s"poller failed: ${Option(failure.get())}")
+      assert(maxSeen.get() >= nCommits,
+        s"the live query never caught up: watermark ${maxSeen.get()}")
+      // the full fold landed exactly once per key
+      val u = TableGroup.read(spark, root, "by_user")
+        .select("key", "v").as[(String, Long)].collect().toMap
+      assert(u == (0 to nCommits).map(k => s"k$k" -> k * 10L).toMap)
+    }
+  }
 }
