@@ -61,11 +61,33 @@ object SoakSynth {
       }
       (table, i) match {
         case ("documents", s) if s > 0 =>
+          // AFFINE substitution j → (a·j + b) mod 26, a coprime to 26 —
+          // 312 distinct bijective letter maps, so content classes keep
+          // growing past 26 copies. A pure rotation saturates there: at
+          // 100 copies every doc had ~4 verbatim cross-replica twins and
+          // the TRUE similar-pair answer grew quadratically (the r9
+          // verbatim-replica lesson, one level up — found by the r12 100×
+          // soak: txt46 at 84× with a spill-churn tail). a = 1 for i < 26
+          // keeps every corpus up to 26× bit-identical to the old rot.
+          val a = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)((i / 26) % 12)
+          val b = i % 26
+          def affine(alpha: String) =
+            (0 until 26).map(j => alpha((a * j + b) % 26)).mkString
           keyed.withColumn("text", translate(col("text"),
-            lower + upper, rot(lower, i) + rot(upper, i)))
-        case ("embeddings", s) if s > 0 =>
+            lower + upper, affine(lower) + affine(upper)))
+        case ("embeddings", s) if s > 0 && s < 64 =>
           keyed.withColumn("embedding", expr(
             s"transform(embedding, (x, j) -> IF(j % ${i + 1} = 0, -x, x))"))
+        case ("embeddings", s) if s >= 64 =>
+          // the modulo pattern collapses to flip-dim-0-only once i ≥ dims
+          // (64): replicas 64.. became identical transforms — verbatim
+          // twins again, in embedding space. Hash-derived half-flips keep
+          // patterns distinct per replica (cross-replica cosine ≈ 0) and
+          // stay norm-preserving; i < 64 keeps the old pattern so every
+          // recorded ≤30× soak corpus is reproducible.
+          keyed.withColumn("embedding", expr(
+            s"transform(embedding, (x, j) -> " +
+              s"IF(($i * 1103515245L + j * 12345L) % 97 < 48, -x, x))"))
         case _ => keyed
       }
     }
