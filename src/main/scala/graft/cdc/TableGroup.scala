@@ -168,7 +168,7 @@ object TableGroup {
     // made safe instead of assumed. Member-table merges are individually
     // OCC-guarded (MaterializedTable.ConcurrentCommitException), so two
     // writers can never corrupt a member either.
-    withRootLock(spark, rootDir) {
+    withRootLock(spark, rootDir) { fence =>
       val now = readRoot(spark, rootDir)
       if (now.exists(_.lastBatchId >= batchId)) 0
       else {
@@ -176,6 +176,7 @@ object TableGroup {
         // FRESHEST root — a concurrent commit of a disjoint member set must
         // not be un-pinned by this swap
         val carried = now.map(_.tables).getOrElse(Map.empty) -- versions.map(_._1)
+        fence() // still our lock? (guards recover() against live writers)
         writeRoot(spark, rootDir, GroupManifest(batchId, carried ++ versions))
         folded
       }
@@ -191,12 +192,14 @@ object TableGroup {
     * explicit [[recover]] — never an in-line lock break, which would be an
     * unfenced lease steal against a merely-slow live holder.
     */
-  private def withRootLock[A](spark: SparkSession, rootDir: String)(f: => A): A = {
+  private def withRootLock[A](spark: SparkSession, rootDir: String)(
+      f: (() => Unit) => A): A = {
     val (fs, hPath) = fsOf(spark, rootDir)
     if (!fs.exists(hPath)) fs.mkdirs(hPath)
     val lock = new org.apache.hadoop.fs.Path(rootDir, "_graft_group.lock")
     val graceMs = spark.conf.get("spark.graft.occ.claimGraceMs", "2000").toLong
-    val token = java.util.UUID.randomUUID().toString.getBytes("UTF-8")
+    val tokenStr = java.util.UUID.randomUUID().toString
+    val token = tokenStr.getBytes("UTF-8")
     val waitMs = 5L * graceMs
     val deadline = System.nanoTime() + waitMs * 1000000L
     while (!MaterializedTable.tryExclusiveCreate(fs, lock, token)) {
@@ -207,7 +210,25 @@ object TableGroup {
             "and run TableGroup.recover(rootDir)")
       Thread.sleep(20L)
     }
-    try f finally fs.delete(lock, false)
+    // the fence: is the lock still OURS? A recover() run against live
+    // writers (operator error) deletes the live lock and admits a second
+    // writer — calling this immediately before the root rename turns that
+    // into a loud abort instead of two concurrent swaps (the same token
+    // discipline as MaterializedTable's claim fence).
+    val fence: () => Unit = () => {
+      val held =
+        try {
+          val in = fs.open(lock)
+          val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          s == tokenStr
+        } catch { case _: java.io.IOException => false }
+      if (!held)
+        throw new MaterializedTable.ConcurrentCommitException(
+          s"group root lock at $rootDir was recovered away mid-commit " +
+            "(recover() ran against live writers) — nothing swapped; retry")
+    }
+    try f(fence) finally fs.delete(lock, false)
   }
 
   /** Clear a crashed group writer's debris: the root lock. Member-table

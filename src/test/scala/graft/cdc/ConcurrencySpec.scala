@@ -240,4 +240,42 @@ class ConcurrencySpec extends AnyFunSuite {
       } finally spark.conf.unset("spark.graft.occ.claimGraceMs")
     }
   }
+
+  test("two writers folding a standing aggregate: every contribution sums exactly once") {
+    // foldStanding is ADDITIVE — a lost-then-retried fold re-reads state
+    // that now includes the winner's contribution, so OCC retries must
+    // neither drop nor double-count a delta. Two writers, disjoint groups
+    // plus one CONTENDED group both add to.
+    withRetain(2) {
+      val dir = tmp("occ_fold")
+      val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val perWriter = 8
+      def delta(grp: String, dn: Long, dv: Double) =
+        Seq((grp, dn, dv)).toDF("grp", "dn", "dv")
+          .unionByName(Seq(("shared", 1L, 0.5)).toDF("grp", "dn", "dv"))
+      def writer(w: Int): Thread = new Thread(() => {
+        try {
+          for (k <- 1 to perWriter) {
+            val (_, _) = withOccRetry {
+              IncrementalAgg.foldStanding(spark, dir,
+                delta(s"w$w", 1L, k.toDouble), numBuckets = 2)
+            }
+          }
+        } catch { case t: Throwable => failure.compareAndSet(null, t) }
+      })
+      val ws = Seq(writer(1), writer(2))
+      ws.foreach(_.start()); ws.foreach(_.join(300000))
+      assert(failure.get() == null,
+        s"fold writer failed non-optimistically: ${Option(failure.get())}")
+      val st = MaterializedTable.read(spark, dir)
+        .select("grp", "n_live", "sum_value")
+        .as[(String, Long, java.math.BigDecimal)].collect()
+        .map { case (g, n, v) => g -> ((n, v.doubleValue)) }.toMap
+      val perSum = (1 to perWriter).map(_.toDouble).sum
+      assert(st("w1") == ((perWriter.toLong, perSum)), st.toString)
+      assert(st("w2") == ((perWriter.toLong, perSum)), st.toString)
+      // the contended group: BOTH writers' every fold added exactly once
+      assert(st("shared") == ((2L * perWriter, 0.5 * 2 * perWriter)), st.toString)
+    }
+  }
 }
