@@ -136,19 +136,17 @@ object IvfIndex {
     * unaffected. `superCount = 1` degenerates to EXACT [[assign]]
     * (spec-pinned bit-equality).
     */
-  def assignTwoLevel(q: DataFrame, centroids: DataFrame,
-      superCount: Int): DataFrame = {
-    require(superCount >= 1, s"superCount must be ≥ 1: $superCount")
-    if (superCount == 1) return assign(q, centroids)
-    val spark0 = q.sparkSession
-    import spark0.implicits._
-    val local = centroids.select(col("cell").cast("int"), col("cv"))
-      .as[(Int, Seq[Long])].collect().sortBy(_._1).toSeq
+  /** Deterministic driver-side grouping of the nLists centroid rows into
+    * ≤ `superCount` super-groups: Lloyd in miniature (seed from the k
+    * lowest cells, 2 rounds, floor-div integer means, empty super keeps
+    * its previous position — the trainQ rules), O(nLists · superCount) on
+    * the driver, no Spark job. Shared by [[assignTwoLevel]] (corpus
+    * assignment) and [[probeCellsTwoLevel]] (query-side probing), so a
+    * vector and an identical probe descend the SAME hierarchy.
+    */
+  private def superGrouping(local: Seq[(Int, Seq[Long])], superCount: Int)
+      : (Vector[Seq[Long]], Map[Int, Int]) = {
     val k = math.min(superCount, local.size)
-    // driver-side Lloyd over the nLists centroid rows (bounded, no job):
-    // seed from the k lowest cells, 2 rounds, floor-div integer means,
-    // empty super keeps its previous position — the trainQ rules in
-    // miniature, so the grouping is deterministic
     def l2(a: Seq[Long], b: Seq[Long]): Long = {
       var s = 0L; var i = 0
       while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
@@ -167,6 +165,18 @@ object IvfIndex {
           .map(d => Math.floorDiv(members.map(_._2(d)).sum, members.size.toLong))
       }
     }
+    (supers, grouping)
+  }
+
+  def assignTwoLevel(q: DataFrame, centroids: DataFrame,
+      superCount: Int): DataFrame = {
+    require(superCount >= 1, s"superCount must be ≥ 1: $superCount")
+    if (superCount == 1) return assign(q, centroids)
+    val spark0 = q.sparkSession
+    import spark0.implicits._
+    val local = centroids.select(col("cell").cast("int"), col("cv"))
+      .as[(Int, Seq[Long])].collect().sortBy(_._1).toSeq
+    val (supers, grouping) = superGrouping(local, superCount)
     val superDf = spark0.createDataset(
       supers.zipWithIndex.map { case (sv, si) => (si, sv) })
       .toDF("_super", "scv")
@@ -187,6 +197,56 @@ object IvfIndex {
       .agg(min_by(struct(col("cell"), col("qv")),
         struct(col("d2"), col("cell"))).as("s"))
       .select(col("id"), col("s.qv").as("qv"), col("s.cell").as("cell"))
+  }
+
+  /** QUERY-SIDE two-level probing: the approximate nearest-`nProbe` CELLS
+    * per probe row, found by descending the same centroid hierarchy
+    * [[assignTwoLevel]] assigns through — rank the ≤`superCount`
+    * super-groups, keep the best `superProbe`, rank ONLY their member
+    * cells. This is the scaled twin of the exact
+    * `crossJoin(broadcast(centroids))` probe, which is O(|probes|·nLists)
+    * and becomes THE dominant term once nLists grows with the corpus
+    * (constant-cell-size policy): at the 100× soak vec13's exact probe was
+    * ~10⁹ fused l2 ops while its two-level corpus assign was ~6·10⁷. Cost
+    * here: O(|probes| · (superCount + superProbe·nLists/superCount)) —
+    * with superCount ≈ √nLists, ~(1+superProbe)·√nLists per row.
+    *
+    * Approximation contract: a probe IDENTICAL to an indexed vector
+    * descends to that vector's own cell (same deterministic hierarchy), so
+    * exact-duplicate recall is preserved; near-boundary probes can rank
+    * cells from an unprobed super, the usual IVF recall trade — widen
+    * `superProbe` to buy recall. `superCount = 1` degenerates to the exact
+    * probe (every cell is a member of the one super) — spec-pinned.
+    *
+    * Input `q(id, qv)`; output `(id, cell)`, ≤ nProbe rows per id.
+    */
+  def probeCellsTwoLevel(q: DataFrame, centroids: DataFrame, nProbe: Int,
+      superCount: Int, superProbe: Int = 3): DataFrame = {
+    require(superCount >= 1, s"superCount must be ≥ 1: $superCount")
+    val spark0 = q.sparkSession
+    import spark0.implicits._
+    val local = centroids.select(col("cell").cast("int"), col("cv"))
+      .as[(Int, Seq[Long])].collect().sortBy(_._1).toSeq
+    val (supers, grouping) = superGrouping(local, superCount)
+    val superDf = spark0.createDataset(
+      supers.zipWithIndex.map { case (sv, si) => (si, sv) })
+      .toDF("_super", "scv")
+    val centWithSuper = spark0.createDataset(
+      local.map { case (cell, cv) => (cell, cv, grouping(cell)) })
+      .toDF("cell", "cv", "_super")
+    val topSupers = q.crossJoin(broadcast(superDf))
+      .select(col("id"), col("qv"), col("_super"),
+        l2Q(col("qv"), col("scv")).as("sd2"))
+      .withColumn("_srn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("sd2"), col("_super"))))
+      .filter(col("_srn") <= superProbe)
+      .select(col("id"), col("qv"), col("_super"))
+    topSupers.join(broadcast(centWithSuper), Seq("_super"))
+      .select(col("id"), col("cell"), l2Q(col("qv"), col("cv")).as("d2"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("d2"), col("cell"))))
+      .filter(col("_rn") <= nProbe)
+      .select(col("id"), col("cell"))
   }
 
   /** The SCALED build path — [[build]] for corpora where nLists grows with

@@ -457,17 +457,30 @@ object Similarity {
     */
   def semanticDecontaminateIndexed(index: IvfIndex.Index, eval: DataFrame,
       idCol: String, vecCol: String, threshold: Double,
-      nProbe: Int = 3): DataFrame = {
+      nProbe: Int = 3, probeSuperCount: Int = 1): DataFrame = {
     val eq = eval.select(col(idCol).as("eval_id"),
         quantize(col(vecCol)).as("pq"))
       .withColumn("n2p", dotQ(col("pq"), col("pq")))
-    val probeCells = eq.crossJoin(broadcast(index.centroids))
-      .select(col("eval_id"), col("cell"),
-        IvfIndex.l2Q(col("pq"), col("cv")).as("d2"))
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy(col("eval_id")).orderBy(col("d2"), col("cell"))))
-      .filter(col("_rn") <= nProbe)
-      .select("eval_id", "cell")
+    // probeSuperCount = 1: exact probe, O(|eval|·nLists) — right while
+    // nLists is small (every oracle-checked scale). > 1: two-level probe
+    // through the assignment hierarchy, O(|eval|·(1+superProbe)·√nLists) —
+    // the scale path once nLists grows with the corpus; at the 100× soak
+    // the exact probe was vec13's dominant term (~10⁹ l2 ops), not the
+    // assign. Exact-duplicate recall is preserved by construction (an
+    // identical probe descends to its twin's own cell).
+    val probeCells =
+      if (probeSuperCount > 1)
+        IvfIndex.probeCellsTwoLevel(
+          eq.select(col("eval_id").as("id"), col("pq").as("qv")),
+          index.centroids, nProbe, probeSuperCount)
+          .select(col("id").as("eval_id"), col("cell"))
+      else eq.crossJoin(broadcast(index.centroids))
+        .select(col("eval_id"), col("cell"),
+          IvfIndex.l2Q(col("pq"), col("cv")).as("d2"))
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy(col("eval_id")).orderBy(col("d2"), col("cell"))))
+        .filter(col("_rn") <= nProbe)
+        .select("eval_id", "cell")
     probeCells.join(index.assigned, Seq("cell"))
       .join(eq, Seq("eval_id"))
       .select(col("eval_id"), col("neighbor_id").as("train_id"),

@@ -926,8 +926,14 @@ object VectorQueries {
             nLists, iters = 2)
         else graft.operators.IvfIndex.buildScaled(emb, "vec_id", "embedding",
           nLists, iters = 2)
+      // beyond the oracle-checked scale, the eval probe ALSO goes two-level
+      // (O(|eval|·nLists) exact probing was the dominant 100×-soak term)
+      val probeSc =
+        if (nTrain <= 4000) 1
+        else math.max(1, math.round(math.sqrt(nLists.toDouble)).toInt)
       Similarity.semanticDecontaminateIndexed(idx, eval, "vec_id",
-        "embedding", threshold = 0.999, nProbe = 3)
+        "embedding", threshold = 0.999, nProbe = 3,
+        probeSuperCount = probeSc)
     },
 
     // --- multimodal: opaque binary column + batched executor-side decode ------

@@ -540,6 +540,45 @@ class SimilaritySpec extends AnyFunSuite {
     assert(both.count() == 1)
   }
 
+  test("two-level probe: superCount=1 ≡ exact probe; duplicates descend to their twin's cell; probed-super recall holds") {
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = IvfIndex.build(emb, "vec_id", "embedding", nLists = 16, iters = 2)
+    val q = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("id"),
+        Similarity.quantize(col("embedding")).as("qv"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "cell").collect().map(_.toString).sorted.toSeq
+    // superCount = 1: every cell is a member of the one super — identical
+    // rows to the exact crossJoin probe
+    val exactProbe = q.crossJoin(broadcast(exact.centroids))
+      .select(col("id"), col("cell"),
+        IvfIndex.l2Q(col("qv"), col("cv")).as("d2"))
+      .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+          .orderBy(col("d2"), col("cell"))))
+      .filter(col("_rn") <= 3).select("id", "cell")
+    val degenerate = IvfIndex.probeCellsTwoLevel(q, exact.centroids,
+      nProbe = 3, superCount = 1)
+    assert(canon(degenerate) == canon(exactProbe),
+      "superCount=1 must reproduce the exact probe bit-for-bit")
+    // a probe IDENTICAL to an indexed vector descends to that vector's own
+    // cell (same deterministic hierarchy) — verbatim-duplicate recall
+    val probed = IvfIndex.probeCellsTwoLevel(q, exact.centroids,
+      nProbe = 3, superCount = 4)
+    val own = exact.assigned.select(col("neighbor_id").as("id"),
+      col("cell").as("own_cell"))
+    val hit = probed.join(own, Seq("id"))
+      .groupBy("id")
+      .agg(max((col("cell") === col("own_cell")).cast("int")).as("h"))
+      .agg(avg(col("h"))).head().getDouble(0)
+    assert(hit == 1.0, s"every probe must reach its own assigned cell: $hit")
+    // output shape: ≤ nProbe cells per id
+    val counts = probed.groupBy("id").count().select("count")
+      .as[Long].collect()
+    assert(counts.forall(_ <= 3) && counts.nonEmpty)
+  }
+
   test("IVF with nProbe == nLists reproduces brute-force top-k exactly") {
     import spark.implicits._
     val emb = graft.Tables.embeddings(spark, dir)
