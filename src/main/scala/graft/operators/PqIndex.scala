@@ -65,21 +65,42 @@ object PqIndex {
   private val coarseMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Array[(Int, Seq[Long])]]
 
+  /** Deterministic bounded training sample: every `stride`-th id by hash
+    * (the [[IvfIndex.buildScaled]] sampler — FAISS's practice of training
+    * quantizers on a fraction). `maxTrainRows = Long.MaxValue` (or a corpus
+    * at/under the cap) is a no-op, so every oracle-checked scale trains
+    * exactly; the sampler engages only once the corpus outgrows the cap.
+    */
+  private def trainSample(corpus: DataFrame, idCol: String,
+      maxTrainRows: Long): DataFrame = {
+    if (maxTrainRows == Long.MaxValue) return corpus
+    val n = corpus.count()
+    val stride = math.max(1L, (n + maxTrainRows - 1) / maxTrainRows)
+    if (stride <= 1L) corpus
+    else corpus.filter(pmod(hash(col(idCol)), lit(stride)) === 0)
+  }
+
   /** Train per-subspace codebooks: `(s INT, cell INT, cv ARRAY<LONG>)`,
     * `m`·`k` rows. With a `memoKey`, a repeat call for the same
     * (key, cols, params) returns the memoized codebooks (see [[pqMemo]]).
+    * `maxTrainRows` bounds the Lloyd training set (see [[trainSample]]) —
+    * at 100 TB one full-corpus training pass is the dominant build cost
+    * and quantizer quality saturates long before the full corpus.
     */
   def train(corpus: DataFrame, idCol: String, vecCol: String, m: Int = 16,
-      k: Int = 32, iters: Int = 2, memoKey: Option[String] = None)
-      : DataFrame = memoKey match {
-    case None => trainImpl(corpus, idCol, vecCol, m, k, iters)
+      k: Int = 32, iters: Int = 2, memoKey: Option[String] = None,
+      maxTrainRows: Long = Long.MaxValue): DataFrame = memoKey match {
+    case None =>
+      trainImpl(trainSample(corpus, idCol, maxTrainRows), idCol, vecCol,
+        m, k, iters)
     case Some(key0) =>
       val spark = corpus.sparkSession
       import spark.implicits._
-      val key = s"pq:$key0:$idCol:$vecCol:m=$m:k=$k:i=$iters"
+      val key = s"pq:$key0:$idCol:$vecCol:m=$m:k=$k:i=$iters:t=$maxTrainRows"
       val rows = pqMemo.computeIfAbsent(key, _ => {
         BenchPhase.count("pq_train_memo_miss")
-        trainImpl(corpus, idCol, vecCol, m, k, iters)
+        trainImpl(trainSample(corpus, idCol, maxTrainRows), idCol, vecCol,
+          m, k, iters)
           .select(col("s"), col("cell"), col("cv"))
           .as[(Int, Int, Seq[Long])].collect()
       })
@@ -91,16 +112,19 @@ object PqIndex {
     * [[train]] (vec12 and vec15 train the identical quantizer).
     */
   private def coarseQ(qn: DataFrame, nLists: Int, iters: Int,
-      memoKey: Option[String]): DataFrame = memoKey match {
+      memoKey: Option[String], maxTrainRows: Long = Long.MaxValue)
+      : DataFrame = memoKey match {
     case None =>
-      BenchPhase.time("pq_coarse_train")(IvfIndex.trainQ(qn, nLists, iters))
+      BenchPhase.time("pq_coarse_train")(
+        IvfIndex.trainQ(trainSample(qn, "id", maxTrainRows), nLists, iters))
     case Some(key0) =>
       val spark = qn.sparkSession
       import spark.implicits._
-      val key = s"coarse:$key0:nLists=$nLists:i=$iters"
+      val key = s"coarse:$key0:nLists=$nLists:i=$iters:t=$maxTrainRows"
       val rows = coarseMemo.computeIfAbsent(key, _ => {
         BenchPhase.count("pq_coarse_memo_miss")
-        BenchPhase.time("pq_coarse_train")(IvfIndex.trainQ(qn, nLists, iters))
+        BenchPhase.time("pq_coarse_train")(
+          IvfIndex.trainQ(trainSample(qn, "id", maxTrainRows), nLists, iters))
           .select(col("cell"), col("cv")).as[(Int, Seq[Long])].collect()
       })
       BenchPhase.count("pq_coarse_memo_call")
@@ -212,8 +236,10 @@ object PqIndex {
     * the corpus; a built index pays both exactly once.
     */
   def build(corpus: DataFrame, idCol: String, vecCol: String, m: Int = 16,
-      k: Int = 32, iters: Int = 2, memoKey: Option[String] = None): Index = {
-    val books = train(corpus, idCol, vecCol, m, k, iters, memoKey)
+      k: Int = 32, iters: Int = 2, memoKey: Option[String] = None,
+      maxTrainRows: Long = Long.MaxValue): Index = {
+    val books = train(corpus, idCol, vecCol, m, k, iters, memoKey,
+      maxTrainRows)
     Index(books, encode(corpus, idCol, vecCol, books, m), m)
   }
 
@@ -272,8 +298,10 @@ object PqIndex {
     */
   def searchAdc(probes: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, m: Int = 16, nCodes: Int = 32, iters: Int = 2,
-      rerankN: Int = 32, memoKey: Option[String] = None): DataFrame = {
-    val books = train(corpus, idCol, vecCol, m, nCodes, iters, memoKey)
+      rerankN: Int = 32, memoKey: Option[String] = None,
+      maxTrainRows: Long = Long.MaxValue): DataFrame = {
+    val books = train(corpus, idCol, vecCol, m, nCodes, iters, memoKey,
+      maxTrainRows)
     rerank(adcDistances(probes, corpus, idCol, vecCol, books, m),
       probes, corpus, idCol, vecCol, k, rerankN)
   }
@@ -297,10 +325,11 @@ object PqIndex {
   def searchIvf(probes: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, nLists: Int = 16, nProbe: Int = 4,
       m: Int = 16, nCodes: Int = 32, iters: Int = 2,
-      rerankN: Int = 32, memoKey: Option[String] = None): DataFrame = {
+      rerankN: Int = 32, memoKey: Option[String] = None,
+      maxTrainRows: Long = Long.MaxValue): DataFrame = {
     val qn = normalized(corpus, idCol, vecCol)
     val coarse = coarseQ(qn.select(col("id"), col("qn").as("qv")),
-      nLists, iters, memoKey)
+      nLists, iters, memoKey, maxTrainRows)
     val cells = IvfIndex.assign(
       qn.select(col("id"), col("qn").as("qv")), coarse)
       .select(col("id").as("neighbor_id"), col("cell"))
@@ -315,7 +344,8 @@ object PqIndex {
     val cand0 = probeCells.join(cells, Seq("cell"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .select("probe_id", "neighbor_id")
-    val books = train(corpus, idCol, vecCol, m, nCodes, iters, memoKey)
+    val books = train(corpus, idCol, vecCol, m, nCodes, iters, memoKey,
+      maxTrainRows)
     val dtab = subVectors(probes, idCol, vecCol, m)
       .join(broadcast(books), Seq("s"))
       .select(col("id").as("probe_id"), col("s"), col("cell").as("code"),
@@ -372,14 +402,16 @@ object PqIndex {
     */
   def buildIvf(corpus: DataFrame, idCol: String, vecCol: String,
       nLists: Int = 16, m: Int = 16, nCodes: Int = 32,
-      iters: Int = 2, memoKey: Option[String] = None): IvfPq = {
+      iters: Int = 2, memoKey: Option[String] = None,
+      maxTrainRows: Long = Long.MaxValue): IvfPq = {
     val qn = normalized(corpus, idCol, vecCol)
     val coarse = coarseQ(qn.select(col("id"), col("qn").as("qv")),
-      nLists, iters, memoKey)
+      nLists, iters, memoKey, maxTrainRows)
     val cells = IvfIndex.assign(
       qn.select(col("id"), col("qn").as("qv")), coarse)
       .select(col("id"), col("cell"))
-    val books = train(corpus, idCol, vecCol, m, nCodes, iters, memoKey)
+    val books = train(corpus, idCol, vecCol, m, nCodes, iters, memoKey,
+      maxTrainRows)
     val codes = encode(corpus, idCol, vecCol, books, m)
       .join(cells, Seq("id"))
       .select(col("id").as("neighbor_id"), col("cell"), col("codes"))

@@ -820,7 +820,7 @@ object VectorQueries {
       val emb = Tables.embeddings(s, d)
       graft.operators.PqIndex.searchAdc(emb.filter(col("vec_id") < 10), emb,
         "vec_id", "embedding", k = 3, m = 16, nCodes = 32, iters = 2,
-        rerankN = 32, memoKey = Some(d))
+        rerankN = 32, memoKey = Some(d), maxTrainRows = 100000L)
     },
 
     // --- PQ persisted-index path: build → save (codebooks + codes parquet)
@@ -834,7 +834,8 @@ object VectorQueries {
       val dir = new java.io.File(sys.props("java.io.tmpdir"),
         "graft_pq_idx_" + Integer.toHexString(d.hashCode)).getPath
       graft.operators.PqIndex.build(emb, "vec_id", "embedding",
-        m = 16, k = 32, iters = 2, memoKey = Some(d)).save(dir)
+        m = 16, k = 32, iters = 2, memoKey = Some(d),
+        maxTrainRows = 100000L).save(dir)
       val loaded = graft.operators.PqIndex.load(s, dir)
       graft.operators.PqIndex.searchIndex(emb.filter(col("vec_id") < 10),
         loaded, emb, "vec_id", "embedding", k = 3, rerankN = 32)
@@ -851,7 +852,8 @@ object VectorQueries {
       val emb = Tables.embeddings(s, d)
       graft.operators.PqIndex.searchIvf(emb.filter(col("vec_id") < 10), emb,
         "vec_id", "embedding", k = 3, nLists = 16, nProbe = 4,
-        m = 16, nCodes = 32, iters = 2, rerankN = 32, memoKey = Some(d))
+        m = 16, nCodes = 32, iters = 2, rerankN = 32, memoKey = Some(d),
+        maxTrainRows = 100000L)
     },
 
     // --- IVF-PQ persisted-index path (the FAISS production shape): build
@@ -868,7 +870,7 @@ object VectorQueries {
         "graft_ivfpq_idx_" + Integer.toHexString(d.hashCode)).getPath
       graft.operators.PqIndex.buildIvf(emb, "vec_id", "embedding",
         nLists = 16, m = 16, nCodes = 32, iters = 2,
-        memoKey = Some(d)).save(dir)
+        memoKey = Some(d), maxTrainRows = 100000L).save(dir)
       val loaded = graft.operators.PqIndex.loadIvf(s, dir)
       graft.operators.PqIndex.searchIvfIndex(emb.filter(col("vec_id") < 10),
         loaded, emb, "vec_id", "embedding", k = 3, nProbe = 4, rerankN = 32)

@@ -249,6 +249,34 @@ class PqIndexSpec extends AnyFunSuite {
     assert(k16.map(_._2).max > 8 - 1, "k=16 under the same memoKey retrains")
   }
 
+  test("maxTrainRows: a cap at/above the corpus is a no-op; an engaged cap samples deterministically and search recall holds") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("s"), col("cell"), col("cv"))
+        .as[(Int, Int, Seq[Long])].collect().sortBy(r => (r._1, r._2)).toSeq
+    val exact = rows(PqIndex.train(emb, "vec_id", "embedding", m = 4, k = 8))
+    val uncapped = rows(PqIndex.train(emb, "vec_id", "embedding", m = 4, k = 8,
+      maxTrainRows = 1000000L))
+    assert(uncapped == exact, "a cap above the corpus must not change training")
+    // engaged: deterministic, full codebook shape, and the sampled-codebook
+    // search still clears a recall floor vs exact brute force
+    val s1 = rows(PqIndex.train(emb, "vec_id", "embedding", m = 4, k = 8,
+      maxTrainRows = 64L))
+    val s2 = rows(PqIndex.train(emb, "vec_id", "embedding", m = 4, k = 8,
+      maxTrainRows = 64L))
+    assert(s1 == s2, "sampled training must be deterministic")
+    assert(s1.size == 4 * 8 && s1 != exact)
+    val probes = emb.filter(col("vec_id") < 10)
+    val exactTop = Similarity.knnBrute(probes, emb, "vec_id", "embedding", 3)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val sampled = PqIndex.searchAdc(probes, emb, "vec_id", "embedding",
+        k = 3, m = 16, nCodes = 32, iters = 2, rerankN = 32,
+        maxTrainRows = 64L)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exactTop & sampled).size.toDouble / exactTop.size
+    assert(recall >= 0.7, s"sample-trained recall collapsed: $recall")
+  }
+
   test("plan: ADC search joins are hashed — no cartesian over vectors") {
     val plan = PqIndex.searchAdc(emb.filter(col("vec_id") < 10), emb,
       "vec_id", "embedding", k = 3).queryExecution.executedPlan.toString
