@@ -439,7 +439,12 @@ object MaterializedTable {
       throw new IllegalStateException(
         s"failed to move staged commit $stage into place at $vDir")
     if (!claimStillHeld(spark, dir, m, token)) {
-      fs.delete(vDir, true)
+      // If another writer has already RE-claimed this version (recover()
+      // misused against live writers), the vDir now belongs to its commit
+      // sequence — it deletes-and-renames over it, and deleting here would
+      // race that. Only clear our data when the claim is simply gone.
+      val p = new org.apache.hadoop.fs.Path(dir, versionedManifestFile(m.version))
+      if (!fs.exists(p)) fs.delete(vDir, true)
       throw new ConcurrentCommitException(
         s"claim for v${m.version} at $dir was recovered away mid-commit " +
           "(recover() ran against live writers) — nothing published; retry")
