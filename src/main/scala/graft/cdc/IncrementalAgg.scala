@@ -243,7 +243,12 @@ object IncrementalAgg {
     val marker = new org.apache.hadoop.fs.Path(s"$dir/_applied/$batchId")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(marker)) return 0
-    val n = foldStanding(spark, dir, deltas, numBuckets, Some(batchId))
+    // bounded retry on a lost optimistic commit (maintenance racing the
+    // stream): the fold is watermark-guarded, so the retry converges — the
+    // streaming query survives instead of dying to a retryable race
+    val n = MaterializedTable.withCommitRetry(spark) {
+      foldStanding(spark, dir, deltas, numBuckets, Some(batchId))
+    }
     fs.mkdirs(marker.getParent)
     fs.create(marker, true).close()
     n

@@ -279,7 +279,13 @@ object JoinView {
   def foldPersisted(spark: org.apache.spark.sql.SparkSession, dir: String,
       batchA: DataFrame, batchB: DataFrame, a: Side, b: Side,
       batchId: Long, numBuckets: Int = 64): Int =
-    foldPersistedInjected(spark, dir, batchA, batchB, a, b, batchId, numBuckets, "")
+    // bounded retry on a lost optimistic commit (maintenance racing the
+    // stream): the fold's marker/watermark guards make a retry convergent
+    // from any phase, so the streaming query survives the retryable race
+    MaterializedTable.withCommitRetry(spark) {
+      foldPersistedInjected(spark, dir, batchA, batchB, a, b, batchId,
+        numBuckets, "")
+    }
 
   /** Crash-simulation seam for the recovery specs: `crashAt` ∈
     * {"after_stage", "after_latest_merge", "after_view_merge"} aborts the

@@ -66,7 +66,12 @@ import org.apache.spark.sql.functions._
   * under it — throws [[ConcurrentCommitException]] after deleting its
   * staging; it never lands twice and never corrupts the winner. Retry is
   * the caller's policy, and batch-id-guarded retries converge (a replay of
-  * a landed batch is a no-op). A claim whose writer crashed before the
+  * a landed batch is a no-op). CONCURRENT-WRITER DEPLOYMENTS MUST SET
+  * `spark.graft.materialized.retainVersions >= 2`: at the eager-GC default
+  * (0) the winner deletes superseded bucket files a racing loser may still
+  * be staging from, so the loser can fail with FileNotFoundException
+  * instead of the retryable exception (the conflict message warns when the
+  * window is too small). A claim whose writer crashed before the
   * primary swap surfaces — after `spark.graft.occ.claimGraceMs` (default
   * 2000) of the head not moving — as [[StaleCommitClaimException]];
   * recovery is the explicit [[recover]] (stop writers first), NEVER an
@@ -265,6 +270,62 @@ object MaterializedTable {
   private def claimGraceMs(spark: SparkSession): Long =
     spark.conf.get("spark.graft.occ.claimGraceMs", "2000").toLong
 
+  /** Total optimistic-commit conflicts absorbed by [[withCommitRetry]] in
+    * this JVM — observability for the retry loop (specs assert retries
+    * actually happened; operators can watch it for contention).
+    */
+  val commitRetryCount = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Bounded retry over RETRYABLE optimistic-commit losses — the policy the
+    * STANDING streaming folds (GroupCommitStream, the `format("graft")`
+    * stream sink, IncrementalAgg.foldStandingBatch, JoinView.foldPersisted)
+    * wrap their commits in, so a maintenance job ([[maintain]]/[[compact]]/
+    * [[vacuum]]) racing a live stream costs a re-stage, not the query's
+    * life. Safe because every such fold is batch-id idempotent: the loser
+    * re-reads the winner's state and re-lands (or no-ops) — cdc67 proves
+    * the convergence this loop automates. Retries ONLY
+    * [[ConcurrentCommitException]]: [[StaleCommitClaimException]] means a
+    * writer CRASHED holding its claim, retrying would spin on the same dead
+    * claim forever and mask the crash — it still kills the query, by
+    * design. Bounded (`spark.graft.occ.commitRetries`, default 5) with
+    * linear backoff (`spark.graft.occ.commitRetryBackoffMs`, default 100):
+    * endless conflict means a misconfigured second standing writer on one
+    * table, which must surface, not silently serialize forever.
+    */
+  def withCommitRetry[A](spark: SparkSession)(op: => A): A = {
+    val max = spark.conf.get("spark.graft.occ.commitRetries", "5").toInt
+    val backoffMs =
+      spark.conf.get("spark.graft.occ.commitRetryBackoffMs", "100").toLong
+    var attempt = 0
+    while (true) {
+      try return op
+      catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > max) throw e
+          commitRetryCount.incrementAndGet()
+          Thread.sleep(backoffMs * attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Appended to every retryable [[ConcurrentCommitException]] when the
+    * retention window is too small for a SAFE retry: at
+    * `retainVersions < 2` the winner's eager post-commit GC deletes the
+    * superseded bucket files a concurrent loser may still be staging from,
+    * so the loser can die with a FileNotFoundException instead of this
+    * retryable exception. Multi-writer deployments must set
+    * `spark.graft.materialized.retainVersions >= 2` (all OCC gates/specs
+    * do) — surfacing the requirement ON the conflict itself beats a
+    * scaladoc nobody reads mid-incident.
+    */
+  private def retryHint(spark: SparkSession): String =
+    if (retainVersions(spark) >= 2) ""
+    else " [NOTE: spark.graft.materialized.retainVersions is " +
+      s"${retainVersions(spark)} — concurrent retry is only safe at >= 2; " +
+      "eager GC can delete the snapshot a racing writer staged from]"
+
   /** Atomic create-no-overwrite. The Hadoop FileSystem API's
     * `create(p, overwrite = false)` is an exists-check-then-create on
     * LocalFs — two racing writers BOTH succeed (observed live in the
@@ -329,7 +390,7 @@ object MaterializedTable {
         if (head >= m.version)
           throw new ConcurrentCommitException(
             s"commit of v${m.version} at $dir lost to a concurrent writer " +
-              s"(head is v$head) — re-read state and retry")
+              s"(head is v$head) — re-read state and retry" + retryHint(spark))
         Thread.sleep(25L)
       }
       throw new StaleCommitClaimException(
@@ -348,7 +409,8 @@ object MaterializedTable {
         fs.delete(p, false)
         throw new ConcurrentCommitException(
           s"commit of v${m.version} at $dir computed against v${m.version - 1} " +
-            s"but the head is v$head — re-read state and retry")
+            s"but the head is v$head — re-read state and retry" +
+            retryHint(spark))
       }
     }
     token
@@ -434,6 +496,18 @@ object MaterializedTable {
     // (unreferenced by construction — the committed manifest's version
     // bounds every live bucket)
     val vDir = new org.apache.hadoop.fs.Path(s"$dir/v${m.version}")
+    // Fence BEFORE the destructive delete, not only after the rename: if a
+    // misused recover() already let another writer re-claim AND PUBLISH this
+    // version, an unfenced delete here would destroy the published v{N} data
+    // that the live primary manifest references (silent corruption) — the
+    // post-rename fence would abort too late. With this check a fenced-out
+    // loser walks away without ever touching vDir.
+    if (!claimStillHeld(spark, dir, m, token)) {
+      fs.delete(stage, true)
+      throw new ConcurrentCommitException(
+        s"claim for v${m.version} at $dir was recovered away mid-commit " +
+          "(recover() ran against live writers) — nothing published; retry")
+    }
     if (fs.exists(vDir)) fs.delete(vDir, true)
     if (!fs.rename(stage, vDir) && !fs.exists(vDir))
       throw new IllegalStateException(
@@ -755,14 +829,25 @@ object MaterializedTable {
     val retain = retainVersions(spark)
     val horizon = m.version - retain // versions > horizon stay materialized
     var removed = 0
-    // snapshot records: prune uncommitted leftovers (v > current — a crash
-    // between the versioned write and the primary swap) and records at or
-    // below the retention horizon (their files may be about to go)
+    // crashed commit debris is age-guarded: under OCC, a FRESH above-head
+    // versioned record IS a live writer's in-flight claim, and a fresh
+    // `_stage_*` dir is its data — sweeping either while its writer is
+    // between claim and publish would re-open the claimed version (the
+    // recover()-against-live-writers corruption path). An hour-old one is
+    // definitively a crash (a live claim publishes within milliseconds).
+    val stageCutoff = System.currentTimeMillis() - 60L * 60 * 1000
+    // snapshot records: prune uncommitted crash leftovers (v > current,
+    // AGE-GUARDED per above) and records at or below the retention horizon
+    // (their files may be about to go)
     val retained = scala.collection.mutable.ArrayBuffer(m)
     for (st <- fs.listStatus(hPath)) st.getPath.getName match {
       case VersionedManifestRe(vs) =>
         val v = vs.toLong
-        if ((v > m.version || v <= horizon) && v != m.version) {
+        if (v > m.version) {
+          if (st.getModificationTime < stageCutoff) {
+            fs.delete(st.getPath, true); removed += 1
+          }
+        } else if (v <= horizon && v != m.version) {
           fs.delete(st.getPath, true); removed += 1
         } else if (v < m.version) {
           val in = fs.open(st.getPath)
@@ -775,7 +860,6 @@ object MaterializedTable {
     // crashed commit attempts leak their unique `_stage_*` dirs (a LOST
     // claim deletes its own staging; a crash cannot). Age-guarded so a
     // concurrently-staging live writer is never swept.
-    val stageCutoff = System.currentTimeMillis() - 60L * 60 * 1000
     for (st <- fs.listStatus(hPath)
          if st.isDirectory && st.getPath.getName.startsWith("_stage_")
            && st.getModificationTime < stageCutoff) {
@@ -789,7 +873,10 @@ object MaterializedTable {
       val vn = scala.util.Try(st.getPath.getName.stripPrefix("v").toLong).toOption
       vn.foreach { v =>
         val liveHere = liveRefs.collect { case (b, bv) if bv == v => b }
-        if (liveHere.isEmpty && v != m.version) {
+        // an ABOVE-HEAD version dir may be a live writer's staged commit
+        // mid-rename-to-publish — same age guard as its claim record
+        if (v > m.version && st.getModificationTime >= stageCutoff) ()
+        else if (liveHere.isEmpty && v != m.version) {
           fs.delete(st.getPath, true); removed += 1
         } else {
           for (bSt <- fs.listStatus(st.getPath)

@@ -228,7 +228,21 @@ object TableGroup {
           s"group root lock at $rootDir was recovered away mid-commit " +
             "(recover() ran against live writers) — nothing swapped; retry")
     }
-    try f(fence) finally fs.delete(lock, false)
+    // Release ONLY our own lock: if fence() threw because a misused
+    // recover() deleted this lock and a second writer re-acquired it, an
+    // unconditional delete here would release that OTHER writer's live lock
+    // and admit a third writer mid-swap — re-read and compare tokens first
+    // (the same ownership discipline as MaterializedTable.commitStaged).
+    try f(fence) finally {
+      val stillOurs =
+        try {
+          val in = fs.open(lock)
+          val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          s == tokenStr
+        } catch { case _: java.io.IOException => false }
+      if (stillOurs) fs.delete(lock, false)
+    }
   }
 
   /** Clear a crashed group writer's debris: the root lock. Member-table

@@ -1426,6 +1426,12 @@ object CdcQueries {
       java.nio.file.Files.write(
         torn.toPath.resolve("part-00000-torn.snappy.parquet"),
         "TORN MID-WRITE".getBytes("UTF-8"))
+      // age the torn dir past vacuum's in-flight age guard: under OCC a
+      // FRESH above-head version dir may be a LIVE writer's staged commit
+      // (the claim→publish window), so vacuum deliberately spares it for
+      // an hour — an hour-old one is definitively this gate's crash debris
+      torn.getParentFile.setLastModified(
+        System.currentTimeMillis() - 2L * 60 * 60 * 1000)
       // garbage class 2: a stray bucket dir in the LIVE version dir that
       // the manifest does not reference there (a failed post-commit GC
       // would leave this shape in an OLD version dir; planting it in the

@@ -257,8 +257,14 @@ class GraftStreamSink(ctx: SQLContext, dir: String,
       case Some(c) => (base, c)
       case None => (base.withColumn("_graft_op", lit("insert")), "_graft_op")
     }
-    MaterializedTable.merge(spark, dir, df, keys, ord, op, numBuckets,
-      batchId = Some(batchId), statsCols = statsCols)
+    // bounded retry on a lost optimistic commit (a maintenance job racing
+    // the stream): merges are batch-id idempotent, so the retry converges —
+    // the streaming query survives instead of dying to a retryable race.
+    // A crashed-writer StaleCommitClaim still fails the query by design.
+    MaterializedTable.withCommitRetry(spark) {
+      MaterializedTable.merge(spark, dir, df, keys, ord, op, numBuckets,
+        batchId = Some(batchId), statsCols = statsCols)
+    }
     ()
   }
 }

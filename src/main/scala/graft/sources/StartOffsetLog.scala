@@ -40,17 +40,15 @@ private[sources] object StartOffsetLog {
     val tmp = new Path(metadataPath, ".graft-start-offset.tmp")
     val out = fs.create(tmp, true)
     try out.write(v.getBytes("UTF-8")) finally out.close()
-    // rename signals failure by returning false (e.g. the empty-file
-    // recompute path leaves a destination in place on FSes that refuse
-    // rename-with-overwrite). A silently unpersisted start offset is the
-    // exact regression this class exists to prevent — fail loud.
-    if (fs.exists(p) && !fs.delete(p, false)) {
-      throw new IllegalStateException(s"StartOffsetLog: cannot replace $p")
-    }
-    if (!fs.rename(tmp, p) && !fs.exists(p)) {
-      throw new IllegalStateException(
-        s"StartOffsetLog: failed to persist start offset at $p")
-    }
+    // FileContext.rename(OVERWRITE): one atomic replace, even over the
+    // empty/torn leftover that the recompute path can leave behind. The
+    // previous delete-then-rename opened a crash window with NO destination
+    // file — a restart inside it would silently recompute the start as
+    // "now", the exact regression this class exists to prevent. rename
+    // throws (never returns an ignorable boolean), so failure stays loud.
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      p.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     v
   }
 }

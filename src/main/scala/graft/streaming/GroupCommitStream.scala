@@ -72,8 +72,16 @@ object GroupCommitStream {
         // re-used by every member projection, so materialize it once
         val pinned = batch.localCheckpoint()
         try {
-          TableGroup.commit(spark, rootDir, members(pinned), orderCols,
-            batchId = id, numBuckets = numBuckets)
+          // bounded retry on a LOST OPTIMISTIC COMMIT (maintenance racing
+          // the stream): the group commit is batch-id idempotent, so the
+          // retry converges — the query survives the race instead of dying
+          // to an exception its own class documents as retryable. A
+          // crashed-writer StaleCommitClaim still kills the query (operator
+          // action by design).
+          graft.cdc.MaterializedTable.withCommitRetry(spark) {
+            TableGroup.commit(spark, rootDir, members(pinned), orderCols,
+              batchId = id, numBuckets = numBuckets)
+          }
           ()
         } finally pinned.unpersist()
       }

@@ -241,6 +241,198 @@ class ConcurrencySpec extends AnyFunSuite {
     }
   }
 
+  test("withCommitRetry: bounded, retries only the retryable class, stale claims propagate immediately") {
+    // deterministic unit drill of the policy the streaming folds wrap their
+    // commits in — conflicts absorbed up to the bound, result returned
+    var calls = 0
+    val before = MaterializedTable.commitRetryCount.get()
+    val out = MaterializedTable.withCommitRetry(spark) {
+      calls += 1
+      if (calls <= 2)
+        throw new MaterializedTable.ConcurrentCommitException("race")
+      42
+    }
+    assert(out == 42 && calls == 3)
+    assert(MaterializedTable.commitRetryCount.get() - before == 2,
+      "absorbed conflicts must be observable")
+    // a crashed writer's claim is NOT retryable: spinning would mask the
+    // crash — it must propagate on the FIRST throw
+    var staleCalls = 0
+    intercept[MaterializedTable.StaleCommitClaimException] {
+      MaterializedTable.withCommitRetry(spark) {
+        staleCalls += 1
+        throw new MaterializedTable.StaleCommitClaimException("dead claim")
+      }
+    }
+    assert(staleCalls == 1, "stale claims must never be retried")
+    // endless conflict surfaces after the bound (default 5 retries)
+    var always = 0
+    intercept[MaterializedTable.ConcurrentCommitException] {
+      MaterializedTable.withCommitRetry(spark) {
+        always += 1
+        throw new MaterializedTable.ConcurrentCommitException("always")
+      }
+    }
+    assert(always == 6, s"expected 1 + 5 bounded retries, saw $always")
+  }
+
+  test("maintenance racing a LIVE streaming fold: the query survives via bounded retry; state stays exact") {
+    withRetain(2) {
+      // a zero-sleep compaction loop on a tiny table out-commits the fold's
+      // re-stage cycle — raise the drill's retry budget (the conf exists for
+      // exactly this contention tuning); the DEFAULT bound is pinned by the
+      // unit drill above
+      spark.conf.set("spark.graft.occ.commitRetries", "200")
+      spark.conf.set("spark.graft.occ.commitRetryBackoffMs", "25")
+      try {
+      val dir0 = java.nio.file.Files.createTempDirectory("occ_live").toString
+      val dir = s"$dir0/t"; val src = s"$dir0/src"
+      val nBatches = 10
+      for (k <- 1 to nBatches)
+        Seq(("g", 1L, k.toDouble)).toDF("grp", "dn", "dv")
+          .coalesce(1).write.parquet(f"$src/f$k%02d")
+      // seed so the clustered compact always has real work to race
+      IncrementalAgg.foldStanding(spark, dir,
+        (1 to 8).map(i => (s"seed$i", 1L, 1.0)).toDF("grp", "dn", "dv"),
+        numBuckets = 2)
+      val schema = spark.read.parquet(f"$src/f01").schema
+      val maintFail = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val maintConflicts = new java.util.concurrent.atomic.AtomicInteger(0)
+      // the maintenance side: a BOUNDED number of clustered compactions
+      // starting once the stream's first fold has landed (so the race
+      // overlaps the live query, not its startup). A maintenance job is
+      // ALLOWED to lose races (it retries); the STREAM must never die to
+      // one. Bounded on both sides — an open-ended compaction loop against
+      // a re-staging fold on one tiny table churns past any timeout (each
+      // lost race re-stages a full Spark job), same rationale as the
+      // bounded compact×merge drill above.
+      val nMaint = 5
+      val maint = new Thread(() => {
+        try {
+          val deadline = System.nanoTime() + 120L * 1000000000L
+          while (MaterializedTable.read(spark, dir)
+              .filter($"grp" === "g").isEmpty && System.nanoTime() < deadline)
+            Thread.sleep(100L)
+          for (_ <- 1 to nMaint) {
+            val (_, c) = withOccRetry {
+              MaterializedTable.compact(spark, dir, maxFilesPerBucket = 1,
+                sortCols = Seq("grp"))
+            }
+            maintConflicts.addAndGet(c)
+          }
+        } catch { case t: Throwable => maintFail.compareAndSet(null, t) }
+      })
+      val retriesBefore = MaterializedTable.commitRetryCount.get()
+      maint.start()
+      try {
+        val q = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$src/f*")
+          .writeStream
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            IncrementalAgg.foldStandingBatch(spark, dir, b, id, numBuckets = 2)
+            ()
+          }
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("occ_live_ck").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        // the assertion: the query DRAINS — before this round a single lost
+        // commit killed it with ConcurrentCommitException through
+        // foreachBatch (only the cdc67 gate retried by hand)
+        assert(q.awaitTermination(300000), "streaming fold did not drain")
+      } finally maint.join(300000)
+      assert(maintFail.get() == null,
+        s"maintenance failed non-optimistically: ${Option(maintFail.get())}")
+      // final state exact: every delta folded exactly once despite the races
+      val g = MaterializedTable.read(spark, dir)
+        .filter($"grp" === "g").select("n_live", "sum_value")
+        .as[(Long, java.math.BigDecimal)].head()
+      assert(g._1 == nBatches.toLong, s"fold count off: $g")
+      assert(g._2.doubleValue == (1 to nBatches).map(_.toDouble).sum, s"fold sum off: $g")
+      val absorbed = MaterializedTable.commitRetryCount.get() - retriesBefore
+      info(s"stream retries absorbed: $absorbed; " +
+        s"maintenance conflicts: ${maintConflicts.get()}")
+      } finally {
+        spark.conf.unset("spark.graft.occ.commitRetries")
+        spark.conf.unset("spark.graft.occ.commitRetryBackoffMs")
+      }
+    }
+  }
+
+  test("a stale (crashed-writer) claim still KILLS a streaming fold — bounded retry must not spin on it") {
+    withRetain(2) {
+      spark.conf.set("spark.graft.occ.claimGraceMs", "300")
+      try {
+        val dir0 = java.nio.file.Files.createTempDirectory("occ_stale_s").toString
+        val dir = s"$dir0/t"; val src = s"$dir0/src"
+        Seq(("g", 1L, 1.0)).toDF("grp", "dn", "dv")
+          .coalesce(1).write.parquet(s"$src/f1")
+        IncrementalAgg.foldStanding(spark, dir,
+          Seq(("seed", 1L, 1.0)).toDF("grp", "dn", "dv"), numBuckets = 2)
+        // a writer crashed between claim and publish: dead claim above head
+        val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val os = fs.create(
+          new org.apache.hadoop.fs.Path(dir, "_graft_manifest.v2.json"), false)
+        try os.write("{}".getBytes("UTF-8")) finally os.close()
+        val schema = spark.read.parquet(s"$src/f1").schema
+        val q = spark.readStream.schema(schema).parquet(s"$src/f*")
+          .writeStream
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            IncrementalAgg.foldStandingBatch(spark, dir, b, id, numBuckets = 2)
+            ()
+          }
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("occ_stale_ck").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q.awaitTermination()
+        }
+        def chain(t: Throwable): Seq[Throwable] =
+          if (t == null) Nil else t +: chain(t.getCause)
+        assert(chain(e).exists(
+          _.isInstanceOf[MaterializedTable.StaleCommitClaimException]),
+          s"expected StaleCommitClaimException to kill the query, got: $e")
+      } finally spark.conf.unset("spark.graft.occ.claimGraceMs")
+    }
+  }
+
+  test("vacuum never sweeps a FRESH in-flight claim or its above-head version dir; hour-old crash debris still goes") {
+    // under OCC, an above-head versioned manifest IS a live writer's claim
+    // and an above-head v{N} dir is its just-renamed staged data (the window
+    // between claim and primary swap). A maintenance vacuum racing that
+    // writer must leave both alone — sweeping them re-opens the claimed
+    // version, the recover()-against-live-writers corruption path.
+    withRetain(0) {
+      val dir = tmp("occ_vac")
+      MaterializedTable.merge(spark, dir, rows(("insert", "a", 1L, 1L)),
+        Seq("key"), Seq("lsn", "seq"), numBuckets = 2)
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      // simulate the in-flight writer: fresh claim + fresh staged v2 data
+      val claim = new org.apache.hadoop.fs.Path(dir, "_graft_manifest.v2.json")
+      val os = fs.create(claim, false)
+      try os.write("{}".getBytes("UTF-8")) finally os.close()
+      val v2b = new org.apache.hadoop.fs.Path(dir, "v2/_bucket=0")
+      fs.mkdirs(v2b)
+      val dos = fs.create(new org.apache.hadoop.fs.Path(v2b, "part-0.parquet"), false)
+      try dos.write("x".getBytes("UTF-8")) finally dos.close()
+      MaterializedTable.vacuum(spark, dir)
+      assert(fs.exists(claim), "vacuum swept a live writer's fresh claim")
+      assert(fs.exists(v2b), "vacuum swept a live writer's staged version dir")
+      // age the debris past the guard: now it is definitively a crash
+      val old = System.currentTimeMillis() - 2L * 60 * 60 * 1000
+      fs.setTimes(claim, old, old)
+      fs.setTimes(new org.apache.hadoop.fs.Path(dir, "v2"), old, old)
+      assert(MaterializedTable.vacuum(spark, dir) >= 2)
+      assert(!fs.exists(claim), "hour-old crashed claim must be swept")
+      assert(!fs.exists(v2b), "hour-old crashed version dir must be swept")
+      // the committed snapshot is untouched throughout
+      assert(MaterializedTable.read(spark, dir).count() == 1)
+    }
+  }
+
   test("two writers folding a standing aggregate: every contribution sums exactly once") {
     // foldStanding is ADDITIVE — a lost-then-retried fold re-reads state
     // that now includes the winner's contribution, so OCC retries must

@@ -274,6 +274,11 @@ class MaterializedTableSpec extends AnyFunSuite {
     Seq(ev("insert", "junk", 9, "J")).toDF()
       .withColumn("_bucket", lit(0))
       .write.partitionBy("_bucket").parquet(s"$dir/v99")
+    // age it past vacuum's in-flight guard: a FRESH above-head version dir
+    // may be a live writer's staged commit (OCC claim→publish window), so
+    // vacuum spares it for an hour — an hour-old one is this crash scenario
+    new java.io.File(s"$dir/v99").setLastModified(
+      System.currentTimeMillis() - 2L * 60 * 60 * 1000)
     assert(MaterializedTable.vacuum(spark, dir) >= 1)
     assert(!new java.io.File(s"$dir/v99").exists(), "garbage version removed")
     val got = MaterializedTable.read(spark, dir)
