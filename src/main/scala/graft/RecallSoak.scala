@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.{IvfIndex, PqIndex, Similarity}
+
+/** ANN recall@k at SOAK scale — the measurement that keeps the sampled-
+  * codebook + two-level-probe performance wins honest: the r12 speedups
+  * (maxTrainRows sample training, probeCellsTwoLevel) are only wins if
+  * recall holds where they actually engage, i.e. beyond the oracle-checked
+  * gate scale. Gate-scale recall floors are spec-pinned (PqIndexSpec,
+  * vec23's hash-exact oracle); this main measures the same quality number
+  * on a SoakSynth corpus and prints one JSON line for the BASELINE ledger.
+  *
+  * Usage: `SPARK_GRAFT_SF_DIR=<soakDir> runMain graft.RecallSoak [k]`
+  *
+  * Three production paths, all vs the exact quantized-cosine brute force
+  * ([[Similarity.knnBrute]] — integer-deterministic, so recall is a fixed
+  * number, not an eyeball):
+  *   - `ivf_two_level`: vec13's scale path — [[IvfIndex.buildScaled]] with
+  *     the gate's own sizing policy (min(N/32, 4√N), sample-trained,
+  *     two-level assignment) searched through the TWO-LEVEL probe.
+  *   - `ivf_pq`: vec12's path — IVF-PQ ADC with sample-trained codebooks
+  *     ([[PqIndex.searchIvf]], gate knobs m=16, nCodes=32, nProbe=4,
+  *     rerank on exact quantized cosine).
+  *   - `ivf_pq_persisted`: vec15's path — the same artifact through
+  *     save/load ([[PqIndex.buildIvf]]/[[PqIndex.searchIvfIndex]]), pinning
+  *     that persistence costs zero recall (integers round-trip bit-exact).
+  */
+object RecallSoak {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val k = args.headOption.map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+        .localCheckpoint()
+      val n = emb.count()
+      // deterministic probe sample (~100 rows): every 1/stride-th id — the
+      // soak corpus's replicas make these span original + shifted content
+      val stride = math.max(1L, n / 100L)
+      val probes = emb.filter(pmod(col("vec_id"), lit(stride)) === 0)
+        .localCheckpoint()
+      val nProbes = probes.count()
+      val exact = Similarity.knnBrute(probes, emb, "vec_id", "embedding", k)
+        .select("probe_id", "neighbor_id").localCheckpoint()
+      def meanRecall(approx: org.apache.spark.sql.DataFrame): Double =
+        Similarity.recallAtK(exact,
+            approx.select("probe_id", "neighbor_id"), k)
+          .agg(avg(col("recall"))).head().getDouble(0)
+
+      // vec13's scale path: policy-sized, sample-trained, two-level end2end
+      val nLists = math.max(16, math.min(n / 32,
+        4 * math.round(math.sqrt(n.toDouble))).toInt)
+      val sc = math.max(1, math.round(math.sqrt(nLists.toDouble)).toInt)
+      val idx = IvfIndex.buildScaled(emb, "vec_id", "embedding", nLists,
+        iters = 2)
+      val rIvf = meanRecall(IvfIndex.searchIndex(probes, idx, "vec_id",
+        "embedding", k, nProbe = 3, probeSuperCount = if (nLists > 64) sc else 1))
+
+      // vec12's path (gate knobs, sample-trained codebooks); rerank widened
+      // with k (the gate reranks ~10× its k)
+      val rPq = meanRecall(PqIndex.searchIvf(probes, emb, "vec_id",
+        "embedding", k, nLists = 16, nProbe = 4, m = 16, nCodes = 32,
+        iters = 2, rerankN = math.max(32, 8 * k), memoKey = Some(sfDir),
+        maxTrainRows = 100000L))
+
+      // vec15's path: the persisted artifact must reproduce vec12 exactly
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_recall_soak_" + Integer.toHexString(sfDir.hashCode)).getPath
+      PqIndex.buildIvf(emb, "vec_id", "embedding", nLists = 16, m = 16,
+        nCodes = 32, iters = 2, memoKey = Some(sfDir),
+        maxTrainRows = 100000L).save(dir)
+      val rPqP = meanRecall(PqIndex.searchIvfIndex(probes,
+        PqIndex.loadIvf(spark, dir), emb, "vec_id", "embedding", k,
+        nProbe = 4, rerankN = math.max(32, 8 * k)))
+
+      def f(d: Double) = BigDecimal(d).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toString
+      // scalastyle:off println
+      println(s"""{"metric":"recall_soak","k":$k,"n":$n,""" +
+        s""""n_probes":$nProbes,"nLists":$nLists,""" +
+        s""""ivf_two_level":${f(rIvf)},"ivf_pq":${f(rPq)},""" +
+        s""""ivf_pq_persisted":${f(rPqP)}}""")
+      // scalastyle:on println
+    } finally spark.stop()
+  }
+}

@@ -65,25 +65,38 @@ object IvfIndex {
       assignFn: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val spark0 = qIn.sparkSession
     import spark0.implicits._
+    val distributed = nLists > centroidCollectGuard(spark0)
     // cache the quantized training set across Lloyd passes (the k-means
     // discipline — every iteration re-reads it; MEMORY_AND_DISK spills
     // rather than OOMs when the corpus outgrows executor memory). Released
-    // before returning: train materializes its result via collect below.
+    // before returning: train materializes its result below.
     val q = qIn.select(col("id"), col("qv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // deterministic seeding: the nLists lowest ids (TakeOrdered — no global
-    // sort; Lloyd iterations wash out seed placement). Seeds are ≤nLists
-    // rows by construction, so they are materialized locally once — the
+    // deterministic seeding: the nLists lowest ids (Lloyd iterations wash
+    // out seed placement). A corpus smaller than nLists seeds one cell per
+    // row (a valid, smaller index) instead of failing the invariant below.
+    // Below the guard the ≤nLists seeds are materialized locally once — the
     // Lloyd lineage then starts from a local relation instead of re-running
-    // the TakeOrdered inside every downstream action. A corpus smaller than
-    // nLists seeds one cell per row (a valid, smaller index) instead of
-    // failing the invariant below.
-    val seedLocal = q.orderBy("id").limit(nLists)
-      .select(col("qv")).as[Seq[Long]].collect()  // sorted by id
-    val effLists = seedLocal.length
-    var centroids = spark0.createDataset(
-      seedLocal.zipWithIndex.map { case (v, i) => (i, v) }.toSeq)
-      .toDF("cell", "cv")
+    // the TakeOrdered inside every downstream action. ABOVE the guard the
+    // seed set itself is O(corpus) under a constant-cell-size sizing
+    // policy, so it never touches the driver: GlobalRank's two-level
+    // decomposition ranks by id distributedly (same nLists-lowest-ids set,
+    // same cell numbering — rank i+1 ⇔ i-th lowest id) and the seed
+    // relation is pinned with localCheckpoint instead of a collect.
+    var centroids =
+      if (!distributed) {
+        val seedLocal = q.orderBy("id").limit(nLists)
+          .select(col("qv")).as[Seq[Long]].collect()  // sorted by id
+        spark0.createDataset(
+          seedLocal.zipWithIndex.map { case (v, i) => (i, v) }.toSeq)
+          .toDF("cell", "cv")
+      } else {
+        GlobalRank.rowNumber(q.toDF(), Seq(col("id")), "_rn")
+          .filter(col("_rn") <= nLists)
+          .select((col("_rn") - 1).cast("int").as("cell"), col("qv").as("cv"))
+          .localCheckpoint()
+      }
+    val effLists = centroids.count() // ≤ nLists rows (min(corpus, nLists))
     for (_ <- 1 to iters) {
       val assigned = assignFn(q, centroids)
       val means = assigned
@@ -95,15 +108,58 @@ object IvfIndex {
         .select(col("cell"), expr("transform(pairs, p -> p.m)").as("mv"))
       centroids = centroids.join(means, Seq("cell"), "left")
         .select(col("cell"), coalesce(col("mv"), col("cv")).as("cv"))
+      // distributed mode: cut the per-iteration lineage — without this,
+      // iteration k's plan re-executes every earlier assign (the collected
+      // path pays that via its single final collect; here there is none)
+      if (distributed) centroids = centroids.localCheckpoint()
     }
-    val local = centroids.select(col("cell").cast("int"), col("cv"))
-      .as[(Int, Seq[Long])].collect().toSeq
+    val out =
+      if (!distributed) {
+        val local = centroids.select(col("cell").cast("int"), col("cv"))
+          .as[(Int, Seq[Long])].collect().toSeq
+        require(local.size == effLists,
+          s"IVF train invariant broken: ${local.size} centroids != $effLists " +
+            s"(nLists=$nLists, corpus may be smaller)")
+        spark0.createDataset(local).toDF("cell", "cv")
+      } else {
+        val c = centroids.select(col("cell").cast("int"), col("cv"))
+          .localCheckpoint()
+        val n = c.count()
+        require(n == effLists,
+          s"IVF train invariant broken: $n centroids != $effLists " +
+            s"(nLists=$nLists, corpus may be smaller)")
+        c
+      }
     q.unpersist(blocking = false)
-    require(local.size == effLists,
-      s"IVF train invariant broken: ${local.size} centroids != $effLists " +
-        s"(nLists=$nLists, corpus may be smaller)")
-    spark0.createDataset(local).toDF("cell", "cv")
+    out
   }
+
+  /** Centroid rows the driver will collect/broadcast before the O(nLists)
+    * paths refuse and route to (or demand) the distributed twins —
+    * `spark.graft.ivf.maxCentroidCollectRows`. The driver-side centroid
+    * footprint is nLists · dims · 8 B: at the 1M default and 16–128 dims
+    * that is 128 MB–1 GB of broadcast, the practical ceiling. Under the
+    * √N sizing discipline (FAISS practice, [[buildScaled]] scaladoc) nLists
+    * stays ~10⁵ even at 10¹⁰ vectors and the guard never engages; a
+    * constant-cell-size policy (nLists ∝ N) crosses it and silently
+    * collecting O(corpus) centroids to the driver is THE scale cliff —
+    * hence a routing guard, not advice. Reference analog: the schema
+    * cache's whole point is bounded driver-side metadata
+    * (ext/schema_cache.c:46–80).
+    */
+  private[operators] def centroidCollectGuard(
+      spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.get("spark.graft.ivf.maxCentroidCollectRows", "1000000").toLong
+
+  private def requireCentroidsCollectable(
+      spark: org.apache.spark.sql.SparkSession, n: Long, what: String): Unit =
+    require(n <= centroidCollectGuard(spark),
+      s"$what would collect/broadcast $n centroid rows — above " +
+        s"spark.graft.ivf.maxCentroidCollectRows=${centroidCollectGuard(spark)}. " +
+        "Use the two-level distributed paths (assignTwoLevelDistributed / " +
+        "probeCellsTwoLevelDistributed, auto-routed by assignTwoLevel / " +
+        "probeCellsTwoLevel / buildScaled) or size nLists ~ sqrt(N) " +
+        "(the FAISS discipline) so the centroid set stays bounded.")
 
   /** Nearest cell per vector (exact integer L2 to each broadcast centroid).
     * One hash aggregation (`min_by`, partial-agg) — not a window sort.
@@ -174,6 +230,13 @@ object IvfIndex {
     if (superCount == 1) return assign(q, centroids)
     val spark0 = q.sparkSession
     import spark0.implicits._
+    // routing guard: beyond the collect budget the centroid level STAYS
+    // distributed (bit-exact twin below) — under a constant-cell-size
+    // sizing policy nLists is O(corpus) and collecting it here was the
+    // verified next scale cliff (≈150 GB of driver centroids at 10¹⁰
+    // vectors). The count is one tiny job against a ≤nLists-row relation.
+    if (centroids.count() > centroidCollectGuard(spark0))
+      return assignTwoLevelDistributed(q, centroids, superCount)
     val local = centroids.select(col("cell").cast("int"), col("cv"))
       .as[(Int, Seq[Long])].collect().sortBy(_._1).toSeq
     val (supers, grouping) = superGrouping(local, superCount)
@@ -225,6 +288,15 @@ object IvfIndex {
     require(superCount >= 1, s"superCount must be ≥ 1: $superCount")
     val spark0 = q.sparkSession
     import spark0.implicits._
+    // same routing guard as assignTwoLevel: the query side descends the
+    // same hierarchy and must not collect an O(corpus) centroid set either.
+    // superCount = 1 is the EXACT probe by contract — silently coarsening
+    // it would change results, so past the guard it refuses instead.
+    val nCent = centroids.count()
+    if (superCount > 1 && nCent > centroidCollectGuard(spark0))
+      return probeCellsTwoLevelDistributed(q, centroids, nProbe, superCount,
+        superProbe)
+    requireCentroidsCollectable(spark0, nCent, "probeCellsTwoLevel(superCount=1)")
     val local = centroids.select(col("cell").cast("int"), col("cv"))
       .as[(Int, Seq[Long])].collect().sortBy(_._1).toSeq
     val (supers, grouping) = superGrouping(local, superCount)
@@ -242,6 +314,124 @@ object IvfIndex {
       .filter(col("_srn") <= superProbe)
       .select(col("id"), col("qv"), col("_super"))
     topSupers.join(broadcast(centWithSuper), Seq("_super"))
+      .select(col("id"), col("cell"), l2Q(col("qv"), col("cv")).as("d2"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("d2"), col("cell"))))
+      .filter(col("_rn") <= nProbe)
+      .select(col("id"), col("cell"))
+  }
+
+  /** [[superGrouping]] WITHOUT collecting the centroid set: the ≤superCount
+    * super-centroids stay driver-local (bounded — superCount ≈ √nLists by
+    * the callers' sizing), but the nLists-row cell→super grouping remains a
+    * DataFrame. Bit-exact with the driver version by construction: same
+    * k-lowest-cell seeding, same (l2, super-index) tie order via min_by,
+    * same 2 rounds, and per-dim means with Math.floorDiv semantics —
+    * `sum − pmod(sum, n)` is the largest multiple of n ≤ sum, so the `div`
+    * is exact and floors toward −∞ where Spark's div truncates toward zero
+    * (they differ exactly on negative sums, which quantized vectors hit).
+    * Empty supers keep their previous position (means collect is
+    * ≤superCount rows). Cost: 2 × O(nLists · superCount) distributed.
+    */
+  private def superGroupingDistributed(centroids: DataFrame, superCount: Int)
+      : (Vector[Seq[Long]], DataFrame) = {
+    val spark0 = centroids.sparkSession
+    import spark0.implicits._
+    var supers: Vector[Seq[Long]] = centroids.orderBy("cell").limit(superCount)
+      .select(col("cell").cast("int"), col("cv")).as[(Int, Seq[Long])]
+      .collect().sortBy(_._1).map(_._2).toVector
+    var grouping: DataFrame = null
+    for (_ <- 1 to 2) {
+      val superDf = spark0.createDataset(
+        supers.zipWithIndex.map { case (sv, si) => (si, sv) })
+        .toDF("_super", "scv")
+      grouping = centroids.crossJoin(broadcast(superDf))
+        .select(col("cell"), col("cv"), col("_super"),
+          l2Q(col("cv"), col("scv")).as("d2"))
+        .groupBy(col("cell"))
+        .agg(min_by(struct(col("_super"), col("cv")),
+          struct(col("d2"), col("_super"))).as("s"))
+        .select(col("cell"), col("s.cv").as("cv"), col("s._super").as("_super"))
+        .localCheckpoint() // consumed twice (means below + the caller's join)
+      val means = grouping
+        .select(col("_super"), posexplode(col("cv")))
+        .groupBy(col("_super"), col("pos"))
+        .agg(expr("(sum(col) - pmod(sum(col), count(*))) div count(*)").as("m"))
+        .groupBy(col("_super"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pairs"))
+        .select(col("_super").cast("int"), expr("transform(pairs, p -> p.m)"))
+        .as[(Int, Seq[Long])].collect().toMap // ≤ superCount rows
+      supers = supers.zipWithIndex.map { case (prev, si) =>
+        means.getOrElse(si, prev)
+      }
+    }
+    (supers, grouping)
+  }
+
+  /** [[assignTwoLevel]] with the centroid level kept DISTRIBUTED — the
+    * 100-TB path for constant-cell-size policies where nLists is O(corpus)
+    * and collecting (or broadcasting) the centroid set is a guaranteed
+    * driver/executor OOM (~150 GB of centroids at 10¹⁰ vectors). Only the
+    * ≤superCount super-level is driver-local and broadcast; the
+    * within-group nearest centroid resolves as a shuffle equi-join on
+    * `_super` (each vector meets its group's ~nLists/superCount centroids —
+    * the same O(corpus · 2√nLists) arithmetic as the collected twin, as an
+    * exchange instead of a broadcast). BIT-EXACT with [[assignTwoLevel]]
+    * (spec-pinned): identical hierarchy, distances, and tie order — the
+    * join strategy is the only difference. [[assignTwoLevel]] routes here
+    * automatically past `spark.graft.ivf.maxCentroidCollectRows`.
+    */
+  def assignTwoLevelDistributed(q: DataFrame, centroids: DataFrame,
+      superCount: Int): DataFrame = {
+    require(superCount > 1,
+      s"distributed assignment needs a super level (superCount=$superCount); " +
+        "superCount = 1 is the exact collected path")
+    val spark0 = q.sparkSession
+    import spark0.implicits._
+    val (supers, grouping) = superGroupingDistributed(centroids, superCount)
+    val superDf = spark0.createDataset(
+      supers.zipWithIndex.map { case (sv, si) => (si, sv) })
+      .toDF("_super", "scv")
+    val stage1 = q.crossJoin(broadcast(superDf))
+      .select(col("id"), col("qv"), col("_super"),
+        l2Q(col("qv"), col("scv")).as("d2"))
+      .groupBy(col("id"))
+      .agg(min_by(struct(col("_super"), col("qv")),
+        struct(col("d2"), col("_super"))).as("s"))
+      .select(col("id"), col("s.qv").as("qv"), col("s._super").as("_super"))
+    stage1.join(grouping, Seq("_super"))
+      .select(col("id"), col("qv"), col("cell"),
+        l2Q(col("qv"), col("cv")).as("d2"))
+      .groupBy(col("id"))
+      .agg(min_by(struct(col("cell"), col("qv")),
+        struct(col("d2"), col("cell"))).as("s"))
+      .select(col("id"), col("s.qv").as("qv"), col("s.cell").as("cell"))
+  }
+
+  /** [[probeCellsTwoLevel]] with the centroid level kept DISTRIBUTED — the
+    * query-side twin of [[assignTwoLevelDistributed]], same super-broadcast
+    * + `_super` equi-join shape, same bit-exactness contract (spec-pinned).
+    * [[probeCellsTwoLevel]] routes here automatically past the guard.
+    */
+  def probeCellsTwoLevelDistributed(q: DataFrame, centroids: DataFrame,
+      nProbe: Int, superCount: Int, superProbe: Int = 3): DataFrame = {
+    require(superCount > 1,
+      s"distributed probing needs a super level (superCount=$superCount); " +
+        "superCount = 1 is the exact collected path")
+    val spark0 = q.sparkSession
+    import spark0.implicits._
+    val (supers, grouping) = superGroupingDistributed(centroids, superCount)
+    val superDf = spark0.createDataset(
+      supers.zipWithIndex.map { case (sv, si) => (si, sv) })
+      .toDF("_super", "scv")
+    val topSupers = q.crossJoin(broadcast(superDf))
+      .select(col("id"), col("qv"), col("_super"),
+        l2Q(col("qv"), col("scv")).as("sd2"))
+      .withColumn("_srn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("sd2"), col("_super"))))
+      .filter(col("_srn") <= superProbe)
+      .select(col("id"), col("qv"), col("_super"))
+    topSupers.join(grouping, Seq("_super"))
       .select(col("id"), col("cell"), l2Q(col("qv"), col("cv")).as("d2"))
       .withColumn("_rn", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("d2"), col("cell"))))
@@ -446,10 +636,22 @@ object IvfIndex {
     * with a [[load]]ed index the cell filter prunes parquet partitions, so
     * untouched cells are never read at all.
     */
+  /** @param probeSuperCount > 1 routes probe→cell selection through the
+    *   two-level hierarchy ([[probeCellsTwoLevel]], auto-distributed past
+    *   the collect guard) — the scale path when nLists grows with the
+    *   corpus; 1 (default) keeps the exact broadcast probe.
+    */
   def searchIndex(probes: DataFrame, index: Index, idCol: String, vecCol: String,
-      k: Int, nProbe: Int = 3): DataFrame = {
+      k: Int, nProbe: Int = 3, probeSuperCount: Int = 1): DataFrame = {
     val pq = quantizedProbes(probes, idCol, vecCol)
-    val scored = probeCells(pq, index, nProbe)
+    val cells =
+      if (probeSuperCount > 1)
+        probeCellsTwoLevel(
+          pq.select(col("probe_id").as("id"), col("pq").as("qv")),
+          index.centroids, nProbe, probeSuperCount)
+          .select(col("id").as("probe_id"), col("cell"))
+      else probeCells(pq, index, nProbe)
+    val scored = cells
       .join(index.assigned, Seq("cell"))
       .join(pq, Seq("probe_id"))
       .filter(col("probe_id") =!= col("neighbor_id"))

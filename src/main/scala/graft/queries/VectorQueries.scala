@@ -911,17 +911,26 @@ object VectorQueries {
         .unionByName(emb.filter(col("vec_id") % 5 === 0)
           .select((col("vec_id") + 40000).as("vec_id"),
             reverse(col("embedding")).as("embedding")))
-      // CONSTANT-CELL-SIZE policy (one bounded scalar): nLists scales with
-      // the corpus so probe cost stays O(|eval|·nProbe·cellSize) — a fixed
-      // cell count makes cells, and therefore every probe, grow linearly
-      // with the corpus (quadratic total; measured 18× at a 10× soak).
-      // ⌊N/32⌋ floors to the oracle's 16 cells at the sf0.01 gate scale.
+      // Sizing policy (one bounded scalar): small corpora use the
+      // constant-cell-size ⌊N/32⌋ (floors to the oracle's 16 cells at the
+      // sf0.01 gate scale — a fixed cell COUNT would make every probe grow
+      // linearly with the corpus, measured 18× at a 10× soak), but capped
+      // at 4·√N — the FAISS sizing discipline. Uncapped N/32 makes the
+      // centroid set O(corpus): ~3·10⁸ centroids ≈ 150 GB of driver/
+      // broadcast metadata at a genuine 10¹⁰ vectors, the next verified
+      // scale cliff. Under the cap the centroid set is provably O(√N)
+      // (~10⁵ rows ≈ 50 MB at 10¹⁰), cells are O(√N) rows, and probe cost
+      // is O(|eval|·nProbe·√N) — the standard IVF balance point. The
+      // IvfIndex collect guard (spark.graft.ivf.maxCentroidCollectRows)
+      // backstops this: past it, assignment/probing auto-route to the
+      // distributed twins rather than collecting.
       // Above the gate scales the EXACT build's O(N·nLists) Lloyd+assign
       // becomes the next quadratic term, so the index switches to
       // buildScaled (sample-trained centroids + two-level assignment,
       // O(N·2√nLists)); the oracle-checked scales stay on the exact path.
       val nTrain = emb.count()
-      val nLists = math.max(16, (nTrain / 32).toInt)
+      val nLists = math.max(16, math.min(nTrain / 32,
+        4 * math.round(math.sqrt(nTrain.toDouble))).toInt)
       val idx =
         if (nTrain <= 4000)
           graft.operators.IvfIndex.build(emb, "vec_id", "embedding",

@@ -540,6 +540,57 @@ class SimilaritySpec extends AnyFunSuite {
     assert(both.count() == 1)
   }
 
+  test("distributed two-level assign/probe ≡ collected bit-exact; guard auto-routes and refuses the exact probe at scale") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.select(col("vec_id").as("id"),
+      Similarity.quantize(col("embedding")).as("qv"))
+    val centroids = IvfIndex.train(emb, "vec_id", "embedding", nLists = 64,
+      iters = 2)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    // bit-exact across a square-ish and a non-divisor super count — the
+    // distributed twin differs ONLY in join strategy (equi-join on _super
+    // instead of collect+broadcast of the full centroid set)
+    for (sc <- Seq(3, 8)) {
+      assert(canon(IvfIndex.assignTwoLevelDistributed(q, centroids, sc)) ==
+        canon(IvfIndex.assignTwoLevel(q, centroids, sc)),
+        s"distributed assignment diverged at superCount=$sc")
+      assert(canon(IvfIndex.probeCellsTwoLevelDistributed(q, centroids,
+          nProbe = 3, superCount = sc)) ==
+        canon(IvfIndex.probeCellsTwoLevel(q, centroids, nProbe = 3,
+          superCount = sc)),
+        s"distributed probing diverged at superCount=$sc")
+    }
+    // baselines for the forced-guard routing checks below
+    val assignBase = canon(IvfIndex.assignTwoLevel(q, centroids, 8))
+    val buildBase = IvfIndex.buildScaled(emb, "vec_id", "embedding",
+      nLists = 64, iters = 2, maxTrainRows = 200, superCount = 8)
+    // force the guard below nLists: every O(nLists) collect path must now
+    // route to its distributed twin (same rows — routing, not behavior
+    // change), INCLUDING training end-to-end (GlobalRank seeding +
+    // localCheckpoint finalize instead of limit-collect)
+    spark.conf.set("spark.graft.ivf.maxCentroidCollectRows", "32")
+    try {
+      assert(canon(IvfIndex.assignTwoLevel(q, centroids, 8)) == assignBase,
+        "guard routing changed assignment rows")
+      val routed = IvfIndex.buildScaled(emb, "vec_id", "embedding",
+        nLists = 64, iters = 2, maxTrainRows = 200, superCount = 8)
+      assert(canon(routed.centroids.select("cell", "cv")) ==
+        canon(buildBase.centroids.select("cell", "cv")),
+        "distributed training produced different centroids")
+      assert(canon(routed.assigned.select("neighbor_id", "cell")) ==
+        canon(buildBase.assigned.select("neighbor_id", "cell")),
+        "distributed build produced a different assignment")
+      // the EXACT probe (superCount = 1) cannot be silently coarsened —
+      // past the guard it refuses with the sizing guidance
+      val e = intercept[IllegalArgumentException] {
+        IvfIndex.probeCellsTwoLevel(q, centroids, nProbe = 3, superCount = 1)
+          .count()
+      }
+      assert(e.getMessage.contains("maxCentroidCollectRows"), e.getMessage)
+    } finally spark.conf.unset("spark.graft.ivf.maxCentroidCollectRows")
+  }
+
   test("two-level probe: superCount=1 ≡ exact probe; duplicates descend to their twin's cell; probed-super recall holds") {
     import spark.implicits._
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
