@@ -121,7 +121,23 @@ class GraftCdfSource(ctx: SQLContext, dir: String,
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else MaterializedTable.changeFeed(spark, dir, from, to, keys)
     // pin the creation-time column set/order; a mid-stream schema change
-    // that drops a column fails HERE, loudly
+    // that DROPS a column fails at the select below, and one that ADDS a
+    // column fails here — silently projecting the new column away would
+    // reshape a running feed (downstream replicas would miss its values
+    // with no error, forever). The restart path is lossless BY
+    // CONSTRUCTION and spec-pinned: offsets are committed versions, this
+    // batch has not committed, so a restart from the same checkpoint
+    // re-plans the SAME window under the widened schema — the reference's
+    // ALTER-TABLE-mid-stream behavior (spec/functional/topic_spec.rb:
+    // 232–274) at micro-batch granularity.
+    val extra = batch.columns.filterNot(schema.fieldNames.contains(_))
+    if (extra.nonEmpty)
+      throw new IllegalStateException(
+        s"graft-cdf schema evolved mid-stream at $dir: new column(s) " +
+          s"${extra.mkString(", ")} are not in the query's pinned schema — " +
+          "restart the query from the same checkpoint to resume with the " +
+          "widened schema (offsets are committed versions; the interrupted " +
+          "window replays in full, no rows lost or doubled)")
     org.apache.spark.sql.GraftShims.asStreamingDataFrame(
       batch.select(schema.fieldNames.toIndexedSeq.map(col): _*))
   }

@@ -148,6 +148,73 @@ class GraftChangeFeedSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("mid-stream ADD-column evolution: the query fails LOUDLY; a restart from the SAME checkpoint resumes widened, no rows lost or doubled") {
+    // the reference survives ALTER TABLE mid-stream end-to-end
+    // (spec/functional/topic_spec.rb:232–274); here the operational path is
+    // evolve → the running query throws (a pinned typed projection must
+    // never silently reshape) → restart same checkpoint → the interrupted
+    // window replays IN FULL under the widened schema
+    withRetain(8) {
+      val dir = java.nio.file.Files.createTempDirectory("gcdf5").toString + "/t"
+      val ckpt = java.nio.file.Files.createTempDirectory("gcdf_ck5").toString
+      mergeBatch(dir, 1L, ("insert", "a", 1L, 10L))
+      val got = scala.collection.mutable.ArrayBuffer
+        .empty[(String, String, Option[Long], Option[String])]
+      def run(widened: Boolean)(
+          body: org.apache.spark.sql.streaming.StreamingQuery => Unit): Unit = {
+        val q = spark.readStream.format("graft-cdf").load(dir)
+          .writeStream.foreachBatch {
+            (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              val withW =
+                if (widened) b.toDF()
+                else b.withColumn("after_w", lit(null).cast("string"))
+              got ++= withW.select("key", "op", "after_v", "after_w")
+                .as[(String, String, Option[Long], Option[String])].collect()
+              ()
+          }
+          .option("checkpointLocation", ckpt).start()
+        try body(q) finally q.stop()
+      }
+      // phase 1: pre-evolution traffic flows; then the table WIDENS (new
+      // payload column w lands via a merge) and the next batch must fail
+      // loudly instead of silently dropping w from the feed
+      val failure = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        run(widened = false) { q =>
+          q.processAllAvailable()
+          mergeBatch(dir, 2L, ("update", "a", 2L, 11L))
+          q.processAllAvailable()
+          assert(got.toSeq == Seq(("a", "update", Some(11L), None)))
+          // EVOLVE: same key layout, payload gains w
+          MaterializedTable.merge(spark, dir,
+            Seq(("insert", "b", 3L, 30L, "W")).toDF("op", "key", "lsn", "v", "w")
+              .withColumn("seq", lit(0L)),
+            Seq("key"), Seq("lsn", "seq"), numBuckets = 4, batchId = Some(3L))
+          q.processAllAvailable()
+          q.awaitTermination()
+        }
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(failure).exists(_.getMessage != null)
+        && chain(failure).map(_.getMessage).filter(_ != null)
+          .exists(m => m.contains("evolved mid-stream") && m.contains("after_w")),
+        s"expected the loud evolution error, got: $failure")
+      // phase 2: restart from the SAME checkpoint — the new source instance
+      // pins the WIDENED schema and the interrupted window replays in full:
+      // exactly the v2→v3 diff, with w's value visible, nothing doubled
+      run(widened = true)(_.processAllAvailable())
+      assert(got.toSeq.drop(1) == Seq(("b", "insert", Some(30L), Some("W"))),
+        s"restart must deliver exactly the interrupted window widened: $got")
+      // and the feed keeps flowing with the widened schema
+      MaterializedTable.merge(spark, dir,
+        Seq(("update", "b", 4L, 31L, "W2")).toDF("op", "key", "lsn", "v", "w")
+          .withColumn("seq", lit(0L)),
+        Seq("key"), Seq("lsn", "seq"), numBuckets = 4, batchId = Some(4L))
+      run(widened = true)(_.processAllAvailable())
+      assert(got.toSeq.drop(2) == Seq(("b", "update", Some(31L), Some("W2"))))
+    }
+  }
+
   test("an offset regression (batch start > end) fails LOUDLY — a rolled-back table or repointed source, never a silent empty batch") {
     withRetain(4) {
       val dir = java.nio.file.Files.createTempDirectory("gcdf4").toString + "/t"
