@@ -53,8 +53,12 @@ object IvfDistSoak {
         .filter(_.getType == java.lang.management.MemoryType.HEAP)
       pools.foreach(_.resetPeakUsage())
       val t0 = System.nanoTime()
+      // maxTrainRows must sit comfortably ABOVE nLists: the deterministic
+      // hash sample lands within ~±0.2% of the target, and a train set
+      // that undershoots nLists seeds fewer cells (documented IvfIndex
+      // behavior — fine for an index, wrong for this exact-count datapoint)
       val idx = graft.operators.IvfIndex.buildScaled(emb, "vec_id",
-        "embedding", nLists, iters = 2)
+        "embedding", nLists, iters = 2, maxTrainRows = 4L * nLists)
       val nAssigned = idx.assigned.count()
       val nCentroids = idx.centroids.count()
       val secs = (System.nanoTime() - t0) / 1e9
