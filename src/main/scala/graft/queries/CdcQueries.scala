@@ -2297,6 +2297,159 @@ object CdcQueries {
           graft.queries.Qutil.dsum(col("after_value")).as("sum_after"))
     },
 
+    // --- mid-stream schema evolution RESTART (cdc68): the reference
+    // --- survives ALTER TABLE mid-stream end-to-end (spec/functional/
+    // --- topic_spec.rb:232-274); here the operational path is evolve →
+    // --- the running cdf query fails LOUDLY (a pinned typed projection
+    // --- must never silently reshape — the ADDED column's values would
+    // --- otherwise vanish from the feed forever) → restart from the SAME
+    // --- checkpoint → the interrupted window replays IN FULL under the
+    // --- widened schema. Drill: v1 pre-start (no backfill), v2 drained
+    // --- pre-evolution, v3 ADDS column tag (query dies, error verified),
+    // --- restart drains diff(v2→v3) WITH tag, v4 drains live. The union
+    // --- of both phases' rows must hash-match DuckDB's independent
+    // --- four-snapshot triple diff — nothing lost, nothing doubled,
+    // --- tag values visible from exactly the evolved window on. ----------
+    q("cdc68_evolution_restart",
+      """WITH mxv AS (SELECT MAX(event_id) AS m FROM events),
+        |r AS (SELECT user_id, event_id, value, event_type FROM events),
+        |s1 AS (SELECT user_id, event_id AS lsn, value,
+        |    CASE WHEN event_id >= (SELECT m//2 FROM mxv) THEN event_type END AS tag
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |        FROM r WHERE event_id < (SELECT m//4 FROM mxv)) t
+        |  WHERE rn = 1 AND event_type <> 'error'),
+        |s2 AS (SELECT user_id, event_id AS lsn, value,
+        |    CASE WHEN event_id >= (SELECT m//2 FROM mxv) THEN event_type END AS tag
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |        FROM r WHERE event_id < (SELECT m//2 FROM mxv)) t
+        |  WHERE rn = 1 AND event_type <> 'error'),
+        |s3 AS (SELECT user_id, event_id AS lsn, value,
+        |    CASE WHEN event_id >= (SELECT m//2 FROM mxv) THEN event_type END AS tag
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |        FROM r WHERE event_id < (SELECT 3*(m//4) FROM mxv)) t
+        |  WHERE rn = 1 AND event_type <> 'error'),
+        |s4 AS (SELECT user_id, event_id AS lsn, value,
+        |    CASE WHEN event_id >= (SELECT m//2 FROM mxv) THEN event_type END AS tag
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |        FROM r) t
+        |  WHERE rn = 1 AND event_type <> 'error'),
+        |d12 AS (SELECT
+        |    CASE WHEN a.user_id IS NULL THEN 'insert'
+        |         WHEN b.user_id IS NULL THEN 'delete'
+        |         WHEN a.lsn IS DISTINCT FROM b.lsn
+        |           OR a.value IS DISTINCT FROM b.value THEN 'update' END AS op,
+        |    a.value AS before_value, b.value AS after_value, b.tag AS after_tag
+        |  FROM s1 a FULL OUTER JOIN s2 b ON a.user_id = b.user_id),
+        |d23 AS (SELECT
+        |    CASE WHEN a.user_id IS NULL THEN 'insert'
+        |         WHEN b.user_id IS NULL THEN 'delete'
+        |         WHEN a.lsn IS DISTINCT FROM b.lsn
+        |           OR a.value IS DISTINCT FROM b.value THEN 'update' END AS op,
+        |    a.value AS before_value, b.value AS after_value, b.tag AS after_tag
+        |  FROM s2 a FULL OUTER JOIN s3 b ON a.user_id = b.user_id),
+        |d34 AS (SELECT
+        |    CASE WHEN a.user_id IS NULL THEN 'insert'
+        |         WHEN b.user_id IS NULL THEN 'delete'
+        |         WHEN a.lsn IS DISTINCT FROM b.lsn
+        |           OR a.value IS DISTINCT FROM b.value THEN 'update' END AS op,
+        |    a.value AS before_value, b.value AS after_value, b.tag AS after_tag
+        |  FROM s3 a FULL OUTER JOIN s4 b ON a.user_id = b.user_id),
+        |f AS (SELECT * FROM d12 WHERE op IS NOT NULL
+        |  UNION ALL SELECT * FROM d23 WHERE op IS NOT NULL
+        |  UNION ALL SELECT * FROM d34 WHERE op IS NOT NULL)
+        |SELECT op, COUNT(*) AS n,
+        |  CAST(SUM(CAST(before_value AS DECIMAL(18,4))) AS DOUBLE) AS sum_before,
+        |  CAST(SUM(CAST(after_value AS DECIMAL(18,4))) AS DOUBLE) AS sum_after,
+        |  COUNT(after_tag) AS n_tag_after
+        |FROM f GROUP BY 1""".stripMargin) { (s, d) =>
+      val s2 = s.newSession()
+      s2.conf.set("spark.graft.materialized.retainVersions", "8")
+      val envBase = ChangelogGen.fromEvents(s2, d).toDF()
+        .select(col("op"), col("key"), col("lsn"), col("seq"),
+          get_json_object(col("after"), "$.value").cast("double").as("value"))
+        .localCheckpoint()
+      // the EVOLVED changelog shape: same rows, one more payload column
+      val envTagged = ChangelogGen.fromEvents(s2, d).toDF()
+        .select(col("op"), col("key"), col("lsn"), col("seq"),
+          get_json_object(col("after"), "$.value").cast("double").as("value"),
+          get_json_object(col("after"), "$.event_type").as("tag"))
+        .localCheckpoint()
+      val mx = Tables.events(s, d).agg(max(col("event_id"))).head().getLong(0)
+      val (c1, c2, c3) = (mx / 4, mx / 2, 3 * (mx / 4))
+      val dir = java.nio.file.Files.createTempDirectory("cdc68").toString + "/t"
+      def fold(env: org.apache.spark.sql.DataFrame, lo: Long, hi: Long,
+          id: Long) =
+        MaterializedTable.merge(s2, dir,
+          env.filter(col("lsn") >= lo && col("lsn") < hi), Seq("key"),
+          Seq("lsn", "seq"), batchId = Some(id))
+      fold(envBase, 0L, c1, 1L) // v1 pre-start: no backfill
+      val ckpt = java.nio.file.Files.createTempDirectory("cdc68ck").toString
+      // foreachBatch collectors (the memory sink cannot recover from a
+      // checkpoint, and the restart IS the point of this gate)
+      val rowsA = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Option[Double], Option[Double])]
+      val rowsB = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Option[Double], Option[Double], Option[String])]
+      val q1 = s2.readStream.format("graft-cdf").load(dir)
+        .writeStream
+        .foreachBatch { (bd: org.apache.spark.sql.DataFrame, _: Long) =>
+          rowsA ++= bd.select(col("op"), col("before_value"),
+              col("after_value"))
+            .collect().map(r => (r.getString(0),
+              Option(r.get(1)).map(_.asInstanceOf[Double]),
+              Option(r.get(2)).map(_.asInstanceOf[Double])))
+          ()
+        }
+        .option("checkpointLocation", ckpt).start()
+      val died =
+        try {
+          q1.processAllAvailable()
+          fold(envBase, c1, c2, 2L); q1.processAllAvailable() // diff v1→v2
+          fold(envTagged, c2, c3, 3L) // EVOLVE: payload gains tag
+          try { q1.processAllAvailable(); false }
+          catch {
+            case e: Throwable =>
+              // only the documented loud evolution error counts — anything
+              // else is a real failure and must surface
+              def chain(t: Throwable): Seq[Throwable] =
+                if (t == null) Nil else t +: chain(t.getCause)
+              if (!chain(e).exists(c => c.getMessage != null &&
+                  c.getMessage.contains("evolved mid-stream"))) throw e
+              true
+          }
+        } finally q1.stop()
+      require(died, "the running query must fail LOUDLY on ADD evolution")
+      // restart from the SAME checkpoint: the new source pins the widened
+      // schema and the interrupted window replays in full
+      val q2 = s2.readStream.format("graft-cdf").load(dir)
+        .writeStream
+        .foreachBatch { (bd: org.apache.spark.sql.DataFrame, _: Long) =>
+          rowsB ++= bd.select(col("op"), col("before_value"),
+              col("after_value"), col("after_tag"))
+            .collect().map(r => (r.getString(0),
+              Option(r.get(1)).map(_.asInstanceOf[Double]),
+              Option(r.get(2)).map(_.asInstanceOf[Double]),
+              Option(r.getString(3))))
+          ()
+        }
+        .option("checkpointLocation", ckpt).start()
+      try {
+        q2.processAllAvailable() // replayed window: diff v2→v3, WITH tag
+        fold(envTagged, c3, mx + 1, 4L)
+        q2.processAllAvailable() // live again: diff v3→v4
+      } finally q2.stop()
+      import s2.implicits._
+      val a = rowsA.toSeq.toDF("op", "before_value", "after_value")
+        .withColumn("after_tag", lit(null).cast("string"))
+      val b = rowsB.toSeq
+        .toDF("op", "before_value", "after_value", "after_tag")
+      a.unionByName(b).groupBy(col("op"))
+        .agg(count(lit(1)).as("n"),
+          graft.queries.Qutil.dsum(col("before_value")).as("sum_before"),
+          graft.queries.Qutil.dsum(col("after_value")).as("sum_after"),
+          count(col("after_tag")).as("n_tag_after"))
+    },
+
     // --- GROUP change feed (cdc62): cdc61's streaming CDF lifted to the
     // --- TableGroup — the reference's transaction bracketing
     // --- (kafka/bottledwater.c:678-715) surfaced to streaming consumers:
