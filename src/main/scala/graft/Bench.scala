@@ -98,12 +98,21 @@ object Bench {
     // contract must survive any failure here (and events.parquet is only
     // readable through Tables.events' nanos handling).
     val cdcEps = try {
+      // MEDIAN of three runs: the r13 anchor pair showed a single
+      // end-of-drive sample swinging 39% while the 325-gate total moved
+      // 1.5% — the stamp was the noisy quantity, not the VM. Three
+      // back-to-back samples cost ~2 extra seconds and the median drops
+      // the one-off GC/scheduler outlier that produced sub-band stamps
+      // against healthy totals.
       val nEvents = graft.Tables.events(spark, sfDir).count()
-      val tCdc0 = System.nanoTime()
-      graft.cdc.LatestState.batch(
-        graft.cdc.ChangelogGen.fromEvents(spark, sfDir).toDF(),
-        Seq("table", "key"), Seq("lsn", "seq")).count()
-      nEvents / ((System.nanoTime() - tCdc0) / 1e9)
+      val samples = (1 to 3).map { _ =>
+        val tCdc0 = System.nanoTime()
+        graft.cdc.LatestState.batch(
+          graft.cdc.ChangelogGen.fromEvents(spark, sfDir).toDF(),
+          Seq("table", "key"), Seq("lsn", "seq")).count()
+        nEvents / ((System.nanoTime() - tCdc0) / 1e9)
+      }.sorted
+      samples(1)
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] cdc micro-bench failed: ${e.getMessage}")

@@ -581,9 +581,15 @@ object IvfIndex {
       spark: org.apache.spark.sql.SparkSession, path: String,
       drop: DataFrame): Unit = {
     val rows = spark.read.parquet(path)
-    val touched = rows.join(drop, Seq("neighbor_id"), "left_semi")
+    val touchedDf = rows.join(drop, Seq("neighbor_id"), "left_semi")
       .select(col("cell").cast("int")).distinct()
-      .collect().map(_.getInt(0)).sorted
+    // the touched-cell list drives driver-side partition-dir deletes and an
+    // isin pushdown — bounded by nLists, but a mass delete on a huge-nLists
+    // index would materialize O(nLists) cells here: refuse loudly (same
+    // guard as the assignment paths) instead of a silent driver OOM
+    requireCentroidsCollectable(spark, touchedDf.count(),
+      "removeFromCellPartitioned touched-cell enumeration")
+    val touched = touchedDf.collect().map(_.getInt(0)).sorted
     if (touched.nonEmpty) {
       val remaining = rows
         .filter(col("cell").isin(touched.map(Integer.valueOf).toSeq: _*))

@@ -89,6 +89,75 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** HARD-NEGATIVE MINING — the contrastive-training curation step: per
+    * anchor, the k MOST similar corpus vectors that are (a) NOT the anchor
+    * itself, (b) NOT near-duplicates (`sim < dupCeiling` — a paraphrase or
+    * verbatim leak mined as a "negative" is a FALSE negative that actively
+    * corrupts the loss; the ceiling is the same 0.999 quantized-cosine rule
+    * vec13's decontamination uses), and (c) from a DIFFERENT label/source
+    * group (same-group pairs are presumed positives). Harder negatives
+    * (higher sim, after the exclusions) rank first — exactly the "closest
+    * non-matching" recipe of contrastive retrieval training.
+    *
+    * This is the exactness baseline (one fused-loop dot per pair, norms
+    * precomputed per side); at corpus scale compose the SAME filter/re-rank
+    * through the IVF index via [[hardNegativesIndexed]] — candidates come
+    * from the probed cells with an overfetch margin, so cost is
+    * Σ|probed cell| per anchor, never |corpus|.
+    */
+  def hardNegatives(anchors: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int,
+      dupCeiling: Double = 0.999): DataFrame = {
+    val p = anchors.select(col(idCol).as("probe_id"),
+      quantize(col(vecCol)).as("pq"), col(labelCol).as("_plabel"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      quantize(col(vecCol)).as("cq"), col(labelCol).as("_nlabel"))
+    val scored = p.crossJoin(c)
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .filter(col("_plabel") =!= col("_nlabel"))
+      .select(col("probe_id"), col("neighbor_id"), col("_nlabel"),
+        cosineQ(col("pq"), col("cq")).as("sim"))
+      .filter(col("sim") < dupCeiling)
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"),
+        col("_nlabel").as("neighbor_label"), col("sim"), col("rank"))
+  }
+
+  /** [[hardNegatives]] through a prebuilt [[IvfIndex.Index]] — the 100-TB
+    * path: candidates are the index search's top `k·overfetch` (probed
+    * cells only, partition-pruned on a loaded index), then the SAME
+    * exclusions and re-rank. The overfetch margin absorbs candidates the
+    * exclusions remove; with `nProbe = nLists` and a sufficient margin the
+    * result EQUALS the exact [[hardNegatives]] (spec-pinned) — below, the
+    * standard IVF recall trade. `labels(idCol, labelCol)` supplies both
+    * sides' groups (the index stores ids and codes, never payloads).
+    */
+  def hardNegativesIndexed(index: IvfIndex.Index, anchors: DataFrame,
+      labels: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      k: Int, nProbe: Int = 3, overfetch: Int = 4,
+      dupCeiling: Double = 0.999): DataFrame = {
+    require(overfetch >= 1, s"overfetch must be ≥ 1: $overfetch")
+    val lab = labels.select(col(idCol), col(labelCol))
+    val cand = IvfIndex.searchIndex(anchors, index, idCol, vecCol,
+      k = k * overfetch, nProbe = nProbe)
+      .select(col("probe_id"), col("neighbor_id"), col("sim"))
+    val withLabels = cand
+      .join(lab.select(col(idCol).as("probe_id"),
+        col(labelCol).as("_plabel")), Seq("probe_id"))
+      .join(lab.select(col(idCol).as("neighbor_id"),
+        col(labelCol).as("_nlabel")), Seq("neighbor_id"))
+      .filter(col("_plabel") =!= col("_nlabel"))
+      .filter(col("sim") < dupCeiling)
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    withLabels.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"),
+        col("_nlabel").as("neighbor_label"), col("sim"), col("rank"))
+  }
+
   /** RANGE (radius) search: every corpus vector whose quantized cosine with
     * the probe is ≥ minCosNum/minCosDen — the other half of the ANN API
     * surface: top-k answers "the closest k", radius answers "everything at

@@ -2103,6 +2103,43 @@ object VectorQueries {
       val emb = Tables.embeddings(s, d)
       graft.operators.Similarity.mmrTopK(emb.filter(col("vec_id") < 8), emb,
         "vec_id", "embedding", candidates = 16, k = 5)
+    },
+
+    // --- HARD-NEGATIVE MINING (vec39): the contrastive-training curation
+    // --- step — per anchor, the k most-similar corpus vectors that are
+    // --- neither near-duplicates (sim < 0.999, vec13's leak rule: a
+    // --- paraphrase mined as a "negative" is a FALSE negative that
+    // --- corrupts the loss) nor from the anchor's own label group (same
+    // --- group = presumed positive). Both exclusions are PLANTED
+    // --- load-bearing: each anchor is a verbatim copy of a corpus vector
+    // --- under a ROTATED label, so its twin (sim 1.0, different label)
+    // --- tops the ranking unless the dup ceiling removes it, and the
+    // --- anchor's own label class is populated so the label rule prunes
+    // --- real candidates. Brute scoring here is the gate-scale exactness
+    // --- baseline; hardNegativesIndexed is the probed-cells scale path
+    // --- (equality at full probe spec-pinned). -----------------------------
+    q("vec39_hard_negatives",
+      s"""WITH $quantSql,
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |anch AS (SELECT n.vec_id + 50000 AS vec_id, n.qv, n.n2,
+         |    CAST((l.label + 1) % 10 AS INT) AS label
+         |  FROM n JOIN lab l ON l.vec_id = n.vec_id WHERE n.vec_id < 10),
+         |scored AS (SELECT a.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |    l.label AS neighbor_label,
+         |    CAST(CAST(list_sum([a.qv[i]*c.qv[i] for i in generate_series(1, len(a.qv))]) AS BIGINT) AS DOUBLE)
+         |      / (sqrt(CAST(a.n2 AS DOUBLE))*sqrt(CAST(c.n2 AS DOUBLE))) AS sim
+         |  FROM anch a, n c JOIN lab l ON l.vec_id = c.vec_id
+         |  WHERE a.label <> l.label)
+         |SELECT probe_id, neighbor_id, neighbor_label, sim, rank FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM scored WHERE sim < 0.999) t WHERE rank <= 5""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val anchors = emb.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 50000).as("vec_id"), col("embedding"),
+          ((col("label") + 1) % 10).as("label"))
+      graft.operators.Similarity.hardNegatives(anchors, emb,
+        "vec_id", "embedding", "label", k = 5)
     }
   )
 }

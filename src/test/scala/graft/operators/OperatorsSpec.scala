@@ -540,6 +540,45 @@ class SimilaritySpec extends AnyFunSuite {
     assert(both.count() == 1)
   }
 
+  test("hard-negative mining: twins and same-label excluded; indexed path ≡ brute at full probe") {
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // planted anchors: verbatim twins under a rotated label — the twin
+    // (sim 1.0, different label) must be removed by the dup ceiling, and
+    // the anchor's own (rotated) label class must be pruned by the rule
+    val anchors = emb.filter(col("vec_id") < 8)
+      .select((col("vec_id") + 90000).as("vec_id"), col("embedding"),
+        ((col("label") + 1) % 10).as("label"))
+    val brute = Similarity.hardNegatives(anchors, emb, "vec_id", "embedding",
+      "label", k = 4)
+    val rows = brute.collect()
+    assert(rows.length == 8 * 4)
+    // no mined negative is a near-duplicate of its anchor...
+    assert(rows.forall(_.getAs[Double]("sim") < 0.999),
+      "a near-duplicate leaked into the negatives")
+    // ...and none shares the anchor's label (anchor label = twin's + 1)
+    val anchorLabel = anchors.select(col("vec_id"), col("label"))
+      .as[(Long, Int)].collect().toMap
+    assert(rows.forall(r => anchorLabel(r.getAs[Long]("probe_id")) !=
+      r.getAs[Int]("neighbor_label")), "a same-label candidate leaked")
+    // the twin WOULD have won without the ceiling — prove it was there
+    val unceilinged = Similarity.hardNegatives(anchors, emb, "vec_id",
+      "embedding", "label", k = 1, dupCeiling = 2.0)
+    assert(unceilinged.filter(col("sim") >= 0.999).count() == 8,
+      "every anchor's verbatim twin must top the unceilinged ranking")
+    // indexed path at FULL probe + generous overfetch ≡ the exact baseline
+    val idx = IvfIndex.build(emb, "vec_id", "embedding", nLists = 8, iters = 2)
+    val labels = emb.select(col("vec_id"), col("label"))
+      .unionByName(anchors.select(col("vec_id"), col("label")))
+    val indexed = Similarity.hardNegativesIndexed(idx, anchors, labels,
+      "vec_id", "embedding", "label", k = 4, nProbe = 8, overfetch = 16)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "neighbor_id", "rank")
+        .collect().map(_.toString).sorted.toSeq
+    assert(canon(indexed) == canon(brute),
+      "indexed hard negatives diverged from brute at full probe")
+  }
+
   test("distributed two-level assign/probe ≡ collected bit-exact; guard auto-routes and refuses the exact probe at scale") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = emb.select(col("vec_id").as("id"),
