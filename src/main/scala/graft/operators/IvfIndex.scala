@@ -151,7 +151,7 @@ object IvfIndex {
       spark: org.apache.spark.sql.SparkSession): Long =
     spark.conf.get("spark.graft.ivf.maxCentroidCollectRows", "1000000").toLong
 
-  private def requireCentroidsCollectable(
+  private[operators] def requireCentroidsCollectable(
       spark: org.apache.spark.sql.SparkSession, n: Long, what: String): Unit =
     require(n <= centroidCollectGuard(spark),
       s"$what would collect/broadcast $n centroid rows — above " +

@@ -123,6 +123,12 @@ object PqIndex {
       val key = s"coarse:$key0:nLists=$nLists:i=$iters:t=$maxTrainRows"
       val rows = coarseMemo.computeIfAbsent(key, _ => {
         BenchPhase.count("pq_coarse_memo_miss")
+        // the memo stores centroid ROWS in the JVM — refuse loudly for an
+        // N-proportional nLists (the IvfIndex collect-guard discipline);
+        // huge-nLists callers use memoKey = None, whose trainQ output
+        // stays a DataFrame and routes distributed past the guard
+        IvfIndex.requireCentroidsCollectable(qn.sparkSession, nLists.toLong,
+          "PqIndex coarse-quantizer memo")
         BenchPhase.time("pq_coarse_train")(
           IvfIndex.trainQ(trainSample(qn, "id", maxTrainRows), nLists, iters))
           .select(col("cell"), col("cv")).as[(Int, Seq[Long])].collect()
