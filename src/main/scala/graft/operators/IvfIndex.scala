@@ -52,7 +52,15 @@ object IvfIndex {
     * (PqIndex trains on unit-sphere-renormalized subspace slices).
     */
   def trainQ(qIn: DataFrame, nLists: Int, iters: Int = 2): DataFrame =
-    trainQWith(qIn, nLists, iters)(assign)
+    trainQWith(qIn, nLists, iters) { (q, c, nCent) =>
+      // the exact Lloyd assignment broadcasts the full centroid set every
+      // iteration — past the collect budget that must refuse (the guard
+      // discipline), not OOM: huge-nLists corpora train via buildScaled,
+      // whose two-level seam stays distributed past the guard
+      requireCentroidsCollectable(q.sparkSession, nCent,
+        "trainQ exact Lloyd assignment")
+      assign(q, c)
+    }
 
   /** [[trainQ]] with a pluggable per-iteration assignment — the seam that
     * lets [[buildScaled]] run Lloyd itself through [[assignTwoLevel]]
@@ -62,7 +70,7 @@ object IvfIndex {
     * boundaries it was already free to draw differently).
     */
   private def trainQWith(qIn: DataFrame, nLists: Int, iters: Int)(
-      assignFn: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+      assignFn: (DataFrame, DataFrame, Long) => DataFrame): DataFrame = {
     val spark0 = qIn.sparkSession
     import spark0.implicits._
     val distributed = nLists > centroidCollectGuard(spark0)
@@ -98,7 +106,12 @@ object IvfIndex {
       }
     val effLists = centroids.count() // ≤ nLists rows (min(corpus, nLists))
     for (_ <- 1 to iters) {
-      val assigned = assignFn(q, centroids)
+      // the row count is invariant across iterations (the left-join +
+      // coalesce below keeps every cell), so effLists threads into the
+      // assignment seam as the known centroid count — the seam's guard
+      // check never re-counts (and so never re-executes) the growing
+      // per-iteration centroid lineage on the collected path
+      val assigned = assignFn(q, centroids, effLists)
       val means = assigned
         .select(col("cell"), posexplode(col("qv")))
         .groupBy(col("cell"), col("pos"))
@@ -224,18 +237,33 @@ object IvfIndex {
     (supers, grouping)
   }
 
+  /** @param knownCentroidCount the centroid-set size when the caller
+    *   already holds it (trainQWith's Lloyd loop, Index.nCentroids) — skips
+    *   the guard's count job, which on an uncheckpointed training lineage
+    *   re-executed the whole centroid plan once per iteration; -1 counts.
+    */
   def assignTwoLevel(q: DataFrame, centroids: DataFrame,
-      superCount: Int): DataFrame = {
+      superCount: Int, knownCentroidCount: Long = -1L): DataFrame = {
     require(superCount >= 1, s"superCount must be ≥ 1: $superCount")
-    if (superCount == 1) return assign(q, centroids)
     val spark0 = q.sparkSession
     import spark0.implicits._
     // routing guard: beyond the collect budget the centroid level STAYS
     // distributed (bit-exact twin below) — under a constant-cell-size
     // sizing policy nLists is O(corpus) and collecting it here was the
     // verified next scale cliff (≈150 GB of driver centroids at 10¹⁰
-    // vectors). The count is one tiny job against a ≤nLists-row relation.
-    if (centroids.count() > centroidCollectGuard(spark0))
+    // vectors). The count is one tiny job against a ≤nLists-row relation,
+    // skipped entirely when the caller passes the size down.
+    val nCent =
+      if (knownCentroidCount >= 0L) knownCentroidCount else centroids.count()
+    if (superCount == 1) {
+      // the exact-assignment degenerate case broadcasts the FULL centroid
+      // set — enforce the same budget the exact probe does (refuse, never
+      // silently coarsen: superCount = 1 is a bit-exactness contract)
+      requireCentroidsCollectable(spark0, nCent,
+        "assignTwoLevel(superCount=1) exact assignment")
+      return assign(q, centroids)
+    }
+    if (nCent > centroidCollectGuard(spark0))
       return assignTwoLevelDistributed(q, centroids, superCount)
     val local = centroids.select(col("cell").cast("int"), col("cv"))
       .as[(Int, Seq[Long])].collect().sortBy(_._1).toSeq
@@ -284,15 +312,19 @@ object IvfIndex {
     * Input `q(id, qv)`; output `(id, cell)`, ≤ nProbe rows per id.
     */
   def probeCellsTwoLevel(q: DataFrame, centroids: DataFrame, nProbe: Int,
-      superCount: Int, superProbe: Int = 3): DataFrame = {
+      superCount: Int, superProbe: Int = 3,
+      knownCentroidCount: Long = -1L): DataFrame = {
     require(superCount >= 1, s"superCount must be ≥ 1: $superCount")
     val spark0 = q.sparkSession
     import spark0.implicits._
     // same routing guard as assignTwoLevel: the query side descends the
     // same hierarchy and must not collect an O(corpus) centroid set either.
     // superCount = 1 is the EXACT probe by contract — silently coarsening
-    // it would change results, so past the guard it refuses instead.
-    val nCent = centroids.count()
+    // it would change results, so past the guard it refuses instead. The
+    // count is skipped when the caller passes the size down (searchIndex
+    // threads Index.nCentroids — no extra job per indexed search).
+    val nCent =
+      if (knownCentroidCount >= 0L) knownCentroidCount else centroids.count()
     if (superCount > 1 && nCent > centroidCollectGuard(spark0))
       return probeCellsTwoLevelDistributed(q, centroids, nProbe, superCount,
         superProbe)
@@ -469,8 +501,16 @@ object IvfIndex {
     // Lloyd iterations themselves assign two-level — with nLists ∝ corpus
     // the per-iteration exact assign would be the remaining quadratic term
     val centroids = trainQWith(trainSet, nLists, iters)(
-      if (sc <= 1) assign else assignTwoLevel(_, _, sc))
-    val assigned = assignTwoLevel(q, centroids, sc)
+      if (sc <= 1) { (tq, tc, nCent) =>
+        requireCentroidsCollectable(tq.sparkSession, nCent,
+          "buildScaled(superCount=1) exact Lloyd assignment")
+        assign(tq, tc)
+      } else assignTwoLevel(_, _, sc, _))
+    // trainQWith returns a local or localCheckpointed relation — this count
+    // is trivial, and threading it down keeps the corpus assignment's guard
+    // job-free too
+    val nCent = centroids.count()
+    val assigned = assignTwoLevel(q, centroids, sc, nCent)
       .select(col("id").as("neighbor_id"), col("qv").as("cq"), col("cell"))
       .withColumn("n2c", Similarity.dotQ(col("cq"), col("cq")))
     Index(centroids, assigned)
@@ -486,6 +526,15 @@ object IvfIndex {
     * `assigned(neighbor_id LONG, cq ARRAY<LONG>, n2c LONG, cell INT)`.
     */
   final case class Index(centroids: DataFrame, assigned: DataFrame) {
+
+    /** Memoized centroid-set size — the quantity every collect/broadcast
+      * guard check needs ([[requireCentroidsCollectable]]). Computed at
+      * most once per Index instance (one tiny job against a ≤nLists-row
+      * relation — local, checkpointed, or a parquet metadata count) so the
+      * guard never adds a per-search job, and search paths can thread it
+      * down as `knownCentroidCount` instead of re-counting.
+      */
+    lazy val nCentroids: Long = centroids.count()
 
     /** Persist to `dir` as parquet. `assigned` is partitioned by `cell`, so a
       * search's `cell IN (probed…)` filter becomes parquet partition pruning —
@@ -526,7 +575,8 @@ object IvfIndex {
     */
   def append(index: Index, newDocs: DataFrame, idCol: String, vecCol: String): Index =
     Index(index.centroids,
-      index.assigned.unionByName(assignNew(index.centroids, newDocs, idCol, vecCol)))
+      index.assigned.unionByName(
+        assignNew(index.centroids, newDocs, idCol, vecCol, index.nCentroids)))
 
   /** The ONE definition of the `assigned` schema (neighbor_id, cq, cell,
     * n2c): quantize → nearest-cell assign → precompute self-norms. Shared by
@@ -534,12 +584,21 @@ object IvfIndex {
     * index rows can never diverge.
     */
   private def assignNew(centroids: DataFrame, docs: DataFrame,
-      idCol: String, vecCol: String): DataFrame =
+      idCol: String, vecCol: String, knownCentroidCount: Long = -1L): DataFrame = {
+    // frozen-quantizer assignment broadcasts the full centroid set (build /
+    // append / appendSaved / driftReport) — same budget, same refusal as
+    // every other exact-broadcast site; Index-holding callers thread
+    // nCentroids down so no extra count job runs
+    val nCent =
+      if (knownCentroidCount >= 0L) knownCentroidCount else centroids.count()
+    requireCentroidsCollectable(docs.sparkSession, nCent,
+      "assignNew (frozen-quantizer broadcast assignment)")
     assign(
       docs.select(col(idCol).as("id"), Similarity.quantize(col(vecCol)).as("qv")),
       centroids)
       .select(col("id").as("neighbor_id"), col("qv").as("cq"), col("cell"))
       .withColumn("n2c", Similarity.dotQ(col("cq"), col("cq")))
+  }
 
   /** Remove vectors by id WITHOUT retraining — the delete mirror of
     * [[append]]: centroids stay frozen, the dropped ids anti-join out of
@@ -646,15 +705,21 @@ object IvfIndex {
     *   two-level hierarchy ([[probeCellsTwoLevel]], auto-distributed past
     *   the collect guard) — the scale path when nLists grows with the
     *   corpus; 1 (default) keeps the exact broadcast probe.
+    * @param probeSuperProbe super-groups kept per probe on the two-level
+    *   path — the recall lever of the hierarchy (RecallSoak's measured
+    *   knob; see the vec13-path floor in BASELINE.md).
     */
   def searchIndex(probes: DataFrame, index: Index, idCol: String, vecCol: String,
-      k: Int, nProbe: Int = 3, probeSuperCount: Int = 1): DataFrame = {
+      k: Int, nProbe: Int = 3, probeSuperCount: Int = 1,
+      probeSuperProbe: Int = 3): DataFrame = {
     val pq = quantizedProbes(probes, idCol, vecCol)
     val cells =
       if (probeSuperCount > 1)
         probeCellsTwoLevel(
           pq.select(col("probe_id").as("id"), col("pq").as("qv")),
-          index.centroids, nProbe, probeSuperCount)
+          index.centroids, nProbe, probeSuperCount,
+          superProbe = probeSuperProbe,
+          knownCentroidCount = index.nCentroids)
           .select(col("id").as("probe_id"), col("cell"))
       else probeCells(pq, index, nProbe)
     val scored = cells
@@ -678,13 +743,21 @@ object IvfIndex {
     * search path: one broadcast of the (≤nLists)-row centroid set, exact
     * integer L2, ties → lowest cell.
     */
-  private def probeCells(pq: DataFrame, index: Index, nProbe: Int): DataFrame =
+  private def probeCells(pq: DataFrame, index: Index, nProbe: Int): DataFrame = {
+    // the exact probe broadcasts the FULL centroid set — past the collect
+    // budget that is the r13 cliff class (O(corpus) centroids under a
+    // constant-cell-size policy), so it refuses loudly instead of OOMing;
+    // searchIndex(probeSuperCount > 1) is the guarded scale path. The count
+    // is memoized on the Index, never a per-search job.
+    requireCentroidsCollectable(pq.sparkSession, index.nCentroids,
+      "probeCells (exact broadcast probe; searchIndex/radiusSearchIndex)")
     pq.crossJoin(broadcast(index.centroids))
       .select(col("probe_id"), col("cell"), l2Q(col("pq"), col("cv")).as("d2"))
       .withColumn("_rn", row_number().over(
         Window.partitionBy(col("probe_id")).orderBy(col("d2"), col("cell"))))
       .filter(col("_rn") <= nProbe)
       .select("probe_id", "cell")
+  }
 
   /** RADIUS search through the index — [[Similarity.radiusSearch]]'s
     * exact-integer threshold restricted to each probe's `nProbe` nearest
@@ -754,6 +827,10 @@ object IvfIndex {
     * centroids, both aggregates partial-agg'd map-side; output O(nLists).
     */
   def inertiaReport(index: Index): DataFrame = {
+    // broadcasts the full centroid set — same budget discipline as the
+    // search/assign faces (memoized count, no extra job)
+    requireCentroidsCollectable(index.centroids.sparkSession,
+      index.nCentroids, "inertiaReport centroid broadcast")
     val sse = index.assigned
       .join(broadcast(index.centroids), Seq("cell"))
       .select(col("cell"), l2Q(col("cq"), col("cv")).as("_d2"))
@@ -775,6 +852,10 @@ object IvfIndex {
     * tiny broadcast centroid relation; ties break to the lower cell id.
     */
   def separationReport(index: Index): DataFrame = {
+    // broadcasts the centroid set (and is O(nLists²) pair work besides) —
+    // refuse past the collect budget like every other broadcast site
+    requireCentroidsCollectable(index.centroids.sparkSession,
+      index.nCentroids, "separationReport centroid self-join broadcast")
     val x = index.centroids.select(col("cell"), col("cv"))
     val y = index.centroids.select(col("cell").as("_oc"), col("cv").as("_ov"))
     x.crossJoin(broadcast(y))
@@ -806,7 +887,8 @@ object IvfIndex {
     */
   def driftReport(index: Index, newDocs: DataFrame, idCol: String,
       vecCol: String): DataFrame = {
-    val newAsg = assignNew(index.centroids, newDocs, idCol, vecCol)
+    val newAsg = assignNew(index.centroids, newDocs, idCol, vecCol,
+      index.nCentroids)
     val base = index.assigned.groupBy(col("cell")).agg(count(lit(1)).as("_nb"))
     val nw = newAsg.groupBy(col("cell")).agg(count(lit(1)).as("_nn"))
     val counts = index.centroids.select(col("cell"))

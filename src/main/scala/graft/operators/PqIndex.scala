@@ -333,6 +333,11 @@ object PqIndex {
       m: Int = 16, nCodes: Int = 32, iters: Int = 2,
       rerankN: Int = 32, memoKey: Option[String] = None,
       maxTrainRows: Long = Long.MaxValue): DataFrame = {
+    // nLists is a direct parameter here, so the broadcast guard costs no
+    // job at all: both the corpus assignment and the probe stage below
+    // broadcast the full coarse set
+    IvfIndex.requireCentroidsCollectable(corpus.sparkSession, nLists.toLong,
+      "PqIndex.searchIvf coarse quantizer broadcast")
     val qn = normalized(corpus, idCol, vecCol)
     val coarse = coarseQ(qn.select(col("id"), col("qn").as("qv")),
       nLists, iters, memoKey, maxTrainRows)
@@ -386,6 +391,12 @@ object PqIndex {
   final case class IvfPq(coarse: DataFrame, codebooks: DataFrame,
       codes: DataFrame, m: Int) {
 
+    /** Memoized coarse-centroid count — [[IvfIndex.Index.nCentroids]]'s
+      * twin, so the search-path collect/broadcast guards never add a
+      * per-search job.
+      */
+    lazy val nCoarse: Long = coarse.count()
+
     /** Persist to `dir`. `codes` is partitioned by `cell` (the vec06/
       * IvfIndex.Index.save discipline): a loaded search's probed-cell filter
       * becomes parquet partition pruning, so untouched cells are never read.
@@ -410,6 +421,10 @@ object PqIndex {
       nLists: Int = 16, m: Int = 16, nCodes: Int = 32,
       iters: Int = 2, memoKey: Option[String] = None,
       maxTrainRows: Long = Long.MaxValue): IvfPq = {
+    // same job-free parameter guard as searchIvf: the cell assignment
+    // broadcasts all nLists coarse centroids
+    IvfIndex.requireCentroidsCollectable(corpus.sparkSession, nLists.toLong,
+      "PqIndex.buildIvf coarse quantizer broadcast")
     val qn = normalized(corpus, idCol, vecCol)
     val coarse = coarseQ(qn.select(col("id"), col("qn").as("qv")),
       nLists, iters, memoKey, maxTrainRows)
@@ -451,6 +466,10 @@ object PqIndex {
   def appendSavedIvf(spark: org.apache.spark.sql.SparkSession, dir: String,
       newDocs: DataFrame, idCol: String, vecCol: String): IvfPq = {
     val coarse = spark.read.parquet(s"$dir/coarse")
+    // frozen-quantizer ingest broadcasts the stored coarse set — guard it
+    // (one parquet metadata-cheap count against a tiny relation)
+    IvfIndex.requireCentroidsCollectable(spark, coarse.count(),
+      "PqIndex.appendSavedIvf coarse broadcast")
     val books = spark.read.parquet(s"$dir/codebooks")
       .select(col("s").cast("int"), col("cell").cast("int"), col("cv"))
     val m = books.agg(max(col("s"))).head().getInt(0) + 1
@@ -491,6 +510,14 @@ object PqIndex {
   def searchIvfIndex(probes: DataFrame, index: IvfPq, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbe: Int = 4,
       rerankN: Int = 32): DataFrame = {
+    // the probe→cell stage broadcasts the FULL coarse centroid set, and the
+    // probed-cell enumeration below collects a subset of it — both are
+    // centroid-proportional, so one guard on the memoized coarse count
+    // covers both (|probedCells| ≤ min(|probes|·nProbe, nCoarse) ≤ the
+    // budget just verified): refuse loudly past the budget, never OOM
+    // (the IvfIndex collect-guard discipline, applied engine-wide)
+    IvfIndex.requireCentroidsCollectable(probes.sparkSession, index.nCoarse,
+      "PqIndex.searchIvfIndex coarse broadcast + probed-cell enumeration")
     val probeCells = normalized(probes, idCol, vecCol)
       .crossJoin(broadcast(index.coarse))
       .select(col("id").as("probe_id"), col("cell"),

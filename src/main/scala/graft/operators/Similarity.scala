@@ -158,6 +158,39 @@ object Similarity {
         col("_nlabel").as("neighbor_label"), col("sim"), col("rank"))
   }
 
+  /** Per-anchor SHORTFALL report for [[hardNegativesIndexed]] — the silent
+    * failure mode of overfetch-based mining made loud: when the dup-ceiling
+    * + same-label exclusions eat more than `(overfetch−1)·k` of an anchor's
+    * `k·overfetch` candidates (or the probed cells simply hold too few
+    * eligible vectors), the anchor gets FEWER than k negatives with no
+    * signal — in a contrastive-training pipeline that quietly skews the
+    * loss toward the starved anchors. One row per ANCHOR, zero-negative
+    * anchors included (the left join is the point — a groupBy over the
+    * mined rows alone would drop exactly the worst cases):
+    * `(probe_id, n_returned, shortfall)` with `shortfall = k − n_returned`.
+    * Remedy for flagged anchors: raise `nProbe` and/or `overfetch` and
+    * re-mine them (a deterministic re-run, not a silent in-line escalation
+    * — auto-widening would make the mined set depend on candidate-pool
+    * accidents and break run-to-run reproducibility).
+    *
+    * Scale shape: the mining pass itself plus one partial-agg count per
+    * anchor and a broadcast-size left join on the anchor ids — nothing
+    * beyond [[hardNegativesIndexed]]'s own cost.
+    */
+  def hardNegativeShortfall(index: IvfIndex.Index, anchors: DataFrame,
+      labels: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      k: Int, nProbe: Int = 3, overfetch: Int = 4,
+      dupCeiling: Double = 0.999): DataFrame = {
+    val mined = hardNegativesIndexed(index, anchors, labels, idCol, vecCol,
+      labelCol, k, nProbe, overfetch, dupCeiling)
+      .groupBy(col("probe_id")).agg(count(lit(1)).as("_n"))
+    anchors.select(col(idCol).as("probe_id"))
+      .join(mined, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("_n"), lit(0L)).as("n_returned"))
+      .withColumn("shortfall", lit(k.toLong) - col("n_returned"))
+  }
+
   /** RANGE (radius) search: every corpus vector whose quantized cosine with
     * the probe is ≥ minCosNum/minCosDen — the other half of the ANN API
     * surface: top-k answers "the closest k", radius answers "everything at
@@ -541,15 +574,22 @@ object Similarity {
       if (probeSuperCount > 1)
         IvfIndex.probeCellsTwoLevel(
           eq.select(col("eval_id").as("id"), col("pq").as("qv")),
-          index.centroids, nProbe, probeSuperCount)
+          index.centroids, nProbe, probeSuperCount,
+          knownCentroidCount = index.nCentroids)
           .select(col("id").as("eval_id"), col("cell"))
-      else eq.crossJoin(broadcast(index.centroids))
+      else {
+        // exact probe broadcasts the full centroid set — same budget
+        // refusal as IvfIndex.probeCells (memoized count, no extra job)
+        IvfIndex.requireCentroidsCollectable(eq.sparkSession,
+          index.nCentroids, "semanticDecontaminateIndexed exact probe")
+        eq.crossJoin(broadcast(index.centroids))
         .select(col("eval_id"), col("cell"),
           IvfIndex.l2Q(col("pq"), col("cv")).as("d2"))
         .withColumn("_rn", row_number().over(
           Window.partitionBy(col("eval_id")).orderBy(col("d2"), col("cell"))))
         .filter(col("_rn") <= nProbe)
         .select("eval_id", "cell")
+      }
     probeCells.join(index.assigned, Seq("cell"))
       .join(eq, Seq("eval_id"))
       .select(col("eval_id"), col("neighbor_id").as("train_id"),

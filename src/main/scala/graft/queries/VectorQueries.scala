@@ -2140,6 +2140,47 @@ object VectorQueries {
           ((col("label") + 1) % 10).as("label"))
       graft.operators.Similarity.hardNegatives(anchors, emb,
         "vec_id", "embedding", "label", k = 5)
+    },
+
+    // --- HARD-NEGATIVE SHORTFALL (vec40): the report that makes vec39's
+    // --- silent failure mode loud — when the dup-ceiling + same-label
+    // --- exclusions (or a thin candidate pool) leave an anchor with fewer
+    // --- than k negatives, a training pipeline skews quietly. PLANTED
+    // --- starvation: a 12-vector corpus under BINARY labels with k = 12
+    // --- guarantees every anchor falls short (eligible ≤ 11 — the
+    // --- anchor's own class is never empty, its verbatim twin lives
+    // --- there), and the report must still carry one row per anchor. At
+    // --- full probe + covering overfetch the indexed candidate set is the
+    // --- whole corpus, so DuckDB reproduces n_returned as the exact
+    // --- eligible count. ---------------------------------------------------
+    q("vec40_hard_negative_shortfall",
+      s"""WITH $quantSql,
+         |c AS (SELECT n.vec_id, n.qv, n.n2, CAST(e.label % 2 AS INT) AS label
+         |  FROM n JOIN embeddings e ON e.vec_id = n.vec_id
+         |  WHERE n.vec_id < 12),
+         |anch AS (SELECT vec_id + 90000 AS probe_id, qv, n2, label
+         |  FROM c WHERE vec_id < 3),
+         |elig AS (SELECT a.probe_id, COUNT(*) AS cnt
+         |  FROM anch a JOIN c ON c.label <> a.label
+         |  WHERE CAST(CAST(list_sum([a.qv[i]*c.qv[i] for i in generate_series(1, len(a.qv))]) AS BIGINT) AS DOUBLE)
+         |      / (sqrt(CAST(a.n2 AS DOUBLE))*sqrt(CAST(c.n2 AS DOUBLE))) < 0.999
+         |  GROUP BY a.probe_id)
+         |SELECT a.probe_id,
+         |  CAST(COALESCE(LEAST(12, e.cnt), 0) AS BIGINT) AS n_returned,
+         |  CAST(12 - COALESCE(LEAST(12, e.cnt), 0) AS BIGINT) AS shortfall
+         |FROM anch a LEFT JOIN elig e ON e.probe_id = a.probe_id""".stripMargin) { (s, d) =>
+      val corpus = Tables.embeddings(s, d).filter(col("vec_id") < 12)
+        .select(col("vec_id"), col("embedding"),
+          (col("label") % 2).cast("int").as("label"))
+      val anchors = corpus.filter(col("vec_id") < 3)
+        .select((col("vec_id") + 90000).as("vec_id"), col("embedding"),
+          col("label"))
+      val idx = graft.operators.IvfIndex.build(corpus, "vec_id", "embedding",
+        nLists = 4, iters = 2)
+      val labels = corpus.select(col("vec_id"), col("label"))
+        .unionByName(anchors.select(col("vec_id"), col("label")))
+      graft.operators.Similarity.hardNegativeShortfall(idx, anchors, labels,
+        "vec_id", "embedding", "label", k = 12, nProbe = 4, overfetch = 4)
     }
   )
 }

@@ -579,6 +579,56 @@ class SimilaritySpec extends AnyFunSuite {
       "indexed hard negatives diverged from brute at full probe")
   }
 
+  test("hard-negative shortfall: starved anchors surface; zero-negative anchors keep their row") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // exclusion-heavy plant: EVERY corpus vector shares the anchor's label,
+    // so all candidates are excluded — the report must still carry the
+    // anchor's row (n_returned 0, shortfall k), which a groupBy over the
+    // mined rows alone would drop
+    val mono = emb.filter(col("vec_id") < 12)
+      .select(col("vec_id"), col("embedding"), lit(7).as("label"))
+    val idx = IvfIndex.build(mono, "vec_id", "embedding", nLists = 4, iters = 2)
+    val anchor = mono.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 90000).as("vec_id"), col("embedding"),
+        col("label"))
+    val labels = mono.select("vec_id", "label")
+      .unionByName(anchor.select("vec_id", "label"))
+    val starved = Similarity.hardNegativeShortfall(idx, anchor, labels,
+      "vec_id", "embedding", "label", k = 5, nProbe = 4, overfetch = 8)
+      .collect()
+    assert(starved.length == 1, "zero-negative anchor lost its report row")
+    assert(starved.head.getAs[Long]("n_returned") == 0L)
+    assert(starved.head.getAs[Long]("shortfall") == 5L)
+    // partial starvation: binary labels over 12 vectors with k = 12 —
+    // every anchor falls short, and at full probe + covering overfetch the
+    // per-anchor n_returned equals the brute pipeline's count exactly
+    val mixed = emb.filter(col("vec_id") < 12)
+      .select(col("vec_id"), col("embedding"),
+        (col("label") % 2).cast("int").as("label"))
+    val idx2 = IvfIndex.build(mixed, "vec_id", "embedding", nLists = 4,
+      iters = 2)
+    val anchors2 = mixed.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 90000).as("vec_id"), col("embedding"),
+        col("label"))
+    val labels2 = mixed.select("vec_id", "label")
+      .unionByName(anchors2.select("vec_id", "label"))
+    val rep = Similarity.hardNegativeShortfall(idx2, anchors2, labels2,
+      "vec_id", "embedding", "label", k = 12, nProbe = 4, overfetch = 4)
+      .collect()
+      .map(r => r.getAs[Long]("probe_id") -> r.getAs[Long]("n_returned"))
+      .toMap
+    val brute = Similarity.hardNegatives(anchors2, mixed, "vec_id",
+      "embedding", "label", k = 12)
+      .groupBy(col("probe_id")).count().collect()
+      .map(r => r.getAs[Long]("probe_id") -> r.getAs[Long]("count")).toMap
+    assert(rep.size == 3)
+    for ((p, n) <- rep) {
+      assert(n == brute.getOrElse(p, 0L),
+        s"anchor $p: indexed n_returned $n != brute ${brute.getOrElse(p, 0L)}")
+      assert(n < 12, s"anchor $p should fall short under binary labels")
+    }
+  }
+
   test("distributed two-level assign/probe ≡ collected bit-exact; guard auto-routes and refuses the exact probe at scale") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = emb.select(col("vec_id").as("id"),
@@ -627,6 +677,52 @@ class SimilaritySpec extends AnyFunSuite {
           .count()
       }
       assert(e.getMessage.contains("maxCentroidCollectRows"), e.getMessage)
+    } finally spark.conf.unset("spark.graft.ivf.maxCentroidCollectRows")
+  }
+
+  test("centroid collect guard covers every broadcast/collect site engine-wide") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val probes = emb.filter(col("vec_id") < 4)
+    // build both index shapes BEFORE forcing the guard (their builds refuse
+    // under it — pinned below); searches against them must then refuse too
+    val idx = IvfIndex.build(emb, "vec_id", "embedding", nLists = 64, iters = 2)
+    val ivfpq = PqIndex.buildIvf(emb, "vec_id", "embedding", nLists = 64)
+    spark.conf.set("spark.graft.ivf.maxCentroidCollectRows", "32")
+    try {
+      def refuses(what: String)(body: => Any): Unit = {
+        val e = intercept[IllegalArgumentException](body)
+        assert(e.getMessage.contains("maxCentroidCollectRows"),
+          s"$what refused with the wrong message: ${e.getMessage}")
+      }
+      // every exact-broadcast face refuses loudly instead of OOMing
+      refuses("searchIndex (default exact probe)")(
+        IvfIndex.searchIndex(probes, idx, "vec_id", "embedding", k = 3).count())
+      refuses("radiusSearchIndex")(
+        IvfIndex.radiusSearchIndex(probes, idx, "vec_id", "embedding",
+          minCosNum = 1, minCosDen = 2).count())
+      refuses("assignTwoLevel(superCount=1)")(
+        IvfIndex.assignTwoLevel(
+          emb.select(col("vec_id").as("id"),
+            Similarity.quantize(col("embedding")).as("qv")),
+          idx.centroids, superCount = 1).count())
+      refuses("trainQ exact Lloyd")(
+        IvfIndex.train(emb, "vec_id", "embedding", nLists = 64, iters = 1))
+      refuses("append / assignNew")(
+        IvfIndex.append(idx, probes, "vec_id", "embedding"))
+      refuses("inertiaReport")(IvfIndex.inertiaReport(idx).count())
+      refuses("separationReport")(IvfIndex.separationReport(idx).count())
+      refuses("PqIndex.searchIvfIndex")(
+        PqIndex.searchIvfIndex(probes, ivfpq, emb, "vec_id", "embedding",
+          k = 3).count())
+      refuses("PqIndex.buildIvf")(
+        PqIndex.buildIvf(emb, "vec_id", "embedding", nLists = 64))
+      refuses("PqIndex.searchIvf")(
+        PqIndex.searchIvf(probes, emb, "vec_id", "embedding", k = 3,
+          nLists = 64).count())
+      // the guarded scale path still works past the budget: the two-level
+      // probe auto-routes distributed instead of refusing
+      assert(IvfIndex.searchIndex(probes, idx, "vec_id", "embedding", k = 3,
+        probeSuperCount = 8).count() > 0)
     } finally spark.conf.unset("spark.graft.ivf.maxCentroidCollectRows")
   }
 
