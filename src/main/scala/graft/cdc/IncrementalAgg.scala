@@ -240,6 +240,8 @@ object IncrementalAgg {
     */
   def foldStandingBatch(spark: org.apache.spark.sql.SparkSession, dir: String,
       deltas: DataFrame, batchId: Long, numBuckets: Int = 64): Int = {
+    MaterializedTable.checkStandingFoldRetention(spark, dir,
+      "IncrementalAgg.foldStandingBatch")
     val marker = new org.apache.hadoop.fs.Path(s"$dir/_applied/$batchId")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(marker)) return 0

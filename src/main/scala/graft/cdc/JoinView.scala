@@ -278,7 +278,9 @@ object JoinView {
     */
   def foldPersisted(spark: org.apache.spark.sql.SparkSession, dir: String,
       batchA: DataFrame, batchB: DataFrame, a: Side, b: Side,
-      batchId: Long, numBuckets: Int = 64): Int =
+      batchId: Long, numBuckets: Int = 64): Int = {
+    MaterializedTable.checkStandingFoldRetention(spark, dir,
+      "JoinView.foldPersisted")
     // bounded retry on a lost optimistic commit (maintenance racing the
     // stream): the fold's marker/watermark guards make a retry convergent
     // from any phase, so the streaming query survives the retryable race
@@ -286,6 +288,7 @@ object JoinView {
       foldPersistedInjected(spark, dir, batchA, batchB, a, b, batchId,
         numBuckets, "")
     }
+  }
 
   /** Crash-simulation seam for the recovery specs: `crashAt` ∈
     * {"after_stage", "after_latest_merge", "after_view_merge"} aborts the

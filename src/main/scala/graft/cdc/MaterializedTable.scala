@@ -310,6 +310,40 @@ object MaterializedTable {
     throw new IllegalStateException("unreachable")
   }
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+  private val retentionWarned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Enforce (or loudly warn about) the `retainVersions >= 2` requirement
+    * AT STANDING-FOLD START instead of only on the conflict message
+    * ([[retryHint]]): a standing fold configured at the eager-GC default
+    * can still die to FileNotFoundException instead of the retryable class
+    * when a maintenance job races it — surfacing the misconfiguration when
+    * the stream STARTS beats a latent crash hours in. Called by every
+    * standing-fold face (GroupCommitStream.start, the `format("graft")`
+    * stream sink, IncrementalAgg.foldStandingBatch, JoinView.foldPersisted).
+    *
+    * Policy `spark.graft.occ.standingFoldRetentionPolicy`: `warn` (default
+    * — single-writer deployments without maintenance are safe at any
+    * retention, so the default cannot refuse) logs once per table dir per
+    * JVM; `enforce` throws. Returns true iff this call emitted the warning
+    * (the spec hook).
+    */
+  def checkStandingFoldRetention(spark: SparkSession, dir: String,
+      face: String): Boolean = {
+    if (retainVersions(spark) >= 2) return false
+    val msg = s"$face at $dir is a STANDING fold running with " +
+      s"spark.graft.materialized.retainVersions=${retainVersions(spark)} — " +
+      "a maintenance job racing this stream is only retry-safe at >= 2: " +
+      "eager post-commit GC can delete the snapshot a racing commit staged " +
+      "from, killing the query with FileNotFoundException instead of the " +
+      "retryable ConcurrentCommitException"
+    if (spark.conf.get(
+        "spark.graft.occ.standingFoldRetentionPolicy", "warn") == "enforce")
+      throw new IllegalStateException(msg)
+    if (retentionWarned.add(dir)) { log.warn(msg); true } else false
+  }
+
   /** Appended to every retryable [[ConcurrentCommitException]] when the
     * retention window is too small for a SAFE retry: at
     * `retainVersions < 2` the winner's eager post-commit GC deletes the
@@ -512,6 +546,14 @@ object MaterializedTable {
     if (!fs.rename(stage, vDir) && !fs.exists(vDir))
       throw new IllegalStateException(
         s"failed to move staged commit $stage into place at $vDir")
+    // rename PRESERVES the stage dir's mtime: a commit whose staging write
+    // finished long before this point (stalled writer, slow upstream) would
+    // land an above-head v{N} that already looks hours old to vacuum()'s
+    // age guard and could be swept between this rename and publishPrimary.
+    // Stamp the dir fresh; best-effort (an FS without dir setTimes still
+    // has vacuum's claim-freshness spare as the authoritative guard).
+    try fs.setTimes(vDir, System.currentTimeMillis(), -1L)
+    catch { case _: java.io.IOException | _: UnsupportedOperationException => () }
     if (!claimStillHeld(spark, dir, m, token)) {
       // If another writer has already RE-claimed this version (recover()
       // misused against live writers), the vDir now belongs to its commit
@@ -840,13 +882,20 @@ object MaterializedTable {
     // AGE-GUARDED per above) and records at or below the retention horizon
     // (their files may be about to go)
     val retained = scala.collection.mutable.ArrayBuffer(m)
+    // above-head versions whose CLAIM record is still fresh: their v{N}
+    // dirs are spared below regardless of the dir's own mtime — rename
+    // preserves the stage dir's mtime, so a live commit's freshly-renamed
+    // data dir can look arbitrarily old; the claim record is the
+    // authoritative liveness signal (it is created at claim time and
+    // deleted only by recover()/vacuum itself)
+    val freshAboveHead = scala.collection.mutable.Set.empty[Long]
     for (st <- fs.listStatus(hPath)) st.getPath.getName match {
       case VersionedManifestRe(vs) =>
         val v = vs.toLong
         if (v > m.version) {
           if (st.getModificationTime < stageCutoff) {
             fs.delete(st.getPath, true); removed += 1
-          }
+          } else freshAboveHead += v
         } else if (v <= horizon && v != m.version) {
           fs.delete(st.getPath, true); removed += 1
         } else if (v < m.version) {
@@ -874,8 +923,12 @@ object MaterializedTable {
       vn.foreach { v =>
         val liveHere = liveRefs.collect { case (b, bv) if bv == v => b }
         // an ABOVE-HEAD version dir may be a live writer's staged commit
-        // mid-rename-to-publish — same age guard as its claim record
-        if (v > m.version && st.getModificationTime >= stageCutoff) ()
+        // mid-rename-to-publish — spared while its own mtime OR its claim
+        // record is fresh (the dir mtime alone is not trustworthy: rename
+        // preserves the stage's mtime, and commitStaged's post-rename
+        // setTimes is best-effort)
+        if (v > m.version && (st.getModificationTime >= stageCutoff ||
+            freshAboveHead.contains(v))) ()
         else if (liveHere.isEmpty && v != m.version) {
           fs.delete(st.getPath, true); removed += 1
         } else {

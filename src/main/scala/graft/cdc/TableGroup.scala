@@ -233,14 +233,25 @@ object TableGroup {
     // unconditional delete here would release that OTHER writer's live lock
     // and admit a third writer mid-swap — re-read and compare tokens first
     // (the same ownership discipline as MaterializedTable.commitStaged).
+    // The re-read is FNF-aware: only a MISSING lock proves it is not ours
+    // (recovered away — and a second writer can only hold it after such a
+    // window); a TRANSIENT read error must not skip the delete, which would
+    // leak our own live lock and wedge the group until recover() — retry
+    // the read once, then fall back to releasing.
     try f(fence) finally {
-      val stillOurs =
+      def readToken(): Option[String] =
         try {
           val in = fs.open(lock)
-          val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-            finally in.close()
-          s == tokenStr
-        } catch { case _: java.io.IOException => false }
+          Some(try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close())
+        } catch { case _: java.io.FileNotFoundException => None }
+      val stillOurs =
+        try readToken().contains(tokenStr)
+        catch {
+          case _: java.io.IOException =>
+            try readToken().contains(tokenStr)
+            catch { case _: java.io.IOException => true }
+        }
       if (stillOurs) fs.delete(lock, false)
     }
   }

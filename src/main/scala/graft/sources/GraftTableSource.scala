@@ -261,6 +261,10 @@ class GraftStreamSink(ctx: SQLContext, dir: String,
     // the stream): merges are batch-id idempotent, so the retry converges —
     // the streaming query survives instead of dying to a retryable race.
     // A crashed-writer StaleCommitClaim still fails the query by design.
+    // Retention check warns once per dir (or refuses under the enforce
+    // policy) — the sink is a standing fold
+    MaterializedTable.checkStandingFoldRetention(spark, dir,
+      "graft stream sink")
     MaterializedTable.withCommitRetry(spark) {
       MaterializedTable.merge(spark, dir, df, keys, ord, op, numBuckets,
         batchId = Some(batchId), statsCols = statsCols)

@@ -65,6 +65,11 @@ object GroupCommitStream {
         org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = changelog.sparkSession
+    // surface a retention misconfiguration when the stream STARTS, not at
+    // its first racing conflict (TableGroup.commit would also refuse at the
+    // first batch — this fails before any query lifecycle spins up)
+    graft.cdc.MaterializedTable.checkStandingFoldRetention(spark, rootDir,
+      "GroupCommitStream.start")
     val ckpt = checkpointLocation.getOrElse(s"$rootDir/_graft_checkpoint")
     changelog.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>

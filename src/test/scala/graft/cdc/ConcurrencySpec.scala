@@ -421,8 +421,16 @@ class ConcurrencySpec extends AnyFunSuite {
       MaterializedTable.vacuum(spark, dir)
       assert(fs.exists(claim), "vacuum swept a live writer's fresh claim")
       assert(fs.exists(v2b), "vacuum swept a live writer's staged version dir")
-      // age the debris past the guard: now it is definitively a crash
+      // rename preserves the STAGE dir's mtime, so a live commit's v{N} can
+      // look arbitrarily old while its claim is seconds fresh (staging
+      // finished long before the claim — stalled writer, slow upstream):
+      // the fresh claim alone must spare the dir
       val old = System.currentTimeMillis() - 2L * 60 * 60 * 1000
+      fs.setTimes(new org.apache.hadoop.fs.Path(dir, "v2"), old, old)
+      MaterializedTable.vacuum(spark, dir)
+      assert(fs.exists(v2b),
+        "vacuum swept an old-looking version dir whose claim is still fresh")
+      // age the claim too: now it is definitively a crash
       fs.setTimes(claim, old, old)
       fs.setTimes(new org.apache.hadoop.fs.Path(dir, "v2"), old, old)
       assert(MaterializedTable.vacuum(spark, dir) >= 2)
@@ -431,6 +439,186 @@ class ConcurrencySpec extends AnyFunSuite {
       // the committed snapshot is untouched throughout
       assert(MaterializedTable.read(spark, dir).count() == 1)
     }
+  }
+
+  private val jvASide = JoinView.Side(Seq("user_id"), Seq("lsn"),
+    Seq("user_id", "user_value", "seg"), joinCol = "seg")
+  private val jvBSide = JoinView.Side(Seq("segment_id"), Seq("lsn"),
+    Seq("segment_id", "segment_value"), joinCol = "segment_id")
+  private def jvA(k: Int): DataFrame =
+    Seq(("insert", k.toLong, k.toLong, k.toDouble, 100L))
+      .toDF("op", "lsn", "user_id", "user_value", "seg")
+  private def jvB(k: Int): DataFrame =
+    Seq(("update", k.toLong, 100L, k.toDouble))
+      .toDF("op", "lsn", "segment_id", "segment_value")
+  private def jvView(dir: String): Set[(Long, Double, Double)] =
+    JoinView.readPersistedView(spark, dir)
+      .select($"user_id", $"user_value", $"segment_value")
+      .as[(Long, Double, Double)].collect().toSet
+
+  test("foldPersisted survives conflicts landing MID-SEQUENCE: phase-interrupted folds with interleaved foreign commits, and a live compaction race, both converge exactly") {
+    withRetain(2) {
+      // deterministic half: the fold dies between its latest merges and the
+      // view merge; foreign commits then advance ALL THREE member tables
+      // (the state a mid-sequence ConcurrentCommitException leaves after
+      // withCommitRetry's backoff — some phases landed, the table versions
+      // moved under the fold); the retry must replay from the staged deltas
+      // and land the batch exactly once on the moved state
+      val dir = java.nio.file.Files.createTempDirectory("occ_jv_seq").toString
+      JoinView.foldPersisted(spark, dir, jvA(1), jvB(1), jvASide, jvBSide,
+        batchId = 0, numBuckets = 2)
+      intercept[JoinView.InjectedCrash] {
+        JoinView.foldPersistedInjected(spark, dir, jvA(2), jvB(2), jvASide,
+          jvBSide, batchId = 1, numBuckets = 2, "after_latest_merge")
+      }
+      for ((t, sc) <- Seq("latest_a" -> "user_id", "latest_b" -> "segment_id",
+          "view" -> "user_id"))
+        // clustered compaction rewrites every bucket → always commits, so
+        // each table's version genuinely moves under the interrupted fold
+        MaterializedTable.compact(spark, s"$dir/$t", maxFilesPerBucket = 1,
+          sortCols = Seq(sc))
+      JoinView.foldPersisted(spark, dir, jvA(2), jvB(2), jvASide, jvBSide,
+        batchId = 1, numBuckets = 2)
+      assert(jvView(dir) == Set((1L, 1.0, 2.0), (2L, 2.0, 2.0)),
+        "phase-interrupted retry over moved tables diverged")
+      // live half: a clustered-compaction loop races the folds for real —
+      // conflicts can land between ANY of the fold's phases; foldPersisted's
+      // own withCommitRetry (not a caller loop) must absorb them
+      spark.conf.set("spark.graft.occ.commitRetries", "200")
+      spark.conf.set("spark.graft.occ.commitRetryBackoffMs", "25")
+      try {
+        val nBatches = 6
+        val maintFail = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+        val folding = new java.util.concurrent.atomic.AtomicBoolean(true)
+        val maint = new Thread(() => {
+          try {
+            while (folding.get()) {
+              for (t <- Seq("view", "latest_a"))
+                withOccRetry { MaterializedTable.compact(spark, s"$dir/$t",
+                  maxFilesPerBucket = 1, sortCols = Seq("user_id")) }
+            }
+          } catch { case t: Throwable => maintFail.compareAndSet(null, t) }
+        })
+        val retriesBefore = MaterializedTable.commitRetryCount.get()
+        maint.start()
+        try {
+          for (k <- 2 to nBatches)
+            JoinView.foldPersisted(spark, dir, jvA(k + 1), jvB(k + 1),
+              jvASide, jvBSide, batchId = k.toLong, numBuckets = 2)
+        } finally { folding.set(false); maint.join(300000) }
+        assert(maintFail.get() == null,
+          s"maintenance failed non-optimistically: ${Option(maintFail.get())}")
+        val lastV = (nBatches + 1).toDouble
+        assert(jvView(dir) ==
+          (1 to nBatches + 1).map(u => (u.toLong, u.toDouble, lastV)).toSet,
+          "live-raced folds diverged")
+        info(s"fold retries absorbed: " +
+          s"${MaterializedTable.commitRetryCount.get() - retriesBefore}")
+      } finally {
+        spark.conf.unset("spark.graft.occ.commitRetries")
+        spark.conf.unset("spark.graft.occ.commitRetryBackoffMs")
+      }
+    }
+  }
+
+  test("TableGroup.commit survives conflicts between MEMBER commits: partial-member replay and a live member-compaction race both converge exactly") {
+    withRetain(2) {
+      val root = java.nio.file.Files.createTempDirectory("occ_grp_seq").toString
+      def batches(k: Int) = Seq(
+        TableGroup.TableBatch("t_a",
+          rows(("insert", s"a$k", k.toLong, k.toLong)), Seq("key")),
+        TableGroup.TableBatch("t_b",
+          rows(("insert", s"b$k", k.toLong, k.toLong)), Seq("key")))
+      TableGroup.commit(spark, root, batches(1), Seq("lsn", "seq"),
+        batchId = 1, numBuckets = 2)
+      // deterministic half: member t_a's merge for batch 2 already landed
+      // when the sequence was cut short (the exact state a conflict on t_b
+      // leaves mid-commit) — the group retry must no-op t_a by its batch-id
+      // watermark, land t_b, and swap the root once
+      MaterializedTable.merge(spark, s"$root/t_a",
+        rows(("insert", "a2", 2L, 2L)), Seq("key"), Seq("lsn", "seq"),
+        numBuckets = 2, batchId = Some(2L))
+      TableGroup.commit(spark, root, batches(2), Seq("lsn", "seq"),
+        batchId = 2, numBuckets = 2)
+      def groupKeys(t: String): Seq[String] =
+        TableGroup.read(spark, root, t).select("key").as[String].collect()
+          .toSeq.sorted
+      assert(groupKeys("t_a") == Seq("a1", "a2"),
+        "partial-member replay double-landed or dropped t_a's batch")
+      assert(groupKeys("t_b") == Seq("b1", "b2"))
+      // live half: compaction races the member-merge sequence — a conflict
+      // after t_a landed but before t_b must be absorbed by the caller's
+      // withCommitRetry (the GroupCommitStream discipline) with every
+      // member landing exactly once and the root never regressing
+      spark.conf.set("spark.graft.occ.commitRetries", "200")
+      spark.conf.set("spark.graft.occ.commitRetryBackoffMs", "25")
+      try {
+        val nBatches = 6
+        val maintFail = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+        val committing = new java.util.concurrent.atomic.AtomicBoolean(true)
+        val maint = new Thread(() => {
+          try {
+            while (committing.get()) {
+              for (t <- Seq("t_a", "t_b"))
+                withOccRetry { MaterializedTable.compact(spark, s"$root/$t",
+                  maxFilesPerBucket = 1, sortCols = Seq("key")) }
+            }
+          } catch { case t: Throwable => maintFail.compareAndSet(null, t) }
+        })
+        val retriesBefore = MaterializedTable.commitRetryCount.get()
+        maint.start()
+        try {
+          for (k <- 3 to nBatches)
+            MaterializedTable.withCommitRetry(spark) {
+              TableGroup.commit(spark, root, batches(k), Seq("lsn", "seq"),
+                batchId = k.toLong, numBuckets = 2)
+            }
+        } finally { committing.set(false); maint.join(300000) }
+        assert(maintFail.get() == null,
+          s"maintenance failed non-optimistically: ${Option(maintFail.get())}")
+        assert(groupKeys("t_a") == (1 to nBatches).map(k => s"a$k"),
+          "a member batch landed twice or was lost under the race")
+        assert(groupKeys("t_b") == (1 to nBatches).map(k => s"b$k"))
+        assert(TableGroup.readRoot(spark, root).get.lastBatchId ==
+          nBatches.toLong, "root regressed or failed to advance")
+        info(s"group-commit retries absorbed: " +
+          s"${MaterializedTable.commitRetryCount.get() - retriesBefore}")
+      } finally {
+        spark.conf.unset("spark.graft.occ.commitRetries")
+        spark.conf.unset("spark.graft.occ.commitRetryBackoffMs")
+      }
+    }
+  }
+
+  test("standing folds surface a too-small retention window AT START: warn-once by default, refuse under the enforce policy") {
+    // default retention (0) + warn policy: first call warns, repeat is silent
+    val dir = tmp("occ_retwarn")
+    assert(MaterializedTable.checkStandingFoldRetention(spark, dir, "spec"),
+      "first standing fold at retainVersions=0 must warn")
+    assert(!MaterializedTable.checkStandingFoldRetention(spark, dir, "spec"),
+      "warning must be once per table dir")
+    // a safe window never warns
+    withRetain(2) {
+      assert(!MaterializedTable.checkStandingFoldRetention(spark,
+        tmp("occ_retok"), "spec"))
+    }
+    // enforce policy: the fold face refuses at start instead of dying to a
+    // FileNotFoundException hours later when maintenance races it
+    spark.conf.set("spark.graft.occ.standingFoldRetentionPolicy", "enforce")
+    try {
+      val e = intercept[IllegalStateException] {
+        IncrementalAgg.foldStandingBatch(spark, tmp("occ_retenf"),
+          Seq(("g", 1L, 1.0)).toDF("grp", "dn", "dv"), batchId = 0L,
+          numBuckets = 2)
+      }
+      assert(e.getMessage.contains("retainVersions"), e.getMessage)
+      val e2 = intercept[IllegalStateException] {
+        JoinView.foldPersisted(spark, tmp("occ_retenf2"), jvA(1), jvB(1),
+          jvASide, jvBSide, batchId = 0L, numBuckets = 2)
+      }
+      assert(e2.getMessage.contains("retainVersions"), e2.getMessage)
+    } finally
+      spark.conf.unset("spark.graft.occ.standingFoldRetentionPolicy")
   }
 
   test("two writers folding a standing aggregate: every contribution sums exactly once") {
