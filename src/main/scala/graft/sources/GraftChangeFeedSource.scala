@@ -138,6 +138,22 @@ class GraftCdfSource(ctx: SQLContext, dir: String,
           "restart the query from the same checkpoint to resume with the " +
           "widened schema (offsets are committed versions; the interrupted " +
           "window replays in full, no rows lost or doubled)")
+    // the NARROWING direction of the same contract (the reference churns
+    // ALTER both ways mid-stream — spec/functional/topic_spec.rb:232–274):
+    // a restore() that rolls the schema back before a pinned column leaves
+    // the feed without it once both window endpoints are narrow. Guided
+    // refusal instead of a bare AnalysisException from the select below;
+    // the same-checkpoint restart pins the narrowed schema and replays the
+    // interrupted window in full.
+    val missing = schema.fieldNames.filterNot(batch.columns.contains(_))
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"graft-cdf schema narrowed mid-stream at $dir: pinned column(s) " +
+          s"${missing.mkString(", ")} are gone from the feed (schema rolled " +
+          "back / column dropped) — restart the query from the same " +
+          "checkpoint to resume with the narrowed schema (offsets are " +
+          "committed versions; the interrupted window replays in full, no " +
+          "rows lost or doubled)")
     org.apache.spark.sql.GraftShims.asStreamingDataFrame(
       batch.select(schema.fieldNames.toIndexedSeq.map(col): _*))
   }

@@ -215,6 +215,148 @@ class GraftChangeFeedSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("mid-stream DROP (schema rollback): loud guided kill once the window narrows; same-checkpoint restart replays the interrupted window under the NARROWED schema, no rows lost or doubled") {
+    // the other half of the ADD pin (the reference churns ALTER both ways —
+    // spec/functional/topic_spec.rb:232–274). In this storage layer merges
+    // only WIDEN (union-by-name); the narrowing path is restore(): an
+    // operator rolls the table back before the column existed, and from the
+    // first window whose BOTH endpoints are narrow the feed has no w —
+    // the source must refuse with restart guidance, not a bare
+    // AnalysisException from its pinned projection.
+    withRetain(10) {
+      val dir = java.nio.file.Files.createTempDirectory("gcdf6").toString + "/t"
+      val ckpt = java.nio.file.Files.createTempDirectory("gcdf_ck6").toString
+      def mergeW(id: Long, rows: (String, String, Long, Long, String)*): Unit =
+        MaterializedTable.merge(spark, dir,
+          rows.toSeq.toDF("op", "key", "lsn", "v", "w")
+            .withColumn("seq", lit(0L)),
+          Seq("key"), Seq("lsn", "seq"), numBuckets = 4, batchId = Some(id))
+      mergeBatch(dir, 1L, ("insert", "a", 1L, 10L))          // v1: narrow era
+      mergeW(2L, ("insert", "b", 2L, 20L, "W"))              // v2: widened
+      val wide = scala.collection.mutable.ArrayBuffer
+        .empty[(String, String, Option[Long], Option[String])]
+      def runWide(body: org.apache.spark.sql.streaming.StreamingQuery => Unit)
+          : Unit = {
+        val q = spark.readStream.format("graft-cdf").load(dir)
+          .writeStream.foreachBatch {
+            (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              wide ++= b.select("key", "op", "after_v", "after_w")
+                .as[(String, String, Option[Long], Option[String])].collect()
+              ()
+          }
+          .option("checkpointLocation", ckpt).start()
+        try body(q) finally q.stop()
+      }
+      val failure = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        runWide { q =>
+          q.processAllAvailable()
+          mergeW(3L, ("update", "b", 3L, 21L, "W2"))
+          q.processAllAvailable()
+          assert(wide.toSeq == Seq(("b", "update", Some(21L), Some("W2"))))
+          // DROP: roll the schema back to the narrow era (v4 = v1 content,
+          // v1 schema). The restore window itself still flows — w rides the
+          // BEFORE side — and delivers b's retraction wide...
+          MaterializedTable.restore(spark, dir, 1L)
+          q.processAllAvailable()
+          assert(wide.toSeq.drop(1) == Seq(("b", "delete", None, None)))
+          // ...but the first fully-narrow window must kill the query loudly
+          mergeBatch(dir, 5L, ("insert", "c", 10L, 30L))
+          q.processAllAvailable()
+          q.awaitTermination()
+        }
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(failure).map(_.getMessage).filter(_ != null)
+        .exists(m => m.contains("narrowed mid-stream") && m.contains("after_w")),
+        s"expected the guided narrowing error, got: $failure")
+      // restart from the SAME checkpoint: the new source pins the NARROWED
+      // schema and the interrupted window replays in full — exactly c's
+      // insert, nothing doubled from the committed wide windows
+      val narrow = scala.collection.mutable.ArrayBuffer
+        .empty[(String, String, Option[Long])]
+      def runNarrow(): Unit = {
+        val q = spark.readStream.format("graft-cdf").load(dir)
+          .writeStream.foreachBatch {
+            (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              assert(!b.columns.contains("after_w"),
+                "restarted source must pin the narrowed schema")
+              narrow ++= b.select("key", "op", "after_v")
+                .as[(String, String, Option[Long])].collect()
+              ()
+          }
+          .option("checkpointLocation", ckpt).start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      runNarrow()
+      assert(narrow.toSeq == Seq(("c", "insert", Some(30L))),
+        s"restart must deliver exactly the interrupted window narrowed: $narrow")
+      // and the feed keeps flowing narrow
+      mergeBatch(dir, 6L, ("update", "c", 11L, 31L))
+      runNarrow()
+      assert(narrow.toSeq.drop(1) == Seq(("c", "update", Some(31L))))
+    }
+  }
+
+  test("mid-stream RENAME churn: loud kill at the new name; restart replays with the old column's history on the BEFORE side and the new name carrying forward") {
+    // a rename in this layer is additive (union-by-name keeps the old
+    // column, null from the rename on): the running query dies on the NEW
+    // name via the ADD guard, and the restarted query sees the renamed
+    // row's history bridged — before_v holds the pre-rename value,
+    // after_v2 the post-rename one (topic_spec.rb:232–274's rename churn,
+    // expressed in this storage layer's widen-only schema algebra)
+    withRetain(8) {
+      val dir = java.nio.file.Files.createTempDirectory("gcdf7").toString + "/t"
+      val ckpt = java.nio.file.Files.createTempDirectory("gcdf_ck7").toString
+      mergeBatch(dir, 1L, ("insert", "a", 1L, 10L))
+      val got = scala.collection.mutable.ArrayBuffer
+        .empty[(String, String, Option[Long], Option[Long])]
+      val failure = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        val q = spark.readStream.format("graft-cdf").load(dir)
+          .writeStream.foreachBatch {
+            (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              got ++= b.select("key", "op", "before_v", "after_v")
+                .as[(String, String, Option[Long], Option[Long])].collect()
+              ()
+          }
+          .option("checkpointLocation", ckpt).start()
+        try {
+          q.processAllAvailable()
+          // RENAME v → v2: the batch writes v2 only
+          MaterializedTable.merge(spark, dir,
+            Seq(("update", "a", 2L, 11L)).toDF("op", "key", "lsn", "v2")
+              .withColumn("seq", lit(0L)),
+            Seq("key"), Seq("lsn", "seq"), numBuckets = 4, batchId = Some(2L))
+          q.processAllAvailable()
+          q.awaitTermination()
+        } finally q.stop()
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(failure).map(_.getMessage).filter(_ != null)
+        .exists(m => m.contains("evolved mid-stream") && m.contains("v2")),
+        s"expected the loud evolution error on the renamed column: $failure")
+      assert(got.isEmpty, "no rows may land before the rename kill")
+      // restart: widened pin; the interrupted window replays once, with the
+      // rename bridged across before/after
+      val after = scala.collection.mutable.ArrayBuffer
+        .empty[(String, String, Option[Long], Option[Long], Option[Long])]
+      val q2 = spark.readStream.format("graft-cdf").load(dir)
+        .writeStream.foreachBatch {
+          (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            after ++= b.select("key", "op", "before_v", "after_v", "after_v2")
+              .as[(String, String, Option[Long], Option[Long], Option[Long])]
+              .collect()
+            ()
+        }
+        .option("checkpointLocation", ckpt).start()
+      try q2.processAllAvailable() finally q2.stop()
+      assert(after.toSeq ==
+        Seq(("a", "update", Some(10L), None, Some(11L))),
+        s"rename-churn replay diverged: $after")
+    }
+  }
+
   test("an offset regression (batch start > end) fails LOUDLY — a rolled-back table or repointed source, never a silent empty batch") {
     withRetain(4) {
       val dir = java.nio.file.Files.createTempDirectory("gcdf4").toString + "/t"
