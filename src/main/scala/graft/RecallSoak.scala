@@ -56,14 +56,25 @@ object RecallSoak {
             approx.select("probe_id", "neighbor_id"), k)
           .agg(avg(col("recall"))).head().getDouble(0)
 
-      // vec13's scale path: policy-sized, sample-trained, two-level end2end
+      // vec13's scale path: policy-sized, sample-trained, two-level end2end.
+      // Measured as a (nProbe, superProbe) GRID — the path's recall floor
+      // is declared against the recommended knobs, and the grid keeps the
+      // cost/recall trade visible round-over-round (each widening probes
+      // more cells: candidates ≈ corpus·nProbe/nLists, still ≪ corpus)
       val nLists = math.max(16, math.min(n / 32,
         4 * math.round(math.sqrt(n.toDouble))).toInt)
       val sc = math.max(1, math.round(math.sqrt(nLists.toDouble)).toInt)
       val idx = IvfIndex.buildScaled(emb, "vec_id", "embedding", nLists,
         iters = 2)
-      val rIvf = meanRecall(IvfIndex.searchIndex(probes, idx, "vec_id",
-        "embedding", k, nProbe = 3, probeSuperCount = if (nLists > 64) sc else 1))
+      val twoLevelGrid = Seq((3, 3), (6, 4), (10, 6)).map {
+        case (np, sp) =>
+          val r = meanRecall(IvfIndex.searchIndex(probes, idx, "vec_id",
+            "embedding", k, nProbe = np,
+            probeSuperCount = if (nLists > 64) sc else 1,
+            probeSuperProbe = sp))
+          (np, sp, r)
+      }
+      val rIvf = twoLevelGrid.head._3
 
       // vec12's path (gate knobs, sample-trained codebooks); rerank widened
       // with k (the gate reranks ~10× its k)
@@ -85,10 +96,12 @@ object RecallSoak {
       def f(d: Double) = BigDecimal(d).setScale(4,
         BigDecimal.RoundingMode.HALF_UP).toString
       // scalastyle:off println
+      val grid = twoLevelGrid.map { case (np, sp, r) =>
+        s""""p${np}s$sp":${f(r)}""" }.mkString(",")
       println(s"""{"metric":"recall_soak","k":$k,"n":$n,""" +
         s""""n_probes":$nProbes,"nLists":$nLists,""" +
-        s""""ivf_two_level":${f(rIvf)},"ivf_pq":${f(rPq)},""" +
-        s""""ivf_pq_persisted":${f(rPqP)}}""")
+        s""""ivf_two_level":${f(rIvf)},"ivf_two_level_grid":{$grid},""" +
+        s""""ivf_pq":${f(rPq)},"ivf_pq_persisted":${f(rPqP)}}""")
       // scalastyle:on println
     } finally spark.stop()
   }

@@ -54,13 +54,51 @@ object SoakSynth {
 
   private def rot(s: String, i: Int) = s.drop(i % 26) + s.take(i % 26)
 
-  private def replicate(base: DataFrame, table: String, copies: Int): DataFrame = {
-    val shifted = (0 until copies).map { i =>
+  /** splitmix64 finalizer — the deterministic 64-bit mixer behind the
+    * ≥312-replica letter permutations and ≥97-replica sign patterns below
+    * (Steele et al., "Fast splittable pseudorandom number generators";
+    * public constants). Pure function of the replica index: corpora stay
+    * bit-reproducible across runs.
+    */
+  private def mix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** Deterministic letter permutation for replica i ≥ 312 — the THIRD
+    * content-diversity regime (each decade so far has exhausted the
+    * previous one: pure rotations saturate at 26 copies, the affine
+    * family at 312; at 1000 copies each affine map would be reused ~3×
+    * and every doc would regain cross-replica verbatim twins, inflating
+    * the true similar-pair answer ~3× past linear exactly like the r9/r12
+    * lessons). Fisher–Yates driven by the splitmix64 stream of i: 26! ≫
+    * distinct permutations, bijective by construction, reproducible.
+    */
+  private def permuted(alpha: String, i: Int): String = {
+    val a = alpha.toCharArray
+    var s = mix64(i.toLong * 0x632BE59BD9B4E019L)
+    var j = a.length - 1
+    while (j > 0) {
+      s = mix64(s)
+      val r = (((s >>> 1) % (j + 1))).toInt
+      val t = a(j); a(j) = a(r); a(r) = t
+      j -= 1
+    }
+    new String(a)
+  }
+
+  private def replicate(base: DataFrame, table: String, copies: Int): DataFrame =
+    (0 until copies).map(replica(base, table, _)).reduce(_.unionByName(_))
+
+  /** Replica `i` of one table — key-shifted, content-diversified. */
+  private def replica(base: DataFrame, table: String, i: Int): DataFrame = {
       val keyed = keyCols(table).foldLeft(base) { (df, k) =>
         df.withColumn(k, col(k) + lit(i.toLong * Shift))
       }
       (table, i) match {
-        case ("documents", s) if s > 0 =>
+        case ("documents", s) if s > 0 && s < 312 =>
           // AFFINE substitution j → (a·j + b) mod 26, a coprime to 26 —
           // 312 distinct bijective letter maps, so content classes keep
           // growing past 26 copies. A pure rotation saturates there: at
@@ -75,10 +113,17 @@ object SoakSynth {
             (0 until 26).map(j => alpha((a * j + b) % 26)).mkString
           keyed.withColumn("text", translate(col("text"),
             lower + upper, affine(lower) + affine(upper)))
+        case ("documents", s) if s >= 312 =>
+          // the affine family exhausts at 312 copies — beyond it, replica
+          // maps are splitmix64-shuffled permutations (26! of them): the
+          // 1000× regime, same bijectivity/reproducibility contract,
+          // recorded ≤100× corpora untouched (they never reach i = 312)
+          keyed.withColumn("text", translate(col("text"),
+            lower + upper, permuted(lower, i) + permuted(upper, i)))
         case ("embeddings", s) if s > 0 && s < 64 =>
           keyed.withColumn("embedding", expr(
             s"transform(embedding, (x, j) -> IF(j % ${i + 1} = 0, -x, x))"))
-        case ("embeddings", s) if s >= 64 =>
+        case ("embeddings", s) if s >= 64 && s < 100 =>
           // the modulo pattern collapses to flip-dim-0-only once i ≥ dims
           // (64): replicas 64.. became identical transforms — verbatim
           // twins again, in embedding space. Hash-derived half-flips keep
@@ -88,14 +133,32 @@ object SoakSynth {
           keyed.withColumn("embedding", expr(
             s"transform(embedding, (x, j) -> " +
               s"IF(($i * 1103515245L + j * 12345L) % 97 < 48, -x, x))"))
+        case ("embeddings", s) if s >= 100 =>
+          // the LCG pattern repeats with period 97 in i (the 100×→1000×
+          // saturation, same lesson a third time: ~10 verbatim sign-twin
+          // replicas per vector at 1000 copies). Replicas ≥ 100 flip
+          // dimension j by bit j of splitmix64(i): ≥2⁶³ distinct patterns,
+          // ~half the dims flip (cross-replica cosine ≈ 0), norm
+          // preserved; the cut at 100 keeps every recorded ≤100× corpus
+          // bit-identical (only replicas 97–99 of the old family ever
+          // collide with 0–2 — three twin pairs in a 1000-replica corpus,
+          // noise next to the ~10-per-vector repeat this replaces).
+          keyed.withColumn("embedding", expr(
+            s"transform(embedding, (x, j) -> " +
+              s"IF(((${mix64(i.toLong)}L >> (j % 64)) & 1) = 1, -x, x))"))
         case _ => keyed
       }
-    }
-    shifted.reduce(_.unionByName(_))
   }
 
+  /** Usage: `runMain graft.SoakSynth <src> <dst> <copies> [tables]` —
+    * the optional 4th arg (comma-separated) restricts generation to the
+    * tables a targeted soak actually reads (a 1000× all-tables corpus is
+    * mostly dead weight for a 5-gate run).
+    */
   def main(args: Array[String]): Unit = {
     val (src, dst, copies) = (args(0), args(1), args(2).toInt)
+    val wanted = if (args.length > 3) args(3).split(",").map(_.trim).toSet
+      else Tables.all.toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -104,12 +167,20 @@ object SoakSynth {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    for (t <- Tables.all) {
+    for (t <- Tables.all if wanted.contains(t)) {
       // byName fixes the events ts encoding once; the copy is written as
-      // plain timestamp[us], which every loader handles
-      val base = Tables.byName(spark, src, t)
-      replicate(base, t, copies)
-        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      // plain timestamp[us], which every loader handles. localCheckpoint:
+      // every replica re-derives from the pinned base instead of re-reading
+      // and re-fixing the source parquet `copies` times.
+      val base = Tables.byName(spark, src, t).localCheckpoint()
+      // blocks of ≤50 replicas appended: a single 1000-way union is one
+      // plan whose analysis/codegen cost grows superlinearly on the driver
+      // — the exact cliff class this tool exists to surface elsewhere
+      (0 until copies).grouped(50).zipWithIndex.foreach { case (block, bi) =>
+        block.map(replica(base, t, _)).reduce(_.unionByName(_))
+          .write.mode(if (bi == 0) "overwrite" else "append")
+          .parquet(s"$dst/$t.parquet")
+      }
       println(s"[soak] $t x$copies written")
     }
     spark.stop()
