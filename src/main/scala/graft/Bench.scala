@@ -17,9 +17,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // soak harness knob: at 1000× data, shuffle partitions pinned to the
+    // core count mean ~2 GB reduce partitions in one shared local JVM —
+    // the 8g heap OOMs on pressure a real cluster never sees (partitions
+    // there scale with data; executors bring their own heap). Default
+    // stays = cpus (the recorded-anchor harness); the 1000× soak passes a
+    // data-proportional value and records it as a named condition.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir",

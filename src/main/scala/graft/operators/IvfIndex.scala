@@ -312,7 +312,7 @@ object IvfIndex {
     * Input `q(id, qv)`; output `(id, cell)`, ≤ nProbe rows per id.
     */
   def probeCellsTwoLevel(q: DataFrame, centroids: DataFrame, nProbe: Int,
-      superCount: Int, superProbe: Int = 3,
+      superCount: Int, superProbe: Int = 6,
       knownCentroidCount: Long = -1L): DataFrame = {
     require(superCount >= 1, s"superCount must be ≥ 1: $superCount")
     val spark0 = q.sparkSession
@@ -446,7 +446,7 @@ object IvfIndex {
     * [[probeCellsTwoLevel]] routes here automatically past the guard.
     */
   def probeCellsTwoLevelDistributed(q: DataFrame, centroids: DataFrame,
-      nProbe: Int, superCount: Int, superProbe: Int = 3): DataFrame = {
+      nProbe: Int, superCount: Int, superProbe: Int = 6): DataFrame = {
     require(superCount > 1,
       s"distributed probing needs a super level (superCount=$superCount); " +
         "superCount = 1 is the exact collected path")
@@ -706,12 +706,17 @@ object IvfIndex {
     *   the collect guard) — the scale path when nLists grows with the
     *   corpus; 1 (default) keeps the exact broadcast probe.
     * @param probeSuperProbe super-groups kept per probe on the two-level
-    *   path — the recall lever of the hierarchy (RecallSoak's measured
-    *   knob; see the vec13-path floor in BASELINE.md).
+    *   path — the recall lever of the hierarchy. Default 6 (raised from 3
+    *   by the r14 RecallSoak grid): at 100× soak scale the two-level path
+    *   reads 0.843 recall@3 at (nProbe=10, superProbe=6) vs 0.693 at the
+    *   old (3,3) — the DECLARED scale-path floor is 0.80@3 at those
+    *   recommended knobs (BASELINE.md), re-measured per round. Probe-stage
+    *   cost stays O((1+superProbe)·√nLists) per row — at superProbe=6 and
+    *   nLists≈1800 that is ~300 fused l2 ops vs the exact probe's 1800.
     */
   def searchIndex(probes: DataFrame, index: Index, idCol: String, vecCol: String,
       k: Int, nProbe: Int = 3, probeSuperCount: Int = 1,
-      probeSuperProbe: Int = 3): DataFrame = {
+      probeSuperProbe: Int = 6): DataFrame = {
     val pq = quantizedProbes(probes, idCol, vecCol)
     val cells =
       if (probeSuperCount > 1)
@@ -722,9 +727,14 @@ object IvfIndex {
           knownCentroidCount = index.nCentroids)
           .select(col("id").as("probe_id"), col("cell"))
       else probeCells(pq, index, nProbe)
+    // probe vectors attach BEFORE the cell explosion (the
+    // semanticDecontaminateIndexed join-order rule): the exploded
+    // candidate relation projects to 3 narrow columns and flows into the
+    // rank's exchange — the reversed order re-keys fat vector-carrying
+    // pair rows by probe_id first, the 1000×-soak disk-exhaustion shape
     val scored = cells
-      .join(index.assigned, Seq("cell"))
       .join(pq, Seq("probe_id"))
+      .join(index.assigned, Seq("cell"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"),
         Similarity.cosineQWithNorms(col("pq"), col("cq"), col("n2p"), col("n2c")).as("sim"))
@@ -775,9 +785,11 @@ object IvfIndex {
     require(minCosNum >= 0 && minCosDen > 0 && minCosNum <= 10 && minCosDen <= 10,
       "threshold must be a small non-negative rational (overflow bound)")
     val pq = quantizedProbes(probes, idCol, vecCol)
+    // same join-order rule as searchIndex: vectors attach pre-explosion,
+    // the radius filter consumes the pair stream with no further exchange
     probeCells(pq, index, nProbe)
-      .join(index.assigned, Seq("cell"))
       .join(pq, Seq("probe_id"))
+      .join(index.assigned, Seq("cell"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .withColumn("dot", Similarity.dotQ(col("pq"), col("cq")))
       .filter(col("dot") >= 0 &&

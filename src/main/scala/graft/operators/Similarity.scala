@@ -590,8 +590,18 @@ object Similarity {
         .filter(col("_rn") <= nProbe)
         .select("eval_id", "cell")
       }
-    probeCells.join(index.assigned, Seq("cell"))
-      .join(eq, Seq("eval_id"))
+    // JOIN ORDER IS THE SCALE DESIGN HERE: attach the eval vectors to the
+    // probe-cell frame FIRST (equi-join on eval_id over O(|eval|·nProbe)
+    // rows), THEN explode against the probed cells' corpus rows — the pair
+    // relation streams straight into the threshold filter with no further
+    // exchange. The reversed order (cells⋈assigned, then ⋈eq) re-keys the
+    // EXPLODED pair relation by eval_id, shuffling |eval|·nProbe·|cell|
+    // rows that each carry a full quantized vector — measured at the 1000×
+    // soak (2M evals × ~1,000 candidates × ~0.5 KB) as a multi-hundred-GB
+    // shuffle that exhausted local scratch; after the reorder the heaviest
+    // exchange is the probe frame itself, linear in |eval|.
+    probeCells.join(eq, Seq("eval_id"))
+      .join(index.assigned, Seq("cell"))
       .select(col("eval_id"), col("neighbor_id").as("train_id"),
         col("cell").cast("bigint").as("cell"),
         cosineQWithNorms(col("pq"), col("cq"), col("n2p"), col("n2c"))
