@@ -726,6 +726,41 @@ class SimilaritySpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.ivf.maxCentroidCollectRows")
   }
 
+  test("candidate joins attach probe vectors BEFORE the cell explosion (the 1000× pair-rekey cliff, plan-pinned)") {
+    // the 1000× soak's disk-death shape: exploding probe-cells against the
+    // corpus first and re-keying the exploded, vector-carrying pair
+    // relation by probe/eval id is a |probes|·nProbe·|cell|-row exchange.
+    // Pin the fixed order structurally: the join that explodes on `cell`
+    // must already have the probe vector (pq/n2p) in a child's output —
+    // i.e. the id-join happened BELOW it, so nothing above the explosion
+    // re-keys pair rows.
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val idx = IvfIndex.build(emb, "vec_id", "embedding", nLists = 8, iters = 2)
+    val eval = emb.filter(col("vec_id") < 20)
+    def cellJoinHasProbeVectorBelow(
+        df: org.apache.spark.sql.DataFrame): Boolean = {
+      val joins = df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+      val cellJoins = joins.filter(_.condition.exists(
+        _.references.exists(_.name == "cell")))
+      assert(cellJoins.nonEmpty, "expected a cell-equi-join in the plan")
+      cellJoins.forall(_.children.exists(_.output.exists(a =>
+        a.name == "pq" || a.name == "n2p")))
+    }
+    assert(cellJoinHasProbeVectorBelow(
+      Similarity.semanticDecontaminateIndexed(idx, eval, "vec_id",
+        "embedding", threshold = 0.9)),
+      "decontamination re-keys exploded pairs (probe vectors above the cell join)")
+    assert(cellJoinHasProbeVectorBelow(
+      IvfIndex.searchIndex(eval, idx, "vec_id", "embedding", k = 3)),
+      "searchIndex re-keys exploded pairs")
+    assert(cellJoinHasProbeVectorBelow(
+      IvfIndex.radiusSearchIndex(eval, idx, "vec_id", "embedding",
+        minCosNum = 1, minCosDen = 2)),
+      "radiusSearchIndex re-keys exploded pairs")
+  }
+
   test("two-level probe: superCount=1 ≡ exact probe; duplicates descend to their twin's cell; probed-super recall holds") {
     import spark.implicits._
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
