@@ -918,11 +918,22 @@ object Dedup {
         transform(col("st"), s => s.getField("tok")).as("ts"),
         size(col("st")).as("n"))
     val p = (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int")
-    val pref = sorted.select(col("id"),
+    val pref = sorted.select(col("id"), col("n"),
       explode(slice(col("ts"), lit(1), p)).as("ptok"))
-    val cand = pref.select(col("id").as("a"), col("ptok"))
-      .join(pref.select(col("id").as("b"), col("ptok")), Seq("ptok"))
+    val cand = pref.select(col("id").as("a"), col("n").as("na"), col("ptok"))
+      .join(pref.select(col("id").as("b"), col("n").as("nb"), col("ptok")),
+        Seq("ptok"))
       .filter(col("a") < col("b"))
+      // PPJoin's LENGTH filter, applied where pairs are born: J ≥ t forces
+      // |A∩B| ≥ t·|A∪B| ≥ t·max(n), and |A∩B| ≤ min(n), so any qualifying
+      // pair has min(n) ≥ t·max(n). Cross-length candidates never reach
+      // the distinct or the token-array-carrying verify joins — the verify
+      // shuffle (fat ta/tb rows re-keyed by b) is this operator's dominant
+      // spill term at the 1000× soak, and its volume is the lever. The
+      // 1e-9 slack keeps one-ulp borderline pairs for the EXACT final
+      // jaccard filter to decide (this filter may only ever prune).
+      .filter(least(col("na"), col("nb")).cast("double") >=
+        lit(threshold) * greatest(col("na"), col("nb")).cast("double") - 1e-9)
       .select(col("a"), col("b")).distinct()
     val byId = sorted.select(col("id"), col("ts"), col("n"))
     cand
