@@ -80,7 +80,14 @@ object Similarity {
       vecCol: String, k: Int): DataFrame = {
     val p = probes.select(col(idCol).as("probe_id"), quantize(col(vecCol)).as("pq"))
     val c = corpus.select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cq"))
-    val scored = p.crossJoin(c)
+    // CORPUS streamed, PROBES broadcast (probe sets are small by the brute
+    // contract): left unhinted, the planner built the nested loop on the
+    // CORPUS side — at the 1000× soak that meant a multi-GB broadcast AND
+    // the whole pair loop running on the probe side's near-empty partition
+    // layout, serializing 20M pair evaluations onto one task (vec39 read
+    // 10× over its linear work growth). The hint pins parallelism to the
+    // corpus partitioning at every scale.
+    val scored = c.crossJoin(broadcast(p))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"),
         cosineQ(col("pq"), col("cq")).as("sim"))
@@ -112,7 +119,8 @@ object Similarity {
       quantize(col(vecCol)).as("pq"), col(labelCol).as("_plabel"))
     val c = corpus.select(col(idCol).as("neighbor_id"),
       quantize(col(vecCol)).as("cq"), col(labelCol).as("_nlabel"))
-    val scored = p.crossJoin(c)
+    // corpus streamed / anchors broadcast — the knnBrute parallelism rule
+    val scored = c.crossJoin(broadcast(p))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .filter(col("_plabel") =!= col("_nlabel"))
       .select(col("probe_id"), col("neighbor_id"), col("_nlabel"),
@@ -223,7 +231,8 @@ object Similarity {
     val c = corpus
       .select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cq"))
       .withColumn("n2c", dotQ(col("cq"), col("cq")))
-    p.crossJoin(c)
+    // corpus streamed / probes broadcast — the knnBrute parallelism rule
+    c.crossJoin(broadcast(p))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .withColumn("dot", dotQ(col("pq"), col("cq")))
       .filter(col("dot") >= 0 &&
@@ -354,7 +363,8 @@ object Similarity {
             .cast("long")).as(out): _*)
     val cCodes = codes(cq, "cq", "cc").select("neighbor_id", "cc")
     val pCodes = codes(pq, "pq", "pc").select("probe_id", "pc")
-    val approx = pCodes.crossJoin(cCodes)
+    // corpus streamed / probes broadcast — the knnBrute parallelism rule
+    val approx = cCodes.crossJoin(broadcast(pCodes))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"),
         dotQ(col("pc"), col("cc")).as("ad"))
@@ -663,7 +673,8 @@ object Similarity {
       .withColumn("n2p", dotQ(col("pq"), col("pq")))
     val cr = cq.select(col("neighbor_id"), randomProject(col("cq"), kOut).as("cr"))
     val pr = pq.select(col("probe_id"), randomProject(col("pq"), kOut).as("pr"))
-    val approx = pr.crossJoin(cr)
+    // corpus streamed / probes broadcast — the knnBrute parallelism rule
+    val approx = cr.crossJoin(broadcast(pr))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"),
         dotQ(col("pr"), col("cr")).as("ad"))
@@ -868,7 +879,9 @@ object Similarity {
         col("hi").as("phi"), col("qv").as("pq"), col("n2").as("pn2"))
     val hamming =
       expr("bit_count(plo ^ lo) + bit_count(phi ^ hi)")
-    val cand = p.crossJoin(sig)
+    // corpus signatures streamed / probe signatures broadcast — the
+    // knnBrute parallelism rule
+    val cand = sig.crossJoin(broadcast(p))
       .filter(col("probe_id") =!= col("id"))
       .select(col("probe_id"), col("id").as("neighbor_id"),
         hamming.as("hamming"), col("pq"), col("pn2"),
