@@ -153,10 +153,27 @@ object Bench {
         "\"" + key + "\":" + fmt(v)
       }
       .mkString("{", ",", "}")
+    // WINDOW VERDICT — the stamp-band discipline, automated (it lived in
+    // BASELINE.md prose through r14 and fired twice): the median-of-3 cdc
+    // stamp is a VM-health probe, and full-surface rows recorded while the
+    // stamp sits BELOW the healthy band (late-day/post-soak page-cache
+    // pressure reads as 35–50% uniform inflation) are distrusted BY RULE.
+    // The verdict rides in the JSON itself so a degraded row can never be
+    // quoted later without its label. Band is declared for the driver's
+    // sf0.1 drive (median-of-3 anchors, r14: 180k–275k); other SFs have no
+    // declared band -> "n/a". Above-band is healthy (the rule only
+    // distrusts BELOW — inflation can only push the stamp down).
+    val band = sys.env.getOrElse("SPARK_GRAFT_STAMP_BAND", "180000-275000")
+      .split("-") match { case Array(lo, hi) => (lo.toLong, hi.toLong) }
+    val window =
+      if (!sfDir.replaceAll("/+$", "").endsWith("sf0.1")) "n/a"
+      else if (cdcEps < 0) "unknown"
+      else if (cdcEps.toLong < band._1) "degraded"
+      else "healthy"
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
       s""""n_failed":$nFailed,"families":$families,"slowest":$slowest,""" +
-      s""""cdc_events_per_sec":${cdcEps.toLong},""" +
+      s""""cdc_events_per_sec":${cdcEps.toLong},"window":"$window",""" +
       s""""lint_warns":${lintWarns.get},"sf":"$sfDir"}"""
     // full per-query detail — written BEFORE the stdout length guard below,
     // so an oversized summary can never discard the run's per-query record;
@@ -172,7 +189,8 @@ object Bench {
     val detail = results.map { case (k, v) => "  \"" + k + "\": " + fmt(v) }
       .mkString(
         s"""{\n  "_total_sec": ${fmt(total)},\n  "_n_queries": ${results.size},\n""" +
-        s"""  "_cdc_events_per_sec": ${cdcEps.toLong},\n  "_sf": "$sfDir",\n""" +
+        s"""  "_cdc_events_per_sec": ${cdcEps.toLong},\n  "_window": "$window",\n""" +
+        s"""  "_sf": "$sfDir",\n""" +
         phasesJson,
         ",\n", "\n}\n")
     try {

@@ -38,8 +38,8 @@ object RankSoak {
       .select(col("event_id"), col("value").cast(DecimalType(18, 4)).as("v"))
     val ev =
       if (copies <= 1) base
-      else base.crossJoin(
-          spark.range(copies).select(col("id").as("_rep")))
+      else base.crossJoin(broadcast(
+          spark.range(copies).select(col("id").as("_rep"))))
         .select((col("event_id") + col("_rep") * 1000000000L).as("event_id"),
           col("v"))
     val n = ev.count() // also warms the parquet reader

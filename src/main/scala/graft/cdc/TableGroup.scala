@@ -235,9 +235,13 @@ object TableGroup {
     // (the same ownership discipline as MaterializedTable.commitStaged).
     // The re-read is FNF-aware: only a MISSING lock proves it is not ours
     // (recovered away — and a second writer can only hold it after such a
-    // window); a TRANSIENT read error must not skip the delete, which would
-    // leak our own live lock and wedge the group until recover() — retry
-    // the read once, then fall back to releasing.
+    // window). On TRANSIENT read errors, retry with a short backoff; if the
+    // lock is STILL unreadable, leave it in place and log loudly rather
+    // than delete-on-doubt: deleting an UNVERIFIED lock in the exact window
+    // the token check exists for (recover() misused against live writers,
+    // a second writer re-acquired) would release the OTHER writer's live
+    // lock and admit a third writer mid-swap. A wedged group is recoverable
+    // (recover()); an unverified delete is not.
     try f(fence) finally {
       def readToken(): Option[String] =
         try {
@@ -245,16 +249,30 @@ object TableGroup {
           Some(try scala.io.Source.fromInputStream(in, "UTF-8").mkString
             finally in.close())
         } catch { case _: java.io.FileNotFoundException => None }
-      val stillOurs =
-        try readToken().contains(tokenStr)
+      val attempts = 4
+      var verdict: Option[Boolean] = None // Some(ours?) once a read lands
+      var i = 0
+      while (verdict.isEmpty && i < attempts) {
+        try verdict = Some(readToken().contains(tokenStr))
         catch {
           case _: java.io.IOException =>
-            try readToken().contains(tokenStr)
-            catch { case _: java.io.IOException => true }
+            i += 1
+            if (i < attempts) Thread.sleep(100L * i)
         }
-      if (stillOurs) fs.delete(lock, false)
+      }
+      verdict match {
+        case Some(true)  => fs.delete(lock, false)
+        case Some(false) => // recovered away / re-acquired — not ours to touch
+        case None =>
+          log.warn(s"group root lock at $lock unreadable after $attempts " +
+            "attempts — NOT deleting (ownership unverified). If this " +
+            "writer held the lock the group is wedged until " +
+            "TableGroup.recover(rootDir) is run with all writers stopped.")
+      }
     }
   }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Clear a crashed group writer's debris: the root lock. Member-table
     * claims recover via [[MaterializedTable.recover]] per member. An

@@ -485,9 +485,18 @@ object Dedup {
     */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 4, w: Int = 4): DataFrame = {
+    docs.select(col(idCol), explode(winnowedCol(textCol, k, w)).as("_f"))
+      .select(col(idCol), col("_f.pos").as("pos"), col("_f.fp").as("fp"))
+  }
+
+  /** The winnowing selection as a single projection column:
+    * array<struct<fp,pos>> of the per-window minima (see
+    * [[winnowFingerprints]] for the guarantee and the let-binding note).
+    */
+  private def winnowedCol(textCol: String, k: Int, w: Int): Column = {
     require(k > 0, s"k must be positive: $k")
     require(w > 1, s"w must be at least 2: $w")
-    val fps = bind(TextOps.tokens(col(textCol)), toks =>
+    bind(TextOps.tokens(col(textCol)), toks =>
       bind(TextOps.shingles(toks, k), g =>
         bind(transform(g, (gram, i) => struct(
             TextOps.hex32(gram, WinnowSalt).as("fp"),
@@ -506,8 +515,6 @@ object Dedup {
                   x("fp") < a("fp") ||
                     (x("fp") === a("fp") && x("pos") > a("pos")),
                   x).otherwise(a))))))))
-    docs.select(col(idCol), explode(fps).as("_f"))
-      .select(col(idCol), col("_f.pos").as("pos"), col("_f.fp").as("fp"))
   }
 
   private def bind(value: Column, body: Column => Column): Column =
@@ -527,8 +534,18 @@ object Dedup {
   def winnowMatches(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 4, w: Int = 4, minShared: Long = 2,
       maxDf: Long = 50): DataFrame = {
-    val fps = winnowFingerprints(docs, idCol, textCol, k, w)
-      .select(col(idCol), col("fp")).distinct()
+    // per-document fingerprint SET computed MAP-SIDE (array_distinct over
+    // the fp projection before the explode): the former global
+    // `.distinct()` over (id, fp) was pure within-document dedup — id is
+    // constant per exploded row — yet cost a full-volume shuffle keyed by
+    // (id, fp), after which the join re-keyed the same volume by fp AGAIN.
+    // The r14 1000× soak read ~30 GB of spill on exactly these exchanges.
+    // Now the one full-volume exchange is keyed by fp up front and REUSED
+    // by the hot-fp aggregate and both self-join sides (AQE stage reuse —
+    // plan-pinned), so the corpus is tokenized once and shuffled once.
+    val fps = docs.select(col(idCol), explode(array_distinct(
+        transform(winnowedCol(textCol, k, w), x => x("fp")))).as("fp"))
+      .repartition(col("fp"))
     val hot = fps.groupBy(col("fp"))
       .agg(count(lit(1)).as("_n")).filter(col("_n") > maxDf)
       .select(col("fp"))

@@ -527,6 +527,12 @@ object IvfIndex {
     */
   final case class Index(centroids: DataFrame, assigned: DataFrame) {
 
+    /** Memoized corpus size — evaluated ONLY when the brute auto-route is
+      * enabled (`spark.graft.ivf.bruteRouteMaxRows` > 0), so the default
+      * path never pays a corpus-count job. One count per Index instance.
+      */
+    lazy val nRows: Long = assigned.count()
+
     /** Memoized centroid-set size — the quantity every collect/broadcast
       * guard check needs ([[requireCentroidsCollectable]]). Computed at
       * most once per Index instance (one tiny job against a ≤nLists-row
@@ -718,6 +724,29 @@ object IvfIndex {
       k: Int, nProbe: Int = 3, probeSuperCount: Int = 1,
       probeSuperProbe: Int = 6): DataFrame = {
     val pq = quantizedProbes(probes, idCol, vecCol)
+    // SMALL-CORPUS AUTO-ROUTE (opt-in): below ~10k rows ANN only loses —
+    // the RecallSoak base-scale measurement read recall 0.49@3 at N=2,000
+    // at the recommended knobs (coverage-bound: probed cells simply don't
+    // hold k true neighbors of a structure-free corpus), while the brute
+    // pair loop at that size is a few thousand fused-loop cosines per
+    // probe, corpus-parallel since the r14 build-side fix. Off by default
+    // (0) because the routed answer is EXACT where the probed answer is
+    // approximate — a hash-pinned caller must opt in knowingly via
+    // `spark.graft.ivf.bruteRouteMaxRows`. The corpus count is memoized
+    // and only evaluated when the conf is set (short-circuit).
+    val bruteMax = pq.sparkSession.conf
+      .get("spark.graft.ivf.bruteRouteMaxRows", "0").toLong
+    if (bruteMax > 0 && index.nRows <= bruteMax) {
+      val scored = index.assigned.crossJoin(broadcast(pq))
+        .filter(col("probe_id") =!= col("neighbor_id"))
+        .select(col("probe_id"), col("neighbor_id"),
+          Similarity.cosineQWithNorms(col("pq"), col("cq"),
+            col("n2p"), col("n2c")).as("sim"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("sim").desc, col("neighbor_id"))
+      return scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+    }
     val cells =
       if (probeSuperCount > 1)
         probeCellsTwoLevel(

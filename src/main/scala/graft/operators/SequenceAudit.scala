@@ -57,7 +57,11 @@ object SequenceAudit {
     val actual = withDay.filter(col("day").isNotNull)
       .groupBy((keyCols :+ "day").map(col): _*)
       .agg(count(lit(1)).as("_n"))
-    val spine = keys.crossJoin(days).as("_s")
+    // `days` is O(span) rows off a one-row aggregate with no stats; left
+    // unhinted the planner could build on the data-proportional KEYS side
+    // (the vec39 inversion). The spine's |keys|·|days| output size is the
+    // gap-fill contract — only the build side needs pinning.
+    val spine = keys.crossJoin(broadcast(days)).as("_s")
     val a = actual.as("_a")
     // null-safe on the keys so null-keyed rows keep their counts; day is
     // plain equality (the spine never holds a null day)

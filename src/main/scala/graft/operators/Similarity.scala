@@ -48,6 +48,37 @@ object Similarity {
     dotQ(a, b).cast("double") /
       (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))
 
+  /** PROBE-SIDE broadcast budget for the brute faces. The brute contract
+    * is "probes are small, corpus is streamed" — but as a bare comment a
+    * self-join-sized probe set (legal input via the public knnBrute /
+    * radiusSearch / hardNegatives API) would hard-fail at Spark's 8 GB
+    * broadcast cap or driver OOM with an opaque executor error. Same
+    * refuse-loudly discipline as the centroid collect guard
+    * ([[IvfIndex.requireCentroidsCollectable]]): count the probe side once
+    * — a job bounded by `limit(budget+1)`, so it stops scanning at the cap
+    * rather than counting an arbitrarily large relation — and refuse past
+    * `spark.graft.brute.maxProbeBroadcastRows` naming the scalable
+    * alternative. The extra bounded job is noise next to the
+    * O(|probes|·|corpus|) pair loop these faces exist to run.
+    */
+  private def probeBroadcastBudget(
+      spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.get("spark.graft.brute.maxProbeBroadcastRows", "1000000").toLong
+
+  private def broadcastProbes(p: DataFrame, face: String): DataFrame = {
+    val budget = probeBroadcastBudget(p.sparkSession)
+    val lim = math.min(budget, (Int.MaxValue - 2).toLong).toInt
+    val n = p.limit(lim + 1).count()
+    require(n <= budget,
+      s"$face would broadcast >$budget probe rows (counted ≥$n) — above " +
+        s"spark.graft.brute.maxProbeBroadcastRows=$budget. The brute faces " +
+        "broadcast the PROBE side by contract (the corpus is streamed); " +
+        "for probe sets this large use the index faces (searchIndex / " +
+        "radiusSearchIndex / hardNegativesIndexed / semanticDecontaminate) " +
+        "or chunk the probe set.")
+    broadcast(p)
+  }
+
   /** Brute-force top-k neighbors for each probe (probe ≠ neighbor).
     * probes/corpus: (id, vec) DataFrames with the given column names.
     */
@@ -87,7 +118,7 @@ object Similarity {
     // layout, serializing 20M pair evaluations onto one task (vec39 read
     // 10× over its linear work growth). The hint pins parallelism to the
     // corpus partitioning at every scale.
-    val scored = c.crossJoin(broadcast(p))
+    val scored = c.crossJoin(broadcastProbes(p, "knnBrute"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"),
         cosineQ(col("pq"), col("cq")).as("sim"))
@@ -120,7 +151,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"),
       quantize(col(vecCol)).as("cq"), col(labelCol).as("_nlabel"))
     // corpus streamed / anchors broadcast — the knnBrute parallelism rule
-    val scored = c.crossJoin(broadcast(p))
+    val scored = c.crossJoin(broadcastProbes(p, "hardNegatives"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .filter(col("_plabel") =!= col("_nlabel"))
       .select(col("probe_id"), col("neighbor_id"), col("_nlabel"),
@@ -232,7 +263,7 @@ object Similarity {
       .select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cq"))
       .withColumn("n2c", dotQ(col("cq"), col("cq")))
     // corpus streamed / probes broadcast — the knnBrute parallelism rule
-    c.crossJoin(broadcast(p))
+    c.crossJoin(broadcastProbes(p, "radiusSearch"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .withColumn("dot", dotQ(col("pq"), col("cq")))
       .filter(col("dot") >= 0 &&
@@ -364,7 +395,7 @@ object Similarity {
     val cCodes = codes(cq, "cq", "cc").select("neighbor_id", "cc")
     val pCodes = codes(pq, "pq", "pc").select("probe_id", "pc")
     // corpus streamed / probes broadcast — the knnBrute parallelism rule
-    val approx = cCodes.crossJoin(broadcast(pCodes))
+    val approx = cCodes.crossJoin(broadcastProbes(pCodes, "annSq8"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"),
         dotQ(col("pc"), col("cc")).as("ad"))
@@ -674,7 +705,7 @@ object Similarity {
     val cr = cq.select(col("neighbor_id"), randomProject(col("cq"), kOut).as("cr"))
     val pr = pq.select(col("probe_id"), randomProject(col("pq"), kOut).as("pr"))
     // corpus streamed / probes broadcast — the knnBrute parallelism rule
-    val approx = cr.crossJoin(broadcast(pr))
+    val approx = cr.crossJoin(broadcastProbes(pr, "annRandomProject"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"),
         dotQ(col("pr"), col("cr")).as("ad"))
@@ -881,7 +912,7 @@ object Similarity {
       expr("bit_count(plo ^ lo) + bit_count(phi ^ hi)")
     // corpus signatures streamed / probe signatures broadcast — the
     // knnBrute parallelism rule
-    val cand = sig.crossJoin(broadcast(p))
+    val cand = sig.crossJoin(broadcastProbes(p, "binarySearch"))
       .filter(col("probe_id") =!= col("id"))
       .select(col("probe_id"), col("id").as("neighbor_id"),
         hamming.as("hamming"), col("pq"), col("pn2"),

@@ -2450,6 +2450,174 @@ object CdcQueries {
           count(col("after_tag")).as("n_tag_after"))
     },
 
+    // --- mid-stream schema NARROWING restart (cdc69): cdc68's other
+    // --- direction. The reference spec only churns ALTER the WIDENING way
+    // --- (spec/functional/topic_spec.rb:232-274 — ADD COLUMN / ADD
+    // --- PRIMARY KEY); the narrowing contract is this engine's own
+    // --- extension: merges only WIDEN (union-by-name), so the narrowing
+    // --- path is restore() — an operator rolls the table back before the
+    // --- column existed. The RESTORE window itself still flows (the wide
+    // --- side rides the union-by-name frame; after_tag nulls), and the
+    // --- first window whose BOTH endpoints are narrow kills the pinned
+    // --- query loudly with restart guidance; the same-checkpoint restart
+    // --- pins the NARROWED schema and replays the interrupted window in
+    // --- full. Drill: v1 narrow (pre-tag era), v2 WIDE (tag arrives),
+    // --- query starts (pins wide, no backfill), v3 drains wide,
+    // --- restore→v1 drains (the rollback retractions, after_tag null),
+    // --- v5 narrow kills the query (error verified), restart replays
+    // --- diff(v4→v5) narrow, v6 drains live. Union of both phases must
+    // --- hash-match DuckDB's independent five-snapshot diff chain. -------
+    q("cdc69_narrowing_restart",
+      """WITH mxv AS (SELECT MAX(event_id) AS m FROM events),
+        |r AS (SELECT user_id, event_id, value, event_type FROM events),
+        |a1 AS (SELECT user_id, event_id AS lsn, value
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |        FROM r WHERE event_id < (SELECT m//4 FROM mxv)) t
+        |  WHERE rn = 1 AND event_type <> 'error'),
+        |a2 AS (SELECT user_id, event_id AS lsn, value,
+        |    CASE WHEN event_id >= (SELECT m//4 FROM mxv) THEN event_type END AS tag
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |        FROM r WHERE event_id < (SELECT m//2 FROM mxv)) t
+        |  WHERE rn = 1 AND event_type <> 'error'),
+        |a3 AS (SELECT user_id, event_id AS lsn, value,
+        |    CASE WHEN event_id >= (SELECT m//4 FROM mxv) THEN event_type END AS tag
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |        FROM r WHERE event_id < (SELECT 3*(m//4) FROM mxv)) t
+        |  WHERE rn = 1 AND event_type <> 'error'),
+        |a6 AS (SELECT user_id, event_id AS lsn, value
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |        FROM r) t
+        |  WHERE rn = 1 AND event_type <> 'error'),
+        |d23 AS (SELECT
+        |    CASE WHEN a.user_id IS NULL THEN 'insert'
+        |         WHEN b.user_id IS NULL THEN 'delete'
+        |         WHEN a.lsn IS DISTINCT FROM b.lsn
+        |           OR a.value IS DISTINCT FROM b.value THEN 'update' END AS op,
+        |    a.value AS before_value, b.value AS after_value, b.tag AS after_tag
+        |  FROM a2 a FULL OUTER JOIN a3 b ON a.user_id = b.user_id),
+        |d34 AS (SELECT
+        |    CASE WHEN a.user_id IS NULL THEN 'insert'
+        |         WHEN b.user_id IS NULL THEN 'delete'
+        |         WHEN a.lsn IS DISTINCT FROM b.lsn
+        |           OR a.value IS DISTINCT FROM b.value THEN 'update' END AS op,
+        |    a.value AS before_value, b.value AS after_value,
+        |    CAST(NULL AS VARCHAR) AS after_tag
+        |  FROM a3 a FULL OUTER JOIN a1 b ON a.user_id = b.user_id),
+        |d45 AS (SELECT
+        |    CASE WHEN a.user_id IS NULL THEN 'insert'
+        |         WHEN b.user_id IS NULL THEN 'delete'
+        |         WHEN a.lsn IS DISTINCT FROM b.lsn
+        |           OR a.value IS DISTINCT FROM b.value THEN 'update' END AS op,
+        |    a.value AS before_value, b.value AS after_value,
+        |    CAST(NULL AS VARCHAR) AS after_tag
+        |  FROM a1 a FULL OUTER JOIN a2 b ON a.user_id = b.user_id),
+        |d56 AS (SELECT
+        |    CASE WHEN a.user_id IS NULL THEN 'insert'
+        |         WHEN b.user_id IS NULL THEN 'delete'
+        |         WHEN a.lsn IS DISTINCT FROM b.lsn
+        |           OR a.value IS DISTINCT FROM b.value THEN 'update' END AS op,
+        |    a.value AS before_value, b.value AS after_value,
+        |    CAST(NULL AS VARCHAR) AS after_tag
+        |  FROM a2 a FULL OUTER JOIN a6 b ON a.user_id = b.user_id),
+        |f AS (SELECT * FROM d23 WHERE op IS NOT NULL
+        |  UNION ALL SELECT * FROM d34 WHERE op IS NOT NULL
+        |  UNION ALL SELECT * FROM d45 WHERE op IS NOT NULL
+        |  UNION ALL SELECT * FROM d56 WHERE op IS NOT NULL)
+        |SELECT op, COUNT(*) AS n,
+        |  CAST(SUM(CAST(before_value AS DECIMAL(18,4))) AS DOUBLE) AS sum_before,
+        |  CAST(SUM(CAST(after_value AS DECIMAL(18,4))) AS DOUBLE) AS sum_after,
+        |  COUNT(after_tag) AS n_tag_after
+        |FROM f GROUP BY 1""".stripMargin) { (s, d) =>
+      val s2 = s.newSession()
+      s2.conf.set("spark.graft.materialized.retainVersions", "8")
+      val envBase = ChangelogGen.fromEvents(s2, d).toDF()
+        .select(col("op"), col("key"), col("lsn"), col("seq"),
+          get_json_object(col("after"), "$.value").cast("double").as("value"))
+        .localCheckpoint()
+      val envTagged = ChangelogGen.fromEvents(s2, d).toDF()
+        .select(col("op"), col("key"), col("lsn"), col("seq"),
+          get_json_object(col("after"), "$.value").cast("double").as("value"),
+          get_json_object(col("after"), "$.event_type").as("tag"))
+        .localCheckpoint()
+      val mx = Tables.events(s, d).agg(max(col("event_id"))).head().getLong(0)
+      val (c1, c2, c3) = (mx / 4, mx / 2, 3 * (mx / 4))
+      val dir = java.nio.file.Files.createTempDirectory("cdc69").toString + "/t"
+      def fold(env: org.apache.spark.sql.DataFrame, lo: Long, hi: Long,
+          id: Long) =
+        MaterializedTable.merge(s2, dir,
+          env.filter(col("lsn") >= lo && col("lsn") < hi), Seq("key"),
+          Seq("lsn", "seq"), batchId = Some(id))
+      fold(envBase, 0L, c1, 1L)   // v1: the narrow (pre-tag) era
+      fold(envTagged, c1, c2, 2L) // v2: WIDE — the payload gains tag
+      val ckpt = java.nio.file.Files.createTempDirectory("cdc69ck").toString
+      val rowsA = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Option[Double], Option[Double], Option[String])]
+      val q1 = s2.readStream.format("graft-cdf").load(dir)
+        .writeStream
+        .foreachBatch { (bd: org.apache.spark.sql.DataFrame, _: Long) =>
+          rowsA ++= bd.select(col("op"), col("before_value"),
+              col("after_value"), col("after_tag"))
+            .collect().map(r => (r.getString(0),
+              Option(r.get(1)).map(_.asInstanceOf[Double]),
+              Option(r.get(2)).map(_.asInstanceOf[Double]),
+              Option(r.getString(3))))
+          ()
+        }
+        .option("checkpointLocation", ckpt).start()
+      val died =
+        try {
+          q1.processAllAvailable() // starts at v2: no backfill
+          fold(envTagged, c2, c3, 3L); q1.processAllAvailable() // d23 wide
+          // NARROW: roll the table back before tag existed (v4 = v1
+          // content + v1 schema). The restore window itself still flows —
+          // the rollback's retractions arrive with after_tag null.
+          MaterializedTable.restore(s2, dir, 1L)
+          q1.processAllAvailable() // d34: the restore window
+          fold(envBase, c1, c2, 5L) // v5: first fully-narrow window
+          try { q1.processAllAvailable(); false }
+          catch {
+            case e: Throwable =>
+              def chain(t: Throwable): Seq[Throwable] =
+                if (t == null) Nil else t +: chain(t.getCause)
+              if (!chain(e).exists(c => c.getMessage != null &&
+                  c.getMessage.contains("narrowed mid-stream"))) throw e
+              true
+          }
+        } finally q1.stop()
+      require(died, "the running query must fail LOUDLY on the narrowing")
+      // restart from the SAME checkpoint: the new source pins the NARROWED
+      // schema and the interrupted window replays in full
+      val rowsB = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Option[Double], Option[Double])]
+      val q2 = s2.readStream.format("graft-cdf").load(dir)
+        .writeStream
+        .foreachBatch { (bd: org.apache.spark.sql.DataFrame, _: Long) =>
+          require(!bd.columns.contains("after_tag"),
+            "restarted source must pin the narrowed schema")
+          rowsB ++= bd.select(col("op"), col("before_value"),
+              col("after_value"))
+            .collect().map(r => (r.getString(0),
+              Option(r.get(1)).map(_.asInstanceOf[Double]),
+              Option(r.get(2)).map(_.asInstanceOf[Double])))
+          ()
+        }
+        .option("checkpointLocation", ckpt).start()
+      try {
+        q2.processAllAvailable() // replayed window: d45, narrowed
+        fold(envBase, c2, mx + 1, 6L)
+        q2.processAllAvailable() // live again: d56
+      } finally q2.stop()
+      import s2.implicits._
+      val a = rowsA.toSeq.toDF("op", "before_value", "after_value", "after_tag")
+      val b = rowsB.toSeq.toDF("op", "before_value", "after_value")
+        .withColumn("after_tag", lit(null).cast("string"))
+      a.unionByName(b).groupBy(col("op"))
+        .agg(count(lit(1)).as("n"),
+          graft.queries.Qutil.dsum(col("before_value")).as("sum_before"),
+          graft.queries.Qutil.dsum(col("after_value")).as("sum_after"),
+          count(col("after_tag")).as("n_tag_after"))
+    },
+
     // --- GROUP change feed (cdc62): cdc61's streaming CDF lifted to the
     // --- TableGroup — the reference's transaction bracketing
     // --- (kafka/bottledwater.c:678-715) surfaced to streaming consumers:

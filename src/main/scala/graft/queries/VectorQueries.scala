@@ -400,8 +400,12 @@ object VectorQueries {
         Similarity.quantize(col("embedding")).as("qv"))
       val probes = q.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("qv").as("pq"))
-      val pairs = probes.crossJoin(
-          q.select(col("vec_id").as("neighbor_id"), col("qv")))
+      // corpus streamed / probes broadcast — the knnBrute build-side rule:
+      // unhinted, the planner may broadcast the data-proportional CORPUS
+      // and serialize the pair loop onto the 10-row probe side's layout
+      // (the vec39 1000× inversion). Pin parallelism to the corpus.
+      val pairs = q.select(col("vec_id").as("neighbor_id"), col("qv"))
+        .crossJoin(broadcast(probes))
         .filter(col("neighbor_id") =!= col("probe_id"))
       val cosTop = pairs
         .select(col("probe_id"), col("neighbor_id"),
@@ -523,8 +527,9 @@ object VectorQueries {
         .select(col("a"), col("b"), col("c"),
           zip_with(zip_with(col("_qa"), col("_qb"), (x, y) => x + y),
             col("_qc"), (x, y) => x - y).as("cv"))
-      val scored = combo.crossJoin(
-          q.select(col("vec_id").as("neighbor_id"), col("qv")))
+      // corpus streamed / 3-row combo broadcast (the vec39 build-side rule)
+      val scored = q.select(col("vec_id").as("neighbor_id"), col("qv"))
+        .crossJoin(broadcast(combo))
         .filter(col("neighbor_id") =!= col("a") &&
           col("neighbor_id") =!= col("b") && col("neighbor_id") =!= col("c"))
         .select(col("a").as("probe_a"), col("neighbor_id"),
@@ -2020,7 +2025,8 @@ object VectorQueries {
           Similarity.quantize(col("embedding")).as("qv"))
       val n2t = Similarity.dotQ(col("tv"), col("tv"))
       val n2v = Similarity.dotQ(col("qv"), col("qv"))
-      tv.crossJoin(iv)
+      // image corpus streamed / ≤10 text probes broadcast (vec39 rule)
+      iv.crossJoin(broadcast(tv))
         .select(col("doc_id").as("probe_id"), col("image_id"),
           (Similarity.dotQ(col("tv"), col("qv")).cast("double") /
             (sqrt(n2t.cast("double")) * sqrt(n2v.cast("double"))))

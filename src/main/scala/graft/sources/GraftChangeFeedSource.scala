@@ -138,8 +138,10 @@ class GraftCdfSource(ctx: SQLContext, dir: String,
           "restart the query from the same checkpoint to resume with the " +
           "widened schema (offsets are committed versions; the interrupted " +
           "window replays in full, no rows lost or doubled)")
-    // the NARROWING direction of the same contract (the reference churns
-    // ALTER both ways mid-stream — spec/functional/topic_spec.rb:232–274):
+    // the NARROWING direction of the same contract. The reference spec only
+    // exercises the WIDENING half (ADD COLUMN / ADD PRIMARY KEY —
+    // spec/functional/topic_spec.rb:232–274; it has no DROP/narrowing
+    // case); this refusal is this engine's own extension of that contract:
     // a restore() that rolls the schema back before a pinned column leaves
     // the feed without it once both window endpoints are narrow. Guided
     // refusal instead of a bare AnalysisException from the select below;

@@ -357,6 +357,50 @@ class PlanPinSpec extends AnyFunSuite {
     }
   }
 
+  test("brute pair loops build on the BOUNDED side (the vec39 1000× inversion, gate-inline sites)") {
+    // the r14 1000× soak proved an unhinted probes.crossJoin(corpus) lets
+    // the planner broadcast the multi-GB CORPUS and serialize the whole
+    // pair loop onto the probe side's near-empty partition layout (vec39:
+    // 643.8 s for linear work). Similarity's six brute faces were hinted
+    // and guarded; these pins hold the GATE-INLINE sites (and the
+    // SequenceAudit spine) to the same rule: every nested-loop join must
+    // build (broadcast) its RIGHT child, and that child must be the
+    // bounded relation — identified by a marker only the bounded side's
+    // subtree can contain.
+    def bnljs(df: DataFrame) = {
+      val plan = df.queryExecution.executedPlan
+      val inner = plan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case other => other
+      }
+      inner.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      }
+    }
+    def pin(name: String, df: DataFrame, boundedMarker: String): Unit = {
+      val js = bnljs(df)
+      assert(js.nonEmpty, s"$name: expected a BroadcastNestedLoopJoin")
+      js.foreach { j =>
+        assert(j.buildSide == org.apache.spark.sql.catalyst.optimizer.BuildRight,
+          s"$name: pair loop builds LEFT — the corpus side is broadcast:\n$j")
+        assert(j.right.toString.contains(boundedMarker),
+          s"$name: broadcast child is not the bounded side " +
+            s"(no '$boundedMarker'):\n${j.right}")
+      }
+    }
+    def gate(name: String) = SparkEntry.queries(name)(spark, dir)
+    // vec33: ≤10 probes (vec_id < 10) vs the full embedding corpus
+    pin("vec33_metric_agreement", gate("vec33_metric_agreement"), "vec_id")
+    // vec30: the 3-row analogy-triple frame vs the corpus
+    pin("vec30_analogy", gate("vec30_analogy"), "LocalTableScan")
+    // mm16: ≤10 text-probe vectors vs the image-embedding corpus
+    pin("mm16_cross_modal_recall", gate("mm16_cross_modal_recall"), "doc_id")
+    // q58 spine: O(span) day rows (sequence-exploded off a 1-row agg) vs
+    // the data-proportional distinct keys
+    pin("q58_calendar_gap_fill", gate("q58_calendar_gap_fill"), "sequence")
+  }
+
   test("partitioning invariance: rank/window-heavy gates identical at 5 vs 32 shuffle partitions") {
     // the failure mode this guards: a nondeterministic tie-break or a
     // partial-agg that isn't commutative shows up as different rows under a

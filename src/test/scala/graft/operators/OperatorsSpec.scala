@@ -726,6 +726,78 @@ class SimilaritySpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.ivf.maxCentroidCollectRows")
   }
 
+  test("searchIndex brute auto-route: opt-in, exact below the threshold, off by default") {
+    // below ~10k rows ANN is coverage-bound (RecallSoak: 0.49@3 at
+    // N=2,000 on a structure-free corpus) while brute is cheap and
+    // corpus-parallel — the route returns the EXACT top-k, so it is
+    // opt-in (a hash-pinned caller must not silently change answers).
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val idx = IvfIndex.build(emb, "vec_id", "embedding", nLists = 8, iters = 2)
+    val probes = emb.filter(col("vec_id") < 5)
+    def canon(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select("probe_id", "neighbor_id", "rank").collect()
+        .map(_.toString).toSet
+    val probed = canon(
+      IvfIndex.searchIndex(probes, idx, "vec_id", "embedding", k = 3))
+    spark.conf.set("spark.graft.ivf.bruteRouteMaxRows", "1000000")
+    try {
+      val routed = IvfIndex.searchIndex(probes, idx, "vec_id", "embedding",
+        k = 3)
+      val exact = Similarity.knnBrute(probes, emb, "vec_id", "embedding", 3)
+      assert(canon(routed) == canon(exact),
+        "routed search must equal the exact brute answer")
+      // the routed plan is the pair loop — no cell equi-join anywhere
+      val joins = routed.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+      assert(!joins.exists(_.condition.exists(
+          _.references.exists(_.name == "cell"))),
+        "auto-routed search must not probe cells")
+      // above the threshold the probed path is untouched
+      spark.conf.set("spark.graft.ivf.bruteRouteMaxRows", "1")
+      assert(canon(IvfIndex.searchIndex(probes, idx, "vec_id", "embedding",
+        k = 3)) == probed, "threshold must gate the route")
+    } finally spark.conf.unset("spark.graft.ivf.bruteRouteMaxRows")
+  }
+
+  test("brute-face probe broadcast refuses loudly past the budget (all six faces)") {
+    // the brute contract is "probes small, corpus streamed"; past the
+    // budget a probe broadcast would hit Spark's 8 GB cap or driver OOM
+    // with an opaque executor error — same refuse-loudly discipline as the
+    // centroid guard, naming the index faces as the scalable alternative.
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val labeled = emb.withColumn("lbl", col("vec_id") % 3)
+    val probes = emb.filter(col("vec_id") < 10)
+    spark.conf.set("spark.graft.brute.maxProbeBroadcastRows", "5")
+    try {
+      def refuses(face: String)(body: => org.apache.spark.sql.DataFrame): Unit = {
+        val e = intercept[IllegalArgumentException](body)
+        assert(e.getMessage.contains("maxProbeBroadcastRows"),
+          s"$face refused with the wrong message: ${e.getMessage}")
+        assert(e.getMessage.contains(face),
+          s"$face refusal must name the face: ${e.getMessage}")
+      }
+      refuses("knnBrute")(
+        Similarity.knnBrute(probes, emb, "vec_id", "embedding", 3))
+      refuses("hardNegatives")(Similarity.hardNegatives(
+        labeled.filter(col("vec_id") < 10), labeled, "vec_id", "embedding",
+        "lbl", 3))
+      refuses("radiusSearch")(
+        Similarity.radiusSearch(probes, emb, "vec_id", "embedding", 1, 2))
+      refuses("annSq8")(
+        Similarity.annSq8(probes, emb, "vec_id", "embedding", 3))
+      refuses("annRandomProject")(
+        Similarity.annRandomProject(probes, emb, "vec_id", "embedding", 3))
+      refuses("binarySearch")(
+        Similarity.binarySearch(probes, emb, "vec_id", "embedding", 3, 8))
+      // within budget the face still runs — the guard's bounded count job
+      // must not change results
+      spark.conf.set("spark.graft.brute.maxProbeBroadcastRows", "10")
+      assert(Similarity.knnBrute(probes, emb, "vec_id", "embedding", 3)
+        .count() == 30)
+    } finally spark.conf.unset("spark.graft.brute.maxProbeBroadcastRows")
+  }
+
   test("candidate joins attach probe vectors BEFORE the cell explosion (the 1000× pair-rekey cliff, plan-pinned)") {
     // the 1000× soak's disk-death shape: exploding probe-cells against the
     // corpus first and re-keying the exploded, vector-carrying pair
