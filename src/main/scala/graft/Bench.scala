@@ -24,7 +24,14 @@ object Bench {
     // stays = cpus (the recorded-anchor harness); the 1000× soak passes a
     // data-proportional value and records it as a named condition.
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
-    val spark = SparkSession.builder()
+    // soak-harness conf passthrough: `SPARK_GRAFT_CONF="k=v;k2=v2"` sets
+    // arbitrary session confs for a targeted run (e.g. the phash hot-band
+    // cap for the mm07 decade row). Empty (the default, and every driver
+    // drive) sets nothing — the recorded-anchor harness is untouched.
+    val extraConf = sys.env.getOrElse("SPARK_GRAFT_CONF", "")
+      .split(";").map(_.trim).filter(_.contains("="))
+      .map { kv => val i = kv.indexOf('='); (kv.take(i), kv.drop(i + 1)) }
+    val spark0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.adaptive.enabled", "true")
@@ -34,7 +41,8 @@ object Bench {
       .config("spark.sql.files.maxPartitionBytes", (2 * 1024 * 1024).toString)
       .config("spark.sql.files.openCostInBytes", (256 * 1024).toString)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = extraConf.foldLeft(spark0) { case (b, (k, v)) =>
+      b.config(k, v) }.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // BENCH-TAIL LINT: count the warnings that are 100×-scale smells —

@@ -92,12 +92,36 @@ object SoakSynth {
   private def replicate(base: DataFrame, table: String, copies: Int): DataFrame =
     (0 until copies).map(replica(base, table, _)).reduce(_.unionByName(_))
 
+  /** First replica index that draws a splitmix64-permuted letter map
+    * instead of the affine family. Default 312 (the affine family's
+    * exhaustion point) keeps every recorded corpus reproducible. The mm07
+    * 1000× run found a FOURTH content-saturation regime, one level down:
+    * the affine maps with a = 1 (replicas 1–25) are monotone unicode
+    * SHIFTS, and a perceptual hash thresholds pixels against the frame
+    * MEAN — a shift moves pattern and mean together, so the above-mean
+    * bit pattern (the phash) is invariant: every frame collided with ~26
+    * rotation twins (plus partial affine-class twins), band buckets ran
+    * ~26–1000× hot, and the banded pair join's TRUE candidate mass grew
+    * quadratically — 72 GB of shuffle spill and a disk death at 1000×.
+    * Token-level operators never see this (rotated token sets are
+    * disjoint); pixel-level operators need maps that scramble VALUE
+    * ORDER, which the Fisher–Yates permutations do. Perceptual-hash
+    * soaks pass `permFrom = 1` (4th CLI arg / the main below); the
+    * residual correlation from non-letter bytes (spaces, digits,
+    * punctuation are fixed points of every letter map) is documented
+    * with the mm07 BASELINE rows.
+    */
+  private var permFrom: Int = 312
+
   /** Replica `i` of one table — key-shifted, content-diversified. */
   private def replica(base: DataFrame, table: String, i: Int): DataFrame = {
       val keyed = keyCols(table).foldLeft(base) { (df, k) =>
         df.withColumn(k, col(k) + lit(i.toLong * Shift))
       }
       (table, i) match {
+        case ("documents", s) if s >= permFrom && s > 0 =>
+          keyed.withColumn("text", translate(col("text"),
+            lower + upper, permuted(lower, i) + permuted(upper, i)))
         case ("documents", s) if s > 0 && s < 312 =>
           // AFFINE substitution j → (a·j + b) mod 26, a coprime to 26 —
           // 312 distinct bijective letter maps, so content classes keep
@@ -113,13 +137,9 @@ object SoakSynth {
             (0 until 26).map(j => alpha((a * j + b) % 26)).mkString
           keyed.withColumn("text", translate(col("text"),
             lower + upper, affine(lower) + affine(upper)))
-        case ("documents", s) if s >= 312 =>
-          // the affine family exhausts at 312 copies — beyond it, replica
-          // maps are splitmix64-shuffled permutations (26! of them): the
-          // 1000× regime, same bijectivity/reproducibility contract,
-          // recorded ≤100× corpora untouched (they never reach i = 312)
-          keyed.withColumn("text", translate(col("text"),
-            lower + upper, permuted(lower, i) + permuted(upper, i)))
+        // (replicas ≥ 312 — the affine family's exhaustion point — always
+        //  draw permuted maps via the permFrom branch above: the 1000×
+        //  regime, same bijectivity/reproducibility contract)
         case ("embeddings", s) if s > 0 && s < 64 =>
           keyed.withColumn("embedding", expr(
             s"transform(embedding, (x, j) -> IF(j % ${i + 1} = 0, -x, x))"))
@@ -150,15 +170,18 @@ object SoakSynth {
       }
   }
 
-  /** Usage: `runMain graft.SoakSynth <src> <dst> <copies> [tables]` —
-    * the optional 4th arg (comma-separated) restricts generation to the
+  /** Usage: `runMain graft.SoakSynth <src> <dst> <copies> [tables] [permFrom]`
+    * — the optional 4th arg (comma-separated) restricts generation to the
     * tables a targeted soak actually reads (a 1000× all-tables corpus is
-    * mostly dead weight for a 5-gate run).
+    * mostly dead weight for a 5-gate run); the optional 5th arg sets the
+    * first replica index that draws permuted letter maps (default 312;
+    * perceptual-hash soaks pass 1 — see [[permFrom]]).
     */
   def main(args: Array[String]): Unit = {
     val (src, dst, copies) = (args(0), args(1), args(2).toInt)
     val wanted = if (args.length > 3) args(3).split(",").map(_.trim).toSet
       else Tables.all.toSet
+    if (args.length > 4) permFrom = args(4).toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

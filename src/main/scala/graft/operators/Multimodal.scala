@@ -529,11 +529,25 @@ object Multimodal {
     * — the candidate join is COMPLETE for `maxHamming` ≤ 3 (required), and
     * never all-pairs: shuffle is O(images·4) band rows, pair work only
     * inside buckets. Returns (a, b, hamming), a < b.
+    *
+    * HOT-BAND CAP (`spark.graft.phash.maxBandFreq`, default 0 = off):
+    * bucket pair work is Σ f² over band-bucket frequencies f, and
+    * degenerate content makes f planet-hot — a solid-black / blank frame
+    * hashes identically across an entire corpus, so ONE bucket holds
+    * O(corpus) rows and its pair loop is quadratic in the corpus (the
+    * mm07 1000×-soak disk death: rotation-twin frames ran buckets
+    * ~26–1000× hot and spilled 72 GB before exhausting the volume). With
+    * the cap set, band buckets with more than `maxBandFreq` member rows
+    * are EXCLUDED from candidate generation — the standard LSH posture.
+    * This is a documented approximation, which is why it is opt-in: a
+    * qualifying pair is lost only if EVERY band the two hashes share is
+    * hot (degenerate twins, exactly the mass being shed); the default-off
+    * path stays exact and hash-identical to the brute oracle.
     */
   def phashDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"banding over 4 bands is only complete for maxHamming ≤ 3: $maxHamming")
-    val banded = hashes.select(col("doc_id"), col("ph_hi"), col("ph_lo"),
+    val allBanded = hashes.select(col("doc_id"), col("ph_hi"), col("ph_lo"),
         posexplode(array(
           col("ph_lo").bitwiseAND(lit(0xffffL)),
           shiftrightunsigned(col("ph_lo"), 16).bitwiseAND(lit(0xffffL)),
@@ -541,6 +555,17 @@ object Multimodal {
           shiftrightunsigned(col("ph_hi"), 16).bitwiseAND(lit(0xffffL)))))
       .select(col("doc_id"), col("ph_hi"), col("ph_lo"),
         col("pos").as("band"), col("col").as("bv"))
+    val cap = hashes.sparkSession.conf
+      .get("spark.graft.phash.maxBandFreq", "0").toLong
+    val banded = if (cap <= 0) allBanded else {
+      // the frequency aggregate and the semi-join both key on (band, bv)
+      // — the same partitioning the candidate self-join below shuffles
+      // on, so the cap rides the exchange the join needs anyway
+      val cold = allBanded.groupBy(col("band"), col("bv"))
+        .agg(count(lit(1)).as("_bf")).filter(col("_bf") <= cap)
+        .select(col("band"), col("bv"))
+      allBanded.join(cold, Seq("band", "bv"))
+    }
     val l = banded.select(col("band"), col("bv"), col("doc_id").as("a"),
       col("ph_hi").as("hi_a"), col("ph_lo").as("lo_a"))
     val r = banded.select(col("band"), col("bv"), col("doc_id").as("b"),

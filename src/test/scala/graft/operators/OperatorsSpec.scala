@@ -1210,6 +1210,34 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("phash hot-band cap: opt-in sheds hot-bucket pairs, keeps cold, default exact") {
+    import spark.implicits._
+    // 40 identical hashes (a degenerate blank-frame mass: every band
+    // bucket holds 40 rows → 780 true pairs of pure quadratic churn) plus
+    // one cold near-dup pair at Hamming 1 whose band values are disjoint
+    // from the hot mass
+    val hot = (1L to 40L).map(i => (i, 0x1111222233334444L, 0x5555666677778888L))
+    val cold = Seq(
+      (100L, 0x0a0a0b0b0c0c0d0dL, 0x0e0e0f0f01010202L),
+      (101L, 0x0a0a0b0b0c0c0d0dL, 0x0e0e0f0f01010203L))
+    val hashes = (hot ++ cold).toDF("doc_id", "ph_hi", "ph_lo")
+    val all = Multimodal.phashDupPairs(hashes).as[(Long, Long, Long)]
+      .collect().toSet
+    assert(all.count(p => p._1 <= 40 && p._2 <= 40) == 40 * 39 / 2)
+    assert(all.contains((100L, 101L, 1L)))
+    spark.conf.set("spark.graft.phash.maxBandFreq", "10")
+    try {
+      val capped = Multimodal.phashDupPairs(hashes).as[(Long, Long, Long)]
+        .collect().toSet
+      // the hot mass is shed entirely (all four of its bands exceed the
+      // cap); the cold pair's buckets have frequency 2 and survive
+      assert(capped == Set((100L, 101L, 1L)))
+    } finally spark.conf.unset("spark.graft.phash.maxBandFreq")
+    // unset again ⇒ exact results return
+    assert(Multimodal.phashDupPairs(hashes).as[(Long, Long, Long)]
+      .collect().toSet == all)
+  }
+
   test("voiceSegments ≡ straight-line islands over a crafted silence/tone blob") {
     import spark.implicits._
     // silence (pcm 128 ⇒ energy 0) — tone (228 ⇒ 10000/sample) — silence —
