@@ -41,16 +41,48 @@ object CdcMicroSoak {
       // the per-round micro-bench rows
       .config("spark.sql.files.maxPartitionBytes", (2 * 1024 * 1024).toString)
       .config("spark.sql.files.openCostInBytes", (256 * 1024).toString)
+      // non-numeric modes (scan/typed/argmax) still need a numeric value
+      // here; `typed` gets a raised one — the mode exists to measure the
+      // ObjectHashAggregate hash path, not its 128-key sort fallback
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        threshold)
+        threshold.toLongOption.map(_.toString)
+          .getOrElse(if (threshold == "typed") "10000000" else "128"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
       val nEvents = Tables.events(spark, sfDir).count()
-      def compacted() = graft.cdc.LatestState.batch(
-        graft.cdc.ChangelogGen.fromEvents(spark, sfDir).toDF(),
-        Seq("table", "key"), Seq("lsn", "seq"))
+      // `scan` instead of a threshold measures the generate-only floor:
+      // every envelope column is forced through a cheap one-row rollup
+      // (a bare count() lets Catalyst prune the whole projection down to
+      // parquet footer counts — 86M ev/s of nothing). The compaction
+      // overhead is the agg ev/s DELTA against this floor.
+      import org.apache.spark.sql.functions.{col, concat_ws, octet_length, sum}
+      def compacted() = threshold match {
+        case "scan" =>
+          graft.cdc.ChangelogGen.fromEvents(spark, sfDir).toDF()
+            .agg(sum(octet_length(concat_ws("",
+              col("op"), col("key"), col("after")))
+              + col("lsn") + col("seq")))
+        case "typed" =>
+          // TypedImperativeAggregate route (ObjectHashAggregate): pays an
+          // encoder round-trip per envelope but hashes instead of sorting
+          import spark.implicits._
+          graft.cdc.ChangelogGen.fromEvents(spark, sfDir)
+            .groupByKey(e => (e.table, e.key))
+            .agg(graft.cdc.LatestState.latestAggregator.toColumn)
+            .map(_._2).filter(_.op != graft.cdc.Op.Delete).toDF()
+        case "argmax" =>
+          // the two-pass bounded-state fast path, now first-class:
+          // LatestState.batchArgmax ((lsn, seq) packed — valid while
+          // seq < 2²⁰ and lsn < 2⁴³, true of every soak corpus)
+          graft.cdc.LatestState.batchArgmax(
+            graft.cdc.ChangelogGen.fromEvents(spark, sfDir).toDF(),
+            Seq("table", "key"), col("lsn") * 1048576L + col("seq"))
+        case _ => graft.cdc.LatestState.batch(
+          graft.cdc.ChangelogGen.fromEvents(spark, sfDir).toDF(),
+          Seq("table", "key"), Seq("lsn", "seq"))
+      }
       val plan = compacted().queryExecution.executedPlan.toString
       val aggNode =
         if (plan.contains("ObjectHashAggregate")) "ObjectHashAggregate"
@@ -64,7 +96,7 @@ object CdcMicroSoak {
         nEvents / ((System.nanoTime() - t0) / 1e9)
       }.sorted
       // scalastyle:off println
-      println(s"""{"metric":"cdc_micro_soak","threshold":$threshold,""" +
+      println(s"""{"metric":"cdc_micro_soak","threshold":"$threshold",""" +
         s""""agg_node":"$aggNode","n_events":$nEvents,"n_state":$nState,""" +
         s""""events_per_sec":${samples(1).toLong},""" +
         s""""samples":[${samples.map(_.toLong).mkString(",")}],""" +

@@ -580,6 +580,176 @@ object Multimodal {
       .distinct()
   }
 
+  /** 256-bit perceptual hash — the WIDE variant that removes the 64-bit
+    * path's corpus ceiling. The mm07 1000× soak proved the ceiling is
+    * arithmetic, not content: exact Hamming ≤ 3 over 64-bit hashes forces
+    * four 16-bit bands (pigeonhole), so band buckets have only 2¹⁶
+    * distinct values and occupancy grows as frames/65536 NO MATTER how
+    * well-spread the hashes are — candidate pairs grow as corpus²/2¹⁶
+    * (measured: 27.5M frames → ~420 rows/bucket → 4.6×10¹⁰ candidates,
+    * 857 s at 100×; 275M frames → ~4.6×10¹² candidates, a projected day
+    * of pair work at 1000×). Four 64-BIT bands give 2⁶⁴ values — bucket
+    * occupancy stays ~1 to ~10¹⁹ frames and candidate generation is
+    * output-bound again. 256 bits is also what production pHash dedup
+    * uses at web scale: 64-bit codes semantically collide long before
+    * the math does.
+    *
+    * Layout: 16×16 resize → 256 pixels thresholded against the mean; the
+    * 256 bits are stored as EIGHT 32-bit words (`p0`..`p7`, low bits
+    * first — word w holds pixels w·32..w·32+31 at value bits 0..31).
+    * 32-bit words keep every value non-negative and below 2³¹, so the
+    * DuckDB oracle can rebuild them with plain `1 << i` integer sums —
+    * the same cross-engine-parity discipline as [[PHash]]'s hi/lo split
+    * (a 64-bit word would need sign-bit arithmetic on both engines).
+    */
+  final case class PHash256(doc_id: Long,
+      p0: Long, p1: Long, p2: Long, p3: Long,
+      p4: Long, p5: Long, p6: Long, p7: Long)
+
+  /** Per-blob 256-bit perceptual hash (see [[PHash256]]). */
+  def perceptualHash256(blobs: DataFrame, batchSize: Int = 64,
+      codec: MediaCodec = StubCodec): Dataset[PHash256] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select("doc_id", "format", "blob")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, _, blob) =>
+            val px = codec.resize(blob, 16, 16).map(b => (b & 0xff).toLong)
+            val mean = px.sum / 256
+            val w = new Array[Long](8)
+            var i = 0
+            while (i < 256) {
+              if (px(i) > mean) w(i >> 5) |= 1L << (i & 31)
+              i += 1
+            }
+            PHash256(id, w(0), w(1), w(2), w(3), w(4), w(5), w(6), w(7))
+          }
+        }
+      }
+  }
+
+  /** Near-duplicate pairs over 256-bit hashes, Hamming ≤ `maxHamming`:
+    * four 64-bit bands (word pairs (p0,p1) (p2,p3) (p4,p5) (p6,p7), keyed
+    * as two 32-bit columns — no 64-bit band arithmetic anywhere), complete
+    * for `maxHamming` ≤ 3 by the same pigeonhole as [[phashDupPairs]].
+    * Band values range over 2⁶⁴, so bucket occupancy is ~1 until ~10¹⁹
+    * rows — candidate generation is output-bound at any realistic corpus,
+    * where the 64-bit path goes quadratic past ~10⁶ frames. Honors the
+    * same opt-in `spark.graft.phash.maxBandFreq` cap (real degenerate
+    * content — solid frames — still collides at ANY width). Returns
+    * (a, b, hamming), a < b.
+    *
+    * ONE exchange, no join: the first mm21 1000× attempt used the
+    * classic l/r band self-join — which materializes the fat banded
+    * relation (frames·4 rows × 8 words) TWICE through shuffles, plus a
+    * third pair-relation exchange for `distinct()` — and exhausted the
+    * harness volume at ~70 GB. Instead: group each band bucket once
+    * (`collect_list`, safe at occupancy ~1; the cap bounds degenerates),
+    * enumerate i<j pairs INSIDE the bucket with nested `transform`s
+    * (codegen, no shuffle), and emit a pair only in its FIRST matching
+    * band — each qualifying pair appears exactly once by construction,
+    * so the distinct() exchange disappears too.
+    */
+  def phash256DupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"banding over 4 bands is only complete for maxHamming ≤ 3: $maxHamming")
+    val ws = (0 to 7).map(i => col(s"p$i"))
+    val banded = hashes.select(col("doc_id") +: ws :+
+        posexplode(array((0 to 3).map(b =>
+          struct(col(s"p${2 * b}").as("v1"), col(s"p${2 * b + 1}").as("v2"))): _*)): _*)
+      .select(col("pos").as("band"), col("col.v1").as("bv1"),
+        col("col.v2").as("bv2"),
+        struct(col("doc_id") +: ws: _*).as("h"))
+    val cap = hashes.sparkSession.conf
+      .get("spark.graft.phash.maxBandFreq", "0").toLong
+    val buckets = banded.groupBy(col("band"), col("bv1"), col("bv2"))
+      .agg(collect_list(col("h")).as("rows"))
+      .filter(size(col("rows")) > 1)
+    val capped = if (cap <= 0) buckets
+      else buckets.filter(size(col("rows")) <= cap)
+    // i<j pairs inside SMALL buckets — generated in a projection, no join.
+    // The nested transform materializes a bucket's full pair array per
+    // output row, so it is bounded to buckets of ≤ 64 rows (≈ all of them
+    // at 2⁶⁴ band values — measured occupancy ~1); the rare hot bucket
+    // (degenerate content: an all-space frame hashes to the all-zero code
+    // in every replica — the 8 g harness OOM'd on exactly that at 100×)
+    // streams through a self-join instead, whose sort-merge buffer holds
+    // one bucket side, not the pair product. Both branches are exact and
+    // emit-once; the union is disjoint by the size split.
+    val enumMax = 64
+    val small = capped.filter(size(col("rows")) <= enumMax)
+    val hot = capped.filter(size(col("rows")) > enumMax)
+    val smallPairs = small.select(col("band"),
+      explode(flatten(transform(col("rows"), (x, i) =>
+        transform(slice(col("rows"), i + lit(2),
+            greatest(size(col("rows")) - i - 1, lit(0))),
+          y => struct(x.as("x"), y.as("y")))))).as("pr"))
+      .select(col("band"), col("pr.x").as("x"), col("pr.y").as("y"))
+    val hotRows = hot.select(col("band"), col("bv1"), col("bv2"),
+      explode(col("rows")).as("h"))
+    val hotPairs = hotRows.alias("l")
+      .join(hotRows.alias("r"), Seq("band", "bv1", "bv2"))
+      .filter(col("l.h.doc_id") < col("r.h.doc_id"))
+      .select(col("band"), col("l.h").as("x"), col("r.h").as("y"))
+    val pairs = smallPairs.unionByName(hotPairs)
+      .filter(col("x.doc_id") =!= col("y.doc_id"))
+    val ham = (0 to 7).map(i =>
+        bit_count(col(s"x.p$i").bitwiseXOR(col(s"y.p$i"))))
+      .reduce(_ + _).cast("long")
+    // emit-once: a pair surfaces only in the smallest band both share —
+    // band b requires some word of every band b' < b to differ
+    def bandsDiffer(b: Int) = (0 until b).map(bp =>
+        col(s"x.p${2 * bp}") =!= col(s"y.p${2 * bp}") ||
+        col(s"x.p${2 * bp + 1}") =!= col(s"y.p${2 * bp + 1}"))
+      .foldLeft(lit(true))(_ && _)
+    val firstBand = (1 to 3).foldLeft(when(col("band") === 0, lit(true))) {
+      (w, b) => w.when(col("band") === b, bandsDiffer(b)) }.otherwise(lit(false))
+    pairs.filter(firstBand)
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("b"),
+        ham.as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Video near-dup by shared frame hashes over the WIDE 256-bit path —
+    * [[videoDupPairs]] with [[perceptualHash256]]/[[phash256DupPairs]]
+    * swapped in (frames default to 256 bytes: the 16×16 resize then reads
+    * every byte once). Same contract: (a, b, n_frame_matches), a < b,
+    * ≥ `minShared` matching frame pairs.
+    *
+    * Two frame-QA exclusions keep the match signal meaningful AND kill
+    * the degenerate hot buckets at scale (both restated by the mm21
+    * oracle): frames with fewer than `minFrameBytes` source bytes are
+    * skipped (a sub-resolution tail frame resizes to near-constant
+    * pixels — a 1-byte frame is 256 copies of one value — and "matches"
+    * every other short frame), and constant frames (no pixel above the
+    * mean ⇒ the all-zero code) are skipped after hashing. At 100× soak
+    * scale the all-zero bucket alone held tens of thousands of tail
+    * frames — quadratic churn with zero dedup information.
+    */
+  def videoDupPairs256(blobs: DataFrame, frameBytes: Int = 256,
+      maxHamming: Int = 3, minShared: Int = 3, batchSize: Int = 64,
+      minFrameBytes: Int = 64, codec: MediaCodec = StubCodec): DataFrame = {
+    val frames = frameSample(blobs, frameBytes, every = 1, batchSize, codec)
+    val frameBlobs = frames.toDF()
+      .filter(octet_length(col("frame")) >= minFrameBytes)
+      .select(
+        (col("doc_id") * 1000000L + col("frame_idx")).as("doc_id"),
+        lit("frame").as("format"), col("frame").as("blob"))
+    val hashes = perceptualHash256(frameBlobs, batchSize, codec).toDF()
+      // words are 32-bit non-negative ⇒ sum > 0 ⟺ some bit set
+      .filter((0 to 7).map(i => col(s"p$i")).reduce(_ + _) > 0)
+    phash256DupPairs(hashes, maxHamming)
+      .select(expr("a div 1000000").as("va"), expr("b div 1000000").as("vb"))
+      .filter(col("va") =!= col("vb"))
+      .groupBy(col("va"), col("vb"))
+      .agg(count(lit(1)).as("n_frame_matches"))
+      .filter(col("n_frame_matches") >= minShared)
+      .select(col("va").as("a"), col("vb").as("b"), col("n_frame_matches"))
+  }
+
   /** AUDIO FINGERPRINTING (the Shazam landmark shape): consecutive-window
     * feature pairs become compact hashes, and a clip matches a track when
     * MANY of its hashes agree at ONE CONSISTENT window offset — the

@@ -1253,6 +1253,67 @@ object VectorQueries {
         frameBytes = 64, maxHamming = 3, minShared = 3)
     },
 
+    // --- WIDE-HASH video near-dup (mm21): mm07's pipeline over the
+    // --- 256-bit perceptual hash — the path that survives web scale. The
+    // --- mm07 1000× soak proved the 64-bit ceiling is arithmetic: exact
+    // --- Hamming ≤ 3 forces four 16-bit bands, 2¹⁶ bucket values, and
+    // --- candidate pairs ~ corpus²/2¹⁶ however well-spread the hashes
+    // --- (857 s at 100×, a projected day at 1000×). Four 64-BIT bands
+    // --- (word pairs, keyed as two 32-bit columns for oracle parity)
+    // --- keep occupancy ~1 to ~10¹⁹ frames. Same planted corpus as
+    // --- mm07; 256-byte frames (the 16×16 resize reads each byte once);
+    // --- minShared = 1 since most docs hold 1–2 wide frames. Oracle
+    // --- restates the slicing, the two frame-QA exclusions (< 64 source
+    // --- bytes; constant all-zero code), 256-pixel walk, 8×32-bit word
+    // --- packing, and brute frame-pair Hamming join. --------------------
+    q("mm21_video_dedup_wide",
+      """WITH pcorp AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL SELECT doc_id+600000, text FROM documents
+        |    WHERE doc_id % 2 = 0 AND doc_id % 6 = 0
+        |  UNION ALL SELECT doc_id+700000,
+        |    substr(text,1,80) || 'Q' || substr(text,82)
+        |    FROM documents WHERE doc_id % 2 = 0 AND doc_id % 4 = 0),
+        |a AS (SELECT doc_id, text FROM pcorp
+        |  WHERE strlen(text) = length(text) AND strlen(text) > 0),
+        |f AS (SELECT doc_id,
+        |    unnest(generate_series(0, CAST((strlen(text)+255)//256 AS BIGINT)-1)) AS idx,
+        |    text FROM a),
+        |fr0 AS (SELECT doc_id, idx,
+        |    substr(text, CAST(idx*256 AS INT)+1, 256) AS fr FROM f),
+        |fr AS (SELECT * FROM fr0 WHERE strlen(fr) >= 64),
+        |px AS (SELECT doc_id, idx,
+        |  [CAST(unicode(substr(fr, CAST((i*strlen(fr))//256 AS INT)+1, 1)) AS BIGINT)
+        |    for i in generate_series(0, 255)] AS px FROM fr),
+        |mn AS (SELECT doc_id, idx, px, CAST(list_sum(px)//256 AS BIGINT) AS mean FROM px),
+        |ph0 AS (SELECT doc_id, idx,
+        |  [CAST(list_sum([CASE WHEN px[w*32+i+1] > mean THEN CAST(1 AS BIGINT) << i
+        |    ELSE CAST(0 AS BIGINT) END for i in generate_series(0, 31)]) AS BIGINT)
+        |    for w in generate_series(0, 7)] AS w FROM mn),
+        |ph AS (SELECT * FROM ph0 WHERE list_sum(w) > 0)
+        |SELECT p.doc_id AS a, q.doc_id AS b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_frame_matches
+        |FROM ph p JOIN ph q ON p.doc_id < q.doc_id
+        |WHERE CAST(list_sum([bit_count(xor(p.w[k+1], q.w[k+1]))
+        |    for k in generate_series(0, 7)]) AS BIGINT) <= 3
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 1""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).filter(col("doc_id") % 2 === 0)
+        .select("doc_id", "text")
+      val planted = docs
+        .unionByName(docs.filter(col("doc_id") % 6 === 0)
+          .select((col("doc_id") + 600000).as("doc_id"), col("text")))
+        .unionByName(docs.filter(col("doc_id") % 4 === 0)
+          .select((col("doc_id") + 700000).as("doc_id"),
+            concat(substring(col("text"), 1, 80), lit("Q"),
+              expr("substring(text, 82)")).as("text")))
+      val ascii = planted
+        .filter(octet_length(col("text")) === length(col("text")) &&
+          octet_length(col("text")) > 0)
+        .withColumn("fmt", lit("vid"))
+      Multimodal.videoDupPairs256(Multimodal.withBlob(ascii, "text", "fmt"),
+        frameBytes = 256, maxHamming = 3, minShared = 1)
+    },
+
     // --- energy-gated VAD segmentation (mm09): maximal runs of
     // --- above-threshold audio windows become segments — the step that
     // --- keeps transcription off the silence, composed from mm05's

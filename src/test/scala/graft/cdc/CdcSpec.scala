@@ -65,6 +65,39 @@ class CdcSpec extends AnyFunSuite {
     assert(viaAggregator == viaMaxBy)
   }
 
+  test("batchArgmax fast path ≡ batch; sort-free plan; loud fallback past key budget") {
+    import spark.implicits._
+    val ord = col("lsn") * 1048576L + col("seq")
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.as[CdcEvent].collect().sortBy(_.key).toSeq
+    val viaBatch = sorted(
+      LatestState.batch(script.toDF(), Seq("table", "key"), Seq("lsn", "seq")))
+    val fast = LatestState.batchArgmax(script.toDF(), Seq("table", "key"), ord)
+    assert(sorted(fast) == viaBatch)
+    // the point of the path: a primitive-buffer HashAggregate + broadcast
+    // join-back — no SortAggregate anywhere (batch()'s struct max_by
+    // buffer forces one and sorts the full event volume per partition)
+    val plan = fast.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortAggregate"), plan)
+    // keepDeleted + asOfLsn parity
+    assert(sorted(LatestState.batchArgmax(script.toDF(), Seq("table", "key"),
+        ord, keepDeleted = true)) ==
+      sorted(LatestState.batch(script.toDF(), Seq("table", "key"),
+        Seq("lsn", "seq"), keepDeleted = true)))
+    assert(sorted(LatestState.batchArgmax(script.toDF(), Seq("table", "key"),
+        ord, asOfLsn = Some(4L))) ==
+      sorted(LatestState.batch(script.toDF(), Seq("table", "key"),
+        Seq("lsn", "seq"), asOfLsn = Some(4L))))
+    // past the key budget: identical results via the sort-path fallback
+    spark.conf.set("spark.graft.latestState.argmaxMaxKeys", "1")
+    try {
+      val fb = LatestState.batchArgmax(script.toDF(), Seq("table", "key"), ord)
+      assert(sorted(fb) == viaBatch)
+      assert(!fb.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    } finally spark.conf.unset("spark.graft.latestState.argmaxMaxKeys")
+  }
+
   test("streaming compaction (flatMapGroupsWithState) agrees with batch") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

@@ -1210,6 +1210,49 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("phash256: banded pairs ≡ brute force; exact copies at Hamming 0; cap honored") {
+    import spark.implicits._
+    val base = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).limit(100)
+    val blobs = Multimodal.withBlob(
+      base.unionByName(base.filter(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 1000L).as("doc_id"), col("text")))
+        .withColumn("fmt", lit("img")), "text", "fmt")
+    val hashes = Multimodal.perceptualHash256(blobs, batchSize = 7).toDF()
+    val got = Multimodal.phash256DupPairs(hashes, maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val copies = base.filter(col("doc_id") % 9 === 0)
+      .select("doc_id").as[Long].collect()
+    copies.foreach(id => assert(got.contains((id, id + 1000L, 0L)),
+      s"missing exact-copy pair for $id"))
+    // completeness: banded ≡ brute over the full 256 bits
+    val hs = hashes.as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect()
+    def words(h: (Long, Long, Long, Long, Long, Long, Long, Long, Long)) =
+      Seq(h._2, h._3, h._4, h._5, h._6, h._7, h._8, h._9)
+    val brute = (for {
+      a <- hs; b <- hs if a._1 < b._1
+      d = words(a).zip(words(b)).map { case (x, y) =>
+        java.lang.Long.bitCount(x ^ y) }.sum
+      if d <= 3
+    } yield (a._1, b._1, d.toLong)).toSet
+    assert(got == brute)
+    // every 32-bit word stays in [0, 2^31) — the oracle-parity contract
+    hs.foreach(h => words(h).foreach(w => assert(w >= 0L && w < (1L << 32))))
+    // the hot-band cap conf is honored on the wide path too
+    spark.conf.set("spark.graft.phash.maxBandFreq", "1")
+    try {
+      val capped = Multimodal.phash256DupPairs(hashes).as[(Long, Long, Long)]
+        .collect().toSet
+      // planted exact copies occupy their buckets in pairs (freq 2 > 1):
+      // all shed; nothing else at Hamming ≤ 3 among distinct docs survives
+      assert(!capped.exists(p => copies.contains(p._1) && p._2 == p._1 + 1000L))
+    } finally spark.conf.unset("spark.graft.phash.maxBandFreq")
+    intercept[IllegalArgumentException] {
+      Multimodal.phash256DupPairs(hashes, maxHamming = 4)
+    }
+  }
+
   test("phash hot-band cap: opt-in sheds hot-bucket pairs, keeps cold, default exact") {
     import spark.implicits._
     // 40 identical hashes (a degenerate blank-frame mass: every band
