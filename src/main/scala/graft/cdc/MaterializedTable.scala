@@ -628,11 +628,18 @@ object MaterializedTable {
         parseManifest(json)
       }
     // fail loudly if any referenced bucket was GC'd from under the snapshot
+    // — ONE listStatus per distinct version directory instead of a per-
+    // bucket exists() sweep (O(versions) metadata calls, not O(buckets))
     val (fs, _) = fsOf(spark, dir)
-    val gone = m.buckets.toSeq.sortBy(_._1).collectFirst {
-      case (b, bv) if !fs.exists(
-        new org.apache.hadoop.fs.Path(s"$dir/v$bv/_bucket=$b")) => (b, bv)
-    }
+    val gone = m.buckets.toSeq.groupBy(_._2).toSeq.sortBy(_._1)
+      .iterator.flatMap { case (bv, bs) =>
+        val present: Set[String] =
+          try fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/v$bv"))
+            .iterator.map(_.getPath.getName).toSet
+          catch { case _: java.io.FileNotFoundException => Set.empty[String] }
+        bs.iterator.map(_._1).filterNot(b => present.contains(s"_bucket=$b"))
+          .map(b => (b, bv))
+      }.toSeq.sortBy(_._1).headOption
     gone.foreach { case (b, bv) =>
       throw new IllegalStateException(
         s"version $v of $dir is no longer fully materialized (bucket $b@" +
@@ -725,7 +732,12 @@ object MaterializedTable {
     byVersion.toSeq.sortBy(_._1).map { case (v, bs) =>
       val base = s"$dir/v$v"
       val paths = bs.keys.toSeq.sorted.map(b => s"$base/_bucket=$b")
-      spark.read.option("mergeSchema", "true").option("basePath", base)
+      // no mergeSchema: every file under one version directory was written
+      // by that version's single commit job and shares one schema, so one
+      // footer read resolves the group — mergeSchema would read EVERY
+      // file's footer at plan time (O(buckets) driver-side IO per plan).
+      // Cross-VERSION schema drift is what the unionByName below handles.
+      spark.read.option("basePath", base)
         .parquet(paths: _*)
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
@@ -781,30 +793,56 @@ object MaterializedTable {
       if (prior.exists(_.lastBatchId >= id)) return 0
     }
     val (fs, _) = fsOf(spark, dir)
+    graft.BenchPhase.count("mt_merge")
     // persist: the updates plan feeds both the touched-bucket collect and the
     // combine/write — without this it would execute twice
     val incoming = updates.withColumn("_bucket", bucketCol(bucketKeyCols, numBuckets))
       .persist()
     try {
-      val touched = incoming.select("_bucket").distinct()
-        .collect().map(_.getInt(0)).sorted
+      val touched = graft.BenchPhase.time("mt_touched") {
+        incoming.select("_bucket").distinct()
+          .collect().map(_.getInt(0)).sorted
+      }
       val combined = prior match {
         case Some(m) =>
           readBuckets(spark, dir, m, touched.toIndexedSeq)
             .unionByName(incoming, allowMissingColumns = true)
         case None => incoming.toDF()
       }
-      val out = combine(combined)
-        .localCheckpoint() // computed twice below (write + bucket list)
+      // Hash-distribute the compacted state by _bucket before the write
+      // (Iceberg's write.distribution-mode=hash, and its default for
+      // partitioned writes): exactly ONE file per bucket instead of one
+      // file per (writer task × bucket) — the bucket IS the unit of IO on
+      // this layout, so a bucket's state belongs in one sequentially-
+      // readable file (row groups keep scan parallelism within it), and
+      // the tiny-batch case stops paying numBuckets sequential parquet-
+      // writer inits on a single task. Cost: one extra exchange of the
+      // compacted state per merge — the accepted price of the hash
+      // distribution mode; `spark.graft.materialized.writeDistribution =
+      // none` restores the undistributed write (same results, more
+      // smaller files). The result is persisted (not localCheckpoint'ed):
+      // the write action below materializes the cache as a side effect,
+      // so the bucket-stats pass reads the cache with NO separate
+      // materialization job — one fewer job per merge at identical
+      // results.
+      val compacted = combine(combined)
+      val out = (if (spark.conf.get(
+          "spark.graft.materialized.writeDistribution", "hash") == "none")
+        compacted
+      else compacted.repartition(numBuckets, col("_bucket"))).persist()
       val newV = prior.map(_.version + 1).getOrElse(1L)
       // stage under a unique dir; the CAS commit below renames it into place
       val stage = stagePath(dir, newV)
-      out.write.mode("append").partitionBy("_bucket").parquet(stage.toString)
-      // ONE grouped pass over the checkpointed result yields both the
+      graft.BenchPhase.time("mt_write") {
+        out.write.mode("append").partitionBy("_bucket").parquet(stage.toString)
+      }
+      // ONE grouped pass over the cached result yields both the
       // written-bucket set (what the old select-distinct collected) and the
       // per-bucket statistics — same shuffle shape, O(numBuckets) rows to
       // the driver, no extra job
-      val writtenStats = bucketStats(out, statsCols)
+      val writtenStats = graft.BenchPhase.time("mt_stats") {
+        bucketStats(out, statsCols) }
+      out.unpersist()
       val written = writtenStats.keySet
       val oldBuckets = prior.map(_.buckets).getOrElse(Map.empty)
       val newBuckets = (oldBuckets -- touched) ++ written.map(_ -> newV)
@@ -817,9 +855,11 @@ object MaterializedTable {
         batchId.getOrElse(-1L))
       // COMMIT — CAS claim + staging rename + primary swap; a concurrent
       // winner makes this throw ConcurrentCommitException (staging deleted)
-      commitStaged(spark, dir, stage,
-        Manifest(newV, newWatermark, out.schema.json, newBuckets,
-          numBuckets, bucketKeyCols, newStats))
+      graft.BenchPhase.time("mt_commit") {
+        commitStaged(spark, dir, stage,
+          Manifest(newV, newWatermark, out.schema.json, newBuckets,
+            numBuckets, bucketKeyCols, newStats))
+      }
       // post-commit GC of superseded bucket dirs (best-effort: a failure
       // here leaves unreferenced files for vacuum(), never corruption).
       // With a retention window configured, GC defers ENTIRELY to vacuum()
@@ -950,12 +990,14 @@ object MaterializedTable {
     * the threshold are neither read nor written. Returns the number of
     * buckets compacted.
     *
-    * Why this exists at 100 TB: each merge writes a touched bucket from up
-    * to `spark.sql.shuffle.partitions` tasks, so a standing table
-    * accumulates O(shufflePartitions) files per bucket per merge cycle —
-    * and scan cost (footer reads, task scheduling) degrades with file
-    * count, not data size. This is the OPTIMIZE/bin-packing maintenance
-    * operation of transactional lakehouse formats, on plain parquet.
+    * Why this exists at 100 TB: under the default hash write distribution
+    * a merge already emits one file per touched bucket, but tables written
+    * with `spark.graft.materialized.writeDistribution = none` accumulate
+    * O(shufflePartitions) files per bucket per merge cycle — and scan cost
+    * (footer reads, task scheduling) degrades with file count, not data
+    * size. This is the OPTIMIZE/bin-packing maintenance operation of
+    * transactional lakehouse formats, on plain parquet; with `sortCols` it
+    * is also the clustering (ZORDER-style) rewrite regardless of layout.
     *
     * Shape: one job for all oversized buckets — `repartition(col(_bucket))`
     * hash-clusters each bucket wholly into one task, so the partitioned
@@ -995,10 +1037,12 @@ object MaterializedTable {
     if (oversized.isEmpty) return 0
     val repartitioned = readBuckets(spark, dir, m, oversized)
       .repartition(oversized.size, col("_bucket"))
-    val out = (if (sortCols.isEmpty) repartitioned
+    // no checkpoint/cache: the write below is the ONLY action on this plan
+    // (everything read afterwards — out.schema — is metadata), so the old
+    // localCheckpoint materialized the whole rewrite twice for nothing
+    val out = if (sortCols.isEmpty) repartitioned
       else repartitioned.sortWithinPartitions(
-        (col("_bucket") +: sortCols.map(col)): _*))
-      .localCheckpoint()
+        (col("_bucket") +: sortCols.map(col)): _*)
     val newV = m.version + 1
     val stage = stagePath(dir, newV)
     out.write.mode("append").partitionBy("_bucket").parquet(stage.toString)
@@ -1035,8 +1079,29 @@ object MaterializedTable {
   def changeFeed(spark: SparkSession, dir: String, fromV: Long, toV: Long,
       keyCols: Seq[String]): DataFrame = {
     require(fromV < toV, s"fromV ($fromV) must precede toV ($toV)")
-    val before = readVersion(spark, dir, fromV)
-    val after = readVersion(spark, dir, toV)
+    // MANIFEST-DIFF PRUNING: a bucket mapped to the SAME version directory
+    // in both snapshots references the same immutable files — its keys
+    // cannot have diverged, so neither side needs to read it. The filter
+    // rides the _bucket partition column (partition pruning at the scan),
+    // so unchanged buckets' data files are never opened and the feed's IO
+    // is O(touched buckets), not O(table) — while the plan keeps the full
+    // snapshot schema (pruning removes files, never columns).
+    val mFrom = manifestAt(spark, dir, fromV)
+    val mTo = manifestAt(spark, dir, toV)
+    val changed = (mFrom.buckets.keySet ++ mTo.buckets.keySet)
+      .filter(b => mFrom.buckets.get(b) != mTo.buckets.get(b))
+      .toSeq.sorted
+    def snapshot(m: Manifest): DataFrame = {
+      val full =
+        if (m.buckets.isEmpty) emptyFromSchema(spark, m)
+        else readBuckets(spark, dir, m, m.buckets.keys.toSeq)
+      (if (full.columns.contains("_bucket"))
+        full.where(col("_bucket").isin(changed.map(Integer.valueOf): _*))
+          .drop("_bucket")
+      else full)
+    }
+    val before = snapshot(mFrom)
+    val after = snapshot(mTo)
     // payload = the UNION of both snapshots' columns, so the feed stays
     // correct across schema evolution inside the window: a column ADDED
     // between fromV and toV reads as null on the before side (and a key

@@ -1246,13 +1246,15 @@ object CdcQueries {
         |SELECT user_id, event_id AS last_lsn, value AS last_value,
         |  TRUE AS compacted_ok
         |FROM ranked WHERE rn = 1 AND event_type <> 'error'""".stripMargin) { (s, d) =>
-      // own session with AQE partition-coalescing OFF: at gate scale AQE
-      // folds the tiny merge shuffles to one task, so every bucket would
-      // already hold a single file and there would be no small-file
-      // pathology to compact — on a production-size merge each bucket
-      // collects one file per writing task, which is what this reproduces
+      // own session with AQE partition-coalescing OFF and the legacy
+      // undistributed write: the default hash write distribution now emits
+      // one file per bucket at every scale (nothing left to compact), so
+      // the small-file pathology this gate exercises is staged explicitly
+      // with writeDistribution=none — the pre-r15 merge layout, where each
+      // bucket collects one file per writing task
       val s2 = s.newSession()
       s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      s2.conf.set("spark.graft.materialized.writeDistribution", "none")
       val env = ChangelogGen.fromEvents(s2, d).toDF()
         .select(col("op"), col("key"), col("lsn"), col("seq"),
           get_json_object(col("after"), "$.value").cast("double").as("value"))
@@ -2913,6 +2915,9 @@ object CdcQueries {
         |UNION ALL SELECT 'after', 4, 3, 6, (SELECT n FROM n3), TRUE""".stripMargin) { (s, d) =>
       val s2 = s.newSession()
       s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // stage the small-file pathology explicitly (see cdc45): the default
+      // hash write distribution would leave nothing for compact() to do
+      s2.conf.set("spark.graft.materialized.writeDistribution", "none")
       s2.conf.set("spark.graft.materialized.retainVersions", "2")
       val env = ChangelogGen.fromEvents(s2, d).toDF()
         .select(col("op"), col("key"), col("lsn"), col("seq"),

@@ -443,8 +443,11 @@ class MaterializedTableSpec extends AnyFunSuite {
   test("filesPerBucket resolves through the manifest; compaction drives it to one file per bucket") {
     import spark.implicits._
     val s2 = spark.newSession()
-    // keep the write multi-file: no AQE partition coalescing
+    // keep the write multi-file: no AQE partition coalescing, and the
+    // legacy undistributed write (the default hash distribution emits one
+    // file per bucket, which is pinned separately below)
     s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s2.conf.set("spark.graft.materialized.writeDistribution", "none")
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("mt_fpb").toString + "/t"
     val rows = (1 to 64).map(i => ev("insert", s"k$i", i.toLong, s"v$i"))
@@ -459,6 +462,24 @@ class MaterializedTableSpec extends AnyFunSuite {
     val after = MaterializedTable.filesPerBucket(s2, dir)
     assert(after == Map(0 -> 1, 1 -> 1), s"one file per bucket after OPTIMIZE: $after")
     // content survived the move
+    assert(MaterializedTable.read(s2, dir).count() == 64)
+  }
+
+  test("default hash write distribution: a merge emits ONE file per touched bucket") {
+    import spark.implicits._
+    val s2 = spark.newSession()
+    // even with coalescing off and a deliberately scattered input, the
+    // hash distribution clusters each bucket into one writer task
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("mt_hash").toString + "/t"
+    val rows = (1 to 64).map(i => ev("insert", s"k$i", i.toLong, s"v$i"))
+    MaterializedTable.merge(s2, dir,
+      rows.toDF().repartition(8, col("key")),
+      Seq("key"), Seq("lsn", "seq"), numBuckets = 2)
+    val fpb = MaterializedTable.filesPerBucket(s2, dir)
+    assert(fpb == Map(0 -> 1, 1 -> 1),
+      s"hash write distribution should emit one file per bucket: $fpb")
     assert(MaterializedTable.read(s2, dir).count() == 64)
   }
 }
