@@ -16,9 +16,48 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     for (name <- args.tail) {
-      println(s"\n===== $name =====")
-      SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      if (name == "--merge-write") dumpMergeWritePlan(spark, sfDir)
+      else {
+        println(s"\n===== $name =====")
+        SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      }
     }
     spark.stop()
+  }
+
+  /** The MaterializedTable.merge write job's EXECUTED plan (the gate
+    * functions run merges eagerly, so the returned-DataFrame explain cannot
+    * show it): stage two merges into a temp table — the second one exercises
+    * the read-existing-state ∪ incoming path — and print every parquet-write
+    * plan a QueryExecutionListener observes.
+    */
+  private def dumpMergeWritePlan(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        if (qe.analyzed.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.logical.Command] &&
+            qe.toString.contains("InsertIntoHadoopFsRelation"))
+          plans.add(qe.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val env = graft.cdc.ChangelogGen.fromEvents(spark, sfDir).toDF()
+    val mx = env.agg(max(col("lsn"))).head().getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("planaudit").toString + "/t"
+    graft.cdc.MaterializedTable.merge(spark, dir,
+      env.filter(col("lsn") < mx / 2), Seq("key"), Seq("lsn", "seq"))
+    plans.clear() // keep only the second merge: existing ∪ incoming
+    graft.cdc.MaterializedTable.merge(spark, dir,
+      env.filter(col("lsn") >= mx / 2), Seq("key"), Seq("lsn", "seq"))
+    Thread.sleep(2000) // QueryExecutionListener fires async on the bus
+    spark.listenerManager.unregister(listener)
+    println(s"\n===== merge write (second merge: existing state ∪ incoming) =====")
+    plans.forEach(p => println(p))
   }
 }

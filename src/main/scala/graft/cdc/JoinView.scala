@@ -220,11 +220,15 @@ object JoinView {
     // batchId threads into the latest-table manifests too — ONE watermark
     // discipline across all three standing tables (the newer-of combine is
     // idempotent anyway, so the guard only saves the retried IO)
+    // fused bucket exchange (MaterializedTable.merge's argument): newer-of
+    // has per-key multiplicity ~1, and _bucket is key-functional — grouping
+    // by (_bucket, keys) over bucket-distributed input runs the compaction
+    // and the bucketed write off one exchange
     MaterializedTable.mergeBuckets(spark, dir, updates, side.keyCols,
-      numBuckets, batchId) {
+      numBuckets, batchId, fuseBucketExchange = true) {
       combined =>
         val others = combined.columns.filterNot(side.keyCols.contains)
-        combined.groupBy(side.keyCols.map(col): _*)
+        combined.groupBy(("_bucket" +: side.keyCols).map(col): _*)
           .agg(max_by(struct(others.map(col).toIndexedSeq: _*), col("_o")).as("_v"))
           .select(side.keyCols.map(col) :+ col("_v.*"): _*)
     }
@@ -362,8 +366,12 @@ object JoinView {
           .select(viewCols.map(col) :+ dB("dn").as("n"): _*))
     // batchId threads into the view manifest: the watermark commits in the
     // SAME atomic rename as the data, so a retried view fold is a no-op
+    // the view fold's grouping already carries _bucket and a delta batch's
+    // per-group multiplicity is the handful of ±1 join rows, so the fused
+    // bucket exchange wins here too (see MaterializedTable.merge)
     val touched = MaterializedTable.mergeBuckets(spark, s"$dir/view", dV,
-      Seq(a.joinCol), numBuckets, Some(batchId)) { combined =>
+      Seq(a.joinCol), numBuckets, Some(batchId),
+      fuseBucketExchange = true) { combined =>
         combined.groupBy((viewCols :+ "_bucket").map(col): _*)
           .agg(sum(col("n")).as("n"))
           .filter(col("n") > 0)

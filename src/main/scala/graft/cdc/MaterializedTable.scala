@@ -711,9 +711,19 @@ object MaterializedTable {
     // existing state re-enters compaction as the baseline: it must never
     // win against a genuinely newer incoming row, and vice versa — both
     // carry their original order columns, so plain compaction is correct.
+    // fuseBucketExchange: latest-state compaction has per-key multiplicity
+    // ~1 (existing state is exactly one row per key; the incoming batch a
+    // few), so map-side partial aggregation saves nothing — grouping by
+    // (_bucket, keys) over input already hash-distributed by _bucket lets
+    // ONE exchange serve both the compaction and the bucketed write
+    // (2 Exchange → 1; _bucket is key-functional, so the groups are
+    // identical). Additive folds with high per-group multiplicity
+    // (IncrementalAgg.foldStanding) keep the aggregate-before-shuffle
+    // two-exchange shape instead.
     mergeBuckets(spark, dir, updates, keyCols, numBuckets, batchId,
-      statsCols) { combined =>
-      LatestState.batch(combined, keyCols, orderCols, opCol, keepDeleted = false)
+      statsCols, fuseBucketExchange = true) { combined =>
+      LatestState.batch(combined, "_bucket" +: keyCols, orderCols, opCol,
+        keepDeleted = false)
     }
   }
 
@@ -775,7 +785,8 @@ object MaterializedTable {
     */
   private[cdc] def mergeBuckets(spark: SparkSession, dir: String,
       updates: DataFrame, bucketKeyCols: Seq[String], numBuckets: Int,
-      batchId: Option[Long] = None, statsCols: Seq[String] = Nil)(
+      batchId: Option[Long] = None, statsCols: Seq[String] = Nil,
+      fuseBucketExchange: Boolean = false)(
       combine: DataFrame => DataFrame): Int = {
     val prior = readManifest(spark, dir)
     // a different numBuckets re-assigns every key's bucket — merging under
@@ -825,11 +836,37 @@ object MaterializedTable {
       // so the bucket-stats pass reads the cache with NO separate
       // materialization job — one fewer job per merge at identical
       // results.
-      val compacted = combine(combined)
-      val out = (if (spark.conf.get(
-          "spark.graft.materialized.writeDistribution", "hash") == "none")
-        compacted
-      else compacted.repartition(numBuckets, col("_bucket"))).persist()
+      val distMode = spark.conf.get(
+        "spark.graft.materialized.writeDistribution", "hash")
+      // EXCHANGE FUSION (callers with per-key multiplicity ~1): hash-
+      // distribute the INPUT by _bucket and let the caller's combine group
+      // by (_bucket, keys) — HashPartitioning(_bucket) satisfies the
+      // grouping's ClusteredDistribution (subset rule), so the plan runs
+      // compaction AND the bucketed write off ONE exchange where the
+      // unfused shape pays two (agg re-key + write re-key), and the one
+      // exchange carries ≈ the same bytes the first of the two did.
+      val fuse = fuseBucketExchange && distMode == "hash"
+      val compacted = combine(
+        if (fuse) combined.repartition(numBuckets, col("_bucket"))
+        else combined)
+      // `rebalance` (measured-NEGATIVE experiment variant, kept conf-gated
+      // for cluster-scale re-testing): the REBALANCE hint instead of a
+      // fixed repartition(numBuckets) — AQE sizes the write tasks from the
+      // exchange's RUNTIME bytes, which needs AQE allowed to change the
+      // cached plan's output partitioning. On the 12-gate merge subset at
+      // sf0.1 this read 105.0 s vs 86.0 s for `hash` (same healthy window,
+      // back-to-back): the per-job AQE re-planning on every merge write
+      // outweighs task coalescing at gate scale. File-per-bucket would be
+      // preserved either way (the dynamic partitionBy writer splits each
+      // task's output per _bucket value).
+      if (distMode == "rebalance") spark.conf.set(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      val out = (distMode match {
+        case "none" => compacted
+        case "rebalance" => compacted.hint("rebalance", col("_bucket"))
+        case _ if fuse => compacted // already distributed by _bucket above
+        case _ => compacted.repartition(numBuckets, col("_bucket"))
+      }).persist()
       val newV = prior.map(_.version + 1).getOrElse(1L)
       // stage under a unique dir; the CAS commit below renames it into place
       val stage = stagePath(dir, newV)

@@ -19,6 +19,23 @@ object CdcQueries {
 
   private val opSql = ChangelogGen.opSql
 
+  /** ONE-PARSE payload decode (optimization guide §2.3/§4.1 — the changelog
+    * decode is the hottest row-level op in the family): gates that read two
+    * fields of the `after` JSON used to run two independent
+    * `get_json_object` calls — two full Jackson passes per row. `_af` is a
+    * single `from_json` per row; sites read its struct fields. The alias is
+    * produced in its own projection so CollapseProject cannot inline (and
+    * re-duplicate) the parse into each field read. Field semantics are
+    * identical: JSON numbers parse to the same doubles the string-extract +
+    * cast produced, strings unquote the same, absent/null behave the same
+    * (exceptAll-verified both ways at sf0.1, and every rewritten gate is
+    * oracle-gated).
+    */
+  private val afterSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "user_id BIGINT, event_type STRING, value DOUBLE")
+  private def withAfter(df: DataFrame): DataFrame =
+    df.withColumn("_af", from_json(col("after"), afterSchema))
+
   val defs: Seq[Q] = Seq(
     // --- latest-state compaction with tombstones (the flagship CDC operator) --
     q("cdc01_latest_state",
@@ -29,12 +46,12 @@ object CdcQueries {
          |  event_type AS last_type, value AS last_value
          |FROM ranked WHERE rn = 1 AND event_type <> 'error'""".stripMargin) { (s, d) =>
       val env = ChangelogGen.fromEvents(s, d).toDF()
-      LatestState.batch(env, Seq("table", "key"), Seq("lsn", "seq"))
+      withAfter(LatestState.batch(env, Seq("table", "key"), Seq("lsn", "seq")))
         .select(col("key").cast("long").as("user_id"),
           col("lsn").as("last_lsn"),
           col("op").as("last_op"),
-          get_json_object(col("after"), "$.event_type").as("last_type"),
-          get_json_object(col("after"), "$.value").cast("double").as("last_value"))
+          col("_af.event_type").as("last_type"),
+          col("_af.value").as("last_value"))
     },
 
     // --- tombstoned keys (delete ⇒ null value, kafka/bottledwater.c:533–541) --
@@ -394,10 +411,10 @@ object CdcQueries {
       val live = LatestState.batch(env, Seq("table", "key"), Seq("lsn", "seq"))
       val vers = ScdHistory.batch(env, Seq("table", "key"), Seq("lsn", "seq"))
         .groupBy(col("key")).agg(count(lit(1)).as("n_versions"))
-      live.join(vers, Seq("key"))
-        .select(get_json_object(col("after"), "$.event_type").as("last_type"),
+      withAfter(live.join(vers, Seq("key")))
+        .select(col("_af.event_type").as("last_type"),
           col("n_versions"),
-          get_json_object(col("after"), "$.value").cast("double").as("v"))
+          col("_af.value").as("v"))
         .groupBy(col("last_type"))
         .agg(count(lit(1)).as("n_users"),
           sum(col("n_versions")).as("total_versions"),
@@ -1316,10 +1333,10 @@ object CdcQueries {
         |  COUNT(*) AS n_rows, TRUE AS nav_used
         |FROM live GROUP BY 1""".stripMargin) { (s, d) =>
       import graft.plans.{SummaryDef, SummaryMeasure, SummaryNavigationRewrite, SummaryRegistry}
-      val env = ChangelogGen.fromEvents(s, d).toDF()
+      val env = withAfter(ChangelogGen.fromEvents(s, d).toDF())
         .select(col("op"), col("key"), col("lsn"), col("seq"),
-          get_json_object(col("after"), "$.event_type").as("event_type"),
-          get_json_object(col("after"), "$.value").cast("double").as("value"))
+          col("_af.event_type").as("event_type"),
+          col("_af.value").as("value"))
       // lsn = event_id: raw parquet max, no JSON projection for one scalar
       val mx = Tables.events(s, d).agg(max(col("event_id"))).head().getLong(0)
       val root = java.nio.file.Files.createTempDirectory("cdc44").toString
@@ -1942,10 +1959,10 @@ object CdcQueries {
         |FROM live l JOIN btypes b ON l.user_id = b.user_id""".stripMargin) { (s, d) =>
       val s2 = s.newSession()
       s2.conf.set("spark.graft.materialized.retainVersions", "4")
-      val env = ChangelogGen.fromEvents(s2, d).toDF()
+      val env = withAfter(ChangelogGen.fromEvents(s2, d).toDF())
         .select(col("op"), col("key"), col("lsn"), col("seq"),
-          get_json_object(col("after"), "$.event_type").as("typ"),
-          get_json_object(col("after"), "$.value").cast("double").as("value"))
+          col("_af.event_type").as("typ"),
+          col("_af.value").as("value"))
         .localCheckpoint() // feeds ~7 slice scans below — pay the JSON once
       val mx = Tables.events(s, d).agg(max(col("event_id"))).head().getLong(0)
       val root = java.nio.file.Files.createTempDirectory("cdc56").toString + "/g"
@@ -2016,10 +2033,10 @@ object CdcQueries {
       import graft.streaming.GroupCommitStream
       val s2 = s.newSession()
       s2.conf.set("spark.graft.materialized.retainVersions", "4")
-      val env = ChangelogGen.fromEvents(s2, d).toDF()
+      val env = withAfter(ChangelogGen.fromEvents(s2, d).toDF())
         .select(col("op"), col("key"), col("lsn"), col("seq"),
-          get_json_object(col("after"), "$.event_type").as("typ"),
-          get_json_object(col("after"), "$.value").cast("double").as("value"))
+          col("_af.event_type").as("typ"),
+          col("_af.value").as("value"))
         .localCheckpoint() // feeds 4 staged writes below — pay the JSON once
       val dir = java.nio.file.Files.createTempDirectory("cdc57").toString
       val (root, src, psrc) = (s"$dir/g", s"$dir/src", s"$dir/poison")
@@ -2371,10 +2388,10 @@ object CdcQueries {
           get_json_object(col("after"), "$.value").cast("double").as("value"))
         .localCheckpoint()
       // the EVOLVED changelog shape: same rows, one more payload column
-      val envTagged = ChangelogGen.fromEvents(s2, d).toDF()
+      val envTagged = withAfter(ChangelogGen.fromEvents(s2, d).toDF())
         .select(col("op"), col("key"), col("lsn"), col("seq"),
-          get_json_object(col("after"), "$.value").cast("double").as("value"),
-          get_json_object(col("after"), "$.event_type").as("tag"))
+          col("_af.value").as("value"),
+          col("_af.event_type").as("tag"))
         .localCheckpoint()
       val mx = Tables.events(s, d).agg(max(col("event_id"))).head().getLong(0)
       val (c1, c2, c3) = (mx / 4, mx / 2, 3 * (mx / 4))
@@ -2536,10 +2553,10 @@ object CdcQueries {
         .select(col("op"), col("key"), col("lsn"), col("seq"),
           get_json_object(col("after"), "$.value").cast("double").as("value"))
         .localCheckpoint()
-      val envTagged = ChangelogGen.fromEvents(s2, d).toDF()
+      val envTagged = withAfter(ChangelogGen.fromEvents(s2, d).toDF())
         .select(col("op"), col("key"), col("lsn"), col("seq"),
-          get_json_object(col("after"), "$.value").cast("double").as("value"),
-          get_json_object(col("after"), "$.event_type").as("tag"))
+          col("_af.value").as("value"),
+          col("_af.event_type").as("tag"))
         .localCheckpoint()
       val mx = Tables.events(s, d).agg(max(col("event_id"))).head().getLong(0)
       val (c1, c2, c3) = (mx / 4, mx / 2, 3 * (mx / 4))
@@ -2690,10 +2707,10 @@ object CdcQueries {
         |WHERE op IS NOT NULL GROUP BY 1, 2""".stripMargin) { (s, d) =>
       val s2 = s.newSession()
       s2.conf.set("spark.graft.materialized.retainVersions", "6")
-      val env = ChangelogGen.fromEvents(s2, d).toDF()
+      val env = withAfter(ChangelogGen.fromEvents(s2, d).toDF())
         .select(col("op"), col("key"), col("lsn"), col("seq"),
-          get_json_object(col("after"), "$.event_type").as("typ"),
-          get_json_object(col("after"), "$.value").cast("double").as("value"))
+          col("_af.event_type").as("typ"),
+          col("_af.value").as("value"))
         .localCheckpoint()
       val mx = Tables.events(s, d).agg(max(col("event_id"))).head().getLong(0)
       val (c1, c2) = (mx / 3, 2 * (mx / 3))
@@ -2777,10 +2794,10 @@ object CdcQueries {
         |GROUP BY 1, snap_rows, snap_typ_null""".stripMargin) { (s, d) =>
       val s2 = s.newSession()
       s2.conf.set("spark.graft.materialized.retainVersions", "4")
-      val env = ChangelogGen.fromEvents(s2, d).toDF()
+      val env = withAfter(ChangelogGen.fromEvents(s2, d).toDF())
         .select(col("op"), col("key"), col("lsn"), col("seq"),
-          get_json_object(col("after"), "$.event_type").as("typ"),
-          get_json_object(col("after"), "$.value").cast("double").as("value"))
+          col("_af.event_type").as("typ"),
+          col("_af.value").as("value"))
         .localCheckpoint()
       val mx = Tables.events(s, d).agg(max(col("event_id"))).head().getLong(0)
       val c1 = mx / 2
@@ -2992,10 +3009,10 @@ object CdcQueries {
         |FROM bytype""".stripMargin) { (s, d) =>
       val s2 = s.newSession()
       s2.conf.set("spark.graft.materialized.retainVersions", "6")
-      val env = ChangelogGen.fromEvents(s2, d).toDF()
+      val env = withAfter(ChangelogGen.fromEvents(s2, d).toDF())
         .select(col("op"), col("key"), col("lsn"), col("seq"),
-          get_json_object(col("after"), "$.event_type").as("typ"),
-          get_json_object(col("after"), "$.value").cast("double").as("value"))
+          col("_af.event_type").as("typ"),
+          col("_af.value").as("value"))
         .localCheckpoint()
       val mx = Tables.events(s, d).agg(max(col("event_id"))).head().getLong(0)
       val (c1, c2) = (mx / 3, 2 * (mx / 3))
@@ -3033,23 +3050,34 @@ object CdcQueries {
       // the subscriber: each micro-batch is one (or, after catch-up,
       // several) group-commit window(s); within a batch a key appears at
       // most once per member, so the feed batch id is a valid order clock
+      // one-parse decode of the feed's key/after JSON (see withAfter): one
+      // from_json per column per row instead of 2–3 get_json_object passes;
+      // both member shapes share the schemas (absent fields read null and
+      // are never selected for that member)
+      val keySchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "key STRING, typ STRING")
+      val feedSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "lsn BIGINT, seq BIGINT, value DOUBLE")
       val fold: (org.apache.spark.sql.DataFrame, Long) => Unit = (b, bid) => {
-        val batch = b.localCheckpoint() // feeds two merges — plan once
+        val batch = b
+          .withColumn("_ak", from_json(col("key"), keySchema))
+          .withColumn("_aa", from_json(col("after"), feedSchema))
+          .localCheckpoint() // feeds two merges — plan (and parse) once
         MaterializedTable.merge(s2, repU,
           batch.filter(col("table") === "by_user").select(
-            col("op"), get_json_object(col("key"), "$.key").as("key"),
+            col("op"), col("_ak.key").as("key"),
             lit(bid).as("blsn"), lit(0L).as("bseq"),
-            get_json_object(col("after"), "$.lsn").cast("long").as("lsn"),
-            get_json_object(col("after"), "$.seq").cast("long").as("seq"),
-            get_json_object(col("after"), "$.value").cast("double").as("value")),
+            col("_aa.lsn").as("lsn"),
+            col("_aa.seq").as("seq"),
+            col("_aa.value").as("value")),
           Seq("key"), Seq("blsn", "bseq"), numBuckets = 8, batchId = Some(bid))
         MaterializedTable.merge(s2, repT,
           batch.filter(col("table") === "by_type").select(
-            col("op"), get_json_object(col("key"), "$.key").as("key"),
-            get_json_object(col("key"), "$.typ").as("typ"),
+            col("op"), col("_ak.key").as("key"),
+            col("_ak.typ").as("typ"),
             lit(bid).as("blsn"), lit(0L).as("bseq"),
-            get_json_object(col("after"), "$.lsn").cast("long").as("lsn"),
-            get_json_object(col("after"), "$.seq").cast("long").as("seq")),
+            col("_aa.lsn").as("lsn"),
+            col("_aa.seq").as("seq")),
           Seq("key", "typ"), Seq("blsn", "bseq"), numBuckets = 8,
           batchId = Some(bid))
         ()

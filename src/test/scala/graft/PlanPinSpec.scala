@@ -401,6 +401,64 @@ class PlanPinSpec extends AnyFunSuite {
     pin("q58_calendar_gap_fill", gate("q58_calendar_gap_fill"), "sequence")
   }
 
+  test("merge write: compaction and bucketed write share ONE fused exchange") {
+    // r15 optimization (guide §2.4): latest-state merges group by
+    // (_bucket, keys) over input hash-distributed by _bucket, so the
+    // compaction aggregate AND the partitioned write run off a single
+    // exchange — the unfused shape paid two (agg re-key by key + write
+    // re-key by _bucket). A regression (dropping _bucket from the grouping,
+    // or re-adding a post-combine repartition) doubles the per-merge
+    // shuffle at every scale and fails here.
+    import org.apache.spark.sql.functions._
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        if (qe.toString.contains("InsertIntoHadoopFsRelation"))
+          plans.add(qe.explainString(
+            org.apache.spark.sql.execution.SimpleMode))
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val env = graft.cdc.ChangelogGen.fromEvents(spark, dir).toDF()
+      val mx = env.agg(max(col("lsn"))).head().getLong(0)
+      val t = java.nio.file.Files.createTempDirectory("fusepin").toString + "/t"
+      graft.cdc.MaterializedTable.merge(spark, t,
+        env.filter(col("lsn") < mx / 2), Seq("key"), Seq("lsn", "seq"))
+      graft.cdc.MaterializedTable.merge(spark, t,
+        env.filter(col("lsn") >= mx / 2), Seq("key"), Seq("lsn", "seq"))
+      // listener fires async — wait for both write plans
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (plans.size < 2 && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(plans.size >= 2, "expected two captured merge write plans")
+      plans.forEach { p =>
+        // count executed exchanges only: everything before the FIRST
+        // "== Initial Plan ==" marker is final-plan tree (the write branch
+        // plus the cached compaction plan's final section — the merge's
+        // whole executed dataflow); the initial-plan sections that follow
+        // reprint pre-AQE copies of the same exchanges
+        val cut = p.indexOf("== Initial Plan ==")
+        val executedRegion = if (cut < 0) p else p.substring(0, cut)
+        val shuffles = executedRegion
+          .sliding("Exchange hashpartitioning".length)
+          .count(_ == "Exchange hashpartitioning")
+        assert(shuffles == 1,
+          s"merge write must carry exactly ONE shuffle exchange, got $shuffles:\n$p")
+      }
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("cdc01: the after-payload is parsed ONCE per row (from_json, not 2x get_json_object)") {
+    val p = executed("cdc01_latest_state")
+    assert(!p.contains("get_json_object"),
+      s"payload fields must come from the single from_json parse:\n$p")
+    assert(countOf(p, "from_json") == 1,
+      s"exactly one JSON parse per row:\n$p")
+  }
+
   test("partitioning invariance: rank/window-heavy gates identical at 5 vs 32 shuffle partitions") {
     // the failure mode this guards: a nondeterministic tie-break or a
     // partial-agg that isn't commutative shows up as different rows under a
