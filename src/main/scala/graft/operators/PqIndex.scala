@@ -145,31 +145,67 @@ object PqIndex {
     */
   private def trainImpl(corpus: DataFrame, idCol: String, vecCol: String,
       m: Int, k: Int, iters: Int): DataFrame = BenchPhase.time("pq_train") {
-    import scala.concurrent.{Await, Future, blocking}
-    import scala.concurrent.duration._
-    import scala.concurrent.ExecutionContext.Implicits.global
-    // ONE shared materialization of the normalize→slice explode: each of the
-    // m trainings filters its subspace out of this cache — without it every
-    // training re-runs the full corpus scan + renormalize + m-way explode
-    // to fill its own per-subspace persist (m× redundant corpus work).
-    // Materialized EAGERLY before the concurrent trainings spawn so they
-    // never race to compute the same cached partitions.
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // ALL m subspaces train through ONE fused Lloyd (r15 optimization):
+    // the former shape ran m independent trainQ calls over a shared cache —
+    // correct, but each call paid its own seed/count/collect jobs and its
+    // own codegen family (the literal subspace id made every plan unique),
+    // ~50 tiny jobs + 16 codegen compilations for work whose data fits a
+    // broadcast. Fused, each Lloyd iteration is ONE assignment join keyed
+    // on the subspace id and ONE means aggregation over (s, cell, pos) —
+    // 2 seed jobs + `iters` collect jobs total, one codegen family. The
+    // math is IDENTICAL per subspace (same seeds: the k lowest ids; same
+    // exact integer L2 assignment with the same (d2, cell) tie-break; same
+    // integral `sum div count` means; same keep-empty-cell coalesce), so
+    // codebooks are bit-identical to the per-subspace formulation — the
+    // grouping key gained `s`, which was a constant within each training.
+    // Guard discipline: the fused path collects/broadcasts m·k centroid
+    // rows (vs k per call before) — budgeted as one collect.
+    IvfIndex.requireCentroidsCollectable(spark, m.toLong * k,
+      "PqIndex fused Lloyd (m·k codebooks)")
     val subs = subVectors(corpus, idCol, vecCol, m)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    subs.count()
-    // blocking{}: each future parks on Spark job completion, and without the
-    // marker m > #workers would silently serialize the trainings (global
-    // pool starvation). Finite timeout so a hung Spark job surfaces as a
-    // failure instead of parking the caller forever.
     try {
-      // trainQ materializes its ≤k centroids locally, so the returned plans
-      // do not depend on `subs` lineage — unpersist in finally is safe
-      Await.result(Future.traverse((0 until m).toList) { s => Future { blocking {
-        IvfIndex.trainQ(
-          subs.filter(col("s") === s).select(col("id"), col("sub").as("qv")),
-          k, iters)
-          .select(lit(s).as("s"), col("cell"), col("cv"))
-      } } }, 1.hour).reduce(_ unionByName _)
+      // seeds: the k lowest ids' slices, cell = rank in id order (the
+      // trainQ seeding rule, applied once — the id set is identical in
+      // every subspace). TakeOrderedAndProject keeps this a bounded job.
+      val lowIds = subs.filter(col("s") === 0).select(col("id"))
+        .orderBy("id").limit(k).collect().map(_.get(0))
+      val cellOf: Map[Any, Int] = lowIds.zipWithIndex.toMap
+      val seedRows = subs.filter(col("id").isInCollection(lowIds.toIndexedSeq))
+        .select(col("id"), col("s"), col("sub")).collect()
+      var cent: Array[(Int, Int, Seq[Long])] = seedRows.map { r =>
+        (r.getInt(1), cellOf(r.get(0)), r.getSeq[Long](2))
+      }.sortBy(t => (t._1, t._2))
+      val effLists = lowIds.length // = min(k, corpus) — uniform across s
+      for (_ <- 1 to iters) {
+        val cdf = spark.createDataset(cent.toIndexedSeq).toDF("s", "cell", "cv")
+        val means = subs.join(broadcast(cdf), Seq("s"))
+          .select(col("id"), col("s"), col("sub"), col("cell"),
+            IvfIndex.l2Q(col("sub"), col("cv")).as("d2"))
+          .groupBy(col("id"), col("s"))
+          .agg(min_by(struct(col("cell"), col("sub")),
+            struct(col("d2"), col("cell"))).as("w"))
+          .select(col("s"), col("w.cell").as("cell"), col("w.sub").as("qv"))
+          .select(col("s"), col("cell"), posexplode(col("qv")))
+          .groupBy(col("s"), col("cell"), col("pos"))
+          .agg(expr("sum(col) div count(*)").as("m")) // integral: deterministic
+          .groupBy(col("s"), col("cell"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pairs"))
+          .select(col("s"), col("cell"),
+            expr("transform(pairs, p -> p.m)").as("mv"))
+          .as[(Int, Int, Seq[Long])].collect()
+        val mMap = means.map(t => (t._1, t._2) -> t._3).toMap
+        // empty cells keep their previous centroid (trainQ's left-join +
+        // coalesce), so the per-subspace row count is invariant
+        cent = cent.map { case (s, c, cv) =>
+          (s, c, mMap.getOrElse((s, c), cv)) }
+      }
+      require(cent.count(_._1 == 0) == effLists,
+        s"PQ train invariant broken: ${cent.count(_._1 == 0)} centroids in " +
+          s"subspace 0 != $effLists (k=$k)")
+      spark.createDataset(cent.toIndexedSeq).toDF("s", "cell", "cv")
     } finally subs.unpersist(blocking = false)
   }
 
