@@ -109,8 +109,15 @@ object JoinView {
     * retract the standing LIVE version of every ADVANCED key, add the
     * batch-final version where it is live. Returns payloadCols ++ dn.
     */
-  def deltas(prev: DataFrame, batch: DataFrame, side: Side): DataFrame = {
-    val adv = advancing(prev, batch, side)
+  def deltas(prev: DataFrame, batch: DataFrame, side: Side): DataFrame =
+    deltasFromAdv(advancing(prev, batch, side), side)
+
+  /** [[deltas]] over a pre-computed (and possibly pinned) `advancing`
+    * relation — [[fold]] shares ONE advancing pass between the delta and
+    * the state apply instead of recomputing the batch compaction + state
+    * join for each.
+    */
+  private def deltasFromAdv(adv: DataFrame, side: Side): DataFrame = {
     val retracts = adv.filter(col("_plive") === true)
       .select(side.payloadCols.map(n => col(s"_pp.$n").as(n)) :+ lit(-1L).as("dn"): _*)
     val adds = adv.filter(col("_live"))
@@ -123,8 +130,11 @@ object JoinView {
     * rows (`_live = false`) so their order keeps guarding against stale
     * replays.
     */
-  private def applyBatch(prev: DataFrame, batch: DataFrame, side: Side): DataFrame = {
-    val adv = advancing(prev, batch, side)
+  private def applyBatch(prev: DataFrame, batch: DataFrame, side: Side): DataFrame =
+    applyBatchFromAdv(prev, advancing(prev, batch, side), side)
+
+  private def applyBatchFromAdv(prev: DataFrame, adv: DataFrame,
+      side: Side): DataFrame = {
     val kept = prev.join(adv.select(side.keyCols.map(col): _*),
       side.keyCols, "left_anti")
     val fresh = adv.select(side.payloadCols.map(n => col(s"_p.$n").as(n)) :+
@@ -139,10 +149,15 @@ object JoinView {
     */
   def fold(state: State, batchA: DataFrame, batchB: DataFrame,
       a: Side, b: Side): State = {
-    val dA = deltas(state.latestA, batchA, a)
-    val dB = deltas(state.latestB, batchB, b)
-    val aNew = applyBatch(state.latestA, batchA, a).localCheckpoint(true)
-    val bNew = applyBatch(state.latestB, batchB, b).localCheckpoint(true)
+    // ONE advancing pass per side, pinned: deltas, the state apply and the
+    // delta-join below all consume it — recomputing it in each would scan
+    // the batch source (and the standing state) twice more per side
+    val advA = advancing(state.latestA, batchA, a).localCheckpoint(true)
+    val advB = advancing(state.latestB, batchB, b).localCheckpoint(true)
+    val dA = deltasFromAdv(advA, a)
+    val dB = deltasFromAdv(advB, b)
+    val aNew = applyBatchFromAdv(state.latestA, advA, a).localCheckpoint(true)
+    val bNew = applyBatchFromAdv(state.latestB, advB, b).localCheckpoint(true)
     // Δ(A⋈B) = ΔA ⋈ B_old + A_new ⋈ ΔB; the sign of a pair is the delta
     // side's sign (the live latest-state side always has multiplicity +1 —
     // tombstone rows exist only for the advance guard and never join)

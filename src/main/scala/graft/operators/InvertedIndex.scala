@@ -139,8 +139,11 @@ object InvertedIndex {
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       def rewrite(sub: String, part: Option[String]): Unit = {
+        // no lineage cut needed: the rewrite targets `$sub.tmp` and the
+        // source directory is only deleted AFTER the write action completes,
+        // so the scan never races its own overwrite — a localCheckpoint here
+        // would materialize the whole index twice per compaction
         val clean = minusDeleted(spark.read.parquet(s"$dir/$sub"))
-          .localCheckpoint() // sever lineage before overwriting the source
         val w = clean.write.mode("overwrite")
         part.fold(w)(p => w.partitionBy(p)).parquet(s"$dir/$sub.tmp")
         fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$sub"), true)

@@ -74,8 +74,10 @@ object GroupCommitStream {
     changelog.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         // one cross-table transaction per micro-batch; the batch frame is
-        // re-used by every member projection, so materialize it once
-        val pinned = batch.localCheckpoint()
+        // re-used by every member projection, so cache it — persist (not an
+        // eager localCheckpoint) lets the FIRST member merge materialize it
+        // as a side effect instead of paying a separate job per batch
+        val pinned = batch.persist()
         try {
           // bounded retry on a LOST OPTIMISTIC COMMIT (maintenance racing
           // the stream): the group commit is batch-id idempotent, so the

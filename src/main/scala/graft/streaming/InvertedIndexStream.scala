@@ -61,10 +61,16 @@ object InvertedIndexStream {
   def foldBatch(batch: DataFrame, dir: String, batchId: Long,
       nBuckets: Int): Unit = {
     val spark = batch.sparkSession
+    // feeds three writes — localCheckpoint, NOT persist: the checkpoint
+    // materializes AFTER AQE coalesces the compaction shuffle, so the three
+    // consumer writes read a few dense partitions; a persist() pins the
+    // cache at the un-coalesced shuffle width (canChangeCachedPlanOutput-
+    // Partitioning is off) and was measured exploding the fold's task count
+    // 60 → 459 at gate scale for zero saved work
     val latest = batch.groupBy(col("doc_id"))
       .agg(max_by(struct(col("op"), col("text")), col("lsn")).as("w"))
       .select(col("doc_id"), col("w.op").as("op"), col("w.text").as("text"))
-      .localCheckpoint() // feeds two writes; don't recompute the compaction
+      .localCheckpoint()
     val alive = latest.filter(col("op") =!= "delete")
     def dyn(df: DataFrame) = df.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
@@ -83,10 +89,15 @@ object InvertedIndexStream {
           .as("dlen"))
         .withColumn("seg", lit(batchId)))
       .partitionBy("seg").parquet(s"$dir/doclens")
-    // self-describing artifact (the save()/load() meta discipline)
-    import spark.implicits._
-    Seq(nBuckets).toDF("n_buckets")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    // self-describing artifact (the save()/load() meta discipline) — the
+    // content is constant per index, so write it once, not once per batch
+    val metaPath = new org.apache.hadoop.fs.Path(s"$dir/meta/_SUCCESS")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(metaPath)) { // _SUCCESS: a crash mid-write re-writes
+      import spark.implicits._
+      Seq(nBuckets).toDF("n_buckets")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    }
   }
 
   /** Phrase search over the maintained index: pruned posting read (same
