@@ -147,17 +147,35 @@ object JoinView {
     * local-checkpointed so lineage stays O(1) across folds (the persisted-
     * bucket deployment makes this a table write).
     */
+  /** Run two independent eager actions concurrently (guide §2.6: overlap
+    * independent jobs — one action's straggler tail back-fills with the
+    * other's tasks). Results identical to sequential. (Kept local rather
+    * than shared with Qutil.par2: cdc must not depend on the query layer.)
+    */
+  private def par2[X, Y](fx: => X, fy: => Y): (X, Y) = {
+    val fut = java.util.concurrent.CompletableFuture.supplyAsync(
+      new java.util.function.Supplier[Y] { override def get(): Y = fy })
+    val x = fx
+    (x, try fut.join() catch {
+      case e: java.util.concurrent.CompletionException => throw e.getCause
+    })
+  }
+
   def fold(state: State, batchA: DataFrame, batchB: DataFrame,
       a: Side, b: Side): State = {
     // ONE advancing pass per side, pinned: deltas, the state apply and the
     // delta-join below all consume it — recomputing it in each would scan
-    // the batch source (and the standing state) twice more per side
-    val advA = advancing(state.latestA, batchA, a).localCheckpoint(true)
-    val advB = advancing(state.latestB, batchB, b).localCheckpoint(true)
+    // the batch source (and the standing state) twice more per side.
+    // The A/B sides are independent relations, so each pinning pair runs
+    // as two overlapped jobs instead of two sequential ones.
+    val (advA, advB) = par2(
+      advancing(state.latestA, batchA, a).localCheckpoint(true),
+      advancing(state.latestB, batchB, b).localCheckpoint(true))
     val dA = deltasFromAdv(advA, a)
     val dB = deltasFromAdv(advB, b)
-    val aNew = applyBatchFromAdv(state.latestA, advA, a).localCheckpoint(true)
-    val bNew = applyBatchFromAdv(state.latestB, advB, b).localCheckpoint(true)
+    val (aNew, bNew) = par2(
+      applyBatchFromAdv(state.latestA, advA, a).localCheckpoint(true),
+      applyBatchFromAdv(state.latestB, advB, b).localCheckpoint(true))
     // Δ(A⋈B) = ΔA ⋈ B_old + A_new ⋈ ΔB; the sign of a pair is the delta
     // side's sign (the live latest-state side always has multiplicity +1 —
     // tombstone rows exist only for the advance guard and never join)
@@ -365,9 +383,11 @@ object JoinView {
     val dB = spark.read.schema(deltaSchemaB).parquet(s"$stagedDir/db")
     val bOldLive = spark.read.schema(bOldSchema).parquet(s"$stagedDir/b_old")
     // newer-of merges are idempotent AND watermark-guarded — a retry that
-    // finds a latest table already at this batch id skips its IO entirely
-    mergeLatest(spark, s"$dir/latest_a", batchA, a, numBuckets, Some(batchId))
-    mergeLatest(spark, s"$dir/latest_b", batchB, b, numBuckets, Some(batchId))
+    // finds a latest table already at this batch id skips its IO entirely;
+    // disjoint table dirs, so the two merges overlap (guide §2.6)
+    par2(
+      mergeLatest(spark, s"$dir/latest_a", batchA, a, numBuckets, Some(batchId)),
+      mergeLatest(spark, s"$dir/latest_b", batchB, b, numBuckets, Some(batchId)))
     maybeCrash("after_latest_merge")
     val viewCols = a.payloadCols ++ b.payloadCols
     // A_new is retry-stable: the idempotent merge above makes the post-

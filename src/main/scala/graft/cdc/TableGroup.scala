@@ -147,14 +147,49 @@ object TableGroup {
       "duplicate table names in one group commit")
     val prior = readRoot(spark, rootDir)
     if (prior.exists(_.lastBatchId >= batchId)) return 0
-    // deterministic member order; each merge is itself batch-id-guarded, so
-    // a crashed group retry re-runs ONLY the members that did not land
-    var folded = 0
-    val versions = batches.sortBy(_.name).map { tb =>
+    // Member merges run CONCURRENTLY from a small driver pool (guide §2.6:
+    // overlap independent jobs — one member's write tail back-fills the
+    // executors the other's driver think-time leaves idle). Safe because
+    // members are disjoint table dirs whose merges commute, and each is
+    // itself batch-id-guarded: a crashed group retry re-runs ONLY the
+    // members that did not land, in any order. Results are collected in
+    // sorted-name order, so the root swap below is byte-identical to the
+    // old sequential commit.
+    val sorted = batches.sortBy(_.name)
+    val results =
+      if (sorted.size <= 1)
+        sorted.map { tb =>
+          MaterializedTable.merge(spark, s"$rootDir/${tb.name}", tb.rows,
+            tb.keyCols, orderCols, opCol, numBuckets,
+            batchId = Some(batchId), statsCols)
+        }
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(sorted.size, 4))
+        try {
+          import scala.jdk.CollectionConverters._
+          val tasks = sorted.map { tb =>
+            new java.util.concurrent.Callable[Int] {
+              override def call(): Int =
+                MaterializedTable.merge(spark, s"$rootDir/${tb.name}",
+                  tb.rows, tb.keyCols, orderCols, opCol, numBuckets,
+                  batchId = Some(batchId), statsCols)
+            }
+          }
+          // invokeAll awaits every member; a failed merge rethrows here
+          // (unwrapped), exactly as the sequential loop propagated it
+          pool.invokeAll(tasks.asJava).asScala.toSeq.map { f =>
+            try f.get()
+            catch {
+              case e: java.util.concurrent.ExecutionException =>
+                throw e.getCause
+            }
+          }
+        } finally pool.shutdown()
+      }
+    val folded = results.count(_ > 0)
+    val versions = sorted.map { tb =>
       val dir = s"$rootDir/${tb.name}"
-      val n = MaterializedTable.merge(spark, dir, tb.rows, tb.keyCols,
-        orderCols, opCol, numBuckets, batchId = Some(batchId), statsCols)
-      if (n > 0) folded += 1
       tb.name -> MaterializedTable.readManifest(spark, dir).map(_.version)
         .getOrElse(throw new IllegalStateException(
           s"member ${tb.name} has no manifest after merge"))

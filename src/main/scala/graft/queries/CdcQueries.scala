@@ -1229,8 +1229,7 @@ object CdcQueries {
         torn.toPath.resolve("part-00000-torn.snappy.parquet"),
         "TORN MID-WRITE".getBytes("UTF-8"))
       val duringCrash = MaterializedTable.read(s, dir)
-      val isolationOk = duringCrash.exceptAll(committed).isEmpty &&
-        committed.exceptAll(duringCrash).isEmpty
+      val isolationOk = Qutil.multisetEq(duringCrash, committed)
       // at-watermark replay with conflicting content: guarded no-op —
       // the negated values must never reach state
       val poisoned = slice(mx / 3, 2 * mx / 3)
@@ -1465,8 +1464,7 @@ object CdcQueries {
       val junkRemoved = removed >= 2 &&
         !torn.getParentFile.exists() && !stray.exists()
       val after = MaterializedTable.read(s, dir)
-      val stateIntact = after.exceptAll(before).isEmpty &&
-        before.exceptAll(after).isEmpty
+      val stateIntact = Qutil.multisetEq(after, before)
       after
         .select(col("key").cast("long").as("user_id"),
           col("lsn").as("last_lsn"), col("value").as("last_value"),
@@ -1551,8 +1549,7 @@ object CdcQueries {
         .select(col("key"), col("lsn"), col("value"))
       val current = MaterializedTable.read(s2, dir)
         .select(col("key"), col("lsn"), col("value"))
-      val currentOk = current.exceptAll(replayed).isEmpty &&
-        replayed.exceptAll(current).isEmpty
+      val currentOk = Qutil.multisetEq(current, replayed)
       def travel() = MaterializedTable.readVersion(s2, dir, 2L)
         .select(col("key"), col("lsn"), col("value")).localCheckpoint()
       val atV2 = travel()
@@ -1560,8 +1557,7 @@ object CdcQueries {
       // needs — v2 must read back multiset-identical afterwards
       MaterializedTable.vacuum(s2, dir)
       val afterVac = travel()
-      val vacuumOk = afterVac.exceptAll(atV2).isEmpty &&
-        atV2.exceptAll(afterVac).isEmpty
+      val vacuumOk = Qutil.multisetEq(afterVac, atV2)
       afterVac
         .select(col("key").cast("long").as("user_id"),
           col("lsn").as("last_lsn"), col("value").as("last_value"),
@@ -1755,8 +1751,7 @@ object CdcQueries {
         .select(col("key"), col("lsn"), col("value"))
       val current = MaterializedTable.read(s2, dir)
         .select(col("key"), col("lsn"), col("value"))
-      val reapplyOk = current.exceptAll(replayedAll).isEmpty &&
-        replayedAll.exceptAll(current).isEmpty
+      val reapplyOk = Qutil.multisetEq(current, replayedAll)
       restored
         .select(col("key").cast("long").as("user_id"),
           col("lsn").as("last_lsn"), col("value").as("last_value"),
@@ -1872,8 +1867,7 @@ object CdcQueries {
       val p = col("value") >= 100.0 && col("value") <= 400.0
       val pruned = MaterializedTable.readPruned(s, dir, p)
       val full = state.filter(p)
-      val prunedOk = pruned.exceptAll(full).isEmpty &&
-        full.exceptAll(pruned).isEmpty
+      val prunedOk = Qutil.multisetEq(pruned, full)
       // impossible bound: zero buckets listed, nothing read
       val impossible = col("lsn") > lit(mx + 1000000L)
       val skipOk =
@@ -1984,8 +1978,7 @@ object CdcQueries {
         Seq("key"), ord, batchId = Some(2L))
       val during = TableGroup.read(s2, root, "by_user")
       val memberFace = MaterializedTable.read(s2, s"$root/by_user")
-      val isolationOk = during.exceptAll(pre).isEmpty &&
-        pre.exceptAll(during).isEmpty &&
+      val isolationOk = Qutil.multisetEq(during, pre) &&
         !memberFace.exceptAll(during).isEmpty // member provably ahead
       // whole-group poisoned replay of batch 1: folds nothing
       val poisoned = Seq(
@@ -2075,8 +2068,7 @@ object CdcQueries {
         .coalesce(1).write.parquet(psrc)
       drive(psrc, Some(s"$dir/ckpt_poison"))
       val after = TableGroup.read(s2, root, "by_user")
-      val replaySilent = after.exceptAll(before).isEmpty &&
-        before.exceptAll(after).isEmpty
+      val replaySilent = Qutil.multisetEq(after, before)
       val t = TableGroup.read(s2, root, "by_type")
         .groupBy("key").agg(count(lit(1)).as("n_types"))
       TableGroup.read(s2, root, "by_user").join(t, "key")
@@ -2174,8 +2166,7 @@ object CdcQueries {
       val before = MaterializedTable.read(s, dir).localCheckpoint()
       MaterializedTable.rebucket(s, dir, 16)
       val after = MaterializedTable.read(s, dir)
-      val contentOk = after.exceptAll(before).isEmpty &&
-        before.exceptAll(after).isEmpty
+      val contentOk = Qutil.multisetEq(after, before)
       // a live key for the new-layout lookup: the smallest key in state
       val probeKey = after.agg(min(col("key").cast("long"))).head().getLong(0)
       val lookupOk = MaterializedTable.lookup(s, dir, Seq(probeKey.toString))
@@ -2962,8 +2953,7 @@ object CdcQueries {
       // post-OPTIMIZE file shape through the MANIFEST (never a hardcoded
       // layout walk): after bin-packing, every live bucket is one file
       val fpb = MaterializedTable.filesPerBucket(s2, dir)
-      val stateEq = stateAfter.exceptAll(stateBefore).isEmpty &&
-        stateBefore.exceptAll(stateAfter).isEmpty
+      val stateEq = Qutil.multisetEq(stateAfter, stateBefore)
       val ok = nCompacted > 0 && nVacuumed > 0 &&
         fpb.nonEmpty && fpb.values.forall(_ == 1) && stateEq
       val histAfter = MaterializedTable.history(s2, dir)
@@ -3036,17 +3026,19 @@ object CdcQueries {
       // subscriber bootstrap: replicas start as the members' snapshots
       // (read BEFORE the stream starts — the read-once-then-follow
       // contract); replica clock blsn=-1 predates every feed batch id
-      MaterializedTable.merge(s2, repU,
-        TableGroup.read(s2, root, "by_user")
-          .select(lit(graft.cdc.Op.Insert).as("op"), col("key"),
-            lit(-1L).as("blsn"), lit(0L).as("bseq"),
-            col("lsn"), col("seq"), col("value")),
-        Seq("key"), Seq("blsn", "bseq"), numBuckets = 8)
-      MaterializedTable.merge(s2, repT,
-        TableGroup.read(s2, root, "by_type")
-          .select(lit(graft.cdc.Op.Insert).as("op"), col("key"), col("typ"),
-            lit(-1L).as("blsn"), lit(0L).as("bseq"), col("lsn"), col("seq")),
-        Seq("key", "typ"), Seq("blsn", "bseq"), numBuckets = 8)
+      // disjoint replica dirs — the two bootstrap merges overlap (§2.6)
+      Qutil.par2(
+        MaterializedTable.merge(s2, repU,
+          TableGroup.read(s2, root, "by_user")
+            .select(lit(graft.cdc.Op.Insert).as("op"), col("key"),
+              lit(-1L).as("blsn"), lit(0L).as("bseq"),
+              col("lsn"), col("seq"), col("value")),
+          Seq("key"), Seq("blsn", "bseq"), numBuckets = 8),
+        MaterializedTable.merge(s2, repT,
+          TableGroup.read(s2, root, "by_type")
+            .select(lit(graft.cdc.Op.Insert).as("op"), col("key"), col("typ"),
+              lit(-1L).as("blsn"), lit(0L).as("bseq"), col("lsn"), col("seq")),
+          Seq("key", "typ"), Seq("blsn", "bseq"), numBuckets = 8))
       // the subscriber: each micro-batch is one (or, after catch-up,
       // several) group-commit window(s); within a batch a key appears at
       // most once per member, so the feed batch id is a valid order clock
@@ -3063,23 +3055,26 @@ object CdcQueries {
           .withColumn("_ak", from_json(col("key"), keySchema))
           .withColumn("_aa", from_json(col("after"), feedSchema))
           .localCheckpoint() // feeds two merges — plan (and parse) once
-        MaterializedTable.merge(s2, repU,
-          batch.filter(col("table") === "by_user").select(
-            col("op"), col("_ak.key").as("key"),
-            lit(bid).as("blsn"), lit(0L).as("bseq"),
-            col("_aa.lsn").as("lsn"),
-            col("_aa.seq").as("seq"),
-            col("_aa.value").as("value")),
-          Seq("key"), Seq("blsn", "bseq"), numBuckets = 8, batchId = Some(bid))
-        MaterializedTable.merge(s2, repT,
-          batch.filter(col("table") === "by_type").select(
-            col("op"), col("_ak.key").as("key"),
-            col("_ak.typ").as("typ"),
-            lit(bid).as("blsn"), lit(0L).as("bseq"),
-            col("_aa.lsn").as("lsn"),
-            col("_aa.seq").as("seq")),
-          Seq("key", "typ"), Seq("blsn", "bseq"), numBuckets = 8,
-          batchId = Some(bid))
+        // disjoint replica dirs — the per-trigger member folds overlap
+        Qutil.par2(
+          MaterializedTable.merge(s2, repU,
+            batch.filter(col("table") === "by_user").select(
+              col("op"), col("_ak.key").as("key"),
+              lit(bid).as("blsn"), lit(0L).as("bseq"),
+              col("_aa.lsn").as("lsn"),
+              col("_aa.seq").as("seq"),
+              col("_aa.value").as("value")),
+            Seq("key"), Seq("blsn", "bseq"), numBuckets = 8,
+            batchId = Some(bid)),
+          MaterializedTable.merge(s2, repT,
+            batch.filter(col("table") === "by_type").select(
+              col("op"), col("_ak.key").as("key"),
+              col("_ak.typ").as("typ"),
+              lit(bid).as("blsn"), lit(0L).as("bseq"),
+              col("_aa.lsn").as("lsn"),
+              col("_aa.seq").as("seq")),
+            Seq("key", "typ"), Seq("blsn", "bseq"), numBuckets = 8,
+            batchId = Some(bid)))
         ()
       }
       def drive(f: => Unit): Unit = {
@@ -3100,10 +3095,8 @@ object CdcQueries {
         .select("key", "typ", "lsn", "seq")
       val repTState = MaterializedTable.read(s2, repT)
         .select("key", "typ", "lsn", "seq").localCheckpoint()
-      val eq = repUState.exceptAll(srcU).isEmpty &&
-        srcU.exceptAll(repUState).isEmpty &&
-        repTState.exceptAll(srcT).isEmpty &&
-        srcT.exceptAll(repTState).isEmpty
+      val eq = Qutil.multisetEq(repUState, srcU) &&
+        Qutil.multisetEq(repTState, srcT)
       // report FROM the replicas: the hashes prove the replica content,
       // replica_eq pins member-wise equality with the source group
       repUState.agg(count(lit(1)).as("n_rows"), max(col("lsn")).as("max_lsn"),

@@ -44,4 +44,42 @@ object Qutil {
     */
   def money(c: Column): Column = c.cast(DecimalType(12, 2))
   def rate(c: Column): Column  = c.cast(DecimalType(4, 2))
+
+  /** Run two independent eager Spark actions concurrently (guide §2.6:
+    * overlap independent jobs so one action's straggler tail back-fills
+    * with the other's tasks). Results identical to running sequentially;
+    * use ONLY for actions with no ordering dependency (disjoint output
+    * dirs / independent materializations).
+    */
+  def par2[X, Y](fx: => X, fy: => Y): (X, Y) = {
+    val fut = java.util.concurrent.CompletableFuture.supplyAsync(
+      new java.util.function.Supplier[Y] { override def get(): Y = fy })
+    val x = fx
+    (x, try fut.join() catch {
+      case e: java.util.concurrent.CompletionException => throw e.getCause
+    })
+  }
+
+  /** Multiset equality in ONE Spark job / one shuffle: tag each side ±1,
+    * union, group by every column, and look for a non-zero net count.
+    * Equivalent to the two-directional `a.exceptAll(b).isEmpty &&
+    * b.exceptAll(a).isEmpty` the protocol drills used to run as two
+    * sequential jobs, each itself a shuffle-heavy set op (grouping and
+    * exceptAll share Spark's key normalization for NaN/-0.0 and treat
+    * nulls as equal, so the verdicts agree on every type the drills
+    * compare). The grouped sum is O(distinct rows); `isEmpty` stops at the
+    * first offending row.
+    */
+  def multisetEq(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame): Boolean = {
+    require(a.columns.sameElements(b.columns),
+      s"multisetEq column mismatch: ${a.columns.mkString(",")} vs " +
+        b.columns.mkString(","))
+    val cols = a.columns.toIndexedSeq.map(col)
+    a.withColumn("_ms", lit(1L))
+      .unionByName(b.withColumn("_ms", lit(-1L)))
+      .groupBy(cols: _*).agg(sum(col("_ms")).as("_net"))
+      .filter(col("_net") =!= 0L)
+      .isEmpty
+  }
 }

@@ -3050,8 +3050,7 @@ object RelationalQueries {
         val navRows = navved.localCheckpoint()
         s2.conf.set("spark.graft.summaryNav.enabled", "false")
         val off = query(s2)
-        val bitIdentical = navRows.exceptAll(off).isEmpty &&
-          off.exceptAll(navRows).isEmpty
+        val bitIdentical = Qutil.multisetEq(navRows, off)
         navRows.select(col("l_returnflag"),
           col("sum_qty_d").cast("double").as("sum_qty"), col("n"),
           lit(navUsed).as("nav_used"),

@@ -2641,8 +2641,7 @@ object TextQueries {
       val tombstoned = idx.searchPhrase("table hash").localCheckpoint()
       idx.compactDeletes()
       val compacted = idx.searchPhrase("table hash").localCheckpoint()
-      val compactOk = compacted.exceptAll(tombstoned).isEmpty &&
-        tombstoned.exceptAll(compacted).isEmpty
+      val compactOk = Qutil.multisetEq(compacted, tombstoned)
       compacted.withColumn("compact_ok", lit(compactOk))
     },
 
