@@ -2374,16 +2374,15 @@ object CdcQueries {
         |FROM f GROUP BY 1""".stripMargin) { (s, d) =>
       val s2 = s.newSession()
       s2.conf.set("spark.graft.materialized.retainVersions", "8")
-      val envBase = ChangelogGen.fromEvents(s2, d).toDF()
-        .select(col("op"), col("key"), col("lsn"), col("seq"),
-          get_json_object(col("after"), "$.value").cast("double").as("value"))
-        .localCheckpoint()
-      // the EVOLVED changelog shape: same rows, one more payload column
+      // the EVOLVED changelog shape: one more payload column; the narrow
+      // (pre-tag) frame is a projection of it — ONE parse + ONE pinning
+      // pass feeds both eras instead of two full parse+checkpoint passes
       val envTagged = withAfter(ChangelogGen.fromEvents(s2, d).toDF())
         .select(col("op"), col("key"), col("lsn"), col("seq"),
           col("_af.value").as("value"),
           col("_af.event_type").as("tag"))
         .localCheckpoint()
+      val envBase = envTagged.drop("tag")
       val mx = Tables.events(s, d).agg(max(col("event_id"))).head().getLong(0)
       val (c1, c2, c3) = (mx / 4, mx / 2, 3 * (mx / 4))
       val dir = java.nio.file.Files.createTempDirectory("cdc68").toString + "/t"
@@ -2540,15 +2539,13 @@ object CdcQueries {
         |FROM f GROUP BY 1""".stripMargin) { (s, d) =>
       val s2 = s.newSession()
       s2.conf.set("spark.graft.materialized.retainVersions", "8")
-      val envBase = ChangelogGen.fromEvents(s2, d).toDF()
-        .select(col("op"), col("key"), col("lsn"), col("seq"),
-          get_json_object(col("after"), "$.value").cast("double").as("value"))
-        .localCheckpoint()
+      // one parse + one pinning pass; the narrow era projects the wide one
       val envTagged = withAfter(ChangelogGen.fromEvents(s2, d).toDF())
         .select(col("op"), col("key"), col("lsn"), col("seq"),
           col("_af.value").as("value"),
           col("_af.event_type").as("tag"))
         .localCheckpoint()
+      val envBase = envTagged.drop("tag")
       val mx = Tables.events(s, d).agg(max(col("event_id"))).head().getLong(0)
       val (c1, c2, c3) = (mx / 4, mx / 2, 3 * (mx / 4))
       val dir = java.nio.file.Files.createTempDirectory("cdc69").toString + "/t"
