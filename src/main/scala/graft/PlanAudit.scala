@@ -17,6 +17,7 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     for (name <- args.tail) {
       if (name == "--merge-write") dumpMergeWritePlan(spark, sfDir)
+      else if (name == "--multiset-eq") dumpMultisetEqPlans(spark, sfDir)
       else {
         println(s"\n===== $name =====")
         SparkEntry.queries(name)(spark, sfDir).explain("formatted")
@@ -59,5 +60,33 @@ object PlanAudit {
     spark.listenerManager.unregister(listener)
     println(s"\n===== merge write (second merge: existing state ∪ incoming) =====")
     plans.forEach(p => println(p))
+  }
+
+  /** The protocol drills' multiset-equality check, before/after shapes on a
+    * representative pair (two independent latest-state restatements of the
+    * events changelog): BEFORE = the two-directional exceptAll (each
+    * direction its own job), AFTER = Qutil.multisetEq's one signed-union
+    * grouped count.
+    */
+  private def dumpMultisetEqPlans(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val env = graft.cdc.ChangelogGen.fromEvents(spark, sfDir).toDF()
+      .select(col("op"), col("key"), col("lsn"), col("seq"),
+        get_json_object(col("after"), "$.value").cast("double").as("value"))
+    val a = graft.cdc.LatestState.batch(env, Seq("key"), Seq("lsn", "seq"))
+      .select(col("key"), col("lsn"), col("value"))
+    val b = graft.cdc.LatestState.batch(env, Seq("key"), Seq("lsn", "seq"),
+        keepDeleted = true)
+      .filter(col("op") =!= graft.cdc.Op.Delete)
+      .select(col("key"), col("lsn"), col("value"))
+    println("\n===== multiset equality BEFORE: a.exceptAll(b) (x2 directions, one job each) =====")
+    a.exceptAll(b).explain("formatted")
+    println("\n===== multiset equality AFTER: one signed-union grouped count (Qutil.multisetEq) =====")
+    a.withColumn("_ms", lit(1L))
+      .unionByName(b.withColumn("_ms", lit(-1L)))
+      .groupBy(col("key"), col("lsn"), col("value"))
+      .agg(sum(col("_ms")).as("_net"))
+      .filter(col("_net") =!= 0L)
+      .explain("formatted")
   }
 }
