@@ -149,16 +149,27 @@ object JoinView {
     */
   /** Run two independent eager actions concurrently (guide §2.6: overlap
     * independent jobs — one action's straggler tail back-fills with the
-    * other's tasks). Results identical to sequential. (Kept local rather
-    * than shared with Qutil.par2: cdc must not depend on the query layer.)
+    * other's tasks). Results identical to sequential. BOTH sides are always
+    * awaited before any failure propagates: abandoning the in-flight side
+    * on a first-side failure would leave an orphaned writer running into a
+    * caller's retry of the same fold (withCommitRetry re-enters the whole
+    * sequence), turning one retryable conflict into a conflict storm.
+    * (Kept local rather than shared with Qutil.par2: cdc must not depend
+    * on the query layer.)
     */
   private def par2[X, Y](fx: => X, fy: => Y): (X, Y) = {
     val fut = java.util.concurrent.CompletableFuture.supplyAsync(
       new java.util.function.Supplier[Y] { override def get(): Y = fy })
-    val x = fx
-    (x, try fut.join() catch {
-      case e: java.util.concurrent.CompletionException => throw e.getCause
-    })
+    val xe = try Right(fx) catch { case t: Throwable => Left(t) }
+    val ye = try Right(fut.join()) catch {
+      case e: java.util.concurrent.CompletionException => Left(e.getCause)
+      case t: Throwable => Left(t)
+    }
+    (xe, ye) match {
+      case (Right(x), Right(y)) => (x, y)
+      case (Left(t), _) => throw t
+      case (_, Left(t)) => throw t
+    }
   }
 
   def fold(state: State, batchA: DataFrame, batchB: DataFrame,
@@ -384,10 +395,20 @@ object JoinView {
     val bOldLive = spark.read.schema(bOldSchema).parquet(s"$stagedDir/b_old")
     // newer-of merges are idempotent AND watermark-guarded — a retry that
     // finds a latest table already at this batch id skips its IO entirely;
-    // disjoint table dirs, so the two merges overlap (guide §2.6)
+    // disjoint table dirs, so the two merges overlap (guide §2.6).
+    // PHASE-LOCAL conflict retry: a maintenance job racing ONE table costs
+    // a re-merge of that table only — bubbling the loss to foldPersisted's
+    // outer retry would re-run the stage reads and the already-landed
+    // phases (all no-ops, but each a manifest read + plan + guard check)
+    // once per conflict, and under a hot maintenance loop that burns the
+    // whole outer budget recomputing work that already landed.
     par2(
-      mergeLatest(spark, s"$dir/latest_a", batchA, a, numBuckets, Some(batchId)),
-      mergeLatest(spark, s"$dir/latest_b", batchB, b, numBuckets, Some(batchId)))
+      MaterializedTable.withCommitRetry(spark) {
+        mergeLatest(spark, s"$dir/latest_a", batchA, a, numBuckets,
+          Some(batchId)) },
+      MaterializedTable.withCommitRetry(spark) {
+        mergeLatest(spark, s"$dir/latest_b", batchB, b, numBuckets,
+          Some(batchId)) })
     maybeCrash("after_latest_merge")
     val viewCols = a.payloadCols ++ b.payloadCols
     // A_new is retry-stable: the idempotent merge above makes the post-
@@ -404,12 +425,29 @@ object JoinView {
     // the view fold's grouping already carries _bucket and a delta batch's
     // per-group multiplicity is the handful of ±1 join rows, so the fused
     // bucket exchange wins here too (see MaterializedTable.merge)
-    val touched = MaterializedTable.mergeBuckets(spark, s"$dir/view", dV,
-      Seq(a.joinCol), numBuckets, Some(batchId),
-      fuseBucketExchange = true) { combined =>
-        combined.groupBy((viewCols :+ "_bucket").map(col): _*)
-          .agg(sum(col("n")).as("n"))
-          .filter(col("n") > 0)
+    // same phase-local retry argument as the latest merges above: the view
+    // fold is batch-id-guarded, so retrying JUST this merge against the
+    // moved head is convergent and never re-pays the earlier phases.
+    // CONTENDED-PATH NARROWING: under a hot opposing writer the attempt's
+    // read-head→claim window must be SHORTER than the opponent's commit
+    // period or no attempt can ever win (the OCC livelock shape). The
+    // happy path pays nothing; after a FIRST conflict the delta relation
+    // is pinned once, so every further attempt re-runs only the touched-
+    // bucket combine + write, not the stage-read/union/join lineage.
+    def viewMerge(rows: DataFrame) =
+      MaterializedTable.mergeBuckets(spark, s"$dir/view", rows,
+        Seq(a.joinCol), numBuckets, Some(batchId),
+        fuseBucketExchange = true) { combined =>
+          combined.groupBy((viewCols :+ "_bucket").map(col): _*)
+            .agg(sum(col("n")).as("n"))
+            .filter(col("n") > 0)
+        }
+    val touched =
+      try viewMerge(dV)
+      catch {
+        case _: MaterializedTable.ConcurrentCommitException =>
+          val pinned = dV.localCheckpoint() // once, outside the retry loop
+          MaterializedTable.withCommitRetry(spark) { viewMerge(pinned) }
       }
     maybeCrash("after_view_merge")
     fs.mkdirs(marker.getParent)

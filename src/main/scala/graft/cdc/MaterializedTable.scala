@@ -288,9 +288,18 @@ object MaterializedTable {
     * writer CRASHED holding its claim, retrying would spin on the same dead
     * claim forever and mask the crash — it still kills the query, by
     * design. Bounded (`spark.graft.occ.commitRetries`, default 5) with
-    * linear backoff (`spark.graft.occ.commitRetryBackoffMs`, default 100):
+    * CAPPED, JITTERED backoff (`spark.graft.occ.commitRetryBackoffMs`,
+    * default 100; sleep = backoff × min(attempt, 4) × U[0.5, 1.5)):
     * endless conflict means a misconfigured second standing writer on one
-    * table, which must surface, not silently serialize forever.
+    * table, which must surface, not silently serialize forever. The cap +
+    * jitter matter under a HOT opposing writer (a maintenance compaction
+    * loop): an unbounded linear backoff grows the sleep past the opponent's
+    * commit period, which GUARANTEES the head moves during every attempt —
+    * a retry livelock that burns the whole budget asleep (measured this
+    * round: the mid-sequence ConcurrencySpec drill ground >15 min on a slow
+    * host). Short randomized sleeps keep attempts frequent and
+    * desynchronize the two writers instead. Jitter is retry SCHEDULING
+    * only — results stay deterministic (every fold is batch-id idempotent).
     */
   def withCommitRetry[A](spark: SparkSession)(op: => A): A = {
     val max = spark.conf.get("spark.graft.occ.commitRetries", "5").toInt
@@ -304,7 +313,10 @@ object MaterializedTable {
           attempt += 1
           if (attempt > max) throw e
           commitRetryCount.incrementAndGet()
-          Thread.sleep(backoffMs * attempt)
+          val base = backoffMs * math.min(attempt, 4)
+          Thread.sleep(math.max(1L,
+            (base * (0.5 + java.util.concurrent.ThreadLocalRandom
+              .current().nextDouble())).toLong))
       }
     }
     throw new IllegalStateException("unreachable")

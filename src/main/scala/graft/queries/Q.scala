@@ -54,10 +54,19 @@ object Qutil {
   def par2[X, Y](fx: => X, fy: => Y): (X, Y) = {
     val fut = java.util.concurrent.CompletableFuture.supplyAsync(
       new java.util.function.Supplier[Y] { override def get(): Y = fy })
-    val x = fx
-    (x, try fut.join() catch {
-      case e: java.util.concurrent.CompletionException => throw e.getCause
-    })
+    // always await BOTH sides before propagating a failure — abandoning
+    // the in-flight side would leave an orphaned writer racing any retry
+    // of the same sequence
+    val xe = try Right(fx) catch { case t: Throwable => Left(t) }
+    val ye = try Right(fut.join()) catch {
+      case e: java.util.concurrent.CompletionException => Left(e.getCause)
+      case t: Throwable => Left(t)
+    }
+    (xe, ye) match {
+      case (Right(x), Right(y)) => (x, y)
+      case (Left(t), _) => throw t
+      case (_, Left(t)) => throw t
+    }
   }
 
   /** Multiset equality in ONE Spark job / one shuffle: tag each side ±1,
